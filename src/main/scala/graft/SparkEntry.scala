@@ -1,13 +1,253 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.olap.Quality
+import graft.warehouse.Star
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has matching ANSI SQL in [[oracleSql]]
+  * (DuckDB dialect) over the same parquet tables; column names and value
+  * rounding are aligned on both sides so the driver's sorted-column value
+  * hash matches. Non-SQL-expressible operators (MinHash-LSH, streaming)
+  * are covered by ScalaTest specs instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Latest-per-key hub view (A8) composed with the star join (J3):
+    * current state of every customer's last order, revenue per region. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val latest = Star.latestPerKey(
+      t(spark, dir, "orders"), Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+    latest
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("o_totalprice")), 2).as("latest_order_value"))
+      .orderBy(col("r_name"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- OLAP corpus over events (NB q1-q12 + Grafana analogs) ----
+    "q01_count_by_type" -> ((s, d) => Quality.countByType(t(s, d, "events"))),
+    "q02_hourly_counts" -> ((s, d) => Quality.hourlyCounts(t(s, d, "events"))),
+    "q03_daily_type_pivot" -> ((s, d) => Quality.dailyTypePivot(t(s, d, "events"))),
+    "q04_avg_props_len" -> ((s, d) => Quality.avgPropsLen(t(s, d, "events"))),
+    "q05_user_error_pct" -> ((s, d) => Quality.userErrorPct(t(s, d, "events"))),
+    "q06_daily_error_pct" -> ((s, d) => Quality.dailyErrorPct(t(s, d, "events"))),
+    "q07_topk_type_props" -> ((s, d) => Quality.topkTypeProps(t(s, d, "events"))),
+    "q08_late_window" -> ((s, d) => Quality.lateWindow(t(s, d, "events"))),
+    "q09_kband_classify" -> ((s, d) => Quality.kbandClassify(t(s, d, "events"))),
+    "q10_moving_avg" -> ((s, d) => Quality.movingAvg(t(s, d, "events"))),
+    "q11_null_profile" -> ((s, d) => Quality.nullProfile(t(s, d, "events"))),
+    "q12_null_ratio_score" -> ((s, d) => Quality.nullRatioScore(t(s, d, "events"))),
+
+    // ---- star warehouse (DDL dims/facts/hub view analogs) ----
+    "s01_pricing_summary" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "s02_star_revenue" -> ((s, d) => Star.regionRevenue(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "nation"), t(s, d, "region"))),
+    "s03_latest_order_per_customer" -> ((s, d) => {
+      Star.latestPerKey(t(s, d, "orders"), Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date").as("last_order_date"))
+        .orderBy(col("o_custkey"))
+    }),
+    "s04_latest_line_per_order" -> ((s, d) => {
+      // ReplacingMergeTree-style upsert view: the fixture has duplicate
+      // (orderkey, linenumber) rows, so the version is the full remaining
+      // row (lexicographic max) — a total order, hence deterministic.
+      val li = t(s, d, "lineitem")
+      val version = Seq("l_shipdate", "l_extendedprice", "l_quantity", "l_partkey",
+        "l_suppkey", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+      Star.latestPerKey(li, Seq("l_orderkey", "l_linenumber"), version)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "s05_dim_nullify_zero_keys" -> ((s, d) => {
+      t(s, d, "supplier").select(
+          col("s_suppkey"), col("s_name"),
+          when(coalesce(col("s_nationkey"), lit(0)) === 0, lit(null))
+            .otherwise(col("s_nationkey")).as("nation_nk"),
+          coalesce(col("s_nationkey"), lit(0)).===(0).as("sk_is_null"))
+        .orderBy(col("s_suppkey"))
+    }),
+    "s06_scalar_derivations" -> ((s, d) => {
+      t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(lower(trim(col("l_returnflag"))) === "r", 1).otherwise(0).as("is_return"),
+          when(col("l_linestatus") === "O", "open")
+            .when(col("l_returnflag") === "R", "returned")
+            .otherwise("filled").as("status_class"),
+          when(col("l_discount").isNull || col("l_tax").isNull, lit(null))
+            .otherwise(col("l_discount") + col("l_tax")).as("disc_plus_tax"),
+          date_format(col("l_shipdate"), "yyyyMM").as("ship_month"),
+          coalesce(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date")).as("ship_or_epoch"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "s07_monthly_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("order_month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_total"))
+        .orderBy(col("order_month"))
+    }),
+    "s08_distinct_parts" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_count_by_type" ->
+      """SELECT event_type, count(*) AS n_events FROM events
+        |GROUP BY event_type ORDER BY n_events DESC, event_type""".stripMargin,
+    "q02_hourly_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_daily_type_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+        |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_count,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+        |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+        |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_avg_props_len" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(ROUND(AVG(LENGTH(props)), 2) AS DOUBLE) AS avg_len
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q05_user_error_pct" ->
+      """WITH totals AS (SELECT user_id, count(*) AS total FROM events GROUP BY 1),
+        |errs AS (SELECT user_id, count(*) AS n_err FROM events WHERE event_type='error' GROUP BY 1)
+        |SELECT t.user_id, t.total, CAST(COALESCE(e.n_err, 0) AS BIGINT) AS n_err,
+        |  CAST(ROUND(COALESCE(e.n_err, 0) * CAST(100 AS DOUBLE) / t.total, 2) AS DOUBLE) AS error_pct
+        |FROM totals t LEFT JOIN errs e ON t.user_id = e.user_id ORDER BY t.user_id""".stripMargin,
+    "q06_daily_error_pct" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS total,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+        |  CAST(ROUND(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) * CAST(100 AS DOUBLE) / count(*), 2) AS DOUBLE) AS error_pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_topk_type_props" ->
+      """SELECT event_type, props, count(*) AS occurrences FROM events
+        |GROUP BY event_type, props
+        |ORDER BY occurrences DESC, event_type, props LIMIT 10""".stripMargin,
+    "q08_late_window" ->
+      """SELECT event_id, date_trunc('second', ts) AS ts_sec, event_type FROM events
+        |WHERE ts >= (DATE '2024-01-25' - INTERVAL 1 DAY)
+        |  AND event_type IN ('error', 'purchase')
+        |ORDER BY event_id""".stripMargin,
+    "q09_kband_classify" ->
+      """SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 25 THEN 'low'
+        |            WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 50 THEN 'mid'
+        |            WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 75 THEN 'high'
+        |            ELSE 'top' END AS k_band, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_moving_avg" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) * CAST(100 AS DOUBLE) / count(*) AS pct_hi
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour, CAST(ROUND(pct_hi, 2) AS DOUBLE) AS pct_hi,
+        |  CAST(ROUND(AVG(pct_hi) OVER (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS moving_avg_6h
+        |FROM hourly ORDER BY event_type, hour""".stripMargin,
+    "q11_null_profile" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+        |  CAST(ROUND(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * CAST(100 AS DOUBLE) / count(*), 2) AS DOUBLE) AS null_props_pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_null_ratio_score" ->
+      """SELECT event_id,
+        |  CAST(((CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+        |      + (CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |      + (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)) * CAST(100 AS DOUBLE) / 3 AS DOUBLE) AS null_pct
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "s01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(AVG(l_quantity), 2) AS DOUBLE) AS avg_qty,
+        |  CAST(ROUND(AVG(l_discount), 4) AS DOUBLE) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s02_star_revenue" ->
+      """SELECT r_name,
+        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY revenue DESC, r_name""".stripMargin,
+    "s03_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS last_order_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "s04_latest_line_per_order" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |        ORDER BY l_shipdate DESC, l_extendedprice DESC, l_quantity DESC,
+        |                 l_partkey DESC, l_suppkey DESC, l_discount DESC, l_tax DESC,
+        |                 l_returnflag DESC, l_linestatus DESC) AS rn FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s05_dim_nullify_zero_keys" ->
+      """SELECT s_suppkey, s_name,
+        |  CASE WHEN COALESCE(s_nationkey, 0) = 0 THEN NULL ELSE s_nationkey END AS nation_nk,
+        |  COALESCE(s_nationkey, 0) = 0 AS sk_is_null
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "s06_scalar_derivations" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN LOWER(TRIM(l_returnflag)) = 'r' THEN 1 ELSE 0 END AS is_return,
+        |  CASE WHEN l_linestatus = 'O' THEN 'open'
+        |       WHEN l_returnflag = 'R' THEN 'returned'
+        |       ELSE 'filled' END AS status_class,
+        |  CASE WHEN l_discount IS NULL OR l_tax IS NULL THEN NULL
+        |       ELSE l_discount + l_tax END AS disc_plus_tax,
+        |  strftime(l_shipdate, '%Y%m') AS ship_month,
+        |  COALESCE(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS ship_or_epoch
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s07_monthly_rollup" ->
+      """SELECT strftime(o_orderdate, '%Y%m') AS order_month, count(*) AS n_orders,
+        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s08_distinct_parts" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  count(*) AS n_rows FROM lineitem""".stripMargin,
+  )
 }

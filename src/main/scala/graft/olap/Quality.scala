@@ -1,0 +1,152 @@
+package graft.olap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP corpus over the `events` stream table — the reference's 12
+  * dead-letter-analytics DuckDB queries plus its Grafana panel queries,
+  * re-expressed as Spark DataFrame programs on the fixture schema
+  * (event_id, ts, user_id, event_type, value, props JSON-string).
+  *
+  * Reference: `airflow/dags/duckDB/duckdb_olap.ipynb` cell 2 q1-q12;
+  * `grafana/dashboards/daily_dashboard_for_invalid_data-*.json` panels;
+  * operator ids A1-A6, A12, W1, O1-O3, P21-P27 in SURVEY.md §2.
+  *
+  * Scale design: every query is a narrow projection + one hash aggregate.
+  * The parquet scan prunes to the referenced columns, partial (map-side)
+  * aggregation runs before the shuffle, and the exchange carries only
+  * |group keys| rows. Sorts happen after aggregation on tiny results
+  * (TakeOrderedAndProject for the top-K). Nothing collects to the driver.
+  */
+object Quality {
+
+  /** q1 / A1+O1: message count per topic (event_type plays the topic). */
+  def countByType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("event_type"))
+
+  /** q2 / A2+P21: hourly message volume. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hour"))
+
+  /** q3 / A3: one-pass conditional aggregation — per-day pivot of the five
+    * event classes (reference: 5 keyword LIKE counts in one scan). */
+  def dailyTypePivot(events: DataFrame): DataFrame = {
+    def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0)).as(s"${t}_count")
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(cnt("error"), cnt("signup"), cnt("purchase"), cnt("view"), cnt("click"))
+      .orderBy(col("day"))
+  }
+
+  /** q4 / A4: average payload length per (type, day). */
+  def avgPropsLen(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(avg(length(col("props"))), 2).as("avg_len"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** q5 / A5+J2: ratio of aggregates via two grouped counts + left join +
+    * coalesce null-fill (reference NB q5 invalid-percentage-per-topic). */
+  def userErrorPct(events: DataFrame): DataFrame = {
+    val totals = events.groupBy(col("user_id")).agg(count(lit(1)).as("total"))
+    val errs = events.filter(col("event_type") === "error")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+    totals.join(errs, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("total"),
+        coalesce(col("n_err"), lit(0L)).as("n_err"),
+        round(coalesce(col("n_err"), lit(0L)) * lit(100.0) / col("total"), 2).as("error_pct"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q6 / A5 single-pass variant: daily error percentage. */
+  def dailyErrorPct(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_err"))
+      .select(
+        col("day"), col("total"), col("n_err"),
+        round(col("n_err") * lit(100.0) / col("total"), 2).as("error_pct"))
+      .orderBy(col("day"))
+
+  /** q7 / A6+O2: top-10 most frequent (type, payload) pairs; deterministic
+    * tie-break on the full group key. Spark plans TakeOrderedAndProject —
+    * only K rows cross the final exchange. */
+  def topkTypeProps(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), col("props"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("event_type"), col("props"))
+      .limit(10)
+
+  /** q8 / P24+P25+P26: fixed-horizon recency window (cutoff minus one day)
+    * + IN-list predicate; both pushed into the parquet scan. */
+  def lateWindow(events: DataFrame): DataFrame =
+    events
+      .filter(col("ts") >= date_sub(lit("2024-01-25").cast("date"), 1).cast("timestamp"))
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(
+        col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** q9 / P22+P23: JSON field extraction from a string column + multi-branch
+    * CASE classifier (reference: message ->> 'strSport' + error-category). */
+  def kbandClassify(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    events.select(
+        when(k < 25, "low").when(k < 50, "mid").when(k < 75, "high")
+          .otherwise("top").as("k_band"))
+      .groupBy(col("k_band"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k_band"))
+  }
+
+  /** q10 / W1: 6-hour moving average of the hourly high-value rate over an
+    * hourly CTE with an explicit ROWS frame (reference NB q10's
+    * moving_avg_6_hours of invalid-percentage). The rate is a ratio of
+    * integer counts — bit-exact in any engine/summation order — so the
+    * final 2-decimal rounding is stable cross-engine. */
+  def movingAvg(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 100, 1).otherwise(0)).as("n_hi"))
+      .select(col("event_type"), col("hour"),
+        (col("n_hi") * lit(100.0) / col("n")).as("pct_hi"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-5, Window.currentRow)
+    hourly
+      .select(col("event_type"), col("hour"),
+        round(col("pct_hi"), 2).as("pct_hi"),
+        round(avg(col("pct_hi")).over(w), 2).as("moving_avg_6h"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** q11 / A12: null-count profiling per type. */
+  def nullProfile(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("props").isNull, 1).otherwise(0)).as("n_null_props"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("n_null_value"))
+      .select(
+        col("event_type"), col("n"), col("n_null_props"), col("n_null_value"),
+        round(col("n_null_props") * lit(100.0) / col("n"), 2).as("null_props_pct"))
+      .orderBy(col("event_type"))
+
+  /** q12 / P27: per-row null-ratio score over three named columns. */
+  def nullRatioScore(events: DataFrame): DataFrame = {
+    def nul(c: String) = when(col(c).isNull, 1).otherwise(0)
+    events.select(
+        col("event_id"),
+        ((nul("props") + nul("value") + nul("user_id")) * lit(100.0) / lit(3))
+          .as("null_pct"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ingest.ValidateRoute.Routed
+
+/** Structured-Streaming topology — the reference's two-query design
+  * (`spark/jobs/validate_json.py:656-702`, SURVEY.md §2.8 ST1-ST10)
+  * with a parquet sink replacing Kafka (zero-egress analog: the
+  * reference's per-row `topic` column routing becomes `partitionBy(topic)`).
+  *
+  * Scale: exactly TWO streaming queries regardless of topic count — the
+  * per-topic branches are unioned narrow plans, so offsets/checkpoints and
+  * sink commits stay O(1) in topic count. Parquet sink is exactly-once per
+  * micro-batch; 5 s processing-time trigger in production,
+  * `Trigger.AvailableNow` for deterministic tests/backfills.
+  */
+object Streaming {
+
+  /** Message-envelope source from a directory of JSON files (test/dev stand-in
+    * for the Kafka source; same columns: topic, value, timestamp). */
+  def jsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  private def sink(df: DataFrame, outDir: String, chkDir: String, name: String,
+                   trigger: Trigger): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .partitionBy("topic")
+      .option("path", s"$outDir/$name")
+      .option("checkpointLocation", s"$chkDir/$name")
+      .outputMode("append")
+      .trigger(trigger)
+      .queryName(name)
+
+  /** ST6: start the two fan-in queries (validated-all, rejected-all). */
+  def startRoutes(routed: Routed, outDir: String, chkDir: String,
+                  trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : (StreamingQuery, StreamingQuery) =
+    (sink(routed.validated, outDir, chkDir, "validated-all", trigger).start(),
+     sink(routed.rejected, outDir, chkDir, "rejected-all", trigger).start())
+
+  /** ST10: ingest-time materialized-view propagation — apply a batch
+    * transform to every micro-batch (ClickHouse MV semantics: the MV SELECT
+    * body runs per insert block; backfill = the same transform run over
+    * history in batch). */
+  def foreachBatchIngest(stream: DataFrame, transform: DataFrame => DataFrame,
+                         sinkPath: String, chkDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        transform(batch).write.mode("append").parquet(sinkPath)
+      }
+      .option("checkpointLocation", chkDir)
+      .trigger(trigger)
+      .start()
+}

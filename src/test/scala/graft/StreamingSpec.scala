@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.ValidateRoute
+import graft.schema.Schemas
+import graft.stream.Streaming
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val msgSchema = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("value", StringType),
+    StructField("timestamp", TimestampType)))
+
+  private val validLeague =
+    """{"idLeague":"4328","strLeague":"EPL","strSport":"Soccer","strCountry":"England","ingested_at":1714564800.0}"""
+  private val badLeague =
+    """{"idLeague":"4387","strLeague":"NBA","strSport":"Basketball","strCountry":"USA","ingested_at":1714564800.0}"""
+
+  private def writeMessages(dir: String, rows: Seq[(String, String)]): Unit = {
+    val json = rows.map { case (t, v) =>
+      s"""{"topic":"$t","value":${ujsonEscape(v)},"timestamp":"2024-05-01T12:00:00.000Z"}"""
+    }.mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/batch0.json"), json)
+  }
+
+  private def ujsonEscape(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  test("streaming plan == batch plan on the same input (ST1/ST2/ST6)") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val chk = Files.createTempDirectory("graft-stream-chk").toString
+    writeMessages(dir, Seq(
+      "soccer.league" -> validLeague,
+      "soccer.league" -> badLeague,
+      "soccer.league" -> "not json at all"))
+
+    val stream = Streaming.jsonStream(spark, dir, msgSchema)
+    assert(stream.isStreaming)
+    val routed = ValidateRoute.plan(stream, Schemas.specs)
+    val (qv, qr) = Streaming.startRoutes(routed, out, chk, Trigger.AvailableNow())
+    qv.awaitTermination(60000); qr.awaitTermination(60000)
+
+    val validated = spark.read.parquet(s"$out/validated-all")
+    val rejected = spark.read.parquet(s"$out/rejected-all")
+    assert(validated.count() == 1)
+    assert(rejected.count() == 2)
+
+    // batch run over the same file agrees (same pure plan, ST10 backfill story)
+    val batchRaw = spark.read.schema(msgSchema).json(dir)
+    val batchRouted = ValidateRoute.plan(batchRaw, Schemas.specs)
+    assert(batchRouted.validated.count() == 1)
+    assert(batchRouted.rejected.count() == 2)
+  }
+
+  test("watermarked streaming dedup drops replayed duplicates (A10/ST4/ST9)") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val out = Files.createTempDirectory("graft-dedup-out").toString
+    val chk = Files.createTempDirectory("graft-dedup-chk").toString
+    writeMessages(dir, Seq(
+      "soccer.league" -> validLeague,
+      "soccer.league" -> validLeague,
+      "soccer.league" -> validLeague))
+
+    val stream = Streaming.jsonStream(spark, dir, msgSchema)
+    val routed = ValidateRoute.plan(stream, Schemas.specs, enableDedup = true)
+    val (qv, qr) = Streaming.startRoutes(routed, out, chk, Trigger.AvailableNow())
+    qv.awaitTermination(60000); qr.awaitTermination(60000)
+
+    assert(spark.read.parquet(s"$out/validated-all").count() == 1)
+  }
+
+  test("foreachBatch MV-style ingest applies the batch transform per micro-batch (ST10)") {
+    val sink = Files.createTempDirectory("graft-mv-out").toString + "/dim"
+    val chk = Files.createTempDirectory("graft-mv-chk").toString
+    val events = Tables(spark, TestSpark.sf, "events")
+    val tmpIn = Files.createTempDirectory("graft-mv-in").toString
+    events.limit(100).write.mode("overwrite").parquet(tmpIn)
+
+    val stream = spark.readStream.schema(
+      spark.read.parquet(tmpIn).schema).parquet(tmpIn)
+    val q = Streaming.foreachBatchIngest(
+      stream,
+      df => df.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      sink, chk)
+    q.awaitTermination(60000)
+
+    val dim = spark.read.parquet(sink)
+    assert(dim.agg(sum(col("n"))).head.getLong(0) == 100)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.ValidateRoute
+import graft.schema.Schemas
+
+class ValidateRouteSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val ts = Timestamp.valueOf("2024-05-01 12:00:00")
+
+  private def raw(rows: (String, String)*): DataFrame =
+    rows.toSeq.toDF("topic", "value").withColumn("timestamp", lit(ts))
+
+  private val validLeague =
+    """{"idLeague":"4328","strLeague":"English Premier League","strSport":"Soccer",
+      |"strCountry":"England","ingested_at":1714564800.0}""".stripMargin.replaceAll("\n", "")
+  private val basketballLeague =
+    """{"idLeague":"4387","strLeague":"NBA","strSport":"Basketball",
+      |"strCountry":"USA","ingested_at":1714564800.0}""".stripMargin.replaceAll("\n", "")
+  private val nullRequiredLeague =
+    """{"idLeague":"9999","strSport":"Soccer","ingested_at":1714564800.0}"""
+  private val notJson = "this is { not json"
+  private val validPlayer =
+    """{"idPlayer":"34145937","idTeam":"133604",
+      |"lookup_player":{"strPlayer":"Harry Kane","strSport":"Soccer"},
+      |"ingested_at":1714564800.0}""".stripMargin.replaceAll("\n", "")
+  private val darstPlayer =
+    """{"idPlayer":"34145938","idTeam":"133605",
+      |"lookup_player":{"strPlayer":"Someone","strSport":"Darts"},
+      |"ingested_at":1714564800.0}""".stripMargin.replaceAll("\n", "")
+  private val validStats =
+    """{"idEvent":"1032723","idStatistic":"1","strStat":"Shots","intHome":"12",
+      |"intAway":"8","ingested_at":1714564800.0}""".stripMargin.replaceAll("\n", "")
+  private val staleTsLeague =
+    """{"idLeague":"4335","strLeague":"La Liga","strSport":"Soccer",
+      |"strCountry":"Spain","ingested_at":5.0}""".stripMargin.replaceAll("\n", "")
+
+  private lazy val routed = ValidateRoute.plan(
+    raw(
+      "soccer.league" -> validLeague,
+      "soccer.league" -> basketballLeague,
+      "soccer.league" -> nullRequiredLeague,
+      "soccer.league" -> notJson,
+      "soccer.league" -> staleTsLeague,
+      "soccer.player" -> validPlayer,
+      "soccer.player" -> darstPlayer,
+      "soccer.event.stats" -> validStats),
+    Schemas.specs)
+
+  test("routing partitions the input: validated + rejected = input (P7/U1)") {
+    assert(routed.validated.count() + routed.rejected.count() == 8)
+  }
+
+  test("valid soccer rows route to validated with the right topics (P2/P7)") {
+    val topics = routed.validated.select("topic").as[String].collect().sorted
+    assert(topics.toSeq == Seq(
+      "validated.soccer.event.stats", "validated.soccer.league",
+      "validated.soccer.league", "validated.soccer.player"))
+  }
+
+  test("non-soccer, null-required, and unparseable rows are rejected (P5/P6/P3)") {
+    val rej = routed.rejected.select("topic").as[String].collect()
+    assert(rej.count(_ == "rejected.soccer.league") == 3)
+    assert(rej.count(_ == "rejected.soccer.player") == 1)
+  }
+
+  test("nested sport path drives player validation (P6 nested)") {
+    val keys = routed.validated.filter(col("topic") === "validated.soccer.player")
+      .select("key").as[String].collect()
+    assert(keys.toSeq == Seq("34145937"))
+  }
+
+  test("parse failures get sha2(json) primary key and parse_error flag (P3/P8)") {
+    val parseRow = routed.rejected
+      .filter(col("value").contains("parse_error")).select("key").as[String].collect()
+    assert(parseRow.length == 1)
+    assert(parseRow.head.matches("[0-9a-f]{64}"))
+  }
+
+  test("stale ingested_at is repaired from the source timestamp (P9)") {
+    // staleTsLeague has ingested_at=5.0 (≤ epoch floor) → repaired to
+    // kafka_ts epoch seconds; the envelope re-serializes the repaired value.
+    val v = routed.validated
+      .filter(col("value").contains("\"idLeague\":\"4335\""))
+      .select("value").as[String].head()
+    // to_json renders doubles in scientific notation: 1714564800 s → 1.7145648E9
+    assert(v.contains(""""ingested_at":1.7145648E9"""))
+  }
+
+  test("pk synthesis is stable under null components (P8)") {
+    val df = Seq(("a", null: String, "c"), (null, null, null), ("x", "y", "z"))
+      .toDF("k1", "k2", "k3")
+    val got = ValidateRoute.addPk(df, Seq("k1", "k2", "k3"))
+      .select("pk").as[String].collect().toSeq
+    assert(got == Seq("a||c", "||", "x|y|z"))
+  }
+
+  test("payload hash ignores metadata and column order (P10)") {
+    val a = ValidateRoute.addPayloadHash(
+      Seq(("v1", "v2", 1.0)).toDF("b", "a", "ingested_at"))
+    val b = ValidateRoute.addPayloadHash(
+      Seq(("v2", "v1", 99.0)).toDF("a", "b", "ingested_at"))
+    assert(a.select("payload_hash").as[String].head() ==
+      b.select("payload_hash").as[String].head())
+  }
+
+  test("all 13 reference topic specs parse and plan (schema registry)") {
+    assert(Schemas.specs.size == 13)
+    assert(Schemas.byName("player").schema("lookup_player").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+    // plan builds over all 13 specs without resolution errors
+    val r = ValidateRoute.plan(raw("soccer.team" -> """{"idTeam":"1"}"""), Schemas.specs)
+    assert(r.rejected.count() == 1 && r.validated.count() == 0)
+  }
+
+  test("the plan is narrow: no shuffle exchange in the physical plan (§4)") {
+    val p = routed.validated.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+}

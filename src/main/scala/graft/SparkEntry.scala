@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ext.{Similarity, TextAnalysis, TextDedup}
 import graft.olap.Quality
 import graft.warehouse.Star
 
@@ -122,6 +123,65 @@ object SparkEntry {
       t(s, d, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- north-star extensions: dedup / similarity / text analysis ----
+    "x01_exact_dedup_groups" -> ((s, d) => {
+      // U1 + exact dedup: the doubled corpus collapses back to one group
+      // per document with n_copies=2.
+      val docs = t(s, d, "documents")
+      TextDedup.exactDupGroups(docs.unionByName(docs), "text", "doc_id")
+        .orderBy(col("keeper"))
+    }),
+    "x02_exact_dedup_kept" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextDedup.dedupExact(docs.unionByName(docs), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "x03_text_profile" -> ((s, d) => {
+      TextAnalysis.profile(t(s, d, "documents"), "text", "doc_id")
+        .drop("fingerprint") // xxhash64-based, not cross-engine oracle-able
+        .orderBy(col("doc_id"))
+    }),
+    "x04_doc_prefix_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(
+          col("doc_id"),
+          md5(substring(col("text"), 1, 64)).as("prefix_fp"),
+          length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+    "x05_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+    }),
+    "x06_embedding_neardup_pairs" -> ((s, d) => {
+      Similarity.nearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+          "label", 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // rows-only checks (not SQL-expressible in DuckDB): MinHash-LSH,
+    // SimHash, LSH ANN — correctness covered by ExtSpec against
+    // brute-force ground truth.
+    "x07_minhash_dup_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      TextDedup.minhashDupPairs(docs.unionByName(shifted), "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "x08_simhash_dup_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      TextDedup.simhashDupPairs(docs.unionByName(shifted), "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "x09_lsh_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.lshTopK(emb, "embedding", "vec_id", q, 10)
     }),
   )
 
@@ -249,5 +309,66 @@ object SparkEntry {
     "s08_distinct_parts" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  count(*) AS n_rows FROM lineitem""".stripMargin,
+
+    "x01_exact_dedup_groups" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        |  count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "x02_exact_dedup_kept" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""",
+    "x03_text_profile" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    LENGTH(text) AS n_chars,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars, len(toks) AS n_tokens, n_bpeish,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS avg_tok,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as'], t))) AS DOUBLE)
+        |      / greatest(len(ltoks), 1) AS stop_r,
+        |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_r,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(['the','and','of','is','with'], t))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(['el','la','de','que','y'], t))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(['le','la','et','les','des'], t))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de
+        |  FROM p)
+        |SELECT doc_id, n_chars, n_tokens, n_bpeish,
+        |  CAST(ROUND(avg_tok, 4) AS DOUBLE) AS avg_token_len,
+        |  CAST(ROUND(stop_r, 4) AS DOUBLE) AS stopword_ratio,
+        |  CAST(ROUND(punct_r, 4) AS DOUBLE) AS punct_ratio,
+        |  CAST(ROUND(((CASE WHEN n_tokens BETWEEN 50 AND 10000 THEN 1.0 WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
+        |      + (CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.3 END)
+        |      + (CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.4 END)) / 3.0, 4) AS DOUBLE) AS quality,
+        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+        |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+        |       ELSE 'de' END AS lang_guess
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "x04_doc_prefix_fingerprint" ->
+      """SELECT doc_id, md5(substr(text, 1, 64)) AS prefix_fp,
+        |  LENGTH(text) AS text_len FROM documents ORDER BY doc_id""".stripMargin,
+    "x05_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, CAST(ROUND(
+        |  list_sum(list_transform(list_zip(embedding, qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS sim
+        |FROM embeddings, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x06_embedding_neardup_pairs" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(ROUND(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
   )
 }

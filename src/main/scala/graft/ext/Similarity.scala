@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `ArrayType(FloatType)` columns —
+  * north-star extension (BASELINE.json "north_star"; PAPERS.md top-k
+  * similarity corpus).
+  *
+  * All kernels are built from codegen'd higher-order functions
+  * (`zip_with`/`aggregate`/`transform`) — no UDFs, no Python — so they
+  * inline into whole-stage codegen. Arithmetic is double-precision with
+  * left-to-right summation (deterministic, oracle-matchable).
+  *
+  * Scale design:
+  *  - Brute-force top-k: one narrow pass + TakeOrderedAndProject (only k
+  *    rows cross the final exchange). Right answer for one query vector.
+  *  - For query *batches* at 100 TB: `lshBucket` buckets vectors by
+  *    random-hyperplane signs (deterministic seed). Bucketing turns the
+  *    all-pairs cross join into a per-bucket join — the classic
+  *    sub-linear ANN trade (recall vs probes). Multi-probe = union of
+  *    neighbor buckets (Hamming-1). At cluster scale, write the bucketed
+  *    table `partitionBy(bucket)` so probes prune partitions.
+  */
+object Similarity {
+
+  /** Cast a float array to double for stable, oracle-matchable math. */
+  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Dot product — left-to-right double summation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Literal column for a query vector. */
+  def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Brute-force cosine top-k against one query vector: the exact baseline.
+    * Plans as scan → project → TakeOrderedAndProject; no shuffle of the
+    * full table. Ordering ties broken by id for determinism. */
+  def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
+                     query: Seq[Double], k: Int, roundTo: Int = 6): DataFrame =
+    df.select(col(idCol),
+        round(cosine(asDouble(col(embCol)), vecLit(query)), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed → reproducible
+    * buckets across runs/clusters, no fitted state to ship). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign(v · plane_i). Cosine-similar vectors
+    * collide with high probability (random hyperplane LSH). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, vecLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN top-k: search only the query's bucket (plus Hamming-1
+    * neighbor buckets when `multiProbe`), then exact-rank within. Trades
+    * recall for a |bucket|/|table| fraction of the scan at 100 TB. */
+  def lshTopK(df: DataFrame, embCol: String, idCol: String, query: Seq[Double],
+              k: Int, nPlanes: Int = 8, multiProbe: Boolean = true,
+              seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    val planes = hyperplanes(nPlanes, query.length, seed)
+    val qBucket: Long = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    val probes: Seq[Long] =
+      if (multiProbe) qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
+      else Seq(qBucket)
+    df.withColumn("_bucket", lshBucket(asDouble(col(embCol)), planes))
+      .filter(col("_bucket").isin(probes: _*))
+      .select(col(idCol),
+        round(cosine(asDouble(col(embCol)), vecLit(query)), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, bucketed by
+    * `bucketCol` (a coarse partitioner: LSH bucket, cluster label, shard).
+    * The self-join shuffles both sides ONCE on the bucket key; the
+    * quadratic blow-up is confined to each bucket. `idA < idB` halves the
+    * pair space and dedupes. */
+  def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
+                   bucketCol: String, threshold: Double, roundTo: Int = 6): DataFrame = {
+    val a = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_a"),
+      asDouble(col(embCol)).as("_emb_a"))
+    val b = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_b"),
+      asDouble(col(embCol)).as("_emb_b"))
+    a.join(b, Seq("_bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_emb_a"), col("_emb_b")), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, language identification, document fingerprinting — north-star
+  * extension. All pure column expressions (codegen'd, no UDFs); each
+  * operator is a narrow projection, so at 100 TB these run at scan speed
+  * with column pruning down to the text column.
+  */
+object TextAnalysis {
+
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (regex tokenizer — the
+    * usual pre-BPE segmentation shape). */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** English-ish stopword ratio over whitespace tokens. */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "this", "for", "on", "with", "as")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(lower(c))
+    size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Mean token length (chars per token). */
+  def avgTokenLength(c: Column): Column = {
+    val toks = tokens(c)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, stopword
+    * presence, moderate punctuation — the standard heuristic-filter shape
+    * (C4/Gopher-style rules re-expressed as one scalar). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenScore = when(nTok >= 50 && nTok <= 10000, 1.0)
+      .when(nTok >= 10, 0.5).otherwise(0.0)
+    val stopScore = when(stopwordRatio(c) >= 0.05, 1.0).otherwise(0.3)
+    val punctScore = when(punctRatio(c) <= 0.2, 1.0).otherwise(0.4)
+    round((lenScore + stopScore + punctScore) / 3.0, 4)
+  }
+
+  /** Marker-token language scores. The marker lists are tiny and the scan
+    * is one pass over the token array per language. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  /** Language-ID heuristic: argmax over marker-hit counts; ties and
+    * zero-hit rows resolve to "und" (undetermined). Deterministic. */
+  def langId(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isInCollection(markers))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling fingerprint over the token stream (order-aware, unlike a
+    * bag-of-words hash): acc = xxhash64(acc, token) chained left-to-right.
+    * Chained hashing instead of polynomial accumulation — ANSI mode
+    * (Spark 4 default) raises on the wraparound multiply a polynomial
+    * hash relies on. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(TextDedup.tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Per-document profile frame: one narrow projection with all metrics. */
+  def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      bpeishTokenCount(col(textCol)).as("n_bpeish"),
+      round(avgTokenLength(col(textCol)), 4).as("avg_token_len"),
+      round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
+      round(punctRatio(col(textCol)), 4).as("punct_ratio"),
+      qualityScore(col(textCol)).as("quality"),
+      langId(col(textCol)).as("lang_guess"),
+      rollingFingerprint(col(textCol)).as("fingerprint"))
+}

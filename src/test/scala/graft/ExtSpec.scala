@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+class ExtSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf, "documents")
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  // ---- dedup ----
+
+  test("exact dedup collapses a doubled corpus to the original (exact)") {
+    val doubled = docs.unionByName(docs)
+    val kept = TextDedup.dedupExact(doubled, "text", "doc_id")
+    assert(kept.count() == docs.count())
+  }
+
+  test("exact dedup normalizes case and whitespace") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = TextDedup.dedupExact(df, "text", "doc_id")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("minhash estimates jaccard within tolerance on known-overlap docs") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      .select(col("id"), TextDedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", TextDedup.minhashSignature(col("sh"), 128))
+    val Seq(r1, r2) = df.orderBy("id").collect().toSeq
+    val shA = r1.getSeq[String](1).toSet
+    val shB = r2.getSeq[String](1).toSet
+    val trueJ = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    val sigA = r1.getSeq[Long](2)
+    val sigB = r2.getSeq[Long](2)
+    val estJ = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / 128
+    assert(math.abs(trueJ - estJ) < 0.25, s"true=$trueJ est=$estJ")
+  }
+
+  test("minhashDupPairs finds exact duplicates with jaccard 1.0 (MinHash+LSH)") {
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+    val pairs = TextDedup.minhashDupPairs(docs.unionByName(shifted), "text", "doc_id")
+    // every doubled doc must surface as a jaccard-1.0 pair; the shared-vocab
+    // corpus also contains genuine near-dups above 0.7, which stay.
+    val doubled = pairs.filter(col("id_b") - col("id_a") === 1000000L &&
+      col("id_b") - lit(1000000L) === col("id_a"))
+    assert(doubled.count() == docs.count())
+    assert(doubled.filter(col("jaccard") < 1.0).count() == 0)
+    assert(pairs.count() >= docs.count())
+  }
+
+  test("simhash of identical text is identical; near text is close (SimHash)") {
+    val df = TextDedup.withSimhash(Seq(
+      (1L, "spark engine for large scale data processing and analytics work"),
+      (2L, "spark engine for large scale data processing and analytics work"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("id", "text"), "text", "sig")
+    val sigs = df.orderBy("id").select("sig").as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) > 10)
+  }
+
+  test("simhashDupPairs pairs every doubled doc at hamming 0 (SimHash blocking)") {
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+    val pairs = TextDedup.simhashDupPairs(docs.unionByName(shifted), "text", "doc_id")
+    assert(pairs.filter(col("hamming") === 0).count() >= docs.count())
+  }
+
+  // ---- similarity ----
+
+  test("brute-force top-k: self is rank 1 with sim 1.0") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    val top = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 5).collect()
+    assert(top.head.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN recall: query's own bucket contains the query; top-1 = self") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    val top = Similarity.lshTopK(emb, "embedding", "vec_id", q, 5).collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("vec_id") == 0L)
+  }
+
+  test("LSH buckets partition the table (every row gets exactly one bucket)") {
+    val planes = Similarity.hyperplanes(8, 64)
+    val b = emb.withColumn("bucket",
+      Similarity.lshBucket(Similarity.asDouble(col("embedding")), planes))
+    assert(b.filter(col("bucket").isNull).count() == 0)
+    assert(b.count() == emb.count())
+  }
+
+  test("nearDupPairs agrees with a brute-force within-label scan") {
+    val brute = {
+      val a = emb.select(col("label"), col("vec_id").as("id_a"),
+        Similarity.asDouble(col("embedding")).as("ea"))
+      val b = emb.select(col("label"), col("vec_id").as("id_b"),
+        Similarity.asDouble(col("embedding")).as("eb"))
+      a.join(b, "label").filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("ea"), col("eb")), 6) >= 0.3).count()
+    }
+    val got = Similarity.nearDupPairs(emb, "embedding", "vec_id", "label", 0.3).count()
+    assert(got == brute)
+  }
+
+  // ---- text analysis ----
+
+  test("token counts and ratios are sane on the corpus") {
+    val p = TextAnalysis.profile(docs, "text", "doc_id")
+    assert(p.filter(col("n_tokens") <= 0).count() == 0)
+    assert(p.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+    assert(p.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+  }
+
+  test("langId picks the marked language deterministically") {
+    val df = Seq(
+      (1L, "the cat and the dog is with the bird"),
+      (2L, "el perro y la casa de que y el gato"),
+      (3L, "xyz qqq zzz")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .orderBy("id").select("l").as[String].collect().toSeq
+    assert(got == Seq("en", "es", "und"))
+  }
+
+  test("rolling fingerprint is order-sensitive (unlike bag-of-words)") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) != fps(1))
+  }
+
+  // ---- multimodal ----
+
+  private def header(w: Int, h: Int, extra: Int = 0): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + extra)
+    bb.put("GRFT".getBytes); bb.putInt(w); bb.putInt(h)
+    bb.array()
+  }
+
+  test("multimodal: stub decode parses headers and flags failures") {
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", "a.img", header(640, 480), 12L),
+      Multimodal.MediaRow(2L, "video", "b.vid", header(1920, 1080, 64), 76L),
+      Multimodal.MediaRow(3L, "image", "c.img", "garbage".getBytes, 7L)).toDS()
+    val dec = Multimodal.stubDecode(ds).collect().sortBy(_.media_id)
+    assert(dec(0).width == 640 && dec(0).ok)
+    assert(dec(1).n_frames == 4 && dec(1).ok)
+    assert(!dec(2).ok)
+  }
+
+  test("multimodal: frame sampling emits one row per sampled frame") {
+    val ds = Seq(Multimodal.MediaRow(1L, "video", "b.vid", header(64, 64, 160), 172L)).toDS()
+    val frames = Multimodal.stubFrameSample(ds, stride = 2, maxFrames = 3)
+    assert(frames.count() == 3)
+    assert(frames.select("frame_idx").as[Int].collect().toSeq == Seq(0, 2, 4))
+  }
+
+  test("multimodal: features detach from bytes with stable values") {
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", "a.img", header(1, 1), 12L),
+      Multimodal.MediaRow(2L, "image", "b.img", header(2, 2), 12L)).toDS()
+    val f1 = Multimodal.stubFeatures(ds).orderBy("media_id").collect()
+    val f2 = Multimodal.stubFeatures(ds).orderBy("media_id").collect()
+    assert(f1.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
+    assert(f1.head.getSeq[Float](1).length == 16)
+  }
+}

@@ -53,6 +53,31 @@ object SparkEntry {
     "q10_moving_avg" -> ((s, d) => Quality.movingAvg(t(s, d, "events"))),
     "q11_null_profile" -> ((s, d) => Quality.nullProfile(t(s, d, "events"))),
     "q12_null_ratio_score" -> ((s, d) => Quality.nullRatioScore(t(s, d, "events"))),
+    "q13_json_null_profile" -> ((s, d) =>
+      graft.olap.JsonProfile.profile(t(s, d, "events"), "props", "event_id")
+        .orderBy(col("event_id"))),
+
+    // ---- validate-route expression surface (P5-P10 cross-engine) ----
+    "v01_pk_hash" -> ((s, d) => {
+      // P8 pk synthesis + P10 payload hash, oracle-checkable: sha2 of the
+      // canonical concat matches DuckDB sha256 byte-for-byte.
+      val pk = concat_ws("|",
+        coalesce(col("event_id").cast("string"), lit("")),
+        coalesce(col("event_type"), lit("")))
+      t(s, d, "events").select(
+          col("event_id"), pk.as("pk"), sha2(pk, 256).as("pk_sha"))
+        .orderBy(col("event_id"))
+    }),
+    "v02_route_counts" -> ((s, d) => {
+      // P5 required-fold + P6 pattern filter + P7 routing as a group-count.
+      val sportOk = when(col("event_type").rlike("(?i)^(purchase|view|click)$"), lit(true))
+        .otherwise(lit(false))
+      val isValid = col("event_id").isNotNull && col("user_id").isNotNull && sportOk
+      t(s, d, "events")
+        .select(when(isValid, "validated").otherwise("rejected").as("route"))
+        .groupBy(col("route")).agg(count(lit(1)).as("n"))
+        .orderBy(col("route"))
+    }),
 
     // ---- star warehouse (DDL dims/facts/hub view analogs) ----
     "s01_pricing_summary" -> ((s, d) => {
@@ -254,6 +279,30 @@ object SparkEntry {
         |      + (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)) * CAST(100 AS DOUBLE) / 3 AS DOUBLE) AS null_pct
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q13_json_null_profile" ->
+      """SELECT event_id,
+        |  len(json_keys(props)) AS n_fields,
+        |  len(list_filter(json_keys(props), k ->
+        |    json_extract_string(props, '$.' || k) IS NULL
+        |    OR trim(json_extract_string(props, '$.' || k)) = ''
+        |    OR lower(json_extract_string(props, '$.' || k)) IN ('null', 'none'))) AS n_nullish,
+        |  CASE WHEN len(json_keys(props)) = 0 THEN CAST(100 AS DOUBLE)
+        |       ELSE len(list_filter(json_keys(props), k ->
+        |              json_extract_string(props, '$.' || k) IS NULL
+        |              OR trim(json_extract_string(props, '$.' || k)) = ''
+        |              OR lower(json_extract_string(props, '$.' || k)) IN ('null', 'none')))
+        |            * CAST(100 AS DOUBLE) / len(json_keys(props)) END AS null_pct
+        |FROM events ORDER BY event_id""".stripMargin,
+    "v01_pk_hash" ->
+      """SELECT event_id,
+        |  concat_ws('|', COALESCE(CAST(event_id AS VARCHAR), ''), COALESCE(event_type, '')) AS pk,
+        |  sha256(concat_ws('|', COALESCE(CAST(event_id AS VARCHAR), ''), COALESCE(event_type, ''))) AS pk_sha
+        |FROM events ORDER BY event_id""".stripMargin,
+    "v02_route_counts" ->
+      """SELECT CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
+        |            AND COALESCE(regexp_matches(event_type, '(?i)^(purchase|view|click)$'), false)
+        |       THEN 'validated' ELSE 'rejected' END AS route, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "s01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,

@@ -33,8 +33,9 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two double arrays — sqrt(na·nb) association, the
+    * exact form the DuckDB oracle computes. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
   /** Literal column for a query vector. */
   def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
@@ -92,14 +93,21 @@ object Similarity {
     * pair space and dedupes. */
   def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
                    bucketCol: String, threshold: Double, roundTo: Int = 6): DataFrame = {
-    val a = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_a"),
-      asDouble(col(embCol)).as("_emb_a"))
-    val b = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_b"),
-      asDouble(col(embCol)).as("_emb_b"))
+    // Squared norms are per-ROW quantities: computed once before the join,
+    // not once per pair (3x less arithmetic in the quadratic stage), and
+    // bit-identical to the per-pair form since sim = dot / sqrt(na*nb).
+    val withN = df.select(col(bucketCol).as("_bkt"), col(idCol).as("_id"),
+        asDouble(col(embCol)).as("_emb"))
+      .withColumn("_n2", dot(col("_emb"), col("_emb")))
+    val a = withN.select(col("_bkt"), col("_id").as("id_a"),
+      col("_emb").as("_emb_a"), col("_n2").as("_n2_a"))
+    val b = withN.select(col("_bkt"), col("_id").as("id_b"),
+      col("_emb").as("_emb_b"), col("_n2").as("_n2_b"))
     a.join(b, Seq("_bkt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("_emb_a"), col("_emb_b")), roundTo).as("sim"))
+        round(dot(col("_emb_a"), col("_emb_b")) / sqrt(col("_n2_a") * col("_n2_b")),
+          roundTo).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -55,12 +55,20 @@ object TextDedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: element i = min over shingles of xxhash64(i, shingle).
-    * One narrow pass, H hashes per shingle, no shuffle. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(i), s)))
-    }: _*)
+  /** MinHash signature: lane i = min over shingles of xxhash64(i, h(shingle)).
+    * Each shingle STRING is hashed exactly once; the H lanes re-hash the
+    * resulting 8-byte value (seeded), which is ~an order of magnitude less
+    * byte-crunching than hashing the string per lane. Single aggregate
+    * pass — one traversal of the shingle array, no shuffle. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val shingleHashes = transform(shinglesCol, s => xxhash64(s))
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc,
+        array((0 until numHashes).map(i => xxhash64(lit(i), h)): _*),
+        least(_, _)))
+  }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components. */
@@ -94,24 +102,32 @@ object TextDedup {
                       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    // The signature table feeds THREE plan branches (band explosion + both
+    // verify sides); persist it so shingling/minhashing runs once, not 3x.
+    // At corpus scales beyond memory, write it to parquet instead — the
+    // shape of the pipeline is unchanged.
+    val sigTable = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val exploded = sh.select(col("id"), col("sh"), col("sig"),
-        posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Candidate generation carries ONLY (band, band_hash, id): the heavy
+    // shingle/signature arrays never enter the band shuffle or the pair
+    // distinct — they are joined back per side once the (id_a, id_b)
+    // candidate set (tiny) is known.
+    val exploded = sigTable.select(col("id"),
+      posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
     // cap runaway buckets before the quadratic step
     val bucketSizes = exploded.groupBy("band", "bh").count()
     val keep = exploded.join(
       bucketSizes.filter(col("count") <= maxBucket).select("band", "bh"),
       Seq("band", "bh"))
-    val a = keep.select(col("band"), col("bh"), col("id").as("id_a"),
-      col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val b = keep.select(col("band"), col("bh"), col("id").as("id_b"),
-      col("sh").as("sh_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
-        col("sig_a"), col("sig_b"))
+    val candidates = keep
+      .join(keep.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
       .distinct()
+    val fa = sigTable.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val fb = sigTable.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    candidates.join(fa, "id_a").join(fb, "id_b")
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"),
         ngramJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -125,13 +141,16 @@ object TextDedup {
     * Column API has no dynamic shift), which also keeps every shift
     * codegen-able. */
   def simhashVotes(textCol: Column): Column = {
-    val toks = tokens(textCol)
+    // Hash tokens FIRST: the lambda variable h below is referenced by all
+    // 64 bit tests — hashing inside them would recompute xxhash64 64x per
+    // token (no common-subexpression elimination inside HOF lambdas).
+    val tokenHashes = transform(tokens(textCol), t => xxhash64(t))
     aggregate(
-      toks,
+      tokenHashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         array((0 until 64).map { b =>
-          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
+          when(shiftright(h, b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
         }: _*),
         _ + _))
   }

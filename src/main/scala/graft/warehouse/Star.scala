@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   *  - Surrogate keys are `xxhash64` (deterministic, codegen'd, no shuffle);
   *    bit-parity with ClickHouse cityHash64 is not needed — SKs only join
   *    against SKs produced by the same function (SURVEY §2 P13).
-  *  - `latestPerKey` is ONE hash aggregate (`max_by(struct(...), version)`)
-  *    — a single shuffle on the key, map-side partial combine, no window
-  *    sort. This is the scalable form of "ReplacingMergeTree + argMax":
-  *    at 100 TB a window/row_number formulation would sort every partition;
-  *    max_by keeps O(|keys|) state and combines associatively.
+  *  - `latestPerKey` is ONE aggregate (`max_by(struct(...), version)`) —
+  *    a single shuffle on the key with map-side partial combine (plans as
+  *    SortAggregate because of the struct buffer, but `partial_max_by`
+  *    still reduces each partition to |keys| rows BEFORE the exchange).
+  *    This is the scalable form of "ReplacingMergeTree + argMax": a
+  *    window/row_number formulation shuffles and sorts every input row;
+  *    max_by ships only one row per key per partition.
   *  - Dim tables are small relative to facts → always broadcast-joined.
   */
 object Star {

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §4 plan-quality gates: the optimizations SURVEY.md §4 relies on must
+  * actually appear in the physical plans — pushdown, pruning, broadcast,
+  * whole-stage codegen. These are executable documentation of the
+  * 100 TB design intent: a regression that un-broadcasts a dim join or
+  * un-prunes a scan fails CI, not a cluster bill.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("column pruning: q01 scans only event_type (ReadSchema)") {
+    val p = plan(SparkEntry.queries("q01_count_by_type")(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("event_type"))
+    assert(!read.contains("props") && !read.contains("user_id"), read)
+  }
+
+  test("predicate pushdown: q08's IN-list reaches the parquet scan (PushedFilters)") {
+    val p = plan(SparkEntry.queries("q08_late_window")(spark, sf))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("In(event_type") || pushed.contains("event_type"), p)
+  }
+
+  test("broadcast joins: star revenue broadcasts the dim sides (J3)") {
+    val p = plan(SparkEntry.queries("s02_star_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen spans the pricing summary aggregate") {
+    val p = plan(SparkEntry.queries("s01_pricing_summary")(spark, sf))
+    // codegen'd stages print as "*(n) " prefixes in the executed plan
+    assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing:\n" + p)
+  }
+
+  test("latestPerKey aggregates with map-side combine, no window (A8)") {
+    val p = plan(SparkEntry.queries("s03_latest_order_per_customer")(spark, sf))
+    // No window operator: windows sort whole partitions and cannot reduce
+    // before the shuffle. max_by plans as SortAggregate (struct buffer),
+    // but WITH a partial aggregate — the pre-shuffle reduction to |keys|
+    // rows is the property that matters at 100 TB.
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort (O2)") {
+    val p = plan(SparkEntry.queries("q07_topk_type_props")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("brute-force cosine top-k: no shuffle of the full table (ANN baseline)") {
+    val p = plan(SparkEntry.queries("x05_cosine_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("partition pruning: monthly-partitioned write is readable by one month") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/fact"
+    graft.warehouse.Transforms.writeMonthly(
+      Tables(spark, sf, "orders"), "o_orderdate", Seq("o_orderkey"), dir)
+    val pruned = spark.read.parquet(dir).filter(col("part_month") === "199506")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    // partition filter must be handled at scan planning, not as a data filter
+    assert(p.contains("PartitionFilters: [isnotnull(part_month"), p)
+  }
+}

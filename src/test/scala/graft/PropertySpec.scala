@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.ValidateRoute
+import graft.schema.Schemas
+import graft.warehouse.Star
+
+/** ScalaCheck properties for the invariants the reference enforces only by
+  * construction (SURVEY.md §5): routing partition, PK stability under
+  * nulls, payload-hash column-order insensitivity, latest-per-key
+  * idempotence. Each sample runs a real (tiny) Spark job, so samples are
+  * kept low — the generators cover the interesting shapes (nulls,
+  * non-soccer, malformed JSON) rather than volume.
+  */
+object PipelineProperties extends Properties("graft") {
+  import TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private val ts = java.sql.Timestamp.valueOf("2024-05-01 12:00:00")
+
+  private val genLeagueMsg: Gen[String] = for {
+    id <- Gen.option(Gen.choose(1, 99999))
+    name <- Gen.option(Gen.alphaStr.map(_.take(8)))
+    sport <- Gen.oneOf("Soccer", "soccer", "SOCCER", "Basketball", "Darts", "")
+    country <- Gen.option(Gen.oneOf("England", "Spain"))
+    malformed <- Gen.frequency(9 -> false, 1 -> true)
+  } yield
+    if (malformed) "{{{ not json"
+    else {
+      def q(v: Option[String]) = v.map(s => s""""$s"""").getOrElse("null")
+      s"""{"idLeague":${q(id.map(_.toString))},"strLeague":${q(name)},
+         |"strSport":"$sport","strCountry":${q(country)},"ingested_at":1714564800.0}"""
+        .stripMargin.replaceAll("\n", "")
+    }
+
+  property("routing partitions the input exactly (P7/U1)") =
+    forAll(Gen.listOfN(12, genLeagueMsg)) { msgs =>
+      val raw = msgs.map(("soccer.league", _)).toDF("topic", "value")
+        .withColumn("timestamp", lit(ts))
+      val routed = ValidateRoute.plan(raw, Schemas.specs)
+      routed.validated.count() + routed.rejected.count() == msgs.length
+    }
+
+  property("pk is stable under null components (P8)") =
+    forAll(Gen.listOfN(6, Gen.option(Gen.alphaNumStr.map(_.take(6))))) { vals =>
+      val row = vals.grouped(3).map {
+        case Seq(a, b, c) => (a.orNull, b.orNull, c.orNull)
+      }.toSeq
+      val got = ValidateRoute.addPk(row.toDF("k1", "k2", "k3"), Seq("k1", "k2", "k3"))
+        .select("pk").as[String].collect().toSeq
+      val want = row.map { case (a, b, c) =>
+        Seq(a, b, c).map(v => if (v == null) "" else v).mkString("|")
+      }
+      got == want
+    }
+
+  property("payload hash ignores column order and excluded metadata (P10)") =
+    forAll(Gen.alphaNumStr.map(_.take(8)), Gen.alphaNumStr.map(_.take(8)),
+      Gen.choose(0.0, 2e9)) { (a, b, ing) =>
+      val h1 = ValidateRoute.addPayloadHash(Seq((a, b, ing)).toDF("ca", "cb", "ingested_at"))
+        .select("payload_hash").as[String].head()
+      val h2 = ValidateRoute.addPayloadHash(Seq((b, a, 0.0)).toDF("cb", "ca", "ingested_at"))
+        .select("payload_hash").as[String].head()
+      h1 == h2
+    }
+
+  property("latestPerKey is idempotent and keeps the max version (A8/A9)") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1, 3), Gen.choose(1, 100),
+      Gen.alphaStr.map(_.take(5))))) { rows =>
+      val df = rows.map { case (k, v, s) => (k.toLong, v.toLong, s) }
+        .toDF("k", "version", "payload")
+      val once = Star.latestPerKey(df, Seq("k"), Seq("version", "payload"))
+      val twice = Star.latestPerKey(once, Seq("k"), Seq("version", "payload"))
+      val idempotent = once.exceptAll(twice).count() == 0
+      val maxKept = once.join(
+        df.groupBy("k").agg(max(col("version")).as("mv")), "k")
+        .filter(col("version") =!= col("mv")).count() == 0
+      idempotent && maxKept
+    }
+}

@@ -42,11 +42,14 @@ object Similarity {
 
   /** Brute-force cosine top-k against one query vector: the exact baseline.
     * Plans as scan → project → TakeOrderedAndProject; no shuffle of the
-    * full table. Ordering ties broken by id for determinism. */
+    * full table. Ordering ties broken by id for determinism. Uses the
+    * native fused kernel ([[graft.functions.CosineSimilarity]]) — reads
+    * float32 directly, zero allocation, bit-identical to the HOF form. */
   def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
                      query: Seq[Double], k: Int, roundTo: Int = 6): DataFrame =
     df.select(col(idCol),
-        round(cosine(asDouble(col(embCol)), vecLit(query)), roundTo).as("sim"))
+        round(graft.functions.GraftFunctions.cosineSim(df.sparkSession,
+          col(embCol), vecLit(query)), roundTo).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
@@ -93,21 +96,18 @@ object Similarity {
     * pair space and dedupes. */
   def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
                    bucketCol: String, threshold: Double, roundTo: Int = 6): DataFrame = {
-    // Squared norms are per-ROW quantities: computed once before the join,
-    // not once per pair (3x less arithmetic in the quadratic stage), and
-    // bit-identical to the per-pair form since sim = dot / sqrt(na*nb).
-    val withN = df.select(col(bucketCol).as("_bkt"), col(idCol).as("_id"),
-        asDouble(col(embCol)).as("_emb"))
-      .withColumn("_n2", dot(col("_emb"), col("_emb")))
-    val a = withN.select(col("_bkt"), col("_id").as("id_a"),
-      col("_emb").as("_emb_a"), col("_n2").as("_n2_a"))
-    val b = withN.select(col("_bkt"), col("_id").as("id_b"),
-      col("_emb").as("_emb_b"), col("_n2").as("_n2_b"))
+    // The fused native kernel computes dot, |a|² and |b|² in one
+    // allocation-free loop per pair, reading float32 directly — and is
+    // bit-identical to the oracle's dot/sqrt(na·nb) float64 form.
+    val a = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_a"),
+      col(embCol).as("_emb_a"))
+    val b = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_b"),
+      col(embCol).as("_emb_b"))
     a.join(b, Seq("_bkt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("_emb_a"), col("_emb_b")) / sqrt(col("_n2_a") * col("_n2_b")),
-          roundTo).as("sim"))
+        round(graft.functions.GraftFunctions.cosineSim(df.sparkSession,
+          col("_emb_a"), col("_emb_b")), roundTo).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -60,22 +60,28 @@ object TextDedup {
     * resulting 8-byte value (seeded), which is ~an order of magnitude less
     * byte-crunching than hashing the string per lane. Single aggregate
     * pass — one traversal of the shingle array, no shuffle. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
-    val shingleHashes = transform(shinglesCol, s => xxhash64(s))
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    minhashSignatureFromHashes(transform(shinglesCol, s => xxhash64(s)), numHashes)
+
+  /** Signature from pre-hashed shingles (array<long>) — the form the LSH
+    * pipeline uses so shingle strings are hashed exactly once overall. */
+  def minhashSignatureFromHashes(shingleHashes: Column, numHashes: Int): Column =
     aggregate(
       shingleHashes,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(acc,
         array((0 until numHashes).map(i => xxhash64(lit(i), h)): _*),
         least(_, _)))
-  }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components. */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
     size(filter(zip_with(sigA, sigB, _ === _), x => x)).cast("double") / numHashes
 
-  /** Exact n-gram Jaccard (the verify stage for candidate pairs). */
+  /** Exact n-gram Jaccard (the verify stage for candidate pairs). Works on
+    * any element type; pair verification uses HASHED shingles (long
+    * arrays) — set ops over 8-byte values instead of full shingle strings,
+    * with Jaccard unchanged up to negligible 64-bit collisions. */
   def ngramJaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB))
@@ -104,10 +110,12 @@ object TextDedup {
     val r = numHashes / bands
     // The signature table feeds THREE plan branches (band explosion + both
     // verify sides); persist it so shingling/minhashing runs once, not 3x.
-    // At corpus scales beyond memory, write it to parquet instead — the
-    // shape of the pipeline is unchanged.
+    // Only HASHED shingles (distinct, 8 bytes each) are kept — the verify
+    // stage never touches shingle strings. At corpus scales beyond memory,
+    // write this table to parquet instead; the pipeline shape is unchanged.
     val sigTable = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
+      .withColumn("sig", minhashSignatureFromHashes(col("shh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation carries ONLY (band, band_hash, id): the heavy
     // shingle/signature arrays never enter the band shuffle or the pair
@@ -125,12 +133,17 @@ object TextDedup {
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
-    val fa = sigTable.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val fb = sigTable.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    val fa = sigTable.select(col("id").as("id_a"), col("shh").as("shh_a"), col("sig").as("sig_a"))
+    val fb = sigTable.select(col("id").as("id_b"), col("shh").as("shh_b"), col("sig").as("sig_b"))
     candidates.join(fa, "id_a").join(fb, "id_b")
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"),
-        ngramJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        col("shh_a"), col("shh_b"))
+      // cheap signature-based prefilter before the exact set ops: band
+      // collisions with clearly-low estimates never pay for intersect/union
+      .filter(col("est_jaccard") >= threshold - 0.2)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        ngramJaccard(col("shh_a"), col("shh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two paths, per the Spark extension model:
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (cluster-wide, available in pure SQL);
+  *  - [[GraftFunctions.register]] for programmatic per-session setup
+  *    (what the library's own operators use lazily).
+  */
+object GraftFunctions {
+
+  val cosineSimBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim takes 2 arguments, got ${other.size}")
+  }
+
+  /** Register graft functions in an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_sim", cosineSimBuilder, "scala_udf")
+
+  /** Column API for the native kernel; registers into the session lazily. */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_cosine_sim", a, b)
+  }
+}
+
+/** `spark.sql.extensions` entry point: injects graft's functions into every
+  * session built on the cluster (SURVEY §2.9 extension path). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
+      GraftFunctions.cosineSimBuilder))
+  }
+}

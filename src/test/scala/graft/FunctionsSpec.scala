@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  test("native cosine kernel is BIT-identical to the HOF formulation") {
+    val q = emb.filter(col("vec_id") === 1)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    val native = emb.select(col("vec_id"),
+        GraftFunctions.cosineSim(spark, col("embedding"), Similarity.vecLit(q)).as("s"))
+      .orderBy("vec_id").select("s").as[Double].collect()
+    val hof = emb.select(col("vec_id"),
+        Similarity.cosine(Similarity.asDouble(col("embedding")), Similarity.vecLit(q)).as("s"))
+      .orderBy("vec_id").select("s").as[Double].collect()
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("native cosine null contract: null element, null array, length mismatch") {
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (2L, Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f))),
+      (3L, None: Option[Seq[Float]], Some(Seq(1.0f, 2.0f))))
+      .toDF("id", "a", "b")
+    val got = df.select(GraftFunctions.cosineSim(spark, col("a"), col("b")).as("s"))
+      .collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+
+  test("kernel works via SQL after extension-style registration") {
+    GraftFunctions.register(spark)
+    emb.limit(5).createOrReplaceTempView("emb_fn_test")
+    val r = spark.sql(
+      "SELECT graft_cosine_sim(embedding, embedding) AS s FROM emb_fn_test")
+      .select("s").as[Double].collect()
+    assert(r.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("kernel type check rejects non-array inputs") {
+    val e = intercept[Exception] {
+      emb.select(GraftFunctions.cosineSim(spark, col("vec_id"), col("embedding"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
+      e.getMessage.toLowerCase.contains("datatype") ||
+      e.getMessage.toLowerCase.contains("cannot resolve"))
+  }
+}

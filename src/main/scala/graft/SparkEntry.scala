@@ -208,6 +208,13 @@ object SparkEntry {
         .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
       Similarity.lshTopK(emb, "embedding", "vec_id", q, 10)
     }),
+    "x10_ivf_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
+      graft.ext.IvfIndex.topK(model, "embedding", "vec_id", q, 10)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, window}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -41,6 +42,19 @@ object Streaming {
       : (StreamingQuery, StreamingQuery) =
     (sink(routed.validated, outDir, chkDir, "validated-all", trigger).start(),
      sink(routed.rejected, outDir, chkDir, "rejected-all", trigger).start())
+
+  /** ST8: streaming tumbling-window aggregation with watermark — the
+    * streaming form of the batch hourly rollups (Quality.hourlyCounts).
+    * State is bounded by the watermark: windows older than `lateness`
+    * behind the max event time are finalized and evicted. Append mode
+    * emits each window exactly once, on watermark passage. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "1 hour",
+                     lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
 
   /** ST10: ingest-time materialized-view propagation — apply a batch
     * transform to every micro-batch (ClickHouse MV semantics: the MV SELECT

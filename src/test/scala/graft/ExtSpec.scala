@@ -110,6 +110,19 @@ class ExtSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("IVF index: self in top-1, probes bound the scan (IVF ANN)") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
+    assert(model.centroids.length == 8)
+    val top = graft.ext.IvfIndex.topK(model, "embedding", "vec_id", q, 10).collect()
+    assert(top.head.getAs[Long]("vec_id") == 0L)
+    assert(top.length == 10)
+    // probing fewer clusters scans fewer rows than the whole table
+    val probed = model.assigned.filter(col("cluster").isin(0, 1, 2)).count()
+    assert(probed < emb.count())
+  }
+
   // ---- text analysis ----
 
   test("token counts and ratios are sane on the corpus") {

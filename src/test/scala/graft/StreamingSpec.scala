@@ -79,6 +79,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/validated-all").count() == 1)
   }
 
+  test("streaming windowed counts match the batch hourly rollup (ST8)") {
+    val events = Tables(spark, TestSpark.sf, "events")
+    val tmpIn = Files.createTempDirectory("graft-win-in").toString
+    events.write.mode("overwrite").parquet(tmpIn)
+
+    val stream = spark.readStream.schema(spark.read.parquet(tmpIn).schema).parquet(tmpIn)
+    val agg = Streaming.windowedCounts(stream, "ts", "event_type")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("win_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // append mode only emits windows the watermark has passed; every
+    // emitted window must match the batch computation exactly.
+    val got = spark.table("win_out")
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    val batch = events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+  }
+
   test("foreachBatch MV-style ingest applies the batch transform per micro-batch (ST10)") {
     val sink = Files.createTempDirectory("graft-mv-out").toString + "/dim"
     val chk = Files.createTempDirectory("graft-mv-chk").toString

@@ -149,6 +149,35 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_rows"))
     }),
+    "s09_shipping_priority" -> ((s, d) => {
+      // Q3-shaped: filtered fact⋈fact join, revenue ranking, top 10.
+      // Both date filters push into the parquet scans.
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") >= lit("1996-01-01").cast("date"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "s10_priority_with_lineitems" -> ((s, d) => {
+      // left-semi join (EXISTS): orders having at least one late-shipped line.
+      val o = t(s, d, "orders")
+      val late = t(s, d, "lineitem").filter(col("l_shipdate") >= lit("1999-01-01").cast("date"))
+      o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "s11_customers_without_orders" -> ((s, d) => {
+      // left-anti join (NOT EXISTS): customers with no orders at all.
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
 
     // ---- north-star extensions: dedup / similarity / text analysis ----
     "x01_exact_dedup_groups" -> ((s, d) => {
@@ -366,6 +395,22 @@ object SparkEntry {
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  count(*) AS n_rows FROM lineitem""".stripMargin,
 
+    "s09_shipping_priority" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "s10_priority_with_lineitems" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s11_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "x01_exact_dedup_groups" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  count(*) AS n_copies, min(doc_id) AS keeper

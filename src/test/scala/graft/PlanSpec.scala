@@ -63,6 +63,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bucketed tables join without any exchange (co-located join)") {
+    val orders = Tables(spark, sf, "orders")
+    val lineitem = Tables(spark, sf, "lineitem")
+    graft.warehouse.Bucketing.writeBucketed(orders, "orders_bkt", 4, Seq("o_orderkey"))
+    graft.warehouse.Bucketing.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_bkt", 4, Seq("o_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), "o_orderkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), "bucketed join still shuffles:\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partition pruning: monthly-partitioned write is readable by one month") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/fact"
     graft.warehouse.Transforms.writeMonthly(

@@ -30,7 +30,11 @@ object IvfIndex {
   def fit(df: DataFrame, embCol: String, idCol: String, k: Int,
           seed: Long = 42L): Model = {
     val withVec = df.withColumn("_vec", array_to_vector(col(embCol)))
+    // Coarse quantizer, not a final model: random init + few iterations is
+    // the standard IVF trade — assignment quality converges fast and the
+    // probe stage re-ranks exactly anyway.
     val km = new KMeans().setK(k).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("_vec").setPredictionCol("cluster")
     val model = km.fit(withVec)
     val assigned = model.transform(withVec)

@@ -176,13 +176,13 @@ object TextDedup {
       when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** 64-bit SimHash fingerprint column. The two-step projection keeps the
-    * vote aggregation evaluated once per row (CollapseProject leaves
-    * multi-referenced non-trivial aliases alone). */
+  /** 64-bit SimHash fingerprint column via the native fused kernel
+    * ([[graft.functions.SimHash64]] — one on-stack vote array per row
+    * instead of a 64-element allocation per token). Bit-identical to the
+    * HOF formulation `packVotes(simhashVotes(_))` (FunctionsSpec). */
   def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame =
-    df.withColumn("_votes", simhashVotes(col(textCol)))
-      .withColumn(out, packVotes(col("_votes")))
-      .drop("_votes")
+    df.withColumn(out,
+      graft.functions.GraftFunctions.simHash64(df.sparkSession, tokens(col(textCol))))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

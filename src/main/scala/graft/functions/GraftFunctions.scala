@@ -21,15 +21,30 @@ object GraftFunctions {
       s"cosine_sim takes 2 arguments, got ${other.size}")
   }
 
+  val simHashBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => SimHash64(a)
+    case other => throw new IllegalArgumentException(
+      s"simhash64 takes 1 argument, got ${other.size}")
+  }
+
   /** Register graft functions in an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_sim", cosineSimBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", simHashBuilder, "scala_udf")
+  }
 
-  /** Column API for the native kernel; registers into the session lazily. */
+  /** Column API for the native cosine kernel; registers lazily. */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_cosine_sim", a, b)
+  }
+
+  /** Column API for the native SimHash kernel; registers lazily. */
+  def simHash64(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("graft_simhash64", tokens)
   }
 }
 
@@ -41,5 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
       GraftFunctions.cosineSimBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      GraftFunctions.simHashBuilder))
   }
 }

@@ -48,6 +48,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("native SimHash64 is BIT-identical to the HOF vote formulation") {
+    val docs = Tables(spark, sf, "documents").limit(50)
+    val toks = graft.ext.TextDedup.tokens(col("text"))
+    val native = docs.select(
+        GraftFunctions.simHash64(spark, toks).as("s"))
+      .as[Long].collect()
+    val hof = docs.select(
+        col("text"),
+        graft.ext.TextDedup.simhashVotes(col("text")).as("_votes"))
+      .select(graft.ext.TextDedup.packVotes(col("_votes")).as("s"))
+      .as[Long].collect()
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("kernel type check rejects non-array inputs") {
     val e = intercept[Exception] {
       emb.select(GraftFunctions.cosineSim(spark, col("vec_id"), col("embedding"))).collect()

@@ -417,7 +417,12 @@ object SparkEntry {
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY 1 ORDER BY keeper""".stripMargin,
     "x02_exact_dedup_kept" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""",
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "x03_text_profile" ->
       """WITH p AS (
         |  SELECT doc_id,

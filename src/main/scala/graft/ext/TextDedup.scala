@@ -123,11 +123,14 @@ object TextDedup {
     // candidate set (tiny) is known.
     val exploded = sigTable.select(col("id"),
       posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
-    // cap runaway buckets before the quadratic step
-    val bucketSizes = exploded.groupBy("band", "bh").count()
-    val keep = exploded.join(
-      bucketSizes.filter(col("count") <= maxBucket).select("band", "bh"),
-      Seq("band", "bh"))
+    // cap runaway buckets before the quadratic step — a window count over
+    // the bucket key: ONE shuffle shared with the pair join's partitioning
+    // instead of a separate aggregate + join back
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val keep = exploded
+      .withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= maxBucket)
+      .drop("_bsz")
     val candidates = keep
       .join(keep.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id") < col("id_b"))

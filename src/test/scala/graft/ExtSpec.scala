@@ -174,6 +174,31 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.select("frame_idx").as[Int].collect().toSeq == Seq(0, 2, 4))
   }
 
+  test("multimodal: binaryFile source loads a media dir into MediaRow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    (1 to 4).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"img_$i.bin"), header(i * 100, i * 50))
+    }
+    val ds = Multimodal.loadBinaryDir(spark, dir.toString, "image")
+    assert(ds.count() == 4)
+    val sized = Multimodal.repartitionBySize(ds, targetBytes = 24L)
+    assert(sized.rdd.getNumPartitions >= 2) // 48 bytes total / 24-byte budget
+    val dec = Multimodal.stubDecode(sized).collect()
+    assert(dec.forall(_.ok))
+    assert(dec.map(_.width).sorted.toSeq == Seq(100, 200, 300, 400))
+  }
+
+  test("multimodal features feed the similarity stack end-to-end") {
+    val ds = (1 to 20).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", s"u$i", header(i, i, extra = i), 12L + i)).toDS()
+    val feats = Multimodal.stubFeatures(ds, dim = 16)
+    val q = feats.filter(col("media_id") === 1L)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    val top = Similarity.bruteForceTopK(feats, "embedding", "media_id", q, 3).collect()
+    assert(top.head.getAs[Long]("media_id") == 1L)
+    assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
   test("multimodal: features detach from bytes with stable values") {
     val ds = Seq(
       Multimodal.MediaRow(1L, "image", "a.img", header(1, 1), 12L),

@@ -84,9 +84,17 @@ object ValidateRoute {
   }
 
   /** A10: the 48 h watermarked dedup the reference designed but disabled
-    * (VJ:598-604) — re-enabled in this engine behind a flag. */
+    * (VJ:598-604) — re-enabled in this engine. On streaming frames this
+    * uses `dropDuplicatesWithinWatermark`: state for a key is evicted one
+    * watermark after FIRST sight (the semantics the reference wanted —
+    * "drop replays within 48 h"), where plain dropDuplicates would keep
+    * state keyed on exact event-time equality. Batch frames (backfill)
+    * fall back to plain dropDuplicates — same result, no state. */
   def dedup(df: DataFrame, watermark: String = "48 hours"): DataFrame =
-    df.withWatermark("evt_ts", watermark).dropDuplicates("pk", "payload_hash")
+    if (df.isStreaming)
+      df.withWatermark("evt_ts", watermark)
+        .dropDuplicatesWithinWatermark("pk", "payload_hash")
+    else df.dropDuplicates("pk", "payload_hash")
 
   /** P11: drop metadata, re-serialize to the `(topic, key, value)` envelope. */
   private def envelope(df: DataFrame, destTopic: String, drop: Seq[String]): DataFrame = {

@@ -123,6 +123,20 @@ class TransformsSpec extends AnyFunSuite {
     assert(got == Seq(("video", "v.mp4"), ("thumb", ""), ("banner", "b.png"), ("asset", "")))
   }
 
+  test("typed Dataset views compile-check the warehouse contract (§1.2)") {
+    val raw = rawFrom(Schemas.byName("league"),
+      """{"idLeague":"4328","strLeague":"EPL","strSport":"Soccer","strCountry":"England"}""")
+    val ds = graft.warehouse.Model.dimLeague(Transforms.dimLeague(raw))
+    val row = ds.head()
+    assert(row.idLeague == 4328L && row.strLeague.contains("EPL"))
+
+    val rawE = rawFrom(Schemas.byName("event"),
+      """{"idEvent":"7","idLeague":"1","idHomeTeam":"2","idAwayTeam":"3","idVenue":"0",
+        |"strSport":"Soccer","dateEvent":"2024-05-01","strStatus":"FT"}""".stripMargin.replaceAll("\n", ""))
+    val fe = graft.warehouse.Model.factEvent(Transforms.factEvent(rawE)).head()
+    assert(fe.idEvent == 7L && fe.venue_sk.isEmpty && fe.status_final.contains("FT"))
+  }
+
   test("vFactEventLatest collapses versions to current state (A8)") {
     val fe = Seq(
       (7L, "NS", null.asInstanceOf[java.lang.Long], "2024-05-01 10:00:00", "2024-05-01 09:00:00"),

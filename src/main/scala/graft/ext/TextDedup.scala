@@ -115,7 +115,8 @@ object TextDedup {
     // write this table to parquet instead; the pipeline shape is unchanged.
     val sigTable = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
-      .withColumn("sig", minhashSignatureFromHashes(col("shh"), numHashes))
+      .withColumn("sig", graft.functions.GraftFunctions.minHash64(
+        df.sparkSession, col("shh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation carries ONLY (band, band_hash, id): the heavy
     // shingle/signature arrays never enter the band shuffle or the pair

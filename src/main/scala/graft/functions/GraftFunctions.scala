@@ -27,12 +27,21 @@ object GraftFunctions {
       s"simhash64 takes 1 argument, got ${other.size}")
   }
 
+  val minHashBuilder: Seq[Expression] => Expression = {
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+      MinHash64(a, n)
+    case _ => throw new IllegalArgumentException(
+      "graft_minhash64 takes (array<bigint>, int literal)")
+  }
+
   /** Register graft functions in an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_sim", cosineSimBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", simHashBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash64", minHashBuilder, "scala_udf")
   }
 
   /** Column API for the native cosine kernel; registers lazily. */
@@ -45,6 +54,13 @@ object GraftFunctions {
   def simHash64(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function("graft_simhash64", tokens)
+  }
+
+  /** Column API for the native MinHash kernel; registers lazily. */
+  def minHash64(spark: SparkSession, shingleHashes: Column, numHashes: Int): Column = {
+    register(spark)
+    call_function("graft_minhash64", shingleHashes,
+      org.apache.spark.sql.functions.lit(numHashes))
   }
 }
 
@@ -60,5 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       GraftFunctions.simHashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),
+      GraftFunctions.minHashBuilder))
   }
 }

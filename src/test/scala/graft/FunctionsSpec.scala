@@ -62,6 +62,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native.toSeq == hof.toSeq)
   }
 
+  test("native MinHash64 is BIT-identical to the HOF lane fold") {
+    val docs = Tables(spark, sf, "documents").limit(30)
+    val shh = array_distinct(transform(
+      graft.ext.TextDedup.shingles(col("text"), 3), s => xxhash64(s)))
+    val native = docs.select(
+        GraftFunctions.minHash64(spark, shh, 64).as("sig"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val hof = docs.select(
+        graft.ext.TextDedup.minhashSignatureFromHashes(shh, 64).as("sig"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("kernel type check rejects non-array inputs") {
     val e = intercept[Exception] {
       emb.select(GraftFunctions.cosineSim(spark, col("vec_id"), col("embedding"))).collect()

@@ -244,6 +244,29 @@ object SparkEntry {
       val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
       graft.ext.IvfIndex.topK(model, "embedding", "vec_id", q, 10)
     }),
+    "x11_ngram_jaccard_pairs" -> ((s, d) => {
+      // exact 3-gram Jaccard between consecutive doc ids — the verify
+      // kernel of the dedup pipeline, oracled cross-engine.
+      val docs = t(s, d, "documents")
+      val sh = docs.select(col("doc_id"),
+        TextDedup.shingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          TextDedup.ngramJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+    "x12_lsh_neardup_pairs" -> ((s, d) => {
+      // rows-only: embedding near-dup with LSH buckets as the partitioner
+      // (the data-independent scale path; label-bucketed variant is x06)
+      val emb = t(s, d, "embeddings")
+      val planes = Similarity.hyperplanes(6, 64)
+      val bucketed = emb.withColumn("bucket",
+        Similarity.lshBucket(Similarity.asDouble(col("embedding")), planes))
+      Similarity.nearDupPairs(bucketed, "embedding", "vec_id", "bucket", 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -467,6 +490,23 @@ object SparkEntry {
         |  / sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
         |       * list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS sim
         |FROM embeddings, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x11_ngram_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 3 + 1),
+        |                i -> array_to_string(toks[i+1:i+3], ' '))
+        |    END AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+        |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
     "x06_embedding_neardup_pairs" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(ROUND(

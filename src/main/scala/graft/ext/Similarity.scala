@@ -34,8 +34,14 @@ object Similarity {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two double arrays — sqrt(na·nb) association, the
-    * exact form the DuckDB oracle computes. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    * exact form the DuckDB oracle computes. Degenerate inputs (empty or
+    * zero-norm vectors) yield NULL: under ANSI mode (Spark 4 default) an
+    * unguarded divide would THROW on the first bad vector and kill the
+    * job; NULL is the survivable semantics for a data pipeline. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a) * dot(b, b))
+    when(denom === 0.0, lit(null)).otherwise(dot(a, b) / denom)
+  }
 
   /** Literal column for a query vector. */
   def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)

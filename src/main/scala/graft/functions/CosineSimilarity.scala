@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * [[graft.ext.Similarity]] and the DuckDB float64 oracle, so swapping it
   * into an oracled query changes nothing but speed.
   *
-  * Null contract: null array, mismatched lengths, or any null element ⇒
-  * null (the HOF form's null-propagation behavior).
+  * Null contract: null array, mismatched lengths, any null element, or a
+  * degenerate (empty / zero-norm) vector ⇒ null. The degenerate case
+  * matters operationally: under ANSI mode an unguarded division would
+  * throw on the first zero vector in 100 TB and kill the job.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -61,7 +63,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na == 0.0 || nb == 0.0) null else dot / math.sqrt(na * nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -90,7 +92,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |    }
          |  }
          |}
        """.stripMargin

@@ -75,6 +75,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native.toSeq == hof.toSeq)
   }
 
+  test("degenerate vectors (empty / zero-norm) are NULL in both forms, no ANSI throw") {
+    val df = Seq(
+      (1L, Seq.empty[Float], Seq.empty[Float]),
+      (2L, Seq(0.0f, 0.0f), Seq(0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f), Seq(0.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("id", "a", "b")
+    val native = df.orderBy("id")
+      .select(GraftFunctions.cosineSim(spark, col("a"), col("b")).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val hof = df.orderBy("id").select(graft.ext.Similarity.cosine(
+        graft.ext.Similarity.asDouble(col("a")), graft.ext.Similarity.asDouble(col("b"))).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(native.take(3).forall(_.isEmpty) && hof.take(3).forall(_.isEmpty))
+    assert(java.lang.Double.doubleToLongBits(native(3).get) ==
+      java.lang.Double.doubleToLongBits(hof(3).get))
+    assert(math.abs(native(3).get - 1.0) < 1e-12)
+  }
+
   test("kernel type check rejects non-array inputs") {
     val e = intercept[Exception] {
       emb.select(GraftFunctions.cosineSim(spark, col("vec_id"), col("embedding"))).collect()

@@ -93,6 +93,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(native(3).get - 1.0) < 1e-12)
   }
 
+  test("Graft.session facade yields a configured session with functions registered") {
+    val s = Graft.session("graft-test") // getOrCreate reuses the test session
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_sim")))
+    assert(s.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash64")))
+  }
+
   test("kernel type check rejects non-array inputs") {
     val e = intercept[Exception] {
       emb.select(GraftFunctions.cosineSim(spark, col("vec_id"), col("embedding"))).collect()

@@ -52,6 +52,16 @@ class QualitySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("Tables reads ns-timestamp events on a session WITHOUT the builder flag") {
+    // the driver may invoke queries() with its own session that lacks
+    // spark.sql.legacy.parquet.nanosAsLong — Tables must set it at runtime
+    val fresh = spark.newSession()
+    fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val ev = Tables(fresh, sf, "events")
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    assert(ev.count() > 0)
+  }
+
   test("nullRatioScore is 0 on the null-free fixture (P27)") {
     val distinctScores = Quality.nullRatioScore(events).select(col("null_pct")).distinct().collect()
     assert(distinctScores.map(_.getDouble(0)).forall(_ == 0.0))

@@ -46,11 +46,17 @@ object IvfIndex {
     * exact-rank within those clusters only. */
   def topK(model: Model, embCol: String, idCol: String, query: Seq[Double],
            k: Int, nProbes: Int = 3, roundTo: Int = 6): DataFrame = {
+    model.centroids.headOption.foreach { c =>
+      require(c.length == query.length,
+        s"query dimension ${query.length} != index dimension ${c.length}")
+    }
+    // degenerate (zero-norm) centroid or query ranks last, never NaN-first
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / math.sqrt(na * nb)
+      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else dot / math.sqrt(na * nb)
     }
     val probes = model.centroids.zipWithIndex
       .sortBy { case (c, _) => -cos(c.toSeq, query) }

@@ -60,11 +60,12 @@ object Multimodal {
   /** Size-aware repartition: pack rows into partitions of ~`targetBytes`
     * cumulative payload (row-count partitioning is wrong for media). */
   def repartitionBySize(ds: Dataset[MediaRow], targetBytes: Long): Dataset[MediaRow] = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    val total = ds.agg(sum(col("size_bytes"))).head.getLong(0)
-    val nParts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    ds.repartition(nParts, col("media_id"))
+    require(targetBytes > 0, "targetBytes must be positive")
+    // sum() over zero rows is null — coalesce, don't dereference
+    val total = ds.agg(coalesce(sum(col("size_bytes")), lit(0L))).head.getLong(0)
+    if (total == 0L) ds
+    else ds.repartition(
+      math.max(1, math.ceil(total.toDouble / targetBytes).toInt), col("media_id"))
   }
 
   /** ======== DETERMINISTIC STUB ========
@@ -114,6 +115,8 @@ object Multimodal {
     * emits one row per sampled frame — the explode shape downstream
     * training pipelines expect). */
   def stubFrameSample(ds: Dataset[MediaRow], stride: Int, maxFrames: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    require(maxFrames >= 0, "maxFrames must be non-negative")
     val spark = ds.sparkSession
     import spark.implicits._
     ds.filter(col("media_type") === "video").as[MediaRow]

@@ -64,8 +64,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "de" -> Seq("der", "die", "das", "und", "ist"))
 
-  /** Language-ID heuristic: argmax over marker-hit counts; ties and
-    * zero-hit rows resolve to "und" (undetermined). Deterministic. */
+  /** Language-ID heuristic: argmax over marker-hit counts. Zero-hit rows
+    * resolve to "und"; positive-score TIES resolve to the lexicographically
+    * greatest language code (array_max over (score, lang) structs — e.g. a
+    * text containing only "la" scores es=fr=1 and returns "fr").
+    * Deterministic either way. */
   def langId(c: Column): Column = {
     val toks = tokens(lower(c))
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *    text — map-side the row shrinks to (hash, id).
   *  - MinHash LSH: signature is computed in a narrow pass; candidate
   *    generation shuffles on (band, band_hash). Bands with pathological
-  *    collision counts (boilerplate) are capped via `maxBucket` to stop a
-  *    quadratic bucket from dominating a 100 TB run — the capped buckets
-  *    are reported, not silently dropped.
+  *    collision counts (boilerplate) are EXCLUDED from pairing via
+  *    `maxBucket` to stop a quadratic bucket from dominating a 100 TB run
+  *    — recall inside those buckets is deliberately sacrificed; audit the
+  *    trade with a `groupBy(band, bh).count()` over the band table if the
+  *    drop rate matters for a corpus.
   *  - Verification (exact Jaccard / Hamming) runs only on candidate pairs.
   */
 object TextDedup {
@@ -111,7 +113,10 @@ object TextDedup {
     // The signature table feeds THREE plan branches (band explosion + both
     // verify sides); persist it so shingling/minhashing runs once, not 3x.
     // Only HASHED shingles (distinct, 8 bytes each) are kept — the verify
-    // stage never touches shingle strings. At corpus scales beyond memory,
+    // stage never touches shingle strings. LIFECYCLE: the cache outlives
+    // this call (the result is lazy); in a long-lived session the caller
+    // owns release via spark.catalog.clearCache() or by persisting the
+    // result and unpersisting upstream. At corpus scales beyond memory,
     // write this table to parquet instead; the pipeline shape is unchanged.
     val sigTable = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))

@@ -40,12 +40,16 @@ object JsonProfile {
     else out += (prefix -> node.asText())
   }
 
+  /** Shared mapper: construction builds Jackson's serializer caches and is
+    * far more expensive than a parse; `readTree` on a shared instance is
+    * thread-safe. One per executor JVM, not one per row. */
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** UDF: JSON string → flattened map<string,string> (null on parse failure). */
   val flattenJson: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (json: String) =>
       if (json == null) null
       else try {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val out = mutable.LinkedHashMap.empty[String, String]
         flatten(mapper.readTree(json), "", out)
         out.toMap

@@ -45,6 +45,14 @@ object Skew {
       partials = Seq(count(lit(1)).as("_n")),
       merges = Seq(sum(col("_n")).as("n")))
 
+  /** Join types whose semantics survive replicating the small side: each
+    * big row matches at most one salt copy, and no output row is driven
+    * by an unmatched SMALL row. Small-side-preserving types (right/full
+    * outer) would emit `salts` copies of every unmatched small row. */
+  private val saltableJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+    "left_anti", "leftanti", "cross")
+
   /** Salted equi-join: `big` (skewed) ⋈ `small` on `key`. The small side
     * is replicated `salts` times (explode of a literal range — cheap when
     * small is dimension-sized), the big side salted randomly; the join key
@@ -52,6 +60,9 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16,
                  joinType: String = "inner"): DataFrame = {
+    require(saltableJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"joinType '$joinType' is small-side-preserving: salting would duplicate " +
+        s"unmatched small rows $salts times. Supported: $saltableJoinTypes")
     val saltedBig = big.withColumn("_salt", salt(salts))
     val explodedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -47,11 +47,15 @@ object Star {
       .select(keyCols.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
   }
 
-  /** Streaming analog of [[latestPerKey]] for exactly-duplicated replays:
-    * watermark + dropDuplicates (reference VJ:598-604, designed/disabled). */
+  /** Streaming analog of [[latestPerKey]] for exactly-duplicated replays
+    * (reference VJ:598-604, designed/disabled). Uses
+    * `dropDuplicatesWithinWatermark`: with plain `dropDuplicates` the
+    * watermark never evicts state unless the event-time column is part of
+    * the dedup key — business-keyed dedup state would grow unboundedly. */
   def streamingDedup(df: DataFrame, eventTimeCol: String, keys: Seq[String],
                      watermark: String = "48 hours"): DataFrame =
-    df.withWatermark(eventTimeCol, watermark).dropDuplicates(keys)
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   // ---- dimension builders (P12-P14, A7 analogs on the fixture schema) ----
 

@@ -28,7 +28,15 @@ object Transforms {
     df.filter(lower(trim(col(sportCol))) === "soccer")
 
   private def asLong(c: String): Column = col(c).cast("long")
-  private def stamp: Column = current_timestamp()
+
+  /** Version stamp for Type-1/latest-per-key semantics. The reference's
+    * `now64(3)` works there because ClickHouse stamps per insert block;
+    * in a Spark batch `current_timestamp()` is CONSTANT for the whole
+    * query, which would make backfilled versions tie and the hub view's
+    * max_by nondeterministic. The producer-stamped `ingested_at` is the
+    * faithful per-row version; wall-clock is only the fallback. */
+  private def stamp: Column =
+    coalesce(to_timestamp(from_unixtime(col("ingested_at"))), current_timestamp())
 
   /** dim_league MV (DDL:236-253). */
   def dimLeague(rawLeague: DataFrame): DataFrame =
@@ -100,7 +108,8 @@ object Transforms {
       .agg(
         max_by(col("strChannel"), col("ingested_at")).as("strChannel"),
         max_by(col("strCountry"), col("ingested_at")).as("strCountry"),
-        max_by(col("strLogo"), col("ingested_at")).as("strLogo"))
+        max_by(col("strLogo"), col("ingested_at")).as("strLogo"),
+        max(col("ingested_at")).as("ingested_at"))
       .select(
         sk(col("idChannel")).as("channel_sk"),
         col("idChannel"), col("strChannel"), col("strCountry"), col("strLogo"),

@@ -199,6 +199,17 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("multimodal guards: empty dataset, zero stride, bad target bytes") {
+    val empty = spark.emptyDataset[Multimodal.MediaRow]
+    assert(Multimodal.repartitionBySize(empty, 1024L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.repartitionBySize(empty, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.stubFrameSample(empty, stride = 0, maxFrames = 3)
+    }
+  }
+
   test("multimodal: features detach from bytes with stable values") {
     val ds = Seq(
       Multimodal.MediaRow(1L, "image", "a.img", header(1, 1), 12L),

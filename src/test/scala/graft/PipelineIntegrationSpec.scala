@@ -70,12 +70,9 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     val factEvent = Transforms.factEvent(staging("event"))
     assert(factEvent.count() == 3) // two versions of 7 + one of 8
 
-    // make updated_at distinct per version for a deterministic hub view
-    // (the MV stamps arrival time; here versions arrive in one batch)
-    val versioned = factEvent.withColumn("updated_at",
-      to_timestamp(from_unixtime(lit(1714564800L) +
-        when(col("status_final") === "FT", 40000L).otherwise(0L))))
-    val hub = Transforms.vFactEventLatest(versioned)
+    // updated_at derives from producer-stamped ingested_at, so versions
+    // arriving in ONE batch (backfill) still order deterministically
+    val hub = Transforms.vFactEventLatest(factEvent)
     assert(hub.count() == 2)
     val e7 = hub.filter(col("idEvent") === 7L).head
     assert(e7.getAs[String]("status_final") == "FT")

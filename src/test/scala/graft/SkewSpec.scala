@@ -38,6 +38,20 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("saltedJoin rejects small-side-preserving join types") {
+    val dim = spark.range(10).select(col("id").as("k"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, "k", joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, "k", joinType = "full")
+    }
+    // left_semi stays correct under salting: each big row matches <=1 copy
+    val semi = Skew.saltedJoin(skewed, dim, "k", salts = 4, joinType = "left_semi")
+    val plainSemi = skewed.join(dim, Seq("k"), "left_semi")
+    assert(semi.count() == plainSemi.count())
+  }
+
   test("salting actually spreads the hot key across partitions") {
     val salts = 8
     val perPartition = skewed.filter(col("k") === 1L)

@@ -79,6 +79,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/validated-all").count() == 1)
   }
 
+  test("ProcessingTime trigger picks up new files across micro-batches (ST1)") {
+    val dir = Files.createTempDirectory("graft-pt").toString
+    val out = Files.createTempDirectory("graft-pt-out").toString
+    val chk = Files.createTempDirectory("graft-pt-chk").toString
+    writeMessages(dir, Seq("soccer.league" -> validLeague))
+
+    val stream = Streaming.jsonStream(spark, dir, msgSchema)
+    val routed = ValidateRoute.plan(stream, Schemas.specs)
+    val (qv, qr) = Streaming.startRoutes(routed, out, chk,
+      Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      // batch 1: the initial file
+      eventually(10000) {
+        spark.read.parquet(s"$out/validated-all").count() == 1
+      }
+      // batch 2: a file that arrives while the query is live
+      val json = s"""{"topic":"soccer.league","value":${ujsonEscape(
+        validLeague.replace("4328", "4999"))},"timestamp":"2024-05-01T12:01:00.000Z"}"""
+      Files.writeString(java.nio.file.Paths.get(s"$dir/batch1.json"), json)
+      eventually(15000) {
+        spark.read.parquet(s"$out/validated-all").count() == 2
+      }
+    } finally { qv.stop(); qr.stop() }
+  }
+
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline && !(try cond catch { case _: Exception => false })) {
+      Thread.sleep(250)
+    }
+    assert(try cond catch { case _: Exception => false },
+      s"condition not met within $timeoutMs ms")
+  }
+
   test("streaming windowed counts match the batch hourly rollup (ST8)") {
     val events = Tables(spark, TestSpark.sf, "events")
     val tmpIn = Files.createTempDirectory("graft-win-in").toString

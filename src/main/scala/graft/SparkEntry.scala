@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Similarity, TextAnalysis, TextDedup}
+import graft.ingest.ValidateRoute
 import graft.olap.Quality
+import graft.schema.TopicSpec
 import graft.warehouse.Star
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -58,6 +60,38 @@ object SparkEntry {
         .orderBy(col("event_id"))),
 
     // ---- validate-route expression surface (P5-P10 cross-engine) ----
+    "v00_validate_route_pipeline" -> ((s, d) => {
+      // The FULL ingest pipeline end-to-end: events serialized to the
+      // Kafka envelope, then demux → parse → repair → pk → validate →
+      // hash → route → re-serialize → union; output is route volumes.
+      // Also the ingest throughput line in BENCH.
+      val spec = TopicSpec("events",
+        org.apache.spark.sql.types.StructType(
+          Seq("event_id", "user_id", "event_type", "value", "props")
+            .map(f => org.apache.spark.sql.types.StructField(f,
+              org.apache.spark.sql.types.StringType)) :+
+          org.apache.spark.sql.types.StructField("ingested_at",
+            org.apache.spark.sql.types.DoubleType)),
+        pk = Seq("event_id"),
+        required = Seq("event_id", "user_id", "event_type", "ingested_at"),
+        sportField = Some("event_type"),
+        sportPattern = "(?i)^(purchase|view|click)$")
+      val ev = t(s, d, "events")
+      val msgs = ev.select(
+        lit("soccer.events").as("topic"),
+        to_json(struct(
+          col("event_id").cast("string").as("event_id"),
+          col("user_id").cast("string").as("user_id"),
+          col("event_type"),
+          col("value").cast("string").as("value"),
+          col("props"),
+          col("value").as("ingested_at"))).as("value"),
+        col("ts").as("timestamp"))
+      val routed = ValidateRoute.plan(msgs, Seq(spec))
+      routed.validated.unionByName(routed.rejected)
+        .groupBy(col("topic")).agg(count(lit(1)).as("n"))
+        .orderBy(col("topic"))
+    }),
     "v01_pk_hash" -> ((s, d) => {
       // P8 pk synthesis + P10 payload hash, oracle-checkable: sha2 of the
       // canonical concat matches DuckDB sha256 byte-for-byte.
@@ -352,6 +386,12 @@ object SparkEntry {
         |              OR lower(json_extract_string(props, '$.' || k)) IN ('null', 'none')))
         |            * CAST(100 AS DOUBLE) / len(json_keys(props)) END AS null_pct
         |FROM events ORDER BY event_id""".stripMargin,
+    "v00_validate_route_pipeline" ->
+      """SELECT CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
+        |            AND COALESCE(regexp_matches(event_type, '(?i)^(purchase|view|click)$'), false)
+        |       THEN 'validated.soccer.events' ELSE 'rejected.soccer.events' END AS topic,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "v01_pk_hash" ->
       """SELECT event_id,
         |  concat_ws('|', COALESCE(CAST(event_id AS VARCHAR), ''), COALESCE(event_type, '')) AS pk,

@@ -113,6 +113,34 @@ class StreamingSpec extends AnyFunSuite {
       s"condition not met within $timeoutMs ms")
   }
 
+  test("restart from checkpoint is exactly-once: no reprocessing, no loss (ST3)") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val out = Files.createTempDirectory("graft-ckpt-out").toString
+    val chk = Files.createTempDirectory("graft-ckpt-chk").toString
+
+    def runOnce(): Unit = {
+      val stream = Streaming.jsonStream(spark, dir, msgSchema)
+      val routed = ValidateRoute.plan(stream, Schemas.specs)
+      val (qv, qr) = Streaming.startRoutes(routed, out, chk, Trigger.AvailableNow())
+      qv.awaitTermination(60000); qr.awaitTermination(60000)
+      qv.stop(); qr.stop()
+    }
+
+    writeMessages(dir, Seq("soccer.league" -> validLeague))
+    runOnce()
+    assert(spark.read.parquet(s"$out/validated-all").count() == 1)
+
+    // new file between runs; the checkpoint must skip batch-0 files
+    val json = s"""{"topic":"soccer.league","value":${ujsonEscape(
+      validLeague.replace("4328", "5000"))},"timestamp":"2024-05-01T12:02:00.000Z"}"""
+    Files.writeString(java.nio.file.Paths.get(s"$dir/batch1.json"), json)
+    runOnce()
+
+    val keys = spark.read.parquet(s"$out/validated-all")
+      .select("key").as[String].collect().sorted
+    assert(keys.toSeq == Seq("4328", "5000"), s"got ${keys.toSeq}")
+  }
+
   test("streaming windowed counts match the batch hourly rollup (ST8)") {
     val events = Tables(spark, TestSpark.sf, "events")
     val tmpIn = Files.createTempDirectory("graft-win-in").toString

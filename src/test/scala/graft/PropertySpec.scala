@@ -71,6 +71,46 @@ object PipelineProperties extends Properties("graft") {
       h1 == h2
     }
 
+  property("shingle count is max(1, n_tokens - k + 1) and shingles are k tokens wide") =
+    forAll(Gen.listOfN(12, Gen.alphaLowerStr.map(s => if (s.isEmpty) "tok" else s.take(5))),
+      Gen.choose(1, 5)) { (toks, k) =>
+      val text = toks.mkString(" ")
+      val sh = Seq(text).toDF("text")
+        .select(graft.ext.TextDedup.shingles(org.apache.spark.sql.functions.col("text"), k))
+        .head.getSeq[String](0)
+      val n = toks.length
+      sh.length == math.max(1, n - k + 1) &&
+        (n <= k || sh.forall(_.split(" ").length == k))
+    }
+
+  property("exact dedup is idempotent and never keeps two equal normalized texts") =
+    forAll(Gen.listOfN(10, Gen.oneOf("a b", "A  b", "c", "d e f", "D E F"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = graft.ext.TextDedup.dedupExact(df, "text", "doc_id")
+      val twice = graft.ext.TextDedup.dedupExact(once, "text", "doc_id")
+      val normed = once.select(
+        graft.ext.TextDedup.normalize(org.apache.spark.sql.functions.col("text")))
+        .collect().map(_.getString(0))
+      once.count() == twice.count() && normed.distinct.length == normed.length
+    }
+
+  property("cosine is symmetric and bounded on random non-degenerate vectors") =
+    forAll(Gen.listOfN(8, Gen.choose(-10.0, 10.0)),
+      Gen.listOfN(8, Gen.choose(-10.0, 10.0))) { (a, b) =>
+      (a.forall(_ == 0.0) || b.forall(_ == 0.0)) || {
+        val df = Seq((a.map(_.toFloat), b.map(_.toFloat))).toDF("a", "b")
+        val Array(sAb, sBa) = df.select(
+          graft.functions.GraftFunctions.cosineSim(spark,
+            org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b")).as("ab"),
+          graft.functions.GraftFunctions.cosineSim(spark,
+            org.apache.spark.sql.functions.col("b"),
+            org.apache.spark.sql.functions.col("a")).as("ba"))
+          .head.toSeq.map(_.asInstanceOf[Double]).toArray
+        sAb == sBa && sAb >= -1.0000001 && sAb <= 1.0000001
+      }
+    }
+
   property("latestPerKey is idempotent and keeps the max version (A8/A9)") =
     forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1, 3), Gen.choose(1, 100),
       Gen.alphaStr.map(_.take(5))))) { rows =>

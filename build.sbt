@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must pass through UNDECORATED: the bench driver
+// parses a bare one-line JSON metric from stdout, and sbt's default
+// LoggedOutput strategy prefixes every child line with "[info] " /
+// "[error] " (which broke round-1 bench parsing — BENCH_r01.json
+// "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,13 +18,25 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop any per-query persisted state so queries don't pressure each
-      // other's memory (fair, stable per-query timings)
-      spark.catalog.clearCache()
+    // Profiling aids (unset in driver runs — defaults preserve the
+    // contract): SPARK_GRAFT_ONLY=x01,x07 runs a subset;
+    // SPARK_GRAFT_REPEAT=3 times each query N times and reports the min
+    // (separates steady-state cost from first-run codegen/IO warmup).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
+      val dt = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        // drop any per-query persisted state so queries don't pressure
+        // each other's memory (fair, stable per-query timings)
+        spark.catalog.clearCache()
+        t
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -87,6 +87,11 @@ object SparkEntry {
           col("props"),
           col("value").as("ingested_at"))).as("value"),
         col("ts").as("timestamp"))
+        // A real Kafka source arrives pre-partitioned (one split per topic
+        // partition); the single-row-group fixture file does not, so the
+        // CPU-heavy parse/validate/hash pipeline would otherwise run on
+        // one core. Spread it — the shuffle moves only the raw envelope.
+        .repartition(s.sparkContext.defaultParallelism)
       val routed = ValidateRoute.plan(msgs, Seq(spec))
       routed.validated.unionByName(routed.rejected)
         .groupBy(col("topic")).agg(count(lit(1)).as("n"))
@@ -289,6 +294,45 @@ object SparkEntry {
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
           TextDedup.ngramJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+    "x13_minhash_lsh_portable" -> ((s, d) => {
+      // The FULL MinHash-LSH dedup pipeline (shingle → 16-perm signature
+      // → 4 bands → bucket pairs → exact-Jaccard verify) in the portable
+      // sha256/hex-string formulation, so DuckDB reproduces every
+      // signature bit and the driver hash-checks the whole pipeline —
+      // not just a row count. Corpus: documents ∪ perturbed copies (first
+      // token dropped, id+1000000) giving a real near-dup Jaccard spread
+      // (~0.8-1.0) instead of only exact dups.
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id").as("id"),
+        TextDedup.normalize(col("text")).as("t"))
+      val pert = base.select((col("id") + 1000000).as("id"),
+        expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
+          "ELSE t END").as("t"))
+      TextDedup.portableMinhashDupPairs(base.unionByName(pert), "t", "id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "x14_hash_split" -> ((s, d) => {
+      // Deterministic hash-keyed train/valid/test assignment (75/12.5/12.5)
+      // — reproducible on any engine/cluster; oracled bit-for-bit.
+      graft.ext.Sampling.hashSplit(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", "split",
+          0.75, 0.125)
+        .orderBy(col("doc_id"))
+    }),
+    "x15_token_topk" -> ((s, d) =>
+      TextAnalysis.tokenTopK(t(s, d, "documents"), "text", 50)),
+    "x16_simhash_portable_pairs" -> ((s, d) => {
+      // Portable 16-bit SimHash fingerprints + Hamming distance between
+      // consecutive doc ids — oracles the SimHash operator class
+      // cross-engine (the 64-bit kernel path is x08, rows-only).
+      val fp = TextDedup.portableSimhash16(t(s, d, "documents"), "text", "doc_id")
+      val a = fp.select(col("id").as("id_a"), col("fp").as("fp_a"))
+      val b = fp.select(col("id").as("id_b"), col("fp").as("fp_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("bigint").as("hamming"))
         .orderBy(col("id_a"))
     }),
     "x12_lsh_neardup_pairs" -> ((s, d) => {
@@ -547,6 +591,97 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    // Full MinHash-LSH pipeline, portable formulation: lane p of a doc =
+    // MIN over shingles of the first-16-hex-chars of sha256("p:shingle")
+    // (fixed-length lowercase hex sorts identically to the underlying
+    // 64-bit value, so string-MIN == min-hash); 4 bands of 4 lanes via
+    // string concat; pairs share a band (bucket cap 1000, mirroring the
+    // Spark side's maxBucket); verify = exact distinct-shingle Jaccard
+    // (integer-ratio double, bit-identical cross-engine).
+    "x13_minhash_lsh_portable" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT id, t FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000 AS id,
+        |         CASE WHEN strpos(t, ' ') > 0 THEN substr(t, strpos(t, ' ') + 1)
+        |              ELSE t END AS t
+        |  FROM base),
+        |toks AS (SELECT id, string_split(t, ' ') AS w FROM corpus),
+        |sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(1, len(w) - 2),
+        |                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    END) AS ss
+        |  FROM toks),
+        |shex AS (SELECT id, unnest(ss) AS s FROM sets),
+        |lanes AS (
+        |  SELECT id, p, min(substr(sha256(p::VARCHAR || ':' || s), 1, 16)) AS lane
+        |  FROM shex, generate_series(0, 15) g(p)
+        |  GROUP BY id, p),
+        |sig AS (SELECT id, list(lane ORDER BY p) AS sig FROM lanes GROUP BY id),
+        |bandt AS (
+        |  SELECT id, b, sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4] AS bh
+        |  FROM sig, generate_series(0, 3) t(b)),
+        |bsz AS (SELECT b, bh, count(*) AS n FROM bandt GROUP BY b, bh),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+        |  FROM bandt a
+        |  JOIN bandt c ON a.b = c.b AND a.bh = c.bh AND a.id < c.id
+        |  JOIN bsz ON bsz.b = a.b AND bsz.bh = a.bh
+        |  WHERE bsz.n <= 1000)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(sa.ss, sb.ss))) AS jaccard
+        |FROM cand
+        |JOIN sets sa ON sa.id = cand.id_a
+        |JOIN sets sb ON sb.id = cand.id_b
+        |WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x14_hash_split" ->
+      """SELECT doc_id,
+        |  substr(sha256('split:' || doc_id), 1, 4) AS bucket,
+        |  CASE WHEN substr(sha256('split:' || doc_id), 1, 4) < 'c000' THEN 'train'
+        |       WHEN substr(sha256('split:' || doc_id), 1, 4) < 'e000' THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "x15_token_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents)
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 50""".stripMargin,
+    // Portable 16-bit SimHash: token → 4 hex chars of sha256 → per-bit
+    // ±1 vote sums → sign bits; Hamming over consecutive-id pairs. The 16
+    // vote columns are generated (same loop as the Spark side).
+    "x16_simhash_portable_pairs" -> {
+      val voteCols = (0 until 16).map { b =>
+        val hexPos = b / 4 + 1
+        val bitPos = b % 4
+        s"SUM(CASE WHEN (((instr('0123456789abcdef', substr(h, $hexPos, 1)) - 1) " +
+          s">> $bitPos) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(", ")
+      val fpExpr = (0 until 16)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, unnest(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT id, substr(sha256(tok), 1, 4) AS h FROM tok),
+         |v AS (SELECT id, $voteCols FROM h GROUP BY id),
+         |fp AS (SELECT id, CAST($fpExpr AS BIGINT) AS fp FROM v)
+         |SELECT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON b.id = a.id + 1
+         |ORDER BY id_a""".stripMargin
+    },
     "x06_embedding_neardup_pairs" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(ROUND(

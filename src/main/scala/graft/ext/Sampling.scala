@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting — a
+  * training-data-pipeline staple (held-out splits, corpus downsampling,
+  * reproducible ablations).
+  *
+  * The sampling key is the first 16 bits of sha256("salt:id") rendered
+  * as 4 lowercase hex chars; fixed-length hex compares lexicographically
+  * exactly like the underlying integer, so a plain string `<` against a
+  * hex threshold implements `P(keep) = threshold / 65536`. Everything is
+  * a narrow, shuffle-free projection/filter:
+  *  - deterministic: the same row lands in the same split on every run,
+  *    engine, and cluster size (no RNG state, no partition sensitivity —
+  *    unlike `df.sample`, which depends on partitioning);
+  *  - portable: any engine with sha256 reproduces the assignment
+  *    bit-for-bit (the DuckDB oracle does);
+  *  - salt-keyed: independent salts give independent samples, so
+  *    a downsample and a train/valid/test split don't correlate.
+  * At 100 TB this runs at scan speed and pushes the projection down to
+  * (id) — the text/payload columns are never touched for the decision.
+  */
+object Sampling {
+
+  /** 4-hex-char (16-bit) sampling bucket for an id under a salt. */
+  def hashBucket(id: Column, salt: String): Column =
+    substring(sha2(concat_ws(":", lit(salt), id.cast("string")), 256), 1, 4)
+
+  private def hexThreshold(frac: Double): String = {
+    val t = math.round(frac * 65536.0)
+    require(t >= 0 && t <= 0xFFFF, s"fraction $frac out of (0,1) range")
+    f"$t%04x"
+  }
+
+  /** Deterministic Bernoulli sample: keep ≈`frac` of rows, keyed by id. */
+  def bernoulliSample(df: DataFrame, idCol: String, salt: String,
+                      frac: Double): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < lit(hexThreshold(frac)))
+
+  /** Deterministic train/valid/test assignment: `trainFrac` of the hash
+    * space to "train", then `validFrac` to "valid", remainder "test". */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                trainFrac: Double, validFrac: Double): DataFrame = {
+    val b = hashBucket(col(idCol), salt)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(b < lit(hexThreshold(trainFrac)), "train")
+          .when(b < lit(hexThreshold(trainFrac + validFrac)), "valid")
+          .otherwise("test"))
+  }
+}

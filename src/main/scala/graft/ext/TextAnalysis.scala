@@ -87,6 +87,19 @@ object TextAnalysis {
   def rollingFingerprint(c: Column): Column =
     aggregate(TextDedup.tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Corpus token-frequency top-k (vocabulary head): one shuffle on the
+    * token (with map-side partial counts), then TakeOrderedAndProject —
+    * only k rows cross the final exchange. Ties broken by token text for
+    * a deterministic cut. The standard first step of vocab/BPE training
+    * over a corpus; at 100 TB the partial aggregation means the shuffle
+    * carries one row per (partition, distinct token), not per token
+    * occurrence. */
+  def tokenTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextDedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -28,6 +28,19 @@ object TextDedup {
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Spread a compute-bound narrow stage across the cluster. Parquet
+    * splits scans by BYTES (`files.maxPartitionBytes`), which is the
+    * wrong granularity for CPU-heavy per-row work: a few MB of compressed
+    * text — minutes of shingling/hashing — lands in one partition and
+    * serializes on one core. The shuffle this inserts moves only the raw
+    * rows (cheap) and buys full-width execution for the expensive
+    * signature computation that follows. No-op cost at cluster scale
+    * where inputs already have ≥ parallelism splits. */
+  private def spreadCompute(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   def tokens(c: Column): Column = split(normalize(c), " ")
 
   // ---- exact ----
@@ -88,6 +101,36 @@ object TextDedup {
     size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB))
 
+  /** Candidate pairs from a (band, bh, id) bucket table — the quadratic
+    * step of every LSH pipeline, shaped for minimum shuffle count: ONE
+    * exchange (the groupBy on the bucket key; map-side partial
+    * collect_list) and then pairs are generated NARROWLY inside each
+    * bucket with codegen'd array HOFs, plus one tiny exchange for the
+    * cross-band pair `distinct`. The earlier formulation (window count +
+    * bucket self-join + distinct) paid three materialized exchanges over
+    * the full band table for the same answer.
+    *
+    * Buckets larger than `maxBucket` are dropped BEFORE pair generation
+    * (boilerplate-text protection — they would contribute O(n²)
+    * low-value pairs); singleton buckets pair nothing and are dropped by
+    * the same filter. `array_sort` on the collected ids makes the output
+    * orientation deterministic (id_a < id_b) regardless of shuffle
+    * arrival order. */
+  private def bucketCandidates(bandTable: DataFrame, maxBucket: Int): DataFrame = {
+    val sorted = array_sort(col("ids"))
+    val n = size(col("ids"))
+    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(sorted, i + 1).as("id_a"),
+          element_at(sorted, j + 1).as("id_b")))))
+    bandTable.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
   /** LSH band hashes: band b = xxhash64 over rows b*r..b*r+r-1 of the
     * signature. Two docs sharing ANY band hash become a candidate pair. */
   def lshBandHashes(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
@@ -118,7 +161,8 @@ object TextDedup {
     // owns release via spark.catalog.clearCache() or by persisting the
     // result and unpersisting upstream. At corpus scales beyond memory,
     // write this table to parquet instead; the pipeline shape is unchanged.
-    val sigTable = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val sigTable = spreadCompute(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
       .withColumn("sig", graft.functions.GraftFunctions.minHash64(
         df.sparkSession, col("shh"), numHashes))
@@ -129,19 +173,7 @@ object TextDedup {
     // candidate set (tiny) is known.
     val exploded = sigTable.select(col("id"),
       posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
-    // cap runaway buckets before the quadratic step — a window count over
-    // the bucket key: ONE shuffle shared with the pair join's partitioning
-    // instead of a separate aggregate + join back
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    val keep = exploded
-      .withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= maxBucket)
-      .drop("_bsz")
-    val candidates = keep
-      .join(keep.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
-      .distinct()
+    val candidates = bucketCandidates(exploded, maxBucket)
     val fa = sigTable.select(col("id").as("id_a"), col("shh").as("shh_a"), col("sig").as("sig_a"))
     val fb = sigTable.select(col("id").as("id_b"), col("shh").as("shh_b"), col("sig").as("sig_b"))
     candidates.join(fa, "id_a").join(fb, "id_b")
@@ -154,6 +186,87 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
         ngramJaccard(col("shh_a"), col("shh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- portable (cross-engine oracle-able) MinHash ----
+
+  /** Cross-engine-portable MinHash-LSH near-duplicate pipeline.
+    *
+    * [[minhashDupPairs]] uses the xxhash64 native kernels — the fast
+    * production path, but nothing outside Spark can reproduce its
+    * signatures, so the driver can only row-count it. This variant makes
+    * every hash reproducible by ANY engine with sha256: permutation p of
+    * shingle s is the first 16 hex chars of sha256("p:s"), and a MinHash
+    * lane is the MIN over those fixed-length lowercase-hex STRINGS —
+    * lexicographic order on fixed-length hex equals numeric order on the
+    * underlying 64-bit value, so string-min IS min-hash. Bands are
+    * string concatenation of `numPerms/bands` lanes; candidates share a
+    * band; the verify stage is exact set Jaccard over distinct shingle
+    * strings (integer-ratio double — bit-identical cross-engine).
+    *
+    * ~`numPerms`× the hashing cost of the kernel path per shingle; use
+    * it for audits/oracles, [[minhashDupPairs]] for production scale.
+    * Same shuffle shape as the production path: band-key join on
+    * (band, bh), verify join on the candidate ids only.
+    */
+  def portableMinhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+                              shingleK: Int = 3, numPerms: Int = 16,
+                              bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    // Distinct shingle-string sets feed three branches (signature + both
+    // verify sides) — persist, same lifecycle note as minhashDupPairs.
+    val sets = spreadCompute(df)
+      .select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleK)).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sets.select(col("id"), array((0 until numPerms).map { p =>
+      array_min(transform(col("ss"),
+        s => substring(sha2(concat_ws(":", lit(p.toString), s), 256), 1, 16)))
+    }: _*).as("sig"))
+    val bandt = sig.select(col("id"), posexplode(array((0 until bands).map { b =>
+      concat((0 until r).map(j => element_at(col("sig"), b * r + j + 1)): _*)
+    }: _*)).as(Seq("band", "bh")))
+    val cand = bucketCandidates(bandt, maxBucket = 1000)
+    val sa = sets.select(col("id").as("id_a"), col("ss").as("ss_a"))
+    val sb = sets.select(col("id").as("id_b"), col("ss").as("ss_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Cross-engine-portable 16-bit SimHash fingerprint per document.
+    *
+    * Same portability idea as [[portableMinhashDupPairs]], applied to
+    * SimHash (the production 64-bit path is [[withSimhash]]'s native
+    * kernel — fast, Spark-only): each token hashes to 4 hex chars of
+    * sha256(token) = 16 bits; bit b of the fingerprint is set when the
+    * (+1/−1) vote sum over the token MULTISET is positive. All integer
+    * arithmetic over hex-digit positions (`instr` on the hex alphabet,
+    * shift, mask) — every step reproducible in ANY SQL engine, so the
+    * DuckDB oracle checks fingerprints bit-for-bit.
+    *
+    * Shape at scale: explode → 16-column conditional sum = ONE hash
+    * aggregation on the doc id with map-side partial sums; the
+    * fingerprint projection is narrow. 16 bits is deliberately small for
+    * an oracle surface; the kernel path carries the full 64 bits.
+    */
+  def portableSimhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tokensExploded = spreadCompute(df)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), substring(sha2(col("tok"), 256), 1, 4).as("h"))
+    val votes = (0 until 16).map { b =>
+      val hexPos = b / 4 + 1
+      val bitPos = b % 4
+      sum(expr(s"CASE WHEN (((instr('0123456789abcdef', substr(h, $hexPos, 1)) - 1) " +
+        s">> $bitPos) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$b")
+    }
+    tokensExploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
   }
 
   // ---- SimHash ----
@@ -200,7 +313,8 @@ object TextDedup {
     * fingerprint (cheap blocking), verify with full Hamming distance. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
-    val withSig = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol, "sig")
+    val withSig = withSimhash(
+        spreadCompute(df.select(col(idCol).as("id"), col(textCol))), textCol, "sig")
       .select(col("id"), col("sig"))
       .withColumn("block", shiftrightunsigned(col("sig"), 64 - prefixBits))
     val a = withSig.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))

@@ -115,20 +115,37 @@ object ValidateRoute {
     */
   def planTopic(raw: DataFrame, spec: TopicSpec, prefix: String = "soccer",
                 enableDedup: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+    // Parse verdict from the SAME from_json call that extracts fields
+    // (PERMISSIVE + columnNameOfCorruptRecord), not a second parse:
     // from_json in PERMISSIVE mode yields an all-null row (not a null
     // struct) for malformed input, which would silently merge parse
-    // failures into the schema-reject route; try_parse_json gives a real
-    // parse verdict. Both are narrow, codegen'd expressions.
+    // failures into the schema-reject route, and a separate
+    // try_parse_json verdict would parse every payload TWICE — at
+    // ingest scale, JSON parsing IS the pipeline's CPU. The corrupt
+    // column fires on malformed and non-object JSON (matching the
+    // reference's null-struct verdict, VJ:610-625, including `[]` /
+    // `null` payloads which try_parse_json waves through); the one
+    // divergence is a valid object with an uncastable field
+    // (parse-reject here, schema-reject in the reference) — unreachable
+    // for the reference's schemas, whose fields are all strings.
+    // Deliberately NO per-field references in the verdict: every
+    // `data.getField(x)` reference clones the whole from_json expression
+    // in the optimized plan, and a field-wise OR over the 48-field
+    // player schema OOMed plan optimization across 13 topic branches.
+    val corruptCol = "_graft_corrupt"
+    val parseSchema = spec.schema.add(corruptCol, StringType)
     val base = raw
       .filter(col("topic_name") === spec.name)
       .select(
-        from_json(col("value").cast("string"), spec.schema).as("data"),
+        from_json(col("value").cast("string"), parseSchema,
+          Map("columnNameOfCorruptRecord" -> corruptCol)).as("data"),
         col("timestamp").as("kafka_ts"),
         col("value").cast("string").as("json_str"))
-      .withColumn("parse_ok", try_parse_json(col("json_str")).isNotNull)
+      .withColumn("parse_ok", col(s"data.$corruptCol").isNull)
 
     val parsedOk = base.filter(col("parse_ok"))
       .select(col("data.*"), col("kafka_ts"), col("json_str"))
+      .drop(corruptCol)
     val hashed = addPayloadHash(validate(addPk(ensureTimestamps(parsedOk), spec.pk), spec))
     val deduped = if (enableDedup) dedup(hashed) else hashed
 

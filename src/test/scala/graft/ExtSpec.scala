@@ -210,6 +210,70 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  // ---- portable (cross-engine) dedup formulations ----
+
+  test("portable minhash: doubled docs pair at jaccard 1.0; reported jaccard " +
+    "matches brute-force recompute; threshold respected") {
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+    val corpus = docs.unionByName(shifted)
+    val pairs = TextDedup.portableMinhashDupPairs(corpus, "text", "doc_id")
+      .persist()
+    val doubled = pairs.filter(col("id_b") - col("id_a") === 1000000L)
+    assert(doubled.count() == docs.count())
+    assert(doubled.filter(col("jaccard") < 1.0).count() == 0)
+    assert(pairs.filter(col("jaccard") < 0.7).count() == 0)
+    // every reported jaccard equals the exact value recomputed from the
+    // distinct shingle-string sets (identical candidate or not)
+    val sets = corpus.select(col("doc_id").as("id"),
+      array_distinct(TextDedup.shingles(col("text"), 3)).as("ss"))
+    val recomputed = pairs
+      .join(sets.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
+      .withColumn("j2",
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_union(col("ss_a"), col("ss_b"))))
+    assert(recomputed.filter(col("jaccard") =!= col("j2")).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("portable simhash16: identical text → identical fp, hamming 0; " +
+    "disjoint text → positive hamming") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val fp = TextDedup.portableSimhash16(df, "text", "doc_id")
+      .orderBy("id").select("fp").as[Long].collect()
+    assert(fp(0) == fp(1))
+    assert(fp.forall(v => v >= 0 && v <= 0xFFFFL))
+    assert(java.lang.Long.bitCount(fp(0) ^ fp(2)) > 0)
+  }
+
+  // ---- sampling / vocab ----
+
+  test("hash split is deterministic, exhaustive, and ≈ fractions") {
+    val split = graft.ext.Sampling.hashSplit(docs, "doc_id", "split", 0.75, 0.125)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts.values.sum == n)
+    assert(math.abs(counts.getOrElse("train", 0L) / n - 0.75) < 0.1)
+    // same assignment on recompute (no RNG state)
+    val again = graft.ext.Sampling.hashSplit(docs, "doc_id", "split", 0.75, 0.125)
+    assert(split.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).count() == 0)
+    // bernoulli sample is a subset keyed only by id
+    val s1 = graft.ext.Sampling.bernoulliSample(docs, "doc_id", "s", 0.25)
+    assert(s1.count() > 0 && s1.count() < docs.count())
+  }
+
+  test("token top-k is count-then-token ordered and bounded by k") {
+    val top = TextAnalysis.tokenTopK(docs, "text", 10).collect()
+    assert(top.length == 10)
+    val counts = top.map(_.getAs[Long]("cnt")).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
+
   test("multimodal: features detach from bytes with stable values") {
     val ds = Seq(
       Multimodal.MediaRow(1L, "image", "a.img", header(1, 1), 12L),

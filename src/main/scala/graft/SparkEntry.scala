@@ -335,6 +335,27 @@ object SparkEntry {
           bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("bigint").as("hamming"))
         .orderBy(col("id_a"))
     }),
+    "x17_text_scrub" -> ((s, d) => {
+      // PII/link scrubbing over a corpus augmented with deterministic
+      // synthetic emails/URLs (the fixture text has none): counts via
+      // regexp_extract_all, removal via ordered regexp_replace. The
+      // doc_id%12==0 rows embed an email INSIDE the URL, pinning the
+      // scrub order semantics (URL swallows it) cross-engine.
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at u"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" see https://site.example/d/"), col("doc_id").cast("string"),
+            lit("?u=u"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")))
+      t(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("aug")).cast("bigint").as("n_emails"),
+          TextAnalysis.urlCount(col("aug")).cast("bigint").as("n_urls"),
+          TextAnalysis.scrub(col("aug")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
     "x12_lsh_neardup_pairs" -> ((s, d) => {
       // rows-only: embedding near-dup with LSH buckets as the partitioner
       // (the data-independent scale path; label-bucketed variant is x06)
@@ -682,6 +703,26 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON b.id = a.id + 1
          |ORDER BY id_a""".stripMargin
     },
+    "x17_text_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' reach me at u' || doc_id || '@mail.example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN ' see https://site.example/d/' || doc_id ||
+        |              '?u=u' || doc_id || '@mail.example.com'
+        |         ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, 'https?://\S+')) AS BIGINT) AS n_urls,
+        |  regexp_replace(
+        |    regexp_replace(aug, 'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+        |FROM aug
+        |ORDER BY doc_id""".stripMargin,
     "x06_embedding_neardup_pairs" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(ROUND(

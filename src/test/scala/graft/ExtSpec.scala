@@ -267,6 +267,18 @@ class ExtSpec extends AnyFunSuite {
     assert(s1.count() > 0 && s1.count() < docs.count())
   }
 
+  test("scrub swallows emails inside URLs, then bare emails; counts see both") {
+    val df = Seq((1L, "mail a@b.co and https://x.y/z?e=c@d.co end"))
+      .toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.emailCount(col("text")).as("ne"),
+      TextAnalysis.urlCount(col("text")).as("nu"),
+      TextAnalysis.scrub(col("text")).as("s")).head
+    assert(r.getAs[Int]("ne") == 2)
+    assert(r.getAs[Int]("nu") == 1)
+    assert(r.getAs[String]("s") == "mail <EMAIL> and <URL> end")
+  }
+
   test("token top-k is count-then-token ordered and bounded by k") {
     val top = TextAnalysis.tokenTopK(docs, "text", 10).collect()
     assert(top.length == 10)

@@ -81,6 +81,34 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hash split / scrub are narrow: no exchange, scan-speed at 100 TB (x14/x17)") {
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"))
+    val p = plan(graft.ext.Sampling.hashSplit(docs, "doc_id", "split", 0.75, 0.125))
+    assert(!p.contains("Exchange"), "hash split must not shuffle:\n" + p)
+    val p2 = plan(Tables(spark, sf, "documents")
+      .select(graft.ext.TextAnalysis.scrub(col("text"))))
+    assert(!p2.contains("Exchange"), "scrub must not shuffle:\n" + p2)
+  }
+
+  test("token top-k: map-side partial count + TakeOrderedAndProject (x15)") {
+    val p = plan(graft.ext.TextAnalysis.tokenTopK(
+      Tables(spark, sf, "documents"), "text", 10))
+    assert(p.contains("partial_count"), "vocab count must partial-agg:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("LSH candidate generation: one partial collect_list aggregation, " +
+    "pairs generated narrowly (x07/x13)") {
+    val docs = Tables(spark, sf, "documents")
+    val pairs = graft.ext.TextDedup.minhashDupPairs(docs, "text", "doc_id")
+    val p = plan(pairs)
+    // map-side partial collect on the bucket key — the single exchange of
+    // the candidate stage (the old window+self-join shape had three)
+    assert(p.contains("partial_collect_list"), p)
+    assert(!p.contains("Window"), "bucket cap must not be a window:\n" + p)
+    spark.catalog.clearCache()
+  }
+
   test("partition pruning: monthly-partitioned write is readable by one month") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/fact"
     graft.warehouse.Transforms.writeMonthly(

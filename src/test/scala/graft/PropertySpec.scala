@@ -111,6 +111,38 @@ object PipelineProperties extends Properties("graft") {
       }
     }
 
+  property("scrub is idempotent and leaves no email/url matches behind") =
+    forAll(Gen.listOfN(3, Gen.oneOf(
+      "plain words only here",
+      "write to a.b@c-d.org today",
+      "link https://x.example/p?q=1&r=2 inline",
+      "both u@v.net and http://w.example/z",
+      "email inside url https://h.example/cb?mail=u@v.net tail"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val once = df.select(col("id"),
+        graft.ext.TextAnalysis.scrub(col("text")).as("s"))
+      val cleaned = once
+        .withColumn("s2", graft.ext.TextAnalysis.scrub(col("s")))
+        .withColumn("ne", graft.ext.TextAnalysis.emailCount(col("s")))
+        .withColumn("nu", graft.ext.TextAnalysis.urlCount(col("s")))
+        .collect()
+      cleaned.forall { r =>
+        r.getAs[String]("s") == r.getAs[String]("s2") &&
+          r.getAs[Int]("ne") == 0 && r.getAs[Int]("nu") == 0
+      }
+    }
+
+  property("hash split partitions: every row exactly one split, stable across runs") =
+    forAll(Gen.listOfN(20, Gen.choose(0L, 1000000L))) { ids =>
+      val df = ids.distinct.toDF("id")
+      val s1 = graft.ext.Sampling.hashSplit(df, "id", "p", 0.5, 0.25)
+      val s2 = graft.ext.Sampling.hashSplit(df, "id", "p", 0.5, 0.25)
+      s1.filter(!col("split").isin("train", "valid", "test")).count() == 0 &&
+        s1.count() == ids.distinct.length &&
+        s1.select("id", "split").exceptAll(s2.select("id", "split")).count() == 0
+    }
+
   property("latestPerKey is idempotent and keeps the max version (A8/A9)") =
     forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1, 3), Gen.choose(1, 100),
       Gen.alphaStr.map(_.take(5))))) { rows =>

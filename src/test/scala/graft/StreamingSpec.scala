@@ -141,6 +141,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.toSeq == Seq("4328", "5000"), s"got ${keys.toSeq}")
   }
 
+  test("multi-restart soak: five cycles stay exactly-once and dedup state " +
+    "survives restarts (ST3/ST4/A10)") {
+    val dir = Files.createTempDirectory("graft-soak").toString
+    val out = Files.createTempDirectory("graft-soak-out").toString
+    val chk = Files.createTempDirectory("graft-soak-chk").toString
+
+    def runOnce(): Unit = {
+      val stream = Streaming.jsonStream(spark, dir, msgSchema)
+      val routed = ValidateRoute.plan(stream, Schemas.specs, enableDedup = true)
+      val (qv, qr) = Streaming.startRoutes(routed, out, chk, Trigger.AvailableNow())
+      qv.awaitTermination(60000); qr.awaitTermination(60000)
+      qv.stop(); qr.stop()
+    }
+
+    val ids = Seq("6001", "6002", "6003", "6004", "6005")
+    ids.zipWithIndex.foreach { case (id, cycle) =>
+      // each cycle delivers one NEW message and one REPLAY of the first
+      // message (same pk + payload hash) — the replay must be dropped by
+      // dedup state RESTORED from the checkpoint, not in-memory state
+      val fresh = s"""{"topic":"soccer.league","value":${ujsonEscape(
+        validLeague.replace("4328", id))},"timestamp":"2024-05-01T12:0$cycle:00.000Z"}"""
+      val replay = s"""{"topic":"soccer.league","value":${ujsonEscape(
+        validLeague.replace("4328", "6001"))},"timestamp":"2024-05-01T12:0$cycle:30.000Z"}"""
+      Files.writeString(java.nio.file.Paths.get(s"$dir/soak$cycle.json"),
+        if (cycle == 0) fresh else s"$fresh\n$replay")
+      runOnce()
+      val keys = spark.read.parquet(s"$out/validated-all")
+        .select("key").as[String].collect().sorted.toSeq
+      assert(keys == ids.take(cycle + 1).sorted,
+        s"cycle $cycle: got $keys")
+    }
+  }
+
   test("streaming windowed counts match the batch hourly rollup (ST8)") {
     val events = Tables(spark, TestSpark.sf, "events")
     val tmpIn = Files.createTempDirectory("graft-win-in").toString

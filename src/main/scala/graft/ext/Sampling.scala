@@ -28,10 +28,16 @@ object Sampling {
   def hashBucket(id: Column, salt: String): Column =
     substring(sha2(concat_ws(":", lit(salt), id.cast("string")), 256), 1, 4)
 
+  /** Hex threshold with 16-bit resolution. Fractions rounding to the full
+    * range return "g" — lexicographically above every hex bucket, so
+    * `bucket < "g"` keeps everything (this is what makes
+    * `hashSplit(0.7, 0.3)` — whose fraction sum is 0.999…9 in floating
+    * point — and `bernoulliSample(frac = 1.0)` work). Fractions below
+    * the 1/65536 resolution round to an empty sample by design. */
   private def hexThreshold(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction $frac outside [0,1]")
     val t = math.round(frac * 65536.0)
-    require(t >= 0 && t <= 0xFFFF, s"fraction $frac out of (0,1) range")
-    f"$t%04x"
+    if (t >= 65536L) "g" else f"$t%04x"
   }
 
   /** Deterministic Bernoulli sample: keep ≈`frac` of rows, keyed by id. */

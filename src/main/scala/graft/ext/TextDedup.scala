@@ -38,7 +38,22 @@ object TextDedup {
     * where inputs already have ≥ parallelism splits. */
   private def spreadCompute(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    // If the input plan already contains a shuffle-producing operator its
+    // output partitioning follows spark.sql.shuffle.partitions — leave it
+    // alone. Only narrow scan-shaped plans are probed via .rdd (safe: no
+    // stages to materialize); probing an AQE plan WITH shuffles would
+    // eagerly execute them just to read a partition count.
+    val hasShuffleOp = df.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _ => false
+    }
+    if (hasShuffleOp) df
+    else if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p)
   }
 
   def tokens(c: Column): Column = split(normalize(c), " ")
@@ -117,17 +132,25 @@ object TextDedup {
     * orientation deterministic (id_a < id_b) regardless of shuffle
     * arrival order. */
   private def bucketCandidates(bandTable: DataFrame, maxBucket: Int): DataFrame = {
-    val sorted = array_sort(col("ids"))
+    // The sort happens ONCE in its own projection: HOF lambdas are
+    // interpreted with no common-subexpression elimination, so an
+    // array_sort spliced into the pair lambdas would re-sort the bucket
+    // per element access — O(n³ log n) per bucket at the cap.
     val n = size(col("ids"))
     val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
       transform(sequence(i + 1, n - 1), j =>
-        struct(element_at(sorted, i + 1).as("id_a"),
-          element_at(sorted, j + 1).as("id_b")))))
+        struct(element_at(col("ids"), i + 1).as("id_a"),
+          element_at(col("ids"), j + 1).as("id_b")))))
     bandTable.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
+      .select(array_sort(col("ids")).as("ids"))
       .select(explode(pairs).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // sorted ids make orientation deterministic; strict < also drops
+      // self-pairs when the same id appears twice in a bucket (duplicate
+      // ids in the input) — matching the oracle's a.id < b.id join
+      .filter(col("id_a") < col("id_b"))
       .distinct()
   }
 

@@ -141,7 +141,11 @@ object ValidateRoute {
           Map("columnNameOfCorruptRecord" -> corruptCol)).as("data"),
         col("timestamp").as("kafka_ts"),
         col("value").cast("string").as("json_str"))
-      .withColumn("parse_ok", col(s"data.$corruptCol").isNull)
+      // NULL payloads (Kafka tombstones) must stay on the parse-reject
+      // route: from_json(NULL) is a null struct, so the corrupt field
+      // alone would read as "parsed fine". json_str non-null guards it.
+      .withColumn("parse_ok",
+        col("json_str").isNotNull && col(s"data.$corruptCol").isNull)
 
     val parsedOk = base.filter(col("parse_ok"))
       .select(col("data.*"), col("kafka_ts"), col("json_str"))

@@ -267,6 +267,27 @@ class ExtSpec extends AnyFunSuite {
     assert(s1.count() > 0 && s1.count() < docs.count())
   }
 
+  test("duplicate ids never produce self-pairs in LSH candidates") {
+    // the same doc ingested twice under one id: buckets contain the id
+    // twice; pair generation must not emit (x, x)
+    val df = Seq((1L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val kernel = TextDedup.minhashDupPairs(df, "text", "doc_id", threshold = 0.1)
+    assert(kernel.filter(col("id_a") === col("id_b")).count() == 0)
+    val portable = TextDedup.portableMinhashDupPairs(df, "text", "doc_id",
+      threshold = 0.1)
+    assert(portable.filter(col("id_a") === col("id_b")).count() == 0)
+  }
+
+  test("hash split handles fraction sums that round to 1.0; full-rate sample keeps all") {
+    val df = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val s = graft.ext.Sampling.hashSplit(df, "doc_id", "s", 0.7, 0.3)
+    assert(s.filter(col("split") === "test").count() == 0)
+    assert(s.count() == 4)
+    assert(graft.ext.Sampling.bernoulliSample(df, "doc_id", "s", 1.0).count() == 4)
+  }
+
   test("scrub swallows emails inside URLs, then bare emails; counts see both") {
     val df = Seq((1L, "mail a@b.co and https://x.y/z?e=c@d.co end"))
       .toDF("doc_id", "text")

@@ -164,8 +164,10 @@ class StreamingSpec extends AnyFunSuite {
         validLeague.replace("4328", id))},"timestamp":"2024-05-01T12:0$cycle:00.000Z"}"""
       val replay = s"""{"topic":"soccer.league","value":${ujsonEscape(
         validLeague.replace("4328", "6001"))},"timestamp":"2024-05-01T12:0$cycle:30.000Z"}"""
+      // cycle 0's "replay" arrives in the SAME batch as the original —
+      // the in-batch duplicate case; later cycles replay across restarts
       Files.writeString(java.nio.file.Paths.get(s"$dir/soak$cycle.json"),
-        if (cycle == 0) fresh else s"$fresh\n$replay")
+        s"$fresh\n$replay")
       runOnce()
       val keys = spark.read.parquet(s"$out/validated-all")
         .select("key").as[String].collect().sorted.toSeq

@@ -77,6 +77,16 @@ class ValidateRouteSpec extends AnyFunSuite {
     assert(keys.toSeq == Seq("34145937"))
   }
 
+  test("NULL payloads (tombstones) route to parse-reject, not schema-reject") {
+    val tomb = Seq(("soccer.league", null.asInstanceOf[String]))
+      .toDF("topic", "value").withColumn("timestamp", lit(ts))
+    val r = ValidateRoute.plan(tomb, Schemas.specs)
+    assert(r.validated.count() == 0)
+    val rej = r.rejected.select("value").as[String].collect()
+    assert(rej.length == 1)
+    assert(rej.head.contains("parse_error"), rej.head)
+  }
+
   test("parse failures get sha2(json) primary key and parse_error flag (P3/P8)") {
     val parseRow = routed.rejected
       .filter(col("value").contains("parse_error")).select("key").as[String].collect()

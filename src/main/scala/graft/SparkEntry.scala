@@ -356,6 +356,19 @@ object SparkEntry {
           TextAnalysis.scrub(col("aug")).as("scrubbed"))
         .orderBy(col("doc_id"))
     }),
+    "x18_sequence_packing" -> ((s, d) => {
+      // Token-budget sequence packing: shard-parallel running-total
+      // binning (the Spark-shaped approximation of first-fit packing).
+      // Portable shard key (doc_id % 8) so DuckDB reproduces the
+      // assignment; production callers pass a hash shard.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(TextDedup.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      graft.ext.Sampling.packSequences(docs, "doc_id", "n_tokens",
+          budget = 2048, shard = pmod(col("doc_id"), lit(8)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_offset"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
     "x12_lsh_neardup_pairs" -> ((s, d) => {
       // rows-only: embedding near-dup with LSH buckets as the partitioner
       // (the data-independent scale path; label-bucketed variant is x06)
@@ -722,6 +735,25 @@ object SparkEntry {
         |    regexp_replace(aug, 'https?://\S+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
         |FROM aug
+        |ORDER BY doc_id""".stripMargin,
+    "x18_sequence_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT)
+        |      AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM tok)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin
+        |FROM packed
         |ORDER BY doc_id""".stripMargin,
     "x06_embedding_neardup_pairs" ->
       """WITH pairs AS (

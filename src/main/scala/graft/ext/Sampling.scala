@@ -56,4 +56,30 @@ object Sampling {
           .when(b < lit(hexThreshold(trainFrac + validFrac)), "valid")
           .otherwise("test"))
   }
+
+  /** Sequence packing for training batches: assign documents to
+    * fixed-token-budget bins ("sequences") deterministically and in
+    * parallel.
+    *
+    * True first-fit packing is a sequential fold — hostile to a
+    * distributed engine. The standard Spark-shaped approximation used
+    * here: shard documents by a hash of the id (`numShards` independent
+    * streams), order each shard deterministically, and cut bins by the
+    * RUNNING token total: a document starting before a budget boundary
+    * joins the bin of its starting offset (bins may overflow by at most
+    * one document — the usual drop/truncate decision is downstream's).
+    * One window over the shard partition; every shard packs
+    * independently, so 100 TB packs at full cluster width, and the
+    * assignment is reproducible on any engine with window cumsum (the
+    * DuckDB oracle checks it).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Int, shard: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("start_offset", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("start_offset") / budget))
+  }
 }

@@ -300,6 +300,34 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[String]("s") == "mail <EMAIL> and <URL> end")
   }
 
+  test("sequence packing: offsets are per-shard running totals, bins are " +
+    "contiguous, overflow bounded by one document") {
+    val df = Seq((0L, 10L), (1L, 90L), (2L, 50L), (3L, 60L), (4L, 45L),
+      (8L, 70L), (9L, 40L), (16L, 200L)).toDF("doc_id", "n_tokens")
+    val packed = graft.ext.Sampling.packSequences(df, "doc_id", "n_tokens",
+        budget = 100, shard = pmod(col("doc_id"), lit(8)))
+      .orderBy("shard", "doc_id").collect()
+    val byShard = packed.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, rows) =>
+      var run = 0L
+      rows.foreach { r =>
+        assert(r.getAs[Long]("start_offset") == run)
+        assert(r.getAs[Long]("bin") == run / 100)
+        run += r.getAs[Long]("n_tokens")
+      }
+      // bins are contiguous from 0
+      val bins = rows.map(_.getAs[Long]("bin")).distinct.sorted
+      assert(bins.head == 0L && bins.zipWithIndex.forall { case (b, i) => b <= i })
+      // a bin's token total exceeds the budget by at most its last doc
+      rows.groupBy(_.getAs[Long]("bin")).foreach { case (_, docs) =>
+        val total = docs.map(_.getAs[Long]("n_tokens")).sum
+        val lastDoc = docs.maxBy(_.getAs[Long]("start_offset"))
+        assert(total - lastDoc.getAs[Long]("n_tokens") < 100,
+          s"bin overflows by more than its final doc: $total")
+      }
+    }
+  }
+
   test("token top-k is count-then-token ordered and bounded by k") {
     val top = TextAnalysis.tokenTopK(docs, "text", 10).collect()
     assert(top.length == 10)

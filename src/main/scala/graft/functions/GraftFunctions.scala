@@ -64,10 +64,12 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point: injects graft's functions into every
-  * session built on the cluster (SURVEY §2.9 extension path). */
+/** `spark.sql.extensions` entry point: injects graft's functions and
+  * optimizer rules into every session built on the cluster (SURVEY §2.9
+  * extension path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteLatestPerKey)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),

@@ -369,6 +369,14 @@ object SparkEntry {
           col("start_offset"), col("bin"))
         .orderBy(col("doc_id"))
     }),
+    "x19_batch_ann_topk" -> ((s, d) => {
+      // Many-to-many ANN: top-3 neighbors for EVERY vector within its
+      // label bucket, one aggregation pass (no window) — the
+      // query-batch shape of similarity search at 100 TB.
+      Similarity.batchTopK(t(s, d, "embeddings"), "embedding", "vec_id",
+          "label", 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "x12_lsh_neardup_pairs" -> ((s, d) => {
       // rows-only: embedding near-dup with LSH buckets as the partitioner
       // (the data-independent scale path; label-bucketed variant is x06)
@@ -755,6 +763,22 @@ object SparkEntry {
         |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin
         |FROM packed
         |ORDER BY doc_id""".stripMargin,
+    "x19_batch_ann_topk" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(ROUND(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM sims WHERE sim IS NOT NULL)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "x06_embedding_neardup_pairs" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(ROUND(

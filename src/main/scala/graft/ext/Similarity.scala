@@ -95,6 +95,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch (many-to-many) ANN: top-k neighbors for EVERY vector within
+    * its bucket, in one pass — the query-batch shape of similarity
+    * search at scale (single-query top-k is [[bruteForceTopK]]).
+    *
+    * One bucket join produces candidate sims (fused native kernel per
+    * pair), then ONE aggregation per query id with the native REDUCING
+    * top-k heap ([[graft.functions.TopKByDouble]]): each map task keeps
+    * at most k pairs per query before the exchange, so shuffle volume
+    * is k·|queries| regardless of bucket sizes (a collect_list partial
+    * would gather — ship every candidate). No window, no sort of the
+    * full candidate set. Deterministic: ties after rounding break on
+    * neighbor id. */
+  def batchTopK(df: DataFrame, embCol: String, idCol: String,
+                bucketCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val a = df.select(col(bucketCol).as("_bkt"), col(idCol).as("query_id"),
+      col(embCol).as("_ea"))
+    val b = df.select(col(bucketCol).as("_bkt"), col(idCol).as("neighbor_id"),
+      col(embCol).as("_eb"))
+    val sims = a.join(b, Seq("_bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.GraftFunctions.cosineSim(df.sparkSession,
+          col("_ea"), col("_eb")), roundTo).as("sim"))
+      // zero-norm vectors yield NULL sims (see cosine's ANSI note) —
+      // incomparable, so excluded from ranking on both engines
+      .filter(col("sim").isNotNull)
+    sims.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(df.sparkSession,
+        col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("query_id"), (col("rank0") + 1).cast("bigint").as("rank"),
+        col("t.value").as("neighbor_id"), col("t.key").as("sim"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed by
     * `bucketCol` (a coarse partitioner: LSH bucket, cluster label, shard).
     * The self-join shuffles both sides ONCE on the bucket key; the

@@ -34,6 +34,13 @@ object GraftFunctions {
       "graft_minhash64 takes (array<bigint>, int literal)")
   }
 
+  val topKByBuilder: Seq[Expression] => Expression = {
+    case Seq(kx, vx, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+      TopKByDouble(kx, vx, k) // analyzer wraps AggregateFunctions itself
+    case _ => throw new IllegalArgumentException(
+      "graft_topk_by takes (key double, value bigint, k int literal)")
+  }
+
   /** Register graft functions in an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -42,6 +49,15 @@ object GraftFunctions {
       "graft_simhash64", simHashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash64", minHashBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk_by", topKByBuilder, "scala_udf")
+  }
+
+  /** Column API for the reducing top-k aggregate; registers lazily. */
+  def topKBy(spark: SparkSession, key: Column, value: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_topk_by", key, value,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Column API for the native cosine kernel; registers lazily. */
@@ -82,5 +98,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "graft_minhash64"),
       GraftFunctions.minHashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_by"),
+      new ExpressionInfo(classOf[TopKByDouble].getName, "graft_topk_by"),
+      GraftFunctions.topKByBuilder))
   }
 }

@@ -288,6 +288,21 @@ class ExtSpec extends AnyFunSuite {
     assert(graft.ext.Sampling.bernoulliSample(df, "doc_id", "s", 1.0).count() == 4)
   }
 
+  test("batch ANN top-k: self excluded, ranks ordered by sim, k bounded") {
+    val top = Similarity.batchTopK(emb, "embedding", "vec_id", "label", 3)
+      .persist()
+    assert(top.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val perQuery = top.groupBy("query_id").count()
+    assert(perQuery.filter(col("count") > 3).count() == 0)
+    // within a query, rank order must match sim order (desc)
+    val bad = top.as("x").join(top.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.rank") < col("y.rank") && col("x.sim") < col("y.sim"))
+      .count()
+    assert(bad == 0, s"$bad rank inversions")
+    top.unpersist()
+  }
+
   test("scrub swallows emails inside URLs, then bare emails; counts see both") {
     val df = Seq((1L, "mail a@b.co and https://x.y/z?e=c@d.co end"))
       .toDF("doc_id", "text")

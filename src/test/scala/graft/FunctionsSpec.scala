@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -100,6 +101,52 @@ class FunctionsSpec extends AnyFunSuite {
       .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_sim")))
     assert(s.sessionState.functionRegistry
       .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash64")))
+  }
+
+  test("TopKByDouble heap aggregate is BIT-identical to collect+sort+slice") {
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val a = emb.select(col("label").as("_bkt"), col("vec_id").as("query_id"),
+      col("embedding").as("_ea"))
+    val b = emb.select(col("label").as("_bkt"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("_eb"))
+    val sims = a.join(b, Seq("_bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.GraftFunctions.cosineSim(spark,
+          col("_ea"), col("_eb")), 6).as("sim"))
+      .filter(col("sim").isNotNull)
+      .persist()
+    val heap = sims.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(spark,
+        col("sim"), col("neighbor_id"), 3).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("query_id"), col("rank0"),
+        col("t.value").as("neighbor_id"), col("t.key").as("sim"))
+    val byBest = (l: Column, r: Column) =>
+      when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .when(l.getField("nid") < r.getField("nid"), -1)
+        .when(l.getField("nid") > r.getField("nid"), 1)
+        .otherwise(0)
+    val collected = sims.groupBy(col("query_id"))
+      .agg(slice(array_sort(
+        collect_list(struct(col("sim").as("sim"), col("neighbor_id").as("nid"))),
+        byBest), 1, 3).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("query_id"), col("rank0"),
+        col("t.nid").as("neighbor_id"), col("t.sim").as("sim"))
+    assert(heap.exceptAll(collected).count() == 0)
+    assert(collected.exceptAll(heap).count() == 0)
+    sims.unpersist()
+  }
+
+  test("TopKByDouble plans as ObjectHashAggregate with a reducing partial") {
+    val df = SparkEntry.queries("x19_batch_ann_topk")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_topk_by"), "no map-side partial:\n" + p)
+    assert(!p.contains("Window"), p)
   }
 
   test("kernel type check rejects non-array inputs") {

@@ -72,6 +72,11 @@ object Sampling {
     * independently, so 100 TB packs at full cluster width, and the
     * assignment is reproducible on any engine with window cumsum (the
     * DuckDB oracle checks it).
+    *
+    * PRECONDITION: `idCol` must be unique (it is the document key) —
+    * the running sum orders each shard by it, so duplicate ids would
+    * make the duplicates' offsets shuffle-arrival-dependent. Dedup
+    * upstream ([[TextDedup.dedupExact]]) before packing.
     */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Int, shard: Column): DataFrame = {

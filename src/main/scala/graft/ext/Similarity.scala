@@ -109,15 +109,10 @@ object Similarity {
     * neighbor id. */
   def batchTopK(df: DataFrame, embCol: String, idCol: String,
                 bucketCol: String, k: Int, roundTo: Int = 6): DataFrame = {
-    val a = df.select(col(bucketCol).as("_bkt"), col(idCol).as("query_id"),
-      col(embCol).as("_ea"))
-    val b = df.select(col(bucketCol).as("_bkt"), col(idCol).as("neighbor_id"),
-      col(embCol).as("_eb"))
-    val sims = a.join(b, Seq("_bkt"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(graft.functions.GraftFunctions.cosineSim(df.sparkSession,
-          col("_ea"), col("_eb")), roundTo).as("sim"))
+    val sims = bucketedPairSims(df, embCol, idCol, bucketCol, roundTo,
+        pairPred = col("id_a") =!= col("id_b"))
+      .withColumnRenamed("id_a", "query_id")
+      .withColumnRenamed("id_b", "neighbor_id")
       // zero-norm vectors yield NULL sims (see cosine's ANSI note) —
       // incomparable, so excluded from ranking on both engines
       .filter(col("sim").isNotNull)
@@ -135,19 +130,28 @@ object Similarity {
     * quadratic blow-up is confined to each bucket. `idA < idB` halves the
     * pair space and dedupes. */
   def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
-                   bucketCol: String, threshold: Double, roundTo: Int = 6): DataFrame = {
-    // The fused native kernel computes dot, |a|² and |b|² in one
-    // allocation-free loop per pair, reading float32 directly — and is
-    // bit-identical to the oracle's dot/sqrt(na·nb) float64 form.
+                   bucketCol: String, threshold: Double, roundTo: Int = 6): DataFrame =
+    bucketedPairSims(df, embCol, idCol, bucketCol, roundTo,
+        pairPred = col("id_a") < col("id_b"))
+      .filter(col("sim") >= threshold) // null sims (zero-norm) fail this
+
+  /** Shared candidate generator for the bucketed pair family: self-join
+    * on the bucket key (ONE shuffle), pair predicate, then the fused
+    * native kernel — computes dot, |a|² and |b|² in one allocation-free
+    * loop per pair, reading float32 directly, bit-identical to the
+    * oracle's dot/sqrt(na·nb) float64 form. Output: (id_a, id_b, sim),
+    * sim rounded, null for degenerate vectors. */
+  private def bucketedPairSims(df: DataFrame, embCol: String, idCol: String,
+                               bucketCol: String, roundTo: Int,
+                               pairPred: Column): DataFrame = {
     val a = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_a"),
       col(embCol).as("_emb_a"))
     val b = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_b"),
       col(embCol).as("_emb_b"))
     a.join(b, Seq("_bkt"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(pairPred)
       .select(col("id_a"), col("id_b"),
         round(graft.functions.GraftFunctions.cosineSim(df.sparkSession,
           col("_emb_a"), col("_emb_b")), roundTo).as("sim"))
-      .filter(col("sim") >= threshold)
   }
 }

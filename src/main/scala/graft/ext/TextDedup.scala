@@ -48,7 +48,9 @@ object TextDedup {
       case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
       case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
       case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => true
       case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.global
       case _ => false
     }
     if (hasShuffleOp) df

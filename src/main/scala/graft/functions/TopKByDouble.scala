@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -40,6 +41,16 @@ case class TopKByDouble(
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(key, value)
+
+  // plan-time type errors instead of executor ClassCastExceptions
+  // (AbstractDataType is private[sql], so ExpectsInputTypes is not
+  // implementable here — same pattern as the other graft kernels)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == DoubleType && value.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_by expects (double, bigint), got " +
+        s"(${key.dataType.simpleString}, ${value.dataType.simpleString})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(TopKByDouble.entryType, containsNull = false)
 
@@ -51,7 +62,10 @@ case class TopKByDouble(
     if (kv != null && vv != null) {
       var d = kv.asInstanceOf[Double]
       if (d == 0.0) d = 0.0 // normalize -0.0
-      buf.insert(d, vv.asInstanceOf[Long])
+      // NaN keys are incomparable: `worse()` returns false against
+      // everything, so a NaN that slipped in under capacity could never
+      // be evicted — skip them like nulls
+      if (!d.isNaN) buf.insert(d, vv.asInstanceOf[Long])
     }
     buf
   }

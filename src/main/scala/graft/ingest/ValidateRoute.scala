@@ -161,7 +161,10 @@ object ValidateRoute {
 
     val parseBad = base.filter(!col("parse_ok"))
       .select(col("kafka_ts"), col("json_str"))
-      .withColumn("pk", sha2(col("json_str"), 256))
+      // content-addressed key; NULL payloads (tombstones) hash as the
+      // empty string so the rejected envelope always has a non-null key
+      // (sha2(NULL) would be NULL — unkeyable downstream)
+      .withColumn("pk", sha2(coalesce(col("json_str"), lit("")), 256))
       .withColumn("ingested_at", unix_timestamp(col("kafka_ts")).cast("double"))
       .withColumn("evt_ts", to_timestamp(col("kafka_ts")))
       .withColumn("parse_error", lit(true))

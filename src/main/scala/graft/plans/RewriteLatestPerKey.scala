@@ -41,7 +41,9 @@ import org.apache.spark.sql.types.IntegerType
   *  - every ORDER BY null ordering is the direction's DEFAULT
   *    (ASC+NULLS FIRST / DESC+NULLS LAST);
   *  - every ORDER BY expression is orderable as a struct field;
-  *  - the partition keys are simple attributes.
+  *  - the partition keys are simple attributes, and there is at least
+  *    one (a GLOBAL aggregate fabricates one all-null row on empty
+  *    input, where the window formulation returns zero rows).
   *
   * Null order keys: `max_by` SKIPS rows whose key expression is null,
   * while `row_number` ranks them — so the aggregate key is the struct
@@ -71,7 +73,7 @@ object RewriteLatestPerKey extends Rule[LogicalPlan] with PredicateHelper {
     case Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
           partitionSpec, orderSpec, child, _))
-        if orderSpec.nonEmpty &&
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
           orderSpec.forall(so => RowOrdering.isOrderable(so.child.dataType)) &&
           orderSpec.forall(so => so.nullOrdering == so.direction.defaultNullOrdering) &&
           orderSpec.map(_.direction).distinct.size == 1 &&

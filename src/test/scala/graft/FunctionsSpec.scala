@@ -149,6 +149,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("graft_topk_by rejects wrong input types at analysis time") {
+    GraftFunctions.register(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3)
+        .selectExpr("graft_topk_by(cast(id as float), id, 3)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(3)
+        .selectExpr("graft_topk_by(cast(id as double), cast(id as string), 3)")
+        .collect()
+    }
+  }
+
   test("kernel type check rejects non-array inputs") {
     val e = intercept[Exception] {
       emb.select(GraftFunctions.cosineSim(spark, col("vec_id"), col("embedding"))).collect()

@@ -85,6 +85,9 @@ class ValidateRouteSpec extends AnyFunSuite {
     val rej = r.rejected.select("value").as[String].collect()
     assert(rej.length == 1)
     assert(rej.head.contains("parse_error"), rej.head)
+    // the envelope stays keyable: sha2 of the empty payload, not NULL
+    val key = r.rejected.select("key").as[String].collect().head
+    assert(key != null && key.matches("[0-9a-f]{64}"), s"key=$key")
   }
 
   test("parse failures get sha2(json) primary key and parse_error flag (P3/P8)") {

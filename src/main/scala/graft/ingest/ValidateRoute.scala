@@ -133,6 +133,8 @@ object ValidateRoute {
     // in the optimized plan, and a field-wise OR over the 48-field
     // player schema OOMed plan optimization across 13 topic branches.
     val corruptCol = "_graft_corrupt"
+    require(!spec.schema.fieldNames.contains(corruptCol),
+      s"topic ${spec.name}: schema field $corruptCol collides with the parse-verdict column")
     val parseSchema = spec.schema.add(corruptCol, StringType)
     val base = raw
       .filter(col("topic_name") === spec.name)

@@ -143,6 +143,15 @@ object PipelineProperties extends Properties("graft") {
         s1.select("id", "split").exceptAll(s2.select("id", "split")).count() == 0
     }
 
+  property("TopKByDouble heap == sort-and-take reference on random inputs") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(-5.0, 5.0), Gen.choose(0L, 50L))),
+      Gen.choose(1, 8)) { (pairs, k) =>
+      val heap = new graft.functions.TopKByDouble.Heap(k)
+      pairs.foreach { case (d, v) => heap.insert(d, v) }
+      val want = pairs.sortBy { case (d, v) => (-d, v) }.take(k)
+      heap.sortedDesc.toSeq == want
+    }
+
   property("latestPerKey is idempotent and keeps the max version (A8/A9)") =
     forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1, 3), Gen.choose(1, 100),
       Gen.alphaStr.map(_.take(5))))) { rows =>

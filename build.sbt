@@ -16,7 +16,6 @@ run / fork := true
 // LoggedOutput strategy prefixes every child line with "[info] " /
 // "[error] " (which broke round-1 bench parsing — BENCH_r01.json
 // "parsed": null).
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -218,6 +218,32 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "s12_rollup_revenue" -> ((s, d) => {
+      // Multi-level aggregation (ROLLUP + GROUPING) — the grouping-sets
+      // surface SURVEY §2.4 lists as absent in the reference but
+      // available if extended. Plans as ONE pass (Expand + partial agg),
+      // not one job per level.
+      t(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("bigint").as("oy"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .rollup(col("oy"), col("o_orderpriority"))
+        .agg(
+          grouping(col("oy")).cast("bigint").as("g_y"),
+          grouping(col("o_orderpriority")).cast("bigint").as("g_p"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy(col("g_y"), col("g_p"), col("oy"), col("o_orderpriority"))
+    }),
+    "s13_lapsed_customers" -> ((s, d) => {
+      // EXCEPT (distinct set difference): customers who ordered before
+      // 1998 but never since.
+      val o = t(s, d, "orders")
+      o.select(col("o_custkey"))
+        .except(o.filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+          .select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ---- north-star extensions: dedup / similarity / text analysis ----
     "x01_exact_dedup_groups" -> ((s, d) => {
       // U1 + exact dedup: the doubled corpus collapses back to one group
@@ -633,6 +659,24 @@ object SparkEntry {
         |    / len(list_distinct(a.sh || b.sh)) AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    "s12_rollup_revenue" ->
+      """WITH t AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS oy,
+        |         o_orderpriority, o_totalprice
+        |  FROM orders)
+        |SELECT oy, o_orderpriority,
+        |  CAST(GROUPING(oy) AS BIGINT) AS g_y,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS rev
+        |FROM t
+        |GROUP BY ROLLUP(oy, o_orderpriority)
+        |ORDER BY g_y, g_p, oy, o_orderpriority""".stripMargin,
+    "s13_lapsed_customers" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
     // Full MinHash-LSH pipeline, portable formulation: lane p of a doc =
     // MIN over shingles of the first-16-hex-chars of sha256("p:shingle")
     // (fixed-length lowercase hex sorts identically to the underlying

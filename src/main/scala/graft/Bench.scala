@@ -17,9 +17,12 @@ object Bench {
     // contract): SPARK_GRAFT_ONLY=x01,x07 runs a subset;
     // SPARK_GRAFT_REPEAT=3 times each query N times and reports the min
     // (separates steady-state cost from first-run codegen/IO warmup).
+    // Default is min-of-2: the driver bench host runs loaded and a single
+    // pass has printed 40x load-spike outliers (72.7s for a 1.7s query) —
+    // two passes and a min damp any one spike at 2x wall cost.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
     // Warm-up pass: run the selected queries once at the smallest scale
@@ -45,20 +48,28 @@ object Bench {
       spark.catalog.clearCache()
     }
     val results = selected.map { case (name, fn) =>
-      val dt = (1 to repeat).map { _ =>
+      val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // drop any per-query persisted state so queries don't pressure
         // each other's memory (fair, stable per-query timings)
         spark.catalog.clearCache()
-        t
-      }.min
-      name -> dt
+        if (ok) t else -1.0
+      }
+      // A query that threw on ANY repeat is reported as the -1.0 sentinel
+      // (never its elapsed wall time) — a failure must not read as a fast
+      // run in BENCH json, and min-of-repeats must not mask a flaky throw.
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries (-1.0 sentinel) are excluded from the headline total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -807,12 +807,15 @@ object SparkEntry {
         |  CAST(floor(start_offset / 2048) AS BIGINT) AS bin
         |FROM packed
         |ORDER BY doc_id""".stripMargin,
+    // the trailing `+ 0.0` normalizes ROUND's -0.0 (tiny negative cosine
+    // rounding to negative zero) to +0.0, matching the Spark side where
+    // the TopKByDouble heap key is -0.0-normalized by construction
     "x19_batch_ann_topk" ->
       """WITH sims AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(ROUND(
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         |    / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |         * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS sim
+        |         * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sim
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
         |ranked AS (

@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Guard the fixed output columns: `withColumn` silently REPLACES a
+    * same-named input column, which would corrupt caller data — fail fast
+    * instead (same pattern as ValidateRoute's corrupt-column guard). */
+  private def reserveColumns(df: DataFrame, reserved: Seq[String], op: String): Unit =
+    reserved.foreach { c =>
+      require(!df.columns.contains(c),
+        s"$op writes output column '$c' but the input already has one — rename or drop it")
+    }
+
   /** 4-hex-char (16-bit) sampling bucket for an id under a salt. */
   def hashBucket(id: Column, salt: String): Column =
     substring(sha2(concat_ws(":", lit(salt), id.cast("string")), 256), 1, 4)
@@ -49,6 +58,7 @@ object Sampling {
     * space to "train", then `validFrac` to "valid", remainder "test". */
   def hashSplit(df: DataFrame, idCol: String, salt: String,
                 trainFrac: Double, validFrac: Double): DataFrame = {
+    reserveColumns(df, Seq("bucket", "split"), "hashSplit")
     val b = hashBucket(col(idCol), salt)
     df.withColumn("bucket", b)
       .withColumn("split",
@@ -80,6 +90,7 @@ object Sampling {
     */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Int, shard: Column): DataFrame = {
+    reserveColumns(df, Seq("shard", "start_offset", "bin"), "packSequences")
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(W.unboundedPreceding, -1)

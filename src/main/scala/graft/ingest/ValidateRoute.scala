@@ -146,8 +146,13 @@ object ValidateRoute {
       // NULL payloads (Kafka tombstones) must stay on the parse-reject
       // route: from_json(NULL) is a null struct, so the corrupt field
       // alone would read as "parsed fine". json_str non-null guards it.
+      // Empty/blank-string payloads ('' / '   ') ALSO yield a null struct
+      // with the corrupt column unpopulated — data non-null guards those
+      // (a whole-struct null test, not a per-field reference, so it does
+      // not clone the from_json expression; see the OOM note above).
       .withColumn("parse_ok",
-        col("json_str").isNotNull && col(s"data.$corruptCol").isNull)
+        col("json_str").isNotNull && col("data").isNotNull &&
+          col(s"data.$corruptCol").isNull)
 
     val parsedOk = base.filter(col("parse_ok"))
       .select(col("data.*"), col("kafka_ts"), col("json_str"))

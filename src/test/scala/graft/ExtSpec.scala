@@ -288,6 +288,18 @@ class ExtSpec extends AnyFunSuite {
     assert(graft.ext.Sampling.bernoulliSample(df, "doc_id", "s", 1.0).count() == 4)
   }
 
+  test("sampling ops fail fast when an input column collides with an output column") {
+    val withSplit = Seq(1L).toDF("doc_id").withColumn("split", lit("x"))
+    assertThrows[IllegalArgumentException] {
+      graft.ext.Sampling.hashSplit(withSplit, "doc_id", "s", 0.7, 0.2)
+    }
+    val withBin = Seq((1L, 10L, 0L)).toDF("doc_id", "n_tokens", "bin")
+    assertThrows[IllegalArgumentException] {
+      graft.ext.Sampling.packSequences(withBin, "doc_id", "n_tokens",
+        budget = 100, shard = pmod(col("doc_id"), lit(8)))
+    }
+  }
+
   test("batch ANN top-k: self excluded, ranks ordered by sim, k bounded") {
     val top = Similarity.batchTopK(emb, "embedding", "vec_id", "label", 3)
       .persist()

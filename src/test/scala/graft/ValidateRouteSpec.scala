@@ -90,6 +90,19 @@ class ValidateRouteSpec extends AnyFunSuite {
     assert(key != null && key.matches("[0-9a-f]{64}"), s"key=$key")
   }
 
+  test("empty and whitespace-only payloads route to parse-reject, not schema-reject") {
+    // from_json('') / from_json('   ') yield a NULL struct with the
+    // corrupt column unpopulated — without the data-non-null guard these
+    // would read as parse_ok and leak all-null rows into schema-reject.
+    val blank = Seq(("soccer.league", ""), ("soccer.league", "   "))
+      .toDF("topic", "value").withColumn("timestamp", lit(ts))
+    val r = ValidateRoute.plan(blank, Schemas.specs)
+    assert(r.validated.count() == 0)
+    val rej = r.rejected.select("value").as[String].collect()
+    assert(rej.length == 2)
+    assert(rej.forall(_.contains("parse_error")), rej.mkString("; "))
+  }
+
   test("parse failures get sha2(json) primary key and parse_error flag (P3/P8)") {
     val parseRow = routed.rejected
       .filter(col("value").contains("parse_error")).select("key").as[String].collect()

@@ -24,22 +24,40 @@ import graft.functions.GraftFunctions
   */
 object IvfIndex {
 
-  final case class Model(centroids: Array[Array[Double]], assigned: DataFrame)
+  final case class Model(centroids: Array[Array[Double]], assigned: DataFrame,
+                         fitRows: Long)
 
-  /** Fit the coarse quantizer and assign every row to a cluster. */
+  /** Fit the coarse quantizer and assign every row to a cluster.
+    *
+    * The quantizer is fit on a BOUNDED deterministic sample
+    * (`maxFitRows`, via [[Sampling.bernoulliSample]] keyed by `seed`):
+    * MLlib k-means makes `maxIter` full passes over its input, which at
+    * 100 TB would dominate the build for no recall benefit — coarse
+    * centroids converge on ~10⁶ points regardless of corpus size
+    * (classical IVF practice). Assignment then touches every row exactly
+    * ONCE (a narrow transform), so the full build is one bounded fit +
+    * one full pass. Inputs at or under the bound fit on everything —
+    * small/fixture corpora are bit-identical to the pre-sampling
+    * behavior. `fitRows` records how many rows the quantizer saw. */
   def fit(df: DataFrame, embCol: String, idCol: String, k: Int,
-          seed: Long = 42L): Model = {
-    val withVec = df.withColumn("_vec", array_to_vector(col(embCol)))
+          seed: Long = 42L, maxFitRows: Long = 1000000L): Model = {
+    require(maxFitRows > 0, s"maxFitRows must be positive, got $maxFitRows")
+    val n = df.count()
+    val sampled =
+      if (n <= maxFitRows) df
+      else Sampling.bernoulliSample(df, idCol, s"ivf-fit:$seed",
+        maxFitRows.toDouble / n)
+    val fitRows = if (n <= maxFitRows) n else sampled.count()
     // Coarse quantizer, not a final model: random init + few iterations is
     // the standard IVF trade — assignment quality converges fast and the
     // probe stage re-ranks exactly anyway.
     val km = new KMeans().setK(k).setSeed(seed)
       .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("_vec").setPredictionCol("cluster")
-    val model = km.fit(withVec)
-    val assigned = model.transform(withVec)
+    val model = km.fit(sampled.select(array_to_vector(col(embCol)).as("_vec")))
+    val assigned = model.transform(df.withColumn("_vec", array_to_vector(col(embCol))))
       .select(col(idCol), col(embCol), col("cluster"))
-    Model(model.clusterCenters.map(_.toArray), assigned)
+    Model(model.clusterCenters.map(_.toArray), assigned, fitRows)
   }
 
   /** Probe the `nProbes` centroids nearest to the query (cosine), then

@@ -133,22 +133,42 @@ object TextDedup {
     * the same filter. `array_sort` on the collected ids makes the output
     * orientation deterministic (id_a < id_b) regardless of shuffle
     * arrival order. */
-  private def bucketCandidates(bandTable: DataFrame, maxBucket: Int): DataFrame = {
+  private def bucketCandidates(bandTable: DataFrame, maxBucket: Int): DataFrame =
+    bucketCandidates(bandTable, maxBucket, payload = None)
+
+  /** As the id-only overload, but optionally carrying one small
+    * fixed-width `payload` column through the bucket shuffle so the
+    * verify stage can run narrowly on the emitted pairs (`v_a`/`v_b`)
+    * without joining back to the source table. Worth it only when the
+    * payload is a few bytes — e.g. a 64-bit SimHash fingerprint; MinHash
+    * signatures are 64 longs and join back instead. */
+  private def bucketCandidates(bandTable: DataFrame, maxBucket: Int,
+                               payload: Option[String]): DataFrame = {
+    val entry = payload match {
+      case Some(p) => struct(col("id"), col(p).as("v"))
+      case None    => struct(col("id"))
+    }
     // The sort happens ONCE in its own projection: HOF lambdas are
     // interpreted with no common-subexpression elimination, so an
     // array_sort spliced into the pair lambdas would re-sort the bucket
-    // per element access — O(n³ log n) per bucket at the cap.
-    val n = size(col("ids"))
+    // per element access — O(n³ log n) per bucket at the cap. Struct sort
+    // orders by `id` first, keeping pair orientation deterministic.
+    val n = size(col("es"))
+    def fields(e: Column, side: String) =
+      e.getField("id").as(s"id_$side") +:
+        payload.toSeq.map(_ => e.getField("v").as(s"v_$side"))
     val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
       transform(sequence(i + 1, n - 1), j =>
-        struct(element_at(col("ids"), i + 1).as("id_a"),
-          element_at(col("ids"), j + 1).as("id_b")))))
+        struct(fields(element_at(col("es"), i + 1), "a") ++
+          fields(element_at(col("es"), j + 1), "b"): _*))))
+    val outCols = (Seq("id_a", "id_b") ++
+      payload.toSeq.flatMap(_ => Seq("v_a", "v_b"))).map(c => col(s"p.$c").as(c))
     bandTable.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(array_sort(col("ids")).as("ids"))
+      .agg(collect_list(entry).as("es"))
+      .filter(size(col("es")).between(2, maxBucket))
+      .select(array_sort(col("es")).as("es"))
       .select(explode(pairs).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(outCols: _*)
       // sorted ids make orientation deterministic; strict < also drops
       // self-pairs when the same id appears twice in a bucket (duplicate
       // ids in the input) — matching the oracle's a.id < b.id join
@@ -335,19 +355,29 @@ object TextDedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: bucket on the top `prefixBits` of the
-    * fingerprint (cheap blocking), verify with full Hamming distance. */
+    * fingerprint (cheap blocking), verify with full Hamming distance.
+    *
+    * Blocks flow through the same capped candidate generator as the
+    * MinHash path ([[bucketCandidates]], block = band 0): a
+    * boilerplate-heavy corpus that collapses into one block would
+    * otherwise become an O(n²) self-join inside a single reducer at
+    * 100 TB. Blocks larger than `maxBucket` are excluded from pairing
+    * (recall inside them is deliberately sacrificed — audit with a
+    * `groupBy(block).count()` if the drop rate matters). The 8-byte
+    * fingerprint rides through the bucket shuffle as the pair payload,
+    * so Hamming verification is narrow — no join back to the corpus and
+    * no recomputation of the signature. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+                      maxHamming: Int = 3, prefixBits: Int = 16,
+                      maxBucket: Int = 1000): DataFrame = {
     val withSig = withSimhash(
         spreadCompute(df.select(col(idCol).as("id"), col(textCol))), textCol, "sig")
-      .select(col("id"), col("sig"))
-      .withColumn("block", shiftrightunsigned(col("sig"), 64 - prefixBits))
-    val a = withSig.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = withSig.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
+      .select(lit(0).as("band"),
+        shiftrightunsigned(col("sig"), 64 - prefixBits).as("bh"),
+        col("id"), col("sig"))
+    bucketCandidates(withSig, maxBucket, payload = Some("sig"))
       .select(col("id_a"), col("id_b"),
-        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+        hamming(col("v_a"), col("v_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

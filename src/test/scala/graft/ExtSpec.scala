@@ -72,6 +72,20 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.filter(col("hamming") === 0).count() >= docs.count())
   }
 
+  test("simhashDupPairs caps pathological blocks (boilerplate corpus stays bounded)") {
+    // 60 identical docs collapse into ONE block: uncapped that is
+    // 60*59/2 = 1770 pairs from a single bucket — the quadratic shape
+    // maxBucket exists to kill. Over the cap the block pairs nothing;
+    // under it, all pairs surface.
+    val boiler = (1 to 60).map(i => (i.toLong, "same boilerplate text repeated " +
+      "across the whole corpus exactly alike")).toDF("doc_id", "text")
+    val capped = TextDedup.simhashDupPairs(boiler, "text", "doc_id", maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = TextDedup.simhashDupPairs(boiler, "text", "doc_id", maxBucket = 100)
+    assert(uncapped.count() == 60L * 59 / 2)
+    assert(uncapped.filter(col("hamming") =!= 0).count() == 0)
+  }
+
   // ---- similarity ----
 
   test("brute-force top-k: self is rank 1 with sim 1.0") {
@@ -121,6 +135,27 @@ class ExtSpec extends AnyFunSuite {
     // probing fewer clusters scans fewer rows than the whole table
     val probed = model.assigned.filter(col("cluster").isin(0, 1, 2)).count()
     assert(probed < emb.count())
+    // at-or-under the bound the quantizer sees everything (pre-sampling parity)
+    assert(model.fitRows == emb.count())
+  }
+
+  test("IVF sample-fit: quantizer sees a bounded sample, assignment and " +
+    "recall still cover the full table") {
+    val n = emb.count()
+    val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 4,
+      maxFitRows = n / 4)
+    // the fit input is a strict, bounded subset (bernoulli: expected n/4)
+    assert(model.fitRows < n / 2, s"fitRows=${model.fitRows} not bounded")
+    assert(model.fitRows > 0)
+    // every row is still assigned exactly once
+    assert(model.assigned.count() == n)
+    assert(model.assigned.filter(col("cluster").isNull).count() == 0)
+    // self-recall survives a sample-fit quantizer
+    val q = emb.filter(col("vec_id") === 7)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    val top = graft.ext.IvfIndex.topK(model, "embedding", "vec_id", q, 5,
+      nProbes = 4).collect()
+    assert(top.head.getAs[Long]("vec_id") == 7L)
   }
 
   // ---- text analysis ----

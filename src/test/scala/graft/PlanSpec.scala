@@ -109,6 +109,17 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("SimHash candidate generation: capped bucket aggregate, no self-join, " +
+    "no join-back for the Hamming verify (x08)") {
+    val docs = Tables(spark, sf, "documents")
+    val p = plan(graft.ext.TextDedup.simhashDupPairs(docs, "text", "doc_id"))
+    // same one-exchange shape as the MinHash path: partial collect on the
+    // block key, pairs exploded narrowly, fingerprint rides as payload
+    assert(p.contains("partial_collect_list"), p)
+    assert(!p.contains("Window"), "block cap must not be a window:\n" + p)
+    assert(!p.contains("Join"), "Hamming verify must not join back:\n" + p)
+  }
+
   test("partition pruning: monthly-partitioned write is readable by one month") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/fact"
     graft.warehouse.Transforms.writeMonthly(

@@ -281,9 +281,10 @@ object SparkEntry {
           "label", 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // rows-only checks (not SQL-expressible in DuckDB): MinHash-LSH,
-    // SimHash, LSH ANN — correctness covered by ExtSpec against
-    // brute-force ground truth.
+    // rows-only checks (not SQL-expressible in DuckDB): the xxhash64
+    // MinHash and 64-bit SimHash kernels have no DuckDB equivalent —
+    // their portable sha256 formulations ARE oracled (x13/x16), and
+    // ExtSpec checks these against brute-force ground truth.
     "x07_minhash_dup_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
@@ -297,17 +298,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "x09_lsh_ann_topk" -> ((s, d) => {
+      // LSH ANN with REAL bucket pruning (query bucket + Hamming-1
+      // probes, 9 of 256 buckets scanned). Hash-oracled exactly: the
+      // hyperplanes are seeded and data-independent, so the oracle SQL
+      // inlines their values and DuckDB reproduces bucket assignment,
+      // probe set, and ranking bit-for-bit.
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
       Similarity.lshTopK(emb, "embedding", "vec_id", q, 10)
     }),
     "x10_ivf_ann_topk" -> ((s, d) => {
+      // IVF with the learned (k-means) coarse quantizer. The oracled
+      // variant probes ALL k lists — exact by construction, which is
+      // what makes a static DuckDB oracle possible at all (centroids
+      // are data-dependent and can't be inlined into SQL; at nProbes=3
+      // the fixture recall is 9/10). The full IVF machinery — sample
+      // fit, one-pass assignment, probe ranking, in-list re-rank — is
+      // still the plan under test; recall at nProbes<k is pinned by
+      // ExtSpec against brute force.
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
       val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
-      graft.ext.IvfIndex.topK(model, "embedding", "vec_id", q, 10)
+      graft.ext.IvfIndex.topK(model, "embedding", "vec_id", q, 10, nProbes = 8)
     }),
     "x11_ngram_jaccard_pairs" -> ((s, d) => {
       // exact 3-gram Jaccard between consecutive doc ids — the verify
@@ -404,8 +418,10 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "x12_lsh_neardup_pairs" -> ((s, d) => {
-      // rows-only: embedding near-dup with LSH buckets as the partitioner
-      // (the data-independent scale path; label-bucketed variant is x06)
+      // embedding near-dup with LSH buckets as the partitioner (the
+      // data-independent scale path; label-bucketed variant is x06).
+      // Hash-oracled exactly via inlined hyperplane literals — the
+      // bucket partitioning itself is under cross-engine test.
       val emb = t(s, d, "embeddings")
       val planes = Similarity.hyperplanes(6, 64)
       val bucketed = emb.withColumn("bucket",
@@ -414,6 +430,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
   )
+
+  /** DuckDB fragment: dot(embExpr, plane) with the same float→double
+    * element cast and left-to-right summation as [[Similarity.dot]].
+    * Plane weights are inlined via `Double.toString`, whose shortest
+    * round-trip decimal parses back to the identical bits in DuckDB —
+    * so a data-INDEPENDENT seeded LSH bucketing is exactly
+    * reproducible cross-engine (a learned quantizer is not; see x10). */
+  private def duckDot(embExpr: String, plane: Seq[Double]): String = {
+    val lits = plane.map(java.lang.Double.toString).mkString(", ")
+    s"list_sum(list_transform(list_zip($embExpr, [$lits]), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+  }
+
+  /** DuckDB fragment mirroring [[Similarity.lshBucket]]: bit i of the
+    * bucket id = sign(dot(emb, plane_i)). */
+  private def duckLshBucket(embExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${duckDot(embExpr, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n   + ", ")")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -835,5 +869,50 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "x09_lsh_ann_topk" -> {
+      // exact replica of lshTopK: inlined seeded hyperplanes → bucket
+      // per row, probe set = query bucket + all Hamming-1 neighbors,
+      // exact cosine rank within the probed buckets only
+      val bucket = duckLshBucket("embedding", Similarity.hyperplanes(8, 64))
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |  $bucket AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, CAST(ROUND(
+         |  list_sum(list_transform(list_zip(b.embedding, q.qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |  / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |       * list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS sim
+         |FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1
+         |ORDER BY sim DESC, b.vec_id LIMIT 10""".stripMargin
+    },
+    "x10_ivf_ann_topk" ->
+      // probe-all IVF is exact by construction (see the query's note),
+      // so the oracle is the brute-force scan — any Spark-side recall
+      // loss (mis-assignment, dropped list, ranking bug) hash-fails
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, CAST(ROUND(
+        |  list_sum(list_transform(list_zip(embedding, qe), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS sim
+        |FROM embeddings, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x12_lsh_neardup_pairs" -> {
+      // exact replica of the LSH-bucketed near-dup path: same inlined
+      // hyperplanes (6 planes, seed 42), bucket-equality join, cosine
+      // threshold — the bucketing IS what's under cross-engine test
+      val bucket = duckLshBucket("embedding", Similarity.hyperplanes(6, 64))
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |  $bucket AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, CAST(ROUND(
+         |    list_sum(list_transform(list_zip(a.embedding, b2.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |         * list_sum(list_transform(b2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) AS sim
+         |  FROM b a JOIN b b2
+         |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    },
   )
 }

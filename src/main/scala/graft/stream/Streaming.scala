@@ -11,6 +11,10 @@ import graft.ingest.ValidateRoute.Routed
   * (`spark/jobs/validate_json.py:656-702`, SURVEY.md §2.8 ST1-ST10)
   * with a parquet sink replacing Kafka (zero-egress analog: the
   * reference's per-row `topic` column routing becomes `partitionBy(topic)`).
+  * The production Kafka source/sink wiring — subscribePattern reader,
+  * idempotent per-row-topic sink — lives in [[Kafka]]; both sources emit
+  * the same `(topic, value, timestamp)` envelope, so `ValidateRoute.plan`
+  * and these sinks bind to either unchanged.
   *
   * Scale: exactly TWO streaming queries regardless of topic count — the
   * per-topic branches are unioned narrow plans, so offsets/checkpoints and

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,15 +10,18 @@ import org.apache.spark.sql.functions._
   * standard Spark shape for multimodal training data (same layout the
   * `binaryFile` source produces). The Spark-side plumbing — schema,
   * partition sizing, batch shape, typed Dataset transforms — is real and
-  * tested; the codec step itself is a clearly-marked DETERMINISTIC STUB
-  * (`stubDecode*`): the container ships no image/audio libraries, so the
-  * stubs parse a tiny synthetic header instead of real pixels. Swapping in
-  * a real codec is a one-function change (`mapPartitions` body), nothing
-  * upstream or downstream moves.
+  * tested; the codec itself is PLUGGABLE: every decode/feature/frame
+  * operator takes a [[MediaCodec]] and defaults to [[StubCodec]], a
+  * clearly-marked deterministic stand-in (the container ships no
+  * image/audio libraries). A real deployment passes its own codec —
+  * nothing upstream or downstream moves, and ExtSpec proves the swap by
+  * running the full pipeline under a custom codec.
   *
   * Scale design:
-  *  - Decode is per-row CPU-heavy, so it runs in `mapPartitions` (one
-  *    codec init per partition, not per row).
+  *  - Decode is per-row CPU-heavy, so it runs in `mapPartitions` with a
+  *    per-partition codec lifecycle: [[MediaCodec.open]] once per
+  *    partition (codec context / model load), [[MediaCodec.close]] on
+  *    task completion — never per row.
   *  - Media rows are megabytes; `repartitionBySize` right-sizes partitions
   *    by cumulative byte budget, not row count, so executors neither OOM
   *    on 4K video rows nor starve on thumbnails.
@@ -34,7 +38,7 @@ object Multimodal {
       content: Array[Byte],
       size_bytes: Long)
 
-  /** Decoded media metadata (stub decode output). */
+  /** Decoded media metadata. */
   final case class DecodedMedia(
       media_id: Long,
       media_type: String,
@@ -42,6 +46,59 @@ object Multimodal {
       height: Int,
       n_frames: Int,
       ok: Boolean)
+
+  /** The pluggable codec boundary. Implementations ship to executors
+    * (Serializable) and get a per-partition lifecycle: [[open]] before the
+    * first row of each partition, [[close]] on task completion — the spot
+    * for codec contexts, JNI handles, or model sessions. All row methods
+    * must be deterministic pure functions of their arguments for the
+    * pipeline to stay replayable under task retry. */
+  trait MediaCodec extends Serializable {
+    /** Once per partition, before any row — codec/model init. */
+    def open(): Unit = ()
+    /** On task completion (success or failure) — release native state. */
+    def close(): Unit = ()
+    /** Decode container metadata: (width, height, nFrames, ok). */
+    def decode(content: Array[Byte], mediaType: String): (Int, Int, Int, Boolean)
+    /** Fixed-dim feature embedding (CLIP-style) of the raw bytes. */
+    def features(content: Array[Byte], mediaType: String, dim: Int): Array[Float]
+    /** Sampled frames of a video payload (already stride/limit applied
+      * upstream — implementations return ALL decodable frames in order). */
+    def frames(content: Array[Byte]): Seq[Array[Byte]]
+  }
+
+  /** ======== DETERMINISTIC STUB (default / fixture codec) ========
+    * Stands in for real image/audio/video codecs — the container ships
+    * none. Parses a tiny synthetic container: magic "GRFT" + width:int +
+    * height:int (big-endian), then 16-byte frame blocks; anything else is
+    * a decode failure (ok=false) — failure handling is part of the tested
+    * contract. Features hash byte blocks into a pseudo-embedding. */
+  object StubCodec extends MediaCodec {
+    private def header(c: Array[Byte]): Option[(Int, Int)] =
+      if (c != null && c.length >= 12 &&
+          c(0) == 'G' && c(1) == 'R' && c(2) == 'F' && c(3) == 'T')
+        Some((java.nio.ByteBuffer.wrap(c, 4, 4).getInt,
+              java.nio.ByteBuffer.wrap(c, 8, 4).getInt))
+      else None
+
+    override def decode(c: Array[Byte], mediaType: String): (Int, Int, Int, Boolean) =
+      header(c) match {
+        case Some((w, h)) =>
+          val nf = if (mediaType == "video") math.max(1, (c.length - 12) / 16) else 1
+          (w, h, nf, true)
+        case None => (0, 0, 0, false)
+      }
+
+    override def features(c: Array[Byte], mediaType: String, dim: Int): Array[Float] =
+      Array.tabulate(dim) { i =>
+        val h = scala.util.hashing.MurmurHash3.bytesHash(c, i)
+        (h % 1000) / 1000.0f
+      }
+
+    override def frames(c: Array[Byte]): Seq[Array[Byte]] =
+      if (header(c).isEmpty) Seq.empty
+      else c.drop(12).grouped(16).toSeq
+  }
 
   /** Read a directory of media files via Spark's binaryFile source into
     * the MediaRow shape. */
@@ -68,64 +125,56 @@ object Multimodal {
       math.max(1, math.ceil(total.toDouble / targetBytes).toInt), col("media_id"))
   }
 
-  /** ======== DETERMINISTIC STUB ========
-    * Stands in for an image decoder. Real impl: decode `content` with a
-    * codec inside this same mapPartitions. The stub reads a 12-byte
-    * synthetic header: magic "GRFT" + width:int + height:int (big-endian);
-    * anything else is a decode failure (ok=false) — failure handling is
-    * part of the tested contract. */
-  def stubDecode(ds: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+  /** Per-partition codec run: open once, close on task completion, map
+    * rows through `f`. The shared shape of every codec-bound operator. */
+  private def withCodec[T, U](ds: Dataset[MediaRow], codec: MediaCodec)(
+      f: (MediaCodec, Iterator[MediaRow]) => Iterator[U])(
+      implicit enc: org.apache.spark.sql.Encoder[U]): Dataset[U] =
+    ds.mapPartitions { rows =>
+      codec.open()
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+      f(codec, rows)
+    }
+
+  /** Decode metadata for each media row (codec pluggable; stub default). */
+  def decode(ds: Dataset[MediaRow], codec: MediaCodec = StubCodec): Dataset[DecodedMedia] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { rows =>
-      // codec/session init would happen once per partition here
+    withCodec(ds, codec) { (c, rows) =>
       rows.map { r =>
-        val c = r.content
-        if (c.length >= 12 && c(0) == 'G' && c(1) == 'R' && c(2) == 'F' && c(3) == 'T') {
-          val w = java.nio.ByteBuffer.wrap(c, 4, 4).getInt
-          val h = java.nio.ByteBuffer.wrap(c, 8, 4).getInt
-          val frames = if (r.media_type == "video") math.max(1, (c.length - 12) / 16) else 1
-          DecodedMedia(r.media_id, r.media_type, w, h, frames, ok = true)
-        } else DecodedMedia(r.media_id, r.media_type, 0, 0, 0, ok = false)
+        val (w, h, nf, ok) = c.decode(r.content, r.media_type)
+        DecodedMedia(r.media_id, r.media_type, w, h, nf, ok)
       }
     }
   }
 
-  /** ======== DETERMINISTIC STUB ========
-    * Stands in for a feature extractor (CLIP-style embedding). Produces a
-    * deterministic pseudo-embedding by hashing byte blocks — keeps the
-    * pipeline end-to-end runnable and testable; swap the body for a real
-    * model call (batched per partition). */
-  def stubFeatures(ds: Dataset[MediaRow], dim: Int = 16): DataFrame = {
+  /** Feature embeddings, one row per media id — the ANN-joinable output
+    * (media bytes dropped before any downstream shuffle). */
+  def features(ds: Dataset[MediaRow], dim: Int = 16,
+               codec: MediaCodec = StubCodec): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { rows =>
-      rows.map { r =>
-        val emb = Array.tabulate(dim) { i =>
-          val h = scala.util.hashing.MurmurHash3.bytesHash(r.content, i)
-          (h % 1000) / 1000.0f
-        }
-        (r.media_id, emb)
-      }
+    withCodec(ds, codec) { (c, rows) =>
+      rows.map(r => (r.media_id, c.features(r.content, r.media_type, dim)))
     }.toDF("media_id", "embedding")
   }
 
-  /** Frame sampling for video rows: every `stride`-th 16-byte block after
-    * the header, at most `maxFrames` (stub for real frame extraction;
-    * emits one row per sampled frame — the explode shape downstream
-    * training pipelines expect). */
-  def stubFrameSample(ds: Dataset[MediaRow], stride: Int, maxFrames: Int): DataFrame = {
+  /** Frame sampling for video rows: every `stride`-th decoded frame, at
+    * most `maxFrames` — one row per sampled frame, the explode shape
+    * downstream training pipelines expect. */
+  def frameSample(ds: Dataset[MediaRow], stride: Int, maxFrames: Int,
+                  codec: MediaCodec = StubCodec): DataFrame = {
     require(stride > 0, "stride must be positive")
     require(maxFrames >= 0, "maxFrames must be non-negative")
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.filter(col("media_type") === "video").as[MediaRow]
-      .flatMap { r =>
-        val body = r.content.drop(12)
-        val frames = body.grouped(16).toSeq
-        frames.indices.collect {
-          case i if i % stride == 0 => (r.media_id, i, frames(i))
+    withCodec(ds.filter(col("media_type") === "video").as[MediaRow], codec) { (c, rows) =>
+      rows.flatMap { r =>
+        val fs = c.frames(r.content)
+        fs.indices.collect {
+          case i if i % stride == 0 => (r.media_id, i, fs(i))
         }.take(maxFrames)
-      }.toDF("media_id", "frame_idx", "frame_bytes")
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 }

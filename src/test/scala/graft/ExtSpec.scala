@@ -196,7 +196,7 @@ class ExtSpec extends AnyFunSuite {
       Multimodal.MediaRow(1L, "image", "a.img", header(640, 480), 12L),
       Multimodal.MediaRow(2L, "video", "b.vid", header(1920, 1080, 64), 76L),
       Multimodal.MediaRow(3L, "image", "c.img", "garbage".getBytes, 7L)).toDS()
-    val dec = Multimodal.stubDecode(ds).collect().sortBy(_.media_id)
+    val dec = Multimodal.decode(ds).collect().sortBy(_.media_id)
     assert(dec(0).width == 640 && dec(0).ok)
     assert(dec(1).n_frames == 4 && dec(1).ok)
     assert(!dec(2).ok)
@@ -204,7 +204,7 @@ class ExtSpec extends AnyFunSuite {
 
   test("multimodal: frame sampling emits one row per sampled frame") {
     val ds = Seq(Multimodal.MediaRow(1L, "video", "b.vid", header(64, 64, 160), 172L)).toDS()
-    val frames = Multimodal.stubFrameSample(ds, stride = 2, maxFrames = 3)
+    val frames = Multimodal.frameSample(ds, stride = 2, maxFrames = 3)
     assert(frames.count() == 3)
     assert(frames.select("frame_idx").as[Int].collect().toSeq == Seq(0, 2, 4))
   }
@@ -218,7 +218,7 @@ class ExtSpec extends AnyFunSuite {
     assert(ds.count() == 4)
     val sized = Multimodal.repartitionBySize(ds, targetBytes = 24L)
     assert(sized.rdd.getNumPartitions >= 2) // 48 bytes total / 24-byte budget
-    val dec = Multimodal.stubDecode(sized).collect()
+    val dec = Multimodal.decode(sized).collect()
     assert(dec.forall(_.ok))
     assert(dec.map(_.width).sorted.toSeq == Seq(100, 200, 300, 400))
   }
@@ -226,12 +226,54 @@ class ExtSpec extends AnyFunSuite {
   test("multimodal features feed the similarity stack end-to-end") {
     val ds = (1 to 20).map(i =>
       Multimodal.MediaRow(i.toLong, "image", s"u$i", header(i, i, extra = i), 12L + i)).toDS()
-    val feats = Multimodal.stubFeatures(ds, dim = 16)
+    val feats = Multimodal.features(ds, dim = 16)
     val q = feats.filter(col("media_id") === 1L)
       .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
     val top = Similarity.bruteForceTopK(feats, "embedding", "media_id", q, 3).collect()
     assert(top.head.getAs[Long]("media_id") == 1L)
     assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("multimodal: custom codec swaps in; full pipeline runs end-to-end") {
+    // a toy "real" codec with a different container format (little-endian
+    // w/h, no magic) and norm-based features — proves the codec boundary:
+    // sizing → decode → features → ANN join all run unchanged under it
+    object LeCodec extends Multimodal.MediaCodec {
+      override def decode(c: Array[Byte], mt: String): (Int, Int, Int, Boolean) =
+        if (c != null && c.length >= 8) {
+          val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (bb.getInt(0), bb.getInt(4), 1, true)
+        } else (0, 0, 0, false)
+      override def features(c: Array[Byte], mt: String, dim: Int): Array[Float] =
+        // sin() gives each length a distinct direction (not just scale),
+        // so cosine self-similarity is strictly maximal in the ANN check
+        Array.tabulate(dim)(i => math.sin(c.length.toDouble * (i + 1)).toFloat)
+      override def frames(c: Array[Byte]): Seq[Array[Byte]] =
+        c.drop(8).grouped(4).toSeq
+    }
+    def leHeader(w: Int, h: Int, extra: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + extra)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(w); bb.putInt(h)
+      bb.array()
+    }
+    val ds = (1 to 12).map(i =>
+      Multimodal.MediaRow(i.toLong, "video", s"u$i", leHeader(i, 2 * i, i), 8L + i)).toDS()
+    val sized = Multimodal.repartitionBySize(ds, targetBytes = 32L)
+    val dec = Multimodal.decode(sized, LeCodec).collect().sortBy(_.media_id)
+    assert(dec.forall(_.ok))
+    assert(dec.map(_.width).toSeq == (1 to 12))
+    assert(dec.map(_.height).toSeq == (1 to 12).map(_ * 2))
+    // stub would reject these (no GRFT magic) — the codec really decides
+    assert(Multimodal.decode(sized).collect().forall(!_.ok))
+    val feats = Multimodal.features(sized, dim = 8, codec = LeCodec)
+    val q = feats.filter(col("media_id") === 12L)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    val top = Similarity.bruteForceTopK(feats, "embedding", "media_id", q, 3).collect()
+    assert(top.head.getAs[Long]("media_id") == 12L)
+    // frames under the custom container: 4-byte blocks after an 8-byte header
+    val fr = Multimodal.frameSample(sized, stride = 1, maxFrames = 100, codec = LeCodec)
+    assert(fr.count() == (1 to 12).map(i => (i + 3) / 4).sum)
   }
 
   test("multimodal guards: empty dataset, zero stride, bad target bytes") {
@@ -241,7 +283,7 @@ class ExtSpec extends AnyFunSuite {
       Multimodal.repartitionBySize(empty, 0L)
     }
     intercept[IllegalArgumentException] {
-      Multimodal.stubFrameSample(empty, stride = 0, maxFrames = 3)
+      Multimodal.frameSample(empty, stride = 0, maxFrames = 3)
     }
   }
 
@@ -401,8 +443,8 @@ class ExtSpec extends AnyFunSuite {
     val ds = Seq(
       Multimodal.MediaRow(1L, "image", "a.img", header(1, 1), 12L),
       Multimodal.MediaRow(2L, "image", "b.img", header(2, 2), 12L)).toDS()
-    val f1 = Multimodal.stubFeatures(ds).orderBy("media_id").collect()
-    val f2 = Multimodal.stubFeatures(ds).orderBy("media_id").collect()
+    val f1 = Multimodal.features(ds).orderBy("media_id").collect()
+    val f2 = Multimodal.features(ds).orderBy("media_id").collect()
     assert(f1.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
     assert(f1.head.getSeq[Float](1).length == 16)
   }

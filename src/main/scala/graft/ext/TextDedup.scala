@@ -136,6 +136,21 @@ object TextDedup {
   private def bucketCandidates(bandTable: DataFrame, maxBucket: Int): DataFrame =
     bucketCandidates(bandTable, maxBucket, payload = None)
 
+  /** Materialize a multi-consumer intermediate once. With a staging path,
+    * the table is written to parquet and re-read — the beyond-memory
+    * shape: each consumer branch re-scans columnar storage with pruning,
+    * there is no cache to size against executor memory, and a failed
+    * downstream stage restarts from durable storage instead of
+    * recomputing the shingle/signature pass. Without one, a
+    * MEMORY_AND_DISK persist whose lifecycle the caller owns. */
+  private def materialize(t: DataFrame, stagingPath: Option[String]): DataFrame =
+    stagingPath match {
+      case Some(p) =>
+        t.write.mode("overwrite").parquet(p)
+        t.sparkSession.read.parquet(p)
+      case None => t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** As the id-only overload, but optionally carrying one small
     * fixed-width `payload` column through the bucket shuffle so the
     * verify stage can run narrowly on the emitted pairs (`v_a`/`v_b`)
@@ -195,23 +210,27 @@ object TextDedup {
   def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.7,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000,
+                      stagingPath: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // The signature table feeds THREE plan branches (band explosion + both
-    // verify sides); persist it so shingling/minhashing runs once, not 3x.
-    // Only HASHED shingles (distinct, 8 bytes each) are kept — the verify
-    // stage never touches shingle strings. LIFECYCLE: the cache outlives
-    // this call (the result is lazy); in a long-lived session the caller
-    // owns release via spark.catalog.clearCache() or by persisting the
-    // result and unpersisting upstream. At corpus scales beyond memory,
-    // write this table to parquet instead; the pipeline shape is unchanged.
-    val sigTable = spreadCompute(df)
+    // verify sides); materialize it so shingling/minhashing runs once, not
+    // 3x. Only HASHED shingles (distinct, 8 bytes each) are kept — the
+    // verify stage never touches shingle strings. Default is a
+    // MEMORY_AND_DISK persist; LIFECYCLE: the cache outlives this call
+    // (the result is lazy), the caller owns release via
+    // spark.catalog.clearCache() or by persisting the result and
+    // unpersisting upstream. At corpus scales beyond executor storage —
+    // the 100 TB shape — pass `stagingPath`: the table spills to parquet
+    // once and every branch re-scans columnar storage (no cache to size,
+    // no recompute-on-eviction cliff, restartable from the staging dir).
+    val sigTable = materialize(spreadCompute(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
       .withColumn("sig", graft.functions.GraftFunctions.minHash64(
-        df.sparkSession, col("shh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.sparkSession, col("shh"), numHashes)),
+      stagingPath)
     // Candidate generation carries ONLY (band, band_hash, id): the heavy
     // shingle/signature arrays never enter the band shuffle or the pair
     // distinct — they are joined back per side once the (id_a, id_b)
@@ -256,15 +275,17 @@ object TextDedup {
     */
   def portableMinhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                               shingleK: Int = 3, numPerms: Int = 16,
-                              bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+                              bands: Int = 4, threshold: Double = 0.7,
+                              stagingPath: Option[String] = None): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
     // Distinct shingle-string sets feed three branches (signature + both
-    // verify sides) — persist, same lifecycle note as minhashDupPairs.
-    val sets = spreadCompute(df)
+    // verify sides) — materialized; same persist-vs-staging trade-off as
+    // minhashDupPairs.
+    val sets = materialize(spreadCompute(df)
       .select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), shingleK)).as("ss"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        array_distinct(shingles(col(textCol), shingleK)).as("ss")),
+      stagingPath)
     val sig = sets.select(col("id"), array((0 until numPerms).map { p =>
       array_min(transform(col("ss"),
         s => substring(sha2(concat_ws(":", lit(p.toString), s), 256), 1, 16)))

@@ -55,6 +55,26 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.count() >= docs.count())
   }
 
+  test("minhash staging path (spill-to-parquet) matches the persist path") {
+    // the 100 TB shape: the signature table spills to parquet instead of
+    // a MEMORY_AND_DISK cache; results must be identical on both paths
+    val corpus = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    val stage1 = java.nio.file.Files.createTempDirectory("graft-minhash-stage").toString
+    val persisted = TextDedup.minhashDupPairs(corpus, "text", "doc_id")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val staged = TextDedup.minhashDupPairs(corpus, "text", "doc_id",
+      stagingPath = Some(stage1)).orderBy("id_a", "id_b").collect().toSeq
+    assert(staged == persisted)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(stage1))
+      .anyMatch(p => p.toString.endsWith(".parquet"))) // really staged
+    val stage2 = java.nio.file.Files.createTempDirectory("graft-portable-stage").toString
+    val pPersisted = TextDedup.portableMinhashDupPairs(docs, "text", "doc_id")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val pStaged = TextDedup.portableMinhashDupPairs(docs, "text", "doc_id",
+      stagingPath = Some(stage2)).orderBy("id_a", "id_b").collect().toSeq
+    assert(pStaged == pPersisted)
+  }
+
   test("simhash of identical text is identical; near text is close (SimHash)") {
     val df = TextDedup.withSimhash(Seq(
       (1L, "spark engine for large scale data processing and analytics work"),

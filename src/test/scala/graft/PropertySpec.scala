@@ -152,6 +152,28 @@ object PipelineProperties extends Properties("graft") {
       heap.sortedDesc.toSeq == want
     }
 
+  property("TopKRows heap keeps exactly the k best keys, both directions") =
+    forAll(Gen.listOf(Gen.zip(Gen.option(Gen.choose(-5L, 5L)), Gen.choose(0L, 1000L))),
+      Gen.choose(1, 6), Gen.oneOf(true, false)) { (rows, k, asc) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      // the rewrite's key shape: (isnotnull, value)
+      val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(Seq(
+          org.apache.spark.sql.types.BooleanType,
+          org.apache.spark.sql.types.LongType))
+      val heap = new graft.functions.TopKRows.Heap(k, ord, asc)
+      rows.foreach { case (key, id) =>
+        heap.insert(InternalRow(key.isDefined, key.getOrElse(0L)), InternalRow(id))
+      }
+      def tup(key: Option[Long]) = (key.isDefined, key.getOrElse(0L))
+      val sortedAll = rows.map(r => tup(r._1)).sorted
+      val expected = (if (asc) sortedAll else sortedAll.reverse).take(k)
+      var kept = List.empty[(Boolean, Long)]
+      heap.foreach((kr, _) => kept ::= ((kr.getBoolean(0), kr.getLong(1))))
+      // ties rank arbitrarily, so compare the kept KEY multiset
+      kept.sorted == expected.sorted
+    }
+
   property("latestPerKey is idempotent and keeps the max version (A8/A9)") =
     forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1, 3), Gen.choose(1, 100),
       Gen.alphaStr.map(_.take(5))))) { rows =>

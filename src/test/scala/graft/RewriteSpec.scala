@@ -70,15 +70,82 @@ class RewriteSpec extends AnyFunSuite {
     assert(plan.contains("partial_min_by"), plan)
   }
 
-  test("guards hold: rank(), rn<=k for k>1, non-default null ordering, " +
+  test("row_number()<=k plans as the TopKRows heap aggregate, no Window") {
+    val orders = Tables(extSpark, TestSpark.sf, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val df = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window survived the rewrite:\n" + plan)
+    assert(plan.contains("graft_topk_rows"), "no TopKRows aggregate:\n" + plan)
+    assert(plan.contains("partial_graft_topk_rows"),
+      "no map-side partial heap:\n" + plan)
+  }
+
+  test("top-k rewrite equals the window formulation, ranks included") {
+    def topk(s: SparkSession): DataFrame = {
+      val orders = Tables(s, TestSpark.sf, "orders")
+      // (o_orderdate, o_orderkey) is a total order per customer, so both
+      // formulations are deterministic, rank column included
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+    }
+    val expect = topk(TestSpark.spark)
+    assert(expect.queryExecution.executedPlan.toString.contains("Window"))
+    val got = topk(extSpark)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    assert(got.exceptAll(expect).count() == 0)
+    assert(expect.exceptAll(got).count() == 0)
+    // several rn bounds conjoin to the tightest
+    val orders = Tables(extSpark, TestSpark.sf, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").desc)
+    val tight = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("rn") <= 2)
+    assert(!tight.queryExecution.executedPlan.toString.contains("Window"))
+    val control = Tables(TestSpark.spark, TestSpark.sf, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("rn") <= 2)
+    assert(tight.count() == control.count())
+  }
+
+  test("top-k rewrite ranks null order keys like the window formulation") {
+    def data(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq[(Long, java.lang.Long, String)](
+        (1L, 10L, "a"), (1L, null, "b"), (1L, 7L, "c"),
+        (2L, null, "d"), (2L, null, "e"),
+        (3L, 5L, "f"))
+        .toDF("k", "version", "payload")
+    }
+    def top2(s: SparkSession): DataFrame = {
+      val w = Window.partitionBy("k")
+        .orderBy(col("version").desc, col("payload").desc)
+      data(s).withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    }
+    val rewritten = top2(extSpark)
+    rewritten.collect()
+    assert(!rewritten.queryExecution.executedPlan.toString.contains("Window"))
+    val control = top2(TestSpark.spark)
+    assert(control.queryExecution.executedPlan.toString.contains("Window"))
+    assert(rewritten.exceptAll(control).count() == 0)
+    assert(control.exceptAll(rewritten).count() == 0)
+  }
+
+  test("guards hold: rank(), rn=k for k>1, non-default null ordering, " +
     "mixed directions are NOT rewritten") {
     val orders = Tables(extSpark, TestSpark.sf, "orders")
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").desc)
 
-    val rank2 = orders.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
-    rank2.collect()
-    assert(rank2.queryExecution.executedPlan.toString.contains("Window"))
+    // rn = 2 selects ONLY rank 2 — not a top-k; must keep the window
+    val eq2 = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 2)
+    eq2.collect()
+    assert(eq2.queryExecution.executedPlan.toString.contains("Window"))
 
     val rk = orders.withColumn("rk", rank().over(w)).filter(col("rk") === 1)
     rk.collect()

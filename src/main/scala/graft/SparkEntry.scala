@@ -327,8 +327,10 @@ object SparkEntry {
       // exact 3-gram Jaccard between consecutive doc ids — the verify
       // kernel of the dedup pipeline, oracled cross-engine.
       val docs = t(s, d, "documents")
-      val sh = docs.select(col("doc_id"),
-        TextDedup.shingles(col("text"), 3).as("sh"))
+      val sh = docs
+        .select(col("doc_id"), TextDedup.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextDedup.shinglesOfTokens(col("toks"), 3).as("sh"))
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_b") === col("id_a") + 1)
@@ -428,6 +430,28 @@ object SparkEntry {
         Similarity.lshBucket(Similarity.asDouble(col("embedding")), planes))
       Similarity.nearDupPairs(bucketed, "embedding", "vec_id", "bucket", 0.3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    "x20_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: every 10th document stands in as the
+      // eval set; per-doc 3-shingle overlap profile + keep/cut verdict.
+      // Shingle strings join directly (broadcast), so the whole operator
+      // is cross-engine oracle-able; contamination is a ratio of exact
+      // integer counts — bit-identical in DuckDB.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      graft.ext.Decontaminate.overlapProfile(docs, "text", "doc_id", bench, "text")
+        .withColumn("is_clean", col("contamination") <= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+    "x21_repetition_profile" -> ((s, d) => {
+      // Gopher-style repetition quality signal: duplicate-token and
+      // duplicate-3-gram fractions per document (narrow projection).
+      val docs = t(s, d, "documents")
+      TextAnalysis.repetitionProfile(docs, "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          col("dup_token_frac"), col("dup_ngram_frac"))
+        .withColumn("is_repetitive", col("dup_ngram_frac") > 0.3)
+        .orderBy(col("doc_id"))
     }),
   )
 
@@ -914,5 +938,48 @@ object SparkEntry {
          |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
     },
+    "x20_decontaminate" ->
+      // same shingle CTE as x11; benchmark = doc_id % 10 = 0; left join
+      // against the distinct benchmark shingle set, count matches per doc
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 3 + 1),
+        |                i -> array_to_string(toks[i+1:i+3], ' '))
+        |    END) AS sh
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS bsh FROM s WHERE doc_id % 10 = 0),
+        |ds AS (SELECT doc_id, unnest(sh) AS sh FROM s)
+        |SELECT ds.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(b.bsh) AS BIGINT) AS n_contaminated,
+        |  CAST(count(b.bsh) AS DOUBLE) / count(*) AS contamination,
+        |  (CAST(count(b.bsh) AS DOUBLE) / count(*)) <= 0.2 AS is_clean
+        |FROM ds LEFT JOIN bench b ON ds.sh = b.bsh
+        |GROUP BY ds.doc_id ORDER BY ds.doc_id""".stripMargin,
+    "x21_repetition_profile" ->
+      // duplicate fractions are 1.0 - distinct/total over the same
+      // normalized token stream as the dedup family (x11's CTE)
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 3 + 1),
+        |                i -> array_to_string(toks[i+1:i+3], ' '))
+        |    END AS grams
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+        |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ngram_frac,
+        |  (CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) > 0.3 AS is_repetitive
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

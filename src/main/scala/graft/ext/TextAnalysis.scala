@@ -119,6 +119,55 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Gopher-style repetition profile: the fraction of duplicate tokens
+    * and duplicate word n-grams per document — the standard quality
+    * signal for cutting boilerplate/spam from training corpora (Gopher's
+    * "repetition" filters). Pure array expressions over the normalized
+    * token stream ([[graft.ext.TextDedup.tokens]] — same normalization
+    * as the dedup family), so this is a narrow projection running at
+    * scan speed; the fractions are ratios of exact integer counts,
+    * bit-identical across engines.
+    *
+    * Output: `(doc_id, n_tokens, dup_token_frac, dup_ngram_frac)`. A doc
+    * with ≤ n tokens forms one n-gram (the whole text), so its
+    * dup_ngram_frac is 0 — same convention as [[TextDedup.shingles]]. */
+  def repetitionProfile(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3): DataFrame =
+    // tokens and grams each land in their own projection: tokenization
+    // runs once per row (not per shingle inside the interpreted HOF
+    // lambda — see TextDedup.shingles), and the gram array is built once
+    // for its two consumers (distinct + size)
+    df.select(col(idCol).as("doc_id"), TextDedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        TextDedup.shinglesOfTokens(col("toks"), n).as("grams"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("dup_token_frac"),
+        (lit(1.0) - size(array_distinct(col("grams"))).cast("double") / size(col("grams")))
+          .as("dup_ngram_frac"))
+
+  /** Documents below both repetition thresholds — the kept (non-spam)
+    * set, original columns intact. */
+  def repetitionFilter(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, maxDupTokenFrac: Double = 0.7,
+                       maxDupNgramFrac: Double = 0.3): DataFrame = {
+    val reserved = Seq("_graft_toks", "_graft_grams")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"repetitionFilter: input already has a $c column"))
+    // same once-per-row tokenization as repetitionProfile, via scratch
+    // columns dropped on the way out
+    df.withColumn("_graft_toks", TextDedup.tokens(col(textCol)))
+      .withColumn("_graft_grams", TextDedup.shinglesOfTokens(col("_graft_toks"), n))
+      .filter(
+        (lit(1.0) - size(array_distinct(col("_graft_toks"))).cast("double") /
+          size(col("_graft_toks"))) <= maxDupTokenFrac &&
+        (lit(1.0) - size(array_distinct(col("_graft_grams"))).cast("double") /
+          size(col("_graft_grams"))) <= maxDupNgramFrac)
+      .drop(reserved: _*)
+  }
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -79,13 +79,24 @@ object TextDedup {
   // ---- shingling / MinHash ----
 
   /** k-token shingles; documents shorter than k tokens yield one shingle
-    * (the whole normalized text). */
-  def shingles(textCol: Column, k: Int): Column = {
-    val toks = tokens(textCol)
+    * (the whole normalized text).
+    *
+    * PERF: this splices the tokenize tree (regex normalize + split) into
+    * a higher-order `transform` lambda, and HOF lambdas are evaluated
+    * INTERPRETED, per element — so used directly, tokenization re-runs
+    * once per shingle index: O(tokens × regex) per document. Hot paths
+    * must project the token array into its own column first and call
+    * [[shinglesOfTokens]] (CollapseProject will not inline a non-cheap
+    * alias referenced more than once, so the projection sticks). */
+  def shingles(textCol: Column, k: Int): Column =
+    shinglesOfTokens(tokens(textCol), k)
+
+  /** k-token shingles from an already-materialized token-array column —
+    * tokenization cost is paid once per ROW, not once per shingle. */
+  def shinglesOfTokens(toks: Column, k: Int): Column =
     when(size(toks) <= k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
 
   /** MinHash signature: lane i = min over shingles of xxhash64(i, h(shingle)).
     * Each shingle STRING is hashed exactly once; the H lanes re-hash the
@@ -226,7 +237,9 @@ object TextDedup {
     // once and every branch re-scans columnar storage (no cache to size,
     // no recompute-on-eviction cliff, restartable from the staging dir).
     val sigTable = materialize(spreadCompute(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      // tokenize once per ROW in its own projection (see shingles() PERF note)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesOfTokens(col("toks"), shingleK).as("sh"))
       .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
       .withColumn("sig", graft.functions.GraftFunctions.minHash64(
         df.sparkSession, col("shh"), numHashes)),
@@ -283,8 +296,10 @@ object TextDedup {
     // verify sides) — materialized; same persist-vs-staging trade-off as
     // minhashDupPairs.
     val sets = materialize(spreadCompute(df)
-      .select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), shingleK)).as("ss")),
+      // tokenize once per ROW in its own projection (see shingles() PERF note)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(shinglesOfTokens(col("toks"), shingleK)).as("ss")),
       stagingPath)
     val sig = sets.select(col("id"), array((0 until numPerms).map { p =>
       array_min(transform(col("ss"),

@@ -307,6 +307,51 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  // ---- decontamination / repetition quality ----
+
+  test("decontamination flags benchmark-overlapping docs and keeps clean ones") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = benchmark
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-copy
+      (3L, "completely unrelated text about spark engines here"),
+      (4L, "the quick brown fox went home early today friends")) // partial
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1L)
+    val prof = graft.ext.Decontaminate
+      .overlapProfile(docs, "text", "doc_id", bench, "text")
+      .orderBy("doc_id").collect()
+    val byId = prof.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(1L)._3 == 1.0)            // the benchmark doc itself
+    assert(byId(2L)._3 > 0.5)             // near-copy heavily contaminated
+    assert(byId(3L)._2 == 0L)             // disjoint text: zero overlap
+    assert(byId(4L)._3 > 0.0 && byId(4L)._3 < 0.5) // shares a prefix only
+    val kept = graft.ext.Decontaminate
+      .decontaminate(docs, "text", "doc_id", bench, "text", maxContamination = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // original columns intact on the kept set
+    assert(graft.ext.Decontaminate
+      .decontaminate(docs, "text", "doc_id", bench, "text", maxContamination = 0.5)
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("repetition profile separates boilerplate from normal text") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "a genuinely varied sentence with mostly distinct words here"))
+      .toDF("doc_id", "text")
+    val prof = TextAnalysis.repetitionProfile(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(prof(0).getDouble(2) > 0.7)    // dup_token_frac of the spam
+    assert(prof(0).getDouble(3) > 0.5)    // dup_ngram_frac of the spam
+    assert(prof(1).getDouble(2) == 0.0)
+    assert(prof(1).getDouble(3) == 0.0)
+    val kept = TextAnalysis.repetitionFilter(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
   // ---- portable (cross-engine) dedup formulations ----
 
   test("portable minhash: doubled docs pair at jaccard 1.0; reported jaccard " +

@@ -120,6 +120,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "Hamming verify must not join back:\n" + p)
   }
 
+  test("decontamination: benchmark set broadcasts, corpus never sort-merges (x20)") {
+    val p = plan(SparkEntry.queries("x20_decontaminate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("repetition profile is narrow: no exchange before the sort (x21)") {
+    val docs = Tables(spark, sf, "documents")
+    val df = graft.ext.TextAnalysis.repetitionProfile(docs, "text", "doc_id")
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("partition pruning: monthly-partitioned write is readable by one month") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/fact"
     graft.warehouse.Transforms.writeMonthly(

@@ -327,10 +327,8 @@ object SparkEntry {
       // exact 3-gram Jaccard between consecutive doc ids — the verify
       // kernel of the dedup pipeline, oracled cross-engine.
       val docs = t(s, d, "documents")
-      val sh = docs
-        .select(col("doc_id"), TextDedup.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          TextDedup.shinglesOfTokens(col("toks"), 3).as("sh"))
+      val sh = docs.select(col("doc_id"), graft.functions.GraftFunctions
+        .shingles(s, TextDedup.tokens(col("text")), 3).as("sh"))
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_b") === col("id_a") + 1)

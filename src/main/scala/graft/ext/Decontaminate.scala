@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-data op that removes (or
@@ -32,17 +32,15 @@ object Decontaminate {
   def overlapProfile(docs: DataFrame, textCol: String, idCol: String,
                      bench: DataFrame, benchTextCol: String,
                      k: Int = 3): DataFrame = {
-    // tokenize ONCE per row in its own projection, then shingle from the
-    // token array — shingles() over the raw text re-tokenizes per shingle
-    // index inside the interpreted HOF lambda (see TextDedup.shingles)
+    // the native shingle kernel tokenizes once per ROW no matter where
+    // the optimizer splices the expression (TextDedup.shingles PERF note)
+    def sh(textCol: Column): Column = graft.functions.GraftFunctions
+      .shingles(docs.sparkSession, TextDedup.tokens(textCol), k)
     val benchSh = bench
-      .select(TextDedup.tokens(col(benchTextCol)).as("toks"))
-      .select(explode(array_distinct(TextDedup.shinglesOfTokens(col("toks"), k))).as("bsh"))
+      .select(explode(array_distinct(sh(col(benchTextCol)))).as("bsh"))
       .distinct()
-    val docSh = docs
-      .select(col(idCol).as("doc_id"), TextDedup.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        explode(array_distinct(TextDedup.shinglesOfTokens(col("toks"), k))).as("sh"))
+    val docSh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(sh(col(textCol)))).as("sh"))
     // benchSh is distinct, so the left join is row-preserving: one output
     // row per (doc, shingle); count(bsh) counts the contaminated ones
     docSh.join(broadcast(benchSh), docSh("sh") === benchSh("bsh"), "left")

@@ -29,23 +29,26 @@ object IvfIndex {
 
   /** Fit the coarse quantizer and assign every row to a cluster.
     *
-    * The quantizer is fit on a BOUNDED deterministic sample
-    * (`maxFitRows`, via [[Sampling.bernoulliSample]] keyed by `seed`):
-    * MLlib k-means makes `maxIter` full passes over its input, which at
-    * 100 TB would dominate the build for no recall benefit — coarse
-    * centroids converge on ~10⁶ points regardless of corpus size
-    * (classical IVF practice). Assignment then touches every row exactly
-    * ONCE (a narrow transform), so the full build is one bounded fit +
-    * one full pass. Inputs at or under the bound fit on everything —
-    * small/fixture corpora are bit-identical to the pre-sampling
-    * behavior. `fitRows` records how many rows the quantizer saw. */
+    * The quantizer is fit on a bounded-in-expectation deterministic
+    * sample (≈`maxFitRows` rows, via [[Sampling.preciseBernoulliSample]]
+    * keyed by `seed` — the 48-bit variant, because the 16-bit sampler's
+    * threshold quantizes cluster-scale fractions like 10⁶/10¹² to an
+    * empty sample): MLlib k-means makes `maxIter` full passes over its
+    * input, which at 100 TB would dominate the build for no recall
+    * benefit — coarse centroids converge on ~10⁶ points regardless of
+    * corpus size (classical IVF practice). Assignment then touches every
+    * row exactly ONCE (a narrow transform), so the full build is one
+    * bounded fit + one full pass. Inputs at or under the bound fit on
+    * everything — small/fixture corpora are bit-identical to the
+    * pre-sampling behavior. `fitRows` records how many rows the
+    * quantizer saw. */
   def fit(df: DataFrame, embCol: String, idCol: String, k: Int,
           seed: Long = 42L, maxFitRows: Long = 1000000L): Model = {
     require(maxFitRows > 0, s"maxFitRows must be positive, got $maxFitRows")
     val n = df.count()
     val sampled =
       if (n <= maxFitRows) df
-      else Sampling.bernoulliSample(df, idCol, s"ivf-fit:$seed",
+      else Sampling.preciseBernoulliSample(df, idCol, s"ivf-fit:$seed",
         maxFitRows.toDouble / n)
     val fitRows = if (n <= maxFitRows) n else sampled.count()
     // Coarse quantizer, not a final model: random init + few iterations is

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * `binaryFile` source produces). The Spark-side plumbing — schema,
   * partition sizing, batch shape, typed Dataset transforms — is real and
   * tested; the codec itself is PLUGGABLE: every decode/feature/frame
-  * operator takes a [[MediaCodec]] and defaults to [[StubCodec]], a
+  * operator takes a [[MediaCodec]] factory (per-task instances — see the
+  * trait doc) and defaults to [[StubCodec]], a
   * clearly-marked deterministic stand-in (the container ships no
   * image/audio libraries). A real deployment passes its own codec —
   * nothing upstream or downstream moves, and ExtSpec proves the swap by
@@ -47,12 +48,18 @@ object Multimodal {
       n_frames: Int,
       ok: Boolean)
 
-  /** The pluggable codec boundary. Implementations ship to executors
-    * (Serializable) and get a per-partition lifecycle: [[open]] before the
-    * first row of each partition, [[close]] on task completion — the spot
-    * for codec contexts, JNI handles, or model sessions. All row methods
-    * must be deterministic pure functions of their arguments for the
-    * pipeline to stay replayable under task retry. */
+  /** The pluggable codec boundary. Operators take a codec FACTORY and
+    * invoke it once per partition, executor-side — a factory that
+    * constructs a new instance (`() => new MyCodec(cfg)`) therefore gives
+    * every task a PRIVATE codec, which is what stateful codecs (codec
+    * contexts, JNI handles, model sessions) require: a Scala `object`
+    * codec deserializes to one shared JVM instance, and concurrent tasks
+    * on an executor would interleave open/close on shared state. The
+    * lifecycle per partition: [[open]] before the first row, [[close]] on
+    * task completion. Stateless codecs (like [[StubCodec]]) may be
+    * singletons. All row methods must be deterministic pure functions of
+    * their arguments for the pipeline to stay replayable under task
+    * retry, and [[frames]] must agree with [[decode]]'s frame count. */
   trait MediaCodec extends Serializable {
     /** Once per partition, before any row — codec/model init. */
     def open(): Unit = ()
@@ -96,8 +103,10 @@ object Multimodal {
       }
 
     override def frames(c: Array[Byte]): Seq[Array[Byte]] =
+      // full 16-byte blocks only — a trailing fragment is not a frame,
+      // and decode's n_frames counts full blocks (the two must agree)
       if (header(c).isEmpty) Seq.empty
-      else c.drop(12).grouped(16).toSeq
+      else c.drop(12).grouped(16).filter(_.length == 16).toSeq
   }
 
   /** Read a directory of media files via Spark's binaryFile source into
@@ -125,19 +134,22 @@ object Multimodal {
       math.max(1, math.ceil(total.toDouble / targetBytes).toInt), col("media_id"))
   }
 
-  /** Per-partition codec run: open once, close on task completion, map
-    * rows through `f`. The shared shape of every codec-bound operator. */
-  private def withCodec[T, U](ds: Dataset[MediaRow], codec: MediaCodec)(
+  /** Per-partition codec run: build the task's codec from the factory,
+    * open once, close on task completion, map rows through `f`. The
+    * shared shape of every codec-bound operator. */
+  private def withCodec[T, U](ds: Dataset[MediaRow], mkCodec: () => MediaCodec)(
       f: (MediaCodec, Iterator[MediaRow]) => Iterator[U])(
       implicit enc: org.apache.spark.sql.Encoder[U]): Dataset[U] =
     ds.mapPartitions { rows =>
+      val codec = mkCodec()
       codec.open()
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
       f(codec, rows)
     }
 
   /** Decode metadata for each media row (codec pluggable; stub default). */
-  def decode(ds: Dataset[MediaRow], codec: MediaCodec = StubCodec): Dataset[DecodedMedia] = {
+  def decode(ds: Dataset[MediaRow],
+             codec: () => MediaCodec = () => StubCodec): Dataset[DecodedMedia] = {
     val spark = ds.sparkSession
     import spark.implicits._
     withCodec(ds, codec) { (c, rows) =>
@@ -151,7 +163,7 @@ object Multimodal {
   /** Feature embeddings, one row per media id — the ANN-joinable output
     * (media bytes dropped before any downstream shuffle). */
   def features(ds: Dataset[MediaRow], dim: Int = 16,
-               codec: MediaCodec = StubCodec): DataFrame = {
+               codec: () => MediaCodec = () => StubCodec): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     withCodec(ds, codec) { (c, rows) =>
@@ -163,7 +175,7 @@ object Multimodal {
     * most `maxFrames` — one row per sampled frame, the explode shape
     * downstream training pipelines expect. */
   def frameSample(ds: Dataset[MediaRow], stride: Int, maxFrames: Int,
-                  codec: MediaCodec = StubCodec): DataFrame = {
+                  codec: () => MediaCodec = () => StubCodec): DataFrame = {
     require(stride > 0, "stride must be positive")
     require(maxFrames >= 0, "maxFrames must be non-negative")
     val spark = ds.sparkSession

@@ -54,6 +54,24 @@ object Sampling {
                       frac: Double): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < lit(hexThreshold(frac)))
 
+  /** High-resolution (48-bit) deterministic Bernoulli sample, for
+    * microscopic fractions: [[bernoulliSample]]'s 16-bit threshold rounds
+    * `frac < 1/131072` to an EMPTY sample, which is exactly the regime a
+    * bounded fit-sample over a cluster-scale table lands in (10⁶ of 10¹²
+    * rows = frac 10⁻⁶). 48 bits resolve fractions down to ~3.6e-15, and
+    * the threshold floors at one bucket so the sample can only be empty
+    * when the hash happens to miss — never by quantization. */
+  def preciseBernoulliSample(df: DataFrame, idCol: String, salt: String,
+                             frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction $frac outside [0,1]")
+    val space = 1L << 48
+    val t = math.max(1L, math.round(frac * space.toDouble))
+    if (t >= space) df
+    else df.filter(
+      substring(sha2(concat_ws(":", lit(salt), col(idCol).cast("string")), 256), 1, 12)
+        < lit(f"$t%012x"))
+  }
+
   /** Deterministic train/valid/test assignment: `trainFrac` of the hash
     * space to "train", then `validFrac` to "valid", remainder "test". */
   def hashSplit(df: DataFrame, idCol: String, salt: String,

@@ -133,13 +133,14 @@ object TextAnalysis {
     * dup_ngram_frac is 0 — same convention as [[TextDedup.shingles]]. */
   def repetitionProfile(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3): DataFrame =
-    // tokens and grams each land in their own projection: tokenization
-    // runs once per row (not per shingle inside the interpreted HOF
-    // lambda — see TextDedup.shingles), and the gram array is built once
-    // for its two consumers (distinct + size)
+    // native shingle kernel: tokenization is the expression's child,
+    // evaluated once per row even if the optimizer splices the tree into
+    // a filter (TextDedup.shingles PERF note); the toks/grams projections
+    // additionally build each array once for its two consumers
     df.select(col(idCol).as("doc_id"), TextDedup.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
-        TextDedup.shinglesOfTokens(col("toks"), n).as("grams"))
+        graft.functions.GraftFunctions
+          .shingles(df.sparkSession, col("toks"), n).as("grams"))
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
@@ -153,19 +154,18 @@ object TextAnalysis {
   def repetitionFilter(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, maxDupTokenFrac: Double = 0.7,
                        maxDupNgramFrac: Double = 0.3): DataFrame = {
-    val reserved = Seq("_graft_toks", "_graft_grams")
-    reserved.foreach(c => require(!df.columns.contains(c),
-      s"repetitionFilter: input already has a $c column"))
-    // same once-per-row tokenization as repetitionProfile, via scratch
-    // columns dropped on the way out
-    df.withColumn("_graft_toks", TextDedup.tokens(col(textCol)))
-      .withColumn("_graft_grams", TextDedup.shinglesOfTokens(col("_graft_toks"), n))
-      .filter(
-        (lit(1.0) - size(array_distinct(col("_graft_toks"))).cast("double") /
-          size(col("_graft_toks"))) <= maxDupTokenFrac &&
-        (lit(1.0) - size(array_distinct(col("_graft_grams"))).cast("double") /
-          size(col("_graft_grams"))) <= maxDupNgramFrac)
-      .drop(reserved: _*)
+    // a direct filter is safe ONLY because grams is the native kernel:
+    // a scratch-column formulation is defeated by predicate pushdown,
+    // whose alias substitution re-splices the tokenize tree into the HOF
+    // lambda (per-shingle re-tokenization); the kernel evaluates its
+    // token child once per row wherever the condition lands
+    val toks = TextDedup.tokens(col(textCol))
+    val grams = graft.functions.GraftFunctions.shingles(df.sparkSession, toks, n)
+    df.filter(
+      (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+        <= maxDupTokenFrac &&
+      (lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+        <= maxDupNgramFrac)
   }
 
   /** Per-document profile frame: one narrow projection with all metrics. */

@@ -169,7 +169,8 @@ object TextDedup {
     * payload is a few bytes — e.g. a 64-bit SimHash fingerprint; MinHash
     * signatures are 64 longs and join back instead. */
   private def bucketCandidates(bandTable: DataFrame, maxBucket: Int,
-                               payload: Option[String]): DataFrame = {
+                               payload: Option[String],
+                               dedupPairs: Boolean = true): DataFrame = {
     val entry = payload match {
       case Some(p) => struct(col("id"), col(p).as("v"))
       case None    => struct(col("id"))
@@ -199,7 +200,11 @@ object TextDedup {
       // self-pairs when the same id appears twice in a bucket (duplicate
       // ids in the input) — matching the oracle's a.id < b.id join
       .filter(col("id_a") < col("id_b"))
-      .distinct()
+      // multi-band tables emit the same pair once per shared band — the
+      // distinct is required. A single-band caller with unique ids emits
+      // each pair at most once, and skipping the distinct removes a full
+      // exchange+aggregate over the candidate-pair stream.
+      .transform(d => if (dedupPairs) d.distinct() else d)
   }
 
   /** LSH band hashes: band b = xxhash64 over rows b*r..b*r+r-1 of the
@@ -237,9 +242,10 @@ object TextDedup {
     // once and every branch re-scans columnar storage (no cache to size,
     // no recompute-on-eviction cliff, restartable from the staging dir).
     val sigTable = materialize(spreadCompute(df)
-      // tokenize once per ROW in its own projection (see shingles() PERF note)
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesOfTokens(col("toks"), shingleK).as("sh"))
+      // native shingle kernel: tokenization is the expression's child,
+      // evaluated once per ROW wherever the optimizer moves the tree
+      .select(col(idCol).as("id"), graft.functions.GraftFunctions
+        .shingles(df.sparkSession, tokens(col(textCol)), shingleK).as("sh"))
       .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
       .withColumn("sig", graft.functions.GraftFunctions.minHash64(
         df.sparkSession, col("shh"), numHashes)),
@@ -402,7 +408,10 @@ object TextDedup {
     * `groupBy(block).count()` if the drop rate matters). The 8-byte
     * fingerprint rides through the bucket shuffle as the pair payload,
     * so Hamming verification is narrow — no join back to the corpus and
-    * no recomputation of the signature. */
+    * no recomputation of the signature. With ONE block table (band = 0)
+    * and unique doc ids each pair arises at most once, so the cross-band
+    * pair distinct is skipped — one less exchange (ids must be unique,
+    * the standing precondition of the dedup family). */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, prefixBits: Int = 16,
                       maxBucket: Int = 1000): DataFrame = {
@@ -411,7 +420,7 @@ object TextDedup {
       .select(lit(0).as("band"),
         shiftrightunsigned(col("sig"), 64 - prefixBits).as("bh"),
         col("id"), col("sig"))
-    bucketCandidates(withSig, maxBucket, payload = Some("sig"))
+    bucketCandidates(withSig, maxBucket, payload = Some("sig"), dedupPairs = false)
       .select(col("id_a"), col("id_b"),
         hamming(col("v_a"), col("v_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

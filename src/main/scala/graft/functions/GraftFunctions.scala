@@ -34,6 +34,13 @@ object GraftFunctions {
       "graft_minhash64 takes (array<bigint>, int literal)")
   }
 
+  val shinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+      Shingles(a, k)
+    case _ => throw new IllegalArgumentException(
+      "graft_shingles takes (array<string>, int literal)")
+  }
+
   val topKByBuilder: Seq[Expression] => Expression = {
     case Seq(kx, vx, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
       TopKByDouble(kx, vx, k) // analyzer wraps AggregateFunctions itself
@@ -51,6 +58,8 @@ object GraftFunctions {
       "graft_minhash64", minHashBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk_by", topKByBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", shinglesBuilder, "scala_udf")
   }
 
   /** Column API for the reducing top-k aggregate; registers lazily. */
@@ -70,6 +79,13 @@ object GraftFunctions {
   def simHash64(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function("graft_simhash64", tokens)
+  }
+
+  /** Column API for the native shingling kernel; registers lazily. */
+  def shingles(spark: SparkSession, tokens: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_shingles", tokens,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Column API for the native MinHash kernel; registers lazily. */
@@ -102,5 +118,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk_by"),
       new ExpressionInfo(classOf[TopKByDouble].getName, "graft_topk_by"),
       GraftFunctions.topKByBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      GraftFunctions.shinglesBuilder))
   }
 }

@@ -40,7 +40,8 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   *  - the Window computes exactly one expression: a row_number();
   *  - the filter bounds it by a positive literal (`= 1`, `<= k`,
   *    `< k+1`; any side — `= k` for k > 1 is NOT a top-k and is left
-  *    alone);
+  *    alone), with the tightest bound at most [[MaxK]] — beyond that the
+  *    window plan's spillable sort is the safer execution;
   *  - every ORDER BY direction is the same (a single min/max key — the
   *    struct ordering is lexicographic, so mixed directions cannot be
   *    expressed with one key);
@@ -67,6 +68,14 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   */
 object RewriteLatestPerKey extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Largest k the rewrite fires for. The heap aggregate holds k row
+    * copies per group in executor memory and emits each group's rows as
+    * ONE array — the right trade for top-k idioms (small k), the wrong
+    * one for pagination-style `rn <= 10000000`, where the window plan's
+    * spillable sort must be kept. 1024 covers every real top-k we have
+    * seen while bounding the per-group buffer. */
+  private val MaxK = 1024
+
   /** The row-count bound a conjunct puts on the row_number, if it is a
     * top-k-shaped predicate on `rn` and nothing else. */
   private def rnLimit(cond: Expression, rn: Attribute): Option[Int] = cond match {
@@ -92,7 +101,8 @@ object RewriteLatestPerKey extends Rule[LogicalPlan] with PredicateHelper {
           orderSpec.forall(so => so.nullOrdering == so.direction.defaultNullOrdering) &&
           orderSpec.map(_.direction).distinct.size == 1 &&
           partitionSpec.forall(_.isInstanceOf[Attribute]) &&
-          splitConjunctivePredicates(cond).exists(rnLimit(_, alias.toAttribute).isDefined) &&
+          splitConjunctivePredicates(cond)
+            .flatMap(rnLimit(_, alias.toAttribute)).exists(_ <= MaxK) &&
           splitConjunctivePredicates(cond).forall(p =>
             rnLimit(p, alias.toAttribute).isDefined ||
               !p.references.contains(alias.toAttribute)) =>

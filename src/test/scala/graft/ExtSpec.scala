@@ -5,6 +5,25 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
 
+/** A toy "real" codec with a different container format (little-endian
+  * w/h, no magic) and sin-of-length features — proves the Multimodal
+  * codec boundary. Top-level CLASS: the factory news one per task, the
+  * pattern stateful codecs require (and top-level keeps the factory
+  * closure free of the non-serializable spec instance). */
+final class LeCodec extends graft.ext.Multimodal.MediaCodec {
+  override def decode(c: Array[Byte], mt: String): (Int, Int, Int, Boolean) =
+    if (c != null && c.length >= 8) {
+      val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (bb.getInt(0), bb.getInt(4), 1, true)
+    } else (0, 0, 0, false)
+  override def features(c: Array[Byte], mt: String, dim: Int): Array[Float] =
+    // sin() gives each length a distinct direction (not just scale), so
+    // cosine self-similarity is strictly maximal in the ANN check
+    Array.tabulate(dim)(i => math.sin(c.length.toDouble * (i + 1)).toFloat)
+  override def frames(c: Array[Byte]): Seq[Array[Byte]] =
+    c.drop(8).grouped(4).toSeq
+}
+
 class ExtSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
   import spark.implicits._
@@ -255,22 +274,9 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("multimodal: custom codec swaps in; full pipeline runs end-to-end") {
-    // a toy "real" codec with a different container format (little-endian
-    // w/h, no magic) and norm-based features — proves the codec boundary:
-    // sizing → decode → features → ANN join all run unchanged under it
-    object LeCodec extends Multimodal.MediaCodec {
-      override def decode(c: Array[Byte], mt: String): (Int, Int, Int, Boolean) =
-        if (c != null && c.length >= 8) {
-          val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          (bb.getInt(0), bb.getInt(4), 1, true)
-        } else (0, 0, 0, false)
-      override def features(c: Array[Byte], mt: String, dim: Int): Array[Float] =
-        // sin() gives each length a distinct direction (not just scale),
-        // so cosine self-similarity is strictly maximal in the ANN check
-        Array.tabulate(dim)(i => math.sin(c.length.toDouble * (i + 1)).toFloat)
-      override def frames(c: Array[Byte]): Seq[Array[Byte]] =
-        c.drop(8).grouped(4).toSeq
-    }
+    // sizing → decode → features → ANN join all run unchanged under the
+    // custom LeCodec (top-level class; `() => new LeCodec` is the
+    // per-task-instance factory shape stateful codecs require)
     def leHeader(w: Int, h: Int, extra: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + extra)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -280,19 +286,20 @@ class ExtSpec extends AnyFunSuite {
     val ds = (1 to 12).map(i =>
       Multimodal.MediaRow(i.toLong, "video", s"u$i", leHeader(i, 2 * i, i), 8L + i)).toDS()
     val sized = Multimodal.repartitionBySize(ds, targetBytes = 32L)
-    val dec = Multimodal.decode(sized, LeCodec).collect().sortBy(_.media_id)
+    val dec = Multimodal.decode(sized, () => new LeCodec).collect().sortBy(_.media_id)
     assert(dec.forall(_.ok))
     assert(dec.map(_.width).toSeq == (1 to 12))
     assert(dec.map(_.height).toSeq == (1 to 12).map(_ * 2))
     // stub would reject these (no GRFT magic) — the codec really decides
     assert(Multimodal.decode(sized).collect().forall(!_.ok))
-    val feats = Multimodal.features(sized, dim = 8, codec = LeCodec)
+    val feats = Multimodal.features(sized, dim = 8, codec = () => new LeCodec)
     val q = feats.filter(col("media_id") === 12L)
       .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
     val top = Similarity.bruteForceTopK(feats, "embedding", "media_id", q, 3).collect()
     assert(top.head.getAs[Long]("media_id") == 12L)
     // frames under the custom container: 4-byte blocks after an 8-byte header
-    val fr = Multimodal.frameSample(sized, stride = 1, maxFrames = 100, codec = LeCodec)
+    val fr = Multimodal.frameSample(sized, stride = 1, maxFrames = 100,
+      codec = () => new LeCodec)
     assert(fr.count() == (1 to 12).map(i => (i + 3) / 4).sum)
   }
 
@@ -420,6 +427,18 @@ class ExtSpec extends AnyFunSuite {
     val portable = TextDedup.portableMinhashDupPairs(df, "text", "doc_id",
       threshold = 0.1)
     assert(portable.filter(col("id_a") === col("id_b")).count() == 0)
+  }
+
+  test("precise Bernoulli sample resolves fractions the 16-bit sampler rounds to zero") {
+    val ids = spark.range(1000000).toDF("doc_id")
+    val frac = 5e-6 // round(frac * 65536) = 0 → 16-bit sampler keeps nothing
+    assert(graft.ext.Sampling.bernoulliSample(ids, "doc_id", "s", frac).count() == 0)
+    val kept = graft.ext.Sampling.preciseBernoulliSample(ids, "doc_id", "s", frac).count()
+    assert(kept > 0 && kept < 50, s"kept=$kept for expected ~5")
+    // determinism: same salt, same sample
+    assert(graft.ext.Sampling.preciseBernoulliSample(ids, "doc_id", "s", frac).count() == kept)
+    // full-rate keeps everything (threshold saturates)
+    assert(graft.ext.Sampling.preciseBernoulliSample(ids, "doc_id", "s", 1.0).count() == 1000000L)
   }
 
   test("hash split handles fraction sums that round to 1.0; full-rate sample keeps all") {

@@ -63,6 +63,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native.toSeq == hof.toSeq)
   }
 
+  test("native Shingles kernel is BIT-identical to the HOF formulation") {
+    // fixture corpus plus the edge shapes: short doc (<= k tokens), empty
+    // string, single token, whitespace runs, null text
+    val fixture = Tables(spark, sf, "documents").limit(50).select(col("text"))
+    val edges = Seq("a b", "", "solo", "  padded   out  ", null.asInstanceOf[String],
+      "one two three", "one two three four").toDF("text")
+    for (k <- Seq(2, 3, 5)) {
+      val corpus = fixture.unionByName(edges)
+      val toks = graft.ext.TextDedup.tokens(col("text"))
+      val native = corpus
+        .select(GraftFunctions.shingles(spark, toks, k).as("sh"))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+      val hof = corpus
+        .select(col("text"), toks.as("toks"))
+        .select(graft.ext.TextDedup.shinglesOfTokens(col("toks"), k).as("sh"))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+      assert(native.toSeq == hof.toSeq, s"k=$k")
+    }
+  }
+
+  test("graft_shingles rejects wrong input types at analysis time") {
+    GraftFunctions.register(spark)
+    val df = Seq(1L).toDF("x")
+    val e = intercept[Exception] {
+      df.selectExpr("graft_shingles(x, 3)").collect()
+    }
+    assert(e.getMessage.contains("graft_shingles") ||
+      e.getMessage.contains("array<string>"))
+  }
+
   test("native MinHash64 is BIT-identical to the HOF lane fold") {
     val docs = Tables(spark, sf, "documents").limit(30)
     val shh = array_distinct(transform(

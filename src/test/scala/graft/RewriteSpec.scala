@@ -147,6 +147,13 @@ class RewriteSpec extends AnyFunSuite {
     eq2.collect()
     assert(eq2.queryExecution.executedPlan.toString.contains("Window"))
 
+    // pagination-scale k: the heap would hold k rows per group in memory,
+    // so beyond MaxK the spillable window sort must be kept
+    val bigK = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100000)
+    bigK.collect()
+    assert(bigK.queryExecution.executedPlan.toString.contains("Window"))
+
     val rk = orders.withColumn("rk", rank().over(w)).filter(col("rk") === 1)
     rk.collect()
     assert(rk.queryExecution.executedPlan.toString.contains("Window"))

@@ -33,14 +33,16 @@ object Decontaminate {
                      bench: DataFrame, benchTextCol: String,
                      k: Int = 3): DataFrame = {
     // the native shingle kernel tokenizes once per ROW no matter where
-    // the optimizer splices the expression (TextDedup.shingles PERF note)
-    def sh(textCol: Column): Column = graft.functions.GraftFunctions
-      .shingles(docs.sparkSession, TextDedup.tokens(textCol), k)
+    // the optimizer splices the expression (TextDedup.shingles PERF
+    // note); registered against each frame's OWN session — docs and
+    // bench may come from different ones
+    def sh(d: DataFrame, textCol: Column): Column = graft.functions.GraftFunctions
+      .shingles(d.sparkSession, TextDedup.tokens(textCol), k)
     val benchSh = bench
-      .select(explode(array_distinct(sh(col(benchTextCol)))).as("bsh"))
+      .select(explode(array_distinct(sh(bench, col(benchTextCol)))).as("bsh"))
       .distinct()
     val docSh = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(sh(col(textCol)))).as("sh"))
+      explode(array_distinct(sh(docs, col(textCol)))).as("sh"))
     // benchSh is distinct, so the left join is row-preserving: one output
     // row per (doc, shingle); count(bsh) counts the contaminated ones
     docSh.join(broadcast(benchSh), docSh("sh") === benchSh("bsh"), "left")

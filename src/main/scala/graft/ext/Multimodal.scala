@@ -91,7 +91,8 @@ object Multimodal {
     override def decode(c: Array[Byte], mediaType: String): (Int, Int, Int, Boolean) =
       header(c) match {
         case Some((w, h)) =>
-          val nf = if (mediaType == "video") math.max(1, (c.length - 12) / 16) else 1
+          // full 16-byte blocks only — must agree with frames()
+          val nf = if (mediaType == "video") (c.length - 12) / 16 else 1
           (w, h, nf, true)
         case None => (0, 0, 0, false)
       }

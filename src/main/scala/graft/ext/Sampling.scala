@@ -65,6 +65,8 @@ object Sampling {
                              frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"fraction $frac outside [0,1]")
     val space = 1L << 48
+    // frac = 0.0 means NOTHING, not one floor bucket
+    if (frac == 0.0) return df.filter(lit(false))
     val t = math.max(1L, math.round(frac * space.toDouble))
     if (t >= space) df
     else df.filter(

@@ -153,20 +153,17 @@ object TextAnalysis {
     * set, original columns intact. */
   def repetitionFilter(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, maxDupTokenFrac: Double = 0.7,
-                       maxDupNgramFrac: Double = 0.3): DataFrame = {
-    // a direct filter is safe ONLY because grams is the native kernel:
-    // a scratch-column formulation is defeated by predicate pushdown,
-    // whose alias substitution re-splices the tokenize tree into the HOF
-    // lambda (per-shingle re-tokenization); the kernel evaluates its
-    // token child once per row wherever the condition lands
-    val toks = TextDedup.tokens(col(textCol))
-    val grams = graft.functions.GraftFunctions.shingles(df.sparkSession, toks, n)
-    df.filter(
-      (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
-        <= maxDupTokenFrac &&
-      (lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
-        <= maxDupNgramFrac)
-  }
+                       maxDupNgramFrac: Double = 0.3): DataFrame =
+    // ONE fused boolean kernel: the composable condition needs the token
+    // array 4x and the gram array 2x, FilterExec does no common-subexpr
+    // elimination, and predicate pushdown defeats scratch-column sharing
+    // (its alias substitution inlines the trees into the condition) — the
+    // kernel tokenizes and shingles exactly once per row wherever the
+    // condition lands. Verdict parity with repetitionProfile's fractions
+    // is pinned in FunctionsSpec.
+    df.filter(graft.functions.GraftFunctions.repetitionOk(
+      df.sparkSession, TextDedup.tokens(col(textCol)), n,
+      maxDupTokenFrac, maxDupNgramFrac))
 
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =

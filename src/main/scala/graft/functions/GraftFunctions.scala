@@ -34,6 +34,16 @@ object GraftFunctions {
       "graft_minhash64 takes (array<bigint>, int literal)")
   }
 
+  val repetitionOkBuilder: Seq[Expression] => Expression = {
+    case Seq(a,
+        org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _),
+        org.apache.spark.sql.catalyst.expressions.Literal(mt: Double, _),
+        org.apache.spark.sql.catalyst.expressions.Literal(mg: Double, _)) =>
+      RepetitionOk(a, n, mt, mg)
+    case _ => throw new IllegalArgumentException(
+      "graft_repetition_ok takes (array<string>, int literal, double literal, double literal)")
+  }
+
   val shinglesBuilder: Seq[Expression] => Expression = {
     case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
       Shingles(a, k)
@@ -60,6 +70,8 @@ object GraftFunctions {
       "graft_topk_by", topKByBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", shinglesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition_ok", repetitionOkBuilder, "scala_udf")
   }
 
   /** Column API for the reducing top-k aggregate; registers lazily. */
@@ -79,6 +91,16 @@ object GraftFunctions {
   def simHash64(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function("graft_simhash64", tokens)
+  }
+
+  /** Column API for the fused repetition verdict; registers lazily. */
+  def repetitionOk(spark: SparkSession, tokens: Column, n: Int,
+                   maxDupTokenFrac: Double, maxDupNgramFrac: Double): Column = {
+    register(spark)
+    call_function("graft_repetition_ok", tokens,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(maxDupTokenFrac),
+      org.apache.spark.sql.functions.lit(maxDupNgramFrac))
   }
 
   /** Column API for the native shingling kernel; registers lazily. */
@@ -122,5 +144,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       GraftFunctions.shinglesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_repetition_ok"),
+      new ExpressionInfo(classOf[RepetitionOk].getName, "graft_repetition_ok"),
+      GraftFunctions.repetitionOkBuilder))
   }
 }

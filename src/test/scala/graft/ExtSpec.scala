@@ -14,14 +14,15 @@ final class LeCodec extends graft.ext.Multimodal.MediaCodec {
   override def decode(c: Array[Byte], mt: String): (Int, Int, Int, Boolean) =
     if (c != null && c.length >= 8) {
       val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      (bb.getInt(0), bb.getInt(4), 1, true)
+      // full 4-byte blocks only — frames() must agree (trait contract)
+      (bb.getInt(0), bb.getInt(4), (c.length - 8) / 4, true)
     } else (0, 0, 0, false)
   override def features(c: Array[Byte], mt: String, dim: Int): Array[Float] =
     // sin() gives each length a distinct direction (not just scale), so
     // cosine self-similarity is strictly maximal in the ANN check
     Array.tabulate(dim)(i => math.sin(c.length.toDouble * (i + 1)).toFloat)
   override def frames(c: Array[Byte]): Seq[Array[Byte]] =
-    c.drop(8).grouped(4).toSeq
+    c.drop(8).grouped(4).filter(_.length == 4).toSeq
 }
 
 class ExtSpec extends AnyFunSuite {
@@ -297,10 +298,11 @@ class ExtSpec extends AnyFunSuite {
       .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
     val top = Similarity.bruteForceTopK(feats, "embedding", "media_id", q, 3).collect()
     assert(top.head.getAs[Long]("media_id") == 12L)
-    // frames under the custom container: 4-byte blocks after an 8-byte header
+    // frames under the custom container: FULL 4-byte blocks after an
+    // 8-byte header (partial tails are not frames — trait contract)
     val fr = Multimodal.frameSample(sized, stride = 1, maxFrames = 100,
       codec = () => new LeCodec)
-    assert(fr.count() == (1 to 12).map(i => (i + 3) / 4).sum)
+    assert(fr.count() == (1 to 12).map(_ / 4).sum)
   }
 
   test("multimodal guards: empty dataset, zero stride, bad target bytes") {

@@ -93,6 +93,24 @@ class FunctionsSpec extends AnyFunSuite {
       e.getMessage.contains("array<string>"))
   }
 
+  test("fused repetition verdict == thresholds applied to the profile fractions") {
+    val docs = Tables(spark, sf, "documents").limit(80)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq("a a a a a a", "all words differ here now", "x",
+        "  ", null.asInstanceOf[String]).toDF("text")
+        .withColumn("doc_id", monotonically_increasing_id() + 5000)
+        .select(col("doc_id"), col("text")))
+    for ((mt, mg) <- Seq((0.7, 0.3), (0.0, 0.0), (1.0, 1.0), (0.5, 0.1))) {
+      val kept = graft.ext.TextAnalysis
+        .repetitionFilter(docs, "text", "doc_id", 3, mt, mg)
+        .select("doc_id").as[Long].collect().toSet
+      val want = graft.ext.TextAnalysis.repetitionProfile(docs, "text", "doc_id", 3)
+        .filter(col("dup_token_frac") <= mt && col("dup_ngram_frac") <= mg)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == want, s"thresholds ($mt, $mg)")
+    }
+  }
+
   test("native MinHash64 is BIT-identical to the HOF lane fold") {
     val docs = Tables(spark, sf, "documents").limit(30)
     val shh = array_distinct(transform(

@@ -133,17 +133,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("repetition filter inlines the shingle KERNEL, never a HOF lambda (x21)") {
+  test("repetition filter is ONE fused kernel, never a HOF lambda (x21)") {
     // predicate pushdown substitutes scratch-column aliases into the
     // filter; with the HOF formulation that re-splices tokenization into
-    // an interpreted per-element lambda. The kernel keeps tokenize
-    // once-per-row wherever the condition lands.
+    // an interpreted per-element lambda, and FilterExec does no common-
+    // subexpression elimination. The fused verdict kernel appears exactly
+    // once — tokenize and shingle run once per row.
     val docs = Tables(spark, sf, "documents")
     val f = graft.ext.TextAnalysis.repetitionFilter(docs, "text", "doc_id")
     f.collect()
     val opt = f.queryExecution.optimizedPlan.toString
-    assert(opt.contains("graft_shingles"), opt)
+    assert(opt.contains("graft_repetition_ok"), opt)
     assert(!opt.contains("lambdafunction"), opt)
+    assert("graft_repetition_ok".r.findAllIn(opt).size == 1, opt)
   }
 
   test("partition pruning: monthly-partitioned write is readable by one month") {

@@ -441,6 +441,38 @@ object SparkEntry {
         .withColumn("is_clean", col("contamination") <= 0.2)
         .orderBy(col("doc_id"))
     }),
+    "x22_dup_groups" -> ((s, d) => {
+      // transitive near-dup groups: the portable MinHash pairs (x13's
+      // corpus) fed through connected components — group id = min
+      // member id. DuckDB reproduces the components with a recursive
+      // reachability CTE over the same pair set.
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id").as("id"),
+        TextDedup.normalize(col("text")).as("t"))
+      val pert = base.select((col("id") + 1000000).as("id"),
+        expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
+          "ELSE t END").as("t"))
+      val pairs = TextDedup.portableMinhashDupPairs(base.unionByName(pert), "t", "id")
+      TextDedup.duplicateGroups(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("group_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "x23_neardup_dedup_kept" -> ((s, d) => {
+      // the full near-dup dedup decision end-to-end: portable MinHash
+      // pairs -> connected components -> keep each group's min-id member
+      // (docs in no pair pass through). Same corpus as x13/x22.
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id").as("id"),
+        TextDedup.normalize(col("text")).as("t"))
+      val pert = base.select((col("id") + 1000000).as("id"),
+        expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
+          "ELSE t END").as("t"))
+      val corpus = base.unionByName(pert)
+      val pairs = TextDedup.portableMinhashDupPairs(corpus, "t", "id")
+      TextDedup.dedupByPairs(corpus, "id", pairs)
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "x21_repetition_profile" -> ((s, d) => {
       // Gopher-style repetition quality signal: duplicate-token and
       // duplicate-3-gram fractions per document (narrow projection).
@@ -470,6 +502,56 @@ object SparkEntry {
     planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${duckDot(embExpr, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", "\n   + ", ")")
+
+  /** Shared CTE chain of the portable MinHash-LSH pipeline (corpus =
+    * documents plus first-token-dropped copies at id+1000000, 16-perm
+    * sha256 signatures, 4 bands, capped buckets, exact-Jaccard verify)
+    * ending in a `pairs(id_a, id_b, jaccard)` CTE — reused by the x13
+    * pair oracle and the x22 connected-components oracle. */
+  private val duckPortablePairCtes: String =
+    """WITH base AS (
+        |  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT id, t FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000 AS id,
+        |         CASE WHEN strpos(t, ' ') > 0 THEN substr(t, strpos(t, ' ') + 1)
+        |              ELSE t END AS t
+        |  FROM base),
+        |toks AS (SELECT id, string_split(t, ' ') AS w FROM corpus),
+        |sets AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(1, len(w) - 2),
+        |                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    END) AS ss
+        |  FROM toks),
+        |shex AS (SELECT id, unnest(ss) AS s FROM sets),
+        |lanes AS (
+        |  SELECT id, p, min(substr(sha256(p::VARCHAR || ':' || s), 1, 16)) AS lane
+        |  FROM shex, generate_series(0, 15) g(p)
+        |  GROUP BY id, p),
+        |sig AS (SELECT id, list(lane ORDER BY p) AS sig FROM lanes GROUP BY id),
+        |bandt AS (
+        |  SELECT id, b, sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4] AS bh
+        |  FROM sig, generate_series(0, 3) t(b)),
+        |bsz AS (SELECT b, bh, count(*) AS n FROM bandt GROUP BY b, bh),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+        |  FROM bandt a
+        |  JOIN bandt c ON a.b = c.b AND a.bh = c.bh AND a.id < c.id
+        |  JOIN bsz ON bsz.b = a.b AND bsz.bh = a.bh
+        |  WHERE bsz.n <= 1000),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.ss, sb.ss))) AS jaccard
+        |  FROM cand
+        |  JOIN sets sa ON sa.id = cand.id_a
+        |  JOIN sets sb ON sb.id = cand.id_b
+        |  WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.7)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -741,49 +823,45 @@ object SparkEntry {
     // Spark side's maxBucket); verify = exact distinct-shingle Jaccard
     // (integer-ratio double, bit-identical cross-engine).
     "x13_minhash_lsh_portable" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        |  FROM documents),
-        |corpus AS (
-        |  SELECT id, t FROM base
-        |  UNION ALL
-        |  SELECT id + 1000000 AS id,
-        |         CASE WHEN strpos(t, ' ') > 0 THEN substr(t, strpos(t, ' ') + 1)
-        |              ELSE t END AS t
-        |  FROM base),
-        |toks AS (SELECT id, string_split(t, ' ') AS w FROM corpus),
-        |sets AS (
-        |  SELECT id, list_distinct(
-        |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
-        |         ELSE list_transform(generate_series(1, len(w) - 2),
-        |                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-        |    END) AS ss
-        |  FROM toks),
-        |shex AS (SELECT id, unnest(ss) AS s FROM sets),
-        |lanes AS (
-        |  SELECT id, p, min(substr(sha256(p::VARCHAR || ':' || s), 1, 16)) AS lane
-        |  FROM shex, generate_series(0, 15) g(p)
-        |  GROUP BY id, p),
-        |sig AS (SELECT id, list(lane ORDER BY p) AS sig FROM lanes GROUP BY id),
-        |bandt AS (
-        |  SELECT id, b, sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4] AS bh
-        |  FROM sig, generate_series(0, 3) t(b)),
-        |bsz AS (SELECT b, bh, count(*) AS n FROM bandt GROUP BY b, bh),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
-        |  FROM bandt a
-        |  JOIN bandt c ON a.b = c.b AND a.bh = c.bh AND a.id < c.id
-        |  JOIN bsz ON bsz.b = a.b AND bsz.bh = a.bh
-        |  WHERE bsz.n <= 1000)
-        |SELECT id_a, id_b,
-        |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(sa.ss, sb.ss))) AS jaccard
-        |FROM cand
-        |JOIN sets sa ON sa.id = cand.id_a
-        |JOIN sets sb ON sb.id = cand.id_b
-        |WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""$duckPortablePairCtes
+         |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "x22_dup_groups" -> {
+      // recursive reachability over the same portable pair set: each
+      // node's group id = min id it can reach (components are tiny —
+      // doc + its perturbed copy + occasional genuine near-dups — so
+      // the recursion closes in a few rounds)
+      val ctes = duckPortablePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$ctes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         |SELECT src AS doc_id, MIN(dst) AS group_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+    },
+    "x23_neardup_dedup_kept" -> {
+      // kept = corpus ids minus every component member above its
+      // group min (the same reachability CTE as x22 decides the groups)
+      val ctes = duckPortablePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$ctes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |groups AS (SELECT src AS id, MIN(dst) AS group_id FROM reach GROUP BY src)
+         |SELECT c.id AS doc_id
+         |FROM corpus c LEFT JOIN groups g ON g.id = c.id
+         |WHERE g.id IS NULL OR g.group_id = c.id
+         |ORDER BY doc_id""".stripMargin
+    },
     "x14_hash_split" ->
       """SELECT doc_id,
         |  substr(sha256('split:' || doc_id), 1, 4) AS bucket,

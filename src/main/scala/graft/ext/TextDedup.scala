@@ -412,6 +412,107 @@ object TextDedup {
     * and unique doc ids each pair arises at most once, so the cross-band
     * pair distinct is skipped — one less exchange (ids must be unique,
     * the standing precondition of the dedup family). */
+  // ---- duplicate groups (connected components) ----
+
+  /** Connected components over a near-duplicate pair set — the step that
+    * turns pairwise dedup output into dedup DECISIONS: transitive
+    * closure groups (doc A ~ B, B ~ C ⇒ {A,B,C} is one group) with the
+    * group id = the MIN member id. Output: `(id, comp)`, one row per
+    * node that appears in `pairs`.
+    *
+    * Algorithm: min-label propagation with path halving (pointer
+    * jumping) — each iteration every node takes the min of its own and
+    * its neighbors' labels, then labels shortcut one level
+    * (`comp := comp(comp)`), so convergence is O(log diameter)
+    * iterations rather than O(diameter); a 200-link chain converges in
+    * ~8 rounds (spec-pinned). Each iteration is one join + one
+    * aggregate on the node id — all shuffle-partitioned by id, no
+    * driver-side data, the standard Spark shape for iterative graph
+    * connectivity (the same alternating-contraction idea as
+    * small-star/large-star). The driver sees one scalar per round — the
+    * label sum, whose monotone decrease detects the fixpoint without a
+    * per-round comparison join.
+    *
+    * Scale notes: `pairs` is dedup output — orders of magnitude smaller
+    * than the corpus; labels persist MEMORY_AND_DISK per round and the
+    * previous round unpersists eagerly. Near-dup graphs have tiny
+    * components (boilerplate mega-components are pre-capped by
+    * `maxBucket` upstream), so the label table stays |nodes| rows.
+    * Each round CUTS PLAN LINEAGE before the convergence count —
+    * without it the analyzed plan references the previous round's tree
+    * ~4× and grows exponentially (OOMs the driver around iteration 8).
+    * With `spark.sparkContext.setCheckpointDir` set the cut is a
+    * reliable `checkpoint()` (what a 1000-executor run should use —
+    * survives executor loss); otherwise an RDD round-trip resets the
+    * plan to a single `LogicalRDD` node, with the round's result pinned
+    * in the block manager by the convergence count. */
+  def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def cutLineage(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else spark.createDataFrame(df.rdd, df.schema).persist(lvl)
+    }
+    // symmetrize in ONE scan of `pairs` (explode, not self-union — a
+    // union would splice the whole upstream pair-generation subtree in
+    // twice and execute it twice before the persist materializes)
+    val edges = pairs.select(explode(array(
+        struct(col(idA).as("a"), col(idB).as("b")),
+        struct(col(idB).as("a"), col(idA).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .persist(lvl)
+    // Fixpoint detection without a join: labels are monotone
+    // non-increasing per node (min-propagation, and halving maps
+    // through comp(x) <= x), so sum(comp) strictly decreases while
+    // anything changes — an unchanged sum IS convergence. decimal(38)
+    // so the sum can't overflow at any node count × id range.
+    def compSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+    // seed = one prop round from the identity labeling, fused into a
+    // single aggregation over the edge list: comp0 = min(id, neighbors)
+    var labels = cutLineage(edges.groupBy(col("a"))
+      .agg(min(col("b")).as("_mb"))
+      .select(col("a").as("id"), least(col("_mb"), col("a")).as("comp")))
+    var prevSum = compSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over self + neighbors' labels
+      val prop = edges.join(labels, edges("a") === labels("id"))
+        .select(edges("b").as("id"), labels("comp"))
+        .union(labels.select(col("id"), col("comp")))
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // path halving: comp := comp(comp) — label chains shortcut a level
+      val next = cutLineage(prop.as("x")
+        .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+          col("x.comp") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.ccomp"), col("x.comp")).as("comp")))
+      val curSum = compSum(next) // also materializes next's persist
+      labels.unpersist()
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"duplicateGroups did not converge in $maxIter iterations")
+    labels
+  }
+
+  /** Dedup by transitive near-duplicate groups: every group keeps its
+    * MIN-id member; docs not in any pair pass through. The final step of
+    * the MinHash/SimHash dedup pipelines. */
+  def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    require(!docs.columns.contains("_graft_dup_id"),
+      "dedupByPairs reserves the column name _graft_dup_id")
+    val losers = duplicateGroups(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("_graft_dup_id"))
+    docs.join(losers, docs(idCol) === col("_graft_dup_id"), "left_anti")
+  }
+
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, prefixBits: Int = 16,
                       maxBucket: Int = 1000): DataFrame = {

@@ -95,6 +95,43 @@ class ExtSpec extends AnyFunSuite {
     assert(pStaged == pPersisted)
   }
 
+  test("duplicateGroups finds transitive components; dedupByPairs keeps group mins") {
+    // components: {1,2,3} (chain), {10,11}, {20,21,22} (triangle-ish);
+    // 99 appears in no pair and must pass through dedupByPairs untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L)).toDF("id_a", "id_b")
+    val groups = TextDedup.duplicateGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 99L).toDF("doc_id")
+    val kept = TextDedup.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L, 99L))
+  }
+
+  test("duplicateGroups on an empty pair set is empty; dedupByPairs guards its reserved column") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(TextDedup.duplicateGroups(empty).count() == 0)
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    assert(TextDedup.dedupByPairs(docs, "doc_id", empty)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val clash = docs.withColumn("_graft_dup_id", col("doc_id"))
+    intercept[IllegalArgumentException] {
+      TextDedup.dedupByPairs(clash, "doc_id", empty)
+    }
+  }
+
+  test("duplicateGroups converges in O(log diameter): a 200-link chain") {
+    // plain 1-hop label propagation would need ~200 iterations; path
+    // halving must close this well inside the 30-iteration bound
+    val chain = (100L until 300L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val groups = TextDedup.duplicateGroups(chain).collect()
+    assert(groups.length == 200)
+    assert(groups.forall(_.getLong(1) == 100L))
+  }
+
   test("simhash of identical text is identical; near text is close (SimHash)") {
     val df = TextDedup.withSimhash(Seq(
       (1L, "spark engine for large scale data processing and analytics work"),

@@ -483,6 +483,116 @@ object SparkEntry {
         .withColumn("is_repetitive", col("dup_ngram_frac") > 0.3)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- relational extensions: as-of / range / session (ext.Relational) ----
+    "x24_asof_join" -> ((s, d) => {
+      // point-in-time-correct feature lookup: each purchase gets the
+      // user's latest click at-or-before it. Union-window plan — one
+      // shuffle, no join node (vs DuckDB's native ASOF JOIN oracle).
+      // Integer-seconds time base for cross-engine exactness; the click
+      // side is pre-aggregated to one row per (user, second) so the
+      // as-of tie rule is pinned on both engines.
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("tsec"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), unix_timestamp(col("ts")).as("click_tsec"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.ext.Relational.asofJoin(purchases, clicks, Seq("user_id"),
+          "tsec", "click_tsec", Seq("click_tsec", "click_id"), "last_")
+        .select(col("event_id"), col("user_id"), col("tsec"),
+          col("last_click_tsec"), col("last_click_id"))
+        .orderBy(col("event_id"))
+    }),
+    "x25_range_join" -> ((s, d) => {
+      // interval containment without a theta join: purchases landing in
+      // each error's 2-hour aftermath window, per user. Bin-bucketed
+      // equi-join (bin = interval length) + residual filter; zero-match
+      // windows survive via the left join back onto the interval side.
+      val ev = t(s, d, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("t_start"))
+        .withColumn("t_end", col("t_start") + 7200L)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ptime"))
+      val matched = graft.ext.Relational.rangeJoin(purchases, errors,
+        Seq("user_id"), "ptime", "t_start", "t_end", binSeconds = 7200L)
+      val counts = matched.groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_purchases"))
+      errors.join(counts, Seq("err_id"), "left")
+        .select(col("err_id"), col("user_id"), col("t_start"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy(col("err_id"))
+    }),
+    "x26_sessionize" -> ((s, d) => {
+      // gap-based sessionization (30-min inactivity cut) rolled up to
+      // session level: lag/cumsum window chain, one shuffle end-to-end.
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("tsec"))
+      graft.ext.Relational.sessionStats(ev, Seq("user_id"), "tsec",
+          "event_id", gapSeconds = 1800L)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+    "x27_stratified_sample" -> ((s, d) => {
+      // per-stratum rebalancing: keep every error, half the purchases,
+      // a tenth of the view flood, a quarter of everything else —
+      // deterministic sha256 decision, shuffle-free scan.
+      graft.ext.Sampling.stratifiedSample(
+          t(s, d, "events").select(col("event_id"), col("event_type")),
+          "event_id", "event_type", "strat",
+          Map("error" -> 1.0, "purchase" -> 0.5, "view" -> 0.1),
+          defaultFrac = 0.25)
+        .orderBy(col("event_id"))
+    }),
+    "x28_length_percentiles" -> ((s, d) => {
+      // corpus length profile: exact percentiles of document length per
+      // language (planning truncation budgets needs the tail, not the
+      // mean). Integer inputs keep the interpolated value bit-identical
+      // cross-engine.
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(percentile(col("n_chars"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("n_chars"), lit(0.75)), 4).as("p75"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
+        .orderBy(col("lang"))
+    }),
+    "s14_pivot_daily_types" -> ((s, d) => {
+      // the real pivot operator (RelationalGroupedDataset.pivot with
+      // explicit values — single pass, no value-discovery job); q03 is
+      // the same result via manual conditional aggregation.
+      val types = Seq("error", "signup", "purchase", "view", "click")
+      val p = t(s, d, "events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("day") +:
+          types.map(v => coalesce(col(v), lit(0L)).as(v + "_count")): _*)
+        .orderBy(col("day"))
+    }),
+    "s15_unpivot_lineitem_metrics" -> ((s, d) => {
+      // unpivot/melt: wide fact → long (metric, val) form — the shape
+      // feature stores and per-metric quality dashboards consume.
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount"),
+            col("tax")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
   )
 
   /** DuckDB fragment: dot(embExpr, plane) with the same float→double
@@ -1057,5 +1167,93 @@ object SparkEntry {
         |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_ngram_frac,
         |  (CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) > 0.3 AS is_repetitive
         |FROM g ORDER BY doc_id""".stripMargin,
+    // DuckDB's native ASOF JOIN vs the Spark union-window plan. Both
+    // sides use floor-to-second integer time (Spark's unix_timestamp ==
+    // epoch(date_trunc('second', ts)) on the ns fixture) and the click
+    // side is unique per (user, second), so the matched row is pinned.
+    "x24_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS click_tsec,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.tsec,
+        |  c.click_tsec AS last_click_tsec, c.click_id AS last_click_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.click_tsec <= p.tsec
+        |ORDER BY p.event_id""".stripMargin,
+    "x25_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id AS err_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t_start
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pt
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.err_id, e.user_id, e.t_start,
+        |  CAST(count(p.event_id) AS BIGINT) AS n_purchases
+        |FROM e LEFT JOIN p
+        |  ON e.user_id = p.user_id AND p.pt >= e.t_start AND p.pt < e.t_start + 7200
+        |GROUP BY 1, 2, 3 ORDER BY err_id""".stripMargin,
+    "x26_sessionize" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev
+        |  FROM t),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM l)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(tsec) AS session_start, max(tsec) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    // thresholds are the 16-bit hex quantizations of the Spark-side
+    // fractions: 1.0 → 'g' (above all hex), 0.5 → '8000', 0.1 → '199a',
+    // 0.25 → '4000' — see Sampling.hexThreshold
+    "x27_stratified_sample" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE substr(sha256('strat:' || event_type || '/' || event_id), 1, 4) <
+        |  CASE event_type WHEN 'error' THEN 'g' WHEN 'purchase' THEN '8000'
+        |       WHEN 'view' THEN '199a' ELSE '4000' END
+        |ORDER BY event_id""".stripMargin,
+    "x28_length_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(ROUND(quantile_cont(n_chars, 0.25), 4) AS DOUBLE) AS p25,
+        |  CAST(ROUND(quantile_cont(n_chars, 0.5), 4) AS DOUBLE) AS p50,
+        |  CAST(ROUND(quantile_cont(n_chars, 0.75), 4) AS DOUBLE) AS p75,
+        |  CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
+        |  CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "s14_pivot_daily_types" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+        |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_count,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+        |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+        |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s15_unpivot_lineitem_metrics" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |  CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |  CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount',
+        |  CAST(l_discount AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax',
+        |  CAST(l_tax AS DOUBLE) FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
   )
 }

@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-first relational extensions the reference's OLAP surface stops
+  * short of: as-of joins, range (interval) joins, and gap-based
+  * sessionization. None of these are expressible as a plain equi-join
+  * without either a window trick or a bucketing scheme — the naive
+  * formulations Spark would pick for the literal SQL (a theta-join →
+  * BroadcastNestedLoopJoin, or a per-row subquery) are O(n·m) and die at
+  * cluster scale. Each operator here is built so the physical plan is
+  * one hash-partitioned shuffle + sort, never a nested loop:
+  *
+  *  - [[asofJoin]]: union-then-window. Tag both sides, union, sort each
+  *    key group by (time, side), and carry the latest right-side payload
+  *    forward with a running `last(_, ignoreNulls)` frame. One shuffle
+  *    on the key, one sort, zero join nodes — the classic
+  *    point-in-time-correct join used for feature lookups ("the latest
+  *    profile snapshot as of this interaction") without copying the
+  *    right side per left row.
+  *  - [[rangeJoin]]: bin bucketing. Intervals explode to the fixed-width
+  *    time bins they cover, points map to exactly one bin, and the match
+  *    becomes an equi-join on (key, bin) + a residual filter. Spark
+  *    plans a SortMergeJoin/shuffled-hash join; work is proportional to
+  *    (pairs that share a bin), not |points|×|intervals|. `binSeconds`
+  *    should be on the order of the typical interval length: each
+  *    interval then lands in O(1) bins.
+  *  - [[sessionize]]: the standard lag/cumsum reformulation. A session
+  *    boundary is "gap from the previous event exceeds `gapSeconds`";
+  *    the session ordinal is the running sum of boundary flags. One
+  *    window, one shuffle; every key sessionizes independently, so 100
+  *    TB of events sessionize at full cluster width.
+  *
+  * All time arithmetic is over an integer-seconds column supplied by the
+  * caller (e.g. `unix_timestamp(ts)`): integer comparisons are exact and
+  * engine-portable, where raw nanosecond timestamps are not (Spark
+  * floors parquet NANOS to microseconds on read — see
+  * [[graft.Tables]] — so sub-microsecond boundary comparisons would
+  * diverge from an engine that keeps full precision).
+  */
+object Relational {
+
+  private def reserve(df: DataFrame, cols: Seq[String], op: String): Unit =
+    cols.foreach { c =>
+      require(!df.columns.contains(c),
+        s"$op writes output column '$c' but the input already has one — rename or drop it")
+    }
+
+  /** As-of join: for every left row, attach the single latest right row
+    * whose `rightTime <= leftTime` within the same key group (inclusive;
+    * nulls when no right row precedes the left row).
+    *
+    * Right-side payload columns come back prefixed with `prefix`. Ties
+    * on `rightTime` within a key resolve deterministically to the
+    * lexicographically greatest payload struct; pre-aggregate the right
+    * side to one row per (key, time) when a specific tie rule is needed.
+    *
+    * Physical plan: union of the two tagged sides → one shuffle on
+    * `keys` → one sort by (time, side, payload) → running
+    * `last(ignoreNulls)` window (Spark's incremental UnboundedPreceding
+    * frame, O(rows)). No join node at all, so there is no pair
+    * explosion to mitigate and per-key skew degrades linearly.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val scratch = Seq("_graft_t", "_graft_side", "_graft_rv")
+    reserve(left, scratch ++ rightCols.map(prefix + _), "asofJoin")
+    reserve(right, scratch, "asofJoin")
+
+    val rv = struct(rightCols.map(col): _*)
+    // Right rows sort BEFORE left rows at the same time value — that is
+    // what makes the join inclusive (rightTime == leftTime matches).
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("_graft_t"), lit(0).as("_graft_side"),
+        rv.as("_graft_rv")): _*)
+    val taggedLeft = left
+      .withColumn("_graft_t", col(leftTime))
+      .withColumn("_graft_side", lit(1))
+      .withColumn("_graft_rv", lit(null).cast(taggedRight.schema("_graft_rv").dataType))
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_graft_t"), col("_graft_side"), col("_graft_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+      .withColumn("_graft_rv", last(col("_graft_rv"), ignoreNulls = true).over(w))
+      .filter(col("_graft_side") === 1)
+
+    val out = rightCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(prefix + c, col("_graft_rv").getField(c))
+    }
+    out.drop(scratch: _*)
+  }
+
+  /** Range (interval) join: match every point row to every interval row
+    * of the same key with `startCol <= pointTime < endCol`. Returns the
+    * matched pairs (all point columns + all interval columns; callers
+    * aggregate downstream).
+    *
+    * Both sides map onto fixed `binSeconds`-wide time bins — the
+    * interval to every bin it overlaps (via `sequence`), the point to
+    * exactly one — turning the inequality predicate into an equi-join
+    * on (keys, bin) with a residual range filter. Because a point lives
+    * in exactly one bin, no pair can match twice and no distinct pass
+    * is needed. Intervals longer than ~a few bins multiply their
+    * replication factor: pick `binSeconds` near the typical interval
+    * length (replication = len/binSeconds + 1).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointTime: String, startCol: String, endCol: String,
+                binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    reserve(points, Seq("_graft_bin"), "rangeJoin")
+    reserve(intervals, Seq("_graft_bin"), "rangeJoin")
+
+    // [start, end): the last covered bin is the one holding end-1.
+    val binned = intervals.withColumn("_graft_bin",
+      explode(sequence(
+        floor(col(startCol) / binSeconds),
+        floor((col(endCol) - 1) / binSeconds))))
+    val pointed = points.withColumn("_graft_bin",
+      floor(col(pointTime) / binSeconds))
+
+    val joinCond = (keys.map(k => pointed(k) === binned(k)) :+
+      (pointed("_graft_bin") === binned("_graft_bin")) :+
+      (pointed(pointTime) >= binned(startCol)) :+
+      (pointed(pointTime) < binned(endCol))).reduce(_ && _)
+    val joined = pointed.join(binned, joinCond)
+      .drop(pointed("_graft_bin")).drop(binned("_graft_bin"))
+    // joining on the key columns from both sides keeps both copies;
+    // drop the interval side's duplicates
+    keys.foldLeft(joined)((df, k) => df.drop(binned(k)))
+  }
+
+  /** Gap-based sessionization: assign each row a per-key session
+    * ordinal (`session_id`, 1-based in time order) where a new session
+    * starts whenever the gap from the previous row exceeds
+    * `gapSeconds`. `tieCol` makes the within-key order total (and the
+    * assignment deterministic) when two rows share a time value.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], timeCol: String,
+                 tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    reserve(df, Seq("session_id"), "sessionize")
+    val order = Seq(col(timeCol), col(tieCol))
+    val wLag = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(timeCol), 1).over(wLag)
+    val isBoundary = prev.isNull || (col(timeCol) - prev > gapSeconds)
+    df.withColumn("session_id",
+      sum(when(isBoundary, 1L).otherwise(0L)).over(wRun))
+  }
+
+  /** Session-level rollup of [[sessionize]]: one row per (keys,
+    * session_id) with start/end times and the event count. Both windows
+    * in [[sessionize]] and this aggregation share the same partitioning
+    * (`keys`), so the whole chain is a single shuffle.
+    */
+  def sessionStats(df: DataFrame, keys: Seq[String], timeCol: String,
+                   tieCol: String, gapSeconds: Long): DataFrame =
+    sessionize(df, keys, timeCol, tieCol, gapSeconds)
+      .groupBy((keys :+ "session_id").map(col): _*)
+      .agg(
+        min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+}

@@ -74,6 +74,27 @@ object Sampling {
         < lit(f"$t%012x"))
   }
 
+  /** Deterministic stratified sample: per-stratum keep fractions (e.g.
+    * keep all rare `error` rows, 10% of the `view` flood), keyed by the
+    * same salted 16-bit hash as [[bernoulliSample]] so the decision is
+    * engine- and cluster-portable. Strata not in `fracs` fall back to
+    * `defaultFrac`. Like every sampler here this is a narrow
+    * projection-and-filter — no shuffle, no per-stratum pass: one scan
+    * decides every row, which is what rebalancing a 100 TB corpus by
+    * source/language/quality-band requires. The stratum column joins
+    * the hash input, so the same id in two strata draws independently.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       salt: String, fracs: Map[String, Double],
+                       defaultFrac: Double): DataFrame = {
+    val b = hashBucket(concat_ws("/", col(strataCol), col(idCol)), salt)
+    val threshold = fracs.foldLeft(lit(hexThreshold(defaultFrac))) {
+      case (acc, (stratum, frac)) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(frac))).otherwise(acc)
+    }
+    df.filter(b < threshold)
+  }
+
   /** Deterministic train/valid/test assignment: `trainFrac` of the hash
     * space to "train", then `validFrac` to "valid", remainder "test". */
   def hashSplit(df: DataFrame, idCol: String, salt: String,

@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Relational, Sampling}
+
+/** ext.Relational (as-of join, range join, sessionization) and
+  * Sampling.stratifiedSample: correctness against brute-force
+  * formulations on a deterministic fixture, boundary semantics, and the
+  * plan shapes that make these operators scale (no nested-loop joins,
+  * minimal exchanges).
+  */
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // deterministic pseudo-random fixture: 3 keys, interleaved times with
+  // deliberate collisions (t repeats across sides and within sides)
+  private lazy val leftDf = Seq(
+    // (key, lt, lid)
+    ("a", 10L, 1L), ("a", 20L, 2L), ("a", 20L, 3L), ("a", 35L, 4L),
+    ("b", 5L, 5L), ("b", 50L, 6L),
+    ("c", 7L, 7L)
+  ).toDF("k", "lt", "lid")
+
+  private lazy val rightDf = Seq(
+    // (key, rt, rv) — unique (k, rt) as asofJoin's tie contract expects
+    ("a", 8L, "a8"), ("a", 20L, "a20"), ("a", 30L, "a30"),
+    ("b", 60L, "b60"),
+    ("d", 1L, "d1")
+  ).toDF("k", "rt", "rv")
+
+  test("asofJoin matches the brute-force window formulation") {
+    val got = Relational.asofJoin(leftDf, rightDf, Seq("k"), "lt", "rt",
+      Seq("rt", "rv"))
+      .select($"k", $"lt", $"lid", $"asof_rt", $"asof_rv")
+
+    // brute force: theta join on rt <= lt, keep max-rt right row per left
+    val joined = leftDf.join(rightDf, Seq("k"), "left")
+      .filter($"rt".isNull || $"rt" <= $"lt")
+    val w = Window.partitionBy($"lid").orderBy($"rt".desc_nulls_last)
+    val expect = joined.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"k", $"lt", $"lid", $"rt".as("asof_rt"), $"rv".as("asof_rv"))
+      // left rows whose only join output had rt > lt were filtered out
+      // entirely above; restore them as null-matches
+      .unionByName(
+        leftDf.join(joined.select($"lid").distinct(), Seq("lid"), "left_anti")
+          .withColumn("asof_rt", lit(null).cast("long"))
+          .withColumn("asof_rv", lit(null).cast("string"))
+          .select($"k", $"lt", $"lid", $"asof_rt", $"asof_rv"))
+
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      s"got=${got.collect().mkString(",")} expect=${expect.collect().mkString(",")}")
+  }
+
+  test("asofJoin semantics: inclusive tie, no-prior-row nulls, key isolation") {
+    val out = Relational.asofJoin(leftDf, rightDf, Seq("k"), "lt", "rt",
+      Seq("rv")).collect().map(r =>
+        r.getAs[Long]("lid") -> Option(r.getAs[String]("asof_rv"))).toMap
+    assert(out(2) == Some("a20") && out(3) == Some("a20"),
+      "rt == lt must match (inclusive as-of)")
+    assert(out(1) == Some("a8"), "plain latest-before")
+    assert(out(4) == Some("a30"), "skips future rows")
+    assert(out(5) == None, "b@5 has no prior b row")
+    assert(out(6) == None, "b@50: b's only right row is at 60 (future)")
+    assert(out(7) == None, "c never appears on the right (d must not leak)")
+  }
+
+  test("asofJoin output row count == left row count (never explodes)") {
+    val out = Relational.asofJoin(leftDf, rightDf, Seq("k"), "lt", "rt", Seq("rv"))
+    assert(out.count() == leftDf.count())
+    assert(out.columns.toSeq ==
+      leftDf.columns.toSeq :+ "asof_rv", "left schema + prefixed payload")
+  }
+
+  // AQE's toString prints the final plan AND the pre-adaptive initial
+  // plan; count shuffles in the executed (final) section only
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("asofJoin plans with no join node and a single exchange") {
+    val out = Relational.asofJoin(leftDf, rightDf, Seq("k"), "lt", "rt", Seq("rv"))
+    val p = finalPlan(out)
+    assert(!p.contains("Join"), "as-of must not plan a join:\n" + p)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "expected exactly one shuffle:\n" + p)
+  }
+
+  test("asofJoin guards reserved/output column collisions") {
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(leftDf.withColumn("asof_rv", lit(1)), rightDf,
+        Seq("k"), "lt", "rt", Seq("rv"))
+    }
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(leftDf, rightDf.withColumn("_graft_t", lit(1)),
+        Seq("k"), "lt", "rt", Seq("rv"))
+    }
+  }
+
+  private lazy val points = Seq(
+    ("a", 0L, 100L), ("a", 10L, 101L), ("a", 19L, 102L), ("a", 20L, 103L),
+    ("a", 25L, 104L), ("b", 10L, 105L), ("c", 10L, 106L)
+  ).toDF("k", "pt", "pid")
+
+  private lazy val intervals = Seq(
+    // [s, e) — iid 1 spans multiple bins at binSeconds=10
+    ("a", 10L, 21L, 1L), ("a", 18L, 20L, 2L), ("b", 0L, 5L, 3L),
+    ("d", 0L, 100L, 4L)
+  ).toDF("k", "s", "e", "iid")
+
+  test("rangeJoin matches the brute-force theta join, exactly once per pair") {
+    val got = Relational.rangeJoin(points, intervals, Seq("k"), "pt", "s", "e",
+      binSeconds = 10L).select($"pid", $"iid")
+    val expect = points.join(intervals.withColumnRenamed("k", "k2"),
+        $"k" === $"k2" && $"pt" >= $"s" && $"pt" < $"e")
+      .select($"pid", $"iid")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      s"got=${got.collect().mkString(",")} expect=${expect.collect().mkString(",")}")
+    // multi-bin interval 1 matched its in-range points exactly once each
+    val dup = got.groupBy($"pid", $"iid").count().filter($"count" > 1)
+    assert(dup.isEmpty, "pair emitted more than once")
+  }
+
+  test("rangeJoin boundary semantics: start inclusive, end exclusive") {
+    val got = Relational.rangeJoin(points, intervals, Seq("k"), "pt", "s", "e",
+      binSeconds = 10L).select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got.contains((101L, 1L)), "pt == start must match")
+    assert(!got.contains((103L, 2L)), "pt == end must NOT match")
+    assert(got.contains((102L, 2L)), "interior point")
+    assert(!got.contains((106L, 4L)), "key isolation")
+  }
+
+  test("rangeJoin plans an equi-join, not a nested loop") {
+    val out = Relational.rangeJoin(points, intervals, Seq("k"), "pt", "s", "e", 10L)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "range join degenerated to a nested loop:\n" + p)
+  }
+
+  private lazy val clickstream = Seq(
+    // user 1: two sessions — gap of exactly 30 keeps, 31 cuts
+    (1L, 0L, 1L), (1L, 30L, 2L), (1L, 61L, 3L),
+    // user 2: single event
+    (2L, 1000L, 4L),
+    // user 3: tie on time, ordered by id
+    (3L, 5L, 5L), (3L, 5L, 6L), (3L, 100L, 7L)
+  ).toDF("user_id", "t", "eid")
+
+  test("sessionize: boundary at gap (exclusive), per-key ordinals, ties") {
+    val out = Relational.sessionize(clickstream, Seq("user_id"), "t", "eid",
+      gapSeconds = 30L)
+      .select($"eid", $"session_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L, "gap == gapSeconds stays in session")
+    assert(out(3L) == 2L, "gap > gapSeconds cuts")
+    assert(out(4L) == 1L, "singleton key starts at 1")
+    assert(out(5L) == 1L && out(6L) == 1L && out(7L) == 2L)
+  }
+
+  test("sessionStats: partitions the rows, windows never overlap-merge") {
+    val stats = Relational.sessionStats(clickstream, Seq("user_id"), "t", "eid", 30L)
+    assert(stats.agg(sum($"n_events")).as[Long].head == clickstream.count())
+    // within a key, next session starts more than gap after previous end
+    val w = Window.partitionBy($"user_id").orderBy($"session_id")
+    val bad = stats.withColumn("prev_end", lag($"session_end", 1).over(w))
+      .filter($"prev_end".isNotNull && $"session_start" - $"prev_end" <= 30L)
+    assert(bad.isEmpty, "adjacent sessions within gap of each other")
+  }
+
+  test("sessionStats plans a single exchange (window + agg share partitioning)") {
+    val stats = Relational.sessionStats(clickstream, Seq("user_id"), "t", "eid", 30L)
+    val p = finalPlan(stats)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "sessionize → stats should be one shuffle:\n" + p)
+  }
+
+  private lazy val strata = spark.range(4000)
+    .select($"id", (when($"id" % 4 === 0, "error")
+      .when($"id" % 4 === 1, "view").otherwise("other")).as("s"))
+
+  test("stratifiedSample: per-stratum rates, determinism, isolation") {
+    val fr = Map("error" -> 1.0, "view" -> 0.1)
+    val kept = Sampling.stratifiedSample(strata, "id", "s", "t1", fr, 0.5)
+    val byStratum = kept.groupBy($"s").count().as[(String, Long)].collect().toMap
+    assert(byStratum("error") == 1000L, "frac 1.0 keeps every row")
+    assert(byStratum("view") > 40 && byStratum("view") < 180,
+      s"frac 0.1 of 1000: got ${byStratum("view")}")
+    assert(byStratum("other") > 850 && byStratum("other") < 1150,
+      s"default 0.5 of 2000: got ${byStratum("other")}")
+    // deterministic: same call → identical rows
+    val again = Sampling.stratifiedSample(strata, "id", "s", "t1", fr, 0.5)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    // isolation: changing one stratum's frac leaves other strata untouched
+    val tweaked = Sampling.stratifiedSample(strata, "id", "s", "t1",
+      fr.updated("error", 0.2), 0.5)
+    assert(kept.filter($"s" =!= "error").exceptAll(tweaked.filter($"s" =!= "error")).isEmpty)
+    // subsample nesting within a stratum: 0.2 ⊂ 1.0 trivially; also 0.05 ⊂ 0.1
+    val tighter = Sampling.stratifiedSample(strata, "id", "s", "t1",
+      fr.updated("view", 0.05), 0.5)
+    assert(tighter.filter($"s" === "view")
+      .exceptAll(kept.filter($"s" === "view")).isEmpty,
+      "smaller frac must select a subset (threshold monotonicity)")
+  }
+
+  test("stratifiedSample: frac 0 drops the stratum; no shuffle in the plan") {
+    val kept = Sampling.stratifiedSample(strata, "id", "s", "t1",
+      Map("error" -> 0.0), 1.0)
+    assert(kept.filter($"s" === "error").isEmpty)
+    assert(kept.filter($"s" =!= "error").count() == 3000)
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "sampling must stay a narrow filter:\n" + p)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch aggregates — the approximate path for 100 TB cardinality and
+  * quantile questions, where exact `COUNT(DISTINCT)` shuffles every key
+  * and exact `percentile` collects every value per group. Spark's
+  * built-ins (`approx_count_distinct` = HyperLogLog++,
+  * `percentile_approx` = KLL-style quantile summary) are mergeable
+  * map-side sketches: fixed memory per partition, one narrow combine —
+  * exactly the shape a cluster-scale profile query needs. These specs
+  * pin the error contracts the exact oracled queries (s08, x28) can't:
+  * the sketches must land within their documented bounds of the exact
+  * answers, and must be deterministic (HLL register-max and quantile
+  * summary merges are order-insensitive) so results are reproducible
+  * across runs and partitionings.
+  */
+class SketchSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private lazy val events = Tables(spark, sf, "events")
+  private lazy val docs = Tables(spark, sf, "documents")
+
+  test("approx_count_distinct lands within rsd of exact, deterministically") {
+    val exact = events.select(countDistinct(col("user_id"))).head.getLong(0)
+    val approx = events.select(approx_count_distinct(col("user_id"), rsd = 0.02))
+      .head.getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err <= 0.06, s"HLL err $err: approx=$approx exact=$exact")
+    // register-max merge is commutative: a different partitioning must
+    // produce the identical estimate, not just a close one
+    val repartitioned = events.repartition(13, col("event_type"))
+      .select(approx_count_distinct(col("user_id"), rsd = 0.02)).head.getLong(0)
+    assert(repartitioned == approx, "HLL estimate depends on partitioning")
+  }
+
+  test("approx_count_distinct per group tracks exact within tolerance") {
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / math.max(n, 1) <= 0.08,
+        s"group $k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("percentile_approx honors its rank-accuracy contract vs exact") {
+    // guarantee: rank error <= n / accuracy. Check the returned value's
+    // true rank sits within that band of the target rank.
+    val accuracy = 1000
+    val n = docs.count()
+    val tol = math.ceil(n.toDouble / accuracy).toLong + 1
+    Seq(0.5, 0.9).foreach { p =>
+      val v = docs.select(percentile_approx(col("n_chars"), lit(p), lit(accuracy)))
+        .head.get(0).toString.toDouble
+      val below = docs.filter(col("n_chars") <= v).count()
+      val target = (p * n).toLong
+      assert(math.abs(below - target) <= tol + 1,
+        s"p=$p: value $v has rank $below, target $target ± $tol")
+    }
+  }
+
+  test("sketches plan as partial+final aggregates (map-side combine)") {
+    val q = events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("u"),
+        percentile_approx(col("value"), lit(0.5), lit(100)).as("m"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"),
+      "HLL must partial-aggregate before the shuffle:\n" + plan)
+    assert(plan.contains("partial_percentile_approx"),
+      "quantile sketch must partial-aggregate before the shuffle:\n" + plan)
+  }
+}

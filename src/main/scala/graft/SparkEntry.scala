@@ -1219,10 +1219,13 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
     // thresholds are the 16-bit hex quantizations of the Spark-side
     // fractions: 1.0 → 'g' (above all hex), 0.5 → '8000', 0.1 → '199a',
-    // 0.25 → '4000' — see Sampling.hexThreshold
+    // 0.25 → '4000' — see Sampling.hexThreshold. The hash input length-
+    // prefixes the stratum ("strat:5:error/17") so the encoding is
+    // unambiguous for separator-bearing strata.
     "x27_stratified_sample" ->
       """SELECT event_id, event_type FROM events
-        |WHERE substr(sha256('strat:' || event_type || '/' || event_id), 1, 4) <
+        |WHERE substr(sha256('strat:' || length(event_type) || ':' || event_type
+        |                    || '/' || event_id), 1, 4) <
         |  CASE event_type WHEN 'error' THEN 'g' WHEN 'purchase' THEN '8000'
         |       WHEN 'view' THEN '199a' ELSE '4000' END
         |ORDER BY event_id""".stripMargin,

@@ -43,10 +43,7 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   private def reserve(df: DataFrame, cols: Seq[String], op: String): Unit =
-    cols.foreach { c =>
-      require(!df.columns.contains(c),
-        s"$op writes output column '$c' but the input already has one — rename or drop it")
-    }
+    Sampling.reserveColumns(df, cols, op)
 
   /** As-of join: for every left row, attach the single latest right row
     * whose `rightTime <= leftTime` within the same key group (inclusive;
@@ -116,12 +113,24 @@ object Relational {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
     reserve(points, Seq("_graft_bin"), "rangeJoin")
     reserve(intervals, Seq("_graft_bin"), "rangeJoin")
+    // the join keeps both sides' columns; fail fast on non-key name
+    // clashes (same discipline as asofJoin's prefix reservation)
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"rangeJoin: both sides carry non-key column(s) ${clash.mkString(", ")} — " +
+        "rename one side or the output schema would be ambiguous")
 
     // [start, end): the last covered bin is the one holding end-1.
-    val binned = intervals.withColumn("_graft_bin",
-      explode(sequence(
-        floor(col(startCol) / binSeconds),
-        floor((col(endCol) - 1) / binSeconds))))
+    // Empty/inverted intervals (end <= start) match nothing by
+    // definition — drop them BEFORE sequence(), which would otherwise
+    // happily generate a huge DESCENDING bin array for a corrupt row
+    // (sequence's default step is -1 when start > stop).
+    val binned = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_graft_bin",
+        explode(sequence(
+          floor(col(startCol) / binSeconds),
+          floor((col(endCol) - 1) / binSeconds))))
     val pointed = points.withColumn("_graft_bin",
       floor(col(pointTime) / binSeconds))
 

@@ -26,8 +26,10 @@ object Sampling {
 
   /** Guard the fixed output columns: `withColumn` silently REPLACES a
     * same-named input column, which would corrupt caller data — fail fast
-    * instead (same pattern as ValidateRoute's corrupt-column guard). */
-  private def reserveColumns(df: DataFrame, reserved: Seq[String], op: String): Unit =
+    * instead (same pattern as ValidateRoute's corrupt-column guard).
+    * Shared with [[Relational]] — one definition so a future change
+    * (e.g. tracking spark.sql.caseSensitive) lands everywhere. */
+  private[ext] def reserveColumns(df: DataFrame, reserved: Seq[String], op: String): Unit =
     reserved.foreach { c =>
       require(!df.columns.contains(c),
         s"$op writes output column '$c' but the input already has one — rename or drop it")
@@ -82,12 +84,18 @@ object Sampling {
     * projection-and-filter — no shuffle, no per-stratum pass: one scan
     * decides every row, which is what rebalancing a 100 TB corpus by
     * source/language/quality-band requires. The stratum column joins
-    * the hash input, so the same id in two strata draws independently.
+    * the hash input LENGTH-PREFIXED ("5:error/id"), so the (stratum,
+    * id) encoding is unambiguous even when stratum values contain the
+    * separator — "web/cc" + "1" and "web" + "cc/1" hash differently —
+    * and the same id in two strata draws independently. A null stratum
+    * encodes as the empty stratum ("0:/id") and draws `defaultFrac`.
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        salt: String, fracs: Map[String, Double],
                        defaultFrac: Double): DataFrame = {
-    val b = hashBucket(concat_ws("/", col(strataCol), col(idCol)), salt)
+    val s = coalesce(col(strataCol).cast("string"), lit(""))
+    val b = hashBucket(
+      concat(length(s).cast("string"), lit(":"), s, lit("/"), col(idCol)), salt)
     val threshold = fracs.foldLeft(lit(hexThreshold(defaultFrac))) {
       case (acc, (stratum, frac)) =>
         when(col(strataCol) === stratum, lit(hexThreshold(frac))).otherwise(acc)

@@ -135,6 +135,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(!got.contains((106L, 4L)), "key isolation")
   }
 
+  test("rangeJoin drops empty/inverted intervals instead of exploding bins") {
+    // end <= start: [s, e) is empty — and sequence() must never see it
+    // (sequence(5, 1) counts DOWN by default; a corrupt interval like
+    // start=1.7e9/end=0 would generate a ~28M-element bin array)
+    val corrupt = Seq(("a", 20L, 20L, 10L), ("a", 1700000000L, 0L, 11L))
+      .toDF("k", "s", "e", "iid")
+    val out = Relational.rangeJoin(points, corrupt, Seq("k"), "pt", "s", "e", 60L)
+    assert(out.isEmpty, "empty and inverted intervals must match nothing")
+  }
+
+  test("rangeJoin rejects ambiguous non-key column overlap") {
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoin(points.withColumn("extra", lit(1)),
+        intervals.withColumn("extra", lit(2)), Seq("k"), "pt", "s", "e", 10L)
+    }
+  }
+
   test("rangeJoin plans an equi-join, not a nested loop") {
     val out = Relational.rangeJoin(points, intervals, Seq("k"), "pt", "s", "e", 10L)
     out.collect()
@@ -205,6 +222,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(tighter.filter($"s" === "view")
       .exceptAll(kept.filter($"s" === "view")).isEmpty,
       "smaller frac must select a subset (threshold monotonicity)")
+  }
+
+  test("stratifiedSample: separator-bearing strata stay unambiguous; null draws default") {
+    // "web/cc" + id "1" vs "web" + id "cc/1" must NOT hash identically:
+    // with frac(web/cc)=1.0 and default=0.0, only the web/cc rows survive
+    val tricky = Seq(("web/cc", "1"), ("web", "cc/1")).toDF("s", "id")
+    val kept = Sampling.stratifiedSample(tricky, "id", "s", "amb",
+      Map("web/cc" -> 1.0), 0.0)
+    assert(kept.collect().map(_.getString(0)).toSeq == Seq("web/cc"),
+      "length prefix must disambiguate the (stratum, id) encoding")
+    // null stratum: falls to defaultFrac (1.0 keeps, 0.0 drops) — never NPEs
+    val withNull = Seq((null.asInstanceOf[String], "7")).toDF("s", "id")
+    assert(Sampling.stratifiedSample(withNull, "id", "s", "amb", Map(), 1.0)
+      .count() == 1)
+    assert(Sampling.stratifiedSample(withNull, "id", "s", "amb", Map(), 0.0)
+      .isEmpty)
   }
 
   test("stratifiedSample: frac 0 drops the stratum; no shuffle in the plan") {

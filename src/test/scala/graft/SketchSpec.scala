@@ -57,10 +57,14 @@ class SketchSpec extends AnyFunSuite {
     Seq(0.5, 0.9).foreach { p =>
       val v = docs.select(percentile_approx(col("n_chars"), lit(p), lit(accuracy)))
         .head.get(0).toString.toDouble
-      val below = docs.filter(col("n_chars") <= v).count()
+      // ties: the value occupies the whole rank interval [count(<v),
+      // count(<=v)] — the contract holds if the target rank is within
+      // tol of ANY rank in that interval, not of its upper end alone
+      val lo = docs.filter(col("n_chars") < v).count()
+      val hi = docs.filter(col("n_chars") <= v).count()
       val target = (p * n).toLong
-      assert(math.abs(below - target) <= tol + 1,
-        s"p=$p: value $v has rank $below, target $target ± $tol")
+      assert(target >= lo - tol - 1 && target <= hi + tol + 1,
+        s"p=$p: value $v spans ranks [$lo,$hi], target $target ± $tol")
     }
   }
 

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, window}
+import org.apache.spark.sql.functions.{col, count, lit, session_window, window}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -58,6 +58,23 @@ object Streaming {
     events
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** ST8 (session variant): gap-based session windows over the stream —
+    * Spark's native `session_window` keeps one open window per key in
+    * the state store, merging events that arrive within `gap` of it and
+    * emitting the window once the watermark passes its close. The same
+    * expression runs in batch (see the parity spec), which is what makes
+    * backfill identical to live processing. Batch-side equivalent for
+    * retrospective analysis: [[graft.ext.Relational.sessionize]] (window
+    * lag/cumsum — no state store needed).
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("session"), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
   /** ST10: ingest-time materialized-view propagation — apply a batch

@@ -198,6 +198,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).count() == 0)
   }
 
+  test("streaming session windows match the batch session_window rollup (ST8)") {
+    val events = Tables(spark, TestSpark.sf, "events")
+    val tmpIn = Files.createTempDirectory("graft-sess-in").toString
+    events.write.mode("overwrite").parquet(tmpIn)
+
+    val stream = spark.readStream.schema(spark.read.parquet(tmpIn).schema).parquet(tmpIn)
+    val agg = Streaming.sessionCounts(stream, "ts", "user_id")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // append mode emits only watermark-closed sessions; each must match
+    // the batch session_window computation exactly (same expression —
+    // this is what makes backfill == live)
+    val got = spark.table("sess_out").select(
+      col("session.start").as("s"), col("session.end").as("e"),
+      col("user_id"), col("n"))
+    val batch = events
+      .groupBy(session_window(col("ts"), "30 minutes").as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session.start").as("s"), col("session.end").as("e"),
+        col("user_id"), col("n"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+    // structural: a key's sessions never overlap (merge correctness)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("s"))
+    val overlaps = batch.withColumn("prev_e", lag(col("e"), 1).over(w))
+      .filter(col("prev_e").isNotNull && col("s") < col("prev_e"))
+    assert(overlaps.count() == 0, "session windows overlap within a key")
+  }
+
   test("foreachBatch MV-style ingest applies the batch transform per micro-batch (ST10)") {
     val sink = Files.createTempDirectory("graft-mv-out").toString + "/dim"
     val chk = Files.createTempDirectory("graft-mv-chk").toString

@@ -445,9 +445,21 @@ object TextDedup {
     * reliable `checkpoint()` (what a 1000-executor run should use —
     * survives executor loss); otherwise an RDD round-trip resets the
     * plan to a single `LogicalRDD` node, with the round's result pinned
-    * in the block manager by the convergence count. */
+    * in the block manager by the convergence count.
+    *
+    * Adaptive small-graph path: when the (already-computed, persisted)
+    * edge list is at most `localEdgeThreshold` pairs AND the id type is
+    * integral, the components are solved by driver-side union-find with
+    * path compression instead of the iterative loop — the same
+    * runtime-size-based re-planning instinct as AQE. Near-dup pair sets
+    * are usually minuscule next to the corpus (pairs are the EXCEPTION
+    * in a deduped crawl), so even 100 TB corpora often produce
+    * driver-sized pair graphs; the distributed loop remains the path
+    * for the ones that don't. Both paths produce the identical
+    * (id, comp=min member) labeling (spec-pinned equivalence). */
   def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
-                      idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+                      idB: String = "id_b", maxIter: Int = 30,
+                      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def cutLineage(df: DataFrame): DataFrame = {
       val spark = df.sparkSession
@@ -462,6 +474,44 @@ object TextDedup {
         struct(col(idB).as("a"), col(idA).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(lvl)
+
+    val idType = pairs.schema(idA).dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    // materializes the persisted edge list either way; the count is the
+    // runtime statistic that picks the plan
+    val nEdges = edges.count() / 2
+    if (integral && nEdges <= localEdgeThreshold) {
+      // driver-side union-find (path compression + min-root union so the
+      // root IS the component min). One collect of the pair list — at
+      // the threshold, ~16 MB of longs.
+      val es = edges.filter(col("a") < col("b"))
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val labels = parent.keys.toSeq.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labels.toDF("id", "comp")
+        .select(col("id").cast(idType).as("id"),
+          col("comp").cast(idType).as("comp"))
+    }
     // Fixpoint detection without a join: labels are monotone
     // non-increasing per node (min-propagation, and halving maps
     // through comp(x) <= x), so sum(comp) strictly decreases while

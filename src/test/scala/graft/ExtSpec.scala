@@ -124,12 +124,30 @@ class ExtSpec extends AnyFunSuite {
 
   test("duplicateGroups converges in O(log diameter): a 200-link chain") {
     // plain 1-hop label propagation would need ~200 iterations; path
-    // halving must close this well inside the 30-iteration bound
+    // halving must close this well inside the 30-iteration bound.
+    // threshold 0 forces the DISTRIBUTED path (the default would take
+    // the driver-side union-find shortcut at this size)
     val chain = (100L until 300L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("id_a", "id_b")
-    val groups = TextDedup.duplicateGroups(chain).collect()
+    val groups = TextDedup.duplicateGroups(chain, localEdgeThreshold = 0L).collect()
     assert(groups.length == 200)
     assert(groups.forall(_.getLong(1) == 100L))
+  }
+
+  test("duplicateGroups: local union-find path == distributed loop") {
+    // adversarial shapes: a chain, a triangle, min-id arriving last,
+    // a self-contained 2-cycle, disjoint singleton pairs
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 1L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (30L, 31L), (40L, 41L), (100L, 2L), (2L, 1L))
+      .toDF("id_a", "id_b")
+    val local = TextDedup.duplicateGroups(pairs) // default: local path
+    val dist = TextDedup.duplicateGroups(pairs, localEdgeThreshold = 0L)
+    assert(local.exceptAll(dist).count() == 0 && dist.exceptAll(local).count() == 0,
+      s"local=${local.collect().mkString(",")} dist=${dist.collect().mkString(",")}")
+    // names/types must agree (nullability may differ: the distributed
+    // path's comp comes from an aggregate and is marked nullable)
+    assert(local.schema.map(f => (f.name, f.dataType)) ==
+      dist.schema.map(f => (f.name, f.dataType)))
   }
 
   test("simhash of identical text is identical; near text is close (SimHash)") {

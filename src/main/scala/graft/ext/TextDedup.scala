@@ -469,23 +469,34 @@ object TextDedup {
     // symmetrize in ONE scan of `pairs` (explode, not self-union — a
     // union would splice the whole upstream pair-generation subtree in
     // twice and execute it twice before the persist materializes)
-    val edges = pairs.select(explode(array(
+    // null ids cannot join/label correctly on either path — a pair with
+    // a null member is meaningless dedup output; drop it outright so
+    // both paths agree (pair generators in this library never emit them)
+    val edges = pairs
+      .filter(col(idA).isNotNull && col(idB).isNotNull)
+      .select(explode(array(
         struct(col(idA).as("a"), col(idB).as("b")),
         struct(col(idB).as("a"), col(idA).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(lvl)
 
+    // BOTH id columns must be the same integral type for the shortcut:
+    // the local path round-trips through long and casts back, which
+    // would silently wrap a wide idB under a narrower idA type
     val idType = pairs.schema(idA).dataType
-    val integral = idType == org.apache.spark.sql.types.LongType ||
-      idType == org.apache.spark.sql.types.IntegerType
+    val integral = (idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType) &&
+      pairs.schema(idB).dataType == idType
     // materializes the persisted edge list either way; the count is the
     // runtime statistic that picks the plan
     val nEdges = edges.count() / 2
     if (integral && nEdges <= localEdgeThreshold) {
       // driver-side union-find (path compression + min-root union so the
       // root IS the component min). One collect of the pair list — at
-      // the threshold, ~16 MB of longs.
-      val es = edges.filter(col("a") < col("b"))
+      // the threshold, ~16 MB of longs. `a <= b` keeps self-pairs so a
+      // node appearing only as (x, x) still gets its singleton label,
+      // matching the distributed seed.
+      val es = edges.filter(col("a") <= col("b"))
         .select(col("a").cast("long"), col("b").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()

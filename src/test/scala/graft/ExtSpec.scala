@@ -150,6 +150,27 @@ class ExtSpec extends AnyFunSuite {
       dist.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("duplicateGroups: self-pairs label singletons; null-member pairs drop (both paths)") {
+    val pairs = Seq((Some(7L), Some(7L)), (Some(1L), Some(2L)),
+      (None, Some(5L))).toDF("id_a", "id_b")
+    Seq(1000000L /* local */, 0L /* distributed */).foreach { thr =>
+      val got = TextDedup.duplicateGroups(pairs, localEdgeThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L),
+        s"threshold $thr: $got")
+    }
+  }
+
+  test("duplicateGroups: mixed-width id types never take the narrowing shortcut") {
+    // idA int, idB long with a value beyond Int range: the local path's
+    // long→int cast-back would wrap it, so the gate must fall through to
+    // the distributed loop, which widens correctly
+    val pairs = Seq((1, 5000000000L)).toDF("id_a", "id_b")
+    val got = TextDedup.duplicateGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5000000000L -> 1L), got.toString)
+  }
+
   test("simhash of identical text is identical; near text is close (SimHash)") {
     val df = TextDedup.withSimhash(Seq(
       (1L, "spark engine for large scale data processing and analytics work"),

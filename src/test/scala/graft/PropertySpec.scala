@@ -174,6 +174,80 @@ object PipelineProperties extends Properties("graft") {
       kept.sorted == expected.sorted
     }
 
+  // -- ext.Relational: randomized equivalence vs driver-side references.
+  // Small key/time spaces force the interesting collisions (same-time
+  // ties, same-key pileups, keys on only one side).
+
+  property("asofJoin == reference on random collisioned timelines") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 15L))),
+      Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.choose(0L, 15L)))) {
+      (ls, rs0) =>
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "lt", "lid")
+        // honor the tie contract: one right row per (k, rt) — keep max payload
+        val rs = rs0.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+        val right = rs.toDF("k", "rt", "rv")
+        val got = graft.ext.Relational
+          .asofJoin(left, right, Seq("k"), "lt", "rt", Seq("rv"))
+          .select(col("lid"), col("asof_rv")).collect()
+          .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+          .toSet
+        val byKey = rs.groupBy(_._1)
+        val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+          val prior = byKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+          (i.toLong, if (prior.isEmpty) None else Some(prior.maxBy(_._2)._3))
+        }.toSet
+        got == expect
+    }
+
+  property("rangeJoin == reference theta join on random intervals") =
+    forAll(
+      Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 20L))),
+      Gen.listOfN(6, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 20L),
+        Gen.choose(0L, 7L)))) { (ps, is) =>
+        val points = ps.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "pt", "pid")
+        val ivs = is.zipWithIndex.map { case ((k, s, len), i) =>
+          (k, s, s + len, i.toLong)
+        }
+        val intervals = ivs.toDF("k", "s", "e", "iid")
+        val got = graft.ext.Relational
+          .rangeJoin(points, intervals, Seq("k"), "pt", "s", "e", binSeconds = 5L)
+          .select(col("pid"), col("iid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expect = (for {
+          ((pk, pt), pi) <- ps.zipWithIndex
+          (ik, s, e, ii) <- ivs
+          if pk == ik && pt >= s && pt < e
+        } yield (pi.toLong, ii)).toSet
+        got == expect
+    }
+
+  property("sessionize == reference gap-walk on random event streams") =
+    forAll(Gen.listOfN(12,
+      Gen.zip(Gen.oneOf(1L, 2L, 3L), Gen.choose(0L, 30L)))) { evs =>
+        val df = evs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "eid")
+        val gap = 4L
+        val got = graft.ext.Relational.sessionize(df, Seq("k"), "t", "eid", gap)
+          .select(col("eid"), col("session_id")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val expect = evs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .groupBy(_._1).flatMap { case (_, rows) =>
+            val sorted = rows.sortBy(r => (r._2, r._3))
+            var sess = 0L
+            var prev = Long.MinValue
+            sorted.map { case (_, t, id) =>
+              if (prev == Long.MinValue || t - prev > gap) sess += 1
+              prev = t
+              id -> sess
+            }
+          }
+        got == expect
+    }
+
   property("latestPerKey is idempotent and keeps the max version (A8/A9)") =
     forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1, 3), Gen.choose(1, 100),
       Gen.alphaStr.map(_.take(5))))) { rows =>

@@ -158,4 +158,23 @@ class PlanSpec extends AnyFunSuite {
     // partition filter must be handled at scan planning, not as a data filter
     assert(p.contains("PartitionFilters: [isnotnull(part_month"), p)
   }
+
+  test("as-of join query plans with zero join nodes; type filter pushes to scan (x24)") {
+    val p = plan(SparkEntry.queries("x24_asof_join")(spark, sf))
+    assert(!p.contains("Join"), "x24 must be the union-window plan:\n" + p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("event_type"), "purchase/click filters not pushed:\n" + p)
+  }
+
+  test("range join query never degenerates to a nested loop (x25)") {
+    val p = plan(SparkEntry.queries("x25_range_join")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "interval predicate must ride the bin equi-join:\n" + p)
+  }
+
+  test("pivot with explicit values is a single aggregation pass (s14)") {
+    val p = plan(SparkEntry.queries("s14_pivot_daily_types")(spark, sf))
+    assert(p.contains("pivotfirst"), "expected PivotFirst single-pass plan:\n" + p)
+    assert(!p.contains("distinct"), "explicit values must skip value discovery:\n" + p)
+  }
 }

@@ -45,9 +45,12 @@ object Relational {
   private def reserve(df: DataFrame, cols: Seq[String], op: String): Unit =
     Sampling.reserveColumns(df, cols, op)
 
-  /** As-of join: for every left row, attach the single latest right row
-    * whose `rightTime <= leftTime` within the same key group (inclusive;
-    * nulls when no right row precedes the left row).
+  /** As-of join: for every left row, attach the single closest right
+    * row on-or-before it — `rightTime <= leftTime` within the same key
+    * group (inclusive; nulls when no right row precedes the left row).
+    * With `forward = true` the direction flips: the closest right row
+    * on-or-after (`rightTime >= leftTime`) — next-event attribution
+    * instead of point-in-time lookup.
     *
     * Right-side payload columns come back prefixed with `prefix`. Ties
     * on `rightTime` within a key resolve deterministically to the
@@ -57,12 +60,14 @@ object Relational {
     * Physical plan: union of the two tagged sides → one shuffle on
     * `keys` → one sort by (time, side, payload) → running
     * `last(ignoreNulls)` window (Spark's incremental UnboundedPreceding
-    * frame, O(rows)). No join node at all, so there is no pair
-    * explosion to mitigate and per-key skew degrades linearly.
+    * frame, O(rows); the forward variant just sorts time descending).
+    * No join node at all, so there is no pair explosion to mitigate and
+    * per-key skew degrades linearly.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+               rightCols: Seq[String], prefix: String = "asof_",
+               forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     val scratch = Seq("_graft_t", "_graft_side", "_graft_rv")
     reserve(left, scratch ++ rightCols.map(prefix + _), "asofJoin")
@@ -80,8 +85,9 @@ object Relational {
       .withColumn("_graft_side", lit(1))
       .withColumn("_graft_rv", lit(null).cast(taggedRight.schema("_graft_rv").dataType))
 
+    val tOrder = if (forward) col("_graft_t").desc else col("_graft_t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_graft_t"), col("_graft_side"), col("_graft_rv"))
+      .orderBy(tOrder, col("_graft_side"), col("_graft_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
       .withColumn("_graft_rv", last(col("_graft_rv"), ignoreNulls = true).over(w))

@@ -69,6 +69,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(out(7) == None, "c never appears on the right (d must not leak)")
   }
 
+  test("asofJoin forward direction: closest right row at-or-after") {
+    val out = Relational.asofJoin(leftDf, rightDf, Seq("k"), "lt", "rt",
+      Seq("rv"), forward = true).collect().map(r =>
+        r.getAs[Long]("lid") -> Option(r.getAs[String]("asof_rv"))).toMap
+    assert(out(1) == Some("a20"), "a@10 → next right is a20")
+    assert(out(2) == Some("a20") && out(3) == Some("a20"),
+      "rt == lt matches forward too (inclusive)")
+    assert(out(4) == None, "a@35: no right row at-or-after")
+    assert(out(5) == Some("b60"), "b@5 → b60 is ahead")
+    assert(out(6) == Some("b60"))
+    assert(out(7) == None, "c has no right rows")
+  }
+
   test("asofJoin output row count == left row count (never explodes)") {
     val out = Relational.asofJoin(leftDf, rightDf, Seq("k"), "lt", "rt", Seq("rv"))
     assert(out.count() == leftDf.count())

@@ -537,6 +537,27 @@ object SparkEntry {
           "event_id", gapSeconds = 1800L)
         .orderBy(col("user_id"), col("session_id"))
     }),
+    "x29_overlap_join" -> ((s, d) => {
+      // interval × interval alignment (the multimodal segment-alignment
+      // shape): each error's 2-hour window against each purchase's
+      // 1-hour window, same user, half-open overlap semantics; overlap
+      // length in integer seconds (exact cross-engine).
+      val ev = t(s, d, "events")
+      val errW = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("err_s"))
+        .withColumn("err_e", col("err_s") + 7200L)
+      val purW = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_id"),
+          col("user_id"), unix_timestamp(col("ts")).as("purch_s"))
+        .withColumn("purch_e", col("purch_s") + 3600L)
+      graft.ext.Relational.overlapJoin(errW, purW, Seq("user_id"),
+          "err_s", "err_e", "purch_s", "purch_e", binSeconds = 7200L)
+        .select(col("err_id"), col("purch_id"), col("user_id"),
+          (least(col("err_e"), col("purch_e"))
+            - greatest(col("err_s"), col("purch_s"))).as("overlap_sec"))
+        .orderBy(col("err_id"), col("purch_id"))
+    }),
     "x27_stratified_sample" -> ((s, d) => {
       // per-stratum rebalancing: keep every error, half the purchases,
       // a tenth of the view flood, a quarter of everything else —
@@ -1229,6 +1250,21 @@ object SparkEntry {
         |  CASE event_type WHEN 'error' THEN 'g' WHEN 'purchase' THEN '8000'
         |       WHEN 'view' THEN '199a' ELSE '4000' END
         |ORDER BY event_id""".stripMargin,
+    "x29_overlap_join" ->
+      """WITH e AS (
+        |  SELECT event_id AS err_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS err_s
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS purch_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS purch_s
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.err_id, p.purch_id, e.user_id,
+        |  least(e.err_s + 7200, p.purch_s + 3600) - greatest(e.err_s, p.purch_s)
+        |    AS overlap_sec
+        |FROM e JOIN p ON e.user_id = p.user_id
+        |  AND e.err_s < p.purch_s + 3600 AND p.purch_s < e.err_s + 7200
+        |ORDER BY err_id, purch_id""".stripMargin,
     "x28_length_percentiles" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(ROUND(quantile_cont(n_chars, 0.25), 4) AS DOUBLE) AS p25,

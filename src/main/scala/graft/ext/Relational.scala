@@ -151,6 +151,53 @@ object Relational {
     keys.foldLeft(joined)((df, k) => df.drop(binned(k)))
   }
 
+  /** Interval-overlap join: match every pair of intervals (one from
+    * each side, same key) that overlap under half-open semantics —
+    * `aStart < bEnd && bStart < aEnd`. The alignment primitive for
+    * multimodal pipelines (audio segments × transcript spans, video
+    * shots × caption windows).
+    *
+    * Both sides explode to their covered `binSeconds` bins and meet in
+    * an equi-join on (keys, bin). An overlapping pair shares every bin
+    * in the overlap region — so the join would emit it once per shared
+    * bin. Rather than a distinct pass (a full extra shuffle), the
+    * residual filter keeps each pair ONLY in the bin containing
+    * `greatest(aStart, bStart)`: that instant lies inside both
+    * intervals, so exactly one copy survives, by construction.
+    * Replication economics are the same as [[rangeJoin]]: pick
+    * `binSeconds` near the typical interval length. Empty/inverted
+    * intervals drop on both sides.
+    */
+  def overlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+                  aStart: String, aEnd: String,
+                  bStart: String, bEnd: String,
+                  binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    reserve(a, Seq("_graft_bin"), "overlapJoin")
+    reserve(b, Seq("_graft_bin"), "overlapJoin")
+    val clash = a.columns.toSet.intersect(b.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"overlapJoin: both sides carry non-key column(s) ${clash.mkString(", ")} — " +
+        "rename one side or the output schema would be ambiguous")
+
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s)).withColumn("_graft_bin",
+        explode(sequence(
+          floor(col(s) / binSeconds), floor((col(e) - 1) / binSeconds))))
+
+    val ab = binned(a, aStart, aEnd)
+    val bb = binned(b, bStart, bEnd)
+    val cond = (keys.map(k => ab(k) === bb(k)) :+
+      (ab("_graft_bin") === bb("_graft_bin")) :+
+      (ab(aStart) < bb(bEnd)) :+ (bb(bStart) < ab(aEnd)) :+
+      // count-once: only the bin holding the overlap's first instant
+      (ab("_graft_bin") === floor(greatest(ab(aStart), bb(bStart)) / binSeconds)))
+      .reduce(_ && _)
+    val joined = ab.join(bb, cond)
+      .drop(ab("_graft_bin")).drop(bb("_graft_bin"))
+    keys.foldLeft(joined)((df, k) => df.drop(bb(k)))
+  }
+
   /** Gap-based sessionization: assign each row a per-key session
     * ordinal (`session_id`, 1-based in time order) where a new session
     * starts whenever the gap from the previous row exceeds

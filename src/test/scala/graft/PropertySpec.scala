@@ -225,6 +225,29 @@ object PipelineProperties extends Properties("graft") {
         got == expect
     }
 
+  property("overlapJoin == reference theta join on random interval sets") =
+    forAll(
+      Gen.listOfN(6, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 20L),
+        Gen.choose(0L, 9L))),
+      Gen.listOfN(6, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 20L),
+        Gen.choose(0L, 9L)))) { (as0, bs0) =>
+        val as = as0.zipWithIndex.map { case ((k, s, len), i) =>
+          (k, s, s + len, i.toLong) }
+        val bs = bs0.zipWithIndex.map { case ((k, s, len), i) =>
+          (k, s, s + len, i.toLong) }
+        val got = graft.ext.Relational.overlapJoin(
+            as.toDF("k", "s1", "e1", "aid"), bs.toDF("k", "s2", "e2", "bid"),
+            Seq("k"), "s1", "e1", "s2", "e2", binSeconds = 7L)
+          .select(col("aid"), col("bid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val expect = (for {
+          (ak, s1, e1, ai) <- as
+          (bk, s2, e2, bi) <- bs
+          if ak == bk && s1 < e2 && s2 < e1
+        } yield (ai, bi))
+        got.length == got.toSet.size && got.toSet == expect.toSet
+    }
+
   property("sessionize == reference gap-walk on random event streams") =
     forAll(Gen.listOfN(12,
       Gen.zip(Gen.oneOf(1L, 2L, 3L), Gen.choose(0L, 30L)))) { evs =>

@@ -173,6 +173,43 @@ class RelationalSpec extends AnyFunSuite {
       "range join degenerated to a nested loop:\n" + p)
   }
 
+  private lazy val aIvs = Seq(
+    // (k, s, e, aid) — spans multiple bins at binSeconds=10
+    ("a", 0L, 25L, 1L), ("a", 30L, 40L, 2L), ("b", 5L, 15L, 3L)
+  ).toDF("k", "as_", "ae", "aid")
+
+  private lazy val bIvs = Seq(
+    ("a", 20L, 35L, 7L), ("a", 40L, 50L, 8L), ("b", 15L, 25L, 9L),
+    ("c", 0L, 100L, 10L)
+  ).toDF("k", "bs", "be", "bid")
+
+  test("overlapJoin matches the brute-force theta join, exactly once per pair") {
+    val got = Relational.overlapJoin(aIvs, bIvs, Seq("k"),
+      "as_", "ae", "bs", "be", binSeconds = 10L)
+      .select($"aid", $"bid").as[(Long, Long)].collect()
+    val expect = aIvs.join(bIvs.withColumnRenamed("k", "k2"),
+        $"k" === $"k2" && $"as_" < $"be" && $"bs" < $"ae")
+      .select($"aid", $"bid").as[(Long, Long)].collect()
+    assert(got.sorted.toSeq == expect.sorted.toSeq,
+      s"got=${got.mkString(",")} expect=${expect.mkString(",")}")
+    assert(got.length == got.toSet.size, "pair emitted more than once")
+    // the multi-bin overlap (1,7): [0,25)∩[20,35) spans bins 2..2 only,
+    // but both intervals cover bins {0,1,2} and {2,3} — one emission
+    assert(got.toSet.contains((1L, 7L)))
+  }
+
+  test("overlapJoin boundary: touching half-open intervals do not overlap") {
+    // a=[30,40) and b=[40,50) touch at 40 — no overlap; b=[20,35) does
+    val got = Relational.overlapJoin(aIvs, bIvs, Seq("k"),
+      "as_", "ae", "bs", "be", 10L)
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+    assert(!got.contains((2L, 8L)), "touching endpoints must not match")
+    assert(got.contains((2L, 7L)), "[30,40) ∩ [20,35) overlaps")
+    assert(got.contains((3L, 9L)) == false,
+      "b-side [5,15) vs [15,25): touching, no overlap")
+    assert(!got.exists(_._2 == 10L), "key isolation (c only on one side)")
+  }
+
   private lazy val clickstream = Seq(
     // user 1: two sessions — gap of exactly 30 keeps, 31 cuts
     (1L, 0L, 1L), (1L, 30L, 2L), (1L, 61L, 3L),

@@ -45,6 +45,30 @@ object Relational {
   private def reserve(df: DataFrame, cols: Seq[String], op: String): Unit =
     Sampling.reserveColumns(df, cols, op)
 
+  /** Fail fast when both join sides carry the same non-key column — the
+    * output schema would be ambiguous for every downstream reference. */
+  private def requireNoClash(a: DataFrame, b: DataFrame, keys: Seq[String],
+                             op: String): Unit = {
+    val clash = a.columns.toSet.intersect(b.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"$op: both sides carry non-key column(s) ${clash.mkString(", ")} — " +
+        "rename one side or the output schema would be ambiguous")
+  }
+
+  /** Explode an interval frame to its covered `binSeconds` bins.
+    * Empty/inverted intervals (end <= start) match nothing by definition
+    * — drop them BEFORE sequence(), which would otherwise happily
+    * generate a huge DESCENDING bin array for a corrupt row (sequence's
+    * default step is -1 when start > stop). [start, end): the last
+    * covered bin is the one holding end-1. */
+  private def binExplode(df: DataFrame, startCol: String, endCol: String,
+                         binSeconds: Long): DataFrame =
+    df.filter(col(endCol) > col(startCol))
+      .withColumn("_graft_bin",
+        explode(sequence(
+          floor(col(startCol) / binSeconds),
+          floor((col(endCol) - 1) / binSeconds))))
+
   /** As-of join: for every left row, attach the single closest right
     * row on-or-before it — `rightTime <= leftTime` within the same key
     * group (inclusive; nulls when no right row precedes the left row).
@@ -76,16 +100,25 @@ object Relational {
     val rv = struct(rightCols.map(col): _*)
     // Right rows sort BEFORE left rows at the same time value — that is
     // what makes the join inclusive (rightTime == leftTime matches).
-    val taggedRight = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTime).as("_graft_t"), lit(0).as("_graft_side"),
-        rv.as("_graft_rv")): _*)
+    // A null rightTime satisfies neither direction's predicate — drop
+    // those rows (default null ordering would otherwise make them match
+    // EVERYTHING backward and NOTHING forward).
+    val taggedRight = right
+      .filter(col(rightTime).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTime).as("_graft_t"), lit(0).as("_graft_side"),
+          rv.as("_graft_rv")): _*)
     val taggedLeft = left
       .withColumn("_graft_t", col(leftTime))
       .withColumn("_graft_side", lit(1))
       .withColumn("_graft_rv", lit(null).cast(taggedRight.schema("_graft_rv").dataType))
 
-    val tOrder = if (forward) col("_graft_t").desc else col("_graft_t").asc
+    // nulls_first in BOTH directions: a null leftTime row sorts before
+    // every right row, so its frame holds no payload → null match
+    val tOrder =
+      if (forward) col("_graft_t").desc_nulls_first
+      else col("_graft_t").asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tOrder, col("_graft_side"), col("_graft_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -119,24 +152,9 @@ object Relational {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
     reserve(points, Seq("_graft_bin"), "rangeJoin")
     reserve(intervals, Seq("_graft_bin"), "rangeJoin")
-    // the join keeps both sides' columns; fail fast on non-key name
-    // clashes (same discipline as asofJoin's prefix reservation)
-    val clash = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
-    require(clash.isEmpty,
-      s"rangeJoin: both sides carry non-key column(s) ${clash.mkString(", ")} — " +
-        "rename one side or the output schema would be ambiguous")
+    requireNoClash(points, intervals, keys, "rangeJoin")
 
-    // [start, end): the last covered bin is the one holding end-1.
-    // Empty/inverted intervals (end <= start) match nothing by
-    // definition — drop them BEFORE sequence(), which would otherwise
-    // happily generate a huge DESCENDING bin array for a corrupt row
-    // (sequence's default step is -1 when start > stop).
-    val binned = intervals
-      .filter(col(endCol) > col(startCol))
-      .withColumn("_graft_bin",
-        explode(sequence(
-          floor(col(startCol) / binSeconds),
-          floor((col(endCol) - 1) / binSeconds))))
+    val binned = binExplode(intervals, startCol, endCol, binSeconds)
     val pointed = points.withColumn("_graft_bin",
       floor(col(pointTime) / binSeconds))
 
@@ -175,18 +193,10 @@ object Relational {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
     reserve(a, Seq("_graft_bin"), "overlapJoin")
     reserve(b, Seq("_graft_bin"), "overlapJoin")
-    val clash = a.columns.toSet.intersect(b.columns.toSet) -- keys
-    require(clash.isEmpty,
-      s"overlapJoin: both sides carry non-key column(s) ${clash.mkString(", ")} — " +
-        "rename one side or the output schema would be ambiguous")
+    requireNoClash(a, b, keys, "overlapJoin")
 
-    def binned(df: DataFrame, s: String, e: String): DataFrame =
-      df.filter(col(e) > col(s)).withColumn("_graft_bin",
-        explode(sequence(
-          floor(col(s) / binSeconds), floor((col(e) - 1) / binSeconds))))
-
-    val ab = binned(a, aStart, aEnd)
-    val bb = binned(b, bStart, bEnd)
+    val ab = binExplode(a, aStart, aEnd, binSeconds)
+    val bb = binExplode(b, bStart, bEnd, binSeconds)
     val cond = (keys.map(k => ab(k) === bb(k)) :+
       (ab("_graft_bin") === bb("_graft_bin")) :+
       (ab(aStart) < bb(bEnd)) :+ (bb(bStart) < ab(aEnd)) :+

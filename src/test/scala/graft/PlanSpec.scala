@@ -173,8 +173,31 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pivot with explicit values is a single aggregation pass (s14)") {
+    // implicit pivot (no value list) runs an EAGER distinct+sort+collect
+    // job at query-CONSTRUCTION time — invisible in the final plan
+    // string, so gate it by counting jobs: applying groupBy+pivot+agg to
+    // an already-loaded table must launch none. (The parquet footer read
+    // at Tables() launches its own job, hence the pre-settled baseline.
+    // Job ids reach the status store asynchronously; the deadline loop
+    // only risks a false PASS on a pathologically slow bus, never a
+    // false failure.)
+    val types = Seq("error", "signup", "purchase", "view", "click")
+    val ev = Tables(spark, sf, "events")
+    ev.count() // settle the scan-side jobs
+    Thread.sleep(300)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    ev.groupBy(col("ts").cast("date").as("day"))
+      .pivot("event_type", types).agg(count(lit(1))) // construction only
+    val deadline = System.nanoTime() + 2000000000L
+    var after = before
+    while (System.nanoTime() < deadline && after == before) {
+      Thread.sleep(100)
+      after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    }
+    assert(after == before,
+      s"pivot construction launched ${after - before} eager job(s) — " +
+        "explicit values must skip value discovery")
     val p = plan(SparkEntry.queries("s14_pivot_daily_types")(spark, sf))
     assert(p.contains("pivotfirst"), "expected PivotFirst single-pass plan:\n" + p)
-    assert(!p.contains("distinct"), "explicit values must skip value discovery:\n" + p)
   }
 }

@@ -243,7 +243,9 @@ object PipelineProperties extends Properties("graft") {
         val expect = (for {
           (ak, s1, e1, ai) <- as
           (bk, s2, e2, bi) <- bs
-          if ak == bk && s1 < e2 && s2 < e1
+          // empty intervals (len 0) match nothing — mirror the operator's
+          // documented drop semantics in the reference
+          if e1 > s1 && e2 > s2 && ak == bk && s1 < e2 && s2 < e1
         } yield (ai, bi))
         got.length == got.toSet.size && got.toSet == expect.toSet
     }

@@ -198,6 +198,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSet.contains((1L, 7L)))
   }
 
+  test("overlapJoin plans an equi-join, not a nested loop") {
+    val out = Relational.overlapJoin(aIvs, bIvs, Seq("k"),
+      "as_", "ae", "bs", "be", 10L)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "overlap join degenerated to a nested loop:\n" + p)
+  }
+
+  test("asofJoin: null times never match, identically in both directions") {
+    // a null rightTime must not act as "before everything" (backward)
+    // or vanish asymmetrically (forward); a null leftTime row gets a
+    // null match either way
+    val l = Seq(("a", Some(10L), 1L), ("a", None, 2L)).toDF("k", "lt", "lid")
+    val r = Seq(("a", Some(5L), "five"), ("a", None, "NULLTIME"))
+      .toDF("k", "rt", "rv")
+    Seq(false, true).foreach { fwd =>
+      val out = Relational.asofJoin(l, r, Seq("k"), "lt", "rt", Seq("rv"),
+        forward = fwd).collect()
+        .map(x => x.getAs[Long]("lid") -> Option(x.getAs[String]("asof_rv")))
+        .toMap
+      assert(out(2L) == None, s"forward=$fwd: null leftTime must match nothing")
+      assert(out(1L) != Some("NULLTIME"),
+        s"forward=$fwd: null rightTime row must never be selected")
+    }
+  }
+
   test("overlapJoin boundary: touching half-open intervals do not overlap") {
     // a=[30,40) and b=[40,50) touch at 40 — no overlap; b=[20,35) does
     val got = Relational.overlapJoin(aIvs, bIvs, Seq("k"),

@@ -537,6 +537,16 @@ object SparkEntry {
           "event_id", gapSeconds = 1800L)
         .orderBy(col("user_id"), col("session_id"))
     }),
+    "x30_weighted_sample" -> ((s, d) => {
+      // quality-proportional downsampling: each document kept with
+      // probability equal to its composite quality score — the
+      // rebalancing shape of corpus curation, deterministic (sha256)
+      // and auditable cross-engine.
+      val prof = TextAnalysis.profile(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("quality"))
+      graft.ext.Sampling.weightedSample(prof, "doc_id", "wq", col("quality"))
+        .orderBy(col("doc_id"))
+    }),
     "x29_overlap_join" -> ((s, d) => {
       // interval × interval alignment (the multimodal segment-alignment
       // shape): each error's 2-hour window against each purchase's
@@ -633,6 +643,38 @@ object SparkEntry {
     planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${duckDot(embExpr, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", "\n   + ", ")")
+
+  /** Shared text-metric CTE chain (tokenization, ratios, language
+    * marker counts) ending in an `m` CTE — reused by the x03 profile
+    * oracle and the x30 quality-weighted-sample oracle. */
+  private val duckTextMetricCtes: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    LENGTH(text) AS n_chars,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_chars, len(toks) AS n_tokens, n_bpeish,
+      |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS avg_tok,
+      |    CAST(len(list_filter(ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as'], t))) AS DOUBLE)
+      |      / greatest(len(ltoks), 1) AS stop_r,
+      |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_r,
+      |    CAST(len(list_filter(ltoks, t -> list_contains(['the','and','of','is','with'], t))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(ltoks, t -> list_contains(['el','la','de','que','y'], t))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(ltoks, t -> list_contains(['le','la','et','les','des'], t))) AS BIGINT) AS s_fr,
+      |    CAST(len(list_filter(ltoks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de
+      |  FROM p)""".stripMargin
+
+  /** The composite quality score over `m`'s columns — must mirror
+    * [[graft.ext.TextAnalysis.qualityScore]] exactly. */
+  private val duckQualityExpr: String =
+    """CAST(ROUND(((CASE WHEN n_tokens BETWEEN 50 AND 10000 THEN 1.0 WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
+      |      + (CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.3 END)
+      |      + (CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.4 END)) / 3.0, 4) AS DOUBLE)""".stripMargin
 
   /** Shared CTE chain of the portable MinHash-LSH pipeline (corpus =
     * documents plus first-token-dropped copies at id+1000000, 16-perm
@@ -868,39 +910,29 @@ object SparkEntry {
         |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents))
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "x03_text_profile" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    LENGTH(text) AS n_chars,
-        |    regexp_split_to_array(trim(text), '\s+') AS toks,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
-        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
-        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, n_chars, len(toks) AS n_tokens, n_bpeish,
-        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-        |      / greatest(len(toks), 1) AS avg_tok,
-        |    CAST(len(list_filter(ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as'], t))) AS DOUBLE)
-        |      / greatest(len(ltoks), 1) AS stop_r,
-        |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_r,
-        |    CAST(len(list_filter(ltoks, t -> list_contains(['the','and','of','is','with'], t))) AS BIGINT) AS s_en,
-        |    CAST(len(list_filter(ltoks, t -> list_contains(['el','la','de','que','y'], t))) AS BIGINT) AS s_es,
-        |    CAST(len(list_filter(ltoks, t -> list_contains(['le','la','et','les','des'], t))) AS BIGINT) AS s_fr,
-        |    CAST(len(list_filter(ltoks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de
-        |  FROM p)
+      s"""$duckTextMetricCtes
         |SELECT doc_id, n_chars, n_tokens, n_bpeish,
         |  CAST(ROUND(avg_tok, 4) AS DOUBLE) AS avg_token_len,
         |  CAST(ROUND(stop_r, 4) AS DOUBLE) AS stopword_ratio,
         |  CAST(ROUND(punct_r, 4) AS DOUBLE) AS punct_ratio,
-        |  CAST(ROUND(((CASE WHEN n_tokens BETWEEN 50 AND 10000 THEN 1.0 WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END)
-        |      + (CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.3 END)
-        |      + (CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.4 END)) / 3.0, 4) AS DOUBLE) AS quality,
+        |  $duckQualityExpr AS quality,
         |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
         |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
         |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
         |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
         |       ELSE 'de' END AS lang_guess
         |FROM m ORDER BY doc_id""".stripMargin,
+    // weighted sample: same text-metric CTEs; the per-row threshold is
+    // floor(quality × 2^48) in 12 fixed hex chars ('g' sentinel at
+    // rate >= 1), mirroring Sampling.weightedSample exactly
+    "x30_weighted_sample" ->
+      s"""$duckTextMetricCtes,
+        |q AS (SELECT doc_id, $duckQualityExpr AS quality FROM m)
+        |SELECT doc_id, quality FROM q
+        |WHERE substr(sha256('wq:' || doc_id), 1, 12) <
+        |  CASE WHEN quality >= 1.0 THEN 'g'
+        |       ELSE printf('%012x', CAST(greatest(0, floor(quality * 281474976710656.0)) AS BIGINT)) END
+        |ORDER BY doc_id""".stripMargin,
     "x04_doc_prefix_fingerprint" ->
       """SELECT doc_id, md5(substr(text, 1, 64)) AS prefix_fp,
         |  LENGTH(text) AS text_len FROM documents ORDER BY doc_id""".stripMargin,

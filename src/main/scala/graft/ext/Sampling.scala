@@ -76,6 +76,36 @@ object Sampling {
         < lit(f"$t%012x"))
   }
 
+  /** Deterministic per-ROW weighted sample: keep each row with
+    * probability `rateCol` (clamped to [0,1]; null rate drops the row).
+    * The curation shape behind quality-proportional downsampling — keep
+    * documents with probability equal to their quality score — without
+    * RNG state: the same 48-bit salted hash as
+    * [[preciseBernoulliSample]], compared against a per-row threshold
+    * `floor(rate × 2⁴⁸)` rendered as fixed-width hex (floor, not round:
+    * identical in every engine with IEEE doubles, no rounding-mode
+    * question). rate ≥ 1 renders 13 hex digits — above every 12-hex
+    * bucket, keeps everything; rate ≤ 0 renders all-zeros, keeps
+    * nothing. Narrow projection+filter: no shuffle, scan speed, and the
+    * rate column itself can be any deterministic expression (a quality
+    * score, a per-source priority), which is what makes the decision
+    * reproducible AND auditable cross-engine.
+    */
+  def weightedSample(df: DataFrame, idCol: String, salt: String,
+                     rateCol: Column): DataFrame = {
+    val space = 281474976710656.0 // 2^48, exact in a double
+    val r = rateCol.cast("double")
+    // rate >= 1 → "g": lexicographically above every hex bucket (same
+    // sentinel as hexThreshold — "%012x" of 2^48 would be 13 chars and
+    // break the fixed-length compare). null rate → null threshold →
+    // null comparison → row dropped.
+    val t = when(r >= 1.0, lit("g")).otherwise(format_string("%012x",
+      greatest(lit(0L), floor(r * space).cast("long"))))
+    df.filter(
+      substring(sha2(concat_ws(":", lit(salt), col(idCol).cast("string")), 256), 1, 12)
+        < t)
+  }
+
   /** Deterministic stratified sample: per-stratum keep fractions (e.g.
     * keep all rare `error` rows, 10% of the `view` flood), keyed by the
     * same salted 16-bit hash as [[bernoulliSample]] so the decision is

@@ -317,6 +317,29 @@ class RelationalSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("weightedSample: rate 1 keeps all, 0/null keep none, monotone, deterministic") {
+    val rows = spark.range(2000).select($"id",
+      (when($"id" % 4 === 0, 1.0).when($"id" % 4 === 1, 0.5)
+        .when($"id" % 4 === 2, 0.0).otherwise(lit(null))).as("rate"))
+    val kept = Sampling.weightedSample(rows, "id", "w", col("rate"))
+    val byRate = kept.groupBy($"rate").count()
+      .collect().map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+    assert(byRate(Some("1.0")) == 500L, "rate 1.0 keeps every row")
+    assert(!byRate.contains(Some("0.0")), "rate 0.0 keeps nothing")
+    assert(!byRate.contains(None), "null rate keeps nothing")
+    val half = byRate(Some("0.5"))
+    assert(half > 180 && half < 320, s"rate 0.5 of 500: got $half")
+    // deterministic + monotone: rate 0.25 selects a subset of rate 0.5
+    val r25 = Sampling.weightedSample(
+      rows.withColumn("rate", lit(0.25)), "id", "w", col("rate"))
+    val r50 = Sampling.weightedSample(
+      rows.withColumn("rate", lit(0.5)), "id", "w", col("rate"))
+    assert(r25.select($"id").exceptAll(r50.select($"id")).isEmpty,
+      "smaller rate must select a subset (threshold monotonicity)")
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "weighted sampling must stay narrow:\n" + p)
+  }
+
   test("stratifiedSample: frac 0 drops the stratum; no shuffle in the plan") {
     val kept = Sampling.stratifiedSample(strata, "id", "s", "t1",
       Map("error" -> 0.0), 1.0)

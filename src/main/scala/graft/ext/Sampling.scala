@@ -35,9 +35,18 @@ object Sampling {
         s"$op writes output column '$c' but the input already has one — rename or drop it")
     }
 
+  /** First `hexLen` chars of sha256("salt:id") — THE sampling key for
+    * every sampler here (16-bit buckets at 4, 48-bit at 12), one
+    * definition so they can never desynchronize. `concat` (not
+    * concat_ws) propagates a NULL id to a NULL key, so null-id rows are
+    * never selected by a `<` comparison — the same thing an engine
+    * mirroring the documented sha256('salt:'||id) form computes
+    * (DuckDB's || is null-propagating). */
+  private def hashKey(id: Column, salt: String, hexLen: Int): Column =
+    substring(sha2(concat(lit(salt), lit(":"), id.cast("string")), 256), 1, hexLen)
+
   /** 4-hex-char (16-bit) sampling bucket for an id under a salt. */
-  def hashBucket(id: Column, salt: String): Column =
-    substring(sha2(concat_ws(":", lit(salt), id.cast("string")), 256), 1, 4)
+  def hashBucket(id: Column, salt: String): Column = hashKey(id, salt, 4)
 
   /** Hex threshold with 16-bit resolution. Fractions rounding to the full
     * range return "g" — lexicographically above every hex bucket, so
@@ -71,9 +80,7 @@ object Sampling {
     if (frac == 0.0) return df.filter(lit(false))
     val t = math.max(1L, math.round(frac * space.toDouble))
     if (t >= space) df
-    else df.filter(
-      substring(sha2(concat_ws(":", lit(salt), col(idCol).cast("string")), 256), 1, 12)
-        < lit(f"$t%012x"))
+    else df.filter(hashKey(col(idCol), salt, 12) < lit(f"$t%012x"))
   }
 
   /** Deterministic per-ROW weighted sample: keep each row with
@@ -97,13 +104,12 @@ object Sampling {
     val r = rateCol.cast("double")
     // rate >= 1 → "g": lexicographically above every hex bucket (same
     // sentinel as hexThreshold — "%012x" of 2^48 would be 13 chars and
-    // break the fixed-length compare). null rate → null threshold →
-    // null comparison → row dropped.
+    // break the fixed-length compare). A null rate drops the row — note
+    // the mechanism: greatest() SKIPS nulls, so the threshold becomes
+    // the all-zeros string (below every bucket), not null.
     val t = when(r >= 1.0, lit("g")).otherwise(format_string("%012x",
       greatest(lit(0L), floor(r * space).cast("long"))))
-    df.filter(
-      substring(sha2(concat_ws(":", lit(salt), col(idCol).cast("string")), 256), 1, 12)
-        < t)
+    df.filter(hashKey(col(idCol), salt, 12) < t)
   }
 
   /** Deterministic stratified sample: per-stratum keep fractions (e.g.
@@ -134,7 +140,9 @@ object Sampling {
   }
 
   /** Deterministic train/valid/test assignment: `trainFrac` of the hash
-    * space to "train", then `validFrac` to "valid", remainder "test". */
+    * space to "train", then `validFrac` to "valid", remainder "test".
+    * A null id has a null bucket, which fails both `<` guards and lands
+    * in the remainder split — same as the SQL-mirror formulation. */
   def hashSplit(df: DataFrame, idCol: String, salt: String,
                 trainFrac: Double, validFrac: Double): DataFrame = {
     reserveColumns(df, Seq("bucket", "split"), "hashSplit")

@@ -340,6 +340,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "weighted sampling must stay narrow:\n" + p)
   }
 
+  test("samplers: null ids are never selected (null-propagating hash key)") {
+    val rows = Seq(Some(1L), Some(2L), None).toDF("id")
+    // the hash filter always runs in bernoulliSample, so a null id drops
+    // even at frac 1.0 (null key fails every comparison); only
+    // preciseBernoulliSample's frac-1.0 SHORT-CIRCUIT passes rows through
+    assert(Sampling.bernoulliSample(rows, "id", "n", 1.0).count() == 2)
+    assert(Sampling.preciseBernoulliSample(rows, "id", "n", 1.0).count() == 3)
+    assert(Sampling.bernoulliSample(rows, "id", "n", 0.9999)
+      .filter($"id".isNull).count() == 0, "null id must never hash-select")
+    assert(Sampling.weightedSample(rows, "id", "n", lit(0.9999))
+      .filter($"id".isNull).count() == 0)
+    // hashSplit: null bucket fails both < guards → remainder split
+    val split = Sampling.hashSplit(rows, "id", "n", 0.5, 0.25)
+      .filter($"id".isNull).select($"split").as[String].collect()
+    assert(split.toSeq == Seq("test"))
+  }
+
   test("stratifiedSample: frac 0 drops the stratum; no shuffle in the plan") {
     val kept = Sampling.stratifiedSample(strata, "id", "s", "t1",
       Map("error" -> 0.0), 1.0)

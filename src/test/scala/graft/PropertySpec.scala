@@ -273,6 +273,48 @@ object PipelineProperties extends Properties("graft") {
         got == expect
     }
 
+  // independent sha256 reference for the samplers — validates the whole
+  // hex-threshold encoding (lexicographic-equals-numeric, sentinel,
+  // floor vs round) against java.security, not against Spark itself
+  private def sha256hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  property("weightedSample == driver-side sha256 reference") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 1000000L),
+      Gen.oneOf(0.0, 0.1, 0.5, 0.9999, 1.0)))) { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      val df = rows.toDF("id", "rate")
+      val got = graft.ext.Sampling.weightedSample(df, "id", "ps", col("rate"))
+        .select(col("id")).as[Long].collect().toSet
+      val expect = rows.filter { case (id, rate) =>
+        val key = sha256hex(s"ps:$id").substring(0, 12)
+        if (rate >= 1.0) true
+        else key < f"${math.max(0L, math.floor(rate * 281474976710656.0).toLong)}%012x"
+      }.map(_._1).toSet
+      got == expect
+    }
+
+  property("stratifiedSample == driver-side sha256 reference (length-prefixed)") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 1000000L),
+      Gen.oneOf("err", "web/cc", "", "view")))) { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      val fracs = Map("err" -> 1.0, "web/cc" -> 0.5, "" -> 0.0)
+      val default = 0.25
+      val df = rows.toDF("id", "s")
+      val got = graft.ext.Sampling.stratifiedSample(df, "id", "s", "pz",
+        fracs, default).select(col("id")).as[Long].collect().toSet
+      def hexThreshold(f: Double): String = {
+        val t = math.round(f * 65536.0)
+        if (t >= 65536L) "g" else f"$t%04x"
+      }
+      val expect = rows.filter { case (id, st) =>
+        val key = sha256hex(s"pz:${st.length}:$st/$id").substring(0, 4)
+        key < hexThreshold(fracs.getOrElse(st, default))
+      }.map(_._1).toSet
+      got == expect
+    }
+
   property("latestPerKey is idempotent and keeps the max version (A8/A9)") =
     forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1, 3), Gen.choose(1, 100),
       Gen.alphaStr.map(_.take(5))))) { rows =>

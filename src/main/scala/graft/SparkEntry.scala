@@ -537,6 +537,13 @@ object SparkEntry {
           "event_id", gapSeconds = 1800L)
         .orderBy(col("user_id"), col("session_id"))
     }),
+    "x31_doc_chunks" -> ((s, d) =>
+      // token-window chunking (64-token chunks, 16-token overlap) — the
+      // embedding/retrieval preprocessing shape; narrow posexplode,
+      // chunks at scan speed.
+      TextAnalysis.chunk(t(s, d, "documents"), "text", "doc_id",
+          chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     "x30_weighted_sample" -> ((s, d) => {
       // quality-proportional downsampling: each document kept with
       // probability equal to its composite quality score — the
@@ -925,6 +932,24 @@ object SparkEntry {
     // weighted sample: same text-metric CTEs; the per-row threshold is
     // floor(quality × 2^48) in 12 fixed hex chars ('g' sentinel at
     // rate >= 1), mirroring Sampling.weightedSample exactly
+    // chunk starts: range(0, max(n,1), step) == Spark's
+    // sequence(0, max(n-1,0), step) — all multiples of step below n,
+    // with [0] for the empty-token case; 1-based inclusive list slices
+    // mirror Spark's slice(toks, st+1, chunkTokens)
+    "x31_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS st
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(st // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(st AS BIGINT) AS start_tok,
+        |  CAST(least(64, len(toks) - st) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[st+1 : st+64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "x30_weighted_sample" ->
       s"""$duckTextMetricCtes,
         |q AS (SELECT doc_id, $duckQualityExpr AS quality FROM m)

@@ -165,6 +165,46 @@ object TextAnalysis {
       df.sparkSession, TextDedup.tokens(col(textCol)), n,
       maxDupTokenFrac, maxDupNgramFrac))
 
+  /** Token-window document chunking: split each document into
+    * `chunkTokens`-token windows advancing by `chunkTokens - overlap`
+    * (consecutive chunks share `overlap` tokens) — the preprocessing
+    * shape of embedding/retrieval corpora, where documents exceed the
+    * encoder's context and chunk boundaries need overlap so no span
+    * falls between two chunks. Output: one row per chunk with
+    * (idCol, chunk_idx, start_tok, n_chunk_tokens, chunk_text); the
+    * final chunk may be short; an empty document yields one chunk of
+    * its single empty token (the library's token convention counts
+    * split("") as [""] — x03 parity), so no document silently
+    * disappears.
+    *
+    * Narrow projection + posexplode — no shuffle; a 100 TB corpus
+    * chunks at scan speed. The token array is projected ONCE and
+    * referenced twice (window starts + slices), which keeps
+    * CollapseProject from inlining the tokenization into the
+    * per-chunk lambda (NOTES lesson 15: single-use non-cheap aliases
+    * get inlined; >1 use is kept).
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+            chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    val toked = df.select(col(idCol), TextDedup.tokens(col(textCol)).as("_toks"))
+    val starts = sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)), lit(step))
+    val chunks = transform(starts, st => struct(
+      st.cast("long").as("start_tok"),
+      concat_ws(" ", slice(col("_toks"), st + 1, lit(chunkTokens))).as("chunk_text")))
+    toked
+      .select(col(idCol), col("_toks"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"),
+        least(lit(chunkTokens.toLong),
+          greatest(size(col("_toks")).cast("long") - col("c.start_tok"), lit(0L)))
+          .as("n_chunk_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -554,6 +554,45 @@ class ExtSpec extends AnyFunSuite {
     top.unpersist()
   }
 
+  test("chunk: windows reassemble, overlap agrees, short docs keep one chunk") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+      (2L, "only three tokens"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+
+    // overlap 0: chunks partition the token stream exactly
+    val flat = TextAnalysis.chunk(docs, "text", "doc_id", 8, 0)
+      .orderBy($"doc_id", $"chunk_idx")
+      .groupBy($"doc_id").agg(concat_ws(" ", collect_list($"chunk_text")).as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(flat(1L) == (1 to 20).map(i => s"t$i").mkString(" "))
+    assert(flat(2L) == "only three tokens")
+    assert(flat(3L) == "")
+
+    // overlap 3 on 8-token windows: consecutive chunks share 3 tokens
+    val ch = TextAnalysis.chunk(docs.filter($"doc_id" === 1L), "text", "doc_id", 8, 3)
+      .orderBy($"chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    ch.sliding(2).foreach { case Array(a, b) =>
+      assert(a.split(" ").takeRight(3).sameElements(b.split(" ").take(3)) ||
+        b.split(" ").length < 3, s"overlap mismatch between [$a] and [$b]")
+    case _ => ()
+    }
+    // start offsets advance by step; counts cap at chunk size
+    val meta = TextAnalysis.chunk(docs, "text", "doc_id", 8, 3)
+      .filter($"doc_id" === 1L).orderBy($"chunk_idx")
+      .select($"start_tok", $"n_chunk_tokens").as[(Long, Long)].collect()
+    assert(meta.map(_._1).toSeq == Seq(0L, 5L, 10L, 15L))
+    assert(meta.map(_._2).toSeq == Seq(8L, 8L, 8L, 5L))
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(docs, "text", "doc_id", 8, 8)
+    }
+    val p = TextAnalysis.chunk(docs, "text", "doc_id", 8, 0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "chunking must stay narrow:\n" + p)
+  }
+
   test("scrub swallows emails inside URLs, then bare emails; counts see both") {
     val df = Seq((1L, "mail a@b.co and https://x.y/z?e=c@d.co end"))
       .toDF("doc_id", "text")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Embeddings, Similarity, TextAnalysis, TextDedup}
 import graft.ingest.ValidateRoute
 import graft.olap.Quality
 import graft.schema.TopicSpec
@@ -601,6 +601,103 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
         .orderBy(col("lang"))
+    }),
+    "x32_embedding_quantize" -> ((s, d) => {
+      // int8 symmetric quantization of the embedding column: per-vector
+      // norm, scale, and exact integer digests of the quantized array
+      // (sum / L1 / max pin every element without emitting the array —
+      // arrays don't hash-compare cross-engine, integers do).
+      val q = Embeddings.quantizeInt8(t(s, d, "embeddings"), "embedding", "qv")
+      q.select(
+          col("vec_id"),
+          Similarity.l2Norm(Similarity.asDouble(col("embedding"))).as("norm"),
+          col("qv_scale").as("scale"),
+          aggregate(transform(col("qv"), _.cast("long")), lit(0L), _ + _).as("q_sum"),
+          aggregate(transform(col("qv"), x => abs(x).cast("long")), lit(0L), _ + _).as("q_l1"),
+          array_max(col("qv")).cast("bigint").as("q_max"))
+        .orderBy(col("vec_id"))
+    }),
+    "x33_group_centroids" -> ((s, d) => {
+      // per-label centroids over the QUANTIZED vectors, long form: the
+      // integer dimension sums are order-independent, so the centroid is
+      // deterministic under any partitioning — and hash-verifiable.
+      val q = Embeddings.quantizeInt8(t(s, d, "embeddings"), "embedding", "qv")
+      Embeddings.groupCentroids(q, "qv", "label")
+        .select(col("label"), col("dim").cast("bigint").as("dim"),
+          col("n_vecs"), col("q_sum"), col("q_mean"))
+        .orderBy(col("label"), col("dim"))
+    }),
+    "x34_salient_terms" -> ((s, d) =>
+      // BM25-ish top-3 distinctive terms per document (log-free idf
+      // ratio — exact cross-engine); tf/df/N all integer aggregates.
+      TextAnalysis.salientTerms(t(s, d, "documents"), "text", "doc_id", 3)
+        .orderBy(col("doc_id"), col("term_rank"))),
+    "s17_cube_revenue" -> ((s, d) =>
+      // CUBE: all four grouping sets (year×priority, year, priority,
+      // grand total) in ONE Expand pass — completes the multi-level
+      // aggregation family next to s12's ROLLUP.
+      t(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("bigint").as("oy"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .cube(col("oy"), col("o_orderpriority"))
+        .agg(
+          grouping(col("oy")).cast("bigint").as("g_y"),
+          grouping(col("o_orderpriority")).cast("bigint").as("g_p"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("rev"))
+        .orderBy(col("g_y"), col("g_p"), col("oy"), col("o_orderpriority"))),
+    "q14_window_family" -> ((s, d) => {
+      // the full ranking/navigation window-function family in one pass:
+      // ntile, percent_rank, cume_dist, lag/lead, first_value and a
+      // running count with an explicit ROWS frame. One shuffle on
+      // user_id serves every function. percent_rank/cume_dist are
+      // integer-ratio doubles — bit-identical cross-engine.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("tsec"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(
+          col("event_id"), col("user_id"), col("tsec"),
+          row_number().over(w).cast("bigint").as("rn"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          first(col("event_id")).over(run).as("first_id"),
+          count(lit(1)).over(run).as("running_n"))
+        .orderBy(col("event_id"))
+    }),
+    "x36_robust_outliers" -> ((s, d) =>
+      // distribution-free corpus anomaly scan: per-language median/MAD
+      // of document length, robust z per doc — the quality-filter shape
+      // that survives the heavy tails it is hunting.
+      Quality.robustOutliers(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars").cast("double").as("len")),
+          "lang", "len")
+        .select(col("doc_id"), col("lang"), col("len"), col("med"),
+          col("mad"), col("robust_z"), col("is_outlier"))
+        .orderBy(col("doc_id"))),
+    "s16_scd2_customer_status" -> ((s, d) => {
+      // SCD Type-2 dimension build from a change log: each customer's
+      // order history read as observations of (status, priority); no-op
+      // observations collapse, changes version with half-open effective
+      // intervals. One shuffle feeds both window passes.
+      val log = t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("obs_date"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      graft.warehouse.Scd.scd2(log, Seq("o_custkey"), "obs_date",
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"))
+        // the standard SCD2 high-date stand-in for the open interval —
+        // also dodges null-vs-null date compares in the oracle gate
+        .withColumn("effective_to",
+          coalesce(col("effective_to"), lit("9999-12-31").cast("date")))
+        .orderBy(col("o_custkey"), col("effective_from"),
+          col("o_orderstatus"), col("o_orderpriority"), col("effective_to"))
     }),
     "s14_pivot_daily_types" -> ((s, d) => {
       // the real pivot operator (RelationalGroupedDataset.pivot with
@@ -1330,6 +1427,146 @@ object SparkEntry {
         |  CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
         |  CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // quantization chain mirrored exactly: float→double element cast,
+    // left-to-right list_sum, scale = max|x|/127 floored at 1e-30,
+    // round-half-up via floor(x/scale + 0.5), clamp to ±127
+    "x32_embedding_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS norm,
+        |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, norm, scale,
+        |    list_transform(e, x ->
+        |      CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS INT)) AS qv
+        |  FROM n)
+        |SELECT vec_id,
+        |  CAST(norm AS DOUBLE) AS norm,
+        |  CAST(scale AS DOUBLE) AS scale,
+        |  CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT))) AS BIGINT) AS q_l1,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "x33_group_centroids" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, e,
+        |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(e, x ->
+        |      CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS INT)) AS qv
+        |  FROM n),
+        |x AS (
+        |  SELECT label, unnest(qv) AS qe, unnest(range(len(qv))) AS dim FROM q)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(qe) AS BIGINT) AS q_sum,
+        |  CAST(sum(qe) AS DOUBLE) / count(*) AS q_mean
+        |FROM x GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+    "x34_salient_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) * ((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS score
+        |  FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS term_rank, term, tf, df, score
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, term_rank""".stripMargin,
+    "s17_cube_revenue" ->
+      """WITH t AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS oy,
+        |         o_orderpriority, o_totalprice
+        |  FROM orders)
+        |SELECT oy, o_orderpriority,
+        |  CAST(GROUPING(oy) AS BIGINT) AS g_y,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS rev
+        |FROM t
+        |GROUP BY CUBE(oy, o_orderpriority)
+        |ORDER BY g_y, g_p, oy, o_orderpriority""".stripMargin,
+    "q14_window_family" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+        |  FROM events)
+        |SELECT event_id, user_id, tsec,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+        |  CAST(cume_dist() OVER w AS DOUBLE) AS cdist,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+        |ORDER BY event_id""".stripMargin,
+    // null robust_z (MAD = 0) maps to in-lier on both engines; the
+    // median/MAD chain stays exact because integer inputs interpolate to
+    // halves (exact doubles) and the final z is one IEEE division
+    "x36_robust_outliers" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS len FROM documents),
+        |med AS (SELECT lang, quantile_cont(len, 0.5) AS med FROM d GROUP BY lang),
+        |dev AS (SELECT d.doc_id, d.lang, d.len, med.med FROM d JOIN med USING (lang)),
+        |mad AS (SELECT lang, med, quantile_cont(abs(len - med), 0.5) AS mad
+        |        FROM dev GROUP BY lang, med)
+        |SELECT d.doc_id, d.lang, d.len, m.med, m.mad,
+        |  CASE WHEN m.mad = 0 THEN NULL ELSE (d.len - m.med) / m.mad END AS robust_z,
+        |  COALESCE(abs(CASE WHEN m.mad = 0 THEN NULL
+        |                    ELSE (d.len - m.med) / m.mad END) > 3.5, false) AS is_outlier
+        |FROM d JOIN mad m USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
+    // rn=1 OR per-attr IS DISTINCT FROM == Spark's NOT(struct <=> lag):
+    // the struct compare is null-safe elementwise and its lag is null
+    // only on the first row
+    "s16_scd2_customer_status" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS obs_date,
+        |         o_orderstatus, o_orderpriority
+        |  FROM orders),
+        |lagd AS (
+        |  SELECT *,
+        |    row_number() OVER w AS rn,
+        |    lag(o_orderstatus) OVER w AS p_status,
+        |    lag(o_orderpriority) OVER w AS p_prio
+        |  FROM src
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY obs_date, o_orderkey)),
+        |chg AS (
+        |  SELECT * FROM lagd
+        |  WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM p_status
+        |     OR o_orderpriority IS DISTINCT FROM p_prio)
+        |SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |  obs_date AS effective_from,
+        |  COALESCE(lead(obs_date) OVER w2, DATE '9999-12-31') AS effective_to,
+        |  lead(obs_date) OVER w2 IS NULL AS is_current
+        |FROM chg
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY obs_date, o_orderkey)
+        |ORDER BY o_custkey, effective_from, o_orderstatus, o_orderpriority,
+        |  effective_to""".stripMargin,
     "s14_pivot_daily_types" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column preprocessing: L2 normalization, symmetric int8
+  * quantization, and per-group centroids — the storage/bandwidth tier of
+  * a training-data pipeline (a 100 TB float32 embedding table is 25 TB
+  * at int8; shuffling quantized vectors moves a quarter of the bytes).
+  *
+  * All operators are narrow per-row expressions except the centroid,
+  * which is one hash aggregation over integer sums (order-independent,
+  * hence deterministic under any partitioning — the reason centroids are
+  * computed over the QUANTIZED vectors: float summation order varies
+  * with shuffle layout, integer sums never do).
+  *
+  * HOF-inlining hazard (round-3 lesson): any scalar referenced inside a
+  * `transform` lambda is re-evaluated PER ELEMENT, and single-use
+  * non-cheap projections get inlined by CollapseProject. Every function
+  * here therefore returns the scalar (norm / scale) alongside the
+  * transformed array, keeping ≥2 uses so the optimizer materializes it
+  * once per row.
+  */
+object Embeddings {
+
+  /** 2^-149-safe tiny floor so an all-zero vector quantizes to zeros
+    * instead of dividing by zero under ANSI mode. */
+  private val tinyScale = 1e-30
+
+  private def guard(df: DataFrame, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      require(!df.columns.contains(c),
+        s"Embeddings writes column '$c'; input already has it")
+    }
+
+  /** L2-normalize `embCol` (array of float/double) into `<out>` with the
+    * norm kept as `<out>_norm`. Zero vectors normalize to zeros (null-free,
+    * pipeline-survivable). */
+  def l2Normalize(df: DataFrame, embCol: String, out: String): DataFrame = {
+    guard(df, Seq(out, s"${out}_norm"))
+    val v = Similarity.asDouble(col(embCol))
+    df.withColumn(s"${out}_norm", Similarity.l2Norm(v))
+      .withColumn(out,
+        when(col(s"${out}_norm") === 0.0, v)
+          .otherwise(transform(v, x => x / col(s"${out}_norm"))))
+  }
+
+  /** Symmetric int8 quantization: scale = max|x| / 127, element q =
+    * floor(x / scale + 0.5) clamped to [-127, 127] (round-half-up — the
+    * portable rounding both Spark and DuckDB floor() reproduce
+    * bit-for-bit). Emits `<out>` (array<int>) and `<out>_scale`;
+    * dequantize as q * scale. */
+  def quantizeInt8(df: DataFrame, embCol: String, out: String): DataFrame = {
+    guard(df, Seq(out, s"${out}_scale"))
+    val v = Similarity.asDouble(col(embCol))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    df.withColumn(s"${out}_scale",
+        greatest(maxAbs, lit(tinyScale)) / 127.0)
+      .withColumn(out,
+        transform(v, x => greatest(lit(-127),
+          least(lit(127), floor(x / col(s"${out}_scale") + 0.5)))
+          .cast("int")))
+  }
+
+  /** Per-group centroids of quantized vectors, long form: one row per
+    * (group, dim) with the mean quantized weight. Integer sums make the
+    * result independent of row order — the only centroid formulation
+    * that hash-verifies cross-engine and re-runs identically on a
+    * cluster. Feed `quantizeInt8` output. */
+  def groupCentroids(df: DataFrame, qCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(qCol)).as(Seq("dim", "q")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("q_sum"))
+      .withColumn("q_mean", col("q_sum").cast("double") / col("n_vecs"))
+
+  /** Quantized dot product (integer arithmetic, exact): dot(qa, qb) *
+    * scale_a * scale_b approximates the float dot — the cheap re-rank
+    * primitive over int8-compressed embeddings. */
+  def quantizedDot(qa: Column, sa: Column, qb: Column, sb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")), lit(0L), _ + _)
+      .cast("double") * sa * sb
+}

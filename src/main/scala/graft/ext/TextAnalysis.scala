@@ -119,6 +119,41 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** BM25-flavored salient terms: the k most distinctive terms per
+    * document, scored tf × (N − df + 0.5)/(df + 0.5) — the BM25 idf
+    * ratio WITHOUT the log, so the score is a chain of exact integer
+    * arithmetic plus two correctly-rounded IEEE ops (one divide, one
+    * multiply) and hash-verifies cross-engine; ranking is unchanged
+    * because log is monotone.
+    *
+    * Scale shape: tf = one (doc, term) aggregation; df = one term
+    * aggregation over the (already collapsed) tf rows; the tf⋈df join
+    * shuffles on the term — at corpus scale the df side is vocabulary-
+    * sized and AQE broadcast-joins it. The per-doc top-k is written as
+    * the row_number idiom so [[graft.plans.RewriteLatestPerKey]] plans
+    * it as a bounded-heap TopKRows aggregate (no full per-doc sort)
+    * when the graft extensions are loaded; unoptimized it is still one
+    * window over the (doc, term) rows. */
+  def salientTerms(df: DataFrame, textCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term_rank").cast("bigint").as("term_rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Gopher-style repetition profile: the fraction of duplicate tokens
     * and duplicate word n-grams per document — the standard quality
     * signal for cutting boilerplate/spam from training corpora (Gopher's

@@ -149,4 +149,38 @@ object Quality {
           .as("null_pct"))
       .orderBy(col("event_id"))
   }
+
+  /** Robust per-group outlier scoring via median/MAD — the
+    * distribution-free cousin of the z-score, immune to the outliers it
+    * hunts (a handful of 100 MB documents shifts a mean, not a median).
+    *
+    * Scale shape: two grouped exact-percentile aggregations over the
+    * (small) group dimension, each broadcast back onto the fact — no
+    * fact-side shuffle beyond the two aggregations, no window over the
+    * whole table. `robust_z` is null when the MAD is 0 (≥ half the group
+    * identical); `is_outlier` treats that as in-lier.
+    *
+    * Exactness: with integer-valued inputs the median interpolates to a
+    * multiple of 0.5 (exact in doubles), absolute deviations stay
+    * multiples of 0.5, so the MAD is exact too and the final division is
+    * a single correctly-rounded IEEE op — bit-identical cross-engine.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
+                     threshold: Double = 3.5): DataFrame = {
+    Seq("med", "mad", "robust_z", "is_outlier").foreach { c =>
+      require(!df.columns.contains(c),
+        s"robustOutliers writes column '$c'; input already has it")
+    }
+    val v = col(valCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol), col("med"))
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+    val z = when(col("mad") === 0.0, lit(null).cast("double"))
+      .otherwise((v - col("med")) / col("mad"))
+    df.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z", z)
+      .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
+  }
 }

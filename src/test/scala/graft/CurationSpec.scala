@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.TextAnalysis
+import graft.olap.Quality
+
+/** Corpus-curation scoring: BM25-ish salient terms and robust
+  * (median/MAD) outlier detection. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quantum cat sat on the mat"),
+    (2L, "the dog sat on the mat"),
+    (3L, "the bird sat on the mat"),
+    (4L, "the fish sat on the mat")
+  ).toDF("doc_id", "text")
+
+  test("salientTerms: doc-unique term outranks corpus-wide boilerplate") {
+    val top = TextAnalysis.salientTerms(docs, "text", "doc_id", 2)
+    val d1 = top.filter($"doc_id" === 1).orderBy($"term_rank")
+      .select($"term").collect().map(_.getString(0))
+    // 'quantum' and 'cat' are unique to doc 1 (df=1); 'the'/'sat'/'mat'
+    // appear in all 4 docs (df=4 -> idf ratio (4-4+.5)/(4+.5) ≈ 0.11)
+    assert(d1.toSet == Set("quantum", "cat"), d1.mkString(","))
+    // the ubiquitous term scores BELOW any unique term
+    val scores = TextAnalysis.salientTerms(docs, "text", "doc_id", 100)
+      .filter($"doc_id" === 1)
+      .select($"term", $"score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("quantum") > scores("the"))
+  }
+
+  test("salientTerms: ≤k rows per doc, ranks contiguous from 1, deterministic") {
+    val out = TextAnalysis.salientTerms(docs, "text", "doc_id", 3)
+    val perDoc = out.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), min($"term_rank").as("lo"),
+        max($"term_rank").as("hi"))
+      .collect()
+    perDoc.foreach { r =>
+      assert(r.getLong(1) <= 3 && r.getLong(2) == 1L
+        && r.getLong(3) == r.getLong(1))
+    }
+    val again = TextAnalysis.salientTerms(docs.repartition(5), "text", "doc_id", 3)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("robustOutliers: flags the far point, MAD=0 group degrades to in-lier") {
+    val df = Seq(
+      // group g1: median 10, MAD 1 -> 30 has z=20
+      ("g1", 1L, 9.0), ("g1", 2L, 10.0), ("g1", 3L, 11.0),
+      ("g1", 4L, 10.0), ("g1", 5L, 30.0),
+      // group g2: all identical -> MAD 0 -> null z, never outlier
+      ("g2", 6L, 5.0), ("g2", 7L, 5.0), ("g2", 8L, 5.0)
+    ).toDF("g", "id", "v")
+    val out = Quality.robustOutliers(df, "g", "v")
+    val flagged = out.filter($"is_outlier").select($"id").collect().map(_.getLong(0))
+    assert(flagged.toSeq == Seq(5L))
+    val g2 = out.filter($"g" === "g2").select($"robust_z", $"is_outlier").collect()
+    g2.foreach(r => assert(r.isNullAt(0) && !r.getBoolean(1)))
+  }
+
+  test("robustOutliers: exact median/MAD on an even-count group (0.5 interpolation)") {
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 4.0), ("g", 4L, 9.0))
+      .toDF("g", "id", "v")
+    val r = Quality.robustOutliers(df, "g", "v")
+      .select($"med", $"mad").head
+    // median of (1,2,4,9) = 3.0; |dev| = (2,1,1,6) -> MAD = 1.5
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 1.5)
+  }
+
+  test("robustOutliers plan: no window over the fact, dims broadcast back") {
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0)).toDF("g", "id", "v")
+    val out = Quality.robustOutliers(df, "g", "v")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), "no whole-table window:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "stats must broadcast back:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "no fact-side shuffle join:\n" + p)
+  }
+}

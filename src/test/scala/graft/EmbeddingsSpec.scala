@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Embeddings, Similarity}
+
+/** Embedding preprocessing: normalization invariants, quantization error
+  * bounds and portable rounding, centroid order-independence, and the
+  * narrow plan shapes. */
+class EmbeddingsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // max|x| = 127 in every non-zero vector => scale is EXACTLY 1.0, so the
+  // expected quantized values below are exact, not rounding-dependent
+  private lazy val vecs = Seq(
+    (1L, "a", Array(127.0f, 2.0f, -2.0f)),
+    (2L, "a", Array(0.5f, -0.5f, 127.0f)),
+    (3L, "b", Array(0.0f, 0.0f, 0.0f)), // zero vector
+    (4L, "b", Array(-127.0f, 0.25f, 4.0f))
+  ).toDF("vec_id", "label", "embedding")
+
+  test("l2Normalize: unit norms, zero vectors pass through, norm column exact") {
+    val df = Seq((1L, Array(1.0f, 2.0f, -2.0f)), (3L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.l2Normalize(df, "embedding", "nv")
+      .select($"vec_id", $"nv", $"nv_norm")
+      .collect().map(r => (r.getLong(0), (r.getSeq[Double](1), r.getDouble(2))))
+      .toMap
+    assert(math.abs(out(1L)._2 - 3.0) < 1e-15) // sqrt(1+4+4)
+    assert(math.abs(out(1L)._1.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(out(3L)._1 == Seq(0.0, 0.0, 0.0) && out(3L)._2 == 0.0)
+  }
+
+  test("quantizeInt8: round-half-up fixture, clamp range, max hits ±127") {
+    // scale = 1 exactly; 63.5 -> 64 (half-up), -63.5 -> -63
+    val one = Seq((1L, Array(127.0f, 63.5f, -63.5f, 0.0f, -127.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Embeddings.quantizeInt8(one, "embedding", "qv")
+      .select($"qv").head.getSeq[Int](0)
+    assert(q == Seq(127, 64, -63, 0, -127))
+  }
+
+  test("quantizeInt8: dequantization error ≤ scale/2, zero vector -> zeros") {
+    val rows = Embeddings.quantizeInt8(vecs, "embedding", "qv")
+      .select($"embedding", $"qv", $"qv_scale").collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Float](0).map(_.toDouble)
+      val q = r.getSeq[Int](1)
+      val s = r.getDouble(2)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      e.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * s) <= s / 2 + 1e-12,
+          s"x=$x q=$qi scale=$s")
+      }
+    }
+  }
+
+  test("groupCentroids: matches brute force and is partition-order independent") {
+    val q = Embeddings.quantizeInt8(vecs, "embedding", "qv")
+    val a = Embeddings.groupCentroids(q, "qv", "label")
+    val b = Embeddings.groupCentroids(q.repartition(7), "qv", "label")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "centroids must not depend on partitioning")
+    val got = a.filter($"label" === "a" && $"dim" === 0)
+      .select($"q_sum", $"n_vecs", $"q_mean").head
+    // label a, dim 0 (scale exactly 1): q(127.0)=127, q(0.5)=1 -> sum 128
+    assert(got.getLong(0) == 128L && got.getLong(1) == 2L
+      && got.getDouble(2) == 64.0)
+  }
+
+  test("quantizedDot approximates the exact dot within the int8 error bound") {
+    val q = Embeddings.quantizeInt8(vecs, "embedding", "qv")
+    val a = q.filter($"vec_id" === 1).select($"qv".as("qa"), $"qv_scale".as("sa"),
+      Similarity.asDouble($"embedding").as("ea"))
+    val b = q.filter($"vec_id" === 4).select($"qv".as("qb"), $"qv_scale".as("sb"),
+      Similarity.asDouble($"embedding").as("eb"))
+    val r = a.crossJoin(b).select(
+      Embeddings.quantizedDot($"qa", $"sa", $"qb", $"sb").as("qdot"),
+      Similarity.dot($"ea", $"eb").as("dot")).head
+    // exact: dot = 127*-127 + 2*0.25 + -2*4 = -16136.5;
+    // qdot = 127*-127 + 2*0 + -2*4 = -16137 (scales are exactly 1)
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.5 + 1e-12,
+      s"qdot=${r.getDouble(0)} dot=${r.getDouble(1)}")
+  }
+
+  test("quantize/normalize plan: narrow (no Exchange)") {
+    val out = Embeddings.quantizeInt8(
+      Embeddings.l2Normalize(vecs, "embedding", "nv"), "nv", "qv")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), "per-row ops must not shuffle:\n" + p)
+  }
+
+  test("reserved output columns are guarded") {
+    intercept[IllegalArgumentException] {
+      Embeddings.quantizeInt8(vecs.withColumn("qv", lit(1)), "embedding", "qv")
+    }
+    intercept[IllegalArgumentException] {
+      Embeddings.l2Normalize(vecs.withColumn("nv_norm", lit(1.0)), "embedding", "nv")
+    }
+  }
+}

@@ -602,6 +602,18 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
         .orderBy(col("lang"))
     }),
+    "x35_zorder_values" -> ((s, d) => {
+      // Morton z-values over two bucketized keys — the write-layout
+      // primitive behind multi-column file skipping (OPTIMIZE ZORDER).
+      // Pure bit arithmetic, reproduced bit-for-bit in DuckDB.
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(256)).cast("long").as("pk_b"),
+        pmod(col("l_suppkey"), lit(256)).cast("long").as("sk_b"))
+      li.withColumn("z",
+          graft.warehouse.Layout.zValue(col("pk_b"), col("sk_b"), bits = 8))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "x32_embedding_quantize" -> ((s, d) => {
       // int8 symmetric quantization of the embedding column: per-vector
       // norm, scale, and exact integer digests of the quantized array
@@ -1427,6 +1439,21 @@ object SparkEntry {
         |  CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
         |  CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x35_zorder_values" -> {
+      // bit interleave generated by the same loop as Layout.zValueN:
+      // bit i of pk_b -> position 2i, bit i of sk_b -> position 2i+1
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((pk_b >> $i) & 1) << ${2 * i})",
+        s"(((sk_b >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_partkey % 256 AS BIGINT) AS pk_b,
+         |    CAST(l_suppkey % 256 AS BIGINT) AS sk_b
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, pk_b, sk_b,
+         |  CAST($terms AS BIGINT) AS z
+         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     // quantization chain mirrored exactly: float→double element cast,
     // left-to-right list_sum, scale = max|x|/127 floored at 1e-30,
     // round-half-up via floor(x/scale + 0.5), clamp to ±127

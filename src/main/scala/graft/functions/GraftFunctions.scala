@@ -58,8 +58,18 @@ object GraftFunctions {
       "graft_topk_by takes (key double, value bigint, k int literal)")
   }
 
+  val bloomBuilder: Seq[Expression] => Expression = {
+    case Seq(key, org.apache.spark.sql.catalyst.expressions.Literal(
+        bytes: Array[Byte], org.apache.spark.sql.types.BinaryType)) =>
+      BloomMightContain(key, bytes)
+    case _ => throw new IllegalArgumentException(
+      "graft_bloom_might_contain takes (key bigint, sketch binary literal)")
+  }
+
   /** Register graft functions in an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain", bloomBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_sim", cosineSimBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -116,6 +126,16 @@ object GraftFunctions {
     call_function("graft_minhash64", shingleHashes,
       org.apache.spark.sql.functions.lit(numHashes))
   }
+
+  /** Column API for the bloom-sketch membership probe; registers lazily.
+    * `filterBytes` is a serialized [[org.apache.spark.util.sketch.BloomFilter]]
+    * (see [[graft.warehouse.BloomJoin.buildFilter]]). */
+  def bloomMightContain(spark: SparkSession, key: Column,
+                        filterBytes: Array[Byte]): Column = {
+    register(spark)
+    call_function("graft_bloom_might_contain", key,
+      org.apache.spark.sql.functions.lit(filterBytes))
+  }
 }
 
 /** `spark.sql.extensions` entry point: injects graft's functions and
@@ -148,5 +168,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_repetition_ok"),
       new ExpressionInfo(classOf[RepetitionOk].getName, "graft_repetition_ok"),
       GraftFunctions.repetitionOkBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_might_contain"),
+      GraftFunctions.bloomBuilder))
   }
 }

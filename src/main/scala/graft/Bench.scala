@@ -22,6 +22,7 @@ object Bench {
     // two passes and a min damp any one spike at 2x wall cost.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // blank env value means "all", not "none"
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }

@@ -20,6 +20,7 @@ object Verify {
     // name starts with one of the comma-separated prefixes
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // blank env value means "all", not "none"
     SparkEntry.queries
       .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
       .foreach { case (name, fn) =>

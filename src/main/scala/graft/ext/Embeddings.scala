@@ -28,10 +28,7 @@ object Embeddings {
   private val tinyScale = 1e-30
 
   private def guard(df: DataFrame, cols: Seq[String]): Unit =
-    cols.foreach { c =>
-      require(!df.columns.contains(c),
-        s"Embeddings writes column '$c'; input already has it")
-    }
+    graft.Guards.reserved(df, "Embeddings", cols)
 
   /** L2-normalize `embCol` (array of float/double) into `<out>` with the
     * norm kept as `<out>_norm`. Zero vectors normalize to zeros (null-free,

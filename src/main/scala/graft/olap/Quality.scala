@@ -167,10 +167,8 @@ object Quality {
     */
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
                      threshold: Double = 3.5): DataFrame = {
-    Seq("med", "mad", "robust_z", "is_outlier").foreach { c =>
-      require(!df.columns.contains(c),
-        s"robustOutliers writes column '$c'; input already has it")
-    }
+    graft.Guards.reserved(df, "robustOutliers",
+      Seq("med", "mad", "robust_z", "is_outlier"))
     val v = col(valCol).cast("double")
     val med = df.groupBy(col(groupCol))
       .agg(percentile(v, lit(0.5)).as("med"))

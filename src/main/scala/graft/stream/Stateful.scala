@@ -52,9 +52,13 @@ object Stateful {
       : Dataset[Observation] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null/uncastable event times are dropped here: they carry no order,
+    // and a null ts reaching the state function would fail the task (and
+    // in streaming, wedge the query in a replay loop)
     val base = df.select(col(keyCol).cast("string").as("key"),
-      col(tsCol).cast("timestamp").as("ts"),
-      col(valCol).cast("string").as("value"))
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valCol).cast("string").as("value"))
+      .filter(col("ts").isNotNull)
     watermark.fold(base)(w => base.withWatermark("ts", w)).as[Observation]
   }
 

@@ -38,6 +38,25 @@ object BloomJoin {
     }
   }
 
+  /** Build-side and probe-side canonicalization must agree or the
+    * prefilter silently drops true matches: all-integral pairs widen to
+    * long consistently; anything else goes through xxhash64, which is
+    * type-sensitive — require the exact same type there. */
+  private def requireCompatibleKeys(fact: DataFrame, factKey: String,
+                                    dim: DataFrame, dimKey: String): Unit = {
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val (ft, dt) = (fact.schema(factKey).dataType, dim.schema(dimKey).dataType)
+    require(integral(ft) && integral(dt) || ft == dt,
+      s"bloom key types must canonicalize identically: fact[$factKey]: " +
+        s"${ft.catalogString} vs dim[$dimKey]: ${dt.catalogString} — " +
+        "cast one side first (equal values of different type families " +
+        "hash differently and would be silently dropped)")
+  }
+
   /** Build a bloom filter over `dim[dimKey]` (one distributed aggregate
     * over the dim side; `expectedItems` ≤ 0 counts first). */
   def buildFilter(dim: DataFrame, dimKey: String,
@@ -64,8 +83,11 @@ object BloomJoin {
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
                dimKey: String, expectedItems: Long = -1L,
                fpp: Double = 0.01): DataFrame = {
+    requireCompatibleKeys(fact, factKey, dim, dimKey)
     val bytes = buildFilter(dim, dimKey, expectedItems, fpp)
-    val keys = dim.select(col(dimKey).as("_graft_dk")).distinct()
+    // no distinct on the dim keys: left-semi semantics already ignore
+    // right-side duplicates, and a distinct would cost an extra exchange
+    val keys = dim.select(col(dimKey).as("_graft_dk"))
     prefilter(fact, factKey, bytes)
       .join(keys, col(factKey) === col("_graft_dk"), "left_semi")
   }

@@ -51,10 +51,8 @@ object Layout {
     * shuffle of the fact). Constant columns map to bucket 0. Returns the
     * input plus `<col>_zb` bucket columns. */
   def minMaxBucket(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
-    cols.foreach { c =>
-      require(!df.columns.contains(s"${c}_zb"),
-        s"minMaxBucket writes column '${c}_zb'; input already has it")
-    }
+    graft.Guards.reserved(df, "minMaxBucket",
+      cols.flatMap(c => Seq(s"${c}_zb", s"_min_$c", s"_max_$c")))
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"_min_$c"),
       max(col(c).cast("double")).as(s"_max_$c")))
@@ -76,8 +74,7 @@ object Layout {
     * one file per partition and min/max stats prune on every dimension. */
   def zOrder(df: DataFrame, zbCols: Seq[String], bits: Int = 16,
              partitions: Option[Int] = None): DataFrame = {
-    require(!df.columns.contains("_graft_z"),
-      "zOrder writes column '_graft_z'; input already has it")
+    graft.Guards.reserved(df, "zOrder", Seq("_graft_z"))
     val tagged = df.withColumn("_graft_z", zValueN(zbCols.map(col), bits))
     val ranged = partitions match {
       case Some(p) => tagged.repartitionByRange(p, col("_graft_z"))

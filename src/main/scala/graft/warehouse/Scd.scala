@@ -46,10 +46,7 @@ object Scd {
     */
   def scd2(log: DataFrame, keys: Seq[String], tsCol: String,
            tieCols: Seq[String], attrs: Seq[String]): DataFrame = {
-    reserved.foreach { c =>
-      require(!log.columns.contains(c),
-        s"scd2 writes column '$c'; input already has it — rename or drop")
-    }
+    graft.Guards.reserved(log, "scd2", reserved)
     val order: Seq[Column] = (tsCol +: tieCols).map(col(_).asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
 

@@ -49,6 +49,16 @@ class BloomSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(20L))
   }
 
+  test("mixed key type families are rejected (silent-drop hazard)") {
+    val df = Seq(20.0, 21.0).toDF("fk") // double vs the dim's bigint
+    intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(df, "fk", dim, "dk")
+    }
+    // all-integral pairs of different widths are fine (both cast long)
+    val intFact = Seq(20, 21).toDF("fk")
+    assert(BloomJoin.semiJoin(intFact, "fk", dim, "dk").count() == 1)
+  }
+
   test("interpreted and codegen paths agree") {
     val bytes = BloomJoin.buildFilter(dim, "dk", fpp = 0.01)
     def run(codegen: String): Set[Long] = {

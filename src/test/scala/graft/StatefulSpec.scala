@@ -41,6 +41,16 @@ class StatefulSpec extends AnyFunSuite {
       ("k2", ts("2024-01-01 09:00:00"), "x", null, 1L)))
   }
 
+  test("null event times are dropped, not NPE'd") {
+    val withNull = obsFixture.unionByName(
+      Seq(("k1", null.asInstanceOf[Timestamp], "boom")).toDF("key", "ts", "value"))
+    val got = Stateful.changes(
+      Stateful.observations(withNull, "key", "ts", "value")).toDF()
+    val want = Stateful.changes(
+      Stateful.observations(obsFixture, "key", "ts", "value")).toDF()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("determinism: output independent of arrival partitioning") {
     val a = Stateful.changes(
       Stateful.observations(obsFixture, "key", "ts", "value")).toDF()

@@ -602,6 +602,21 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
         .orderBy(col("lang"))
     }),
+    "x37_bloom_semijoin" -> ((s, d) => {
+      // s10's EXISTS semantics through the bloom-prefiltered semi-join:
+      // the sketch cuts non-matching orders at scan time, the exact
+      // left-semi removes false positives — so the oracle is the plain
+      // EXISTS SQL and any bloom bug (hash mismatch, dropped keys)
+      // hash-fails the driver gate.
+      val o = t(s, d, "orders")
+      val late = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("date"))
+        .select(col("l_orderkey"))
+      graft.warehouse.BloomJoin.semiJoin(o, "o_orderkey", late, "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "x35_zorder_values" -> ((s, d) => {
       // Morton z-values over two bucketized keys — the write-layout
       // primitive behind multi-column file skipping (OPTIMIZE ZORDER).
@@ -1439,6 +1454,11 @@ object SparkEntry {
         |  CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
         |  CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x37_bloom_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x35_zorder_values" -> {
       // bit interleave generated by the same loop as Layout.zValueN:
       // bit i of pk_b -> position 2i, bit i of sk_b -> position 2i+1

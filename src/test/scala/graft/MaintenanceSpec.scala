@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.IncrementalMv
+import graft.warehouse.Compaction
+
+/** Table-maintenance operators: incremental materialized-view upkeep
+  * (delta merge, replay idempotence, partition-scoped rewrites) and
+  * small-file compaction. */
+class MaintenanceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("incremental MV over two streamed batches equals the batch recompute") {
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .select(col("ts"), col("event_type"))
+    val cutSec = ev.agg(percentile_approx(unix_timestamp(col("ts")),
+      lit(0.5), lit(100))).head.getLong(0)
+    val inDir = Files.createTempDirectory("graft-mv-in").toString
+    val mvDir = Files.createTempDirectory("graft-mv").toString + "/mv"
+    val chkDir = Files.createTempDirectory("graft-mv-chk").toString
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+      val q = IncrementalMv.startDailyCounts(stream, "ts", "event_type",
+        mvDir, chkDir, Trigger.AvailableNow())
+      q.awaitTermination(120000); q.stop()
+    }
+    ev.filter(unix_timestamp(col("ts")) <= cutSec)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    ev.filter(unix_timestamp(col("ts")) > cutSec)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+
+    val got = IncrementalMv.read(spark, mvDir)
+    val want = ev.groupBy(to_date(col("ts")).as("day"),
+        col("event_type").as("key"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "incrementally maintained MV must equal the batch recompute")
+  }
+
+  test("replayed batch ids are skipped (exactly-once effect)") {
+    val mvDir = Files.createTempDirectory("graft-mv2").toString + "/mv"
+    val batch = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 11:00:00")),
+      ("b", ts("2024-01-02 10:00:00"))
+    ).toDF("k", "ts")
+    IncrementalMv.applyDailyCountsDelta(batch, 0L, mvDir, "ts", "k")
+    val once = IncrementalMv.read(spark, mvDir).collect().toSet
+    // at-least-once delivery replays the same batch id after a crash
+    IncrementalMv.applyDailyCountsDelta(batch, 0L, mvDir, "ts", "k")
+    val twice = IncrementalMv.read(spark, mvDir).collect().toSet
+    assert(once == twice, "replay must not double-count")
+    // and a NEW batch id does merge
+    IncrementalMv.applyDailyCountsDelta(batch, 1L, mvDir, "ts", "k")
+    val merged = IncrementalMv.read(spark, mvDir)
+      .filter($"key" === "a" && $"day" === lit("2024-01-01").cast("date"))
+      .head.getLong(2)
+    assert(merged == 4L)
+  }
+
+  test("only touched day partitions are rewritten") {
+    val mvDir = Files.createTempDirectory("graft-mv3").toString + "/mv"
+    IncrementalMv.applyDailyCountsDelta(
+      Seq(("a", ts("2024-01-01 10:00:00"))).toDF("k", "ts"), 0L, mvDir, "ts", "k")
+    val fs = new org.apache.hadoop.fs.Path(mvDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(day: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$mvDir/day=$day"))
+        .map(_.getPath.getName).toSet
+    val day1Before = filesOf("2024-01-01")
+    // second batch touches only day 2
+    IncrementalMv.applyDailyCountsDelta(
+      Seq(("a", ts("2024-01-02 09:00:00"))).toDF("k", "ts"), 1L, mvDir, "ts", "k")
+    assert(filesOf("2024-01-01") == day1Before,
+      "untouched partition must keep its exact file set")
+    assert(filesOf("2024-01-02").nonEmpty)
+  }
+
+  test("compaction shrinks the file count and preserves the data") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val ev = Tables(spark, TestSpark.sf, "events")
+    ev.repartition(40).write.parquet(dir)
+    val beforeFiles = spark.read.parquet(dir).inputFiles.length
+    val beforeCount = spark.read.parquet(dir).count()
+    assert(beforeFiles >= 40)
+
+    val total = Compaction.dataBytes(spark, dir)
+    val n = Compaction.compact(spark, dir, targetBytes = total / 4)
+    val after = spark.read.parquet(dir)
+    assert(after.inputFiles.length == n && n <= 6,
+      s"expected ~5 files, got ${after.inputFiles.length}")
+    assert(after.count() == beforeCount)
+    assert(after.exceptAll(ev).isEmpty && ev.exceptAll(after).isEmpty)
+  }
+}

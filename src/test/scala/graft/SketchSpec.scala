@@ -79,4 +79,32 @@ class SketchSpec extends AnyFunSuite {
     assert(plan.contains("partial_percentile_approx"),
       "quantile sketch must partial-aggregate before the shuffle:\n" + plan)
   }
+
+  test("count_min_sketch: never under-counts, over-count bounded by eps·N") {
+    // CMS contract: estimate ≥ true count always; estimate ≤ true +
+    // eps·N with probability 1-confidence. eps=0.001 on 10k rows keeps
+    // the slack at ~10 — tight enough to rank heavy hitters.
+    val eps = 0.001
+    val sketchBytes = events
+      .select(count_min_sketch(col("event_type"), lit(eps), lit(0.99), lit(42))
+        .as("s")).head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val exact = events.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = exact.map(_._2).sum
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS under-counted $k: $est < $c")
+      assert(est <= c + (eps * n).ceil.toLong * 3,
+        s"CMS over-count out of bound for $k: $est vs $c (N=$n)")
+    }
+    // the sketch aggregate partial-combines map-side like the others
+    val q = events.select(
+      count_min_sketch(col("event_type"), lit(eps), lit(0.99), lit(42)).as("s"))
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+        .contains("partial_count_min_sketch"),
+      "CMS must partial-aggregate before the shuffle")
+  }
 }

@@ -602,6 +602,31 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
         .orderBy(col("lang"))
     }),
+    "x38_paragraph_dedup" -> ((s, d) => {
+      // C4-style duplicate-unit removal, composed from existing ops:
+      // chunk (16-token paragraphs, overlap 0) × dedupExact (min_by
+      // partial-agg keeper) over a corpus with duplicated documents —
+      // each paragraph survives once, at its first (doc, idx) position.
+      val docs = t(s, d, "documents")
+      val corpus = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 1000000))
+      val paras = TextAnalysis.chunk(corpus, "text", "doc_id",
+          chunkTokens = 16, overlap = 0)
+        .withColumn("unit_id", col("doc_id") * 10000 + col("chunk_idx"))
+      TextDedup.dedupExact(paras, "chunk_text", "unit_id")
+        .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+          col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "x39_oov_profile" -> ((s, d) => {
+      // vocabulary-coverage gate: OOV counts/rate of every document
+      // against the corpus head vocabulary (tokenTopK output plays the
+      // tokenizer vocab; production passes a real vocab table).
+      val docs = t(s, d, "documents")
+      val vocab = TextAnalysis.tokenTopK(docs, "text", 30).select(col("token"))
+      TextAnalysis.oovProfile(docs, "text", "doc_id", vocab)
+        .orderBy(col("doc_id"))
+    }),
     "x37_bloom_semijoin" -> ((s, d) => {
       // s10's EXISTS semantics through the bloom-prefiltered semi-join:
       // the sketch cuts non-matching orders at scan time, the exact
@@ -1454,6 +1479,47 @@ object SparkEntry {
         |  CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
         |  CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // 16-token paragraphs (x31's chunk CTE at overlap 0) over the
+    // doubled corpus; QUALIFY keeps each paragraph's min unit_id row —
+    // exactly dedupExact's min_by keeper
+    "x38_paragraph_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM base),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 16)) AS st
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(st // 16 AS BIGINT) AS chunk_idx,
+        |    array_to_string(toks[st+1 : st+16], ' ') AS chunk_text,
+        |    doc_id * 10000 + (st // 16) AS unit_id
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, chunk_text
+        |FROM p
+        |QUALIFY row_number() OVER (PARTITION BY chunk_text ORDER BY unit_id) = 1
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x39_oov_profile" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT tok AS token, count(*) AS cnt FROM tok
+        |    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30)),
+        |j AS (SELECT t.doc_id, t.tok, v.token
+        |      FROM tok t LEFT JOIN vocab v ON t.tok = v.token)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x37_bloom_semijoin" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -119,6 +119,31 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Per-document out-of-vocabulary profile against a vocabulary table
+    * (one `token` column — e.g. the [[tokenTopK]] head, or a real
+    * tokenizer's vocab loaded from parquet): token count, OOV count, OOV
+    * rate. The training-data gate for "will this document explode into
+    * UNK/byte-fallback tokens".
+    *
+    * Scale shape: tokens explode narrowly, the vocabulary broadcast-joins
+    * (a vocab is ≤ a few million rows by construction), and the per-doc
+    * rollup is one partial-aggregated shuffle on the doc id. The rate is
+    * a ratio of integer counts — bit-identical cross-engine. */
+  def oovProfile(df: DataFrame, textCol: String, idCol: String,
+                 vocab: DataFrame): DataFrame = {
+    require(vocab.columns.contains("token"),
+      "vocab must have a 'token' column")
+    val toks = df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("tok"))
+    toks.join(broadcast(vocab.select(col("token")).distinct()),
+        col("tok") === col("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** BM25-flavored salient terms: the k most distinctive terms per
     * document, scored tf × (N − df + 0.5)/(df + 0.5) — the BM25 idf
     * ratio WITHOUT the log, so the score is a chain of exact integer

@@ -48,6 +48,47 @@ class CurationSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("oovProfile: exact OOV counts against a vocab table, null-join shape") {
+    val vocab = Seq("the", "sat", "on", "mat").toDF("token")
+    val out = TextAnalysis.oovProfile(docs, "text", "doc_id", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // doc 1: "the quantum cat sat on the mat" -> 7 tokens, OOV quantum+cat
+    assert(out(1L) == ((7L, 2L, 2.0 / 7)))
+    // doc 2: "the dog sat on the mat" -> 6 tokens, OOV dog
+    assert(out(2L) == ((6L, 1L, 1.0 / 6)))
+  }
+
+  test("oovProfile plan: vocab broadcasts, no sort-merge join") {
+    val vocab = Seq("the").toDF("token")
+    val prof = TextAnalysis.oovProfile(
+      Tables(spark, TestSpark.sf, "documents"), "text", "doc_id", vocab)
+    prof.collect()
+    val p = prof.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "no corpus-side shuffle join:\n" + p)
+  }
+
+  test("paragraph dedup composition keeps each unit's first (doc, idx) occurrence") {
+    // doc 20 duplicates doc 10's text; doc 30 shares only its first
+    // 4-token paragraph with doc 10
+    val corpus = Seq(
+      (10L, "a b c d e f"),
+      (20L, "a b c d e f"),
+      (30L, "a b c d x y")
+    ).toDF("doc_id", "text")
+    val paras = TextAnalysis.chunk(corpus, "text", "doc_id",
+        chunkTokens = 4, overlap = 0)
+      .withColumn("unit_id", $"doc_id" * 100 + $"chunk_idx")
+    val kept = graft.ext.TextDedup.dedupExact(paras, "chunk_text", "unit_id")
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(kept == Set(
+      (10L, 0L, "a b c d"), (10L, 1L, "e f"), // doc 20 fully deduped away
+      (30L, 1L, "x y"))) // doc 30's shared first paragraph deduped
+  }
+
   test("robustOutliers: flags the far point, MAD=0 group degrades to in-lier") {
     val df = Seq(
       // group g1: median 10, MAD 1 -> 30 has z=20

@@ -40,6 +40,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
+            # subset-run convenience: --present skips queries not dumped
+            if "--present" in sys.argv and "No files found" in str(e):
+                continue
             print(f"FAIL {name}: spark output missing: {e}")
             failures += 1
             continue

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, session_window, window}
+import org.apache.spark.sql.functions.{col, count, expr, lit, session_window, window}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -91,4 +91,36 @@ object Streaming {
       .option("checkpointLocation", chkDir)
       .trigger(trigger)
       .start()
+
+  /** Stream-stream interval join: each left row matches right rows of the
+    * same key whose event time falls in `[lt - lookback, lt]` — the
+    * streaming twin of [[graft.ext.Relational.rangeJoin]] (purchase ⋈
+    * clicks in the preceding hour, impression ⋈ conversion windows).
+    *
+    * State bounds (the part that matters at 100 TB): BOTH sides carry a
+    * watermark and the join condition bounds event time in BOTH
+    * directions, so Spark evicts buffered rows once the watermark passes
+    * their match window — state is O(rows within lateness+lookback), not
+    * O(stream history). Inner joins emit as matches arrive; outer-join
+    * null-matches emit only when the watermark CLOSES a row's window
+    * (stragglers still inside the final watermark never emit — feed a
+    * closing batch or accept the tail in AvailableNow backfills).
+    *
+    * Column contract: both inputs must already expose distinct names
+    * (prefix beforehand); `leftTs`/`rightTs` are timestamp columns.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   lookback: String = "1 hour",
+                   lateness: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs),
+      joinType)
+  }
 }

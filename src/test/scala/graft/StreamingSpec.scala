@@ -248,4 +248,79 @@ class StreamingSpec extends AnyFunSuite {
     val dim = spark.read.parquet(sink)
     assert(dim.agg(sum(col("n"))).head.getLong(0) == 100)
   }
+
+  test("stream-stream interval join matches the batch theta join (inner)") {
+    val events = Tables(spark, TestSpark.sf, "events")
+    val tmpIn = Files.createTempDirectory("graft-ssj-in").toString
+    events.write.mode("overwrite").parquet(tmpIn)
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts")),
+      df.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts")))
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmpIn).schema).parquet(tmpIn)
+    val (sp, sc) = sides(stream)
+    val joined = Streaming.intervalJoin(sp, sc, "p_user", "c_user",
+      "p_ts", "c_ts", lookback = "1 hour")
+    val q = joined.select(col("p_id"), col("c_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+
+    val (bp, bc) = sides(events)
+    val batch = bp.join(bc,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+    val got = spark.table("ssj_out")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stream-stream interval join must equal the batch theta join")
+  }
+
+  test("stream-stream left-outer join emits null-matches once the watermark closes") {
+    val inP = Files.createTempDirectory("graft-ssj-p").toString
+    val inC = Files.createTempDirectory("graft-ssj-c").toString
+    val outDir = Files.createTempDirectory("graft-ssj-out").toString
+    val chk = Files.createTempDirectory("graft-ssj-chk").toString
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    def runOnce(): Unit = {
+      val p = spark.readStream.schema("p_id STRING, p_user STRING, p_ts TIMESTAMP")
+        .parquet(inP)
+      val c = spark.readStream.schema("c_id STRING, c_user STRING, c_ts TIMESTAMP")
+        .parquet(inC)
+      val j = Streaming.intervalJoin(p, c, "p_user", "c_user", "p_ts", "c_ts",
+        lookback = "1 hour", lateness = "1 minute", joinType = "leftOuter")
+      val q = j.select(col("p_id"), col("c_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    // u1's purchase has a click in-window; u2's has none
+    Seq(("p1", "u1", ts("2024-01-01 10:00:00")), ("p2", "u2", ts("2024-01-01 10:00:00")))
+      .toDF("p_id", "p_user", "p_ts").write.mode("append").parquet(inP)
+    Seq(("c1", "u1", ts("2024-01-01 09:30:00")))
+      .toDF("c_id", "c_user", "c_ts").write.mode("append").parquet(inC)
+    runOnce()
+    // advance the watermark far past p2's window so its null-match emits
+    Seq(("p9", "u9", ts("2024-01-01 13:00:00")))
+      .toDF("p_id", "p_user", "p_ts").write.mode("append").parquet(inP)
+    Seq(("c9", "u9", ts("2024-01-01 13:00:00")))
+      .toDF("c_id", "c_user", "c_ts").write.mode("append").parquet(inC)
+    runOnce()
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got.contains(("p1", Some("c1"))), s"matched row missing: $got")
+    assert(got.contains(("p2", None)),
+      s"watermark-closed unmatched row must emit a null-match: $got")
+  }
 }

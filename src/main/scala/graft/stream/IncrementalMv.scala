@@ -26,11 +26,32 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IncrementalMv {
 
+  private def commitsDir(mvPath: String) =
+    new Path(s"${mvPath.stripSuffix("/")}/_graft_commits")
+
   private def commitPath(mvPath: String, batchId: Long) =
-    new Path(s"${mvPath.stripSuffix("/")}/_graft_commits/$batchId")
+    new Path(commitsDir(mvPath), batchId.toString)
+
+  private def stagingPath(mvPath: String, batchId: Long) =
+    new Path(s"${mvPath.stripSuffix("/")}/_graft_staging/$batchId")
 
   /** Merge one micro-batch of raw events into the daily-count MV
-    * (schema: day DATE partition, key, n). Idempotent per `batchId`. */
+    * (schema: day DATE partition, key, n). Idempotent per `batchId`
+    * through a write-ahead staging snapshot:
+    *
+    *  1. MERGE: compute existing(touched days) + delta into a staging
+    *     dir (parquet commit protocol marks completion with _SUCCESS);
+    *     the MV itself is untouched, so a crash here just recomputes.
+    *  2. INSTALL: dynamic-partition-overwrite the staged partitions
+    *     into the MV. Re-installing the SAME staged snapshot is
+    *     idempotent, so a crash mid-install (or after install, before
+    *     the marker) replays safely — the replay skips the merge (stage
+    *     already _SUCCESS-complete, and re-merging from a half-installed
+    *     MV would double-count) and re-installs.
+    *  3. COMMIT: write the batch marker, prune older markers (only the
+    *     latest batch can ever replay — the streaming checkpoint is the
+    *     source of truth for progress), drop the staging dir.
+    */
   def applyDailyCountsDelta(batch: DataFrame, batchId: Long, mvPath: String,
                             tsCol: String, keyCol: String): Unit = {
     val spark = batch.sparkSession
@@ -38,36 +59,54 @@ object IncrementalMv {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = commitPath(mvPath, batchId)
     if (fs.exists(marker)) return // replayed batch: already applied
+    val staged = stagingPath(mvPath, batchId)
+    val stagedOk = new Path(staged, "_SUCCESS")
 
-    val delta = batch
-      .groupBy(to_date(col(tsCol)).as("day"), col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n"))
-    val touched = delta.select(col("day")).distinct().collect()
-      .map(_.getDate(0))
-    if (touched.nonEmpty) {
-      val existing =
-        if (fs.exists(new Path(mvPath)) &&
-            fs.listStatus(new Path(mvPath)).exists(s =>
-              s.getPath.getName.startsWith("day=")))
-          spark.read.parquet(mvPath)
-            .filter(col("day").isin(touched.map(d => lit(d)): _*))
-        else spark.emptyDataFrame
-          .withColumn("day", lit(null).cast("date"))
-          .withColumn("key", lit(null).cast("string"))
-          .withColumn("n", lit(null).cast("long"))
-          .limit(0)
-      val merged = existing.select(col("day"), col("key"), col("n"))
-        .unionByName(delta.select(col("day"),
-          col("key").cast("string").as("key"), col("n")))
-        .groupBy(col("day"), col("key"))
-        .agg(sum(col("n")).as("n"))
-      merged.write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(mvPath)
+    if (!fs.exists(stagedOk)) {
+      // phase 1 — merge into staging (MV untouched; delta persisted so
+      // the touched-days collect and the write share one computation)
+      val delta = batch
+        .groupBy(to_date(col(tsCol)).as("day"), col(keyCol).as("key"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      try {
+        val touched = delta.select(col("day")).distinct().collect()
+          .map(_.getDate(0))
+        if (touched.isEmpty) { fs.create(marker, true).close(); return }
+        val existing =
+          if (fs.exists(new Path(mvPath)) &&
+              fs.listStatus(new Path(mvPath)).exists(s =>
+                s.getPath.getName.startsWith("day=")))
+            spark.read.parquet(mvPath)
+              .filter(col("day").isin(touched.map(d => lit(d)): _*))
+          else delta.limit(0)
+        existing.select(col("day"), col("key").cast("string").as("key"), col("n"))
+          .unionByName(delta.select(col("day"),
+            col("key").cast("string").as("key"), col("n")))
+          .groupBy(col("day"), col("key"))
+          .agg(sum(col("n")).as("n"))
+          .write.mode("overwrite").parquet(staged.toString)
+      } finally delta.unpersist()
     }
-    fs.create(marker, true).close() // commit ledger entry LAST
+
+    // phase 2 — install the staged snapshot (idempotent re-run)
+    spark.read.parquet(staged.toString)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(mvPath)
+
+    // phase 3 — commit + prune (ledger stays O(1), not one file/batch)
+    fs.create(marker, true).close()
+    if (fs.exists(commitsDir(mvPath)))
+      fs.listStatus(commitsDir(mvPath))
+        .filter(_.getPath.getName != batchId.toString)
+        .foreach(s => fs.delete(s.getPath, false))
+    // the whole staging root is stale once this batch committed (only
+    // the latest batch can replay) — drop it, including any leftovers
+    // from a batch that crashed after its marker
+    fs.delete(staged.getParent, true)
   }
 
   /** Start the maintenance query: one daily-count MV kept current from

@@ -15,11 +15,19 @@ import org.apache.spark.sql.SparkSession
   * `shuffle = true` for `repartition` when input sizes are badly skewed
   * and balanced outputs matter more than the shuffle cost.
   *
-  * The rewrite goes to a sibling temp dir, then swaps in two FS renames
-  * — readers see the old or the new file set, never a mix (parquet
-  * readers in flight across the swap must re-list, as with any
-  * non-transactional table format; compact during low-traffic windows
-  * or layer a transactional format for concurrent writers).
+  * Scope: FLAT table directories (one level of data files). Partitioned
+  * layouts (`day=.../part-*.parquet`) are rejected — compacting them
+  * here would flatten the partitioning and delete sidecar dirs; compact
+  * each partition directory individually instead.
+  *
+  * The rewrite goes to a sibling temp dir, then swaps in two FS renames.
+  * This is an OFFLINE maintenance operation: between the renames the
+  * path briefly does not exist, and a reader planning in that window
+  * fails (and one that listed before the swap reads deleted files).
+  * Run it in a low-traffic window, or layer a transactional table
+  * format when concurrent readers/writers must survive compaction. A
+  * crash between the renames leaves the data intact at
+  * `<dir>.graft-compact-old` — rename it back to recover.
   */
 object Compaction {
 
@@ -42,6 +50,15 @@ object Compaction {
     * file count. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
               shuffle: Boolean = false): Int = {
+    val root = new Path(dir)
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subdirs = rootFs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"compact() works on flat table directories; '$dir' contains " +
+        s"subdirectories (${subdirs.take(3).mkString(", ")}…) — a " +
+        "partitioned/sidecar layout would be flattened and its metadata " +
+        "lost. Compact each partition directory individually.")
     val n = plannedFiles(dataBytes(spark, dir), targetBytes)
     val df = spark.read.parquet(dir)
     val out = if (shuffle) df.repartition(n) else df.coalesce(n)

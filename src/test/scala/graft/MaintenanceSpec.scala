@@ -88,6 +88,54 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(filesOf("2024-01-02").nonEmpty)
   }
 
+  test("crash recovery: a complete staging snapshot is installed, not re-merged") {
+    val mvDir = Files.createTempDirectory("graft-mv4").toString + "/mv"
+    IncrementalMv.applyDailyCountsDelta(
+      Seq(("a", ts("2024-01-01 10:00:00"))).toDF("k", "ts"), 0L, mvDir, "ts", "k")
+    // simulate a crash AFTER batch 1 staged its merge but BEFORE the
+    // commit marker: a _SUCCESS-complete staging snapshot exists. The
+    // sentinel count 999 (≠ any re-merge result) proves the replay
+    // installs the snapshot instead of re-merging (which could
+    // double-count off a half-installed MV).
+    Seq((java.sql.Date.valueOf("2024-01-01"), "a", 999L))
+      .toDF("day", "key", "n")
+      .write.parquet(s"$mvDir/_graft_staging/1")
+    IncrementalMv.applyDailyCountsDelta(
+      Seq(("a", ts("2024-01-01 11:00:00"))).toDF("k", "ts"), 1L, mvDir, "ts", "k")
+    val n = IncrementalMv.read(spark, mvDir)
+      .filter($"key" === "a").head.getLong(2)
+    assert(n == 999L, s"replay must install the staged snapshot, got n=$n")
+    // and the staging area is gone after commit
+    val fs = new org.apache.hadoop.fs.Path(mvDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mvDir/_graft_staging")))
+  }
+
+  test("commit ledger stays O(1): older markers prune on each commit") {
+    val mvDir = Files.createTempDirectory("graft-mv5").toString + "/mv"
+    (0L to 2L).foreach { id =>
+      IncrementalMv.applyDailyCountsDelta(
+        Seq(("a", ts(s"2024-01-0${id + 1} 10:00:00"))).toDF("k", "ts"),
+        id, mvDir, "ts", "k")
+    }
+    val fs = new org.apache.hadoop.fs.Path(mvDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$mvDir/_graft_commits"))
+      .map(_.getPath.getName).toSeq
+    assert(markers == Seq("2"), s"expected only the latest marker: $markers")
+  }
+
+  test("compact refuses partitioned directories (flatten hazard)") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    Seq((1, "a"), (2, "b")).toDF("v", "k")
+      .write.partitionBy("k").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir, targetBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("flat table directories"))
+  }
+
   test("compaction shrinks the file count and preserves the data") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
     val ev = Tables(spark, TestSpark.sf, "events")

@@ -19,8 +19,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, skip_missing: bool = False) -> int:
     con = duckdb.connect()
+    skipped = 0
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -41,7 +42,8 @@ def main(sf_dir: str, out_dir: str) -> int:
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
             # subset-run convenience: --present skips queries not dumped
-            if "--present" in sys.argv and "No files found" in str(e):
+            if skip_missing and "No files found" in str(e):
+                skipped += 1
                 continue
             print(f"FAIL {name}: spark output missing: {e}")
             failures += 1
@@ -90,9 +92,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             extra = f" (max float diff {max_float_diff:.2e})" if max_float_diff else ""
             print(f"OK   {name}: {len(exp)} rows{extra}")
-    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    checked = len(oracle) - skipped
+    note = f" ({skipped} not dumped, skipped)" if skipped else ""
+    print(f"\n{checked - failures}/{checked} checked queries match{note}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--present"]
+    sys.exit(main(args[0], args[1], skip_missing="--present" in sys.argv))

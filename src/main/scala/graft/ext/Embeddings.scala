@@ -63,14 +63,24 @@ object Embeddings {
     * (group, dim) with the mean quantized weight. Integer sums make the
     * result independent of row order — the only centroid formulation
     * that hash-verifies cross-engine and re-runs identically on a
-    * cluster. Feed `quantizeInt8` output. */
-  def groupCentroids(df: DataFrame, qCol: String, groupCol: String): DataFrame =
-    df.select(col(groupCol), posexplode(col(qCol)).as(Seq("dim", "q")))
-      .groupBy(col(groupCol), col("dim"))
+    * cluster. Feed `quantizeInt8` output.
+    *
+    * Plan shape: the native `graft_vecsum` aggregate reduces map-side,
+    * so the exchange carries ONE sum-array per (partition, group) — not
+    * the rows × dims exploded pairs the naive posexplode-then-groupBy
+    * would shuffle. The explode happens AFTER aggregation, on |groups|
+    * rows. */
+  def groupCentroids(df: DataFrame, qCol: String, groupCol: String): DataFrame = {
+    val spark = df.sparkSession
+    df.groupBy(col(groupCol))
       .agg(
-        count(lit(1)).as("n_vecs"),
-        sum(col("q")).as("q_sum"))
+        graft.functions.GraftFunctions.vecSumLong(spark, col(qCol)).as("_sums"),
+        sum(when(col(qCol).isNotNull, 1L).otherwise(0L)).as("n_vecs"))
+      .select(col(groupCol), col("n_vecs"),
+        posexplode(col("_sums")).as(Seq("dim", "q_sum")))
+      .select(col(groupCol), col("dim"), col("n_vecs"), col("q_sum"))
       .withColumn("q_mean", col("q_sum").cast("double") / col("n_vecs"))
+  }
 
   /** Quantized dot product (integer arithmetic, exact): dot(qa, qb) *
     * scale_a * scale_b approximates the float dot — the cheap re-rank

@@ -66,10 +66,18 @@ object GraftFunctions {
       "graft_bloom_might_contain takes (key bigint, sketch binary literal)")
   }
 
+  val vecSumBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => VectorSumLong(a) // analyzer wraps AggregateFunctions
+    case other => throw new IllegalArgumentException(
+      s"graft_vecsum takes 1 argument, got ${other.size}")
+  }
+
   /** Register graft functions in an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain", bloomBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vecsum", vecSumBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_sim", cosineSimBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -127,6 +135,13 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(numHashes))
   }
 
+  /** Column API for the elementwise vector-sum aggregate; registers
+    * lazily. */
+  def vecSumLong(spark: SparkSession, vec: Column): Column = {
+    register(spark)
+    call_function("graft_vecsum", vec)
+  }
+
   /** Column API for the bloom-sketch membership probe; registers lazily.
     * `filterBytes` is a serialized [[org.apache.spark.util.sketch.BloomFilter]]
     * (see [[graft.warehouse.BloomJoin.buildFilter]]). */
@@ -173,5 +188,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "graft_bloom_might_contain"),
       GraftFunctions.bloomBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VectorSumLong].getName, "graft_vecsum"),
+      GraftFunctions.vecSumBuilder))
   }
 }

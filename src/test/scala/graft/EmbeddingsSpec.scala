@@ -70,6 +70,34 @@ class EmbeddingsSpec extends AnyFunSuite {
       && got.getDouble(2) == 64.0)
   }
 
+  test("groupCentroids plan: vecsum reduces map-side; explode AFTER the agg") {
+    val q = Embeddings.quantizeInt8(vecs, "embedding", "qv")
+    val out = Embeddings.groupCentroids(q.repartition(4), "qv", "label")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("partial_vectorsumlong"),
+      "vector sums must partial-aggregate before the shuffle:\n" + p)
+    // tree prints parents first: the Generate (posexplode) node must sit
+    // ABOVE the final aggregate, i.e. dims explode on |groups| rows only
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("ObjectHashAggregate")
+    assert(gen >= 0 && agg > gen,
+      "posexplode must run after aggregation:\n" + p)
+  }
+
+  test("vecsum rejects inconsistent dimensions instead of corrupting sums") {
+    val bad = Seq((1L, "a", Array(1, 2, 3)), (2L, "a", Array(1, 2)))
+      .toDF("vec_id", "label", "qv")
+    val e = intercept[Exception] {
+      Embeddings.groupCentroids(bad, "qv", "label").collect()
+    }
+    assert(e.getMessage.contains("inconsistent vector dimensions")
+      || Option(e.getCause).exists(_.getMessage
+        .contains("inconsistent vector dimensions")),
+      s"unexpected error: $e")
+  }
+
   test("quantizedDot approximates the exact dot within the int8 error bound") {
     val q = Embeddings.quantizeInt8(vecs, "embedding", "qv")
     val a = q.filter($"vec_id" === 1).select($"qv".as("qa"), $"qv_scale".as("sa"),

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 import org.apache.spark.sql.functions._
 
@@ -313,6 +313,51 @@ object PipelineProperties extends Properties("graft") {
         key < hexThreshold(fracs.getOrElse(st, default))
       }.map(_._1).toSet
       got == expect
+    }
+
+  property("scd2: versions reconstruct the log; current == latestPerKey") =
+    forAll(Gen.listOfN(14, Gen.zip(Gen.choose(1, 3), Gen.choose(1, 40),
+      Gen.oneOf("a", "b", null.asInstanceOf[String])))) { rows0 =>
+      // unique (key, ts) observation stream with a deterministic tie id
+      val rows = rows0.zipWithIndex
+        .map { case ((k, t, v), i) => (k.toLong, t.toLong, i.toLong, v) }
+        .distinctBy(r => (r._1, r._2))
+      rows.nonEmpty ==> {
+        val log = rows.toDF("k", "ts", "tie", "v")
+        val hist = graft.warehouse.Scd.scd2(log, Seq("k"), "ts", Seq("tie"), Seq("v"))
+        // exactly one open (current) version per key, and it matches the
+        // latest-per-key build
+        val cur = graft.warehouse.Scd.scd2Current(hist).select(col("k"), col("v"))
+        val latest = Star.latestPerKey(log, Seq("k"), Seq("ts", "tie"))
+          .select(col("k"), col("v"))
+        val currentOk = cur.exceptAll(latest).count() == 0 &&
+          latest.exceptAll(cur).count() == 0
+        // as-of reconstruction at every original observation time
+        // returns the value in effect there (null-safe)
+        val probes = log.select(col("k"), col("ts"), col("v").as("want"))
+        val looked = graft.ext.Relational.asofJoin(probes,
+          hist.select(col("k"), col("effective_from"), col("v")),
+          Seq("k"), "ts", "effective_from", Seq("v"), "got_")
+        val reconstructOk = looked.filter(!(col("got_v") <=> col("want")))
+          .count() == 0
+        currentOk && reconstructOk
+      }
+    }
+
+  property("graft_vecsum == posexplode/groupBy/sum on random integer vectors") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.choose(1, 3),
+      Gen.listOfN(4, Gen.choose(-127, 127))))) { rows =>
+      val df = rows.map { case (g, v) => (g.toLong, v.toArray) }
+        .toDF("g", "vec")
+      val kernel = df.groupBy(col("g"))
+        .agg(graft.functions.GraftFunctions.vecSumLong(spark, col("vec")).as("s"))
+        .select(col("g"), posexplode(col("s")).as(Seq("dim", "q")))
+      val reference = df
+        .select(col("g"), posexplode(col("vec")).as(Seq("dim", "q0")))
+        .groupBy(col("g"), col("dim")).agg(sum(col("q0")).as("q"))
+        .select(col("g"), col("dim").cast("int"), col("q"))
+      kernel.exceptAll(reference).count() == 0 &&
+        reference.exceptAll(kernel).count() == 0
     }
 
   property("latestPerKey is idempotent and keeps the max version (A8/A9)") =

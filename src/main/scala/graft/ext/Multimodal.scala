@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * partition sizing, batch shape, typed Dataset transforms — is real and
   * tested; the codec itself is PLUGGABLE: every decode/feature/frame
   * operator takes a [[MediaCodec]] factory (per-task instances — see the
-  * trait doc) and defaults to [[StubCodec]], a
-  * clearly-marked deterministic stand-in (the container ships no
-  * image/audio libraries). A real deployment passes its own codec —
-  * nothing upstream or downstream moves, and ExtSpec proves the swap by
-  * running the full pipeline under a custom codec.
+  * trait doc). REAL decoders exist in [[JdkCodecs]] — ImageIO
+  * (PNG/JPEG/BMP/GIF) and javax.sound (WAV/AIFF PCM), both pure JDK, no
+  * external libraries — and JdkCodecsSpec drives this whole pipeline
+  * through them on real encoded payloads. [[StubCodec]] remains the
+  * default fixture codec (deterministic, format-agnostic), and formats
+  * beyond the JDK (MP4/H.264, FLAC…) arrive through the same factory
+  * parameter with a library-backed codec; nothing upstream or
+  * downstream moves.
   *
   * Scale design:
   *  - Decode is per-row CPU-heavy, so it runs in `mapPartitions` with a

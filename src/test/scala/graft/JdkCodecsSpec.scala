@@ -1,0 +1,121 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.JdkCodecs
+import graft.ext.Multimodal
+import graft.ext.Multimodal.MediaRow
+
+/** REAL decode through the JDK codecs: PNG/BMP images and PCM WAV audio
+  * generated with the same JDK APIs, decoded exactly; the full
+  * Multimodal pipeline (size-aware partitioning → decode → features)
+  * runs under them end-to-end. */
+class JdkCodecsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic w×h image encoded as `fmt` (png/bmp). */
+  private def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 31 + y * 17) % 256) * 0x010101)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Mono 16-bit PCM WAV: a square wave of `nFrames` frames. */
+  private def wavBytes(nFrames: Int, sampleRate: Float = 8000f,
+                       amplitude: Short = 16384): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v: Short = if ((i / 8) % 2 == 0) amplitude else (-amplitude).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNG and BMP dimensions exactly") {
+    for (fmt <- Seq("png", "bmp")) {
+      val (w, h, n, ok) = JdkCodecs.ImageIoCodec.decode(imageBytes(20, 12, fmt), "image")
+      assert((w, h, n, ok) == ((20, 12, 1, true)), s"format $fmt")
+    }
+    assert(JdkCodecs.ImageIoCodec.decode("not an image".getBytes, "image")._4 == false)
+  }
+
+  test("ImageIoCodec features: deterministic grid luminance in [0,1]") {
+    val bytes = imageBytes(32, 32, "png")
+    val f1 = JdkCodecs.ImageIoCodec.features(bytes, "image", 16)
+    val f2 = JdkCodecs.ImageIoCodec.features(bytes, "image", 16)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == 16 && f1.forall(v => v >= 0f && v <= 1f))
+    // a solid-white image has luminance exactly 1.0 in every cell
+    val white = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) white.setRGB(x, y, 0xffffff)
+    val bos = new ByteArrayOutputStream(); ImageIO.write(white, "png", bos)
+    val fw = JdkCodecs.ImageIoCodec.features(bos.toByteArray, "image", 4)
+    assert(fw.forall(_ == 1.0f), fw.toSeq.toString)
+  }
+
+  test("ImageIoCodec frames: one decodable PNG frame round-trips") {
+    val fs = JdkCodecs.ImageIoCodec.frames(imageBytes(10, 10, "png"))
+    assert(fs.length == 1)
+    val back = ImageIO.read(new ByteArrayInputStream(fs.head))
+    assert(back.getWidth == 10 && back.getHeight == 10)
+  }
+
+  test("WavCodec decodes real PCM WAV rate/channels/frames exactly") {
+    val (rate, ch, frames, ok) = JdkCodecs.WavCodec.decode(wavBytes(4000), "audio")
+    assert((rate, ch, frames, ok) == ((8000, 1, 4000, true)))
+    assert(JdkCodecs.WavCodec.decode(Array[Byte](1, 2, 3), "audio")._4 == false)
+  }
+
+  test("WavCodec features: RMS of a constant-amplitude square wave") {
+    // |sample| is constant 16384/32768 = 0.5 -> every window RMS = 0.5
+    val f = JdkCodecs.WavCodec.features(wavBytes(4096), "audio", 8)
+    assert(f.length == 8)
+    f.foreach(v => assert(math.abs(v - 0.5f) < 1e-4, s"window rms $v"))
+    // silence -> 0
+    val silent = JdkCodecs.WavCodec.features(wavBytes(1024, amplitude = 0), "audio", 4)
+    assert(silent.forall(_ == 0f))
+  }
+
+  test("WavCodec frames: 1024-frame PCM blocks partition the payload") {
+    val fs = JdkCodecs.WavCodec.frames(wavBytes(3000))
+    assert(fs.map(_.length).sum == 3000 * 2)
+    assert(fs.length == 3) // 1024 + 1024 + 952
+  }
+
+  test("full Multimodal pipeline runs under the REAL codecs end-to-end") {
+    val rows = Seq(
+      MediaRow(1L, "image", "mem://a.png", imageBytes(16, 16, "png"), 100L),
+      MediaRow(2L, "image", "mem://b.bmp", imageBytes(8, 24, "bmp"), 100L),
+      MediaRow(3L, "image", "mem://broken", Array[Byte](9, 9), 2L)
+    ).toDS()
+    val sized = Multimodal.repartitionBySize(rows, targetBytes = 200L)
+    val dec = Multimodal.decode(sized, () => JdkCodecs.ImageIoCodec)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(dec(1L).width == 16 && dec(1L).height == 16 && dec(1L).ok)
+    assert(dec(2L).width == 8 && dec(2L).height == 24 && dec(2L).ok)
+    assert(!dec(3L).ok)
+    val feats = Multimodal.features(sized, dim = 9, () => JdkCodecs.ImageIoCodec)
+    assert(feats.count() == 3)
+
+    val wavRows = Seq(
+      MediaRow(10L, "audio", "mem://t.wav", wavBytes(2048), 100L)).toDS()
+    val adec = Multimodal.decode(wavRows, () => JdkCodecs.WavCodec).head
+    assert(adec.width == 8000 && adec.height == 1 && adec.n_frames == 2048 && adec.ok)
+  }
+}

@@ -602,6 +602,28 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
         .orderBy(col("lang"))
     }),
+    "x40_curation_pipeline" -> ((s, d) => {
+      // the end-to-end corpus-curation decision: quality score, language
+      // id, repetition fraction and vocabulary coverage joined into one
+      // keep/cut verdict per document — the full gate a training-data
+      // pipeline applies before sampling/packing. Three narrow text
+      // scans + one vocab broadcast; every signal is an exact
+      // integer-ratio or pinned-rounding value, so the WHOLE pipeline
+      // hash-verifies cross-engine.
+      val docs = t(s, d, "documents")
+      val prof = TextAnalysis.profile(docs, "text", "doc_id")
+        .select(col("doc_id"), col("quality"), col("lang_guess"))
+      val rep = TextAnalysis.repetitionProfile(docs, "text", "doc_id")
+        .select(col("doc_id"), col("dup_ngram_frac"))
+      val vocab = TextAnalysis.tokenTopK(docs, "text", 30).select(col("token"))
+      val oov = TextAnalysis.oovProfile(docs, "text", "doc_id", vocab)
+        .select(col("doc_id"), col("oov_rate"))
+      prof.join(rep, Seq("doc_id")).join(oov, Seq("doc_id"))
+        .withColumn("keep",
+          col("quality") >= 0.5 && col("dup_ngram_frac") <= 0.3 &&
+            col("lang_guess") =!= "und" && col("oov_rate") <= 0.6)
+        .orderBy(col("doc_id"))
+    }),
     "x38_paragraph_dedup" -> ((s, d) => {
       // C4-style duplicate-unit removal, composed from existing ops:
       // chunk (16-token paragraphs, overlap 0) × dedupExact (min_by
@@ -824,6 +846,15 @@ object SparkEntry {
       |    CAST(len(list_filter(ltoks, t -> list_contains(['le','la','et','les','des'], t))) AS BIGINT) AS s_fr,
       |    CAST(len(list_filter(ltoks, t -> list_contains(['der','die','das','und','ist'], t))) AS BIGINT) AS s_de
       |  FROM p)""".stripMargin
+
+  /** Language guess over `m`'s marker counts — must mirror
+    * [[graft.ext.TextAnalysis.langId]]'s argmax tie order exactly. */
+  private val duckLangExpr: String =
+    """CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+      |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+      |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+      |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+      |       ELSE 'de' END""".stripMargin
 
   /** The composite quality score over `m`'s columns — must mirror
     * [[graft.ext.TextAnalysis.qualityScore]] exactly. */
@@ -1072,11 +1103,7 @@ object SparkEntry {
         |  CAST(ROUND(stop_r, 4) AS DOUBLE) AS stopword_ratio,
         |  CAST(ROUND(punct_r, 4) AS DOUBLE) AS punct_ratio,
         |  $duckQualityExpr AS quality,
-        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
-        |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-        |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-        |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-        |       ELSE 'de' END AS lang_guess
+        |  $duckLangExpr AS lang_guess
         |FROM m ORDER BY doc_id""".stripMargin,
     // weighted sample: same text-metric CTEs; the per-row threshold is
     // floor(quality × 2^48) in 12 fixed hex chars ('g' sentinel at
@@ -1479,6 +1506,46 @@ object SparkEntry {
         |  CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
         |  CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the curation verdict joins four signals, all over the shared
+    // text-metric CTEs: quality/lang from m, repetition grams and the
+    // OOV join from p.ltoks (same normalized token stream as the Spark
+    // side's TextDedup.tokens)
+    "x40_curation_pipeline" ->
+      s"""$duckTextMetricCtes,
+        |lq AS (
+        |  SELECT doc_id, $duckQualityExpr AS quality,
+        |    $duckLangExpr AS lang_guess
+        |  FROM m),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ltoks) <= 3 THEN [array_to_string(ltoks, ' ')]
+        |         ELSE list_transform(range(0, len(ltoks) - 3 + 1),
+        |                i -> array_to_string(ltoks[i+1:i+3], ' '))
+        |    END AS g
+        |  FROM p),
+        |rep AS (
+        |  SELECT doc_id,
+        |    CAST(1 AS DOUBLE) - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+        |      AS dup_ngram_frac
+        |  FROM grams),
+        |tok AS (SELECT doc_id, unnest(ltoks) AS tok FROM p),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT tok AS token, count(*) AS cnt FROM tok
+        |    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30)),
+        |oov AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS oov_rate
+        |  FROM tok t LEFT JOIN vocab v ON t.tok = v.token
+        |  GROUP BY doc_id)
+        |SELECT lq.doc_id, quality, lang_guess, dup_ngram_frac, oov_rate,
+        |  quality >= 0.5 AND dup_ngram_frac <= 0.3 AND lang_guess <> 'und'
+        |    AND oov_rate <= 0.6 AS keep
+        |FROM lq
+        |JOIN rep USING (doc_id)
+        |JOIN oov USING (doc_id)
+        |ORDER BY lq.doc_id""".stripMargin,
     // 16-token paragraphs (x31's chunk CTE at overlap 0) over the
     // doubled corpus; QUALIFY keeps each paragraph's min unit_id row —
     // exactly dedupExact's min_by keeper

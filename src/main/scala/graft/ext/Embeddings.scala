@@ -75,7 +75,7 @@ object Embeddings {
     df.groupBy(col(groupCol))
       .agg(
         graft.functions.GraftFunctions.vecSumLong(spark, col(qCol)).as("_sums"),
-        sum(when(col(qCol).isNotNull, 1L).otherwise(0L)).as("n_vecs"))
+        count(col(qCol)).as("n_vecs"))
       .select(col(groupCol), col("n_vecs"),
         posexplode(col("_sums")).as(Seq("dim", "q_sum")))
       .select(col(groupCol), col("dim"), col("n_vecs"), col("q_sum"))

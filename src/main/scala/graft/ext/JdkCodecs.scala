@@ -28,23 +28,31 @@ object JdkCodecs {
     * each animation frame re-encoded as PNG bytes. */
   object ImageIoCodec extends MediaCodec {
 
-    override def decode(c: Array[Byte], mediaType: String): (Int, Int, Int, Boolean) =
+    /** Shared reader lifecycle: input stream → first capable reader →
+      * f(reader, nFrames) → dispose/close. None when no reader claims
+      * the payload or anything throws. */
+    private def withReader[T](c: Array[Byte])(
+        f: (javax.imageio.ImageReader, Int) => T): Option[T] =
       try {
         val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(c))
         try {
           val readers = ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) (0, 0, 0, false)
+          if (!readers.hasNext) None
           else {
             val r = readers.next()
             r.setInput(iis)
             try {
               val n = try math.max(r.getNumImages(true), 1)
                       catch { case _: Exception => 1 }
-              (r.getWidth(0), r.getHeight(0), n, true)
+              Some(f(r, n))
             } finally r.dispose()
           }
         } finally iis.close()
-      } catch { case _: Exception => (0, 0, 0, false) }
+      } catch { case _: Exception => None }
+
+    override def decode(c: Array[Byte], mediaType: String): (Int, Int, Int, Boolean) =
+      withReader(c)((r, n) => (r.getWidth(0), r.getHeight(0), n, true))
+        .getOrElse((0, 0, 0, false))
 
     override def features(c: Array[Byte], mediaType: String, dim: Int): Array[Float] = {
       val img = try ImageIO.read(new ByteArrayInputStream(c))
@@ -52,6 +60,9 @@ object JdkCodecs {
       if (img == null || dim <= 0) return new Array[Float](math.max(dim, 0))
       val g = math.ceil(math.sqrt(dim.toDouble)).toInt
       val (w, h) = (img.getWidth, img.getHeight)
+      // one bulk conversion instead of per-pixel getRGB(x, y) calls —
+      // this loop touches every pixel and is the hot path of the stage
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       Array.tabulate(dim) { k =>
         val gx = k % g
         val gy = k / g
@@ -65,7 +76,7 @@ object JdkCodecs {
           while (y < math.min(y1, h)) {
             var x = x0
             while (x < math.min(x1, w)) {
-              val rgb = img.getRGB(x, y)
+              val rgb = px(y * w + x)
               // integer-weighted luma (BT.601-ish), exact in doubles
               sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
                 (rgb & 0xff) * 114) / 1000.0
@@ -79,40 +90,50 @@ object JdkCodecs {
     }
 
     override def frames(c: Array[Byte]): Seq[Array[Byte]] =
-      try {
-        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(c))
-        try {
-          val readers = ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) Seq.empty
-          else {
-            val r = readers.next()
-            r.setInput(iis)
-            try {
-              val n = try math.max(r.getNumImages(true), 1)
-                      catch { case _: Exception => 1 }
-              (0 until n).map { i =>
-                val bos = new ByteArrayOutputStream()
-                ImageIO.write(r.read(i), "png", bos)
-                bos.toByteArray
-              }
-            } finally r.dispose()
-          }
-        } finally iis.close()
-      } catch { case _: Exception => Seq.empty }
+      withReader(c) { (r, n) =>
+        (0 until n).map { i =>
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(r.read(i), "png", bos)
+          bos.toByteArray
+        }
+      }.getOrElse(Seq.empty)
   }
 
   /** Audio decoder on javax.sound.sampled. `decode` → (sampleRate,
     * channels, pcmFrames, ok) mapped onto the (width, height, nFrames)
-    * slots. `features` = per-window RMS amplitude of the first channel
-    * over `dim` equal windows (normalized to [0, 1]). `frames` = raw PCM
-    * blocks of 1024 audio frames. */
+    * slots — for audio, `n_frames` means PCM frames (duration =
+    * n_frames / sampleRate), NOT the fixed-size blocks `frames()`
+    * yields; the MediaCodec frame-agreement contract applies to
+    * frame-addressable media (video / animated images), and audio rows
+    * never enter `frameSample` (it filters media_type == "video").
+    * `features` = per-window RMS amplitude of the first channel over
+    * `dim` equal windows (normalized to [0, 1]). `frames` = raw PCM
+    * blocks of 1024 audio frames.
+    *
+    * Every supported input (16/8-bit, big- or little-endian, signed or
+    * unsigned WAV/AIFF/AU) is canonicalized to signed 16-bit
+    * little-endian PCM through the JDK's own converters before any
+    * sample math — byte-order or encoding mistakes cannot silently skew
+    * the features; inconvertible payloads are a decode failure. */
   object WavCodec extends MediaCodec {
 
     private def pcm(c: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
       try {
-        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(c))
+        val in0 = AudioSystem.getAudioInputStream(new ByteArrayInputStream(c))
+        val f0 = in0.getFormat
+        val canonical =
+          f0.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f0.getSampleSizeInBits == 16 && !f0.isBigEndian
+        val in =
+          if (canonical) in0
+          else AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              f0.getSampleRate, 16, f0.getChannels,
+              2 * f0.getChannels, f0.getSampleRate, false),
+            in0)
         try Some((in.getFormat, in.readAllBytes()))
-        finally in.close()
+        finally { in.close(); if (!canonical) in0.close() }
       } catch { case _: Exception => None }
 
     override def decode(c: Array[Byte], mediaType: String): (Int, Int, Int, Boolean) =
@@ -123,18 +144,13 @@ object JdkCodecs {
         case None => (0, 0, 0, false)
       }
 
-    /** Signed sample of channel 0 at PCM frame i, normalized to [-1, 1]. */
+    /** Signed sample of channel 0 at PCM frame i, normalized to [-1, 1].
+      * `pcm` guarantees signed 16-bit little-endian. */
     private def sample(f: javax.sound.sampled.AudioFormat, data: Array[Byte], i: Int): Double = {
-      val fs = f.getFrameSize
-      f.getSampleSizeInBits match {
-        case 16 =>
-          val off = i * fs
-          val lo = data(off) & 0xff
-          val hi = data(off + 1).toInt // WAV PCM16 is little-endian
-          ((hi << 8) | lo).toShort / 32768.0
-        case 8 => ((data(i * fs) & 0xff) - 128) / 128.0
-        case _ => 0.0
-      }
+      val off = i * f.getFrameSize
+      val lo = data(off) & 0xff
+      val hi = data(off + 1).toInt
+      ((hi << 8) | lo).toShort / 32768.0
     }
 
     override def features(c: Array[Byte], mediaType: String, dim: Int): Array[Float] =

@@ -62,7 +62,11 @@ object Multimodal {
     * task completion. Stateless codecs (like [[StubCodec]]) may be
     * singletons. All row methods must be deterministic pure functions of
     * their arguments for the pipeline to stay replayable under task
-    * retry, and [[frames]] must agree with [[decode]]'s frame count. */
+    * retry. For frame-addressable media (video, animated images)
+    * [[frames]] must agree with [[decode]]'s frame count; audio codecs
+    * may report PCM frames from decode (duration metadata) while
+    * [[frames]] yields fixed-size blocks — audio rows never enter the
+    * frame-sampling path (it filters media_type == "video"). */
   trait MediaCodec extends Serializable {
     /** Once per partition, before any row — codec/model init. */
     def open(): Unit = ()

@@ -61,17 +61,16 @@ case class VectorSumLong(
       require(buf.sums.length == n,
         s"graft_vecsum: inconsistent vector dimensions in one group " +
           s"(${buf.sums.length} vs $n)")
+      // type dispatch hoisted out of the per-element loop
+      val get: Int => Long = elemType match {
+        case IntegerType => i => arr.getInt(i).toLong
+        case LongType    => i => arr.getLong(i)
+        case ShortType   => i => arr.getShort(i).toLong
+        case _           => i => arr.getByte(i).toLong
+      }
       var i = 0
       while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val x = elemType match {
-            case IntegerType => arr.getInt(i).toLong
-            case LongType    => arr.getLong(i)
-            case ShortType   => arr.getShort(i).toLong
-            case _           => arr.getByte(i).toLong
-          }
-          buf.sums(i) += x
-        }
+        if (!arr.isNullAt(i)) buf.sums(i) += get(i)
         i += 1
       }
     }
@@ -90,9 +89,8 @@ case class VectorSumLong(
   }
 
   override def eval(buf: VectorSumLong.Buf): Any =
-    new GenericArrayData(
-      if (buf.sums == null) Array.empty[Any]
-      else buf.sums.map(_.asInstanceOf[Any]))
+    if (buf.sums == null) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(buf.sums) // primitive ctor — no boxing
 
   override def serialize(buf: VectorSumLong.Buf): Array[Byte] = {
     val n = if (buf.sums == null) -1 else buf.sums.length

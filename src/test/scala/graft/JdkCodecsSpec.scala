@@ -92,6 +92,35 @@ class JdkCodecsSpec extends AnyFunSuite {
     assert(silent.forall(_ == 0f))
   }
 
+  test("WavCodec canonicalizes 8-bit unsigned and big-endian inputs before sampling") {
+    // 8-bit unsigned WAV digital silence is 0x80; un-canonicalized math
+    // would read it as ±1.0 — it must come out as RMS 0
+    val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
+    val silent8 = Array.fill[Byte](1024)(0x80.toByte)
+    val bos8 = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new ByteArrayInputStream(silent8), fmt8, 1024L),
+      AudioFileFormat.Type.WAVE, bos8)
+    val f8 = JdkCodecs.WavCodec.features(bos8.toByteArray, "audio", 4)
+    f8.foreach(v => assert(math.abs(v) < 1e-3, s"8-bit silence rms $v"))
+
+    // big-endian signed 16-bit (AIFF byte order): a 0.5-amplitude square
+    // wave must still read as 0.5, not the byte-swapped garbage
+    val fmtBe = new AudioFormat(8000f, 16, 1, true, true)
+    val pcmBe = new Array[Byte](2048 * 2)
+    for (i <- 0 until 2048) {
+      val v: Short = if ((i / 8) % 2 == 0) 16384 else -16384
+      pcmBe(2 * i) = ((v >> 8) & 0xff).toByte // big-endian: hi byte first
+      pcmBe(2 * i + 1) = (v & 0xff).toByte
+    }
+    val bosBe = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new ByteArrayInputStream(pcmBe), fmtBe, 2048L),
+      AudioFileFormat.Type.AIFF, bosBe)
+    val fBe = JdkCodecs.WavCodec.features(bosBe.toByteArray, "audio", 4)
+    fBe.foreach(v => assert(math.abs(v - 0.5f) < 1e-3, s"big-endian rms $v"))
+  }
+
   test("WavCodec frames: 1024-frame PCM blocks partition the payload") {
     val fs = JdkCodecs.WavCodec.frames(wavBytes(3000))
     assert(fs.map(_.length).sum == 3000 * 2)

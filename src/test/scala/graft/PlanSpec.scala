@@ -200,4 +200,40 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(SparkEntry.queries("s14_pivot_daily_types")(spark, sf))
     assert(p.contains("pivotfirst"), "expected PivotFirst single-pass plan:\n" + p)
   }
+
+  test("CUBE plans as ONE Expand pass, not one job per grouping set (s17)") {
+    val p = plan(SparkEntry.queries("s17_cube_revenue")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert("Expand".r.findAllIn(p).size == 1,
+      "all four grouping sets must share one Expand:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "cube must partial-aggregate map-side:\n" + p)
+  }
+
+  test("window-function family shares one shuffle + one sort per ordering (q14)") {
+    val p = plan(SparkEntry.queries("q14_window_family")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // one hash exchange feeds every window function; the only other
+    // exchange is the final presentation orderBy (range partitioning)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected window + orderBy exchanges only, got $exchanges:\n" + p)
+    assert("\\bWindow\\b".r.findAllIn(p).size <= 2,
+      "ranking and running-frame functions must fuse into ≤2 Window nodes:\n" + p)
+  }
+
+  test("paragraph dedup reduces with partial min_by — no window, no sort (x38)") {
+    val p = plan(SparkEntry.queries("x38_paragraph_dedup")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("partial_min_by"),
+      "unit keeper must partial-aggregate map-side:\n" + p)
+    assert(!p.contains("Window"), "no per-unit window:\n" + p)
+  }
+
+  test("curation verdict: the vocabulary join broadcasts (x40)") {
+    val p = plan(SparkEntry.queries("x40_curation_pipeline")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab membership must broadcast, never shuffle the token stream:\n" + p)
+  }
 }

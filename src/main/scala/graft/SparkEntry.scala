@@ -602,6 +602,56 @@ object SparkEntry {
           round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
         .orderBy(col("lang"))
     }),
+    "q15_safe_arithmetic" -> ((s, d) => {
+      // ANSI-safe arithmetic surface: try_divide / try_cast return null
+      // where strict mode would kill the job — the survivable semantics
+      // a 100 TB pipeline needs for dirty numeric fields. Mirrored in
+      // DuckDB via TRY_CAST and an explicit zero-guard.
+      val ev = t(s, d, "events")
+      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      ev.select(
+          col("event_id"),
+          k.as("k"),
+          try_divide(col("value"), k.cast("double")).as("value_per_k"),
+          expr("try_cast(event_type AS BIGINT)").as("type_as_num"),
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_try"))
+        .orderBy(col("event_id"))
+    }),
+    "q16_conversion_funnel" -> ((s, d) => {
+      // signup → purchase funnel: each user's first signup and the first
+      // purchase AT OR AFTER it; conversion flag + latency in integer
+      // seconds (exact cross-engine). Two grouped aggregates + one
+      // conditional-min join — no window over the fact.
+      val ev = t(s, d, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("t_signup"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("pt"))
+      signups.join(purchases, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("t_signup"))
+        .agg(min(when(col("pt") >= col("t_signup"), col("pt"))).as("t_first_purchase"))
+        .select(col("user_id"), col("t_signup"),
+          col("t_first_purchase"),
+          col("t_first_purchase").isNotNull.as("converted"),
+          (col("t_first_purchase") - col("t_signup")).as("secs_to_convert"))
+        .orderBy(col("user_id"))
+    }),
+    "x41_edit_distance_pairs" -> ((s, d) =>
+      // Levenshtein edit distance between consecutive docs' 64-char
+      // prefixes — the character-level near-dup verification tier
+      // (n-gram Jaccard is the token-level one, x11). Exact integer.
+      t(s, d, "documents")
+        .select(col("doc_id").as("id_a"),
+          substring(col("text"), 1, 64).as("pa"))
+        .join(t(s, d, "documents")
+            .select(col("doc_id").as("id_b"),
+              substring(col("text"), 1, 64).as("pb")),
+          col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pa"), col("pb")).cast("bigint").as("edit_dist"),
+          length(col("pa")).as("len_a"), length(col("pb")).as("len_b"))
+        .orderBy(col("id_a"))),
     "x40_curation_pipeline" -> ((s, d) => {
       // the end-to-end corpus-curation decision: quality score, language
       // id, repetition fraction and vocabulary coverage joined into one
@@ -1506,6 +1556,38 @@ object SparkEntry {
         |  CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
         |  CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q15_safe_arithmetic" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) = 0
+        |       THEN NULL
+        |       ELSE value / CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
+        |  END AS value_per_k,
+        |  TRY_CAST(event_type AS BIGINT) AS type_as_num,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_try
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q16_conversion_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pt
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.t_signup,
+        |  min(CASE WHEN p.pt >= s.t_signup THEN p.pt END) AS t_first_purchase,
+        |  min(CASE WHEN p.pt >= s.t_signup THEN p.pt END) IS NOT NULL AS converted,
+        |  min(CASE WHEN p.pt >= s.t_signup THEN p.pt END) - s.t_signup AS secs_to_convert
+        |FROM s LEFT JOIN p USING (user_id)
+        |GROUP BY s.user_id, s.t_signup
+        |ORDER BY s.user_id""".stripMargin,
+    "x41_edit_distance_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS BIGINT)
+        |    AS edit_dist,
+        |  LENGTH(substr(a.text, 1, 64)) AS len_a,
+        |  LENGTH(substr(b.text, 1, 64)) AS len_b
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
     // the curation verdict joins four signals, all over the shared
     // text-metric CTEs: quality/lang from m, repetition grams and the
     // OOV join from p.ltoks (same normalized token stream as the Spark

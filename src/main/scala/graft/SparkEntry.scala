@@ -608,13 +608,15 @@ object SparkEntry {
       // a 100 TB pipeline needs for dirty numeric fields. Mirrored in
       // DuckDB via TRY_CAST and an explicit zero-guard.
       val ev = t(s, d, "events")
-      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      // try_cast everywhere — a strict cast would THROW under the
+      // default ANSI mode on the first dirty k, the exact failure this
+      // query exists to survive
+      val k = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
       ev.select(
           col("event_id"),
           k.as("k"),
           try_divide(col("value"), k.cast("double")).as("value_per_k"),
-          expr("try_cast(event_type AS BIGINT)").as("type_as_num"),
-          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_try"))
+          expr("try_cast(event_type AS BIGINT)").as("type_as_num"))
         .orderBy(col("event_id"))
     }),
     "q16_conversion_funnel" -> ((s, d) => {
@@ -639,8 +641,9 @@ object SparkEntry {
     }),
     "x41_edit_distance_pairs" -> ((s, d) =>
       // Levenshtein edit distance between consecutive docs' 64-char
-      // prefixes — the character-level near-dup verification tier
-      // (n-gram Jaccard is the token-level one, x11). Exact integer.
+      // prefixes — the BYTE-level (UTF-8) near-dup verification tier:
+      // both engines' levenshtein counts byte edits, so non-ASCII text
+      // inflates distances (n-gram Jaccard, x11, is the token tier).
       t(s, d, "documents")
         .select(col("doc_id").as("id_a"),
           substring(col("text"), 1, 64).as("pa"))
@@ -1556,16 +1559,22 @@ object SparkEntry {
         |  CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
         |  CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the integer-pattern guard pins TRY_CAST to Spark's try_cast
+    // semantics: DuckDB would ROUND a decimal string ('3.7' -> 4) where
+    // Spark's try_cast returns NULL
     "q15_safe_arithmetic" ->
-      """SELECT event_id,
-        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) = 0
-        |       THEN NULL
-        |       ELSE value / CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
-        |  END AS value_per_k,
-        |  TRY_CAST(event_type AS BIGINT) AS type_as_num,
-        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_try
-        |FROM events ORDER BY event_id""".stripMargin,
+      """WITH g AS (
+        |  SELECT event_id, value, event_type,
+        |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+        |                             '^\s*[+-]?[0-9]+\s*$')
+        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END AS k
+        |  FROM events)
+        |SELECT event_id, k,
+        |  CASE WHEN k = 0 THEN NULL ELSE value / CAST(k AS DOUBLE) END AS value_per_k,
+        |  CASE WHEN regexp_matches(event_type, '^\s*[+-]?[0-9]+\s*$')
+        |       THEN CAST(event_type AS BIGINT) END AS type_as_num
+        |FROM g ORDER BY event_id""".stripMargin,
     "q16_conversion_funnel" ->
       """WITH s AS (
         |  SELECT user_id, min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS t_signup

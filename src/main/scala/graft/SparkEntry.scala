@@ -655,6 +655,17 @@ object SparkEntry {
           levenshtein(col("pa"), col("pb")).cast("bigint").as("edit_dist"),
           length(col("pa")).as("len_a"), length(col("pb")).as("len_b"))
         .orderBy(col("id_a"))),
+    "x42_rebalance_sample" -> ((s, d) =>
+      // corpus mixing: downsample each event class toward a target
+      // share of the original volume (errors+purchases 40% each, views
+      // 20%, everything else dropped); rate = min(1, target·N/n) from
+      // exact integer counts, decision = the id-keyed 48-bit sha256
+      // threshold — the whole mix is deterministic and auditable.
+      graft.ext.Sampling.rebalanceSample(
+          t(s, d, "events").select(col("event_id"), col("event_type")),
+          "event_id", "event_type", "mix",
+          Map("error" -> 0.4, "purchase" -> 0.4, "view" -> 0.1))
+        .orderBy(col("event_id"))),
     "x40_curation_pipeline" -> ((s, d) => {
       // the end-to-end corpus-curation decision: quality score, language
       // id, repetition fraction and vocabulary coverage joined into one
@@ -1597,6 +1608,36 @@ object SparkEntry {
         |  LENGTH(substr(b.text, 1, 64)) AS len_b
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+    // every arithmetic step in the rate is pinned: integer counts,
+    // CAST(...AS DOUBLE) multiplies/divides in the same order as the
+    // Scala driver (w * N / n), least against a double 1 — so the
+    // computed rate and the derived threshold agree bit-for-bit
+    "x42_rebalance_sample" ->
+      """WITH n AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM n),
+        |w AS (
+        |  SELECT event_type, c,
+        |    CASE event_type WHEN 'error' THEN CAST(0.4 AS DOUBLE)
+        |                    WHEN 'purchase' THEN CAST(0.4 AS DOUBLE)
+        |                    WHEN 'view' THEN CAST(0.1 AS DOUBLE) END AS tw
+        |  FROM n),
+        |f AS (
+        |  -- least() SKIPS nulls in DuckDB, so the missing-target case
+        |  -- must null out BEFORE the cap, not inside it
+        |  SELECT event_type,
+        |    CASE WHEN tw IS NULL THEN NULL
+        |         ELSE least(CAST(1 AS DOUBLE),
+        |                    tw * CAST(t AS DOUBLE) / CAST(c AS DOUBLE)) END AS rate
+        |  FROM w, tot)
+        |SELECT e.event_id, e.event_type, f.rate
+        |FROM events e JOIN f USING (event_type)
+        |WHERE f.rate IS NOT NULL
+        |  AND substr(sha256('mix:' || e.event_id), 1, 12) <
+        |      CASE WHEN f.rate >= 1.0 THEN 'g'
+        |           ELSE printf('%012x',
+        |                  CAST(greatest(0, floor(f.rate * 281474976710656.0)) AS BIGINT))
+        |      END
+        |ORDER BY e.event_id""".stripMargin,
     // the curation verdict joins four signals, all over the shared
     // text-metric CTEs: quality/lang from m, repetition grams and the
     // OOV join from p.ltoks (same normalized token stream as the Spark

@@ -139,6 +139,43 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Rebalance a corpus to target stratum SHARES: each stratum's keep
+    * rate is `min(1, target_s × N / n_s)` — over-represented strata
+    * downsample toward their target share of the original volume,
+    * under-represented ones keep everything (a sampler can only remove).
+    * Strata absent from `targets` are dropped. This is the
+    * source/language mixing step of corpus curation ("web 60%, code
+    * 20%, books 20%"), as one deterministic scan.
+    *
+    * The per-stratum counts aggregate once and come back to the driver —
+    * bounded by the number of strata (sources/languages), never by rows.
+    * The keep decision itself is [[weightedSample]] (48-bit sha256
+    * threshold, id-keyed — a row's fate is independent of partitioning
+    * and engine). The computed rate is exposed in `rateOut` so the
+    * decision is auditable; `frac = (target × N) / n` is two
+    * correctly-rounded IEEE ops from integers, bit-identical in any
+    * engine that repeats them in this order.
+    */
+  def rebalanceSample(df: DataFrame, idCol: String, strataCol: String,
+                      salt: String, targets: Map[String, Double],
+                      rateOut: String = "rate"): DataFrame = {
+    require(targets.values.forall(_ >= 0.0), "target shares must be >= 0")
+    reserveColumns(df, Seq(rateOut), "rebalanceSample")
+    val counts = df.groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val rates: Map[String, Double] = targets.flatMap { case (s, w) =>
+      counts.get(s).map(n => s -> math.min(1.0, w * total / n))
+    }
+    val rate = rates.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, r)) =>
+        when(col(strataCol).cast("string") === s, lit(r)).otherwise(acc)
+    }
+    // weightedSample drops null-rate rows (strata outside the targets)
+    weightedSample(df.withColumn(rateOut, rate), idCol, salt, col(rateOut))
+  }
+
   /** Deterministic train/valid/test assignment: `trainFrac` of the hash
     * space to "train", then `validFrac` to "valid", remainder "test".
     * A null id has a null bucket, which fails both `<` guards and lands

@@ -89,6 +89,62 @@ class CurationSpec extends AnyFunSuite {
       (30L, 1L, "x y"))) // doc 30's shared first paragraph deduped
   }
 
+  test("q15 shape survives dirty numeric fields under ANSI (null, not throw)") {
+    // the fixture's k values are all clean integers, so the oracle gate
+    // cannot exercise this — pin it here: decimal strings, garbage, and
+    // k=0 all yield NULL instead of a CAST_INVALID_INPUT / divide error
+    val dirty = Seq(
+      (1L, """{"k":"10"}""", 50.0),
+      (2L, """{"k":"3.7"}""", 50.0), // decimal string: try_cast -> null
+      (3L, """{"k":"oops"}""", 50.0),
+      (4L, """{"k":"0"}""", 50.0), // zero divisor: try_divide -> null
+      (5L, null, 50.0)
+    ).toDF("event_id", "props", "value")
+    val k = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    val out = dirty.select($"event_id", k.as("k"),
+        try_divide($"value", k.cast("double")).as("value_per_k"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1),
+         if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out(1L) == ((10L, 5.0)))
+    assert(out(2L) == ((null, null)))
+    assert(out(3L) == ((null, null)))
+    assert(out(4L) == ((0L, null)))
+    assert(out(5L) == ((null, null)))
+  }
+
+  test("rebalanceSample: over-represented strata downsample, rare ones keep all, " +
+    "absent strata drop") {
+    val df = (1L to 900L).map(i => (i, "flood")).toDF("id", "src")
+      .unionByName((901L to 910L).map(i => (i, "rare")).toDF("id", "src"))
+      .unionByName((911L to 930L).map(i => (i, "junk")).toDF("id", "src"))
+    val out = graft.ext.Sampling.rebalanceSample(df, "id", "src", "mx",
+      Map("flood" -> 0.1, "rare" -> 0.5)).cache()
+    try {
+      // rare: target 0.5*930/10 >> 1 -> rate caps at 1, all 10 kept
+      assert(out.filter($"src" === "rare").count() == 10)
+      assert(out.filter($"src" === "rare").select($"rate").head.getDouble(0) == 1.0)
+      // junk is not in the targets -> dropped entirely
+      assert(out.filter($"src" === "junk").count() == 0)
+      // flood: rate = 0.1*930/900 ≈ 0.103; the exact kept set is the
+      // sha256-threshold reference recomputed here
+      val rate = 0.1 * 930 / 900
+      val thr = f"${math.floor(rate * 281474976710656.0).toLong}%012x"
+      val expect = (1L to 900L).filter { i =>
+        val d = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"mx:$i".getBytes("UTF-8"))
+        d.map("%02x".format(_)).mkString.substring(0, 12) < thr
+      }.toSet
+      val got = out.filter($"src" === "flood").select($"id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect)
+      // deterministic under repartitioning
+      val again = graft.ext.Sampling.rebalanceSample(df.repartition(7), "id",
+        "src", "mx", Map("flood" -> 0.1, "rare" -> 0.5))
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("robustOutliers: flags the far point, MAD=0 group degrades to in-lier") {
     val df = Seq(
       // group g1: median 10, MAD 1 -> 30 has z=20

@@ -249,6 +249,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(dim.agg(sum(col("n"))).head.getLong(0) == 100)
   }
 
+  test("streaming corpus curation: per-batch filters equal the batch pass (ST10)") {
+    // the curation operators are plain batch transforms, so foreachBatch
+    // applies them per micro-batch — streaming ingest curation with NO
+    // separate code path; the union of per-batch outputs must equal one
+    // batch run over everything
+    val docs = Tables(spark, TestSpark.sf, "documents")
+    val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => graft.ext.TextAnalysis.repetitionFilter(df, "text", "doc_id")
+        .withColumn("q", graft.ext.TextAnalysis.qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+        .select(col("doc_id"), col("q"))
+    val tmpIn = Files.createTempDirectory("graft-cur-in").toString
+    val sink = Files.createTempDirectory("graft-cur-out").toString + "/kept"
+    val chk = Files.createTempDirectory("graft-cur-chk").toString
+    docs.write.mode("overwrite").parquet(tmpIn)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(tmpIn).schema).parquet(tmpIn)
+      // several micro-batches, not one: exercise per-batch application
+      .repartition(4)
+    val q = Streaming.foreachBatchIngest(stream, curate, sink, chk)
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(sink)
+    val want = curate(docs)
+    assert(got.count() > 0 && got.count() < docs.count(),
+      "curation must keep a strict subset")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming curation must equal the batch pass")
+  }
+
   test("stream-stream interval join matches the batch theta join (inner)") {
     val events = Tables(spark, TestSpark.sf, "events")
     val tmpIn = Files.createTempDirectory("graft-ssj-in").toString

@@ -639,26 +639,29 @@ object SparkEntry {
           (col("t_first_purchase") - col("t_signup")).as("secs_to_convert"))
         .orderBy(col("user_id"))
     }),
-    "x41_edit_distance_pairs" -> ((s, d) =>
+    "x41_edit_distance_pairs" -> ((s, d) => {
       // Levenshtein edit distance between consecutive docs' 64-char
-      // prefixes — the BYTE-level (UTF-8) near-dup verification tier:
-      // both engines' levenshtein counts byte edits, so non-ASCII text
-      // inflates distances (n-gram Jaccard, x11, is the token tier).
+      // prefixes — the character-level near-dup verification tier
+      // (n-gram Jaccard, x11, is the token tier). The engines disagree
+      // on non-ASCII units (Spark counts CODEPOINT edits, DuckDB BYTE
+      // edits), so the prefix is ASCII-projected on both sides: every
+      // non-ASCII char becomes one '?', making byte == codepoint.
+      val prefix = regexp_replace(substring(col("text"), 1, 64),
+        "[^\\x20-\\x7E]", "?")
       t(s, d, "documents")
-        .select(col("doc_id").as("id_a"),
-          substring(col("text"), 1, 64).as("pa"))
+        .select(col("doc_id").as("id_a"), prefix.as("pa"))
         .join(t(s, d, "documents")
-            .select(col("doc_id").as("id_b"),
-              substring(col("text"), 1, 64).as("pb")),
+            .select(col("doc_id").as("id_b"), prefix.as("pb")),
           col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
           levenshtein(col("pa"), col("pb")).cast("bigint").as("edit_dist"),
           length(col("pa")).as("len_a"), length(col("pb")).as("len_b"))
-        .orderBy(col("id_a"))),
+        .orderBy(col("id_a"))
+    }),
     "x42_rebalance_sample" -> ((s, d) =>
       // corpus mixing: downsample each event class toward a target
       // share of the original volume (errors+purchases 40% each, views
-      // 20%, everything else dropped); rate = min(1, target·N/n) from
+      // 10%, everything else dropped); rate = min(1, target·N/n) from
       // exact integer counts, decision = the id-keyed 48-bit sha256
       // threshold — the whole mix is deterministic and auditable.
       graft.ext.Sampling.rebalanceSample(
@@ -1578,13 +1581,13 @@ object SparkEntry {
         |  SELECT event_id, value, event_type,
         |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
         |                             '^\s*[+-]?[0-9]+\s*$')
-        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
         |    END AS k
         |  FROM events)
         |SELECT event_id, k,
         |  CASE WHEN k = 0 THEN NULL ELSE value / CAST(k AS DOUBLE) END AS value_per_k,
         |  CASE WHEN regexp_matches(event_type, '^\s*[+-]?[0-9]+\s*$')
-        |       THEN CAST(event_type AS BIGINT) END AS type_as_num
+        |       THEN TRY_CAST(event_type AS BIGINT) END AS type_as_num
         |FROM g ORDER BY event_id""".stripMargin,
     "q16_conversion_funnel" ->
       """WITH s AS (
@@ -1600,13 +1603,19 @@ object SparkEntry {
         |FROM s LEFT JOIN p USING (user_id)
         |GROUP BY s.user_id, s.t_signup
         |ORDER BY s.user_id""".stripMargin,
+    // ASCII projection mirrors the Spark side: Spark's levenshtein is
+    // codepoint-level, DuckDB's is byte-level — one '?' per non-ASCII
+    // char makes the two units coincide
     "x41_edit_distance_pairs" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS BIGINT)
-        |    AS edit_dist,
-        |  LENGTH(substr(a.text, 1, 64)) AS len_a,
-        |  LENGTH(substr(b.text, 1, 64)) AS len_b
-        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(substr(text, 1, 64), '[^\x20-\x7E]', '?', 'g') AS pfx
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+        |  LENGTH(a.pfx) AS len_a,
+        |  LENGTH(b.pfx) AS len_b
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
     // every arithmetic step in the rate is pinned: integer counts,
     // CAST(...AS DOUBLE) multiplies/divides in the same order as the

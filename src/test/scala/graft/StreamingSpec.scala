@@ -263,14 +263,17 @@ class StreamingSpec extends AnyFunSuite {
     val tmpIn = Files.createTempDirectory("graft-cur-in").toString
     val sink = Files.createTempDirectory("graft-cur-out").toString + "/kept"
     val chk = Files.createTempDirectory("graft-cur-chk").toString
-    docs.write.mode("overwrite").parquet(tmpIn)
+    // several FILES + maxFilesPerTrigger=1 -> several real micro-batches
+    // (batch boundaries come from the source; a downstream repartition
+    // would not create them)
+    docs.repartition(4).write.mode("overwrite").parquet(tmpIn)
 
     val stream = spark.readStream
-      .schema(spark.read.parquet(tmpIn).schema).parquet(tmpIn)
-      // several micro-batches, not one: exercise per-batch application
-      .repartition(4)
+      .schema(spark.read.parquet(tmpIn).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmpIn)
     val q = Streaming.foreachBatchIngest(stream, curate, sink, chk)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(180000), "curation stream timed out")
 
     val got = spark.read.parquet(sink)
     val want = curate(docs)

@@ -66,6 +66,12 @@ object GraftFunctions {
       "graft_bloom_might_contain takes (key bigint, sketch binary literal)")
   }
 
+  val quantizeBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => QuantizeInt8(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_quantize_int8 takes 1 argument, got ${other.size}")
+  }
+
   val vecSumBuilder: Seq[Expression] => Expression = {
     case Seq(a) => VectorSumLong(a) // analyzer wraps AggregateFunctions
     case other => throw new IllegalArgumentException(
@@ -78,6 +84,8 @@ object GraftFunctions {
       "graft_bloom_might_contain", bloomBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vecsum", vecSumBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantize_int8", quantizeBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_sim", cosineSimBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -133,6 +141,12 @@ object GraftFunctions {
     register(spark)
     call_function("graft_minhash64", shingleHashes,
       org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  /** Column API for the fused int8 quantizer; registers lazily. */
+  def quantizeInt8(spark: SparkSession, vec: Column): Column = {
+    register(spark)
+    call_function("graft_quantize_int8", vec)
   }
 
   /** Column API for the elementwise vector-sum aggregate; registers
@@ -192,5 +206,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vecsum"),
       new ExpressionInfo(classOf[VectorSumLong].getName, "graft_vecsum"),
       GraftFunctions.vecSumBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),
+      GraftFunctions.quantizeBuilder))
   }
 }

@@ -210,6 +210,54 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("QuantizeInt8 kernel is BIT-identical to the portable HOF formulation") {
+    import graft.ext.Embeddings
+    val rnd = new scala.util.Random(11)
+    // finite random floats incl. negatives, zeros, subnormal-ish tiny
+    // values, an all-zero vector, and exact ±0.5-boundary scales
+    val rows = Seq.tabulate(300) { i =>
+      (i.toLong, Array.fill(16)(
+        if (i % 37 == 0) 0.0f
+        else ((rnd.nextFloat() * 2 - 1) * math.pow(10, rnd.nextInt(8) - 4)).toFloat))
+    } :+ (1000L, Array.fill(16)(0.0f)) :+
+      (1001L, Array(127.0f, 63.5f, -63.5f, 0.0f, -127.0f, 1.0f, -1.0f, 0.25f,
+        -0.25f, 2.0f, -2.0f, 100.0f, -100.0f, 0.5f, -0.5f, 64.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val kernel = Embeddings.quantizeInt8(df, "embedding", "qv")
+      .select($"vec_id", $"qv_scale", $"qv")
+    val hof = Embeddings.quantizeInt8Portable(df, "embedding", "qv")
+      .select($"vec_id", $"qv_scale", $"qv")
+    val k = kernel.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getSeq[Int](2))).toMap
+    val h = hof.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(k.keySet == h.keySet)
+    k.foreach { case (id, (ks, kq)) =>
+      val (hs, hq) = h(id)
+      assert(java.lang.Double.doubleToLongBits(ks) ==
+        java.lang.Double.doubleToLongBits(hs), s"scale differs for $id")
+      assert(kq == hq, s"quantized values differ for $id: $kq vs $hq")
+    }
+  }
+
+  test("QuantizeInt8: interpreted and codegen agree; poisoned vectors null out") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(Float.NaN, 1.0f, 1.0f)) // NaN -> null struct
+    ).toDF("vec_id", "embedding")
+    def run(codegen: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try graft.ext.Embeddings.quantizeInt8(df, "embedding", "qv")
+        .select($"vec_id", $"qv").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Int](1)))
+        .toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val a = run("true"); val b = run("false")
+    assert(a == b)
+    assert(a(1L) != null && a(2L) == null)
+  }
+
   test("kernel type check rejects non-array inputs") {
     val e = intercept[Exception] {
       emb.select(GraftFunctions.cosineSim(spark, col("vec_id"), col("embedding"))).collect()

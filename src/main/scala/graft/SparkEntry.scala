@@ -425,7 +425,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val planes = Similarity.hyperplanes(6, 64)
       val bucketed = emb.withColumn("bucket",
-        Similarity.lshBucket(Similarity.asDouble(col("embedding")), planes))
+        graft.functions.GraftFunctions.lshBucket64(s, col("embedding"), planes))
       Similarity.nearDupPairs(bucketed, "embedding", "vec_id", "bucket", 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),

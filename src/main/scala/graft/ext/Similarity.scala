@@ -67,7 +67,13 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: bit i = sign(v · plane_i). Cosine-similar vectors
-    * collide with high probability (random hyperplane LSH). */
+    * collide with high probability (random hyperplane LSH).
+    *
+    * This is the PORTABLE spelling (what the inlined-literal DuckDB
+    * oracles mirror); the production paths ([[lshTopK]], the x12 query)
+    * ride the fused [[graft.functions.LshBucket64]] kernel — one
+    * compiled pass instead of one interpreted dot per plane, identical
+    * bits (FunctionsSpec parity). */
   def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(emb, vecLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -87,7 +93,8 @@ object Similarity {
     val probes: Seq[Long] =
       if (multiProbe) qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
       else Seq(qBucket)
-    df.withColumn("_bucket", lshBucket(asDouble(col(embCol)), planes))
+    df.withColumn("_bucket", graft.functions.GraftFunctions
+        .lshBucket64(df.sparkSession, col(embCol), planes))
       .filter(col("_bucket").isin(probes: _*))
       .select(col(idCol),
         round(cosine(asDouble(col(embCol)), vecLit(query)), roundTo).as("sim"))

@@ -66,6 +66,19 @@ object GraftFunctions {
       "graft_bloom_might_contain takes (key bigint, sketch binary literal)")
   }
 
+  val lshBucketBuilder: Seq[Expression] => Expression = {
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(
+        p: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _), _))) =>
+      val planes = (0 until p.numElements()).map(i =>
+        p.getArray(i).toDoubleArray()).toArray
+      LshBucket64(a, planes)
+    case _ => throw new IllegalArgumentException(
+      "graft_lsh_bucket takes (array<float|double>, array<array<double>> literal)")
+  }
+
   val quantizeBuilder: Seq[Expression] => Expression = {
     case Seq(a) => QuantizeInt8(a)
     case other => throw new IllegalArgumentException(
@@ -86,6 +99,8 @@ object GraftFunctions {
       "graft_vecsum", vecSumBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_quantize_int8", quantizeBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_bucket", lshBucketBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_sim", cosineSimBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -141,6 +156,15 @@ object GraftFunctions {
     register(spark)
     call_function("graft_minhash64", shingleHashes,
       org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  /** Column API for the fused sign-LSH bucketer; registers lazily. */
+  def lshBucket64(spark: SparkSession, emb: Column,
+                  planes: Seq[Seq[Double]]): Column = {
+    register(spark)
+    call_function("graft_lsh_bucket", emb,
+      org.apache.spark.sql.functions.typedLit(
+        planes.map(_.toArray).toArray))
   }
 
   /** Column API for the fused int8 quantizer; registers lazily. */
@@ -210,5 +234,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_quantize_int8"),
       new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),
       GraftFunctions.quantizeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket64].getName, "graft_lsh_bucket"),
+      GraftFunctions.lshBucketBuilder))
   }
 }

@@ -258,6 +258,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a(1L) != null && a(2L) == null)
   }
 
+  test("LshBucket64 kernel is BIT-identical to the portable plane-fold") {
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(23)
+    val df = Seq.tabulate(400)(i =>
+      (i.toLong, Array.fill(32)((rnd.nextFloat() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(8, 32, seed = 7L)
+    val kernel = df.select($"vec_id",
+        GraftFunctions.lshBucket64(spark, $"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = df.select($"vec_id",
+        Similarity.lshBucket(Similarity.asDouble($"embedding"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == hof)
+    // codegen and interpreted agree
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select($"vec_id",
+          GraftFunctions.lshBucket64(spark, $"embedding", planes).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(interp == kernel)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // dimension mismatch nulls out instead of a junk bucket
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(bad.select(GraftFunctions.lshBucket64(spark, $"embedding", planes))
+      .head.isNullAt(0))
+  }
+
   test("kernel type check rejects non-array inputs") {
     val e = intercept[Exception] {
       emb.select(GraftFunctions.cosineSim(spark, col("vec_id"), col("embedding"))).collect()

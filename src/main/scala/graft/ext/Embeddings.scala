@@ -57,7 +57,8 @@ object Embeddings {
     guard(df, Seq(out, s"${out}_scale", "_graft_q8"))
     val spark = df.sparkSession
     df.withColumn("_graft_q8",
-        graft.functions.GraftFunctions.quantizeInt8(spark, col(embCol)))
+        graft.functions.GraftFunctions.quantizeInt8(spark,
+          Similarity.kernelVector(df, embCol)))
       .withColumn(s"${out}_scale", col("_graft_q8.scale"))
       .withColumn(out, col("_graft_q8.q"))
       .drop("_graft_q8")

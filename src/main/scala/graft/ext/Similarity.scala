@@ -27,6 +27,20 @@ object Similarity {
   /** Cast a float array to double for stable, oracle-matchable math. */
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Kernel-ready vector column: float/double arrays pass through (the
+    * kernels read them directly); other numeric arrays get the cast
+    * transform the old HOF paths applied — so the kernel-backed APIs
+    * accept everything the portable ones did. */
+  private[graft] def kernelVector(df: DataFrame, embCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(embCol).dataType match {
+      case ArrayType(FloatType | DoubleType, _) => col(embCol)
+      case ArrayType(_, _) => asDouble(col(embCol))
+      case other => throw new IllegalArgumentException(
+        s"$embCol must be an array column, got ${other.catalogString}")
+    }
+  }
+
   /** Dot product — left-to-right double summation. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
@@ -94,7 +108,7 @@ object Similarity {
       if (multiProbe) qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
       else Seq(qBucket)
     df.withColumn("_bucket", graft.functions.GraftFunctions
-        .lshBucket64(df.sparkSession, col(embCol), planes))
+        .lshBucket64(df.sparkSession, kernelVector(df, embCol), planes))
       .filter(col("_bucket").isin(probes: _*))
       .select(col(idCol),
         round(cosine(asDouble(col(embCol)), vecLit(query)), roundTo).as("sim"))

@@ -73,7 +73,7 @@ object GraftFunctions {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, _), _))) =>
       val planes = (0 until p.numElements()).map(i =>
-        p.getArray(i).toDoubleArray()).toArray
+        p.getArray(i).toDoubleArray().toSeq)
       LshBucket64(a, planes)
     case _ => throw new IllegalArgumentException(
       "graft_lsh_bucket takes (array<float|double>, array<array<double>> literal)")

@@ -23,17 +23,28 @@ import org.apache.spark.sql.types._
   * oracle fragments, so x09/x12's hash-checked bucket ids are
   * unchanged. Bit i set iff dot ≥ 0.
   *
-  * Null/shape contract: null array, null element, or a vector whose
-  * length differs from the plane dimensionality ⇒ null (the HOF
-  * spelling silently zero-bits such rows via three-valued logic — a
-  * poisoned vector landing in a deterministic junk bucket; null is the
+  * Null/shape contract: null array, null/non-finite element, or a
+  * vector whose length differs from the plane dimensionality ⇒ null
+  * (the HOF spelling silently zero-bits such rows via three-valued
+  * logic — a poisoned vector landing in a deterministic junk bucket
+  * that then inflates that bucket's quadratic pair join; null is the
   * auditable behavior).
+  *
+  * Planes are held as Seq[Seq[Double]] so the case class keeps VALUE
+  * equality (an Array param would be reference-equal only, defeating
+  * canonicalization and common-subexpression elimination); the packed
+  * primitive matrix is derived lazily for the hot loop.
   */
-case class LshBucket64(child: Expression, planes: Array[Array[Double]])
+case class LshBucket64(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
 
   require(planes.nonEmpty && planes.length <= 63,
     "sign-LSH needs 1..63 planes for a long bucket id")
+  require(planes.forall(_.length == planes.head.length),
+    "sign-LSH planes must all share one dimensionality")
+
+  @transient private lazy val planeMatrix: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -49,16 +60,17 @@ case class LshBucket64(child: Expression, planes: Array[Array[Double]])
   }
 
   override def nullSafeEval(v: Any): Any =
-    LshBucket64.bucket(v.asInstanceOf[ArrayData], planes, isFloat)
+    LshBucket64.bucket(v.asInstanceOf[ArrayData], planeMatrix, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftLshPlanes", planes,
+    val ref = ctx.addReferenceObj("graftLshPlanes", planeMatrix,
       "double[][]")
+    val b = ctx.freshName("graftLshB")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |Object b = graft.functions.LshBucket64.bucket($c, $ref, $isFloat);
-         |if (b == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Long) b).longValue(); }
+         |Object $b = graft.functions.LshBucket64.bucket($c, $ref, $isFloat);
+         |if ($b == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $b).longValue(); }
        """.stripMargin
     })
   }
@@ -80,7 +92,9 @@ object LshBucket64 {
     var j = 0
     while (j < n) {
       if (arr.isNullAt(j)) return null
-      xs(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      val v = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
+      xs(j) = v
       j += 1
     }
     var bucket = 0L

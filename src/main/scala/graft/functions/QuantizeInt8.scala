@@ -25,11 +25,13 @@ import org.apache.spark.sql.types._
   * clamp(floor(x_i / scale + 0.5), ±127) — floor-based round-half-up,
   * the portable rounding the DuckDB oracle reproduces.
   *
-  * Null/NaN contract: null array, null element, or NaN element ⇒ null
-  * struct (poisoned vectors must not throw at 100 TB; note the HOF
-  * formulation instead propagates per-element nulls and NaN-poisons the
-  * scale — the kernel's whole-row null is the saner behavior, and the
-  * fixtures contain neither).
+  * Null/non-finite contract: null array, null element, or non-finite
+  * element (NaN OR ±Infinity — an infinite max|x| would emit
+  * scale=Inf with all-zero q, junk that NaN-poisons every downstream
+  * dequantization) ⇒ null struct. Poisoned vectors must not throw at
+  * 100 TB; note the HOF formulation instead propagates per-element
+  * nulls and NaN-poisons the scale — the kernel's whole-row null is
+  * the saner behavior, and the fixtures contain neither.
   */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
 
@@ -78,7 +80,7 @@ object QuantizeInt8 {
     while (i < n) {
       if (arr.isNullAt(i)) return null
       val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      if (v.isNaN) return null
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
       xs(i) = v
       val a = math.abs(v)
       if (a > maxAbs) maxAbs = a

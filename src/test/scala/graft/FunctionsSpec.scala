@@ -243,19 +243,29 @@ class FunctionsSpec extends AnyFunSuite {
   test("QuantizeInt8: interpreted and codegen agree; poisoned vectors null out") {
     val df = Seq(
       (1L, Array(1.0f, -2.0f, 0.5f)),
-      (2L, Array(Float.NaN, 1.0f, 1.0f)) // NaN -> null struct
+      (2L, Array(Float.NaN, 1.0f, 1.0f)), // NaN -> null struct
+      (3L, Array(Float.PositiveInfinity, 1.0f, 1.0f)) // Inf -> null struct
     ).toDF("vec_id", "embedding")
-    def run(codegen: String) = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+    // factoryMode NO_CODEGEN forces the interpreted nullSafeEval path —
+    // wholeStage=false alone still runs expression codegen
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
       try graft.ext.Embeddings.quantizeInt8(df, "embedding", "qv")
         .select($"vec_id", $"qv").collect()
         .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Int](1)))
         .toMap
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
-    val a = run("true"); val b = run("false")
+    val a = run("CODEGEN_ONLY"); val b = run("NO_CODEGEN")
     assert(a == b)
-    assert(a(1L) != null && a(2L) == null)
+    assert(a(1L) != null && a(2L) == null && a(3L) == null)
+  }
+
+  test("kernel-backed APIs still accept castable numeric arrays (int embeddings)") {
+    val ints = Seq((1L, Array(3, -4, 0))).toDF("vec_id", "embedding")
+    val q = graft.ext.Embeddings.quantizeInt8(ints, "embedding", "qv")
+      .select($"qv", $"qv_scale").head
+    assert(q.getSeq[Int](0) == Seq(95, -127, 0)) // scale = 4/127
   }
 
   test("LshBucket64 kernel is BIT-identical to the portable plane-fold") {
@@ -272,14 +282,19 @@ class FunctionsSpec extends AnyFunSuite {
         Similarity.lshBucket(Similarity.asDouble($"embedding"), planes).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kernel == hof)
-    // codegen and interpreted agree
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // codegen and the true interpreted path agree (factoryMode — a
+    // wholeStage toggle alone still runs expression codegen)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val interp = df.select($"vec_id",
           GraftFunctions.lshBucket64(spark, $"embedding", planes).as("b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(interp == kernel)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // NaN-poisoned vectors null out instead of landing in bucket 0
+    val nan = Seq((1L, Array.fill(32)(Float.NaN))).toDF("vec_id", "embedding")
+    assert(nan.select(GraftFunctions.lshBucket64(spark, $"embedding", planes))
+      .head.isNullAt(0))
     // dimension mismatch nulls out instead of a junk bucket
     val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     assert(bad.select(GraftFunctions.lshBucket64(spark, $"embedding", planes))

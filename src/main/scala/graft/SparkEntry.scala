@@ -7,7 +7,7 @@ import graft.ext.{Embeddings, Similarity, TextAnalysis, TextDedup}
 import graft.ingest.ValidateRoute
 import graft.olap.Quality
 import graft.schema.TopicSpec
-import graft.warehouse.Star
+import graft.warehouse.{Checks, Star}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -669,6 +669,23 @@ object SparkEntry {
           "event_id", "event_type", "mix",
           Map("error" -> 0.4, "purchase" -> 0.4, "view" -> 0.1))
         .orderBy(col("event_id"))),
+    "x43_constraint_checks" -> ((s, d) => {
+      // publish-gate data-quality report: every row-level expectation
+      // (null/range/set/predicate) folds into ONE conditional aggregate
+      // over one scan; uniqueness is one key-grouped count; the FK probe
+      // broadcasts the dim key set. The filtered dim (keys % 3 == 0)
+      // forces real referential violations so the fail path is exercised.
+      val li = t(s, d, "lineitem")
+      val dim = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+      Checks.check(li, Seq(
+          Checks.NotNull("l_returnflag"),
+          Checks.InRange("l_quantity", 1.0, 45.0),
+          Checks.InSet("l_returnflag", Seq("A", "N")),
+          Checks.Satisfies("discount_cap", col("l_discount") <= 0.08),
+          Checks.Unique(Seq("l_orderkey", "l_linenumber")),
+          Checks.RefIntegrity("l_orderkey", dim, "o_orderkey")))
+        .orderBy(col("check_name"))
+    }),
     "x40_curation_pipeline" -> ((s, d) => {
       // the end-to-end corpus-curation decision: quality score, language
       // id, repetition fraction and vocabulary coverage joined into one
@@ -1647,6 +1664,50 @@ object SparkEntry {
         |                  CAST(greatest(0, floor(f.rate * 281474976710656.0)) AS BIGINT))
         |      END
         |ORDER BY e.event_id""".stripMargin,
+    // the constraint report is pure integer counting — every check's
+    // violation condition is spelled with the same null semantics as the
+    // Spark side (typed checks exempt NULLs, satisfies counts them, FK
+    // exempts null fact keys, GROUP BY groups null key components)
+    "x43_constraint_checks" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem),
+        |row_checks AS (
+        |  SELECT 'not_null:l_returnflag' AS check_name,
+        |    SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range:l_quantity[1.0,45.0]',
+        |    SUM(CASE WHEN l_quantity IS NOT NULL
+        |             AND NOT (CAST(l_quantity AS DOUBLE) BETWEEN 1.0 AND 45.0)
+        |        THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'set:l_returnflag{A,N}',
+        |    SUM(CASE WHEN l_returnflag IS NOT NULL
+        |             AND l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'satisfies:discount_cap',
+        |    SUM(CASE WHEN NOT COALESCE(l_discount <= 0.08, FALSE)
+        |        THEN 1 ELSE 0 END)
+        |  FROM lineitem),
+        |uniq AS (
+        |  SELECT 'unique:l_orderkey,l_linenumber' AS check_name,
+        |    COALESCE(SUM(c), 0) AS violations
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+        |ri AS (
+        |  SELECT 'ref:l_orderkey' AS check_name, count(*) AS violations
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN
+        |        (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0))
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  (SELECT total FROM tot) AS total,
+        |  violations = 0 AS pass
+        |FROM (SELECT * FROM row_checks
+        |      UNION ALL SELECT * FROM uniq
+        |      UNION ALL SELECT * FROM ri)
+        |ORDER BY check_name""".stripMargin,
     // the curation verdict joins four signals, all over the shared
     // text-metric CTEs: quality/lang from m, repetition grams and the
     // OOV join from p.ltoks (same normalized token stream as the Spark

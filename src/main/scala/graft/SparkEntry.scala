@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Embeddings, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Embeddings, Similarity, TextAnalysis, TextDedup, TimeSeries}
 import graft.ingest.ValidateRoute
 import graft.olap.Quality
 import graft.schema.TopicSpec
@@ -685,6 +685,19 @@ object SparkEntry {
           Checks.Unique(Seq("l_orderkey", "l_linenumber")),
           Checks.RefIntegrity("l_orderkey", dim, "o_orderkey")))
         .orderBy(col("check_name"))
+    }),
+    "x44_timeseries_gapfill" -> ((s, d) => {
+      // metric regularization: irregular events -> fixed 10-minute grid
+      // per event type, interior holes linearly interpolated from the
+      // flanking observed bins. One shuffle for the (key, bin) counts,
+      // one window sort for both fill directions; the interpolation is
+      // a single pinned double formula over exact integer endpoints, so
+      // the whole filled grid hash-verifies cross-engine.
+      val ev = t(s, d, "events").select(col("event_type"), col("ts"))
+      val res = TimeSeries.resampleCounts(ev, "event_type", "ts", 600L)
+      TimeSeries.gapFill(res, "event_type", "bin", "n")
+        .select(col("event_type"), col("bin"), col("n"), col("observed"))
+        .orderBy(col("event_type"), col("bin"))
     }),
     "x40_curation_pipeline" -> ((s, d) => {
       // the end-to-end corpus-curation decision: quality score, language
@@ -1708,6 +1721,43 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM uniq
         |      UNION ALL SELECT * FROM ri)
         |ORDER BY check_name""".stripMargin,
+    // bins ride the integer-seconds base (epoch(date_trunc second) ==
+    // unix_timestamp, lesson 24); the spine is generate_series over each
+    // key's [min, max]; the fill mirrors Spark's exact expression —
+    // pv + (nv - pv) * (bin - pb) / (nb - pb) — over double values and
+    // bigint bins, identical IEEE ops left-to-right in both engines
+    "x44_timeseries_gapfill" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 600)
+        |      AS BIGINT) AS bin,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(bin) AS lo, max(bin) AS hi FROM r GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS bin FROM b),
+        |j AS (
+        |  SELECT s.event_type, s.bin, r.n
+        |  FROM spine s LEFT JOIN r USING (event_type, bin)),
+        |f AS (
+        |  SELECT event_type, bin, n,
+        |    last_value(n IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN n IS NOT NULL THEN bin END IGNORE NULLS)
+        |      OVER wp AS pb,
+        |    first_value(n IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN n IS NOT NULL THEN bin END IGNORE NULLS)
+        |      OVER wn AS nb
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY bin
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY event_type ORDER BY bin
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bin,
+        |  CASE WHEN n IS NOT NULL THEN n
+        |       ELSE pv + (nv - pv) * (bin - pb) / (nb - pb) END AS n,
+        |  n IS NOT NULL AS observed
+        |FROM f
+        |ORDER BY event_type, bin""".stripMargin,
     // the curation verdict joins four signals, all over the shared
     // text-metric CTEs: quality/lang from m, repetition grams and the
     // OOV join from p.ltoks (same normalized token stream as the Spark

@@ -699,6 +699,32 @@ object SparkEntry {
         .select(col("event_type"), col("bin"), col("n"), col("observed"))
         .orderBy(col("event_type"), col("bin"))
     }),
+    "x45_rolling_features" -> ((s, d) => {
+      // trailing-window ML features over the regularized grid: lag,
+      // delta, rolling sum/count/avg/min/max per event type per
+      // 10-minute bin. ffill keeps the grid integer-valued, so every
+      // window sum is order-independent and exact — the whole feature
+      // table hash-verifies. One (key,bin) shuffle + one window sort.
+      val ev = t(s, d, "events").select(col("event_type"), col("ts"))
+      val res = TimeSeries.resampleCounts(ev, "event_type", "ts", 600L)
+      val filled = TimeSeries.gapFill(res, "event_type", "bin", "n",
+        mode = "ffill")
+      TimeSeries.rollingFeatures(filled, "event_type", "bin", "n", 12)
+        .orderBy(col("event_type"), col("bin"))
+    }),
+    "x46_anomaly_score" -> ((s, d) => {
+      // each bin scored against its OWN trailing 2-hour history
+      // (current row excluded): integer-arithmetic population z via
+      // (c·x − s)/√(c·q − s²) — exact until one correctly-rounded
+      // divide + sqrt, so even the double z column hash-matches.
+      val ev = t(s, d, "events").select(col("event_type"), col("ts"))
+      val res = TimeSeries.resampleCounts(ev, "event_type", "ts", 600L)
+      val filled = TimeSeries.gapFill(res, "event_type", "bin", "n",
+        mode = "ffill")
+      TimeSeries.anomalyScore(filled, "event_type", "bin", "n",
+          history = 12, threshold = 3.0)
+        .orderBy(col("event_type"), col("bin"))
+    }),
     "x40_curation_pipeline" -> ((s, d) => {
       // the end-to-end corpus-curation decision: quality score, language
       // id, repetition fraction and vocabulary coverage joined into one
@@ -1757,6 +1783,79 @@ object SparkEntry {
         |       ELSE pv + (nv - pv) * (bin - pb) / (nb - pb) END AS n,
         |  n IS NOT NULL AS observed
         |FROM f
+        |ORDER BY event_type, bin""".stripMargin,
+    // x45/x46 share x44's CTE base; the ffill is one IGNORE NULLS
+    // running last_value (current row included — at observed bins it IS
+    // the bin's own n). Window sums run over integer-valued doubles, so
+    // frame-algorithm differences between engines cannot shift a bit.
+    "x45_rolling_features" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 600)
+        |      AS BIGINT) AS bin,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(bin) AS lo, max(bin) AS hi FROM r GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS bin FROM b),
+        |j AS (
+        |  SELECT s.event_type, s.bin, r.n
+        |  FROM spine s LEFT JOIN r USING (event_type, bin)),
+        |g AS (
+        |  SELECT event_type, bin,
+        |    last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM j)
+        |SELECT event_type, bin, v AS n,
+        |  lag(v) OVER w1 AS lag_1,
+        |  v - lag(v) OVER w1 AS delta,
+        |  SUM(v) OVER wt AS roll_sum,
+        |  CAST(COUNT(v) OVER wt AS BIGINT) AS roll_cnt,
+        |  SUM(v) OVER wt / COUNT(v) OVER wt AS roll_avg,
+        |  MIN(v) OVER wt AS roll_min,
+        |  MAX(v) OVER wt AS roll_max
+        |FROM g
+        |WINDOW w1 AS (PARTITION BY event_type ORDER BY bin),
+        |       wt AS (PARTITION BY event_type ORDER BY bin
+        |              ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, bin""".stripMargin,
+    // z mirrors Spark's exact spelling (c·v − s)/sqrt(c·q − s²); the
+    // zero-variance "infinite z" case flags is_anomaly with z null
+    "x46_anomaly_score" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 600)
+        |      AS BIGINT) AS bin,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(bin) AS lo, max(bin) AS hi FROM r GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi)) AS bin FROM b),
+        |j AS (
+        |  SELECT s.event_type, s.bin, r.n
+        |  FROM spine s LEFT JOIN r USING (event_type, bin)),
+        |g AS (
+        |  SELECT event_type, bin,
+        |    last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM j),
+        |a AS (
+        |  SELECT event_type, bin, v,
+        |    SUM(v) OVER wh AS s,
+        |    SUM(v * v) OVER wh AS q,
+        |    CAST(COUNT(v) OVER wh AS DOUBLE) AS c
+        |  FROM g
+        |  WINDOW wh AS (PARTITION BY event_type ORDER BY bin
+        |                ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+        |zc AS (SELECT event_type, bin, v, s, c, c * q - s * s AS vt FROM a)
+        |SELECT event_type, bin, v AS n,
+        |  CASE WHEN c >= 2 AND vt > 0 THEN (c * v - s) / sqrt(vt) END AS z,
+        |  COALESCE(CASE WHEN c >= 2 AND vt > 0
+        |             THEN abs((c * v - s) / sqrt(vt)) > CAST(3 AS DOUBLE) END,
+        |           FALSE)
+        |    OR COALESCE(c >= 2 AND vt = 0 AND c * v - s <> 0, FALSE)
+        |    AS is_anomaly
+        |FROM zc
         |ORDER BY event_type, bin""".stripMargin,
     // the curation verdict joins four signals, all over the shared
     // text-metric CTEs: quality/lang from m, repetition grams and the

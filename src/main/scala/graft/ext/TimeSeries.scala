@@ -86,4 +86,66 @@ object TimeSeries {
       .withColumn(valueCol, filled)
       .drop("_pv", "_pb", "_nv", "_nb")
   }
+
+  /** Trailing-window ML features per (key, bin): previous value, delta,
+    * and rolling sum/count/avg/min/max over the last `window` bins
+    * (current row included). One window partitioning + sort serves every
+    * frame.
+    *
+    * Exactness: over integer-VALUED doubles (counts — [[resampleCounts]]
+    * possibly ffilled) every partial sum is itself an integer below
+    * 2^53, so window-sum results are independent of the engine's frame
+    * algorithm (running, segment tree, recompute) — safe to hash
+    * cross-engine. `roll_avg` is then one pinned double division. */
+  def rollingFeatures(df: DataFrame, keyCol: String, binCol: String,
+                      valueCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    Sampling.reserveColumns(df,
+      Seq("lag_1", "delta", "roll_sum", "roll_cnt", "roll_avg", "roll_min",
+        "roll_max"), "rollingFeatures")
+    val k = col(keyCol); val b = col(binCol); val v = col(valueCol)
+    val w1 = Window.partitionBy(k).orderBy(b)
+    val wt = w1.rowsBetween(-(window - 1), Window.currentRow)
+    val lag1 = lag(v, 1).over(w1)
+    df.select(k, b, v,
+      lag1.as("lag_1"),
+      (v - lag1).as("delta"),
+      sum(v).over(wt).as("roll_sum"),
+      count(v).over(wt).cast("long").as("roll_cnt"),
+      (sum(v).over(wt) / count(v).over(wt)).as("roll_avg"),
+      min(v).over(wt).as("roll_min"),
+      max(v).over(wt).as("roll_max"))
+  }
+
+  /** Deviation of each bin's value from its OWN trailing history: the
+    * population z-score against the previous `history` bins (current
+    * row excluded, so a spike cannot deflate its own baseline).
+    *
+    * The whole score stays in exact integer arithmetic until the last
+    * two ops: with c = history count, s = Σv, q = Σv², the identity
+    *   z = (x − s/c) / √(q/c − s²/c²) = (c·x − s) / √(c·q − s²)
+    * makes every intermediate an exactly-representable integer (for
+    * integer-valued inputs), and the final divide and √ are both
+    * correctly-rounded IEEE ops — bit-identical in any engine that
+    * mirrors the right-hand spelling. z is null when history has < 2
+    * bins or zero variance; a zero-variance history with a deviating
+    * value (an "infinite z") still flags `is_anomaly`. */
+  def anomalyScore(df: DataFrame, keyCol: String, binCol: String,
+                   valueCol: String, history: Int = 12,
+                   threshold: Double = 3.0): DataFrame = {
+    require(history >= 2, s"history must be >= 2: $history")
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    Sampling.reserveColumns(df, Seq("z", "is_anomaly"), "anomalyScore")
+    val k = col(keyCol); val b = col(binCol); val v = col(valueCol)
+    val wh = Window.partitionBy(k).orderBy(b).rowsBetween(-history, -1)
+    val s = sum(v).over(wh)
+    val q = sum(v * v).over(wh)
+    val c = count(v).over(wh).cast("double")
+    val varTerm = c * q - s * s
+    val z = when(c >= 2 && varTerm > 0, (c * v - s) / sqrt(varTerm))
+    val constDev =
+      coalesce(c >= 2 && varTerm === 0 && (c * v - s) =!= 0, lit(false))
+    df.select(k, b, v, z.as("z"),
+      (coalesce(abs(z) > threshold, lit(false)) || constDev).as("is_anomaly"))
+  }
 }

@@ -78,6 +78,66 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(sorts <= 1, s"expected at most one Sort for the window stage:\n$plan")
   }
 
+  test("rolling features: lag, delta and trailing frame aggregates are exact") {
+    val dense = Seq(("a", 0L, 1.0), ("a", 1L, 1.0), ("a", 2L, 1.0),
+      ("a", 3L, 1.0), ("a", 4L, 10.0), ("a", 5L, 1.0)).toDF("k", "bin", "n")
+    val got = TimeSeries.rollingFeatures(dense, "k", "bin", "n", window = 3)
+      .orderBy("bin")
+      .select("bin", "lag_1", "delta", "roll_sum", "roll_cnt", "roll_avg",
+        "roll_min", "roll_max")
+      .collect()
+    // bin 4 (the spike): lag=1, delta=9, frame {1,1,10}
+    val r4 = got(4)
+    assert(r4.getDouble(1) == 1.0 && r4.getDouble(2) == 9.0)
+    assert(r4.getDouble(3) == 12.0 && r4.getLong(4) == 3L)
+    assert(r4.getDouble(5) == 4.0 && r4.getDouble(6) == 1.0 && r4.getDouble(7) == 10.0)
+    // bin 0: no predecessor -> lag/delta null, frame is just itself
+    val r0 = got(0)
+    assert(r0.isNullAt(1) && r0.isNullAt(2))
+    assert(r0.getDouble(3) == 1.0 && r0.getLong(4) == 1L)
+  }
+
+  test("anomaly score: history z-score, zero-variance and warm-up semantics") {
+    val dense = Seq(("a", 0L, 1.0), ("a", 1L, 1.0), ("a", 2L, 1.0),
+      ("a", 3L, 1.0), ("a", 4L, 10.0), ("a", 5L, 1.0)).toDF("k", "bin", "n")
+    val got = TimeSeries.anomalyScore(dense, "k", "bin", "n",
+        history = 3, threshold = 2.0)
+      .orderBy("bin").collect()
+    // warm-up (c < 2) and constant-history bins: z null
+    assert((0 to 4).forall(got(_).isNullAt(3)))
+    // the spike deviates from a ZERO-VARIANCE history: infinite z -> flagged
+    assert(got(4).getBoolean(4))
+    assert((0 to 3).forall(!got(_).getBoolean(4)))
+    // bin 5: history {1,1,10} -> s=12 q=102 c=3, z=(3-12)/sqrt(306-144)
+    val z5 = got(5).getDouble(3)
+    assert(math.abs(z5 - (3.0 - 12.0) / math.sqrt(3 * 102.0 - 144.0)) == 0.0)
+    assert(!got(5).getBoolean(4))
+  }
+
+  test("feature and anomaly windows each ride one sort") {
+    val ev = Tables(spark, TestSpark.sf, "events").select($"event_type", $"ts")
+    val res = TimeSeries.resampleCounts(ev, "event_type", "ts", 3600L)
+    val filled = TimeSeries.gapFill(res, "event_type", "bin", "n", mode = "ffill")
+    for (df <- Seq(
+        TimeSeries.rollingFeatures(filled, "event_type", "bin", "n", 12),
+        TimeSeries.anomalyScore(filled, "event_type", "bin", "n"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val sorts = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Sort ".r.findAllIn(plan).length
+      assert(sorts <= 1, s"expected at most one Sort:\n$plan")
+    }
+  }
+
+  test("reserved output columns are guarded") {
+    val clash = Seq(("a", 0L, 1.0, 2.0)).toDF("k", "bin", "n", "roll_sum")
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingFeatures(clash, "k", "bin", "n", 3)
+    }
+    val clashZ = Seq(("a", 0L, 1.0, 2.0)).toDF("k", "bin", "n", "z")
+    intercept[IllegalArgumentException] {
+      TimeSeries.anomalyScore(clashZ, "k", "bin", "n")
+    }
+  }
+
   test("invalid fill mode and non-positive step are rejected") {
     intercept[IllegalArgumentException] {
       TimeSeries.gapFill(series, "k", "bin", "n", mode = "nearest")

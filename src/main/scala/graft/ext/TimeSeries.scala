@@ -28,23 +28,30 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** Integer bin index of `ts` on a `stepSeconds` grid. Sub-second
-    * precision cannot move the floor (the bin boundary is a whole
-    * multiple of step), so truncating `unix_timestamp` matches an
-    * engine that floors fractional epoch seconds. */
+  /** Integer bin index of `ts` on a `stepSeconds` grid. For POST-1970
+    * timestamps, sub-second precision cannot move the floor (the bin
+    * boundary is a whole multiple of step), so truncating
+    * `unix_timestamp` matches an engine that floors fractional epoch
+    * seconds. Pre-epoch timestamps diverge: Spark truncates toward
+    * zero (-0.5s → second 0) where floor engines round down (→ -1) —
+    * don't feed pre-1970 data through a cross-engine comparison. Null
+    * timestamps yield a null bin. */
   def binIndex(ts: Column, stepSeconds: Long): Column = {
     require(stepSeconds > 0, s"step must be positive: $stepSeconds")
     floor(unix_timestamp(ts) / stepSeconds).cast("long")
   }
 
   /** Events-per-(key, bin) on the `stepSeconds` grid: `(key, bin, n)`.
-    * Only OBSERVED bins appear — [[gapFillInterpolate]] /
-    * [[gapFillForward]] complete the grid. `n` is DOUBLE so the filled
-    * column keeps one type through the fill step. */
+    * Only OBSERVED bins appear — [[gapFill]] completes the grid. `n` is
+    * DOUBLE so the filled column keeps one type through the fill step.
+    * Rows with a null timestamp are EXCLUDED (explicitly, here — a
+    * null bin would otherwise be dropped silently by the gap-fill
+    * spine join); count them upstream if the loss must be audited. */
   def resampleCounts(df: DataFrame, keyCol: String, tsCol: String,
                      stepSeconds: Long): DataFrame = {
     Sampling.reserveColumns(df, Seq("bin", "n"), "resampleCounts")
-    df.groupBy(col(keyCol), binIndex(col(tsCol), stepSeconds).as("bin"))
+    df.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), binIndex(col(tsCol), stepSeconds).as("bin"))
       .agg(count(lit(1)).cast("double").as("n"))
   }
 
@@ -53,9 +60,14 @@ object TimeSeries {
     * bins) or "ffill" (carry the previous observed value forward).
     * Output adds `observed` (was the bin present in the input).
     *
-    * Precondition: `valueCol` is non-null on input rows (true for
-    * [[resampleCounts]] output) — the spine's endpoints are observed
-    * bins, so every hole is interior and both flanks exist.
+    * Preconditions (both true for [[resampleCounts]] output, neither
+    * checked — checking costs a full pass):
+    *  - `valueCol` is non-null on input rows — the spine's endpoints
+    *    are observed bins, so every hole is interior and both flanks
+    *    exist;
+    *  - `(keyCol, binCol)` is UNIQUE — a duplicate bin fans out the
+    *    spine join and ties the window order, making the fill
+    *    endpoints non-deterministic. Pre-aggregate duplicates away.
     */
   def gapFill(resampled: DataFrame, keyCol: String, binCol: String,
               valueCol: String, mode: String = "interpolate"): DataFrame = {

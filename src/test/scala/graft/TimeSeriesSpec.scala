@@ -60,10 +60,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(bad == 0)
     // filled counts conserve mass on observed bins
     assert(filled.filter($"observed").agg(sum("n")).head.getDouble(0) == ev.count().toDouble)
-    // every filled value lies between its key's observed min and max
-    val mm = res.agg(min("n"), max("n")).head
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    assert(filled.filter($"n" < lo || $"n" > hi).count() == 0)
+    // every filled value lies between ITS KEY'S observed min and max —
+    // per-key bounds, so cross-key leakage can't hide inside a global
+    // envelope
+    val mm = res.groupBy("event_type").agg(min("n").as("lo"), max("n").as("hi"))
+    assert(filled.join(mm, "event_type")
+      .filter($"n" < $"lo" || $"n" > $"hi").count() == 0)
+  }
+
+  test("null timestamps are excluded from the resampled grid, explicitly") {
+    val ev = Seq(("a", Some("2024-01-01 00:05:00")), ("a", Some("2024-01-01 00:25:00")),
+        ("a", None)).toDF("k", "ts_s")
+      .select($"k", $"ts_s".cast("timestamp").as("ts"))
+    val res = TimeSeries.resampleCounts(ev, "k", "ts", 600L)
+    assert(res.agg(sum("n")).head.getDouble(0) == 2.0)
+    assert(res.filter($"bin".isNull).count() == 0)
   }
 
   test("both window frames share one partitioning + sort (no second window exchange)") {

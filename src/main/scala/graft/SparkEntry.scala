@@ -699,6 +699,43 @@ object SparkEntry {
         .select(col("event_type"), col("bin"), col("n"), col("observed"))
         .orderBy(col("event_type"), col("bin"))
     }),
+    "x47_leakproof_split" -> ((s, d) => {
+      // leakage-safe train/valid/test split: near-duplicates of a
+      // training doc must NOT land in valid/test (eval contamination).
+      // Portable MinHash pairs -> connected components -> the 16-bit
+      // hash split keyed on the GROUP representative assigns whole
+      // components atomically. Same corpus as x13/x22.
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id").as("id"),
+        TextDedup.normalize(col("text")).as("t"))
+      val pert = base.select((col("id") + 1000000).as("id"),
+        expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
+          "ELSE t END").as("t"))
+      val corpus = base.unionByName(pert)
+      val pairs = TextDedup.portableMinhashDupPairs(corpus, "t", "id")
+      graft.ext.Sampling.groupSafeSplit(corpus.select(col("id")), "id",
+          pairs, "split", 0.75, 0.125)
+        .select(col("id").as("doc_id"), col("group_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    "x49_collocations" -> ((s, d) =>
+      // phrase discovery: top-50 bigrams by PMI lift (ratio form — no
+      // log, so the whole score chain is exact integer counts plus
+      // pinned IEEE ops and the double column hash-verifies). Count
+      // tables collapse before the joins; top-k is
+      // TakeOrderedAndProject.
+      TextAnalysis.collocations(t(s, d, "documents"), "text",
+        minPairCount = 5, k = 50)),
+    "x48_source_gate" -> ((s, d) =>
+      // domain-level curation: admit or cut WHOLE sources on volume,
+      // quality incidence and exact-dup incidence — the coarse filter
+      // that runs before any per-document work. One text scan + one
+      // per-source aggregate; every fraction is a ratio of integer
+      // counts, so the verdict table hash-verifies.
+      TextAnalysis.sourceGate(t(s, d, "documents"), "text", "doc_id",
+          "source", minDocs = 3, goodQuality = 0.5, minGoodFrac = 0.5,
+          maxDupFrac = 0.2)
+        .orderBy(col("source"))),
     "x45_rolling_features" -> ((s, d) => {
       // trailing-window ML features over the regularized grid: lag,
       // delta, rolling sum/count/avg/min/max per event type per
@@ -1784,6 +1821,89 @@ object SparkEntry {
         |  n IS NOT NULL AS observed
         |FROM f
         |ORDER BY event_type, bin""".stripMargin,
+    // unigram/bigram counts over the x15 token stream; lift mirrors
+    // Spark's left-to-right spelling exactly; M counts bigrams BEFORE
+    // the frequency threshold
+    "x49_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |uni AS (
+        |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c_w
+        |  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(len(w)) AS DOUBLE) AS n_tok,
+        |         CAST(SUM(greatest(len(w) - 1, 0)) AS DOUBLE) AS n_big
+        |  FROM toks),
+        |big AS (
+        |  SELECT pair, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |                                 i -> w[i] || ' ' || w[i+1])) AS pair
+        |    FROM toks WHERE len(w) >= 2)
+        |  GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |sel AS (
+        |  SELECT pair, string_split(pair, ' ')[1] AS w1,
+        |    string_split(pair, ' ')[2] AS w2, c_ab
+        |  FROM big)
+        |SELECT s.pair, s.w1, s.w2, s.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+        |  s.c_ab / t.n_big * t.n_tok / ua.c_w * t.n_tok / ub.c_w AS lift
+        |FROM sel s
+        |JOIN uni ua ON ua.w = s.w1
+        |JOIN uni ub ON ub.w = s.w2, tot t
+        |ORDER BY lift DESC, pair
+        |LIMIT 50""".stripMargin,
+    // per-source rollup over the shared quality CTEs; the dup term is
+    // count(*) - count(DISTINCT md5(normalized text)); every fraction
+    // is bigint/bigint (double division in both engines)
+    "x48_source_gate" ->
+      s"""$duckTextMetricCtes,
+        |q AS (SELECT doc_id, $duckQualityExpr AS quality FROM m),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ch
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_good,
+        |    CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_dup
+        |  FROM h JOIN q USING (doc_id)
+        |  GROUP BY source)
+        |SELECT source, n_docs, n_good,
+        |  n_good / n_docs AS good_frac,
+        |  n_dup,
+        |  n_dup / n_docs AS dup_frac,
+        |  n_docs >= 3 AND n_good / n_docs >= 0.5 AND n_dup / n_docs <= 0.2
+        |    AS admit
+        |FROM g ORDER BY source""".stripMargin,
+    // components from x22's recursive reachability; the split replays
+    // x14's sha256 threshold scheme keyed on the GROUP representative
+    "x47_leakproof_split" -> {
+      val ctes = duckPortablePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$ctes,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         |grp AS (SELECT src AS id, MIN(dst) AS group_id FROM reach GROUP BY src),
+         |lab AS (
+         |  SELECT c.id, COALESCE(g.group_id, c.id) AS group_id
+         |  FROM corpus c LEFT JOIN grp g USING (id))
+         |SELECT id AS doc_id, group_id,
+         |  CASE WHEN substr(sha256('split:' || group_id), 1, 4) < 'c000'
+         |         THEN 'train'
+         |       WHEN substr(sha256('split:' || group_id), 1, 4) < 'e000'
+         |         THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM lab ORDER BY doc_id""".stripMargin
+    },
     // x45/x46 share x44's CTE base; the ffill is one IGNORE NULLS
     // running last_value (current row included — at observed bins it IS
     // the bin's own n). Window sums run over integer-valued doubles, so

@@ -191,6 +191,29 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Leakage-safe train/valid/test split: rows connected by `pairs`
+    * (near-duplicate edges over `idCol` values, e.g.
+    * [[TextDedup.minhashDupPairs]] output) are assigned ATOMICALLY —
+    * the split key is the connected-component representative
+    * (min reachable id), so no near-duplicate of a training row can
+    * leak into valid/test and contaminate evaluation. Rows in no pair
+    * key by their own id; fractions and salt behave as in [[hashSplit]].
+    *
+    * Scale: the component labeling is [[TextDedup.duplicateGroups]]
+    * (iterative label propagation, adaptive local shortcut); the join
+    * back is on the id — broadcastable when the paired subset is small
+    * (the usual case: most of a deduped corpus is in no pair). */
+  def groupSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                     salt: String, trainFrac: Double,
+                     validFrac: Double): DataFrame = {
+    reserveColumns(df, Seq("group_id", "bucket", "split"), "groupSafeSplit")
+    val groups = TextDedup.duplicateGroups(pairs)
+      .select(col("id").as(idCol), col("comp").as("group_id"))
+    val labeled = df.join(groups, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
+    hashSplit(labeled, "group_id", salt, trainFrac, validFrac)
+  }
+
   /** Sequence packing for training batches: assign documents to
     * fixed-token-budget bins ("sequences") deterministically and in
     * parallel.

@@ -144,6 +144,93 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens"))
   }
 
+  /** PMI collocation mining: word pairs that co-occur as bigrams far
+    * more often than their unigram frequencies predict ("new york",
+    * "machine learning") — the standard phrase-discovery pass over a
+    * corpus. Scored by PMI's RATIO form (no log: log is monotone, so
+    * the ranking is unchanged, and the score stays a chain of exact
+    * integer counts plus correctly-rounded IEEE ops — hash-verifiable
+    * cross-engine):
+    *   lift = c_ab / M · N / c_a · N / c_b   (left-to-right)
+    * with c_ab the bigram count over M total bigrams, c_a/c_b unigram
+    * counts over N total tokens.
+    *
+    * Scale shape: both exploding scans collapse to count tables before
+    * any join (map-side partials); `minPairCount` cuts the long tail
+    * BEFORE the joins; the unigram table is vocabulary-sized (AQE
+    * broadcasts it when it fits); totals ride one broadcast 1-row
+    * cross join; the final top-k is TakeOrderedAndProject — k rows per
+    * partition to the driver, never the full pair table. */
+  def collocations(df: DataFrame, textCol: String, minPairCount: Long = 5,
+                   k: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    val toks = df.select(TextDedup.tokens(col(textCol)).as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    // totals come from one narrow aggregate over the token arrays —
+    // no second pass over the exploded streams. M counts every bigram
+    // (pre-threshold), or the probabilities would be conditioned on
+    // the filter.
+    val totals = broadcast(toks.agg(
+      sum(size(col("_toks"))).cast("double").as("n_tok"),
+      sum(greatest(size(col("_toks")) - 1, lit(0))).cast("double").as("n_big")))
+    val big = toks.filter(size(col("_toks")) >= 2)
+      .select(explode(graft.functions.GraftFunctions
+        .shingles(spark, col("_toks"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    val lift = col("c_ab") / col("n_big") * col("n_tok") / col("c_a") *
+      col("n_tok") / col("c_b")
+    big
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("pair"), col("w1"), col("w2"), col("c_ab"), col("c_a"),
+        col("c_b"), lift.as("lift"))
+      .orderBy(col("lift").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Domain/source-level curation gate: per-source volume, quality
+    * incidence and exact-duplicate incidence decide whether the WHOLE
+    * source is admitted to the corpus — the RefinedWeb-style coarse
+    * filter applied before any per-document work (cutting a bad domain
+    * here saves every downstream scan of its documents).
+    *
+    * A "good" document scores [[qualityScore]] ≥ `goodQuality`; a
+    * source is admitted when it has ≥ `minDocs` documents, a good
+    * fraction ≥ `minGoodFrac`, and an exact-duplicate fraction
+    * (1 − distinct content hashes / docs) ≤ `maxDupFrac`.
+    *
+    * One text scan computes the quality score and the content hash in
+    * the same projection; one per-source aggregate follows. Every
+    * reported fraction is a ratio of integer counts — bit-identical
+    * cross-engine. At 100 TB the aggregate ships one partial row per
+    * (source) per map task (the distinct-hash term shuffles the
+    * already-collapsed (source, hash) pairs), and the verdict table is
+    * sources-sized — tiny. */
+  def sourceGate(df: DataFrame, textCol: String, idCol: String,
+                 sourceCol: String, minDocs: Long = 3,
+                 goodQuality: Double = 0.5, minGoodFrac: Double = 0.5,
+                 maxDupFrac: Double = 0.2): DataFrame = {
+    val rows = df.select(col(sourceCol),
+      qualityScore(col(textCol)).as("_q"),
+      md5(TextDedup.normalize(col(textCol))).as("_h"))
+    val goodFrac = col("n_good") / col("n_docs")
+    val dupFrac = col("n_dup") / col("n_docs")
+    rows.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_q") >= goodQuality, 1L).otherwise(0L)).as("n_good"),
+        (count(lit(1)) - countDistinct(col("_h"))).as("n_dup"))
+      .select(col(sourceCol), col("n_docs"), col("n_good"),
+        goodFrac.as("good_frac"), col("n_dup"), dupFrac.as("dup_frac"),
+        (col("n_docs") >= minDocs && goodFrac >= minGoodFrac &&
+          dupFrac <= maxDupFrac).as("admit"))
+  }
+
   /** BM25-flavored salient terms: the k most distinctive terms per
     * document, scored tf × (N − df + 0.5)/(df + 0.5) — the BM25 idf
     * ratio WITHOUT the log, so the score is a chain of exact integer

@@ -19,6 +19,53 @@ class CurationSpec extends AnyFunSuite {
     (4L, "the fish sat on the mat")
   ).toDF("doc_id", "text")
 
+  test("collocations: PMI lift is exact, ranks the dominant bigram, thresholds apply") {
+    val corp = Seq(
+      (1L, "new york new york new york"),
+      (2L, "the cat")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(corp, "text", minPairCount = 2, k = 10)
+      .collect()
+    // "new york" (3 of 6 bigrams) outranks "york new" (2); "the cat"
+    // falls under the threshold
+    assert(got.map(_.getString(0)).toSeq == Seq("new york", "york new"))
+    val r = got(0)
+    assert(r.getLong(3) == 3L && r.getLong(4) == 3L && r.getLong(5) == 3L)
+    // N=8 tokens, M=6 bigrams: lift = 3/6 * 8/3 * 8/3, left-to-right
+    assert(r.getDouble(6) == 3.0 / 6.0 * 8.0 / 3.0 * 8.0 / 3.0)
+    // single-token docs contribute tokens to N but no bigrams
+    val corp2 = Seq((1L, "solo"), (2L, "a b a b a b")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.collocations(corp2, "text", minPairCount = 1, k = 10)
+    assert(g2.filter($"pair".contains("solo")).count() == 0)
+    assert(g2.filter($"pair" === "a b").head.getLong(3) == 3L)
+  }
+
+  test("sourceGate: volume, quality and dup incidence decide per-source admission") {
+    val good = "the cat and the dog sat with the bird on the mat " * 6
+    val corp = Seq(
+      // source A: 4 docs, all good quality, one exact dup pair -> admit
+      (1L, good + "one", "A"), (2L, good + "two", "A"),
+      (3L, good + "three", "A"), (4L, good + "three", "A"),
+      // source B: enough docs but junk quality -> cut on good_frac
+      (5L, "zz", "B"), (6L, "yy", "B"), (7L, "xx", "B"),
+      // source C: good quality but below minDocs -> cut on volume
+      (8L, good + "solo", "C"), (9L, good + "duo", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceGate(corp, "text", "doc_id", "source",
+        minDocs = 3, goodQuality = 0.5, minGoodFrac = 0.5, maxDupFrac = 0.3)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(6))).toMap
+    assert(got("A") == ((4L, 4L, 1L, true)))
+    assert(got("B")._4 == false && got("B")._1 == 3L)
+    assert(got("C")._4 == false && got("C")._2 == 2L)
+    // whitespace variants count as the same content (normalized hash)
+    val ws = Seq((1L, "a  b", "S"), (2L, "a b", "S"), (3L, " a b ", "S"))
+      .toDF("doc_id", "text", "source")
+    val dup = TextAnalysis.sourceGate(ws, "text", "doc_id", "source")
+      .head
+    assert(dup.getLong(4) == 2L) // 3 docs, 1 distinct normalized hash
+  }
+
   test("salientTerms: doc-unique term outranks corpus-wide boilerplate") {
     val top = TextAnalysis.salientTerms(docs, "text", "doc_id", 2)
     val d1 = top.filter($"doc_id" === 1).orderBy($"term_rank")

@@ -494,6 +494,29 @@ class ExtSpec extends AnyFunSuite {
     assert(s1.count() > 0 && s1.count() < docs.count())
   }
 
+  test("group-safe split assigns connected near-dups atomically") {
+    import spark.implicits._
+    val rows = (1L to 10L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = graft.ext.Sampling.groupSafeSplit(rows, "id", pairs, "s", 0.5, 0.25)
+      .select("id", "group_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // components share the representative AND the split
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size == 1)
+    assert(Seq(7L, 8L).map(out(_)._1).distinct == Seq(7L))
+    assert(Seq(7L, 8L).map(out(_)._2).distinct.size == 1)
+    // unpaired rows key by their own id — same assignment hashSplit gives
+    val plain = graft.ext.Sampling.hashSplit(rows, "id", "s", 0.5, 0.25)
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (solo <- Seq(4L, 5L, 6L, 9L, 10L)) {
+      assert(out(solo)._1 == solo && out(solo)._2 == plain(solo))
+    }
+    // exhaustive: every row appears exactly once
+    assert(out.size == 10)
+  }
+
   test("duplicate ids never produce self-pairs in LSH candidates") {
     // the same doc ingested twice under one id: buckets contain the id
     // twice; pair generation must not emit (x, x)

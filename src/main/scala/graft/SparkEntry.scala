@@ -22,6 +22,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** documents ∪ first-token-dropped copies at id+1000000 — the shared
+    * near-dup corpus of x13/x22/x23/x47 (gives a real Jaccard spread of
+    * ~0.8-1.0, not only exact dups). MUST stay in lockstep with the
+    * Duck `corpus` CTE in [[duckPortablePairCtes]]. */
+  private def perturbedCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("id"),
+      TextDedup.normalize(col("text")).as("t"))
+    val pert = base.select((col("id") + 1000000).as("id"),
+      expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
+        "ELSE t END").as("t"))
+    base.unionByName(pert)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-per-key hub view (A8) composed with the star join (J3):
     * current state of every customer's last order, revenue per region. */
@@ -344,13 +357,8 @@ object SparkEntry {
       // not just a row count. Corpus: documents ∪ perturbed copies (first
       // token dropped, id+1000000) giving a real near-dup Jaccard spread
       // (~0.8-1.0) instead of only exact dups.
-      val docs = t(s, d, "documents")
-      val base = docs.select(col("doc_id").as("id"),
-        TextDedup.normalize(col("text")).as("t"))
-      val pert = base.select((col("id") + 1000000).as("id"),
-        expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
-          "ELSE t END").as("t"))
-      TextDedup.portableMinhashDupPairs(base.unionByName(pert), "t", "id")
+      val corpus = perturbedCorpus(t(s, d, "documents"))
+      TextDedup.portableMinhashDupPairs(corpus, "t", "id")
         .orderBy(col("id_a"), col("id_b"))
     }),
     "x14_hash_split" -> ((s, d) => {
@@ -446,13 +454,8 @@ object SparkEntry {
       // corpus) fed through connected components — group id = min
       // member id. DuckDB reproduces the components with a recursive
       // reachability CTE over the same pair set.
-      val docs = t(s, d, "documents")
-      val base = docs.select(col("doc_id").as("id"),
-        TextDedup.normalize(col("text")).as("t"))
-      val pert = base.select((col("id") + 1000000).as("id"),
-        expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
-          "ELSE t END").as("t"))
-      val pairs = TextDedup.portableMinhashDupPairs(base.unionByName(pert), "t", "id")
+      val corpus = perturbedCorpus(t(s, d, "documents"))
+      val pairs = TextDedup.portableMinhashDupPairs(corpus, "t", "id")
       TextDedup.duplicateGroups(pairs)
         .select(col("id").as("doc_id"), col("comp").as("group_id"))
         .orderBy(col("doc_id"))
@@ -461,13 +464,7 @@ object SparkEntry {
       // the full near-dup dedup decision end-to-end: portable MinHash
       // pairs -> connected components -> keep each group's min-id member
       // (docs in no pair pass through). Same corpus as x13/x22.
-      val docs = t(s, d, "documents")
-      val base = docs.select(col("doc_id").as("id"),
-        TextDedup.normalize(col("text")).as("t"))
-      val pert = base.select((col("id") + 1000000).as("id"),
-        expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
-          "ELSE t END").as("t"))
-      val corpus = base.unionByName(pert)
+      val corpus = perturbedCorpus(t(s, d, "documents"))
       val pairs = TextDedup.portableMinhashDupPairs(corpus, "t", "id")
       TextDedup.dedupByPairs(corpus, "id", pairs)
         .select(col("id").as("doc_id"))
@@ -705,13 +702,7 @@ object SparkEntry {
       // Portable MinHash pairs -> connected components -> the 16-bit
       // hash split keyed on the GROUP representative assigns whole
       // components atomically. Same corpus as x13/x22.
-      val docs = t(s, d, "documents")
-      val base = docs.select(col("doc_id").as("id"),
-        TextDedup.normalize(col("text")).as("t"))
-      val pert = base.select((col("id") + 1000000).as("id"),
-        expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
-          "ELSE t END").as("t"))
-      val corpus = base.unionByName(pert)
+      val corpus = perturbedCorpus(t(s, d, "documents"))
       val pairs = TextDedup.portableMinhashDupPairs(corpus, "t", "id")
       graft.ext.Sampling.groupSafeSplit(corpus.select(col("id")), "id",
           pairs, "split", 0.75, 0.125)
@@ -732,7 +723,7 @@ object SparkEntry {
       // that runs before any per-document work. One text scan + one
       // per-source aggregate; every fraction is a ratio of integer
       // counts, so the verdict table hash-verifies.
-      TextAnalysis.sourceGate(t(s, d, "documents"), "text", "doc_id",
+      TextAnalysis.sourceGate(t(s, d, "documents"), "text",
           "source", minDocs = 3, goodQuality = 0.5, minGoodFrac = 0.5,
           maxDupFrac = 0.2)
         .orderBy(col("source"))),
@@ -1027,7 +1018,7 @@ object SparkEntry {
     * documents plus first-token-dropped copies at id+1000000, 16-perm
     * sha256 signatures, 4 bands, capped buckets, exact-Jaccard verify)
     * ending in a `pairs(id_a, id_b, jaccard)` CTE — reused by the x13
-    * pair oracle and the x22 connected-components oracle. */
+    * pair oracle and every component-consuming oracle (x22/x23/x47). */
   private val duckPortablePairCtes: String =
     """WITH base AS (
         |  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
@@ -1072,6 +1063,28 @@ object SparkEntry {
         |  JOIN sets sb ON sb.id = cand.id_b
         |  WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
         |      / len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.7)""".stripMargin
+
+  /** [[duckPortablePairCtes]] with RECURSIVE enabled — required prefix
+    * for any oracle appending [[duckComponentCtes]]. */
+  private val duckRecursivePairCtes: String =
+    duckPortablePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  /** Symmetrized edges + recursive reachability over the `pairs` CTE,
+    * ending in `comp(id, group_id)` — group id = min reachable id. The
+    * ONE component labeling shared by the x22/x23/x47 oracles (three
+    * in-lockstep copies desynchronize silently). Components are tiny
+    * (doc + its perturbed copy + occasional genuine near-dups), so the
+    * recursion closes in a few rounds. */
+  private val duckComponentCtes: String =
+    """edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS a, id_a AS b FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+      |comp AS (SELECT src AS id, MIN(dst) AS group_id FROM reach GROUP BY src)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1349,43 +1362,19 @@ object SparkEntry {
     "x13_minhash_lsh_portable" ->
       s"""$duckPortablePairCtes
          |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
-    "x22_dup_groups" -> {
-      // recursive reachability over the same portable pair set: each
-      // node's group id = min id it can reach (components are tiny —
-      // doc + its perturbed copy + occasional genuine near-dups — so
-      // the recursion closes in a few rounds)
-      val ctes = duckPortablePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
-      s"""$ctes,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS a, id_a AS b FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
-         |SELECT src AS doc_id, MIN(dst) AS group_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
-    },
-    "x23_neardup_dedup_kept" -> {
+    "x22_dup_groups" ->
+      s"""$duckRecursivePairCtes,
+         |$duckComponentCtes
+         |SELECT id AS doc_id, group_id FROM comp ORDER BY doc_id""".stripMargin,
+    "x23_neardup_dedup_kept" ->
       // kept = corpus ids minus every component member above its
-      // group min (the same reachability CTE as x22 decides the groups)
-      val ctes = duckPortablePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
-      s"""$ctes,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS a, id_a AS b FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
-         |groups AS (SELECT src AS id, MIN(dst) AS group_id FROM reach GROUP BY src)
+      // group min
+      s"""$duckRecursivePairCtes,
+         |$duckComponentCtes
          |SELECT c.id AS doc_id
-         |FROM corpus c LEFT JOIN groups g ON g.id = c.id
+         |FROM corpus c LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR g.group_id = c.id
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
     "x14_hash_split" ->
       """SELECT doc_id,
         |  substr(sha256('split:' || doc_id), 1, 4) AS bucket,
@@ -1879,31 +1868,21 @@ object SparkEntry {
         |  n_docs >= 3 AND n_good / n_docs >= 0.5 AND n_dup / n_docs <= 0.2
         |    AS admit
         |FROM g ORDER BY source""".stripMargin,
-    // components from x22's recursive reachability; the split replays
-    // x14's sha256 threshold scheme keyed on the GROUP representative
-    "x47_leakproof_split" -> {
-      val ctes = duckPortablePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
-      s"""$ctes,
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS a, id_a AS b FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
-         |grp AS (SELECT src AS id, MIN(dst) AS group_id FROM reach GROUP BY src),
+    // shared component labeling; the split replays x14's sha256
+    // threshold scheme keyed on the GROUP representative
+    "x47_leakproof_split" ->
+      s"""$duckRecursivePairCtes,
+         |$duckComponentCtes,
          |lab AS (
          |  SELECT c.id, COALESCE(g.group_id, c.id) AS group_id
-         |  FROM corpus c LEFT JOIN grp g USING (id))
+         |  FROM corpus c LEFT JOIN comp g USING (id))
          |SELECT id AS doc_id, group_id,
          |  CASE WHEN substr(sha256('split:' || group_id), 1, 4) < 'c000'
          |         THEN 'train'
          |       WHEN substr(sha256('split:' || group_id), 1, 4) < 'e000'
          |         THEN 'valid'
          |       ELSE 'test' END AS split
-         |FROM lab ORDER BY doc_id""".stripMargin
-    },
+         |FROM lab ORDER BY doc_id""".stripMargin,
     // x45/x46 share x44's CTE base; the ffill is one IGNORE NULLS
     // running last_value (current row included — at observed bins it IS
     // the bin's own n). Window sums run over integer-valued doubles, so

@@ -155,25 +155,46 @@ object TextAnalysis {
     * with c_ab the bigram count over M total bigrams, c_a/c_b unigram
     * counts over N total tokens.
     *
-    * Scale shape: both exploding scans collapse to count tables before
-    * any join (map-side partials); `minPairCount` cuts the long tail
-    * BEFORE the joins; the unigram table is vocabulary-sized (AQE
-    * broadcasts it when it fits); totals ride one broadcast 1-row
-    * cross join; the final top-k is TakeOrderedAndProject — k rows per
-    * partition to the driver, never the full pair table. */
+    * Scale shape: tokenization runs ONCE (staged to parquet via
+    * `stagingPath`, else persisted — release with
+    * `spark.catalog.clearCache()`); both exploding scans collapse to
+    * count tables before any join (map-side partials); `minPairCount`
+    * cuts the long tail BEFORE the joins; the unigram table is
+    * vocabulary-sized and persisted for its three consumers (AQE
+    * broadcasts the join sides when they fit); totals ride one
+    * broadcast 1-row cross join; the final top-k is
+    * TakeOrderedAndProject — k rows per partition to the driver, never
+    * the full pair table. */
   def collocations(df: DataFrame, textCol: String, minPairCount: Long = 5,
-                   k: Int = 50): DataFrame = {
+                   k: Int = 50,
+                   stagingPath: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    val toks = df.select(TextDedup.tokens(col(textCol)).as("_toks"))
+    // ONE tokenization pass: the token arrays feed three consumers
+    // (unigram counts, totals, bigram counts), so materialize them —
+    // to parquet when a staging dir is given (the 100 TB shape: each
+    // branch re-scans columnar storage), else a MEMORY_AND_DISK
+    // persist scoped to the session (release via catalog.clearCache).
+    val toksPlain = df.select(TextDedup.tokens(col(textCol)).as("_toks"))
+    val toks = stagingPath match {
+      case Some(p) =>
+        toksPlain.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None =>
+        toksPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // the unigram table is also multiply consumed (two join sides +
+    // the N total) and is only vocabulary-sized: persist it too
     val uni = toks.select(explode(col("_toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-    // totals come from one narrow aggregate over the token arrays —
-    // no second pass over the exploded streams. M counts every bigram
-    // (pre-threshold), or the probabilities would be conditioned on
-    // the filter.
-    val totals = broadcast(toks.agg(
-      sum(size(col("_toks"))).cast("double").as("n_tok"),
-      sum(greatest(size(col("_toks")) - 1, lit(0))).cast("double").as("n_big")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // totals: N from the collapsed unigram table; M from one narrow
+    // aggregate over the cached token arrays (no exploded pass). M
+    // counts every bigram (pre-threshold), or the probabilities would
+    // be conditioned on the filter.
+    val totals = broadcast(
+      uni.agg(sum(col("c_w")).cast("double").as("n_tok")).crossJoin(
+        toks.agg(sum(greatest(size(col("_toks")) - 1, lit(0)))
+          .cast("double").as("n_big"))))
     val big = toks.filter(size(col("_toks")) >= 2)
       .select(explode(graft.functions.GraftFunctions
         .shingles(spark, col("_toks"), 2)).as("pair"))
@@ -211,7 +232,7 @@ object TextAnalysis {
     * (source) per map task (the distinct-hash term shuffles the
     * already-collapsed (source, hash) pairs), and the verdict table is
     * sources-sized — tiny. */
-  def sourceGate(df: DataFrame, textCol: String, idCol: String,
+  def sourceGate(df: DataFrame, textCol: String,
                  sourceCol: String, minDocs: Long = 3,
                  goodQuality: Double = 0.5, minGoodFrac: Double = 0.5,
                  maxDupFrac: Double = 0.2): DataFrame = {

@@ -37,6 +37,11 @@ class CurationSpec extends AnyFunSuite {
     val g2 = TextAnalysis.collocations(corp2, "text", minPairCount = 1, k = 10)
     assert(g2.filter($"pair".contains("solo")).count() == 0)
     assert(g2.filter($"pair" === "a b").head.getLong(3) == 3L)
+    // the parquet-staged variant returns the identical table
+    val tmp = java.nio.file.Files.createTempDirectory("colloc").toString
+    val staged = TextAnalysis.collocations(corp, "text", minPairCount = 2,
+      k = 10, stagingPath = Some(tmp + "/toks"))
+    assert(staged.collect().toSeq == got.toSeq)
   }
 
   test("sourceGate: volume, quality and dup incidence decide per-source admission") {
@@ -50,7 +55,7 @@ class CurationSpec extends AnyFunSuite {
       // source C: good quality but below minDocs -> cut on volume
       (8L, good + "solo", "C"), (9L, good + "duo", "C")
     ).toDF("doc_id", "text", "source")
-    val got = TextAnalysis.sourceGate(corp, "text", "doc_id", "source",
+    val got = TextAnalysis.sourceGate(corp, "text", "source",
         minDocs = 3, goodQuality = 0.5, minGoodFrac = 0.5, maxDupFrac = 0.3)
       .orderBy("source").collect()
       .map(r => r.getString(0) ->
@@ -61,7 +66,7 @@ class CurationSpec extends AnyFunSuite {
     // whitespace variants count as the same content (normalized hash)
     val ws = Seq((1L, "a  b", "S"), (2L, "a b", "S"), (3L, " a b ", "S"))
       .toDF("doc_id", "text", "source")
-    val dup = TextAnalysis.sourceGate(ws, "text", "doc_id", "source")
+    val dup = TextAnalysis.sourceGate(ws, "text", "source")
       .head
     assert(dup.getLong(4) == 2L) // 3 docs, 1 distinct normalized hash
   }

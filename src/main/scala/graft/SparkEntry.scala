@@ -717,6 +717,30 @@ object SparkEntry {
       // TakeOrderedAndProject.
       TextAnalysis.collocations(t(s, d, "documents"), "text",
         minPairCount = 5, k = 50)),
+    "x50_incremental_dedup" -> ((s, d) => {
+      // the online ingestion decision: index = EVEN original doc ids
+      // (already-deduped corpus), batch = odd originals + all perturbed
+      // copies — a mix that exercises both verdicts (all-perturbed
+      // batches drop entirely). A batch doc survives iff it near-dups
+      // NO indexed doc and NO lower-id batch doc — direct edges, the
+      // per-document online rule (no transitive closure: an online
+      // verdict cannot depend on other in-flight verdicts). With pairs
+      // oriented id_a < id_b, a batch doc drops iff it is some pair's
+      // id_b (the lower partner is index-or-lower-batch either way),
+      // or it is an id_a whose partner is an index doc. Production
+      // path = the same rule over the kernel pipeline
+      // (TextDedup.dedupAgainstIndex, spec-pinned).
+      val corpus = perturbedCorpus(t(s, d, "documents"))
+      val pairs = TextDedup.portableMinhashDupPairs(corpus, "t", "id")
+      val isIdxB = col("id_b") < 1000000 && col("id_b") % 2 === 0
+      val dropped = pairs.select(col("id_b").as("_drop"))
+        .unionByName(pairs.filter(isIdxB).select(col("id_a").as("_drop")))
+        .distinct()
+      corpus.filter(!(col("id") < 1000000 && col("id") % 2 === 0))
+        .select(col("id"))
+        .join(dropped, col("id") === col("_drop"), "left_anti")
+        .select(col("id").as("doc_id")).orderBy(col("doc_id"))
+    }),
     "x48_source_gate" -> ((s, d) =>
       // domain-level curation: admit or cut WHOLE sources on volume,
       // quality incidence and exact-dup incidence — the coarse filter
@@ -1810,6 +1834,19 @@ object SparkEntry {
         |  n IS NOT NULL AS observed
         |FROM f
         |ORDER BY event_type, bin""".stripMargin,
+    // online dedup rule over the shared pair CTEs: index = even
+    // original ids; a batch doc drops iff it is some pair's id_b, or
+    // an id_a whose (higher) partner is an index doc
+    "x50_incremental_dedup" ->
+      s"""$duckPortablePairCtes
+         |SELECT c.id AS doc_id
+         |FROM corpus c
+         |WHERE NOT (c.id < 1000000 AND c.id % 2 = 0)
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = c.id)
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p
+         |                  WHERE p.id_a = c.id
+         |                    AND p.id_b < 1000000 AND p.id_b % 2 = 0)
+         |ORDER BY doc_id""".stripMargin,
     // unigram/bigram counts over the x15 token stream; lift mirrors
     // Spark's left-to-right spelling exactly; M counts bigrams BEFORE
     // the frequency threshold

@@ -241,15 +241,8 @@ object TextDedup {
     // the 100 TB shape — pass `stagingPath`: the table spills to parquet
     // once and every branch re-scans columnar storage (no cache to size,
     // no recompute-on-eviction cliff, restartable from the staging dir).
-    val sigTable = materialize(spreadCompute(df)
-      // native shingle kernel: tokenization is the expression's child,
-      // evaluated once per ROW wherever the optimizer moves the tree
-      .select(col(idCol).as("id"), graft.functions.GraftFunctions
-        .shingles(df.sparkSession, tokens(col(textCol)), shingleK).as("sh"))
-      .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
-      .withColumn("sig", graft.functions.GraftFunctions.minHash64(
-        df.sparkSession, col("shh"), numHashes)),
-      stagingPath)
+    val sigTable = materialize(
+      minhashIndex(df, textCol, idCol, shingleK, numHashes), stagingPath)
     // Candidate generation carries ONLY (band, band_hash, id): the heavy
     // shingle/signature arrays never enter the band shuffle or the pair
     // distinct — they are joined back per side once the (id_a, id_b)
@@ -269,6 +262,91 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
         ngramJaccard(col("shh_a"), col("shh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- incremental (index-based) dedup ----
+
+  /** MinHash signature index rows: `(id, shh, sig)` — the distinct
+    * hashed shingles (the verify payload) and the `numHashes`-lane
+    * xxhash64 MinHash signature. This is the table a
+    * continuous-ingestion pipeline PERSISTS: a document's signatures
+    * are computed ONCE ever, and every later batch dedups against the
+    * index ([[dedupAgainstIndex]]) without re-reading corpus text.
+    * The shingle kernel keeps tokenization a once-per-row child
+    * expression; build parameters must match between index and batch. */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+                   shingleK: Int = 3, numHashes: Int = 64): DataFrame =
+    spreadCompute(df)
+      .select(col(idCol).as("id"), graft.functions.GraftFunctions
+        .shingles(df.sparkSession, tokens(col(textCol)), shingleK).as("sh"))
+      .select(col("id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
+      .withColumn("sig", graft.functions.GraftFunctions.minHash64(
+        df.sparkSession, col("shh"), numHashes))
+
+  /** Online near-dup dedup of a NEW batch against an existing corpus
+    * index ([[minhashIndex]] rows). The decision is per-document and
+    * DIRECT-EDGE (no transitive closure — an online verdict must not
+    * depend on other in-flight verdicts): a batch doc is dropped iff
+    *  - its id already exists in the index (idempotent re-ingestion);
+    *  - it near-dups (exact hashed-shingle Jaccard ≥ `threshold`) ANY
+    *    indexed doc; or
+    *  - it near-dups a LOWER-id doc of its own batch.
+    * Returns the kept batch rows. Append `minhashIndex(kept…)` to the
+    * index afterwards — the index only ever holds KEPT docs, so later
+    * near-dups are judged against the kept representative.
+    *
+    * Scale: ONE band-key exchange over index∪batch band hashes (the
+    * index side reads (id, sig) from its persisted parquet; corpus
+    * TEXT is never touched), capped buckets, signature-estimate
+    * prefilter, hashed-shingle verify — [[minhashDupPairs]]'s shuffle
+    * shape, with |batch| driving the new work. Index-index collisions
+    * are discarded before the verify join. */
+  def dedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
+                        index: DataFrame, shingleK: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.7, maxBucket: Int = 1000,
+                        stagingPath: Option[String] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(Seq("id", "shh", "sig").forall(index.columns.contains),
+      s"index must be minhashIndex output (id, shh, sig); got ${index.columns.mkString(",")}")
+    require(!batch.columns.contains("_graft_dup_id"),
+      "dedupAgainstIndex reserves the column name _graft_dup_id")
+    val r = numHashes / bands
+    // idempotent re-ingestion: already-indexed ids leave the batch first
+    // (also guarantees the id spaces are disjoint below)
+    val fresh = batch.join(index.select(col("id").as("_graft_dup_id")),
+      batch(idCol) === col("_graft_dup_id"), "left_anti")
+    val batchSig = materialize(
+      minhashIndex(fresh, textCol, idCol, shingleK, numHashes), stagingPath)
+    def bandsOf(sig: DataFrame, side: Int) =
+      sig.select(col("id"), lit(side).as("side"),
+        posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
+    val bandTable = bandsOf(index, 0).unionByName(bandsOf(batchSig, 1))
+    val cand = bucketCandidates(bandTable, maxBucket, payload = Some("side"))
+      // only pairs touching the batch can decide anything; index-index
+      // collisions (rare — the index is already deduped) die here
+      .filter(col("v_a") === 1 || col("v_b") === 1)
+    val lookup = index.select(col("id"), col("shh"), col("sig"))
+      .unionByName(batchSig.select(col("id"), col("shh"), col("sig")))
+    val edges = cand
+      .join(lookup.select(col("id").as("id_a"), col("shh").as("shh_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(lookup.select(col("id").as("id_b"), col("shh").as("shh_b"),
+        col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est"),
+        col("shh_a"), col("shh_b"))
+      .filter(col("est") >= threshold - 0.2)
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"),
+        ngramJaccard(col("shh_a"), col("shh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // the batch member of an index edge loses; the HIGHER id of a
+    // batch-batch edge loses (id_a < id_b by construction)
+    val dropped = edges.select(
+      when(col("v_a") === 1 && col("v_b") === 1, col("id_b"))
+        .when(col("v_a") === 1, col("id_a"))
+        .otherwise(col("id_b")).as("_graft_dup_id")).distinct()
+    fresh.join(dropped, fresh(idCol) === col("_graft_dup_id"), "left_anti")
   }
 
   // ---- portable (cross-engine oracle-able) MinHash ----

@@ -95,6 +95,54 @@ class ExtSpec extends AnyFunSuite {
     assert(pStaged == pPersisted)
   }
 
+  test("dedupAgainstIndex: index wins, lower batch id wins, re-ingestion is idempotent") {
+    val index = TextDedup.minhashIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (2L, "one two three four five six seven eight nine"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      .persist()
+    val batch = Seq(
+      // near-dup of indexed doc 1 (first token dropped) -> dropped
+      (10L, "beta gamma delta epsilon zeta eta theta"),
+      // fresh content -> kept
+      (11L, "completely different words about spark engines at scale"),
+      // two near-dups of each other, unrelated to the index -> 12 kept, 13 dropped
+      (12L, "red orange yellow green blue indigo violet ultraviolet"),
+      (13L, "orange yellow green blue indigo violet ultraviolet"),
+      // id already indexed -> dropped before any hashing
+      (2L, "whatever text this claims to carry")
+    ).toDF("doc_id", "text")
+    val kept = TextDedup.dedupAgainstIndex(batch, "text", "doc_id", index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+    // determinism
+    val again = TextDedup.dedupAgainstIndex(batch, "text", "doc_id", index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    index.unpersist()
+  }
+
+  test("dedupAgainstIndex equals the online rule applied to whole-corpus kernel pairs") {
+    // fixture corpus: documents = the index, perturbed copies = the batch
+    val old = docs.select(col("doc_id"), col("text"))
+    val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      expr("CASE WHEN instr(text, ' ') > 0 THEN substr(text, instr(text, ' ') + 1) " +
+        "ELSE text END").as("text"))
+    val index = TextDedup.minhashIndex(old, "text", "doc_id").persist()
+    val kept = TextDedup.dedupAgainstIndex(batch, "text", "doc_id", index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // reference: same band/bucket/verify machinery over the union, then
+    // the direct-edge rule (old ids < 1000000 <= batch ids, pairs are
+    // id_a < id_b, so dropped == "appears as some pair's id_b")
+    val pairs = TextDedup.minhashDupPairs(
+      old.unionByName(batch), "text", "doc_id")
+    val droppedRef = pairs.filter(col("id_b") >= 1000000L)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val keptRef = batch.select("doc_id").collect().map(_.getLong(0)).toSet -- droppedRef
+    assert(kept == keptRef)
+    index.unpersist()
+  }
+
   test("duplicateGroups finds transitive components; dedupByPairs keeps group mins") {
     // components: {1,2,3} (chain), {10,11}, {20,21,22} (triangle-ish);
     // 99 appears in no pair and must pass through dedupByPairs untouched

@@ -717,6 +717,83 @@ object SparkEntry {
       // TakeOrderedAndProject.
       TextAnalysis.collocations(t(s, d, "documents"), "text",
         minPairCount = 5, k = 50)),
+    "s18_local_supplier_volume" -> ((s, d) => {
+      // TPC-H Q5 shape: the 6-table join with the CO-LOCATION condition
+      // (customer and supplier share a nation) — the join-order /
+      // broadcast planning benchmark. Dims broadcast; the fact joins
+      // shuffle on their keys; the date filter prunes orders before the
+      // lineitem join.
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "s19_grouping_sets" -> ((s, d) =>
+      // EXPLICIT grouping sets (the general form next to s12's ROLLUP /
+      // s17's CUBE): three chosen levels in ONE Expand pass — including
+      // a level (linestatus alone) no rollup of this column order
+      // produces.
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("bigint").as("g_r"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_l"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("g_r"), col("g_l"), col("l_returnflag"),
+          col("l_linestatus"))),
+    "s20_disjunctive_predicate" -> ((s, d) => {
+      // TPC-H Q19 shape: OR-of-ANDs across both join sides — the
+      // predicate the optimizer must split into the pushable per-table
+      // conjuncts (p_brand/p_size prune the part scan, quantity prunes
+      // lineitem) plus the residual cross-side disjunction.
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+    "q17_range_frame" -> ((s, d) => {
+      // RANGE window frame (value-bounded, vs q10/x45's ROWS frames):
+      // each event's trailing 7-day activity count per user on the
+      // integer-seconds axis — frame membership is by TIME DISTANCE,
+      // so sparse and bursty users get the same window semantics. The
+      // count is exact; one window sort per user.
+      val ev = t(s, d, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("tsec"))
+        .rangeBetween(-(7L * 86400 - 1), org.apache.spark.sql.expressions.Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("tsec"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .orderBy(col("event_id"))
+    }),
     "x50_incremental_dedup" -> ((s, d) => {
       // the online ingestion decision: index = EVEN original doc ids
       // (already-deduped corpus), batch = odd originals + all perturbed
@@ -1834,6 +1911,52 @@ object SparkEntry {
         |  n IS NOT NULL AS observed
         |FROM f
         |ORDER BY event_type, bin""".stripMargin,
+    "s18_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "s19_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_r,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_l,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())
+        |ORDER BY g_r, g_l, l_returnflag, l_linestatus""".stripMargin,
+    "s20_disjunctive_predicate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 35)""".stripMargin,
+    // integer-seconds RANGE bounds (lesson 24 base) make frame
+    // membership exact cross-engine; the count is a bigint
+    "q17_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+        |  CAST(COUNT(*) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |    RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_7d
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     // online dedup rule over the shared pair CTEs: index = even
     // original ids; a batch doc drops iff it is some pair's id_b, or
     // an id_a whose (higher) partner is an index doc

@@ -236,4 +236,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "vocab membership must broadcast, never shuffle the token stream:\n" + p)
   }
+
+  test("Q5-shape join: dims broadcast and the date filter reaches the orders scan (s18)") {
+    val p = plan(SparkEntry.queries("s18_local_supplier_volume")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "nation/region must broadcast:\n" + p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("o_orderdate"),
+      "orders date range must push to the scan:\n" + p)
+  }
+
+  test("explicit grouping sets share ONE Expand pass (s19)") {
+    val p = plan(SparkEntry.queries("s19_grouping_sets")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert("Expand".r.findAllIn(p).size == 1,
+      "all three grouping sets must share one Expand:\n" + p)
+  }
+
+  test("disjunctive predicate splits into per-table pushed conjuncts (s20)") {
+    val p = plan(SparkEntry.queries("s20_disjunctive_predicate")(spark, sf))
+    // the OR-of-ANDs must yield a pushable per-table disjunction on
+    // EACH side (brand/size on part, quantity on lineitem), not a
+    // join-then-filter of the raw cartesian of conjuncts
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("p_brand") || pushed.contains("p_size"),
+      "part-side conjuncts must push to the part scan:\n" + p)
+    assert(pushed.contains("l_quantity"),
+      "quantity disjunction must push to the lineitem scan:\n" + p)
+  }
+
+  test("RANGE frame rides one exchange + one sort per user ordering (q17)") {
+    val p = plan(SparkEntry.queries("q17_range_frame")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // window exchange + presentation orderBy exchange only
+    assert("Exchange".r.findAllIn(p).size == 2,
+      "expected window + orderBy exchanges only:\n" + p)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
 }

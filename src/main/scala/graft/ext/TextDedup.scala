@@ -250,17 +250,32 @@ object TextDedup {
     val exploded = sigTable.select(col("id"),
       posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
     val candidates = bucketCandidates(exploded, maxBucket)
-    val fa = sigTable.select(col("id").as("id_a"), col("shh").as("shh_a"), col("sig").as("sig_a"))
-    val fb = sigTable.select(col("id").as("id_b"), col("shh").as("shh_b"), col("sig").as("sig_b"))
-    candidates.join(fa, "id_a").join(fb, "id_b")
-      .select(col("id_a"), col("id_b"),
+    verifyCandidates(candidates, sigTable, numHashes, threshold)
+  }
+
+  /** The estimate-prefilter + exact-verify tail shared by the batch and
+    * incremental pipelines: join `lookup` (`id`, `shh`, `sig`) to both
+    * candidate sides, keep pairs whose signature estimate clears
+    * `threshold - 0.2` (band collisions with clearly-low estimates never
+    * pay for the exact set ops) and whose exact hashed-shingle Jaccard
+    * clears `threshold`. `passthrough` candidate columns (e.g. side
+    * tags) ride along. ONE definition — the prefilter margin and the
+    * join shape must not diverge between the two callers. */
+  private def verifyCandidates(cand: DataFrame, lookup: DataFrame,
+                               numHashes: Int, threshold: Double,
+                               passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("id_a", "id_b") ++ passthrough).map(col)
+    cand
+      .join(lookup.select(col("id").as("id_a"), col("shh").as("shh_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(lookup.select(col("id").as("id_b"), col("shh").as("shh_b"),
+        col("sig").as("sig_b")), "id_b")
+      .select(keep ++ Seq(
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"),
-        col("shh_a"), col("shh_b"))
-      // cheap signature-based prefilter before the exact set ops: band
-      // collisions with clearly-low estimates never pay for intersect/union
+        col("shh_a"), col("shh_b")): _*)
       .filter(col("est_jaccard") >= threshold - 0.2)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"),
-        ngramJaccard(col("shh_a"), col("shh_b")).as("jaccard"))
+      .select(keep ++ Seq(col("est_jaccard"),
+        ngramJaccard(col("shh_a"), col("shh_b")).as("jaccard")): _*)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -300,7 +315,18 @@ object TextDedup {
     * TEXT is never touched), capped buckets, signature-estimate
     * prefilter, hashed-shingle verify — [[minhashDupPairs]]'s shuffle
     * shape, with |batch| driving the new work. Index-index collisions
-    * are discarded before the verify join. */
+    * are discarded before the verify join.
+    *
+    * CACHE LIFECYCLE: without `stagingPath` the batch signature table
+    * persists MEMORY_AND_DISK and — because the result is lazy — the
+    * CALLER owns release (`spark.catalog.clearCache()` after consuming
+    * the kept rows), exactly as in [[minhashDupPairs]]. A production
+    * ingestion LOOP should pass a per-batch `stagingPath` instead:
+    * staged parquet leaves nothing cached to leak across batches.
+    *
+    * `numHashes` is validated against the index's stored signatures;
+    * `shingleK` CANNOT be (hashes are opaque) — it must match the
+    * index build or near-dups are silently missed. */
   def dedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
                         index: DataFrame, shingleK: Int = 3,
                         numHashes: Int = 64, bands: Int = 16,
@@ -311,6 +337,14 @@ object TextDedup {
       s"index must be minhashIndex output (id, shh, sig); got ${index.columns.mkString(",")}")
     require(!batch.columns.contains("_graft_dup_id"),
       "dedupAgainstIndex reserves the column name _graft_dup_id")
+    // a numHashes mismatch would silently truncate every estimate below
+    // the prefilter (near-dups ADMITTED, no error) — check the index's
+    // actual signature width up front; one-row read, tiny vs the join
+    index.select(size(col("sig")).as("n")).limit(1).collect()
+      .headOption.foreach { row =>
+        require(row.getInt(0) == numHashes,
+          s"index signatures have ${row.getInt(0)} lanes; call uses numHashes=$numHashes")
+      }
     val r = numHashes / bands
     // idempotent re-ingestion: already-indexed ids leave the batch first
     // (also guarantees the id spaces are disjoint below)
@@ -328,18 +362,8 @@ object TextDedup {
       .filter(col("v_a") === 1 || col("v_b") === 1)
     val lookup = index.select(col("id"), col("shh"), col("sig"))
       .unionByName(batchSig.select(col("id"), col("shh"), col("sig")))
-    val edges = cand
-      .join(lookup.select(col("id").as("id_a"), col("shh").as("shh_a"),
-        col("sig").as("sig_a")), "id_a")
-      .join(lookup.select(col("id").as("id_b"), col("shh").as("shh_b"),
-        col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"),
-        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est"),
-        col("shh_a"), col("shh_b"))
-      .filter(col("est") >= threshold - 0.2)
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"),
-        ngramJaccard(col("shh_a"), col("shh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val edges = verifyCandidates(cand, lookup, numHashes, threshold,
+      passthrough = Seq("v_a", "v_b"))
     // the batch member of an index edge loses; the HIGHER id of a
     // batch-batch edge loses (id_a < id_b by construction)
     val dropped = edges.select(

@@ -119,6 +119,12 @@ class ExtSpec extends AnyFunSuite {
     val again = TextDedup.dedupAgainstIndex(batch, "text", "doc_id", index)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == kept)
+    // a numHashes mismatch vs the index build fails loudly, never
+    // silently admits duplicates
+    assertThrows[IllegalArgumentException] {
+      TextDedup.dedupAgainstIndex(batch, "text", "doc_id", index,
+        numHashes = 32, bands = 8)
+    }
     index.unpersist()
   }
 

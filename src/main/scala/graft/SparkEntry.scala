@@ -810,9 +810,13 @@ object SparkEntry {
       val corpus = perturbedCorpus(t(s, d, "documents"))
       val pairs = TextDedup.portableMinhashDupPairs(corpus, "t", "id")
       val isIdxB = col("id_b") < 1000000 && col("id_b") % 2 === 0
-      val dropped = pairs.select(col("id_b").as("_drop"))
-        .unionByName(pairs.filter(isIdxB).select(col("id_a").as("_drop")))
-        .distinct()
+      // ONE scan of the pair stream (a union of two selects would splice
+      // the whole portable pipeline in twice — lesson 21): id_b always
+      // drops; id_a drops only when its higher partner is an index doc
+      val dropped = pairs
+        .select(explode(array(col("id_b"), when(isIdxB, col("id_a"))))
+          .as("_drop"))
+        .filter(col("_drop").isNotNull).distinct()
       corpus.filter(!(col("id") < 1000000 && col("id") % 2 === 0))
         .select(col("id"))
         .join(dropped, col("id") === col("_drop"), "left_anti")

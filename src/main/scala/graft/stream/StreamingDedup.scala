@@ -1,0 +1,112 @@
+package graft.stream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ext.TextDedup
+
+/** Streaming near-duplicate filtering against a persistent signature
+  * index — the online half of the dedup family: documents arrive as a
+  * stream, each micro-batch dedups against everything KEPT so far
+  * ([[TextDedup.dedupAgainstIndex]]), and the kept docs' signatures
+  * extend the index for the next batch. Signatures are computed once
+  * per document ever; corpus text is never re-read.
+  *
+  * Exactly-once EFFECT on at-least-once `foreachBatch` delivery,
+  * WITHOUT a commit ledger: every write is keyed by batch id —
+  * {{{
+  *   kept  -> <keptPath>/batch_id=<id>/    (overwrite that dir)
+  *   index -> <indexPath>/batch_id=<id>/   (overwrite that dir)
+  * }}}
+  * and the index visible while applying batch N is restricted to
+  * `batch_id < N`, so a replay after a crash reads exactly the state
+  * the first attempt saw (its own partial output is invisible) and
+  * overwrites both dirs with identical content. The id prefilter in
+  * `dedupAgainstIndex` additionally makes re-INGESTED ids (a source
+  * that sends a doc twice) drop as duplicates rather than fork.
+  *
+  * Online semantics caveat (inherent, documented not hidden): batch N's
+  * verdicts depend on what batches < N kept — processing order matters
+  * across batches, exactly as in any online dedup. Within a batch the
+  * rule is the deterministic lower-id-wins of `dedupAgainstIndex`.
+  *
+  * Scale: per batch, one band-key exchange of (index ∪ batch) band
+  * hashes + the verify joins — |batch| drives the work; the index adds
+  * one partition-scoped parquet dir per batch (compact with
+  * [[graft.warehouse.Compaction]] offline if batches are tiny).
+  */
+object StreamingDedup {
+
+  /** Index rows visible to `batchId`: union of the `batch_id=<b>` dirs
+    * with b < batchId — explicit listing, so a crashed attempt's own
+    * partial dir can never leak into its replay's input. Empty schema
+    * bootstraps from a zero-row signature build over `batch`. */
+  private[graft] def indexBefore(batch: DataFrame, textCol: String,
+                                  idCol: String, indexPath: String,
+                                  batchId: Long, shingleK: Int,
+                                  numHashes: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong)
+          .filter(_ < batchId)
+      else Array.empty[Long]
+    if (dirs.isEmpty)
+      TextDedup.minhashIndex(batch.limit(0), textCol, idCol, shingleK, numHashes)
+    else
+      spark.read.parquet(dirs.sorted.map(b => s"$indexPath/batch_id=$b"): _*)
+  }
+
+  /** Apply one micro-batch: dedup against the visible index, write the
+    * kept rows, then extend the index with the kept docs' signatures —
+    * REUSED from the batch's staged signature table, not recomputed.
+    * Write order (kept → index → staging cleanup) keeps the index
+    * derivable from durable kept output at every crash point. */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
+                                 textCol: String, idCol: String,
+                                 keptPath: String, indexPath: String,
+                                 shingleK: Int, numHashes: Int, bands: Int,
+                                 threshold: Double, maxBucket: Int): Unit = {
+    val spark = batch.sparkSession
+    val index = indexBefore(batch, textCol, idCol, indexPath, batchId,
+      shingleK, numHashes)
+    // underscore prefix keeps the staging dir invisible to parquet
+    // directory listings of <indexPath>
+    val staging = s"${indexPath.stripSuffix("/")}/_staging/$batchId"
+    val kept = TextDedup.dedupAgainstIndex(batch, textCol, idCol, index,
+      shingleK, numHashes, bands, threshold, maxBucket,
+      stagingPath = Some(staging))
+    kept.write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")
+    val keptIds = spark.read.parquet(s"$keptPath/batch_id=$batchId")
+      .select(col(idCol).as("id"))
+    spark.read.parquet(staging).join(keptIds, Seq("id"))
+      .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+    val fs = new Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Start the streaming dedup: `docs` is a STREAMING DataFrame of
+    * documents; kept rows land under `keptPath/batch_id=*`, the
+    * signature index under `indexPath/batch_id=*`. Read the kept corpus
+    * back with `spark.read.parquet(keptPath)`. */
+  def run(docs: DataFrame, textCol: String, idCol: String,
+          keptPath: String, indexPath: String, checkpointDir: String,
+          shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+          threshold: Double = 0.7, maxBucket: Int = 1000,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, textCol, idCol, keptPath, indexPath,
+          shingleK, numHashes, bands, threshold, maxBucket)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

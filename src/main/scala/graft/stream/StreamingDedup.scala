@@ -23,9 +23,10 @@ import graft.ext.TextDedup
   * and the index visible while applying batch N is restricted to
   * `batch_id < N`, so a replay after a crash reads exactly the state
   * the first attempt saw (its own partial output is invisible) and
-  * overwrites both dirs with identical content. The id prefilter in
-  * `dedupAgainstIndex` additionally makes re-INGESTED ids (a source
-  * that sends a doc twice) drop as duplicates rather than fork.
+  * overwrites both dirs with identical content. Re-INGESTED ids (a
+  * source that sends a doc twice) drop as duplicates rather than fork:
+  * across batches via `dedupAgainstIndex`'s id prefilter, within a
+  * batch via an explicit `dropDuplicates` on the id.
   *
   * Online semantics caveat (inherent, documented not hidden): batch N's
   * verdicts depend on what batches < N kept — processing order matters
@@ -74,22 +75,48 @@ object StreamingDedup {
                                  shingleK: Int, numHashes: Int, bands: Int,
                                  threshold: Double, maxBucket: Int): Unit = {
     val spark = batch.sparkSession
-    val index = indexBefore(batch, textCol, idCol, indexPath, batchId,
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stale-state guard: a dir with a HIGHER batch id than the one being
+    // applied can only come from a previous incarnation whose checkpoint
+    // was lost — judging new batches against that corpus silently mixes
+    // two runs. Fail loudly; the caller clears the outputs or restores
+    // the matching checkpoint.
+    if (fs.exists(root)) {
+      val stale = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).filter(_ > batchId)
+      require(stale.isEmpty,
+        s"index dirs ${stale.sorted.mkString(",")} are AHEAD of batch $batchId — " +
+          "output paths belong to a different checkpoint incarnation; " +
+          "clear them or restore the original checkpointDir")
+    }
+    // same-batch duplicate ids: the id prefilter only checks the INDEX,
+    // and in-bucket self-pairs are dropped, so two same-id rows in one
+    // batch would BOTH survive. Collapse them first (arbitrary row wins
+    // — same-id rows are re-sends of the same doc by contract).
+    val uniq = batch.dropDuplicates(idCol)
+    // ONE physical read of the index per batch: dedupAgainstIndex
+    // consumes its index argument in four plan branches (width probe,
+    // id anti-join, band explosion, verify lookup); all consumers
+    // finish inside this call, so the cache releases before return
+    val index = indexBefore(uniq, textCol, idCol, indexPath, batchId,
       shingleK, numHashes)
-    // underscore prefix keeps the staging dir invisible to parquet
-    // directory listings of <indexPath>
-    val staging = s"${indexPath.stripSuffix("/")}/_staging/$batchId"
-    val kept = TextDedup.dedupAgainstIndex(batch, textCol, idCol, index,
-      shingleK, numHashes, bands, threshold, maxBucket,
-      stagingPath = Some(staging))
-    kept.write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")
-    val keptIds = spark.read.parquet(s"$keptPath/batch_id=$batchId")
-      .select(col(idCol).as("id"))
-    spark.read.parquet(staging).join(keptIds, Seq("id"))
-      .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
-    val fs = new Path(staging)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(staging), true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // underscore prefix keeps the staging dir invisible to parquet
+      // directory listings of <indexPath>
+      val staging = s"${indexPath.stripSuffix("/")}/_staging/$batchId"
+      val kept = TextDedup.dedupAgainstIndex(uniq, textCol, idCol, index,
+        shingleK, numHashes, bands, threshold, maxBucket,
+        stagingPath = Some(staging))
+      kept.write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")
+      val keptIds = spark.read.parquet(s"$keptPath/batch_id=$batchId")
+        .select(col(idCol).as("id"))
+      spark.read.parquet(staging).join(keptIds, Seq("id"))
+        .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+      fs.delete(new Path(staging), true)
+    } finally index.unpersist()
   }
 
   /** Start the streaming dedup: `docs` is a STREAMING DataFrame of
@@ -100,7 +127,11 @@ object StreamingDedup {
           keptPath: String, indexPath: String, checkpointDir: String,
           shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
           threshold: Double = 0.7, maxBucket: Int = 1000,
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // fail at the call site, not asynchronously inside the first batch
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold outside (0,1]")
     docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatch(b, id, textCol, idCol, keptPath, indexPath,
@@ -109,4 +140,5 @@ object StreamingDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 }

@@ -126,6 +126,33 @@ class StreamDedupSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == expectKept)
   }
 
+  test("same-batch duplicate ids collapse to one kept row and one index row") {
+    val kept = Files.createTempDirectory("sdp5-out").toString + "/kept"
+    val idx = Files.createTempDirectory("sdp5-idx").toString + "/index"
+    val b = Seq(7L -> D, 7L -> D, 8L -> B).toDF("doc_id", "text")
+    StreamingDedup.applyBatch(b, 0L, "text", "doc_id", kept, idx,
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7,
+      maxBucket = 1000)
+    assert(spark.read.parquet(kept).filter(col("doc_id") === 7).count() == 1)
+    assert(spark.read.parquet(idx).filter(col("id") === 7).count() == 1)
+  }
+
+  test("output dirs ahead of the applied batch id fail loudly (lost checkpoint)") {
+    val kept = Files.createTempDirectory("sdp6-out").toString + "/kept"
+    val idx = Files.createTempDirectory("sdp6-idx").toString + "/index"
+    val b0 = Seq(1L -> A).toDF("doc_id", "text")
+    StreamingDedup.applyBatch(b0, 5L, "text", "doc_id", kept, idx,
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7,
+      maxBucket = 1000)
+    // a NEW incarnation (fresh checkpoint, batch ids restart at 0) must
+    // not silently judge against the old run's index
+    assertThrows[IllegalArgumentException] {
+      StreamingDedup.applyBatch(b0, 0L, "text", "doc_id", kept, idx,
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7,
+        maxBucket = 1000)
+    }
+  }
+
   test("restart with the same checkpoint resumes, never reprocesses") {
     val in = Files.createTempDirectory("sdp4-in").toString
     val kept = Files.createTempDirectory("sdp4-out").toString + "/kept"
@@ -138,6 +165,13 @@ class StreamDedupSpec extends AnyFunSuite {
     val q1 = start()
     assert(q1.awaitTermination(120000))
     assert(spark.read.parquet(kept).count() == 2)
+    // out-of-band reprocessing detector: an idempotent replay would
+    // rewrite identical CONTENT, so assert the batch-0 part files
+    // themselves (names + modtimes) are untouched by the second run
+    def b0Files() = new File(kept, "batch_id=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toSet
+    val before = b0Files()
 
     // two more files arrive; a restarted query picks up ONLY those
     writeBatchFiles(in, Seq(batches(1), batches(2)), offset = 1)
@@ -145,7 +179,6 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(q2.awaitTermination(120000))
     val got = spark.read.parquet(kept)
     assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == expectKept)
-    // batch 0's dir was written exactly once (no reprocessing)
-    assert(got.filter(col("batch_id") === 0).count() == 2)
+    assert(b0Files() == before, "batch 0 output must not be rewritten")
   }
 }

@@ -794,6 +794,28 @@ object SparkEntry {
         .withColumn("n_7d", count(lit(1)).over(w))
         .orderBy(col("event_id"))
     }),
+    "q18_subquery_family" -> ((s, d) => {
+      // the SQL entry path (spark.sql over registered views) with the
+      // full subquery family in one statement: uncorrelated scalar
+      // (global avg threshold), correlated scalar (per-order line
+      // count), EXISTS and NOT EXISTS. Catalyst decorrelates all four
+      // into joins — no per-row re-execution.
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT o.o_orderkey, o.o_totalprice,
+          (SELECT count(*) FROM g_lineitem l
+           WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        FROM g_orders o
+        WHERE o.o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM g_orders)
+          AND EXISTS (SELECT 1 FROM g_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+          AND NOT EXISTS (SELECT 1 FROM g_lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity > 49)
+        ORDER BY o.o_orderkey""")
+    }),
     "x50_incremental_dedup" -> ((s, d) => {
       // the online ingestion decision: index = EVEN original doc ids
       // (already-deduped corpus), batch = odd originals + all perturbed
@@ -1961,6 +1983,19 @@ object SparkEntry {
         |    AS n_7d
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "q18_subquery_family" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_quantity > 49)
+        |ORDER BY o.o_orderkey""".stripMargin,
     // online dedup rule over the shared pair CTEs: index = even
     // original ids; a batch doc drops iff it is some pair's id_b, or
     // an id_a whose (higher) partner is an index doc

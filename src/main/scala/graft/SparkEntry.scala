@@ -794,6 +794,28 @@ object SparkEntry {
         .withColumn("n_7d", count(lit(1)).over(w))
         .orderBy(col("event_id"))
     }),
+    "x51_cdc_apply" -> ((s, d) => {
+      // MERGE INTO without a table format: a change log (updates on
+      // keys %7, deletes on %11 at a HIGHER version tier, inserts under
+      // fresh keys on %13) applied to the orders snapshot in ONE keyed
+      // max_by aggregate — latest version wins, winning deletes remove
+      // the key. Doubling a 2-decimal double is exact in binary FP, so
+      // the updated prices hash cross-engine unrounded.
+      val o = t(s, d, "orders")
+      val snap = o.withColumn("v", lit(0L))
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("v", lit(1L)).withColumn("op", lit("U"))
+      val deletes = o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("v", lit(2L)).withColumn("op", lit("D"))
+      val inserts = o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("v", lit(1L)).withColumn("op", lit("I"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      graft.warehouse.Cdc.applyChanges(snap, changes,
+          Seq("o_orderkey"), Seq("v"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q18_subquery_family" -> ((s, d) => {
       // the SQL entry path (spark.sql over registered views) with the
       // full subquery family in one statement: uncorrelated scalar
@@ -1983,6 +2005,36 @@ object SparkEntry {
         |    AS n_7d
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    // the merge is QUALIFY row_number by v DESC then drop winning
+    // deletes; (key, v) is unique by construction (v tiers: snapshot 0,
+    // update/insert 1, delete 2; insert keys are fresh)
+    "x51_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o.*, CAST(0 AS BIGINT) AS v, 'I' AS op FROM orders o),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority,
+        |    CAST(1 AS BIGINT) AS v, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |del AS (
+        |  SELECT o.*, CAST(2 AS BIGINT) AS v, 'D' AS op
+        |  FROM orders o WHERE o_orderkey % 11 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |    CAST(1 AS BIGINT) AS v, 'I' AS op
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |allr AS (
+        |  SELECT * FROM snap UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |latest AS (
+        |  SELECT * FROM allr
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |                             ORDER BY v DESC) = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, v
+        |FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "q18_subquery_family" ->
       """SELECT o.o_orderkey, o.o_totalprice,
         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l

@@ -22,6 +22,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Stable scratch dir for queries that re-lay a table on disk (x52,
+    * x53): one fixed path per (query, sf dir), overwritten on every run
+    * — repeated Verify/bench invocations reuse it instead of leaking a
+    * fresh temp copy each time. */
+  private def cachePath(sfDir: String, tag: String): String = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-$tag-${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    java.nio.file.Files.createDirectories(base)
+    base.toString
+  }
+
   /** documents ∪ first-token-dropped copies at id+1000000 — the shared
     * near-dup corpus of x13/x22/x23/x47 (gives a real Jaccard spread of
     * ~0.8-1.0, not only exact dups). MUST stay in lockstep with the
@@ -815,6 +827,92 @@ object SparkEntry {
       graft.warehouse.Cdc.applyChanges(snap, changes,
           Seq("o_orderkey"), Seq("v"))
         .orderBy(col("o_orderkey"))
+    }),
+    "x52_manifest_skip" -> ((s, d) => {
+      // file-level min/max data skipping end-to-end: lineitem re-laid
+      // in z-order on (l_orderkey, l_partkey), a one-pass per-file
+      // stats manifest, then a 2-dim range predicate answered by
+      // reading ONLY the files whose min/max footprint overlaps the
+      // bands (DataSkippingSpec gates the prune counts; here the
+      // oracle proves skipping never changes the answer). At 100 TB
+      // this path — not partition pruning — is what keeps a selective
+      // non-partition-key predicate from scanning the table.
+      import graft.warehouse.{DataSkipping, Layout}
+      val li = t(s, d, "lineitem")
+      val path = cachePath(d, "x52") + "/lineitem_z"
+      val zb = Layout.minMaxBucket(li, Seq("l_orderkey", "l_partkey"), bits = 8)
+      Layout.zOrder(zb, Seq("l_orderkey_zb", "l_partkey_zb"), bits = 8,
+          partitions = Some(16))
+        .drop("l_orderkey_zb", "l_partkey_zb")
+        .write.mode("overwrite").parquet(path)
+      val manifest = DataSkipping.buildManifest(s, path,
+        Seq("l_orderkey", "l_partkey"))
+      DataSkipping.skipRead(s, path, manifest, Seq(
+          DataSkipping.Band("l_orderkey", Some(1000L), Some(3000L)),
+          DataSkipping.Band("l_partkey", Some(100L), Some(1000L))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "x53_bloom_point_skip" -> ((s, d) => {
+      // bloom membership skipping for the case ranges can't separate:
+      // orders hashed across 12 files on o_custkey, so every file
+      // spans ~the whole o_orderkey range and min/max bands are
+      // useless; the per-file bloom index (BloomBuildLong aggregate,
+      // one fixed-size bitset per file shipped map-side) reads only
+      // the files that MIGHT hold the probe keys, and the residual IN
+      // filter kills false positives — so the result hash-matches the
+      // plain IN scan.
+      import graft.warehouse.DataSkipping
+      val o = t(s, d, "orders")
+      val path = cachePath(d, "x53") + "/orders_h"
+      o.repartition(12, col("o_custkey"))
+        .write.mode("overwrite").parquet(path)
+      val mani = DataSkipping.buildBloomManifest(s, path, "o_orderkey",
+        expectedPerFile = 1 << 15, fpp = 0.01)
+      DataSkipping.pointSkipRead(s, path, mani, "o_orderkey",
+          Seq(32L, 4033L, 7432L, 9988L, 14321L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "x54_inverted_index" -> ((s, d) => {
+      // corpus inverted index: token -> document frequency + sorted
+      // posting list (serialized). minDf kills hapax noise, maxDf kills
+      // stop words — and bounds every group, which is what keeps the
+      // posting-list aggregate reducer-safe at 100 TB. The cap scales
+      // with the corpus (80% of doc count) so the oracled output stays
+      // a real multi-row index at every sf, not one surviving token.
+      val docs = t(s, d, "documents")
+      val maxDf = docs.count() * 4L / 5L
+      TextAnalysis.invertedIndex(docs, "text", "doc_id",
+        minDf = 5, maxDf = maxDf)
+    }),
+    "x55_winsorize_chars" -> ((s, d) =>
+      // per-language exact-percentile winsorization of document length
+      // — the tail-taming step before feature normalization. Integer
+      // inputs keep both engines' double interpolation bit-identical.
+      Quality.winsorize(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "n_chars", "lang", 0.05, 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("p_lo"), col("p_hi"), col("clipped"))
+        .orderBy(col("doc_id"))),
+    "x56_price_histogram" -> ((s, d) =>
+      // fixed-width histogram profile per order status: pure floor
+      // arithmetic (engine-portable, unlike width_bucket variants),
+      // output stays |groups|×|bins| rows at any scale.
+      Quality.histogram(t(s, d, "orders"), "o_totalprice", 25000.0,
+        Seq("o_orderstatus"))),
+    "x57_neardup_keep_best" -> ((s, d) => {
+      // curation-grade near-dup keeper: inside each connected near-dup
+      // component keep the LONGEST member (ties -> min id), not the
+      // min id — you keep the best variant, not whichever crawled
+      // first. Same corpus/pairs as x13/x22/x23.
+      val corpus = perturbedCorpus(t(s, d, "documents"))
+      val pairs = TextDedup.portableMinhashDupPairs(corpus, "t", "id")
+      TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
+        .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
     "q18_subquery_family" -> ((s, d) => {
       // the SQL entry path (spark.sql over registered views) with the
@@ -2035,6 +2133,70 @@ object SparkEntry {
         |  o_orderdate, o_orderpriority, v
         |FROM latest WHERE op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+    // skipping is I/O-only: the oracle is the plain full-scan predicate
+    "x52_manifest_skip" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000
+        |  AND l_partkey BETWEEN 100 AND 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "x53_bloom_point_skip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (32, 4033, 7432, 9988, 14321)
+        |ORDER BY o_orderkey""".stripMargin,
+    // same tokenization as x15; DISTINCT before the group = document
+    // frequency; list_sort is numeric on BIGINT, as sort_array is
+    "x54_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |td AS (SELECT DISTINCT doc_id, token FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM td GROUP BY token
+        |HAVING count(*) BETWEEN 5 AND
+        |  (SELECT count(*) * 4 // 5 FROM documents)
+        |ORDER BY token""".stripMargin,
+    "x55_winsorize_chars" ->
+      """WITH stats AS (
+        |  SELECT lang,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p_lo,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p_hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, s.p_lo, s.p_hi,
+        |  CASE WHEN s.p_lo IS NULL OR d.n_chars IS NULL
+        |         THEN CAST(d.n_chars AS DOUBLE)
+        |       WHEN CAST(d.n_chars AS DOUBLE) < s.p_lo THEN s.p_lo
+        |       WHEN CAST(d.n_chars AS DOUBLE) > s.p_hi THEN s.p_hi
+        |       ELSE CAST(d.n_chars AS DOUBLE) END AS clipped
+        |FROM documents d LEFT JOIN stats s ON s.lang = d.lang
+        |ORDER BY d.doc_id""".stripMargin,
+    "x56_price_histogram" ->
+      """SELECT o_orderstatus,
+        |  CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bin_lo
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // keeper rule mirrored exactly: longest member wins, ties to the
+    // min id; docs in no component pass through
+    "x57_neardup_keep_best" ->
+      s"""$duckRecursivePairCtes,
+         |$duckComponentCtes,
+         |scored AS (
+         |  SELECT g.id, g.group_id, len(c.t) AS score
+         |  FROM comp g JOIN corpus c ON c.id = g.id),
+         |keep AS (
+         |  SELECT id FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY group_id
+         |                             ORDER BY score DESC, id ASC) = 1)
+         |SELECT c.id AS doc_id
+         |FROM corpus c
+         |LEFT JOIN comp g ON g.id = c.id
+         |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
+         |ORDER BY doc_id""".stripMargin,
     "q18_subquery_family" ->
       """SELECT o.o_orderkey, o.o_totalprice,
         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l

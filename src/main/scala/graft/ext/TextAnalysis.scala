@@ -373,6 +373,34 @@ object TextAnalysis {
         col("c.chunk_text").as("chunk_text"))
   }
 
+  /** Inverted index over the corpus: for each token, its document
+    * frequency and the sorted posting list of documents containing it
+    * (serialized `id,id,...` — engine-portable, and the natural delta
+    * format for shipping postings to a search backend).
+    *
+    * `minDf` drops hapax noise; `maxDf` drops stop words — BOTH are
+    * scale controls, not just quality ones: an uncapped stop-word
+    * posting list at 100 TB is a single group holding a large fraction
+    * of all doc ids (a classic reducer hot spot). With the cap, every
+    * surviving group is ≤ maxDf ids. The df counts are computed in the
+    * SAME aggregate as the list (one shuffle on the token, partial
+    * counts map-side); at index-build scale you'd additionally shard
+    * wide terms, but with a df cap the group bound makes that
+    * unnecessary. */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+                    minDf: Long = 2, maxDf: Long = 1000): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf, got ($minDf, $maxDf)")
+    df.select(col(idCol).as("doc_id"),
+        explode(TextDedup.tokens(col(textCol))).as("token"))
+      .distinct() // document frequency, not term frequency
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+      .orderBy(col("token"))
+  }
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

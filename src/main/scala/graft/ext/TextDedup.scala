@@ -676,6 +676,36 @@ object TextDedup {
     docs.join(losers, docs(idCol) === col("_graft_dup_id"), "left_anti")
   }
 
+  /** Dedup by near-duplicate groups keeping the BEST member of each
+    * group — `score` decides (higher wins, ties break to the min id),
+    * instead of [[dedupByPairs]]'s blind min-id rule. This is the
+    * curation-grade keeper: inside a near-dup cluster you keep the
+    * longest / highest-quality variant, not whichever crawled first.
+    *
+    * `score` must be a deterministic expression over `docs`' columns
+    * (length, quality score, …) — a non-deterministic score would pick
+    * different winners on retry. Plan shape: components as in
+    * [[duplicateGroups]], one max_by per group (partial-aggregated, so
+    * the exchange carries one candidate per map task per group), one
+    * anti join back. Docs in no pair pass through untouched. */
+  def dedupByPairsKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                           score: Column): DataFrame = {
+    require(!docs.columns.contains("_graft_dup_id"),
+      "dedupByPairsKeepBest reserves the column name _graft_dup_id")
+    val scores = docs.select(col(idCol).as("_graft_sid"), score.as("_graft_score"))
+    val members = duplicateGroups(pairs)
+      .join(scores, col("id") === col("_graft_sid"))
+    // winner = max (score, -id): highest score, then lowest id — the
+    // negation keeps the tie-break inside ONE max_by struct key
+    val winners = members.groupBy(col("comp"))
+      .agg(max_by(col("id"),
+        struct(col("_graft_score"), (-col("id")).as("_nid"))).as("_keep"))
+    val losers = members.join(winners, Seq("comp"))
+      .filter(col("id") =!= col("_keep"))
+      .select(col("id").as("_graft_dup_id"))
+    docs.join(losers, docs(idCol) === col("_graft_dup_id"), "left_anti")
+  }
+
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, prefixBits: Int = 16,
                       maxBucket: Int = 1000): DataFrame = {

@@ -35,11 +35,10 @@ object GraftFunctions {
   }
 
   val repetitionOkBuilder: Seq[Expression] => Expression = {
-    case Seq(a,
-        org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _),
-        org.apache.spark.sql.catalyst.expressions.Literal(mt: Double, _),
-        org.apache.spark.sql.catalyst.expressions.Literal(mg: Double, _)) =>
-      RepetitionOk(a, n, mt, mg)
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _),
+        mtE, mgE)
+        if doubleLiteral(mtE).isDefined && doubleLiteral(mgE).isDefined =>
+      RepetitionOk(a, n, doubleLiteral(mtE).get, doubleLiteral(mgE).get)
     case _ => throw new IllegalArgumentException(
       "graft_repetition_ok takes (array<string>, int literal, double literal, double literal)")
   }
@@ -85,6 +84,30 @@ object GraftFunctions {
       s"graft_quantize_int8 takes 1 argument, got ${other.size}")
   }
 
+  // Plain SQL parses 1024 as an Int literal and 0.01 as a Decimal
+  // literal — widen both, so the SQL path doesn't demand 1024L/0.01D
+  // typed-literal syntax.
+  private def longLiteral(e: Expression): Option[Long] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => Some(i.toLong)
+    case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, _) => Some(l)
+    case _ => None
+  }
+  private def doubleLiteral(e: Expression): Option[Double] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(d: Double, _) => Some(d)
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+    case _ => None
+  }
+
+  val bloomBuildBuilder: Seq[Expression] => Expression = {
+    case Seq(key, itemsE, fppE)
+        if longLiteral(itemsE).isDefined && doubleLiteral(fppE).isDefined =>
+      // analyzer wraps AggregateFunctions
+      BloomBuildLong(key, longLiteral(itemsE).get, doubleLiteral(fppE).get)
+    case _ => throw new IllegalArgumentException(
+      "graft_bloom_build takes (key bigint, items int/bigint literal, fpp double/decimal literal)")
+  }
+
   val vecSumBuilder: Seq[Expression] => Expression = {
     case Seq(a) => VectorSumLong(a) // analyzer wraps AggregateFunctions
     case other => throw new IllegalArgumentException(
@@ -95,6 +118,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain", bloomBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_build", bloomBuildBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vecsum", vecSumBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -173,6 +198,17 @@ object GraftFunctions {
     call_function("graft_quantize_int8", vec)
   }
 
+  /** Column API for the per-group bloom-build aggregate; registers
+    * lazily. Key contract matches [[bloomMightContain]] (BIGINT keys,
+    * canonicalize build and probe identically). */
+  def bloomBuild(spark: SparkSession, key: Column, expectedItems: Long,
+                 fpp: Double): Column = {
+    register(spark)
+    call_function("graft_bloom_build", key,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(fpp))
+  }
+
   /** Column API for the elementwise vector-sum aggregate; registers
     * lazily. */
   def vecSumLong(spark: SparkSession, vec: Column): Column = {
@@ -230,6 +266,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vecsum"),
       new ExpressionInfo(classOf[VectorSumLong].getName, "graft_vecsum"),
       GraftFunctions.vecSumBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildLong].getName, "graft_bloom_build"),
+      GraftFunctions.bloomBuildBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_quantize_int8"),
       new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),

@@ -181,4 +181,50 @@ object Quality {
       .withColumn("robust_z", z)
       .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
   }
+
+  /** Winsorize: clip a value to its per-group [pLo, pHi] exact
+    * percentiles — the standard tail-taming step before feature
+    * normalization. One tiny per-group percentile aggregate broadcast
+    * back onto the table (no shuffle of the fact). Null group keys or
+    * values pass through unclipped (no percentile is defined for them).
+    *
+    * Exactness contract (lesson: integer inputs only): both engines
+    * interpolate percentiles in doubles, which is bit-identical only
+    * when the inputs are integers — callers winsorizing decimals should
+    * expect 1-ulp divergence from other engines. */
+  def winsorize(df: DataFrame, valCol: String, groupCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(0.0 <= pLo && pLo <= pHi && pHi <= 1.0,
+      s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
+    graft.Guards.reserved(df, "winsorize", Seq("p_lo", "p_hi", "clipped"))
+    val v = col(valCol).cast("double")
+    val stats = df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile(v, lit(pLo)).as("p_lo"),
+        percentile(v, lit(pHi)).as("p_hi"))
+    df.join(broadcast(stats), Seq(groupCol), "left")
+      .withColumn("clipped",
+        when(col("p_lo").isNull || col(valCol).isNull, v)
+          .when(v < col("p_lo"), col("p_lo"))
+          .when(v > col("p_hi"), col("p_hi"))
+          .otherwise(v))
+  }
+
+  /** Fixed-width histogram: bin = floor(value / width), counted per
+    * (group, bin). Pure arithmetic binning (identical across engines,
+    * unlike width_bucket variants), one partially-aggregated shuffle on
+    * (group, bin) — the profile stays |groups|×|bins| rows no matter
+    * the table size. Null values are excluded (they have no bin). */
+  def histogram(df: DataFrame, valCol: String, width: Double,
+                groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    graft.Guards.reserved(df, "histogram", Seq("bin", "bin_lo", "n"))
+    val keys = groupCols.map(col) :+
+      floor(col(valCol).cast("double") / width).cast("long").as("bin")
+    df.filter(col(valCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", col("bin") * width)
+      .orderBy((groupCols.map(col) :+ col("bin")): _*)
+  }
 }

@@ -164,6 +164,27 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == Set(1L, 10L, 20L, 99L))
   }
 
+  test("dedupByPairsKeepBest keeps the best-scored member, ties to min id") {
+    // {1,2,3}: 2 scores highest -> min-id rule would keep 1, best keeps 2
+    // {10,11}: tied scores -> tie-break keeps 10
+    // 99 in no pair passes through
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (99L, 1L)).toDF("doc_id", "score")
+    val kept = TextDedup.dedupByPairsKeepBest(docs, "doc_id", pairs, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 99L))
+    // empty pair set: everything passes through
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(TextDedup.dedupByPairsKeepBest(docs, "doc_id", empty, col("score"))
+      .count() == 6)
+    intercept[IllegalArgumentException] {
+      TextDedup.dedupByPairsKeepBest(
+        docs.withColumn("_graft_dup_id", col("doc_id")), "doc_id", pairs,
+        col("score"))
+    }
+  }
+
   test("duplicateGroups on an empty pair set is empty; dedupByPairs guards its reserved column") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(TextDedup.duplicateGroups(empty).count() == 0)

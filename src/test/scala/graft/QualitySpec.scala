@@ -66,4 +66,37 @@ class QualitySpec extends AnyFunSuite {
     val distinctScores = Quality.nullRatioScore(events).select(col("null_pct")).distinct().collect()
     assert(distinctScores.map(_.getDouble(0)).forall(_ == 0.0))
   }
+
+  test("winsorize clips to per-group percentiles; nulls pass through unclipped") {
+    import spark.implicits._
+    // group a: 1..100 -> p05=5.95, p95=95.05 (exact interpolation)
+    val rows = (1 to 100).map(i => (Some(i.toLong), Some("a"))) ++
+      Seq((Some(1000L), None), (None, Some("a")))
+    val df = rows.toDF("v", "g")
+    val out = Quality.winsorize(df, "v", "g", 0.05, 0.95)
+    val a = out.filter($"g" === "a" && $"v".isNotNull).select("v", "clipped")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a(1L) == 5.95 && a(3L) == 5.95)
+    assert(a(100L) == 95.05 && a(98L) == 95.05)
+    assert(a(50L) == 50.0)
+    // null group: no stats -> value passes through
+    val ng = out.filter($"g".isNull).select("clipped").head.getDouble(0)
+    assert(ng == 1000.0)
+    // null value in a real group: stays null-clipped (clipped == null? no:
+    // clipped = v = null) — the row survives with a null clipped value
+    assert(out.filter($"v".isNull).select("clipped").head.isNullAt(0))
+    intercept[IllegalArgumentException](Quality.winsorize(df, "v", "g", 0.9, 0.1))
+  }
+
+  test("histogram bins by floor(value/width); nulls excluded; counts total") {
+    import spark.implicits._
+    val df = Seq(Some(0.0), Some(24999.9), Some(25000.0), Some(70000.0), None)
+      .toDF("v").withColumn("g", lit("s"))
+    val out = Quality.histogram(df, "v", 25000.0, Seq("g")).collect()
+    val bins = out.map(r => r.getAs[Long]("bin") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("bin_lo"))).toMap
+    assert(bins == Map(0L -> (2L, 0.0), 1L -> (1L, 25000.0), 2L -> (1L, 50000.0)))
+    assert(out.map(_.getAs[Long]("n")).sum == 4) // null row excluded
+    intercept[IllegalArgumentException](Quality.histogram(df, "v", 0.0))
+  }
 }

@@ -1,0 +1,207 @@
+package graft.warehouse
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshot tables on plain parquet: atomic commits, time
+  * travel, and an incremental (files-added) change feed.
+  *
+  * The reference's warehouse relies on ClickHouse's merge-tree parts +
+  * mutations for "what did this table look like" and ClickPipes offsets
+  * for "what's new since my last read" (SURVEY §3.2). On a data lake the
+  * same two needs are met by a manifest log over immutable data files —
+  * the core idea of the open table formats. This is that idea reduced to
+  * its load-bearing minimum, with no dependency beyond Hadoop FS:
+  *
+  * {{{
+  *   tableDir/
+  *     data/c00000001/part-*.parquet   // one immutable dir per commit
+  *     data/c00000002/part-*.parquet
+  *     _log/v00000001.txt              // manifest: live commit dirs,
+  *     _log/v00000002.txt              //   one relative path per line
+  * }}}
+  *
+  * A reader of version N opens manifest N and scans exactly the listed
+  * directories. A commit writes its data directory FIRST, then publishes
+  * a new manifest via write-temp + atomic rename; the rename is the
+  * commit point. A crash before the rename leaves an orphan data dir
+  * that no manifest references — invisible to every reader, reclaimable
+  * by `vacuum`. Concurrent committers race on the rename (HDFS/local
+  * rename fails if the destination exists); the loser re-reads the log
+  * and retries on top of the winner — optimistic concurrency, identical
+  * in spirit to Delta's log-entry race. (On S3, rename is not atomic:
+  * front this with a conditional-PUT or a catalog as every table format
+  * does there.)
+  *
+  * Scale: metadata is O(commits) driver-side KBs (like a Delta JSON
+  * log); appends never rewrite data; time travel costs one manifest
+  * read; the change feed between two versions reads ONLY the data dirs
+  * added in that range — an incremental consumer pattern that costs
+  * O(delta), not O(table). Executors never touch the log.
+  */
+object Snapshots {
+
+  private val LogDir = "_log"
+  private val DataDir = "data"
+  private val MaxCommitRetries = 10
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, v: Int): Path =
+    new Path(dir, f"$LogDir/v$v%08d.txt")
+
+  private def versionOf(name: String): Option[Int] =
+    if (name.startsWith("v") && name.endsWith(".txt"))
+      name.stripPrefix("v").stripSuffix(".txt").toIntOption
+    else None
+
+  /** Latest committed version, or 0 if the table has no commits. */
+  def latestVersion(spark: SparkSession, dir: String): Int = {
+    val log = new Path(dir, LogDir)
+    val f = fs(spark, dir)
+    if (!f.exists(log)) 0
+    else f.listStatus(log).iterator
+      .flatMap(s => versionOf(s.getPath.getName)).foldLeft(0)(math.max)
+  }
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val log = new Path(dir, LogDir)
+    val f = fs(spark, dir)
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).iterator
+      .flatMap(s => versionOf(s.getPath.getName)).toSeq.sorted
+  }
+
+  /** Live commit-dir names (relative to `dir`) at `version`. */
+  def liveDirs(spark: SparkSession, dir: String, version: Int): Seq[String] = {
+    val p = manifestPath(dir, version)
+    val f = fs(spark, dir)
+    require(f.exists(p), s"no version $version at $dir")
+    val in = f.open(p)
+    try {
+      val text = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    } finally in.close()
+  }
+
+  /** Publish `live` as the next version on top of `base`. Returns the
+    * committed version. Retries past concurrent committers by re-reading
+    * the log, re-deriving the live set with `rebase`, and renaming again.
+    * (`private[graft]` so the race/retry path is testable directly.) */
+  private[graft] def publish(spark: SparkSession, dir: String, base: Int,
+                      live: Seq[String],
+                      rebase: Seq[String] => Seq[String]): Int = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, LogDir))
+    var attemptBase = base
+    var attemptLive = live
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val tmp = new Path(dir, s"$LogDir/.tmp-${UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(
+        (attemptLive.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val target = manifestPath(dir, attemptBase + 1)
+      if (f.rename(tmp, target)) return attemptBase + 1
+      // Lost the race: someone committed attemptBase+1 first. Rebase on
+      // the new tip and try again.
+      f.delete(tmp, false)
+      val tip = latestVersion(spark, dir)
+      attemptLive = rebase(liveDirs(spark, dir, tip))
+      attemptBase = tip
+      attempt += 1
+    }
+    sys.error(s"commit to $dir lost $MaxCommitRetries manifest races; " +
+      "giving up (pathological contention — serialize your writers)")
+  }
+
+  private def writeCommitDir(spark: SparkSession, dir: String,
+                             df: DataFrame): String = {
+    // The data dir name is unique per attempt, not per version: a
+    // manifest race must never reuse a dir another committer claimed.
+    val name = s"$DataDir/c-${UUID.randomUUID().toString.take(18)}"
+    df.write.mode("errorifexists").parquet(new Path(dir, name).toString)
+    name
+  }
+
+  /** Append `df` as a new commit. Existing data is never rewritten. */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    val commitDir = writeCommitDir(spark, dir, df)
+    val base = latestVersion(spark, dir)
+    val baseLive =
+      if (base == 0) Seq.empty else liveDirs(spark, dir, base)
+    publish(spark, dir, base, baseLive :+ commitDir, tip => tip :+ commitDir)
+  }
+
+  /** Replace the table's contents with `df`. Prior data dirs stay on
+    * disk for time travel until `vacuum`. */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    val commitDir = writeCommitDir(spark, dir, df)
+    publish(spark, dir, latestVersion(spark, dir), Seq(commitDir),
+      _ => Seq(commitDir))
+  }
+
+  /** Read the table at `version` (default: latest). */
+  def read(spark: SparkSession, dir: String,
+           version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, dir))
+    require(v > 0, s"table at $dir has no commits")
+    val dirs = liveDirs(spark, dir, v).map(d => new Path(dir, d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Rows added after `fromVersion` up to and including `toVersion` —
+    * the incremental change feed. Requires every manifest in the range
+    * to be append-only (a superset of its predecessor): an `overwrite`
+    * in the range breaks files-added semantics, so it throws rather
+    * than silently under- or over-reporting. */
+  def changesBetween(spark: SparkSession, dir: String,
+                     fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion >= 1 && toVersion > fromVersion,
+      s"need 1 <= from < to, got ($fromVersion, $toVersion)")
+    var prev = liveDirs(spark, dir, fromVersion).toSet
+    val added = Seq.newBuilder[String]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val cur = liveDirs(spark, dir, v).toSet
+      require(prev.subsetOf(cur),
+        s"version $v of $dir removed data dirs " +
+          s"(${(prev -- cur).take(3).mkString(", ")}…) — the range " +
+          "contains an overwrite; changesBetween covers append-only " +
+          "ranges. Re-read the full snapshot instead.")
+      added ++= (cur -- prev).toSeq.sorted
+      prev = cur
+    }
+    val dirs = added.result().map(d => new Path(dir, d).toString)
+    require(dirs.nonEmpty,
+      s"no data added between $fromVersion and $toVersion of $dir")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Drop manifests below `keepFromVersion` and delete data dirs no
+    * surviving manifest references. Time travel below the floor is gone
+    * after this. Returns the number of data dirs deleted. */
+  def vacuum(spark: SparkSession, dir: String, keepFromVersion: Int): Int = {
+    val f = fs(spark, dir)
+    val keep = versions(spark, dir).filter(_ >= keepFromVersion)
+    require(keep.nonEmpty,
+      s"vacuum($keepFromVersion) would delete every version of $dir")
+    val referenced =
+      keep.flatMap(v => liveDirs(spark, dir, v)).toSet
+    versions(spark, dir).filter(_ < keepFromVersion)
+      .foreach(v => f.delete(manifestPath(dir, v), false))
+    val dataRoot = new Path(dir, DataDir)
+    val orphans =
+      if (!f.exists(dataRoot)) Array.empty[Path]
+      else f.listStatus(dataRoot).map(_.getPath)
+        .filterNot(p => referenced.contains(s"$DataDir/${p.getName}"))
+    orphans.foreach(p => f.delete(p, true))
+    orphans.length
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.warehouse.Snapshots
+
+/** Versioned snapshot tables: atomic manifest commits, time travel,
+  * incremental change feed, crash invisibility, vacuum. */
+class SnapshotsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-snap").toString + "/tbl"
+
+  private def df(ids: Int*) = ids.toSeq.toDF("id")
+
+  private def idSet(d: org.apache.spark.sql.DataFrame): Set[Int] =
+    d.select("id").collect().map(_.getInt(0)).toSet
+
+  test("append commits are readable at every version (time travel)") {
+    val dir = freshDir()
+    assert(Snapshots.latestVersion(spark, dir) === 0)
+    val v1 = Snapshots.append(spark, dir, df(1, 2))
+    val v2 = Snapshots.append(spark, dir, df(3))
+    val v3 = Snapshots.append(spark, dir, df(4, 5))
+    assert((v1, v2, v3) === (1, 2, 3))
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2, 3, 4, 5))
+    assert(idSet(Snapshots.read(spark, dir, Some(1))) === Set(1, 2))
+    assert(idSet(Snapshots.read(spark, dir, Some(2))) === Set(1, 2, 3))
+    assert(Snapshots.versions(spark, dir) === Seq(1, 2, 3))
+  }
+
+  test("overwrite replaces contents but keeps history readable") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1, 2))
+    val v2 = Snapshots.overwrite(spark, dir, df(9))
+    assert(v2 === 2)
+    assert(idSet(Snapshots.read(spark, dir)) === Set(9))
+    assert(idSet(Snapshots.read(spark, dir, Some(1))) === Set(1, 2))
+  }
+
+  test("changesBetween reads exactly the appended delta") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1, 2))
+    Snapshots.append(spark, dir, df(3))
+    Snapshots.append(spark, dir, df(4, 5))
+    assert(idSet(Snapshots.changesBetween(spark, dir, 1, 3)) === Set(3, 4, 5))
+    assert(idSet(Snapshots.changesBetween(spark, dir, 2, 3)) === Set(4, 5))
+  }
+
+  test("changesBetween refuses ranges containing an overwrite") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1))
+    Snapshots.overwrite(spark, dir, df(2))
+    Snapshots.append(spark, dir, df(3))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, dir, 1, 3)
+    }
+    assert(e.getMessage.contains("overwrite"))
+    // but the append-only tail of the range is fine
+    assert(idSet(Snapshots.changesBetween(spark, dir, 2, 3)) === Set(3))
+  }
+
+  test("a data dir without a manifest (simulated crash) is invisible") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1, 2))
+    // simulate a committer that died after writing data, before the
+    // manifest rename
+    df(99).write.parquet(new Path(dir, "data/c-orphan").toString)
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2))
+    // vacuum reclaims the orphan
+    val deleted = Snapshots.vacuum(spark, dir, keepFromVersion = 1)
+    assert(deleted === 1)
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2))
+  }
+
+  test("manifest race: loser rebases on the winner's commit") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1))
+    // A concurrent winner lands v2 (appending dir c-winner) after our
+    // committer read base=1 but before its rename: drive publish() with
+    // the stale base and check it retries on top of the winner.
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df(50).write.parquet(new Path(dir, "data/c-winner").toString)
+    val winnerLive = Snapshots.liveDirs(spark, dir, 1) :+ "data/c-winner"
+    val out = fs.create(new Path(dir, "_log/v00000002.txt"), false)
+    out.write((winnerLive.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+
+    df(2).write.parquet(new Path(dir, "data/c-loser").toString)
+    val staleLive = Snapshots.liveDirs(spark, dir, 1) :+ "data/c-loser"
+    val v = Snapshots.publish(spark, dir, base = 1, live = staleLive,
+      rebase = tip => tip :+ "data/c-loser")
+    assert(v === 3)
+    // both the winner's and the loser's rows survive
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2, 50))
+  }
+
+  test("vacuum drops pre-floor versions and unreferenced data") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1))
+    Snapshots.overwrite(spark, dir, df(2))
+    Snapshots.append(spark, dir, df(3))
+    val deleted = Snapshots.vacuum(spark, dir, keepFromVersion = 2)
+    assert(deleted === 1) // v1's sole data dir is unreferenced by v2/v3
+    assert(Snapshots.versions(spark, dir) === Seq(2, 3))
+    assert(idSet(Snapshots.read(spark, dir)) === Set(2, 3))
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir, Some(1))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, dir, keepFromVersion = 99)
+    }
+  }
+
+  test("snapshot reads prune columns and push filters like any parquet scan") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir,
+      spark.range(100).select(col("id"), (col("id") * 2).as("v")))
+    val plan = Snapshots.read(spark, dir).filter(col("id") > 90)
+      .select("v").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"filter not pushed to the snapshot scan:\n$plan")
+  }
+}

@@ -62,6 +62,25 @@ class QualitySpec extends AnyFunSuite {
     assert(ev.count() > 0)
   }
 
+  test("Tables normalizes a TIMESTAMP_NTZ events fixture to TimestampType") {
+    // pin the ntz read path independently of which logical type the
+    // environment's parquet reader surfaces for TIMESTAMP(NANOS): write
+    // an events table whose ts IS ntz, and require Tables to cast it
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    val src = Seq(("e1", "2024-01-02 03:04:05.123456"), ("e2", "2024-06-07 08:09:10.5"))
+      .toDF("event_id", "raw")
+      .withColumn("ts", col("raw").cast("timestamp_ntz")).drop("raw")
+    assert(src.schema("ts").dataType.typeName == "timestamp_ntz")
+    src.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables(spark, dir, "events")
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    // session tz is pinned UTC, so the wall-clock value must be preserved
+    val got = ev.orderBy("event_id").select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .as[String].collect()
+    assert(got.sameElements(Array("2024-01-02 03:04:05.123456", "2024-06-07 08:09:10.500000")))
+  }
+
   test("nullRatioScore is 0 on the null-free fixture (P27)") {
     val distinctScores = Quality.nullRatioScore(events).select(col("null_pct")).distinct().collect()
     assert(distinctScores.map(_.getDouble(0)).forall(_ == 0.0))

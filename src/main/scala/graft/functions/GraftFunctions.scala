@@ -99,6 +99,16 @@ object GraftFunctions {
     case _ => None
   }
 
+  val bloomContainsAnyBuilder: Seq[Expression] => Expression = {
+    case Seq(bloom, org.apache.spark.sql.catalyst.expressions.Literal(
+        ks: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _))) =>
+      BloomContainsAny(bloom, ks.toLongArray())
+    case _ => throw new IllegalArgumentException(
+      "graft_bloom_contains_any takes (bloom binary, keys array<bigint> literal)")
+  }
+
   val bloomBuildBuilder: Seq[Expression] => Expression = {
     case Seq(key, itemsE, fppE)
         if longLiteral(itemsE).isDefined && doubleLiteral(fppE).isDefined =>
@@ -138,6 +148,8 @@ object GraftFunctions {
       "graft_shingles", shinglesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repetition_ok", repetitionOkBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains_any", bloomContainsAnyBuilder, "scala_udf")
   }
 
   /** Column API for the reducing top-k aggregate; registers lazily. */
@@ -225,6 +237,16 @@ object GraftFunctions {
     call_function("graft_bloom_might_contain", key,
       org.apache.spark.sql.functions.lit(filterBytes))
   }
+
+  /** Column API for the per-row bloom probe against a constant key set
+    * (the manifest-prune dual of [[bloomMightContain]]); registers
+    * lazily. `bloom` is a BINARY column of serialized filters. */
+  def bloomContainsAny(spark: SparkSession, bloom: Column,
+                       keys: Seq[Long]): Column = {
+    register(spark)
+    call_function("graft_bloom_contains_any", bloom,
+      org.apache.spark.sql.functions.typedLit(keys.toArray))
+  }
 }
 
 /** `spark.sql.extensions` entry point: injects graft's functions and
@@ -278,5 +300,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket64].getName, "graft_lsh_bucket"),
       GraftFunctions.lshBucketBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains_any"),
+      new ExpressionInfo(classOf[BloomContainsAny].getName,
+        "graft_bloom_contains_any"),
+      GraftFunctions.bloomContainsAnyBuilder))
   }
 }

@@ -1,10 +1,7 @@
 package graft.warehouse
 
-import java.io.ByteArrayInputStream
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 
 /** File-level data skipping: a small per-file statistics manifest
   * (min/max/null-count per column, plus an optional bloom membership
@@ -28,8 +25,8 @@ import org.apache.spark.util.sketch.BloomFilter
   *    scale you'd harvest parquet footer stats instead of scanning, but
   *    the contract — and everything downstream — is identical).
   *  - file selection collects ONLY the pruned file list to the driver
-  *    (strings), never data. Bloom bitsets are collected only for files
-  *    that survive any min/max bands first.
+  *    (strings), never data. Bloom bitsets never leave the executors:
+  *    membership is evaluated on the manifest rows where they live.
   *  - skipping is an OPTIMIZATION, never a semantics change: the full
   *    predicate is re-applied to the surviving files, so a stale or
   *    lossy manifest can only cost speed (extra files read), except
@@ -96,20 +93,21 @@ object DataSkipping {
       .collect().map(_.getString(0)).toSeq
   }
 
-  /** Files whose bloom says some probe key MIGHT be present. Collects
-    * (file, bloom) for the manifest — call after any min/max prune when
-    * layering indexes. False positives add files (correctness is the
-    * residual filter's job); false negatives cannot happen for inserted
-    * keys. */
+  /** Files whose bloom says some probe key MIGHT be present. The probe
+    * runs WHERE THE MANIFEST ROWS LIVE — a [[graft.functions
+    * .BloomContainsAny]] filter carrying the key list as a plan
+    * constant — and only surviving file NAMES are collected, exactly
+    * like [[selectFiles]]. Never ships a bitset to the driver: at 100 TB
+    * (~100k files × ~0.9 MB bitset) the old collect-and-probe shape
+    * would move ~90 GB through the driver; this shape moves a list of
+    * paths. False positives add files (correctness is the residual
+    * filter's job); false negatives cannot happen for inserted keys. */
   def selectFilesByKeys(bloomManifest: DataFrame, keys: Seq[Long]): Seq[String] = {
     require(keys.nonEmpty, "selectFilesByKeys needs at least one key")
-    bloomManifest.select(col("file"), col("bloom")).collect().iterator
-      .filter { r =>
-        val bloom = BloomFilter.readFrom(
-          new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-        keys.exists(bloom.mightContainLong)
-      }
-      .map(_.getString(0)).toSeq
+    val hit = graft.functions.GraftFunctions.bloomContainsAny(
+      bloomManifest.sparkSession, col("bloom"), keys)
+    bloomManifest.filter(hit).select(col("file"))
+      .collect().map(_.getString(0)).toSeq
   }
 
   /** The band predicate as a residual filter Column. */

@@ -188,6 +188,38 @@ class DataSkippingSpec extends AnyFunSuite {
       "fixed-size OR-mergeable bitsets must be order/partition independent")
   }
 
+  test("selectFilesByKeys probes blooms in executors and collects file names only") {
+    val path = tmpDir("bloom-dist")
+    (0 until 1000).map(i => (i.toLong, (i % 5).toLong)).toDF("k", "grp")
+      .repartition(4, $"grp").write.mode("overwrite").parquet(path)
+    val mani = DataSkipping.buildBloomManifest(spark, path, "k",
+      expectedPerFile = 256, fpp = 0.01)
+    // capture the query execution selectFilesByKeys actually collects:
+    // its plan must carry the bloom probe (executor-side) and project
+    // ONLY the file name — i.e. no bitset ever reaches the driver
+    @volatile var captured: Option[org.apache.spark.sql.execution.QueryExecution] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (qe.optimizedPlan.toString.toLowerCase.contains("bloomcontainsany"))
+          captured = Some(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val sel = DataSkipping.selectFilesByKeys(mani, Seq(3L, 700L))
+      assert(sel.nonEmpty)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val qe = captured.getOrElse(fail("bloom-probe query execution not observed"))
+      assert(qe.analyzed.output.map(_.name) == Seq("file"),
+        "only file names may be collected to the driver")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("bloom build skips null keys and rejects non-bigint keys") {
     val df = Seq[(java.lang.Long, Long)]((1L, 0L), (null, 0L), (2L, 0L))
       .toDF("k", "grp")

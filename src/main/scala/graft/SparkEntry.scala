@@ -914,6 +914,30 @@ object SparkEntry {
       TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
         .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
+    "x58_time_travel" -> ((s, d) => {
+      // snapshot-table commit / time-travel / change-feed end-to-end:
+      // two append commits built from disjoint orders slices, then read
+      // version 1 (time travel), the v1→v2 change feed (reads ONLY the
+      // dirs v2 added — O(delta), not O(table)), and the latest
+      // snapshot. The oracle recomputes all three from the fixture
+      // slices, so commit atomicity, manifest resolution and feed
+      // semantics are all value-checked, not just spec'd.
+      import graft.warehouse.Snapshots
+      val path = cachePath(d, "x58") + "/orders_snap"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, d, "orders").select(col("o_orderkey"))
+      val v1 = Snapshots.append(s, path, o.filter(col("o_orderkey") % 3 === 0))
+      val v2 = Snapshots.append(s, path, o.filter(col("o_orderkey") % 3 === 1))
+      def summarize(df: DataFrame, tag: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
+          .select(lit(tag).as("tag"), col("n_rows"), col("sum_key"))
+      summarize(Snapshots.read(s, path, Some(v1)), "v1_snapshot")
+        .unionByName(summarize(
+          Snapshots.changesBetween(s, path, v1, v2), "changes_v1_v2"))
+        .unionByName(summarize(Snapshots.read(s, path), "v2_snapshot"))
+        .orderBy(col("tag"))
+    }),
     "q18_subquery_family" -> ((s, d) => {
       // the SQL entry path (spark.sql over registered views) with the
       // full subquery family in one statement: uncorrelated scalar
@@ -2197,6 +2221,22 @@ object SparkEntry {
          |LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
          |ORDER BY doc_id""".stripMargin,
+    // the three feeds recomputed from the same fixture slices the
+    // commits were built from: v1 = keys ≡ 0 (mod 3), the change feed
+    // = exactly v2's appended slice (≡ 1), latest = both
+    "x58_time_travel" ->
+      """SELECT 'changes_v1_v2' AS tag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT 'v1_snapshot', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'v2_snapshot', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY tag""".stripMargin,
     "q18_subquery_family" ->
       """SELECT o.o_orderkey, o.o_totalprice,
         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l

@@ -110,10 +110,18 @@ object Snapshots {
       finally out.close()
       val target = manifestPath(dir, attemptBase + 1)
       if (f.rename(tmp, target)) return attemptBase + 1
-      // Lost the race: someone committed attemptBase+1 first. Rebase on
-      // the new tip and try again.
       f.delete(tmp, false)
       val tip = latestVersion(spark, dir)
+      if (tip == attemptBase)
+        // The target doesn't exist (no competing commit advanced the
+        // log), yet the rename failed — a filesystem fault, not a race.
+        // Retrying or calling liveDirs(tip) here would fail confusingly
+        // (worst case "no version 0" on a first commit); report the
+        // real condition instead.
+        sys.error(s"commit to $dir failed: rename to $target returned " +
+          "false with no competing commit (filesystem error?)")
+      // Lost the race: someone committed attemptBase+1 first. Rebase on
+      // the new tip and try again.
       attemptLive = rebase(liveDirs(spark, dir, tip))
       attemptBase = tip
       attempt += 1
@@ -184,10 +192,24 @@ object Snapshots {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Default vacuum grace period: matches Delta VACUUM's 7-day default
+    * (and Iceberg's orphan-file convention). */
+  val DefaultRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   /** Drop manifests below `keepFromVersion` and delete data dirs no
     * surviving manifest references. Time travel below the floor is gone
-    * after this. Returns the number of data dirs deleted. */
-  def vacuum(spark: SparkSession, dir: String, keepFromVersion: Int): Int = {
+    * after this. Returns the number of data dirs deleted.
+    *
+    * `retentionMs` is the safety margin against in-flight commits: the
+    * protocol writes a commit's data dir BEFORE publishing its
+    * manifest, so an unreferenced dir younger than the window may
+    * belong to a committer that hasn't renamed yet — deleting it would
+    * let that commit succeed pointing at vanished files. Only dirs (and
+    * orphaned `.tmp-*` manifests from crashed committers) older than
+    * the window are reclaimed. Set 0 ONLY when no writer can be
+    * concurrent (tests, single-writer maintenance windows). */
+  def vacuum(spark: SparkSession, dir: String, keepFromVersion: Int,
+             retentionMs: Long = DefaultRetentionMs): Int = {
     val f = fs(spark, dir)
     val keep = versions(spark, dir).filter(_ >= keepFromVersion)
     require(keep.nonEmpty,
@@ -196,11 +218,21 @@ object Snapshots {
       keep.flatMap(v => liveDirs(spark, dir, v)).toSet
     versions(spark, dir).filter(_ < keepFromVersion)
       .foreach(v => f.delete(manifestPath(dir, v), false))
+    val cutoff = System.currentTimeMillis() - retentionMs
+    // crashed committers leave .tmp-* manifests that versionOf already
+    // hides from readers; reclaim them once they age past the window
+    val log = new Path(dir, LogDir)
+    if (f.exists(log)) f.listStatus(log).iterator
+      .filter(s => s.getPath.getName.startsWith(".tmp-") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => f.delete(s.getPath, false))
     val dataRoot = new Path(dir, DataDir)
     val orphans =
       if (!f.exists(dataRoot)) Array.empty[Path]
-      else f.listStatus(dataRoot).map(_.getPath)
-        .filterNot(p => referenced.contains(s"$DataDir/${p.getName}"))
+      else f.listStatus(dataRoot)
+        .filter(s => !referenced.contains(s"$DataDir/${s.getPath.getName}") &&
+          s.getModificationTime < cutoff)
+        .map(_.getPath)
     orphans.foreach(p => f.delete(p, true))
     orphans.length
   }

@@ -74,9 +74,30 @@ class SnapshotsSpec extends AnyFunSuite {
     df(99).write.parquet(new Path(dir, "data/c-orphan").toString)
     assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2))
     // vacuum reclaims the orphan
-    val deleted = Snapshots.vacuum(spark, dir, keepFromVersion = 1)
+    val deleted = Snapshots.vacuum(spark, dir, keepFromVersion = 1, retentionMs = 0)
     assert(deleted === 1)
     assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2))
+  }
+
+  test("vacuum retention window protects fresh orphans; aged tmp manifests reclaimed") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1))
+    // an in-flight committer: data dir written, manifest not yet renamed
+    df(99).write.parquet(new Path(dir, "data/c-inflight").toString)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, "_log/.tmp-dead")
+    val out = fs.create(tmp, false)
+    out.write("data/c-inflight\n".getBytes("UTF-8")); out.close()
+    // default retention: the just-written dir and tmp manifest survive,
+    // so a concurrent commit can still land safely
+    assert(Snapshots.vacuum(spark, dir, keepFromVersion = 1) === 0)
+    assert(fs.exists(new Path(dir, "data/c-inflight")))
+    assert(fs.exists(tmp))
+    // zero retention (single-writer maintenance window): both reclaimed
+    assert(Snapshots.vacuum(spark, dir, keepFromVersion = 1, retentionMs = 0) === 1)
+    assert(!fs.exists(new Path(dir, "data/c-inflight")))
+    assert(!fs.exists(tmp))
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1))
   }
 
   test("manifest race: loser rebases on the winner's commit") {
@@ -105,7 +126,7 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.append(spark, dir, df(1))
     Snapshots.overwrite(spark, dir, df(2))
     Snapshots.append(spark, dir, df(3))
-    val deleted = Snapshots.vacuum(spark, dir, keepFromVersion = 2)
+    val deleted = Snapshots.vacuum(spark, dir, keepFromVersion = 2, retentionMs = 0)
     assert(deleted === 1) // v1's sole data dir is unreferenced by v2/v3
     assert(Snapshots.versions(spark, dir) === Seq(2, 3))
     assert(idSet(Snapshots.read(spark, dir)) === Set(2, 3))
@@ -113,7 +134,7 @@ class SnapshotsSpec extends AnyFunSuite {
       Snapshots.read(spark, dir, Some(1))
     }
     intercept[IllegalArgumentException] {
-      Snapshots.vacuum(spark, dir, keepFromVersion = 99)
+      Snapshots.vacuum(spark, dir, keepFromVersion = 99, retentionMs = 0)
     }
   }
 

@@ -71,7 +71,13 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries (-1.0 sentinel) are excluded from the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // short headline line LAST: the driver tails a bounded buffer, and
+    // with ~100 per-query entries the full line above can overflow it
+    // (BENCH_r04 parsed as null that way). A consumer should use the
+    // final parseable line; both carry the same total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

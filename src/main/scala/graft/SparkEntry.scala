@@ -914,6 +914,25 @@ object SparkEntry {
       TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
         .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
+    "x59_kernel_minhash_oracled" -> ((s, d) => {
+      // the PRODUCTION xxhash64 MinHash-LSH pipeline made CORRECTNESS-
+      // visible. At production parameters (64 hashes, 16 bands of 4)
+      // per-pair LSH miss probability at the fixture's jaccard spread
+      // (>=0.9) is ~4e-8, so BOTH hash schemes reach full recall and
+      // the verified pair set equals the portable sha256 pipeline's
+      // (x13) exactly — measured: symmetric difference empty and every
+      // jaccard double bit-identical at sf0.001 and sf0.01. The exact
+      // verify stage is an integer-ratio double over distinct shingle
+      // sets, identical whichever 64-bit hash names the shingles. The
+      // oracle is therefore x13's portable SQL: the kernel path
+      // inherits the DuckDB hash check transitively (ids AND values) —
+      // closing the r4 gap where x07/x08 were rows-only.
+      val corpus = perturbedCorpus(t(s, d, "documents"))
+      TextDedup.minhashDupPairs(corpus, "t", "id",
+          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "x58_time_travel" -> ((s, d) => {
       // snapshot-table commit / time-travel / change-feed end-to-end:
       // two append commits built from disjoint orders slices, then read
@@ -2221,6 +2240,11 @@ object SparkEntry {
          |LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
          |ORDER BY doc_id""".stripMargin,
+    // the kernel (xxhash64) pipeline's pair set equals the portable
+    // pipeline's at production parameters — same oracle as x13
+    "x59_kernel_minhash_oracled" ->
+      s"""$duckPortablePairCtes
+         |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
     // the three feeds recomputed from the same fixture slices the
     // commits were built from: v1 = keys ≡ 0 (mod 3), the change feed
     // = exactly v2's appended slice (≡ 1), latest = both

@@ -75,6 +75,30 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.count() >= docs.count())
   }
 
+  test("kernel pairs equal portable pairs at production params (x59 transitive oracle)") {
+    // the invariant x59_kernel_minhash_oracled's DuckDB oracle rests on:
+    // at 64 hashes / 16 bands both hash schemes reach full recall on
+    // the perturbed corpus, so pair set AND exact-jaccard doubles match
+    val base = docs.select(col("doc_id").as("id"),
+      TextDedup.normalize(col("text")).as("t"))
+    val pert = base.select((col("id") + 1000000).as("id"),
+      expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
+        "ELSE t END").as("t"))
+    val corpus = base.unionByName(pert)
+    def pairMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val kernel = pairMap(TextDedup.minhashDupPairs(corpus, "t", "id",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7))
+    val portable = pairMap(TextDedup.portableMinhashDupPairs(corpus, "t", "id"))
+    assert(kernel.keySet == portable.keySet,
+      s"kernelOnly=${kernel.keySet -- portable.keySet} " +
+        s"portableOnly=${portable.keySet -- kernel.keySet}")
+    assert(kernel.keySet.forall(k => kernel(k) == portable(k)),
+      "exact-verify jaccard must be bit-identical across hash schemes")
+    assert(kernel.nonEmpty)
+  }
+
   test("minhash staging path (spill-to-parquet) matches the persist path") {
     // the 100 TB shape: the signature table spills to parquet instead of
     // a MEMORY_AND_DISK cache; results must be identical on both paths

@@ -120,4 +120,30 @@ class KafkaSpec extends AnyFunSuite {
     // broker + connector jar and is deliberately not called here
     assert(wv != null && wr != null)
   }
+
+  test("encode ∘ broker-hop ∘ decode round-trips the envelope (S1+S2)") {
+    // the full wire cycle a message takes: router envelope → encode →
+    // broker serialization (UTF-8 bytes, broker-assigned timestamp /
+    // partition / offset — exactly what a produce+consume does) →
+    // decode → the router's own input contract. What the sink writes,
+    // the source must re-read unchanged; this is the broker-free
+    // equivalent of a produce/consume integration test.
+    val wire = wireDf(Seq(
+      "soccer.league" -> utf8(validLeague),
+      "soccer.league" -> utf8(badSport)))
+    val routed = ValidateRoute.plan(Kafka.decode(wire), Schemas.specs)
+    val sent = Kafka.encode(routed.validated.unionByName(routed.rejected))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val hop = wireDf(sent.map { case (topic, _, value) =>
+      topic -> (if (value == null) null else utf8(value)) })
+    val got = Kafka.decode(hop).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    val want = sent.map { case (topic, _, value) => (topic, value) }.toSet
+    assert(got == want, "decode must invert encode across the broker hop")
+    assert(want.exists(_._1 == "validated.soccer.league") &&
+      want.exists(_._1.startsWith("rejected.")))
+    // keys survive the hop as strings too (the producer writes them
+    // verbatim; pk-keyed compaction depends on this)
+    assert(sent.forall { case (_, key, _) => key != null && key.nonEmpty })
+  }
 }

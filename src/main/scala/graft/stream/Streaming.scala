@@ -40,6 +40,27 @@ object Streaming {
       .trigger(trigger)
       .queryName(name)
 
+  /** Exactly-once-effect streaming sink into a [[graft.warehouse
+    * .Snapshots]] versioned table: each micro-batch lands as ONE atomic
+    * snapshot commit (batch-id-tagged for replay idempotence), so
+    * downstream consumers get time travel and an O(delta) change feed
+    * (`changesBetween`) over a live stream — the streaming analog of
+    * the reference's continuously-loaded warehouse tables. At-least-
+    * once `foreachBatch` delivery + idempotent `appendBatch` = each
+    * batch's rows appear in exactly one committed version. */
+  def snapshotSink(df: DataFrame, tableDir: String, chkDir: String,
+                   trigger: Trigger = Trigger.AvailableNow())
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.warehouse.Snapshots.appendBatch(
+          batch.sparkSession, tableDir, batch, batchId): Unit
+      }
+      .option("checkpointLocation", chkDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .queryName("snapshot-sink")
+
   /** ST6: start the two fan-in queries (validated-all, rejected-all). */
   def startRoutes(routed: Routed, outDir: String, chkDir: String,
                   trigger: Trigger = Trigger.ProcessingTime("5 seconds"))

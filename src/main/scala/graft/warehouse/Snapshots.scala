@@ -148,6 +148,29 @@ object Snapshots {
     publish(spark, dir, base, baseLive :+ commitDir, tip => tip :+ commitDir)
   }
 
+  /** Append one STREAMING micro-batch as a snapshot commit, exactly
+    * once per `batchId`. `foreachBatch` delivery is at-least-once — a
+    * replayed batch must not commit twice — so the commit data dir
+    * embeds the batch id as an idempotence token: a replay finds a
+    * live dir tagged `c-b<batchId>-` and returns the existing version
+    * without writing. A crash between the data write and the manifest
+    * rename leaves an orphan tagged dir that no manifest references —
+    * the replay writes a fresh dir and commits it; the orphan ages out
+    * via [[vacuum]]. One streaming query is one writer, so the
+    * check-then-publish window has no same-batch race; CONCURRENT
+    * different-batch committers still rebase through [[publish]]'s
+    * normal retry. */
+  def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
+                  batchId: Long): Int = {
+    val tag = s"c-b$batchId-"
+    val tip = latestVersion(spark, dir)
+    val live = if (tip == 0) Seq.empty else liveDirs(spark, dir, tip)
+    if (live.exists(_.startsWith(s"$DataDir/$tag"))) return tip
+    val name = s"$DataDir/$tag${UUID.randomUUID().toString.take(12)}"
+    df.write.mode("errorifexists").parquet(new Path(dir, name).toString)
+    publish(spark, dir, tip, live :+ name, tipLive => tipLive :+ name)
+  }
+
   /** Replace the table's contents with `df`. Prior data dirs stay on
     * disk for time travel until `vacuum`. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Int = {

@@ -138,6 +138,50 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendBatch is idempotent per batch id (replayed foreachBatch)") {
+    val dir = freshDir()
+    val v1 = Snapshots.appendBatch(spark, dir, df(1, 2), batchId = 0)
+    assert(v1 === 1)
+    // at-least-once delivery: the same batch replays after a crash
+    val vReplay = Snapshots.appendBatch(spark, dir, df(1, 2), batchId = 0)
+    assert(vReplay === 1, "replay must return the existing version")
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2))
+    val v2 = Snapshots.appendBatch(spark, dir, df(3), batchId = 1)
+    assert(v2 === 2)
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2, 3))
+    // the change feed sees exactly the new batch
+    assert(idSet(Snapshots.changesBetween(spark, dir, 1, 2)) === Set(3))
+  }
+
+  test("snapshotSink streams micro-batches into exactly-once snapshot commits") {
+    val src = java.nio.file.Files.createTempDirectory("graft-snapsink-src").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-snapsink-chk").toString
+    val table = freshDir() + "/stream_table"
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("id INT")
+        .json(src)
+      val q = graft.stream.Streaming.snapshotSink(stream, table, chk).start()
+      q.awaitTermination(60000)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/b0.json"), "{\"id\":1}\n{\"id\":2}")
+    run()
+    assert(idSet(Snapshots.read(spark, table)) === Set(1, 2))
+    val vAfterFirst = Snapshots.latestVersion(spark, table)
+    // restart with the same checkpoint and no new data: no new commits
+    run()
+    assert(Snapshots.latestVersion(spark, table) === vAfterFirst)
+    assert(idSet(Snapshots.read(spark, table)) === Set(1, 2))
+    // new file → exactly one more commit; change feed = the delta
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/b1.json"), "{\"id\":3}")
+    run()
+    val tip = Snapshots.latestVersion(spark, table)
+    assert(idSet(Snapshots.read(spark, table)) === Set(1, 2, 3))
+    assert(idSet(Snapshots.changesBetween(spark, table, vAfterFirst, tip)) === Set(3))
+  }
+
   test("snapshot reads prune columns and push filters like any parquet scan") {
     val dir = freshDir()
     Snapshots.append(spark, dir,

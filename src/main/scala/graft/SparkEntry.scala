@@ -938,6 +938,21 @@ object SparkEntry {
       TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
         .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
+    "x60_random_projection" -> ((s, d) => {
+      // Johnson–Lindenstrauss reduction 64→8 dims on seeded Gaussian
+      // planes: no fitted state, no shuffle, reproducible on any
+      // engine/cluster from the seed alone. Exploded to scalar rows so
+      // every component is hash-checked (same inlined-plane oracle
+      // discipline as x09/x12).
+      val planes = Similarity.hyperplanes(8, 64)
+      graft.ext.Embeddings.randomProject(
+          t(s, d, "embeddings"), "embedding", "proj", planes)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("component", "value")))
+        .select(col("vec_id"), col("component").cast("bigint").as("component"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("vec_id"), col("component"))
+    }),
     "x59_kernel_minhash_oracled" -> ((s, d) => {
       // the PRODUCTION xxhash64 MinHash-LSH pipeline made CORRECTNESS-
       // visible. At production parameters (64 hashes, 16 bands of 4)
@@ -2264,6 +2279,16 @@ object SparkEntry {
          |LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
          |ORDER BY doc_id""".stripMargin,
+    // same seeded planes inlined as literals; one UNION branch per
+    // component, dot in list order, scale + round identical to Spark
+    "x60_random_projection" -> {
+      val planes = Similarity.hyperplanes(8, 64)
+      planes.zipWithIndex.map { case (p, j) =>
+        s"""SELECT vec_id, CAST($j AS BIGINT) AS component,
+           |  CAST(ROUND(${duckDot("embedding", p)} / sqrt(8.0), 6) AS DOUBLE) AS value
+           |FROM embeddings""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, component")
+    },
     // the kernel (xxhash64) pipeline's pair set equals the portable
     // pipeline's at production parameters — same oracle as x13
     "x59_kernel_minhash_oracled" ->

@@ -42,6 +42,30 @@ object Embeddings {
           .otherwise(transform(v, x => x / col(s"${out}_norm"))))
   }
 
+  /** Johnson–Lindenstrauss random projection: embed `embCol` into
+    * `planes.size` dimensions via seeded Gaussian planes, component j =
+    * dot(v, plane_j) / sqrt(k). JL: pairwise distances are preserved
+    * within (1±ε) for k = O(log n / ε²) — the standard cheap
+    * dimensionality reduction before clustering / coarse ANN when a
+    * learned PCA is overkill or must be fitted-state-free.
+    *
+    * Scale shape: per-row narrow projection, NO fitted state and NO
+    * shuffle — the planes are deterministic from the seed
+    * ([[Similarity.hyperplanes]]), so executors on a 1000-node cluster
+    * (or a different engine entirely) reproduce identical outputs with
+    * nothing shipped. Left-to-right double summation keeps every
+    * component bit-reproducible cross-engine (same contract as the
+    * cosine oracles). */
+  def randomProject(df: DataFrame, embCol: String, out: String,
+                    planes: Seq[Seq[Double]]): DataFrame = {
+    require(planes.nonEmpty, "randomProject needs at least one plane")
+    guard(df, Seq(out))
+    val v = Similarity.asDouble(col(embCol))
+    val scale = math.sqrt(planes.size.toDouble)
+    df.withColumn(out,
+      array(planes.map(p => Similarity.dot(v, Similarity.vecLit(p)) / scale): _*))
+  }
+
   /** Symmetric int8 quantization: scale = max|x| / 127, element q =
     * floor(x / scale + 0.5) clamped to [-127, 127] (round-half-up — the
     * portable rounding both Spark and DuckDB floor() reproduce

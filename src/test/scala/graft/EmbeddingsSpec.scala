@@ -21,6 +21,26 @@ class EmbeddingsSpec extends AnyFunSuite {
     (4L, "b", Array(-127.0f, 0.25f, 4.0f))
   ).toDF("vec_id", "label", "embedding")
 
+  test("randomProject: deterministic, linear, equals the manual dot (x60)") {
+    val planes = graft.ext.Similarity.hyperplanes(4, 3, seed = 42L)
+    val df = Seq((1L, Array(1.0f, 2.0f, -2.0f)), (2L, Array(2.0f, 4.0f, -4.0f)))
+      .toDF("vec_id", "embedding")
+    def proj(): Map[Long, Seq[Double]] =
+      Embeddings.randomProject(df, "embedding", "proj", planes)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toSeq).toMap
+    val p1 = proj()
+    assert(p1 == proj(), "seeded planes must make the projection deterministic")
+    assert(p1(1L).size == 4)
+    // projection is linear: proj(2v) == 2*proj(v) exactly (doubles scale
+    // by a power of two — no rounding)
+    assert(p1(2L) == p1(1L).map(_ * 2.0))
+    // component 0 equals the hand-computed scaled dot
+    val v = Seq(1.0, 2.0, -2.0)
+    val expect0 = v.zip(planes.head).map { case (a, b) => a * b }
+      .foldLeft(0.0)(_ + _) / math.sqrt(4.0)
+    assert(p1(1L).head == expect0)
+  }
+
   test("l2Normalize: unit norms, zero vectors pass through, norm column exact") {
     val df = Seq((1L, Array(1.0f, 2.0f, -2.0f)), (3L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")

@@ -938,6 +938,16 @@ object SparkEntry {
       TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
         .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
+    "x61_repeated_span_removal" -> ((s, d) =>
+      // Lee-et-al-style exact-substring dedup, token formulation: every
+      // 8-token window occurring >= 2 times corpus-wide is excised from
+      // every document (overlaps merge). The whole cleaned corpus is
+      // hash-checked — window df, span merge, and reassembly all
+      // value-verified cross-engine.
+      TextDedup.removeRepeatedSpans(t(s, d, "documents"), "text", "doc_id",
+          n = 8, minCount = 2)
+        .select(col("id").as("doc_id"), col("clean"))
+        .orderBy(col("doc_id"))),
     "x60_random_projection" -> ((s, d) => {
       // Johnson–Lindenstrauss reduction 64→8 dims on seeded Gaussian
       // planes: no fitted state, no shuffle, reproducible on any
@@ -2279,6 +2289,38 @@ object SparkEntry {
          |LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
          |ORDER BY doc_id""".stripMargin,
+    // sliding 8-token windows (shinglesOfTokens contract incl. the
+    // short-doc whole-text window), df >= 2 filter, covered-position
+    // expansion range(s, s+8), rebuild from uncovered positions
+    "x61_repeated_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 8 + 1),
+        |                i -> array_to_string(toks[i+1:i+8], ' ')) END AS shs
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, len(shs))) AS s, unnest(shs) AS sh
+        |  FROM s),
+        |r AS (SELECT sh FROM e GROUP BY sh HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id, list_distinct(flatten(list(range(s, s + 8)))) AS cov
+        |  FROM e WHERE sh IN (SELECT sh FROM r)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN cov.cov IS NULL THEN array_to_string(t.toks, ' ')
+        |       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark
+        |       -- concat_ws of an empty array is '' (fully-excised doc)
+        |       ELSE COALESCE(array_to_string(list_transform(
+        |         list_sort(list_filter(range(0, len(t.toks)),
+        |           p -> NOT list_contains(cov.cov, p))),
+        |         p -> t.toks[p+1]), ' '), '') END AS clean
+        |FROM t LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // same seeded planes inlined as literals; one UNION branch per
     // component, dot in list order, scale + round identical to Spark
     "x60_random_projection" -> {

@@ -98,6 +98,52 @@ object TextDedup {
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
+  /** Corpus-frequency span excision — the distributed approximation of
+    * exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": substrings repeated
+    * across a corpus are memorization fuel; remove EVERY occurrence).
+    * Token-level formulation: any `n`-token sliding window whose exact
+    * text occurs >= `minCount` times corpus-wide (within- and cross-
+    * document occurrences both count) is excised from every document;
+    * overlapping repeated windows merge into one removed span. Documents
+    * with <= n tokens are their own single window (the [[shinglesOfTokens]]
+    * contract), so a short doc repeated verbatim empties rather than
+    * slipping under the window size.
+    *
+    * Scale shape: one posexplode of sliding windows, ONE count aggregate
+    * on the window text (map-side partials), a semi-join of the window
+    * stream against the (small — only >= minCount survivors) repeated
+    * set, and a per-doc covered-position aggregate joined back onto the
+    * token projection. The corpus is never pairwise-compared; everything
+    * keys on window text or doc id. Covered positions are materialized
+    * per doc as a distinct-int array (bounded by doc length; an interval
+    * representation would shrink the worst all-boilerplate case n× and
+    * drops in transparently if that shape ever dominates). The rebuild
+    * is a narrow per-row HOF — no token ever shuffles for reassembly. */
+  def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                          n: Int = 8, minCount: Long = 2): DataFrame = {
+    require(n >= 1 && minCount >= 2, "need n >= 1 and minCount >= 2")
+    val toks = spreadCompute(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val windows = toks.select(col("id"),
+      posexplode(shinglesOfTokens(col("toks"), n)).as(Seq("s", "sh")))
+    val repeated = windows.groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("sh"))
+    val covered = windows.join(repeated, Seq("sh"), "left_semi")
+      .groupBy(col("id"))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("s"), col("s") + (n - 1))))).as("cov"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        when(col("cov").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ", transform(
+            array_sort(array_except(
+              sequence(lit(0), size(col("toks")) - 1), col("cov"))),
+            p => element_at(col("toks"), p + 1)))).as("clean"))
+  }
+
   /** MinHash signature: lane i = min over shingles of xxhash64(i, h(shingle)).
     * Each shingle STRING is hashed exactly once; the H lanes re-hash the
     * resulting 8-byte value (seeded), which is ~an order of magnitude less

@@ -63,6 +63,28 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(trueJ - estJ) < 0.25, s"true=$trueJ est=$estJ")
   }
 
+  test("removeRepeatedSpans excises corpus-frequent windows, merges overlaps (x61)") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),            // shares the a..h window with doc 2
+      (2L, "z z a b c d e f g h q"),          // covered at positions 2..9
+      (3L, "x y"),                            // short doc, repeated verbatim
+      (4L, "x y"),                            //   -> both empty out entirely
+      (5L, "p q r s t u v w p2 q2")           // no repeated window: untouched
+    ).toDF("doc_id", "text")
+    val got = TextDedup.removeRepeatedSpans(corpus, "text", "doc_id",
+        n = 8, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "i j")          // positions 0..7 removed
+    assert(got(2L) == "z z q")        // positions 2..9 removed
+    assert(got(3L) == "" && got(4L) == "")  // whole-doc window repeated
+    assert(got(5L) == "p q r s t u v w p2 q2")
+    // idempotence on already-clean output: nothing left repeats
+    val again = TextDedup.removeRepeatedSpans(
+        got.toSeq.toDF("doc_id", "text"), "text", "doc_id", n = 8, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("minhashDupPairs finds exact duplicates with jaccard 1.0 (MinHash+LSH)") {
     val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
     val pairs = TextDedup.minhashDupPairs(docs.unionByName(shifted), "text", "doc_id")

@@ -938,6 +938,12 @@ object SparkEntry {
       TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
         .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
+    "x62_unigram_score" -> ((s, d) =>
+      // CCNet-style unigram "perplexity" quality signal. The double
+      // score is position-ordered-fold deterministic (see unigramScore
+      // scaladoc); the BIGINT aggregates are exact.
+      TextAnalysis.unigramScore(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
     "x61_repeated_span_removal" -> ((s, d) =>
       // Lee-et-al-style exact-substring dedup, token formulation: every
       // 8-token window occurring >= 2 times corpus-wide is excised from
@@ -2289,6 +2295,30 @@ object SparkEntry {
          |LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
          |ORDER BY doc_id""".stripMargin,
+    // unigram frequencies over the whole corpus; per-doc mean ln(p) in
+    // POSITION order (ordered list_sum == Spark's sorted l2r fold);
+    // round(6) absorbs the <=1-ulp libm ln divergence
+    "x62_unigram_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok
+        |  FROM t),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f),
+        |j AS (
+        |  SELECT e.doc_id, e.pos, f.cnt, ln(f.cnt / CAST(tot.total AS DOUBLE)) AS lp
+        |  FROM e JOIN f USING (tok), tot),
+        |g AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cnt) AS BIGINT) AS sum_tok_freq,
+        |    list_sum(list(lp ORDER BY pos)) AS sum_lp
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_tok_freq,
+        |  CAST(ROUND(sum_lp / n_tokens, 6) AS DOUBLE) AS score
+        |FROM g ORDER BY doc_id""".stripMargin,
     // sliding 8-token windows (shinglesOfTokens contract incl. the
     // short-doc whole-text window), df >= 2 filter, covered-position
     // expansion range(s, s+8), rebuild from uncovered positions

@@ -401,6 +401,45 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
+  /** Corpus-unigram log-probability score per document — the classic
+    * cheap "perplexity" quality signal (CCNet-style): a document whose
+    * tokens are corpus-typical scores high (near 0), one dominated by
+    * rare tokens scores very negative. Emits per doc: `n_tokens`,
+    * `sum_tok_freq` (Σ corpus count of each token occurrence — exact
+    * BIGINT, carries most of the verification weight), and `score` =
+    * mean over token positions of ln(count(tok)/total).
+    *
+    * Determinism: a plain `avg` over grouped doubles sums in partition
+    * order — nondeterministic at the ulp. Instead each doc's token
+    * log-probs are collected with their POSITION, sorted, and folded
+    * left-to-right, so the double is bit-reproducible on any cluster
+    * (and any engine — DuckDB's ordered `list_sum` matches; the final
+    * round(6) absorbs the ≤1-ulp `ln` libm divergence, same contract
+    * as the cosine oracles).
+    *
+    * Scale shape: one token-frequency aggregate with map-side partials
+    * (vocab-sized result → broadcast-joined back onto the token
+    * stream), one per-doc aggregate. The per-doc collect is bounded by
+    * doc length — the same bound the corpus's own rows carry. */
+  def unigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = TextDedup.spreadCompute(df)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextDedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    tok.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"), col("cnt"),
+        log(col("cnt") / col("total").cast("double")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_tok_freq"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tok_freq"),
+        round(col("sum_lp") / col("n_tokens"), 6).as("score"))
+  }
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -36,7 +36,7 @@ object TextDedup {
     * rows (cheap) and buys full-width execution for the expensive
     * signature computation that follows. No-op cost at cluster scale
     * where inputs already have ≥ parallelism splits. */
-  private def spreadCompute(df: DataFrame): DataFrame = {
+  private[ext] def spreadCompute(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // If the input plan already contains a shuffle-producing operator its
     // output partitioning follows spark.sql.shuffle.partitions — leave it

@@ -19,6 +19,24 @@ class CurationSpec extends AnyFunSuite {
     (4L, "the fish sat on the mat")
   ).toDF("doc_id", "text")
 
+  test("unigramScore: corpus-typical docs outscore rare-token docs; exact ints (x62)") {
+    val out = TextAnalysis.unigramScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // every doc: 7 or 6 tokens; doc 1 has the hapax "quantum" (cnt 1)
+    assert(out(1L)._1 == 7 && out(2L)._1 == 6)
+    // sum_tok_freq exact: doc 2 = the(8)+dog(1)+sat(4)+on(4)+the(8)+mat(4)
+    assert(out(2L)._2 == 29L)
+    // docs 2/3/4 are structurally identical (one hapax each) → equal
+    // scores; doc 1's extra hapax + length makes it strictly lower
+    assert(out(2L)._3 == out(3L)._3 && out(3L)._3 == out(4L)._3)
+    assert(out(1L)._3 < out(2L)._3)
+    // deterministic across runs (the ordered-fold contract)
+    val again = TextAnalysis.unigramScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.forall { case (k, (_, _, s)) => again(k) == s })
+  }
+
   test("collocations: PMI lift is exact, ranks the dominant bigram, thresholds apply") {
     val corp = Seq(
       (1L, "new york new york new york"),

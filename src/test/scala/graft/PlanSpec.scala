@@ -275,4 +275,25 @@ class PlanSpec extends AnyFunSuite {
       "expected window + orderBy exchanges only:\n" + p)
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
   }
+
+  test("random projection is narrow: only the presentation sort shuffles (x60)") {
+    val p = plan(SparkEntry.queries("x60_random_projection")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // stateless per-row projection + explode: no join, no aggregation,
+    // and the single exchange is the final orderBy's range partitioning
+    assert(!p.contains("Join"), "projection must not join:\n" + p)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "only the presentation orderBy may shuffle:\n" + p)
+  }
+
+  test("span excision never pairwise-compares: no nested loop, map-side df (x61)") {
+    val p = plan(SparkEntry.queries("x61_repeated_span_removal")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "window-frequency dedup must key on window text, never cross:\n" + p)
+    assert(p.contains("partial_count"),
+      "window df must partial-aggregate map-side:\n" + p)
+    assert(p.contains("LeftSemi"),
+      "the repeated-set probe must stay a semi join:\n" + p)
+  }
 }

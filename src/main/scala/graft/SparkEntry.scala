@@ -938,6 +938,27 @@ object SparkEntry {
       TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
         .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
+    "x63_delete_where" -> ((s, d) => {
+      // targeted DELETE on the snapshot table: only dirs containing
+      // matches rewrite; the prior version still shows the rows (erasure
+      // completes at vacuum). Oracle recomputes both feeds from fixture
+      // slices — delete semantics (NULL-safe predicate, by-reference
+      // carry of untouched dirs) are value-checked.
+      import graft.warehouse.Snapshots
+      val path = cachePath(d, "x63") + "/orders_del"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, d, "orders").select(col("o_orderkey"))
+      Snapshots.append(s, path, o.filter(col("o_orderkey") % 3 === 0))
+      val v2 = Snapshots.append(s, path, o.filter(col("o_orderkey") % 3 === 1))
+      val v3 = Snapshots.deleteWhere(s, path, col("o_orderkey") % 10 === 3)
+      def summarize(df: DataFrame, tag: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
+          .select(lit(tag).as("tag"), col("n_rows"), col("sum_key"))
+      summarize(Snapshots.read(s, path, Some(v2)), "before_delete")
+        .unionByName(summarize(Snapshots.read(s, path, Some(v3)), "after_delete"))
+        .orderBy(col("tag"))
+    }),
     "x62_unigram_score" -> ((s, d) =>
       // CCNet-style unigram "perplexity" quality signal. The double
       // score is position-ordered-fold deterministic (see unigramScore
@@ -2295,6 +2316,17 @@ object SparkEntry {
          |LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
          |ORDER BY doc_id""".stripMargin,
+    // both feeds from the same fixture slices: live = keys ≡ 0,1 (mod
+    // 3); the delete removes keys ending in 3 from the live set only
+    "x63_delete_where" ->
+      """SELECT 'after_delete' AS tag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 3
+        |UNION ALL
+        |SELECT 'before_delete', CAST(count(*) AS BIGINT),
+        |  CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |ORDER BY tag""".stripMargin,
     // unigram frequencies over the whole corpus; per-doc mean ln(p) in
     // POSITION order (ordered list_sum == Spark's sorted l2r fold);
     // round(6) absorbs the <=1-ulp libm ln divergence

@@ -179,6 +179,43 @@ object Snapshots {
       _ => Seq(commitDir))
   }
 
+  /** Targeted delete — the right-to-be-forgotten shape. Rewrites ONLY
+    * the live commit dirs that contain rows matching `predicate` and
+    * publishes a version whose manifest swaps affected dirs for their
+    * rewritten copies; untouched dirs are carried by reference. Cost is
+    * O(affected data), not O(table): the per-dir match probe is a
+    * pushdown-filtered existence scan (parquet stats make no-match dirs
+    * ~metadata-only), and at 100 TB a keyed delete typically touches a
+    * handful of dirs. Rows where the predicate is NULL are KEPT (only
+    * provably-matching rows are removed — the SQL DELETE contract).
+    * Returns the new version (or the current one when nothing matched).
+    * Old versions still see the deleted rows until [[vacuum]] drops
+    * them — physical erasure = deleteWhere + vacuum past that version.
+    * Concurrent appends racing this commit keep their own dirs
+    * untouched (the delete covers data visible at its base version). */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  predicate: org.apache.spark.sql.Column): Int = {
+    val base = latestVersion(spark, dir)
+    require(base > 0, s"table at $dir has no commits")
+    val live = liveDirs(spark, dir, base)
+    val affected = live.filter { d =>
+      !spark.read.parquet(new Path(dir, d).toString)
+        .filter(predicate).isEmpty
+    }
+    if (affected.isEmpty) return base
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val rewritten = affected.map { d =>
+      val keep = spark.read.parquet(new Path(dir, d).toString)
+        .filter(not(coalesce(predicate, lit(false))))
+      val name = s"$DataDir/c-${UUID.randomUUID().toString.take(18)}"
+      keep.write.mode("errorifexists").parquet(new Path(dir, name).toString)
+      d -> name
+    }.toMap
+    def swap(dirs: Seq[String]): Seq[String] =
+      dirs.map(d => rewritten.getOrElse(d, d))
+    publish(spark, dir, base, swap(live), swap)
+  }
+
   /** Read the table at `version` (default: latest). */
   def read(spark: SparkSession, dir: String,
            version: Option[Int] = None): DataFrame = {

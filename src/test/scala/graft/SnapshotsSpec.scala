@@ -182,6 +182,26 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(idSet(Snapshots.changesBetween(spark, table, vAfterFirst, tip)) === Set(3))
   }
 
+  test("deleteWhere rewrites only affected dirs; history keeps rows until vacuum") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1, 2))   // dir A
+    Snapshots.append(spark, dir, df(10, 11)) // dir B — the only match holder
+    val v3 = Snapshots.deleteWhere(spark, dir, col("id") === 10)
+    assert(v3 === 3)
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2, 11))
+    // time travel still sees the deleted row pre-vacuum
+    assert(idSet(Snapshots.read(spark, dir, Some(2))) === Set(1, 2, 10, 11))
+    // dir A is carried by reference, dir B replaced
+    val v2dirs = Snapshots.liveDirs(spark, dir, 2).toSet
+    val v3dirs = Snapshots.liveDirs(spark, dir, 3).toSet
+    assert((v2dirs intersect v3dirs).size === 1, s"$v2dirs vs $v3dirs")
+    // no match → version unchanged; NULL-predicate rows are kept
+    assert(Snapshots.deleteWhere(spark, dir, col("id") === 999) === 3)
+    assert(Snapshots.deleteWhere(spark, dir,
+      when(col("id") === 11, lit(null).cast("boolean")).otherwise(col("id") === 1)) === 4)
+    assert(idSet(Snapshots.read(spark, dir)) === Set(2, 11))
+  }
+
   test("snapshot reads prune columns and push filters like any parquet scan") {
     val dir = freshDir()
     Snapshots.append(spark, dir,

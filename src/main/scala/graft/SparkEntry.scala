@@ -938,6 +938,22 @@ object SparkEntry {
       TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
         .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
+    "x64_embedding_dup_groups" -> ((s, d) => {
+      // cross-tier composition: x12's LSH-bucketed embedding near-dup
+      // pairs feed the SAME connected-components engine the text tier
+      // uses (duplicateGroups) — semantic-duplicate clusters over
+      // vectors, group id = min member. Oracle rebuilds the pairs from
+      // inlined hyperplanes and replays the reachability CTE.
+      val emb = t(s, d, "embeddings")
+      val planes = Similarity.hyperplanes(6, 64)
+      val bucketed = emb.withColumn("bucket",
+        graft.functions.GraftFunctions.lshBucket64(s, col("embedding"), planes))
+      val pairs = Similarity.nearDupPairs(bucketed, "embedding", "vec_id",
+        "bucket", 0.3)
+      TextDedup.duplicateGroups(pairs)
+        .select(col("id").as("vec_id"), col("comp").as("group_id"))
+        .orderBy(col("vec_id"))
+    }),
     "x63_delete_where" -> ((s, d) => {
       // targeted DELETE on the snapshot table: only dirs containing
       // matches rewrite; the prior version still shows the rows (erasure
@@ -2316,6 +2332,25 @@ object SparkEntry {
          |LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
          |ORDER BY doc_id""".stripMargin,
+    // x12's pair SQL (inlined planes) renamed into the shared
+    // reachability CTE chain; group id = min reachable member
+    "x64_embedding_dup_groups" -> {
+      val bucket = duckLshBucket("embedding", Similarity.hyperplanes(6, 64))
+      s"""WITH RECURSIVE b AS (
+         |  SELECT vec_id, embedding,
+         |  $bucket AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM b a JOIN b b2
+         |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE CAST(ROUND(
+         |    list_sum(list_transform(list_zip(a.embedding, b2.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |         * list_sum(list_transform(b2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) >= 0.3),
+         |$duckComponentCtes
+         |SELECT id AS vec_id, group_id FROM comp ORDER BY vec_id""".stripMargin
+    },
     // both feeds from the same fixture slices: live = keys ≡ 0,1 (mod
     // 3); the delete removes keys ending in 3 from the live set only
     "x63_delete_where" ->

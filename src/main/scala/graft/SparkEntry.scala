@@ -938,6 +938,15 @@ object SparkEntry {
       TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
         .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
+    "x65_source_cap" -> ((s, d) =>
+      // per-source document cap (crawl-mix balancing): keep 10 docs per
+      // source by salted-hash order — uniform and reproducible, not
+      // ingestion-order-biased. The rank-filter window rewrites to the
+      // bounded TopKRows aggregate (RewriteLatestPerKey).
+      graft.ext.Sampling.capPerGroup(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", "cap", 10)
+        .orderBy(col("doc_id"))),
     "x64_embedding_dup_groups" -> ((s, d) => {
       // cross-tier composition: x12's LSH-bucketed embedding near-dup
       // pairs feed the SAME connected-components engine the text tier
@@ -2332,6 +2341,13 @@ object SparkEntry {
          |LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
          |ORDER BY doc_id""".stripMargin,
+    // same 4-hex salted sha256 rank as hashBucket, id tiebreak
+    "x65_source_cap" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY source
+        |  ORDER BY substr(sha256('cap:' || doc_id), 1, 4), doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
     // x12's pair SQL (inlined planes) renamed into the shared
     // reachability CTE chain; group id = min reachable member
     "x64_embedding_dup_groups" -> {

@@ -191,6 +191,29 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Deterministic per-group cap: keep at most `k` rows per group,
+    * chosen by salted-hash order (a uniform, reproducible subsample —
+    * not "first k seen", which would bias toward ingestion order). The
+    * standard source-cap step for crawl corpora: no single domain may
+    * dominate the training mix.
+    *
+    * Scale shape: written as a rank-filter window, which Spark plans
+    * with a PARTIAL `WindowGroupLimit` — each map task forwards at most
+    * k rows per group into the exchange, so no full group ever shuffles
+    * or holds state (CurationSpec gates the plan). Ties beyond the hash
+    * cannot happen for unique ids (the id is the tiebreak). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    reserveColumns(df, Seq("_cap_rank"), "capPerGroup")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("_cap_rank", row_number().over(W))
+      .filter(col("_cap_rank") <= k)
+      .drop("_cap_rank")
+  }
+
   /** Leakage-safe train/valid/test split: rows connected by `pairs`
     * (near-duplicate edges over `idCol` values, e.g.
     * [[TextDedup.minhashDupPairs]] output) are assigned ATOMICALLY —

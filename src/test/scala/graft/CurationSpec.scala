@@ -183,6 +183,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L) == ((null, null)))
   }
 
+  test("capPerGroup: exactly k per big group, small groups intact, " +
+    "deterministic and TopKRows-rewritten (x65)") {
+    val rows = ((1L to 30L).map(i => (i, "big")) ++
+      Seq((100L, "small"), (101L, "small"))).toDF("id", "grp")
+    val out = graft.ext.Sampling.capPerGroup(rows, "grp", "id", "s", 5)
+    val byGrp = out.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGrp("big").size == 5)
+    assert(byGrp("small") == Set(100L, 101L)) // under the cap: untouched
+    // deterministic: same ids survive on a different partitioning
+    val again = graft.ext.Sampling.capPerGroup(
+      rows.repartition(7), "grp", "id", "s", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == out.collect().map(r => (r.getString(1), r.getLong(0))).toSet)
+    // the rank filter must plan with a PARTIAL WindowGroupLimit: at most
+    // k rows per group leave each map task, so no full group ever
+    // shuffles or sorts — the shape that keeps a 10^9-row group safe
+    val p = { out.collect(); out.queryExecution.executedPlan.toString }
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "cap must bound groups map-side via WindowGroupLimit:\n" + p)
+  }
+
   test("rebalanceSample: over-represented strata downsample, rare ones keep all, " +
     "absent strata drop") {
     val df = (1L to 900L).map(i => (i, "flood")).toDF("id", "src")

@@ -198,10 +198,19 @@ object Snapshots {
     val base = latestVersion(spark, dir)
     require(base > 0, s"table at $dir has no commits")
     val live = liveDirs(spark, dir, base)
-    val affected = live.filter { d =>
-      !spark.read.parquet(new Path(dir, d).toString)
-        .filter(predicate).isEmpty
-    }
+    // ONE probe job over all live dirs (not a driver loop of per-dir
+    // jobs — 10k commits must not mean 10k sequential jobs): scan with
+    // the predicate pushed down, collect only the DISTINCT matching
+    // file names, attribute files to dirs by path prefix.
+    import org.apache.spark.sql.functions.input_file_name
+    val liveAbs = live.map(d => d -> new Path(dir, d))
+    val matchPaths = spark.read.parquet(liveAbs.map(_._2.toString): _*)
+      .filter(predicate).select(input_file_name()).distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath)
+    val affected = liveAbs.filter { case (_, abs) =>
+      val prefix = abs.toUri.getPath + "/"
+      matchPaths.exists(_.startsWith(prefix))
+    }.map(_._1)
     if (affected.isEmpty) return base
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val rewritten = affected.map { d =>

@@ -373,4 +373,45 @@ object PipelineProperties extends Properties("graft") {
         .filter(col("version") =!= col("mv")).count() == 0
       idempotent && maxKept
     }
+
+  property("capPerGroup: <=k per group, subset of input, partition-stable") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(1L, 40L), Gen.choose(0, 3))),
+      Gen.choose(1, 4)) { (rows, k) =>
+      val df = rows.distinct.map { case (id, g) => (id, s"g$g") }.toDF("id", "grp")
+      val out = graft.ext.Sampling.capPerGroup(df, "grp", "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val bySize = out.groupBy(_._2).view.mapValues(_.length)
+      val inputBySize = rows.distinct.map { case (id, g) => (id, s"g$g") }
+        .groupBy(_._2).view.mapValues(_.length)
+      val capped = bySize.forall { case (g, n) => n == math.min(k, inputBySize(g)) }
+      val subset = out.toSet.subsetOf(rows.distinct.map {
+        case (id, g) => (id, s"g$g") }.toSet)
+      val again = graft.ext.Sampling.capPerGroup(df.repartition(5), "grp", "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      capped && subset && again == out.toSet
+    }
+
+  property("removeRepeatedSpans equals the driver-side reference exactly") =
+    forAll(Gen.choose(2, 4), Gen.listOfN(6, Gen.listOfN(6,
+      Gen.oneOf("aa", "bb", "cc", "dd")))) { (n, docsToks) =>
+      val docs = docsToks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }.toDF("doc_id", "text")
+      val cleaned = graft.ext.TextDedup
+        .removeRepeatedSpans(docs, "text", "doc_id", n = n, minCount = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // reference: same window/cover/rebuild semantics, computed naively
+      def windowsOf(t: Seq[String]): Seq[(Int, String)] =
+        if (t.size <= n) Seq(0 -> t.mkString(" "))
+        else t.sliding(n).zipWithIndex.map { case (w, s) => s -> w.mkString(" ") }.toSeq
+      val counts = docsToks.flatMap(t => windowsOf(t).map(_._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expect = docsToks.zipWithIndex.map { case (t, i) =>
+        val cov = windowsOf(t).collect {
+          case (s, w) if counts(w) >= 2 => s until math.min(s + n, t.size)
+        }.flatten.toSet
+        i.toLong -> t.zipWithIndex.collect {
+          case (tok, p) if !cov.contains(p) => tok }.mkString(" ")
+      }.toMap
+      cleaned == expect
+    }
 }

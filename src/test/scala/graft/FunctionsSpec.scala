@@ -49,6 +49,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("graft_bloom_contains_any probes per-row blooms; binary type enforced") {
+    GraftFunctions.register(spark)
+    def ser(keys: Seq[Long]): Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.01)
+      keys.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // two row-local filters: one holding {1,2}, one holding {50}
+    val b12 = ser(Seq(1L, 2L))
+    val b50 = ser(Seq(50L))
+    val df = Seq(("a", b12), ("b", b50)).toDF("tag", "bloom")
+    val hit = GraftFunctions.bloomContainsAny(spark, col("bloom"), Seq(2L, 99L))
+    val got = df.select(col("tag"), hit.as("hit")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("a"), "filter holding key 2 must hit")
+    assert(!got("b"), "filter holding only 50 must miss {2, 99}")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(GraftFunctions.bloomContainsAny(spark,
+        col("tag"), Seq(1L))).collect()
+    }
+  }
+
   test("native SimHash64 is BIT-identical to the HOF vote formulation") {
     val docs = Tables(spark, sf, "documents").limit(50)
     val toks = graft.ext.TextDedup.tokens(col("text"))

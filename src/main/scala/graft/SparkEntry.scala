@@ -938,6 +938,17 @@ object SparkEntry {
       TextDedup.dedupByPairsKeepBest(corpus, "id", pairs, length(col("t")))
         .select(col("id").as("doc_id")).orderBy(col("doc_id"))
     }),
+    "x66_sharded_export" -> ((s, d) => {
+      // the export/packaging stage end-to-end: documents written as 8
+      // deterministic shards, manifest computed from the READ-BACK
+      // data (certifies what landed, not what was submitted); the
+      // oracle recomputes it from the fixture, so a row lost or
+      // duplicated anywhere in the write/read path hash-fails.
+      val path = cachePath(d, "x66") + "/docs_shards"
+      graft.warehouse.Export.writeShards(s,
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", path, nShards = 8)
+    }),
     "x65_source_cap" -> ((s, d) =>
       // per-source document cap (crawl-mix balancing): keep 10 docs per
       // source by salted-hash order — uniform and reproducible, not
@@ -2341,6 +2352,14 @@ object SparkEntry {
          |LEFT JOIN comp g ON g.id = c.id
          |WHERE g.id IS NULL OR c.id IN (SELECT id FROM keep)
          |ORDER BY doc_id""".stripMargin,
+    // exact-integer manifest recomputed from the fixture
+    "x66_sharded_export" ->
+      """SELECT CAST(doc_id % 8 AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS key_sum,
+        |  CAST(min(doc_id) AS BIGINT) AS key_min,
+        |  CAST(max(doc_id) AS BIGINT) AS key_max
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // same 4-hex salted sha256 rank as hashBucket, id tiebreak
     "x65_source_cap" ->
       """SELECT doc_id, source FROM documents

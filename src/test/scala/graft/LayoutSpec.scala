@@ -95,4 +95,33 @@ class LayoutSpec extends AnyFunSuite {
       Layout.minMaxBucket(Seq((1.0, 2L)).toDF("v", "v_zb"), Seq("v"), 8)
     }
   }
+
+  test("sharded export: one dir per shard, bounded files, manifest == input (x66)") {
+    import graft.warehouse.Export
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val rows = (0L until 100L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val mani = Export.writeShards(spark, rows, "id", dir, nShards = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact manifest: 25 rows per shard, key aggregates hand-computable
+    (0 until 4).foreach { sh =>
+      val keys = (0L until 100L).filter(_ % 4 == sh)
+      assert(mani(sh) == ((keys.size.toLong, keys.sum, keys.min, keys.max)))
+    }
+    // physical layout: one shard=N dir each, file count O(nShards) not
+    // O(tasks x nShards) thanks to the pre-write repartition
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == (0 until 4).map(i => s"shard=$i"))
+    (0 until 4).foreach { sh =>
+      val files = new java.io.File(s"$dir/shard=$sh").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"shard $sh has $files files, expected 1")
+    }
+    // re-export is deterministic: same manifest
+    val again = Export.writeShards(spark, rows.repartition(7), "id", dir, 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == mani)
+  }
 }

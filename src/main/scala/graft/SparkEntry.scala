@@ -23,13 +23,18 @@ object SparkEntry {
     Tables(s, dir, name)
 
   /** Stable scratch dir for queries that re-lay a table on disk (x52,
-    * x53): one fixed path per (query, sf dir), overwritten on every run
-    * — repeated Verify/bench invocations reuse it instead of leaking a
-    * fresh temp copy each time. */
+    * x53): one fixed path per (process, query, sf dir), overwritten on
+    * every run — repeated invocations WITHIN a process reuse it instead
+    * of leaking a fresh temp copy each time. The PID component keeps
+    * concurrent JVMs on the same fixture (Verify and Bench in parallel
+    * CI) from overwriting a parquet the other is mid-read — mode
+    * `overwrite` deletes files first, so a shared path races to
+    * spurious FileNotFound. */
   private def cachePath(sfDir: String, tag: String): String = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft-$tag-${java.lang.Integer.toHexString(sfDir.hashCode)}")
+      s"graft-p${ProcessHandle.current().pid()}-$tag-" +
+        java.lang.Integer.toHexString(sfDir.hashCode))
     java.nio.file.Files.createDirectories(base)
     base.toString
   }
@@ -63,12 +68,18 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def portablePairs(s: SparkSession, d: String): DataFrame = {
     val key = s"${System.identityHashCode(s)}:$d"
-    val path = portablePairsMemo.getOrElseUpdate(key, {
-      val p = cachePath(d, "pairs") + "/portable_pairs"
-      TextDedup.portableMinhashDupPairs(perturbedCorpus(t(s, d, "documents")), "t", "id")
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the thunk in
+    // two threads at once (one wins the map slot, but BOTH run the
+    // staging write to the same path — overwrite deletes files first,
+    // so the loser can yank parquet out from under the winner's read).
+    val path = portablePairsMemo.synchronized {
+      portablePairsMemo.getOrElseUpdate(key, {
+        val p = cachePath(d, "pairs") + "/portable_pairs"
+        TextDedup.portableMinhashDupPairs(perturbedCorpus(t(s, d, "documents")), "t", "id")
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
     s.read.parquet(path)
   }
 
@@ -973,6 +984,34 @@ object SparkEntry {
       TextDedup.duplicateGroups(pairs)
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
+    }),
+    "x67_compaction" -> ((s, d) => {
+      // snapshot-table compaction end-to-end: three streaming-style
+      // batch commits (3 live dirs), compact to ONE merged dir, then a
+      // REPLAY of an absorbed batch — which must be suppressed by the
+      // #batch manifest records, or after_compact's counts double. Dir
+      // counts ride along as literals so the physical merge (3 → 1) is
+      // value-checked, not just the content.
+      import graft.warehouse.Snapshots
+      val path = cachePath(d, "x67") + "/orders_compact"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, d, "orders").select(col("o_orderkey"))
+      Snapshots.appendBatch(s, path, o.filter(col("o_orderkey") % 3 === 0), batchId = 0)
+      Snapshots.appendBatch(s, path, o.filter(col("o_orderkey") % 3 === 1), batchId = 1)
+      Snapshots.appendBatch(s, path, o.filter(col("o_orderkey") % 3 === 2), batchId = 2)
+      val vPre = Snapshots.latestVersion(s, path)
+      val nPre = Snapshots.liveDirs(s, path, vPre).size.toLong
+      val vPost = Snapshots.compact(s, path, targetPartitions = 2)
+      val nPost = Snapshots.liveDirs(s, path, vPost).size.toLong
+      Snapshots.appendBatch(s, path, o.filter(col("o_orderkey") % 3 === 0), batchId = 0)
+      def summarize(df: DataFrame, tag: String, nDirs: Long): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
+          .select(lit(tag).as("tag"), lit(nDirs).as("n_dirs"),
+            col("n_rows"), col("sum_key"))
+      summarize(Snapshots.read(s, path, Some(vPre)), "before_compact", nPre)
+        .unionByName(summarize(Snapshots.read(s, path), "after_compact", nPost))
+        .orderBy(col("tag"))
     }),
     "x63_delete_where" -> ((s, d) => {
       // targeted DELETE on the snapshot table: only dirs containing
@@ -2386,6 +2425,20 @@ object SparkEntry {
          |$duckComponentCtes
          |SELECT id AS vec_id, group_id FROM comp ORDER BY vec_id""".stripMargin
     },
+    // content must survive compaction bit-identically (both tags cover
+    // ALL orders — the three mod-3 slices partition the table) and the
+    // dir counts are fixed by the protocol: 3 batch commits → 1 merged
+    // dir; a replayed absorbed batch adds nothing
+    "x67_compaction" ->
+      """SELECT 'after_compact' AS tag, CAST(1 AS BIGINT) AS n_dirs,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |UNION ALL
+        |SELECT 'before_compact', CAST(3 AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders
+        |ORDER BY tag""".stripMargin,
     // both feeds from the same fixture slices: live = keys ≡ 0,1 (mod
     // 3); the delete removes keys ending in 3 from the live set only
     "x63_delete_where" ->

@@ -26,8 +26,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * #files rows (not #data rows), so this never sits on a data hot path
   * and a codegen'd wrapper would buy nothing.
   */
-case class BloomContainsAny(child: Expression, keys: Array[Long])
+case class BloomContainsAny(child: Expression, keys: Seq[Long])
     extends UnaryExpression with CodegenFallback {
+
+  // Seq (value equality), not Array (referential): two semantically
+  // identical probes must compare equal under canonicalization /
+  // semanticEquals, or subexpression elimination and plan-cache reuse
+  // silently never fire for this expression.
+  @transient private lazy val keyArr: Array[Long] = keys.toArray
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
@@ -42,8 +48,8 @@ case class BloomContainsAny(child: Expression, keys: Array[Long])
     val bloom = BloomFilter.readFrom(
       new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
     var i = 0
-    while (i < keys.length) {
-      if (bloom.mightContainLong(keys(i))) return true
+    while (i < keyArr.length) {
+      if (bloom.mightContainLong(keyArr(i))) return true
       i += 1
     }
     false

@@ -104,7 +104,7 @@ object GraftFunctions {
         ks: org.apache.spark.sql.catalyst.util.ArrayData,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType, _))) =>
-      BloomContainsAny(bloom, ks.toLongArray())
+      BloomContainsAny(bloom, scala.collection.immutable.ArraySeq.unsafeWrapArray(ks.toLongArray()))
     case _ => throw new IllegalArgumentException(
       "graft_bloom_contains_any takes (bloom binary, keys array<bigint> literal)")
   }

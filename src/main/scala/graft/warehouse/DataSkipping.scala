@@ -106,7 +106,11 @@ object DataSkipping {
     require(keys.nonEmpty, "selectFilesByKeys needs at least one key")
     val hit = graft.functions.GraftFunctions.bloomContainsAny(
       bloomManifest.sparkSession, col("bloom"), keys)
-    bloomManifest.filter(hit).select(col("file"))
+    // A NULL bloom (malformed manifest row) must be a MANDATORY hit,
+    // not a silent prune: the probe evaluates to NULL there and a bare
+    // filter would drop the file — skipping data whose membership is
+    // unknown, violating "skipping is never a semantics change".
+    bloomManifest.filter(coalesce(hit, lit(true))).select(col("file"))
       .collect().map(_.getString(0)).toSeq
   }
 

@@ -21,7 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     data/c00000001/part-*.parquet   // one immutable dir per commit
   *     data/c00000002/part-*.parquet
   *     _log/v00000001.txt              // manifest: live commit dirs,
-  *     _log/v00000002.txt              //   one relative path per line
+  *     _log/v00000002.txt              //   one relative path per line,
+  *                                     //   plus #-prefixed metadata
+  *                                     //   records (#batch:<id>)
   * }}}
   *
   * A reader of version N opens manifest N and scans exactly the listed
@@ -47,6 +49,17 @@ object Snapshots {
   private val LogDir = "_log"
   private val DataDir = "data"
   private val MaxCommitRetries = 10
+
+  /** Manifest lines starting with `#` are METADATA records, not data
+    * dirs: readers skip them, commits carry them forward. The one
+    * record type today is `#batch:<id>` — written by [[appendBatch]]
+    * so replay suppression survives rewrites ([[deleteWhere]],
+    * [[compact]], [[overwrite]]) that rename or absorb the tagged data
+    * dir a replay would otherwise look for. O(#micro-batches) short
+    * lines — the same growth class as the log itself. */
+  private val MetaPrefix = "#"
+  private val BatchMetaPrefix = "#batch:"
+  private def isMeta(line: String): Boolean = line.startsWith(MetaPrefix)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -77,8 +90,10 @@ object Snapshots {
       .flatMap(s => versionOf(s.getPath.getName)).toSeq.sorted
   }
 
-  /** Live commit-dir names (relative to `dir`) at `version`. */
-  def liveDirs(spark: SparkSession, dir: String, version: Int): Seq[String] = {
+  /** Raw manifest lines at `version`: data-dir lines plus `#`-prefixed
+    * metadata records, in file order. */
+  private[graft] def manifestLines(spark: SparkSession, dir: String,
+                                   version: Int): Seq[String] = {
     val p = manifestPath(dir, version)
     val f = fs(spark, dir)
     require(f.exists(p), s"no version $version at $dir")
@@ -90,23 +105,38 @@ object Snapshots {
     } finally in.close()
   }
 
-  /** Publish `live` as the next version on top of `base`. Returns the
-    * committed version. Retries past concurrent committers by re-reading
-    * the log, re-deriving the live set with `rebase`, and renaming again.
+  /** Live commit-dir names (relative to `dir`) at `version`. */
+  def liveDirs(spark: SparkSession, dir: String, version: Int): Seq[String] =
+    manifestLines(spark, dir, version).filterNot(isMeta)
+
+  /** Batch ids recorded as committed at `version` (see
+    * [[BatchMetaPrefix]]). Tables written before the record existed
+    * have none — [[appendBatch]] also accepts the legacy dir tag. */
+  def committedBatchIds(spark: SparkSession, dir: String,
+                        version: Int): Set[Long] =
+    manifestLines(spark, dir, version).iterator
+      .filter(_.startsWith(BatchMetaPrefix))
+      .flatMap(_.stripPrefix(BatchMetaPrefix).toLongOption).toSet
+
+  /** Publish `lines` (data dirs + metadata records) as the next version
+    * on top of `base`. Returns the committed version. Retries past
+    * concurrent committers by re-reading the log, re-deriving the
+    * manifest with `rebase` (applied to the winner's RAW lines, so
+    * metadata records survive the rebase), and renaming again.
     * (`private[graft]` so the race/retry path is testable directly.) */
   private[graft] def publish(spark: SparkSession, dir: String, base: Int,
-                      live: Seq[String],
+                      lines: Seq[String],
                       rebase: Seq[String] => Seq[String]): Int = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir, LogDir))
     var attemptBase = base
-    var attemptLive = live
+    var attemptLines = lines
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val tmp = new Path(dir, s"$LogDir/.tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(
-        (attemptLive.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+        (attemptLines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
       val target = manifestPath(dir, attemptBase + 1)
       if (f.rename(tmp, target)) return attemptBase + 1
@@ -115,14 +145,14 @@ object Snapshots {
       if (tip == attemptBase)
         // The target doesn't exist (no competing commit advanced the
         // log), yet the rename failed — a filesystem fault, not a race.
-        // Retrying or calling liveDirs(tip) here would fail confusingly
-        // (worst case "no version 0" on a first commit); report the
-        // real condition instead.
+        // Retrying or calling manifestLines(tip) here would fail
+        // confusingly (worst case "no version 0" on a first commit);
+        // report the real condition instead.
         sys.error(s"commit to $dir failed: rename to $target returned " +
           "false with no competing commit (filesystem error?)")
       // Lost the race: someone committed attemptBase+1 first. Rebase on
       // the new tip and try again.
-      attemptLive = rebase(liveDirs(spark, dir, tip))
+      attemptLines = rebase(manifestLines(spark, dir, tip))
       attemptBase = tip
       attempt += 1
     }
@@ -143,9 +173,9 @@ object Snapshots {
   def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
     val commitDir = writeCommitDir(spark, dir, df)
     val base = latestVersion(spark, dir)
-    val baseLive =
-      if (base == 0) Seq.empty else liveDirs(spark, dir, base)
-    publish(spark, dir, base, baseLive :+ commitDir, tip => tip :+ commitDir)
+    val baseLines =
+      if (base == 0) Seq.empty else manifestLines(spark, dir, base)
+    publish(spark, dir, base, baseLines :+ commitDir, tip => tip :+ commitDir)
   }
 
   /** Append one STREAMING micro-batch as a snapshot commit, exactly
@@ -159,24 +189,85 @@ object Snapshots {
     * via [[vacuum]]. One streaming query is one writer, so the
     * check-then-publish window has no same-batch race; CONCURRENT
     * different-batch committers still rebase through [[publish]]'s
-    * normal retry. */
+    * normal retry.
+    *
+    * Idempotence is double-keyed: the commit writes BOTH a `c-b<id>-`
+    * dir-name tag and a `#batch:<id>` manifest record. The record is
+    * what survives rewrites — a [[compact]] absorbs the tagged dir into
+    * an untagged merged dir, and an [[overwrite]] drops it entirely,
+    * but both carry the records forward, so a replay is still
+    * suppressed. The tag alone also suffices (legacy tables). */
   def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
                   batchId: Long): Int = {
     val tag = s"c-b$batchId-"
+    val record = s"$BatchMetaPrefix$batchId"
     val tip = latestVersion(spark, dir)
-    val live = if (tip == 0) Seq.empty else liveDirs(spark, dir, tip)
-    if (live.exists(_.startsWith(s"$DataDir/$tag"))) return tip
+    val lines = if (tip == 0) Seq.empty else manifestLines(spark, dir, tip)
+    def alreadyCommitted(ls: Seq[String]): Boolean =
+      ls.contains(record) ||
+        ls.exists(l => !isMeta(l) && l.startsWith(s"$DataDir/$tag"))
+    if (alreadyCommitted(lines)) return tip
     val name = s"$DataDir/$tag${UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(new Path(dir, name).toString)
-    publish(spark, dir, tip, live :+ name, tipLive => tipLive :+ name)
+    publish(spark, dir, tip, lines :+ name :+ record,
+      tipLines => tipLines :+ name :+ record)
   }
 
   /** Replace the table's contents with `df`. Prior data dirs stay on
-    * disk for time travel until `vacuum`. */
+    * disk for time travel until `vacuum`. Metadata records (batch
+    * idempotence) are carried forward: replacing the DATA must not
+    * forget which micro-batches committed, or a replay would re-append
+    * stale rows on top of the new contents. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Int = {
     val commitDir = writeCommitDir(spark, dir, df)
-    publish(spark, dir, latestVersion(spark, dir), Seq(commitDir),
-      _ => Seq(commitDir))
+    val base = latestVersion(spark, dir)
+    val meta =
+      if (base == 0) Seq.empty
+      else manifestLines(spark, dir, base).filter(isMeta)
+    publish(spark, dir, base, meta :+ commitDir,
+      tipLines => tipLines.filter(isMeta) :+ commitDir)
+  }
+
+  /** Merge every live commit dir into ONE dir — the small-file
+    * compaction maintenance pass for snapshot tables. Thousands of
+    * streaming micro-batch commits mean thousands of small dirs; a scan
+    * then pays per-dir listing and tiny-file open costs, and at 100 TB
+    * the NameNode/object-store listing alone dominates. Compaction
+    * rewrites the data ONCE into a dir sized by `targetPartitions`
+    * (pick tableBytes / 128 MB) and publishes a one-dir manifest;
+    * old versions still time-travel until [[vacuum]] reclaims them.
+    * Batch-idempotence records are carried forward (see
+    * [[appendBatch]]) — a micro-batch replayed after its tagged dir was
+    * absorbed is still suppressed. A concurrent [[deleteWhere]] that
+    * replaced a dir mid-compaction fails this commit loudly (the merged
+    * copy would resurrect the deleted rows); a concurrent append simply
+    * keeps its new dir alongside the merged one. Returns the new
+    * version, or the current one when there is nothing to merge. */
+  def compact(spark: SparkSession, dir: String,
+              targetPartitions: Int = 0): Int = {
+    val base = latestVersion(spark, dir)
+    require(base > 0, s"table at $dir has no commits")
+    val lines = manifestLines(spark, dir, base)
+    val dirs = lines.filterNot(isMeta)
+    if (dirs.size < 2) return base
+    val merged0 = spark.read.parquet(dirs.map(d => new Path(dir, d).toString): _*)
+    val merged =
+      if (targetPartitions > 0) merged0.coalesce(targetPartitions) else merged0
+    val name = s"$DataDir/c-${UUID.randomUUID().toString.take(18)}"
+    merged.write.mode("errorifexists").parquet(new Path(dir, name).toString)
+    val absorbed = dirs.toSet
+    def fold(ls: Seq[String]): Seq[String] = {
+      val present = ls.filterNot(isMeta).toSet
+      val missing = absorbed.diff(present).toSeq.sorted
+      if (missing.nonEmpty)
+        sys.error("compact lost a concurrent-rewrite race: source dir(s) " +
+          s"${missing.take(3).mkString(", ")} were replaced by another " +
+          "commit (deleteWhere/overwrite) before this compaction " +
+          "published — the merged copy may resurrect removed rows. " +
+          "Re-run compact against the new table version.")
+      ls.filterNot(absorbed.contains) :+ name
+    }
+    publish(spark, dir, base, fold(lines), fold)
   }
 
   /** Targeted delete — the right-to-be-forgotten shape. Rewrites ONLY
@@ -192,12 +283,16 @@ object Snapshots {
     * Old versions still see the deleted rows until [[vacuum]] drops
     * them — physical erasure = deleteWhere + vacuum past that version.
     * Concurrent appends racing this commit keep their own dirs
-    * untouched (the delete covers data visible at its base version). */
+    * untouched (the delete covers data visible at its base version);
+    * a concurrent commit that REPLACED an affected dir (another
+    * deleteWhere, an overwrite) fails this commit loudly rather than
+    * silently losing the delete — see [[swapStrict]]. */
   def deleteWhere(spark: SparkSession, dir: String,
                   predicate: org.apache.spark.sql.Column): Int = {
     val base = latestVersion(spark, dir)
     require(base > 0, s"table at $dir has no commits")
-    val live = liveDirs(spark, dir, base)
+    val lines = manifestLines(spark, dir, base)
+    val live = lines.filterNot(isMeta)
     // ONE probe job over all live dirs (not a driver loop of per-dir
     // jobs — 10k commits must not mean 10k sequential jobs): scan with
     // the predicate pushed down, collect only the DISTINCT matching
@@ -216,13 +311,43 @@ object Snapshots {
     val rewritten = affected.map { d =>
       val keep = spark.read.parquet(new Path(dir, d).toString)
         .filter(not(coalesce(predicate, lit(false))))
-      val name = s"$DataDir/c-${UUID.randomUUID().toString.take(18)}"
+      val name = rewrittenName(d)
       keep.write.mode("errorifexists").parquet(new Path(dir, name).toString)
       d -> name
     }.toMap
-    def swap(dirs: Seq[String]): Seq[String] =
-      dirs.map(d => rewritten.getOrElse(d, d))
-    publish(spark, dir, base, swap(live), swap)
+    publish(spark, dir, base, swapStrict(rewritten, lines),
+      tipLines => swapStrict(rewritten, tipLines))
+  }
+
+  /** Name for a dir that REPLACES `source` in the manifest. Preserves
+    * [[appendBatch]]'s `c-b<batchId>-` idempotence tag: a streaming
+    * micro-batch replayed after a deleteWhere rewrote its dir must
+    * still find the tag in the live set, or the replay re-appends the
+    * full batch — duplicating rows and resurrecting deleted ones. */
+  private[graft] def rewrittenName(source: String): String = {
+    val base = source.stripPrefix(s"$DataDir/")
+    val tag = BatchTagRe.findFirstIn(base).getOrElse("c-")
+    s"$DataDir/$tag${UUID.randomUUID().toString.take(12)}"
+  }
+  private val BatchTagRe = "^c-b\\d+-".r
+
+  /** Apply a dir→rewrittenDir substitution, REFUSING to publish if a
+    * source dir is gone from the target live set: a concurrent
+    * deleteWhere/overwrite/compaction already replaced it, so its
+    * replacement may still hold rows this delete matched. Dropping the
+    * substitution silently would be a lost delete on the
+    * right-to-be-forgotten path; failing loudly lets the caller re-run
+    * against the new base. */
+  private[graft] def swapStrict(rewritten: Map[String, String],
+                                lines: Seq[String]): Seq[String] = {
+    val present = lines.filterNot(isMeta).toSet
+    val missing = rewritten.keysIterator.filterNot(present).toSeq.sorted
+    if (missing.nonEmpty)
+      sys.error("deleteWhere lost a concurrent-rewrite race: affected " +
+        s"dir(s) ${missing.take(3).mkString(", ")} were replaced by " +
+        "another commit before this delete published. Re-run deleteWhere " +
+        "against the new table version.")
+    lines.map(d => rewritten.getOrElse(d, d))
   }
 
   /** Read the table at `version` (default: latest). */
@@ -250,7 +375,7 @@ object Snapshots {
       require(prev.subsetOf(cur),
         s"version $v of $dir removed data dirs " +
           s"(${(prev -- cur).take(3).mkString(", ")}…) — the range " +
-          "contains an overwrite; changesBetween covers append-only " +
+          "contains an overwrite/compaction/delete; changesBetween covers append-only " +
           "ranges. Re-read the full snapshot instead.")
       added ++= (cur -- prev).toSeq.sorted
       prev = cur

@@ -220,6 +220,25 @@ class DataSkippingSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("a NULL bloom in the manifest is a mandatory hit, never a silent prune") {
+    // a malformed manifest row (null bitset) means membership is
+    // UNKNOWN — the file must be read, because pruning it would drop
+    // rows and "skipping is never a semantics change"
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.01)
+    bf.putLong(7L)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mani = Seq(
+      ("f_with_bloom", bos.toByteArray),
+      ("f_null_bloom", null.asInstanceOf[Array[Byte]]),
+    ).toDF("file", "bloom")
+    val sel = DataSkipping.selectFilesByKeys(mani, Seq(999999L)).toSet
+    assert(sel === Set("f_null_bloom"),
+      s"null-bloom file must survive the prune, got $sel")
+    val sel2 = DataSkipping.selectFilesByKeys(mani, Seq(7L)).toSet
+    assert(sel2 === Set("f_with_bloom", "f_null_bloom"))
+  }
+
   test("bloom build skips null keys and rejects non-bigint keys") {
     val df = Seq[(java.lang.Long, Long)]((1L, 0L), (null, 0L), (2L, 0L))
       .toDF("k", "grp")

@@ -73,6 +73,23 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("BloomContainsAny has value equality: identical probes are semanticEqual") {
+    // the key set must compare by VALUE (Seq), not by array reference —
+    // otherwise canonicalization/semanticEquals never match two
+    // identical probes and subexpression elimination / plan-cache
+    // reuse silently never fire for this expression
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.BinaryType
+    val childA = BoundReference(0, BinaryType, nullable = true)
+    val a = graft.functions.BloomContainsAny(childA, Seq(1L, 2L, 3L))
+    val b = graft.functions.BloomContainsAny(childA, Seq(1L, 2L, 3L))
+    assert(a == b, "case-class equality must hold for equal key sets")
+    assert(a.semanticEquals(b), "semanticEquals must hold for equal key sets")
+    assert(a.semanticHash() == b.semanticHash())
+    val c = graft.functions.BloomContainsAny(childA, Seq(1L, 2L, 4L))
+    assert(a != c && !a.semanticEquals(c))
+  }
+
   test("native SimHash64 is BIT-identical to the HOF vote formulation") {
     val docs = Tables(spark, sf, "documents").limit(50)
     val toks = graft.ext.TextDedup.tokens(col("text"))

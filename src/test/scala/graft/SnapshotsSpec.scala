@@ -114,7 +114,7 @@ class SnapshotsSpec extends AnyFunSuite {
 
     df(2).write.parquet(new Path(dir, "data/c-loser").toString)
     val staleLive = Snapshots.liveDirs(spark, dir, 1) :+ "data/c-loser"
-    val v = Snapshots.publish(spark, dir, base = 1, live = staleLive,
+    val v = Snapshots.publish(spark, dir, base = 1, lines = staleLive,
       rebase = tip => tip :+ "data/c-loser")
     assert(v === 3)
     // both the winner's and the loser's rows survive
@@ -200,6 +200,80 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.deleteWhere(spark, dir,
       when(col("id") === 11, lit(null).cast("boolean")).otherwise(col("id") === 1)) === 4)
     assert(idSet(Snapshots.read(spark, dir)) === Set(2, 11))
+  }
+
+  test("deleteWhere preserves the batch idempotence tag (replay after delete)") {
+    val dir = freshDir()
+    Snapshots.appendBatch(spark, dir, df(1, 10), batchId = 0)
+    val v2 = Snapshots.deleteWhere(spark, dir, col("id") === 10)
+    assert(v2 === 2)
+    // the rewritten dir must carry the source dir's c-b0- tag forward
+    assert(Snapshots.liveDirs(spark, dir, 2).exists(_.startsWith("data/c-b0-")),
+      s"rewrite dropped the batch tag: ${Snapshots.liveDirs(spark, dir, 2)}")
+    // a replayed micro-batch (crash between snapshot commit and
+    // checkpoint commit, then a delete before restart) still finds the
+    // tag → no duplicate rows, no resurrected deleted rows
+    val vReplay = Snapshots.appendBatch(spark, dir, df(1, 10), batchId = 0)
+    assert(vReplay === 2, "replay after deleteWhere must not re-append")
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1))
+  }
+
+  test("rewrittenName keeps batch tags and defaults to c- otherwise") {
+    assert(Snapshots.rewrittenName("data/c-b42-abcdef").startsWith("data/c-b42-"))
+    assert(Snapshots.rewrittenName("data/c-deadbeef").startsWith("data/c-"))
+    assert(!Snapshots.rewrittenName("data/c-deadbeef").contains("c-b"))
+  }
+
+  test("swapStrict fails loudly when a concurrent commit replaced an affected dir") {
+    val rewritten = Map("data/c-aaa" -> "data/c-bbb")
+    // normal rebase: the affected dir is still live → substituted
+    assert(Snapshots.swapStrict(rewritten, Seq("data/c-aaa", "data/c-zzz")) ===
+      Seq("data/c-bbb", "data/c-zzz"))
+    // a concurrent deleteWhere/compaction already swapped c-aaa out:
+    // publishing would silently lose THIS delete's rows in the
+    // replacement dir — must error, not publish
+    val e = intercept[RuntimeException] {
+      Snapshots.swapStrict(rewritten, Seq("data/c-qqq", "data/c-zzz"))
+    }
+    assert(e.getMessage.contains("concurrent-rewrite"))
+  }
+
+  test("compact merges all live dirs into one; history and replay suppression survive") {
+    val dir = freshDir()
+    Snapshots.appendBatch(spark, dir, df(1, 2), batchId = 0)
+    Snapshots.appendBatch(spark, dir, df(3), batchId = 1)
+    Snapshots.append(spark, dir, df(4))
+    assert(Snapshots.liveDirs(spark, dir, 3).size === 3)
+    val v4 = Snapshots.compact(spark, dir, targetPartitions = 1)
+    assert(v4 === 4)
+    assert(Snapshots.liveDirs(spark, dir, 4).size === 1, "one merged dir")
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2, 3, 4))
+    // time travel below the compaction still works
+    assert(idSet(Snapshots.read(spark, dir, Some(2))) === Set(1, 2, 3))
+    // the absorbed dirs' batch tags are gone, but the manifest records
+    // survive — a replayed micro-batch must still be suppressed
+    assert(Snapshots.committedBatchIds(spark, dir, 4) === Set(0L, 1L))
+    val vReplay = Snapshots.appendBatch(spark, dir, df(1, 2), batchId = 0)
+    assert(vReplay === 4, "replay after compaction must not re-append")
+    assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2, 3, 4))
+    // nothing to merge → no new version
+    assert(Snapshots.compact(spark, dir) === 4)
+  }
+
+  test("overwrite carries batch records forward; compaction blocks stale change feeds") {
+    val dir = freshDir()
+    Snapshots.appendBatch(spark, dir, df(1), batchId = 7)
+    Snapshots.overwrite(spark, dir, df(9))
+    assert(Snapshots.committedBatchIds(spark, dir, 2) === Set(7L))
+    assert(Snapshots.appendBatch(spark, dir, df(1), batchId = 7) === 2,
+      "overwrite must not forget committed batches")
+    assert(idSet(Snapshots.read(spark, dir)) === Set(9))
+    // changesBetween across a compaction refuses (dirs were replaced)
+    Snapshots.append(spark, dir, df(10))
+    Snapshots.compact(spark, dir)
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, dir, 2, 4)
+    }
   }
 
   test("snapshot reads prune columns and push filters like any parquet scan") {

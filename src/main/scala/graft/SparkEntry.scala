@@ -825,6 +825,53 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
     }),
+    "s21_waiting_suppliers" -> ((s, d) => {
+      // TPC-H Q21 shape adapted to the fixture (lateness = shipped
+      // >60 days after order date; the fixture has no commit/receipt
+      // dates): for finished ('F') orders, suppliers whose line was
+      // the ONLY late one on a multi-supplier order. The EXISTS
+      // becomes a left-semi join and the NOT EXISTS a left-anti —
+      // both shuffle on l_orderkey, so AQE coalesces them onto one
+      // exchange; the supplier dim is broadcast.
+      val late = t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("is_late"))
+      val l1 = late.filter(col("is_late"))
+        .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"))
+      val l2 = late.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val l3 = late.filter(col("is_late"))
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+      l1.join(l2, col("k1") === col("k2") && col("sk1") =!= col("sk2"), "left_semi")
+        .join(l3, col("k1") === col("k3") && col("sk1") =!= col("sk3"), "left_anti")
+        .join(broadcast(t(s, d, "supplier")), col("sk1") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+    "s22_global_sales_opportunity" -> ((s, d) => {
+      // TPC-H Q22 shape: above-average-balance customers with no
+      // recent order, grouped by a derived country code (the fixture
+      // has no phone column — c_nationkey % 5 plays cntrycode). The
+      // uncorrelated scalar subquery is a 1-row broadcast cross join;
+      // the NOT EXISTS is a left-anti against the pushdown-filtered
+      // recent-orders projection.
+      val c = t(s, d, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).cast("bigint").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    }),
     "q17_range_frame" -> ((s, d) => {
       // RANGE window frame (value-bounded, vs q10/x45's ROWS frames):
       // each event's trailing 7-day activity count per user on the
@@ -2285,6 +2332,38 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
         |       AND l_quantity BETWEEN 10 AND 35)""".stripMargin,
+    // the late CTE is computed once; EXISTS/NOT EXISTS are row-level
+    // per l1 line, so duplicate (order, supplier) late lines each count
+    "s21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.is_late
+        |  AND EXISTS (SELECT 1 FROM late l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    // sum of 2-decimal doubles rounds stably at 2dp (the true total is
+    // a 0.01 multiple, accumulated error << the rounding bucket); the
+    // avg threshold can't tie a 2-decimal balance exactly
+    "s22_global_sales_opportunity" ->
+      """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-07-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // integer-seconds RANGE bounds (lesson 24 base) make frame
     // membership exact cross-engine; the count is a bigint
     "q17_range_frame" ->

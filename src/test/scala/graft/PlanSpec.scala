@@ -36,6 +36,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("s21 waiting-suppliers plans semi + anti joins, broadcast supplier dim") {
+    val p = plan(SparkEntry.queries("s21_waiting_suppliers")(spark, sf))
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join:\n" + p)
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "supplier dim must broadcast:\n" + p)
+  }
+
+  test("s22 sales-opportunity: scalar subquery broadcasts, anti join on orders") {
+    val p = plan(SparkEntry.queries("s22_global_sales_opportunity")(spark, sf))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row avg threshold must broadcast, not shuffle:\n" + p)
+  }
+
   test("whole-stage codegen spans the pricing summary aggregate") {
     val p = plan(SparkEntry.queries("s01_pricing_summary")(spark, sf))
     // codegen'd stages print as "*(n) " prefixes in the executed plan

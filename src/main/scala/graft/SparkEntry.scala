@@ -1032,6 +1032,29 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x68_snapshot_upsert" -> ((s, d) => {
+      // MERGE INTO on the snapshot table: seed with the keys ≡ 0 (mod
+      // 3) slice, then upsert the keys ≡ 0 (mod 5) slice with +1000
+      // prices — overlapping keys take the NEW price, disjoint source
+      // keys insert, untouched rows carry by reference. The final
+      // state is dumped row-by-row so replace/insert/carry semantics
+      // are all hash-checked against DuckDB's recomputation.
+      import graft.warehouse.Snapshots
+      val path = cachePath(d, "x68") + "/orders_upsert"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Snapshots.append(s, path, o.filter(col("o_orderkey") % 3 === 0))
+      Snapshots.upsert(s, path,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2)),
+        Seq("o_orderkey"))
+      Snapshots.read(s, path)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
     "x67_compaction" -> ((s, d) => {
       // snapshot-table compaction end-to-end: three streaming-style
       // batch commits (3 live dirs), compact to ONE merged dir, then a
@@ -2504,6 +2527,16 @@ object SparkEntry {
          |$duckComponentCtes
          |SELECT id AS vec_id, group_id FROM comp ORDER BY vec_id""".stripMargin
     },
+    // final state = mod-5 slice at new prices ∪ mod-3-only slice at
+    // original prices (2-decimal doubles round stably at 2dp)
+    "x68_snapshot_upsert" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice + 1000, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     // content must survive compaction bit-identically (both tags cover
     // ALL orders — the three mod-3 slices partition the table) and the
     // dir counts are fixed by the protocol: 3 batch commits → 1 merged

@@ -319,6 +319,61 @@ object Snapshots {
       tipLines => swapStrict(rewritten, tipLines))
   }
 
+  /** Keyed upsert — MERGE INTO semantics in ONE atomic commit: rows
+    * whose `keyCols` match a source row are replaced by it, unmatched
+    * source rows are inserted, everything else is untouched. Equivalent
+    * to DELETE-matching-keys + APPEND-source, but published as a single
+    * manifest version: readers never observe the deleted-but-not-yet-
+    * reinserted intermediate state.
+    *
+    * Cost is O(affected data) like [[deleteWhere]]: one pushdown probe
+    * job finds the dirs holding matched keys (a left-semi join against
+    * the distinct source keys — Spark broadcasts the key set when it is
+    * small), only those dirs rewrite (via left-anti), untouched dirs
+    * carry by reference, and the source lands as one new commit dir. At
+    * 100 TB a keyed upsert of a day's changes touches the handful of
+    * dirs holding those keys, not the table. Rewrites preserve batch
+    * tags and rebase strictly ([[swapStrict]]) — a concurrent rewrite
+    * of an affected dir fails loudly rather than losing updates.
+    * Source rows must be unique per key (enforce upstream with
+    * latest-per-key); duplicate source keys would insert duplicates,
+    * same as SQL MERGE's multiple-match error, but unchecked here to
+    * keep the probe single-pass. */
+  def upsert(spark: SparkSession, dir: String, source: DataFrame,
+             keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val base = latestVersion(spark, dir)
+    require(base > 0, s"table at $dir has no commits")
+    val lines = manifestLines(spark, dir, base)
+    val live = lines.filterNot(isMeta)
+    import org.apache.spark.sql.functions.input_file_name
+    val keys = source.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct()
+    val liveAbs = live.map(d => d -> new Path(dir, d))
+    // project the file name BEFORE the join: input_file_name() is only
+    // defined directly above its scan (a post-join evaluation would be
+    // ambiguous across the two sources and Spark rejects it)
+    val matchPaths = spark.read.parquet(liveAbs.map(_._2.toString): _*)
+      .withColumn("__graft_file", input_file_name())
+      .join(keys, keyCols, "left_semi")
+      .select(org.apache.spark.sql.functions.col("__graft_file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath)
+    val affected = liveAbs.filter { case (_, abs) =>
+      val prefix = abs.toUri.getPath + "/"
+      matchPaths.exists(_.startsWith(prefix))
+    }.map(_._1)
+    val rewritten = affected.map { d =>
+      val keep = spark.read.parquet(new Path(dir, d).toString)
+        .join(keys, keyCols, "left_anti")
+      val name = rewrittenName(d)
+      keep.write.mode("errorifexists").parquet(new Path(dir, name).toString)
+      d -> name
+    }.toMap
+    val newDir = writeCommitDir(spark, dir, source)
+    publish(spark, dir, base, swapStrict(rewritten, lines) :+ newDir,
+      tipLines => swapStrict(rewritten, tipLines) :+ newDir)
+  }
+
   /** Name for a dir that REPLACES `source` in the manifest. Preserves
     * [[appendBatch]]'s `c-b<batchId>-` idempotence tag: a streaming
     * micro-batch replayed after a deleteWhere rewrote its dir must

@@ -276,6 +276,31 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert replaces matched keys and inserts new ones in one commit") {
+    val dir = freshDir()
+    def kv(rows: (Int, String)*) = rows.toSeq.toDF("id", "v")
+    Snapshots.append(spark, dir, kv(1 -> "a", 2 -> "b"))
+    Snapshots.appendBatch(spark, dir, kv(3 -> "c"), batchId = 0)
+    // update id=2, insert id=4; the dir holding id=1,2 rewrites, the
+    // batch dir (no match) carries by reference with its tag intact
+    val v3 = Snapshots.upsert(spark, dir, kv(2 -> "B2", 4 -> "d"), Seq("id"))
+    assert(v3 === 3)
+    val got = Snapshots.read(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "a", 2 -> "B2", 3 -> "c", 4 -> "d"))
+    // untouched batch dir carried by reference, tag preserved
+    assert(Snapshots.liveDirs(spark, dir, 3).exists(_.startsWith("data/c-b0-")))
+    // pre-upsert version still shows the old value (time travel)
+    val old = Snapshots.read(spark, dir, Some(2)).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(old === Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    // no-match upsert = pure insert, nothing rewrites
+    val dirsBefore = Snapshots.liveDirs(spark, dir, 3).toSet
+    Snapshots.upsert(spark, dir, kv(9 -> "z"), Seq("id"))
+    val dirsAfter = Snapshots.liveDirs(spark, dir, 4).toSet
+    assert(dirsBefore.subsetOf(dirsAfter), "pure insert must not rewrite")
+  }
+
   test("snapshot reads prune columns and push filters like any parquet scan") {
     val dir = freshDir()
     Snapshots.append(spark, dir,

@@ -244,15 +244,36 @@ object Snapshots {
     * keeps its new dir alongside the merged one. Returns the new
     * version, or the current one when there is nothing to merge. */
   def compact(spark: SparkSession, dir: String,
-              targetPartitions: Int = 0): Int = {
+              targetPartitions: Int = 0,
+              zorderCols: Seq[String] = Nil, zorderBits: Int = 16): Int = {
     val base = latestVersion(spark, dir)
     require(base > 0, s"table at $dir has no commits")
     val lines = manifestLines(spark, dir, base)
     val dirs = lines.filterNot(isMeta)
     if (dirs.size < 2) return base
     val merged0 = spark.read.parquet(dirs.map(d => new Path(dir, d).toString): _*)
+    // The OPTIMIZE-ZORDER composition: compaction already pays the full
+    // read+write, so re-clustering rides along for one range shuffle —
+    // after it, a min/max manifest prunes on every z-dimension
+    // (Layout.zOrder + DataSkipping pair). Plain compaction keeps
+    // arrival order and uses coalesce (no shuffle at all).
+    import org.apache.spark.sql.functions.col
     val merged =
-      if (targetPartitions > 0) merged0.coalesce(targetPartitions) else merged0
+      if (zorderCols.size >= 2) {
+        val zb = Layout.minMaxBucket(merged0, zorderCols, zorderBits)
+        Layout.zOrder(zb, zorderCols.map(c => s"${c}_zb"), zorderBits,
+            partitions = if (targetPartitions > 0) Some(targetPartitions) else None)
+          .drop(zorderCols.map(c => s"${c}_zb"): _*)
+      } else if (zorderCols.size == 1) {
+        // one dimension: z-order degenerates to a plain range-cluster
+        val ranged =
+          if (targetPartitions > 0)
+            merged0.repartitionByRange(targetPartitions, col(zorderCols.head))
+          else merged0.repartitionByRange(col(zorderCols.head))
+        ranged.sortWithinPartitions(zorderCols.head)
+      }
+      else if (targetPartitions > 0) merged0.coalesce(targetPartitions)
+      else merged0
     val name = s"$DataDir/c-${UUID.randomUUID().toString.take(18)}"
     merged.write.mode("errorifexists").parquet(new Path(dir, name).toString)
     val absorbed = dirs.toSet

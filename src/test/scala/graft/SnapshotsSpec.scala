@@ -276,6 +276,29 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order compaction clusters the merged dir so min/max stats can prune") {
+    val dir = freshDir()
+    import org.apache.spark.sql.functions.rand
+    // two commits of shuffled ids: arrival order has no clustering
+    val base = spark.range(0, 2000).select(col("id"))
+      .orderBy(rand(42)).cache()
+    Snapshots.append(spark, dir, base.limit(1000))
+    Snapshots.append(spark, dir, base.except(base.limit(1000)))
+    val v = Snapshots.compact(spark, dir, targetPartitions = 4,
+      zorderCols = Seq("id"), zorderBits = 8)
+    assert(idSet(Snapshots.read(spark, dir).selectExpr("cast(id as int) as id"))
+      === (0 until 2000).toSet)
+    // each of the 4 z-ordered files should cover a narrow id range:
+    // a file-stats manifest must show disjoint-ish min/max footprints
+    val mani = graft.warehouse.DataSkipping.buildManifest(spark,
+      new Path(dir, Snapshots.liveDirs(spark, dir, v).head).toString, Seq("id"))
+    val spans = mani.select("id_min", "id_max").collect()
+      .map(r => r.getLong(1) - r.getLong(0))
+    assert(spans.length === 4)
+    assert(spans.forall(_ < 1200),
+      s"z-ordered files must be range-clustered, got spans ${spans.toSeq}")
+  }
+
   test("upsert replaces matched keys and inserts new ones in one commit") {
     val dir = freshDir()
     def kv(rows: (Int, String)*) = rows.toSeq.toDF("id", "v")

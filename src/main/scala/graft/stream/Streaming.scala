@@ -61,6 +61,27 @@ object Streaming {
       .trigger(trigger)
       .queryName("snapshot-sink")
 
+  /** Streaming MERGE INTO: each micro-batch upserts into the versioned
+    * table by `keyCols`, exactly once per batch id — the CDC-into-
+    * warehouse sink. Feed it latest-per-key batches (e.g. a changelog
+    * reduced by `Star.latestPerKey` inside the batch) and the table
+    * converges to current state with full version history; replays are
+    * suppressed by the batch record even after later batches committed,
+    * so an old batch can never clobber newer values. */
+  def upsertSink(df: DataFrame, tableDir: String, chkDir: String,
+                 keyCols: Seq[String],
+                 trigger: Trigger = Trigger.AvailableNow())
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.warehouse.Snapshots.upsertBatch(
+          batch.sparkSession, tableDir, batch, batchId, keyCols): Unit
+      }
+      .option("checkpointLocation", chkDir)
+      .outputMode("update")
+      .trigger(trigger)
+      .queryName("upsert-sink")
+
   /** ST6: start the two fan-in queries (validated-all, rejected-all). */
   def startRoutes(routed: Routed, outDir: String, chkDir: String,
                   trigger: Trigger = Trigger.ProcessingTime("5 seconds"))

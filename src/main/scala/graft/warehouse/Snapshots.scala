@@ -361,7 +361,29 @@ object Snapshots {
     * same as SQL MERGE's multiple-match error, but unchecked here to
     * keep the probe single-pass. */
   def upsert(spark: SparkSession, dir: String, source: DataFrame,
-             keyCols: Seq[String]): Int = {
+             keyCols: Seq[String]): Int =
+    upsertImpl(spark, dir, source, keyCols, Seq.empty)
+
+  /** One STREAMING micro-batch applied as a keyed upsert, exactly once
+    * per `batchId` — the CDC-into-warehouse shape: a changelog stream's
+    * latest-per-key batches merge into the versioned table, replays
+    * are suppressed by the `#batch:<id>` manifest record. Unlike
+    * [[appendBatch]] the commit dir carries no tag (an upsert's dir
+    * REPLACES older rows, so it is not a pure append marker); the
+    * record alone is the idempotence token. Replay suppression matters
+    * more here than for appends: re-applying batch N after batch N+1
+    * committed would clobber newer values with older ones. */
+  def upsertBatch(spark: SparkSession, dir: String, df: DataFrame,
+                  batchId: Long, keyCols: Seq[String]): Int = {
+    val record = s"$BatchMetaPrefix$batchId"
+    val tip = latestVersion(spark, dir)
+    if (tip == 0) return appendBatch(spark, dir, df, batchId)
+    if (manifestLines(spark, dir, tip).contains(record)) return tip
+    upsertImpl(spark, dir, df, keyCols, Seq(record))
+  }
+
+  private def upsertImpl(spark: SparkSession, dir: String, source: DataFrame,
+                         keyCols: Seq[String], extraMeta: Seq[String]): Int = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val base = latestVersion(spark, dir)
     require(base > 0, s"table at $dir has no commits")
@@ -391,8 +413,9 @@ object Snapshots {
       d -> name
     }.toMap
     val newDir = writeCommitDir(spark, dir, source)
-    publish(spark, dir, base, swapStrict(rewritten, lines) :+ newDir,
-      tipLines => swapStrict(rewritten, tipLines) :+ newDir)
+    publish(spark, dir, base,
+      swapStrict(rewritten, lines) :+ newDir :++ extraMeta,
+      tipLines => swapStrict(rewritten, tipLines) :+ newDir :++ extraMeta)
   }
 
   /** Name for a dir that REPLACES `source` in the manifest. Preserves

@@ -324,6 +324,49 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(dirsBefore.subsetOf(dirsAfter), "pure insert must not rewrite")
   }
 
+  test("upsertBatch: a replayed old batch never clobbers newer values") {
+    val dir = freshDir()
+    def kv(rows: (Int, String)*) = rows.toSeq.toDF("id", "v")
+    Snapshots.upsertBatch(spark, dir, kv(1 -> "a"), 0, Seq("id"))
+    Snapshots.upsertBatch(spark, dir, kv(1 -> "b", 2 -> "c"), 1, Seq("id"))
+    // at-least-once delivery replays batch 0 AFTER batch 1 committed:
+    // the record suppresses it, so id=1 keeps the newer value
+    val tip = Snapshots.latestVersion(spark, dir)
+    assert(Snapshots.upsertBatch(spark, dir, kv(1 -> "a"), 0, Seq("id")) === tip)
+    val got = Snapshots.read(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "b", 2 -> "c"))
+  }
+
+  test("upsertSink streams CDC micro-batches into exactly-once upserts") {
+    val src = java.nio.file.Files.createTempDirectory("graft-upsink-src").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-upsink-chk").toString
+    val table = freshDir() + "/cdc_table"
+    def run(): Unit = {
+      val stream = spark.readStream.schema("id INT, v STRING").json(src)
+      val q = graft.stream.Streaming.upsertSink(stream, table, chk, Seq("id")).start()
+      q.awaitTermination(60000)
+    }
+    def state(): Map[Int, String] = Snapshots.read(spark, table).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/b0.json"),
+      "{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}")
+    run()
+    assert(state() === Map(1 -> "a", 2 -> "b"))
+    val vAfterFirst = Snapshots.latestVersion(spark, table)
+    // restart with the same checkpoint, no new data: no new commits
+    run()
+    assert(Snapshots.latestVersion(spark, table) === vAfterFirst)
+    // update one key, insert another → converged current state
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/b1.json"),
+      "{\"id\":2,\"v\":\"B2\"}\n{\"id\":3,\"v\":\"c\"}")
+    run()
+    assert(state() === Map(1 -> "a", 2 -> "B2", 3 -> "c"))
+    // pre-merge version still shows the old value (time travel)
+    assert(Snapshots.read(spark, table, Some(vAfterFirst)).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap === Map(1 -> "a", 2 -> "b"))
+  }
+
   test("snapshot reads prune columns and push filters like any parquet scan") {
     val dir = freshDir()
     Snapshots.append(spark, dir,

@@ -52,14 +52,32 @@ object Snapshots {
 
   /** Manifest lines starting with `#` are METADATA records, not data
     * dirs: readers skip them, commits carry them forward. The one
-    * record type today is `#batch:<id>` — written by [[appendBatch]]
-    * so replay suppression survives rewrites ([[deleteWhere]],
+    * record type today is `#batch:<id>` — the HIGHEST micro-batch id
+    * committed so far, written by [[appendBatch]]/[[upsertBatch]] so
+    * replay suppression survives rewrites ([[deleteWhere]],
     * [[compact]], [[overwrite]]) that rename or absorb the tagged data
-    * dir a replay would otherwise look for. O(#micro-batches) short
-    * lines — the same growth class as the log itself. */
+    * dir a replay would otherwise look for. ONE record, not one per
+    * batch: foreachBatch ids are monotonic per query and the table has
+    * one streaming writer, so `batchId <= recorded max` decides replay
+    * in O(1) metadata — the same design as Delta's per-app txn
+    * version. A million micro-batches cost one manifest line, not a
+    * million. */
   private val MetaPrefix = "#"
   private val BatchMetaPrefix = "#batch:"
   private def isMeta(line: String): Boolean = line.startsWith(MetaPrefix)
+
+  private def maxRecordedBatch(lines: Seq[String]): Option[Long] =
+    lines.iterator.filter(_.startsWith(BatchMetaPrefix))
+      .flatMap(_.stripPrefix(BatchMetaPrefix).toLongOption)
+      .maxOption
+
+  /** `lines` with the batch record advanced to `batchId` (older
+    * records pruned — only the max carries suppression information). */
+  private def withBatchRecord(lines: Seq[String], batchId: Long): Seq[String] = {
+    val recorded = maxRecordedBatch(lines).getOrElse(Long.MinValue)
+    lines.filterNot(_.startsWith(BatchMetaPrefix)) :+
+      s"$BatchMetaPrefix${math.max(recorded, batchId)}"
+  }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -109,14 +127,13 @@ object Snapshots {
   def liveDirs(spark: SparkSession, dir: String, version: Int): Seq[String] =
     manifestLines(spark, dir, version).filterNot(isMeta)
 
-  /** Batch ids recorded as committed at `version` (see
-    * [[BatchMetaPrefix]]). Tables written before the record existed
-    * have none — [[appendBatch]] also accepts the legacy dir tag. */
-  def committedBatchIds(spark: SparkSession, dir: String,
-                        version: Int): Set[Long] =
-    manifestLines(spark, dir, version).iterator
-      .filter(_.startsWith(BatchMetaPrefix))
-      .flatMap(_.stripPrefix(BatchMetaPrefix).toLongOption).toSet
+  /** Highest micro-batch id recorded as committed at `version` (see
+    * [[BatchMetaPrefix]]); None for tables with no batch commits.
+    * Tables written before the record existed rely on [[appendBatch]]'s
+    * legacy dir-tag check instead. */
+  def lastBatchId(spark: SparkSession, dir: String,
+                  version: Int): Option[Long] =
+    maxRecordedBatch(manifestLines(spark, dir, version))
 
   /** Publish `lines` (data dirs + metadata records) as the next version
     * on top of `base`. Returns the committed version. Retries past
@@ -192,25 +209,27 @@ object Snapshots {
     * normal retry.
     *
     * Idempotence is double-keyed: the commit writes BOTH a `c-b<id>-`
-    * dir-name tag and a `#batch:<id>` manifest record. The record is
-    * what survives rewrites — a [[compact]] absorbs the tagged dir into
-    * an untagged merged dir, and an [[overwrite]] drops it entirely,
-    * but both carry the records forward, so a replay is still
-    * suppressed. The tag alone also suffices (legacy tables). */
+    * dir-name tag and advances the `#batch:<max id>` manifest record.
+    * The record is what survives rewrites — a [[compact]] absorbs the
+    * tagged dir into an untagged merged dir, and an [[overwrite]] drops
+    * it entirely, but both carry the record forward, so a replay is
+    * still suppressed. Suppression is `batchId <= recorded max`, which
+    * is exact because foreachBatch ids are monotonic per query and a
+    * snapshot table has ONE streaming writer; the tag alone also
+    * suffices (legacy tables). */
   def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
                   batchId: Long): Int = {
     val tag = s"c-b$batchId-"
-    val record = s"$BatchMetaPrefix$batchId"
     val tip = latestVersion(spark, dir)
     val lines = if (tip == 0) Seq.empty else manifestLines(spark, dir, tip)
     def alreadyCommitted(ls: Seq[String]): Boolean =
-      ls.contains(record) ||
+      maxRecordedBatch(ls).exists(batchId <= _) ||
         ls.exists(l => !isMeta(l) && l.startsWith(s"$DataDir/$tag"))
     if (alreadyCommitted(lines)) return tip
     val name = s"$DataDir/$tag${UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(new Path(dir, name).toString)
-    publish(spark, dir, tip, lines :+ name :+ record,
-      tipLines => tipLines :+ name :+ record)
+    publish(spark, dir, tip, withBatchRecord(lines :+ name, batchId),
+      tipLines => withBatchRecord(tipLines :+ name, batchId))
   }
 
   /** Replace the table's contents with `df`. Prior data dirs stay on
@@ -362,7 +381,7 @@ object Snapshots {
     * keep the probe single-pass. */
   def upsert(spark: SparkSession, dir: String, source: DataFrame,
              keyCols: Seq[String]): Int =
-    upsertImpl(spark, dir, source, keyCols, Seq.empty)
+    upsertImpl(spark, dir, source, keyCols, None)
 
   /** One STREAMING micro-batch applied as a keyed upsert, exactly once
     * per `batchId` — the CDC-into-warehouse shape: a changelog stream's
@@ -375,15 +394,15 @@ object Snapshots {
     * committed would clobber newer values with older ones. */
   def upsertBatch(spark: SparkSession, dir: String, df: DataFrame,
                   batchId: Long, keyCols: Seq[String]): Int = {
-    val record = s"$BatchMetaPrefix$batchId"
     val tip = latestVersion(spark, dir)
     if (tip == 0) return appendBatch(spark, dir, df, batchId)
-    if (manifestLines(spark, dir, tip).contains(record)) return tip
-    upsertImpl(spark, dir, df, keyCols, Seq(record))
+    if (maxRecordedBatch(manifestLines(spark, dir, tip)).exists(batchId <= _))
+      return tip
+    upsertImpl(spark, dir, df, keyCols, Some(batchId))
   }
 
   private def upsertImpl(spark: SparkSession, dir: String, source: DataFrame,
-                         keyCols: Seq[String], extraMeta: Seq[String]): Int = {
+                         keyCols: Seq[String], batchRecord: Option[Long]): Int = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val base = latestVersion(spark, dir)
     require(base > 0, s"table at $dir has no commits")
@@ -413,9 +432,11 @@ object Snapshots {
       d -> name
     }.toMap
     val newDir = writeCommitDir(spark, dir, source)
-    publish(spark, dir, base,
-      swapStrict(rewritten, lines) :+ newDir :++ extraMeta,
-      tipLines => swapStrict(rewritten, tipLines) :+ newDir :++ extraMeta)
+    def finish(ls: Seq[String]): Seq[String] = {
+      val swapped = swapStrict(rewritten, ls) :+ newDir
+      batchRecord.fold(swapped)(withBatchRecord(swapped, _))
+    }
+    publish(spark, dir, base, finish(lines), finish)
   }
 
   /** Name for a dir that REPLACES `source` in the manifest. Preserves
@@ -449,13 +470,19 @@ object Snapshots {
     lines.map(d => rewritten.getOrElse(d, d))
   }
 
-  /** Read the table at `version` (default: latest). */
+  /** Read the table at `version` (default: latest). `mergeSchema`
+    * unions the schemas of all live commit dirs — the schema-evolution
+    * read: commits written before a column existed surface it as NULL.
+    * Off by default because schema merging footer-reads every file up
+    * front; turn it on only for tables that actually evolved. */
   def read(spark: SparkSession, dir: String,
-           version: Option[Int] = None): DataFrame = {
+           version: Option[Int] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, dir))
     require(v > 0, s"table at $dir has no commits")
     val dirs = liveDirs(spark, dir, v).map(d => new Path(dir, d).toString)
-    spark.read.parquet(dirs: _*)
+    val r = spark.read
+    (if (mergeSchema) r.option("mergeSchema", "true") else r).parquet(dirs: _*)
   }
 
   /** Rows added after `fromVersion` up to and including `toVersion` —

@@ -250,9 +250,9 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2, 3, 4))
     // time travel below the compaction still works
     assert(idSet(Snapshots.read(spark, dir, Some(2))) === Set(1, 2, 3))
-    // the absorbed dirs' batch tags are gone, but the manifest records
-    // survive — a replayed micro-batch must still be suppressed
-    assert(Snapshots.committedBatchIds(spark, dir, 4) === Set(0L, 1L))
+    // the absorbed dirs' batch tags are gone, but the manifest record
+    // survives — a replayed micro-batch must still be suppressed
+    assert(Snapshots.lastBatchId(spark, dir, 4) === Some(1L))
     val vReplay = Snapshots.appendBatch(spark, dir, df(1, 2), batchId = 0)
     assert(vReplay === 4, "replay after compaction must not re-append")
     assert(idSet(Snapshots.read(spark, dir)) === Set(1, 2, 3, 4))
@@ -264,7 +264,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val dir = freshDir()
     Snapshots.appendBatch(spark, dir, df(1), batchId = 7)
     Snapshots.overwrite(spark, dir, df(9))
-    assert(Snapshots.committedBatchIds(spark, dir, 2) === Set(7L))
+    assert(Snapshots.lastBatchId(spark, dir, 2) === Some(7L))
     assert(Snapshots.appendBatch(spark, dir, df(1), batchId = 7) === 2,
       "overwrite must not forget committed batches")
     assert(idSet(Snapshots.read(spark, dir)) === Set(9))
@@ -365,6 +365,18 @@ class SnapshotsSpec extends AnyFunSuite {
     // pre-merge version still shows the old value (time travel)
     assert(Snapshots.read(spark, table, Some(vAfterFirst)).collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap === Map(1 -> "a", 2 -> "b"))
+  }
+
+  test("mergeSchema read unions evolved schemas; pre-evolution rows read NULL") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, Seq(1, 2).toDF("id"))
+    Snapshots.append(spark, dir,
+      Seq((3, "x")).toDF("id", "extra"))
+    val df = Snapshots.read(spark, dir, mergeSchema = true)
+    assert(df.columns.toSet === Set("id", "extra"))
+    val got = df.collect().map(r => r.getInt(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got === Map(1 -> null, 2 -> null, 3 -> "x"))
   }
 
   test("snapshot reads prune columns and push filters like any parquet scan") {

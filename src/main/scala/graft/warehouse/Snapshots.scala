@@ -485,6 +485,29 @@ object Snapshots {
     (if (mergeSchema) r.option("mergeSchema", "true") else r).parquet(dirs: _*)
   }
 
+  /** Latest version whose manifest was committed at or before
+    * `tsMillis` (epoch millis) — timestamp-based time travel, resolved
+    * from manifest file modification times (the rename IS the commit,
+    * so its mtime is the commit time). Throws if the table has no
+    * commit that old. One log listing; no data touched. */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val log = new Path(dir, LogDir)
+    val f = fs(spark, dir)
+    require(f.exists(log), s"table at $dir has no commits")
+    val at = f.listStatus(log).iterator
+      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getModificationTime))
+      .filter(_._2 <= tsMillis)
+      .foldLeft(0)((acc, v) => math.max(acc, v._1))
+    require(at > 0,
+      s"no version of $dir committed at or before epoch-millis $tsMillis")
+    at
+  }
+
+  /** Read the table as of a wall-clock instant (see [[versionAsOf]]). */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long,
+               mergeSchema: Boolean = false): DataFrame =
+    read(spark, dir, Some(versionAsOf(spark, dir, tsMillis)), mergeSchema)
+
   /** Rows added after `fromVersion` up to and including `toVersion` —
     * the incremental change feed. Requires every manifest in the range
     * to be append-only (a superset of its predecessor): an `overwrite`

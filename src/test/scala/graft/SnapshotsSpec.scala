@@ -367,6 +367,22 @@ class SnapshotsSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getString(1)).toMap === Map(1 -> "a", 2 -> "b"))
   }
 
+  test("readAsOf resolves versions by commit wall-clock time") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1))
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    Snapshots.append(spark, dir, df(2))
+    assert(Snapshots.versionAsOf(spark, dir, between) === 1)
+    assert(idSet(Snapshots.readAsOf(spark, dir, between)) === Set(1))
+    assert(idSet(Snapshots.readAsOf(spark, dir, System.currentTimeMillis()))
+      === Set(1, 2))
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(spark, dir, 0L) // before the first commit
+    }
+  }
+
   test("mergeSchema read unions evolved schemas; pre-evolution rows read NULL") {
     val dir = freshDir()
     Snapshots.append(spark, dir, Seq(1, 2).toDF("id"))
@@ -377,6 +393,23 @@ class SnapshotsSpec extends AnyFunSuite {
     val got = df.collect().map(r => r.getInt(0) ->
       (if (r.isNullAt(1)) null else r.getString(1))).toMap
     assert(got === Map(1 -> null, 2 -> null, 3 -> "x"))
+  }
+
+  test("8 concurrent appenders all land: no lost commits under real contention") {
+    val dir = freshDir()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futs = (1 to 8).map { i =>
+      Future(Snapshots.append(spark, dir, df(i)))
+    }
+    val versions = Await.result(Future.sequence(futs), 120.seconds)
+    // every committer got a distinct version 1..8 (the rename race is
+    // the serialization point; losers rebase and retry)
+    assert(versions.sorted === (1 to 8))
+    assert(Snapshots.latestVersion(spark, dir) === 8)
+    assert(idSet(Snapshots.read(spark, dir)) === (1 to 8).toSet)
   }
 
   test("snapshot reads prune columns and push filters like any parquet scan") {

@@ -113,13 +113,16 @@ object TextDedup {
     * Scale shape: one posexplode of sliding windows, ONE count aggregate
     * on the window text (map-side partials), a semi-join of the window
     * stream against the (small — only >= minCount survivors) repeated
-    * set, and a per-doc covered-position aggregate joined back onto the
+    * set, and a per-doc covered-INTERVAL aggregate joined back onto the
     * token projection. The corpus is never pairwise-compared; everything
-    * keys on window text or doc id. Covered positions are materialized
-    * per doc as a distinct-int array (bounded by doc length; an interval
-    * representation would shrink the worst all-boilerplate case n× and
-    * drops in transparently if that shape ever dominates). The rebuild
-    * is a narrow per-row HOF — no token ever shuffles for reassembly. */
+    * keys on window text or doc id. Coverage is carried as MERGED
+    * [lo,hi] intervals, not per-position ints: the agg buffer holds one
+    * struct per covered window (not n ints per window) and the merged
+    * result is O(#spans) — in the worst all-boilerplate case (the whole
+    * doc one repeated region) a single interval, where the position-set
+    * form held the entire doc length. The rebuild slices the inter-span
+    * gaps out of the token array — a narrow per-row HOF; no token ever
+    * shuffles for reassembly. */
   def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
                           n: Int = 8, minCount: Long = 2): DataFrame = {
     require(n >= 1 && minCount >= 2, "need n >= 1 and minCount >= 2")
@@ -133,16 +136,41 @@ object TextDedup {
       .select(col("sh"))
     val covered = windows.join(repeated, Seq("sh"), "left_semi")
       .groupBy(col("id"))
-      .agg(array_distinct(flatten(collect_list(
-        sequence(col("s"), col("s") + (n - 1))))).as("cov"))
+      .agg(sort_array(collect_list(struct(
+        col("s").as("lo"), (col("s") + (n - 1)).as("hi")))).as("ivs"))
+      .select(col("id"), mergeIntervals(col("ivs")).as("ivs"))
     toks.join(covered, Seq("id"), "left")
       .select(col("id"),
-        when(col("cov").isNull, concat_ws(" ", col("toks")))
-          .otherwise(concat_ws(" ", transform(
-            array_sort(array_except(
-              sequence(lit(0), size(col("toks")) - 1), col("cov"))),
-            p => element_at(col("toks"), p + 1)))).as("clean"))
+        when(col("ivs").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ",
+            flatten(gapSlices(col("toks"), col("ivs"))))).as("clean"))
   }
+
+  /** Fold sorted [lo,hi] intervals into their merged union (touching
+    * intervals coalesce: lo <= prev.hi + 1). Input must be sorted by
+    * lo — `sort_array` on the struct gives exactly that order. */
+  private def mergeIntervals(ivs: Column): Column =
+    aggregate(ivs,
+      array().cast("array<struct<lo:int,hi:int>>"),
+      (acc, iv) => when(size(acc) === 0, array(iv)).otherwise(
+        when(iv.getField("lo") <= element_at(acc, -1).getField("hi") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+            element_at(acc, -1).getField("lo").as("lo"),
+            greatest(element_at(acc, -1).getField("hi"),
+              iv.getField("hi")).as("hi")))))
+          .otherwise(concat(acc, array(iv)))))
+
+  /** The kept token runs BETWEEN merged covered intervals: gap i spans
+    * (prev interval's hi)+1 .. (next interval's lo)-1, with the doc
+    * edges as sentinels. Empty gaps slice to empty arrays. */
+  private def gapSlices(toks: Column, ivs: Column): Column =
+    transform(sequence(lit(0), size(ivs)), i => {
+      val gapStart = when(i === 0, lit(0))
+        .otherwise(element_at(ivs, i).getField("hi") + 1)
+      val gapEnd = when(i === size(ivs), size(toks) - 1)
+        .otherwise(element_at(ivs, i + 1).getField("lo") - 1)
+      slice(toks, gapStart + 1, greatest(gapEnd - gapStart + 1, lit(0)))
+    })
 
   /** MinHash signature: lane i = min over shingles of xxhash64(i, h(shingle)).
     * Each shingle STRING is hashed exactly once; the H lanes re-hash the

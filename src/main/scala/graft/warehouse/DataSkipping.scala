@@ -115,7 +115,7 @@ object DataSkipping {
   }
 
   /** The band predicate as a residual filter Column. */
-  private def bandFilter(bands: Seq[Band]): Column =
+  private[warehouse] def bandFilter(bands: Seq[Band]): Column =
     bands.map { b =>
       val loOk = b.lo.map(v => col(b.column) >= lit(v)).getOrElse(lit(true))
       val hiOk = b.hi.map(v => col(b.column) <= lit(v)).getOrElse(lit(true))

@@ -28,15 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * A reader of version N opens manifest N and scans exactly the listed
   * directories. A commit writes its data directory FIRST, then publishes
-  * a new manifest via write-temp + atomic rename; the rename is the
-  * commit point. A crash before the rename leaves an orphan data dir
-  * that no manifest references — invisible to every reader, reclaimable
-  * by `vacuum`. Concurrent committers race on the rename (HDFS/local
-  * rename fails if the destination exists); the loser re-reads the log
-  * and retries on top of the winner — optimistic concurrency, identical
-  * in spirit to Delta's log-entry race. (On S3, rename is not atomic:
-  * front this with a conditional-PUT or a catalog as every table format
-  * does there.)
+  * a new manifest via write-temp + an atomic claim of the version file
+  * (HDFS: rename, which fails server-side on an existing destination;
+  * local FS: POSIX hard link, which fails EEXIST — Hadoop's local
+  * rename is check-then-rename and NOT atomic under contention; see
+  * `commitRename`). The claim is the commit point. A crash before it
+  * leaves an orphan data dir that no manifest references — invisible to
+  * every reader, reclaimable by `vacuum`. Concurrent committers race on
+  * the claim; the loser re-reads the log and retries on top of the
+  * winner — optimistic concurrency, identical in spirit to Delta's
+  * log-entry race. (On S3, neither primitive is atomic: front this with
+  * a conditional-PUT or a catalog as every table format does there.)
   *
   * Scale: metadata is O(commits) driver-side KBs (like a Delta JSON
   * log); appends never rewrite data; time travel costs one manifest
@@ -109,18 +111,39 @@ object Snapshots {
   }
 
   /** Raw manifest lines at `version`: data-dir lines plus `#`-prefixed
-    * metadata records, in file order. */
+    * metadata records, in file order.
+    *
+    * The read retries transient ChecksumExceptions: Hadoop's LOCAL
+    * filesystem keeps checksums in `.crc` sidecar files and renames the
+    * data file and its sidecar as two operations, so a reader racing a
+    * committer's rename can briefly see a manifest paired with a stale
+    * sidecar (found by the 8-way concurrent-append stress spec). The
+    * file content itself is never torn — rename is atomic — only the
+    * sidecar lags; one re-read lands after the sidecar settles. HDFS
+    * (block-level checksums) and object stores (no sidecars) don't
+    * have this window. */
   private[graft] def manifestLines(spark: SparkSession, dir: String,
                                    version: Int): Seq[String] = {
     val p = manifestPath(dir, version)
     val f = fs(spark, dir)
     require(f.exists(p), s"no version $version at $dir")
-    val in = f.open(p)
-    try {
-      val text = new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-    } finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        val in = f.open(p)
+        try {
+          val text = new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+          return text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        } finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Live commit-dir names (relative to `dir`) at `version`. */
@@ -156,7 +179,7 @@ object Snapshots {
         (attemptLines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
       val target = manifestPath(dir, attemptBase + 1)
-      if (f.rename(tmp, target)) return attemptBase + 1
+      if (commitRename(f, tmp, target)) { f.delete(tmp, false); return attemptBase + 1 }
       f.delete(tmp, false)
       val tip = latestVersion(spark, dir)
       if (tip == attemptBase)
@@ -176,6 +199,31 @@ object Snapshots {
     sys.error(s"commit to $dir lost $MaxCommitRetries manifest races; " +
       "giving up (pathological contention — serialize your writers)")
   }
+
+  /** Atomically claim `target` with `tmp`'s content; false if another
+    * committer claimed it first. On HDFS/ABFS the plain rename IS the
+    * atomic claim (server-side, fails on existing destination). On the
+    * LOCAL filesystem Hadoop's rename is check-then-rename(2) — a
+    * TOCTOU hole where two concurrent renames to the same absent
+    * target BOTH return true and one manifest silently vanishes (found
+    * by the 8-way concurrent-append stress spec) — so local commits
+    * claim via POSIX hard link instead, which the kernel rejects with
+    * EEXIST atomically. The link also sidesteps the `.crc` sidecar
+    * lag (no sidecar is created for the target; Hadoop reads happily
+    * without one). On S3, NEITHER primitive is atomic — front the log
+    * with a conditional PUT or a catalog, as every table format does. */
+  private def commitRename(f: FileSystem, tmp: Path, target: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => f.rename(tmp, target)
+      }
+    } else f.rename(tmp, target)
 
   private def writeCommitDir(spark: SparkSession, dir: String,
                              df: DataFrame): String = {
@@ -535,6 +583,53 @@ object Snapshots {
     spark.read.parquet(dirs: _*)
   }
 
+  private val StatsDir = "_stats"
+
+  /** Per-file min/max/null-count stats for the table's live files,
+    * maintained INCREMENTALLY: commit dirs are immutable, so each dir's
+    * stats are computed once, cached as
+    * `_stats/<dirName>.<colsHash>.parquet`, and reused forever; a run
+    * after k new commits stats only those k dirs — O(delta) upkeep,
+    * the cost model of Delta's stats-in-log. Returns the live
+    * manifest (one row per live data file) for
+    * [[DataSkipping.selectFiles]]-style pruning; [[skipRead]] is the
+    * packaged read path. The cols hash keys the cache so different
+    * stat-column sets never collide. Stats of vacuumed dirs are
+    * reclaimed by [[vacuum]]. */
+  def statsManifest(spark: SparkSession, dir: String, statCols: Seq[String],
+                    version: Option[Int] = None): DataFrame = {
+    require(statCols.nonEmpty, "statsManifest needs at least one stat column")
+    val v = version.getOrElse(latestVersion(spark, dir))
+    require(v > 0, s"table at $dir has no commits")
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, StatsDir))
+    val colsHash = java.lang.Integer.toHexString(statCols.mkString(",").hashCode)
+    val paths = liveDirs(spark, dir, v).map { d =>
+      val name = d.stripPrefix(s"$DataDir/")
+      val sp = new Path(dir, s"$StatsDir/$name.$colsHash.parquet")
+      if (!f.exists(sp))
+        DataSkipping.buildManifest(spark, new Path(dir, d).toString, statCols)
+          .write.mode("overwrite").parquet(sp.toString)
+      sp.toString
+    }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Stats-pruned range read of the snapshot table: scan only the live
+    * files whose min/max footprint overlaps `bands`, re-apply the full
+    * predicate. Result is IDENTICAL to `read(...).filter(bands)` —
+    * only the I/O differs (see [[DataSkipping.skipRead]]). */
+  def skipRead(spark: SparkSession, dir: String,
+               bands: Seq[DataSkipping.Band],
+               version: Option[Int] = None): DataFrame = {
+    val mani = statsManifest(spark, dir, bands.map(_.column).distinct, version)
+    val files = DataSkipping.selectFiles(mani, bands)
+    val base =
+      if (files.isEmpty) read(spark, dir, version).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(DataSkipping.bandFilter(bands))
+  }
+
   /** Default vacuum grace period: matches Delta VACUUM's 7-day default
     * (and Iceberg's orphan-file convention). */
   val DefaultRetentionMs: Long = 7L * 24 * 3600 * 1000
@@ -577,6 +672,16 @@ object Snapshots {
           s.getModificationTime < cutoff)
         .map(_.getPath)
     orphans.foreach(p => f.delete(p, true))
+    // stats of vacuumed dirs are dead weight: a stats file's dir name
+    // is everything before the first '.' (dir names never contain one)
+    val statsRoot = new Path(dir, StatsDir)
+    if (f.exists(statsRoot)) f.listStatus(statsRoot).iterator
+      .filter { s =>
+        val dirName = s.getPath.getName.takeWhile(_ != '.')
+        !referenced.contains(s"$DataDir/$dirName") &&
+          s.getModificationTime < cutoff
+      }
+      .foreach(s => f.delete(s.getPath, true))
     orphans.length
   }
 }

@@ -412,6 +412,46 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(idSet(Snapshots.read(spark, dir)) === (1 to 8).toSet)
   }
 
+  test("statsManifest is incremental; skipRead prunes files without changing results") {
+    import graft.warehouse.DataSkipping
+    val dir = freshDir()
+    // two commits of disjoint id ranges → file stats separate them
+    Snapshots.append(spark, dir,
+      spark.range(0, 1000).toDF("id").coalesce(1))
+    Snapshots.append(spark, dir,
+      spark.range(5000, 6000).toDF("id").coalesce(1))
+    val statsPath = new Path(dir, "_stats")
+    val f = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mani1 = Snapshots.statsManifest(spark, dir, Seq("id"))
+    assert(mani1.count() === 2)
+    val mtimes1 = f.listStatus(statsPath).map(s =>
+      s.getPath.getName -> s.getModificationTime).toMap
+    // second run: nothing re-stats (immutable dirs, cached stats)
+    Snapshots.statsManifest(spark, dir, Seq("id"))
+    val mtimes2 = f.listStatus(statsPath).map(s =>
+      s.getPath.getName -> s.getModificationTime).toMap
+    assert(mtimes2 === mtimes1, "existing stats must not be recomputed")
+    // a third commit stats ONLY the new dir — O(delta) maintenance
+    Snapshots.append(spark, dir,
+      spark.range(9000, 9100).toDF("id").coalesce(1))
+    assert(Snapshots.statsManifest(spark, dir, Seq("id")).count() === 3)
+    assert(f.listStatus(statsPath).count(s =>
+      mtimes1.contains(s.getPath.getName)) === mtimes1.size)
+    // pruned read == plain filtered read; and it actually pruned
+    val bands = Seq(DataSkipping.Band("id", Some(5500L), Some(5600L)))
+    val got = Snapshots.skipRead(spark, dir, bands)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (5500L to 5600L))
+    val mani = Snapshots.statsManifest(spark, dir, Seq("id"))
+    assert(DataSkipping.selectFiles(mani, bands).size === 1,
+      "only the matching commit's file should survive the prune")
+    // vacuum reclaims the stats of vacuumed dirs
+    Snapshots.overwrite(spark, dir, spark.range(3).toDF("id"))
+    Snapshots.vacuum(spark, dir, keepFromVersion = 4, retentionMs = 0)
+    assert(f.listStatus(statsPath).isEmpty,
+      "stats of vacuumed dirs must be reclaimed")
+  }
+
   test("snapshot reads prune columns and push filters like any parquet scan") {
     val dir = freshDir()
     Snapshots.append(spark, dir,

@@ -615,6 +615,48 @@ object Snapshots {
     spark.read.parquet(paths: _*)
   }
 
+  /** Per-file bloom membership index over the table's live files, with
+    * the same incremental per-commit-dir cache discipline as
+    * [[statsManifest]] (`_stats/<dir>.bloom-<keyCol>-….parquet`) — the
+    * point-lookup complement: hash-distributed keys make min/max bands
+    * useless, the bloom says which files MIGHT hold a key. */
+  def bloomManifest(spark: SparkSession, dir: String, keyCol: String,
+                    expectedPerFile: Long = 1 << 20, fpp: Double = 0.03,
+                    version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, dir))
+    require(v > 0, s"table at $dir has no commits")
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, StatsDir))
+    val tag = s"bloom-$keyCol-$expectedPerFile-" +
+      java.lang.Integer.toHexString(fpp.toString.hashCode)
+    val paths = liveDirs(spark, dir, v).map { d =>
+      val name = d.stripPrefix(s"$DataDir/")
+      val sp = new Path(dir, s"$StatsDir/$name.$tag.parquet")
+      if (!f.exists(sp))
+        DataSkipping.buildBloomManifest(spark, new Path(dir, d).toString,
+            keyCol, expectedPerFile, fpp)
+          .write.mode("overwrite").parquet(sp.toString)
+      sp.toString
+    }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Bloom-pruned point lookup on the snapshot table — identical to
+    * `read(...).filter(keyCol IN keys)`, I/O bounded by the files whose
+    * membership index might hold a key (see
+    * [[DataSkipping.pointSkipRead]]). */
+  def pointSkipRead(spark: SparkSession, dir: String, keyCol: String,
+                    keys: Seq[Long], expectedPerFile: Long = 1 << 20,
+                    fpp: Double = 0.03,
+                    version: Option[Int] = None): DataFrame = {
+    val mani = bloomManifest(spark, dir, keyCol, expectedPerFile, fpp, version)
+    val files = DataSkipping.selectFilesByKeys(mani, keys)
+    val base =
+      if (files.isEmpty) read(spark, dir, version).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(org.apache.spark.sql.functions.col(keyCol).isin(keys: _*))
+  }
+
   /** Stats-pruned range read of the snapshot table: scan only the live
     * files whose min/max footprint overlaps `bands`, re-apply the full
     * predicate. Result is IDENTICAL to `read(...).filter(bands)` —

@@ -452,6 +452,25 @@ class SnapshotsSpec extends AnyFunSuite {
       "stats of vacuumed dirs must be reclaimed")
   }
 
+  test("bloomManifest point lookups prune files and match plain reads") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, spark.range(0, 1000).toDF("id").coalesce(1))
+    Snapshots.append(spark, dir, spark.range(5000, 6000).toDF("id").coalesce(1))
+    val got = Snapshots.pointSkipRead(spark, dir, "id", Seq(5500L, 7L),
+        expectedPerFile = 2048, fpp = 0.001)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(7L, 5500L))
+    // a key in neither file reads empty (bloom has no false negatives)
+    assert(Snapshots.pointSkipRead(spark, dir, "id", Seq(999999L),
+      expectedPerFile = 2048, fpp = 0.001).count() === 0)
+    // the bloom cache is per-dir and reused — second call writes nothing
+    val statsPath = new Path(dir, "_stats")
+    val f = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n1 = f.listStatus(statsPath).length
+    Snapshots.bloomManifest(spark, dir, "id", 2048, 0.001)
+    assert(f.listStatus(statsPath).length === n1)
+  }
+
   test("snapshot reads prune columns and push filters like any parquet scan") {
     val dir = freshDir()
     Snapshots.append(spark, dir,

@@ -1032,6 +1032,27 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x69_snapshot_skip" -> ((s, d) => {
+      // stats-pruned read on a VERSIONED table: three range-disjoint
+      // commits, per-commit stats built incrementally (each dir statted
+      // once, cached under _stats/), then a band predicate served by
+      // scanning only the overlapping commit's file. The oracle is the
+      // plain filter — skipping must never change the answer, only the
+      // I/O (the in-query index build is costed like x52's relayout).
+      import graft.warehouse.{DataSkipping, Snapshots}
+      val path = cachePath(d, "x69") + "/orders_skip"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      Snapshots.append(s, path, o.filter(col("o_orderkey") <= 5000).coalesce(1))
+      Snapshots.append(s, path,
+        o.filter(col("o_orderkey") > 5000 && col("o_orderkey") <= 10000).coalesce(1))
+      Snapshots.append(s, path, o.filter(col("o_orderkey") > 10000).coalesce(1))
+      Snapshots.skipRead(s, path,
+          Seq(DataSkipping.Band("o_orderkey", Some(6000L), Some(7000L))))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
     "x68_snapshot_upsert" -> ((s, d) => {
       // MERGE INTO on the snapshot table: seed with the keys ≡ 0 (mod
       // 3) slice, then upsert the keys ≡ 0 (mod 5) slice with +1000
@@ -2527,6 +2548,12 @@ object SparkEntry {
          |$duckComponentCtes
          |SELECT id AS vec_id, group_id FROM comp ORDER BY vec_id""".stripMargin
     },
+    // pruning is I/O-only: the answer is the plain band filter
+    "x69_snapshot_skip" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey BETWEEN 6000 AND 7000
+        |ORDER BY o_orderkey""".stripMargin,
     // final state = mod-5 slice at new prices ∪ mod-3-only slice at
     // original prices (2-decimal doubles round stably at 2dp)
     "x68_snapshot_upsert" ->

@@ -872,6 +872,24 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy(col("cntrycode"))
     }),
+    "s23_top_supplier" -> ((s, d) => {
+      // TPC-H Q15 shape: a revenue aggregate reused twice — once as
+      // the join input, once reduced to its max for the filter. The
+      // 1-row max broadcasts; no self-join of lineitem, no window over
+      // the fact. Revenue equality compares round(2dp) values, which
+      // are bit-stable cross-engine (0.01-quantized sums).
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
     "q17_range_frame" -> ((s, d) => {
       // RANGE window frame (value-bounded, vs q10/x45's ROWS frames):
       // each event's trailing 7-day activity count per user on the
@@ -2408,6 +2426,20 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-07-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the revenue CTE is shared by the join and the scalar max
+    "s23_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2000-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     // integer-seconds RANGE bounds (lesson 24 base) make frame
     // membership exact cross-engine; the count is a bigint
     "q17_range_frame" ->

@@ -556,6 +556,15 @@ object Snapshots {
                mergeSchema: Boolean = false): DataFrame =
     read(spark, dir, Some(versionAsOf(spark, dir, tsMillis)), mergeSchema)
 
+  /** Register the table as a temp view for `spark.sql` — the SQL
+    * surface over versioned tables (pin `version` for a time-travel
+    * view). The view captures the version's file list at registration;
+    * re-register to follow new commits. */
+  def registerView(spark: SparkSession, viewName: String, dir: String,
+                   version: Option[Int] = None,
+                   mergeSchema: Boolean = false): Unit =
+    read(spark, dir, version, mergeSchema).createOrReplaceTempView(viewName)
+
   /** Rows added after `fromVersion` up to and including `toVersion` —
     * the incremental change feed. Requires every manifest in the range
     * to be append-only (a superset of its predecessor): an `overwrite`

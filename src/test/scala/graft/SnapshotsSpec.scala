@@ -471,6 +471,16 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(f.listStatus(statsPath).length === n1)
   }
 
+  test("registerView exposes versioned tables to spark.sql, pinnable to a version") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, df(1, 2))
+    Snapshots.append(spark, dir, df(3))
+    Snapshots.registerView(spark, "snap_latest", dir)
+    Snapshots.registerView(spark, "snap_v1", dir, Some(1))
+    assert(spark.sql("SELECT count(*) FROM snap_latest").head.getLong(0) === 3)
+    assert(spark.sql("SELECT sum(id) FROM snap_v1").head.getLong(0) === 3)
+  }
+
   test("snapshot reads prune columns and push filters like any parquet scan") {
     val dir = freshDir()
     Snapshots.append(spark, dir,

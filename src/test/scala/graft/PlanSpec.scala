@@ -50,6 +50,14 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row avg threshold must broadcast, not shuffle:\n" + p)
   }
 
+  test("s23 top-supplier: scalar max broadcasts; supplier dim broadcasts") {
+    val p = plan(SparkEntry.queries("s23_top_supplier")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row max and the supplier dim must broadcast, not shuffle:\n" + p)
+    assert(p.contains("partial_sum"),
+      "revenue aggregate must map-side combine:\n" + p)
+  }
+
   test("whole-stage codegen spans the pricing summary aggregate") {
     val p = plan(SparkEntry.queries("s01_pricing_summary")(spark, sf))
     // codegen'd stages print as "*(n) " prefixes in the executed plan

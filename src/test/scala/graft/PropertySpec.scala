@@ -414,4 +414,23 @@ object PipelineProperties extends Properties("graft") {
       }.toMap
       cleaned == expect
     }
+
+  property("Snapshots.upsert == (base ANTI srcKeys) UNION src, any key overlap") =
+    forAll(
+      Gen.listOfN(8, Gen.choose(0, 11)).map(_.distinct),
+      Gen.listOfN(6, Gen.choose(0, 11)).map(_.distinct)) { (baseIds, srcIds) =>
+      (baseIds.nonEmpty && srcIds.nonEmpty) ==> {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-upsert-prop").toString + "/t"
+        val base = baseIds.map(i => (i, s"b$i")).toDF("id", "v")
+        val src = srcIds.map(i => (i, s"s$i")).toDF("id", "v")
+        graft.warehouse.Snapshots.append(spark, dir, base)
+        graft.warehouse.Snapshots.upsert(spark, dir, src, Seq("id"))
+        val got = graft.warehouse.Snapshots.read(spark, dir).collect()
+          .map(r => r.getInt(0) -> r.getString(1)).toMap
+        val expect = baseIds.filterNot(srcIds.contains)
+          .map(i => i -> s"b$i").toMap ++ srcIds.map(i => i -> s"s$i").toMap
+        got == expect
+      }
+    }
 }

@@ -343,9 +343,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     // rows-only checks (not SQL-expressible in DuckDB): the xxhash64
-    // MinHash and 64-bit SimHash kernels have no DuckDB equivalent —
-    // their portable sha256 formulations ARE oracled (x13/x16), and
-    // ExtSpec checks these against brute-force ground truth.
+    // MinHash and 64-bit SimHash kernels have no DuckDB equivalent
+    // (XXH64's wrapping 64-bit multiplies don't exist in SQL). These
+    // two entries are NOT unverified — each has an equality bridge:
+    //   x07: x59 proves kernel pairs == portable pairs at production
+    //        params, and the portable pipeline is hash-oracled (x13).
+    //   x08: x70 runs the SAME 64-bit pairing machinery
+    //        (simhashDupPairsFromSig — blocking, maxBucket, Hamming)
+    //        under a DuckDB oracle with a portable 64-bit signature;
+    //        the only unoracled ingredient is xxhash64 itself, pinned
+    //        bit-for-bit against Spark's builtin in FunctionsSpec.
+    //        x16 additionally oracles the 16-bit portable class.
+    // COVERAGE.md §x07/x08 carries the same cross-links.
     "x07_minhash_dup_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
@@ -1070,6 +1079,27 @@ object SparkEntry {
           Seq(DataSkipping.Band("o_orderkey", Some(6000L), Some(7000L))))
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
+    }),
+    "x70_simhash64_oracled" -> ((s, d) => {
+      // The FULL 64-bit SimHash dup-pair operator — prefix-16 blocking,
+      // maxBucket cap, Hamming<=3 verify: the exact x08 machinery via
+      // simhashDupPairsFromSig — with the token hash swapped for the
+      // portable sha256 vote fingerprint (portableSimhash at 64 bits),
+      // so DuckDB reproduces signatures, blocks, bucket caps, and the
+      // pair set bit-for-bit. Closes the r5 verdict's x08 oracle gap:
+      // the only production ingredient not value-checked here is
+      // xxhash64 itself, whose fused kernel is bit-parity-pinned
+      // against Spark's builtin in FunctionsSpec. Same corpus shape as
+      // x08 (documents ∪ shifted exact copies).
+      val docs = t(s, d, "documents")
+      val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      val sigs = TextDedup
+        .portableSimhash(docs.unionByName(shifted), "text", "doc_id", bits = 64)
+        .select(col("id"), col("fp").as("sig"))
+      TextDedup.simhashDupPairsFromSig(sigs)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("bigint").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "x68_snapshot_upsert" -> ((s, d) => {
       // MERGE INTO on the snapshot table: seed with the keys ≡ 0 (mod
@@ -2586,6 +2616,44 @@ object SparkEntry {
         |  CAST(round(o_totalprice, 2) AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey BETWEEN 6000 AND 7000
         |ORDER BY o_orderkey""".stripMargin,
+    // 64-bit portable SimHash (16 sha256 hex chars → per-bit ±1 vote
+    // sums → sign bits, UBIGINT domain so bit 63 carries no sign),
+    // then the operator's exact pairing protocol: block on the top 16
+    // bits, drop buckets outside [2, 1000], pair id_a < id_b within a
+    // bucket, keep Hamming <= 3. The 64 vote columns are generated by
+    // the same loop as the Spark side.
+    "x70_simhash64_oracled" -> {
+      val voteCols = (0 until 64).map { b =>
+        val hexPos = b / 4 + 1
+        val bitPos = b % 4
+        s"SUM(CASE WHEN (((instr('0123456789abcdef', substr(h, $hexPos, 1)) - 1) " +
+          s">> $bitPos) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(", ")
+      val fpExpr = (0 until 64).map { b =>
+        val pow = java.lang.Long.toUnsignedString(1L << b)
+        s"(CASE WHEN v$b > 0 THEN CAST($pow AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |tok AS (
+         |  SELECT doc_id AS id, unnest(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+         |  FROM corpus),
+         |h AS (SELECT id, substr(sha256(tok), 1, 16) AS h FROM tok),
+         |v AS (SELECT id, $voteCols FROM h GROUP BY id),
+         |fp AS (SELECT id, $fpExpr AS fp FROM v),
+         |blk AS (SELECT id, fp, fp >> 48 AS bh FROM fp),
+         |ok AS (
+         |  SELECT blk.id, blk.fp, blk.bh FROM blk
+         |  JOIN (SELECT bh, count(*) AS n FROM blk GROUP BY bh) c USING (bh)
+         |  WHERE c.n BETWEEN 2 AND 1000)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM ok a JOIN ok b ON a.bh = b.bh AND a.id < b.id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // final state = mod-5 slice at new prices ∪ mod-3-only slice at
     // original prices (2-decimal doubles round stably at 2dp)
     "x68_snapshot_upsert" ->

@@ -516,11 +516,24 @@ object TextDedup {
     * fingerprint projection is narrow. 16 bits is deliberately small for
     * an oracle surface; the kernel path carries the full 64 bits.
     */
-  def portableSimhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def portableSimhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    portableSimhash(df, textCol, idCol, bits = 16)
+
+  /** Width-parameterized portable SimHash ([[portableSimhash16]]'s
+    * generalization): `bits` of the fingerprint come from the first
+    * `bits/4` hex chars of sha256(token) — up to the full 64 the
+    * production kernel carries. Packing uses bitwise OR, not `+`: at
+    * bit 63 the term is `Long.MinValue` and an additive pack would
+    * overflow under ANSI arithmetic; OR of disjoint one-bit terms is
+    * overflow-free and identical. */
+  def portableSimhash(df: DataFrame, textCol: String, idCol: String,
+                      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64 && bits % 4 == 0,
+      s"portableSimhash bits must be a multiple of 4 in [4,64], got $bits")
     val tokensExploded = spreadCompute(df)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), substring(sha2(col("tok"), 256), 1, 4).as("h"))
-    val votes = (0 until 16).map { b =>
+      .select(col("id"), substring(sha2(col("tok"), 256), 1, bits / 4).as("h"))
+    val votes = (0 until bits).map { b =>
       val hexPos = b / 4 + 1
       val bitPos = b % 4
       sum(expr(s"CASE WHEN (((instr('0123456789abcdef', substr(h, $hexPos, 1)) - 1) " +
@@ -528,8 +541,8 @@ object TextDedup {
     }
     tokensExploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
       .select(col("id"),
-        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
+        (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("fp"))
   }
 
   // ---- SimHash ----
@@ -782,9 +795,27 @@ object TextDedup {
 
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, prefixBits: Int = 16,
-                      maxBucket: Int = 1000): DataFrame = {
-    val withSig = withSimhash(
+                      maxBucket: Int = 1000): DataFrame =
+    simhashDupPairsFromSig(
+      withSimhash(
         spreadCompute(df.select(col(idCol).as("id"), col(textCol))), textCol, "sig")
+        .select(col("id"), col("sig")),
+      maxHamming, prefixBits, maxBucket)
+
+  /** The signature-independent core of [[simhashDupPairs]]: prefix-bit
+    * blocking + capped bucket pairing + Hamming verify over a
+    * precomputed `(id, sig)` table. Factored out so the SAME operator
+    * machinery runs under the DuckDB oracle with a portable sha256-vote
+    * signature ([[portableSimhash]] at 64 bits) — everything downstream
+    * of the token hash (blocking, `maxBucket` cap, pair orientation,
+    * Hamming threshold) is then value-checked cross-engine; the only
+    * unoracled ingredient left in the production path is xxhash64
+    * itself, whose fused kernel is bit-parity-pinned against Spark's
+    * builtin in FunctionsSpec. */
+  def simhashDupPairsFromSig(sigs: DataFrame, maxHamming: Int = 3,
+                             prefixBits: Int = 16,
+                             maxBucket: Int = 1000): DataFrame = {
+    val withSig = sigs
       .select(lit(0).as("band"),
         shiftrightunsigned(col("sig"), 64 - prefixBits).as("bh"),
         col("id"), col("sig"))

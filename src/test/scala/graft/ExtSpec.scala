@@ -597,6 +597,34 @@ class ExtSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(fp(0) ^ fp(2)) > 0)
   }
 
+  test("portable simhash width law: the 64-bit fingerprint's low 16 bits " +
+    "equal the 16-bit fingerprint (same hex chars, same votes)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "alpha beta beta beta gamma irregular votes here")).toDF("doc_id", "text")
+    val fp16 = TextDedup.portableSimhash16(df, "text", "doc_id")
+      .withColumnRenamed("fp", "fp16")
+    val fp64 = TextDedup.portableSimhash(df, "text", "doc_id", bits = 64)
+      .withColumnRenamed("fp", "fp64")
+    val joined = fp16.join(fp64, "id")
+      .select(col("fp16"), col("fp64").bitwiseAND(lit(0xFFFFL)).as("lo16"))
+    assert(joined.filter(col("fp16") =!= col("lo16")).count() == 0)
+  }
+
+  test("simhashDupPairsFromSig with the kernel signature reproduces " +
+    "simhashDupPairs exactly (refactor identity)") {
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+    val corpus = docs.unionByName(shifted)
+    val direct = TextDedup.simhashDupPairs(corpus, "text", "doc_id")
+    val sigs = TextDedup.withSimhash(
+        corpus.select(col("doc_id").as("id"), col("text")), "text", "sig")
+      .select(col("id"), col("sig"))
+    val viaSig = TextDedup.simhashDupPairsFromSig(sigs)
+    assert(direct.exceptAll(viaSig).count() == 0)
+    assert(viaSig.exceptAll(direct).count() == 0)
+  }
+
   // ---- sampling / vocab ----
 
   test("hash split is deterministic, exhaustive, and ≈ fractions") {

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-claim stress harness: inflate the big fixture tables N× by
+  * unioning id-shifted copies, then time the heaviest queries on the
+  * base and inflated dirs in the same JVM and report the time ratio.
+  *
+  * SCALING.md's claims are plan-gated (PlanSpec/SkewSpec assert the
+  * shapes); this tool EXECUTES them beyond fixture size: a query whose
+  * cost curve is healthy shows time ratio ≈ data factor (linear) or
+  * below; a quadratic pair explosion or a driver-side collect blowing up
+  * shows up as a ratio far above the factor (or an OOM — the run fails
+  * loudly).
+  *
+  * Usage (see NOTES):
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleStress \
+  *     /root/testdata/sf0.1 10 /tmp/sf1_inflated [q1,q2,...]"
+  *
+  * Id-shifted copies use offsets of i*100,000,000 — far above both the
+  * fixture id ranges and the +1,000,000 shifts some queries apply
+  * internally, so inflation never collides with query-internal unions.
+  * The shifted copies keep all non-key columns verbatim: exact
+  * duplicates at 10× density are a deliberately adversarial input for
+  * the dedup family (every bucket ~10× fuller; the maxBucket cap is
+  * what keeps pair generation bounded).
+  */
+object ScaleStress {
+  private val inflateKeys = Map(
+    "events" -> "event_id",
+    "documents" -> "doc_id",
+    "embeddings" -> "vec_id",
+    "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey")
+
+  private val defaultQueries = Seq(
+    "v00_validate_route_pipeline", "x12_lsh_neardup_pairs",
+    "x13_minhash_lsh_portable", "x22_dup_groups", "x34_salient_terms",
+    "x45_rolling_features", "x52_manifest_skip", "x61_repeated_span_removal",
+    "x69_snapshot_skip")
+
+  def inflate(spark: SparkSession, baseDir: String, outDir: String,
+              factor: Int): Unit = {
+    Tables.names.foreach { name =>
+      val base = Tables(spark, baseDir, name)
+      val out = inflateKeys.get(name) match {
+        case Some(key) =>
+          (0 until factor).map { i =>
+            if (i == 0) base
+            else base.withColumn(key, col(key) + i * 100000000L)
+          }.reduce(_ unionByName _)
+        case None => base
+      }
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val factor = args(1).toInt
+    val outDir = args(2)
+    val queryNames =
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else defaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(s"[stress] inflating $baseDir x$factor -> $outDir")
+    val t0 = System.nanoTime()
+    inflate(spark, baseDir, outDir, factor)
+    println(f"[stress] inflation done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    def time(name: String, dir: String): Double = {
+      val start = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite")
+        .format("noop").save()
+      (System.nanoTime() - start) / 1e9
+    }
+
+    var failed = 0
+    println(f"| query | base (s) | x$factor%d (s) | ratio |")
+    println("|---|---|---|---|")
+    val rows = queryNames.map { name =>
+      try {
+        val warm = time(name, baseDir) // JIT/IO warm; discard
+        val b = time(name, baseDir)
+        val inf = time(name, outDir)
+        println(f"| $name | $b%.2f | $inf%.2f | ${inf / b}%.1fx |")
+        (name, b, inf)
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          println(s"| $name | FAILED: ${e.getMessage.linesIterator.next()} | | |")
+          (name, -1.0, -1.0)
+      }
+    }
+    val js = rows.filter(_._2 > 0).map { case (n, b, i) =>
+      f""""$n":{"base":$b%.3f,"inflated":$i%.3f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_stress","factor":$factor,"failed":$failed,"queries":{$js}}""")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

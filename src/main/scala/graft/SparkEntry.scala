@@ -1080,6 +1080,25 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
+    "x71_kmv_distinct" -> ((s, d) => {
+      // Portable KMV (bottom-k) distinct sketch per event_type over
+      // user_id at k=64 — the cross-engine-deterministic counterpart of
+      // approx_count_distinct (HLL is spec-bounded in SketchSpec but
+      // not value-checkable outside the JVM; KMV is). The fixture has
+      // ~150 distinct users per type, so the sketch saturates and the
+      // (k-1)/h_k estimator path is exercised, value-matched by DuckDB
+      // bit-for-bit (exact hashes, exact double factors, one IEEE
+      // division). n_exact rides along to show the estimator lands.
+      val ev = t(s, d, "events")
+      val sk = graft.ext.Sketches.kmvEstimate(
+        graft.ext.Sketches.kmvSketch(ev, Seq("event_type"), "user_id", 64), 64)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      sk.select(col("event_type"), size(col("kmv")).cast("bigint").as("k_used"),
+          col("distinct_est"))
+        .join(exact, "event_type")
+        .orderBy(col("event_type"))
+    }),
     "x70_simhash64_oracled" -> ((s, d) => {
       // The FULL 64-bit SimHash dup-pair operator — prefix-16 blocking,
       // maxBucket cap, Hamming<=3 verify: the exact x08 machinery via
@@ -2616,6 +2635,32 @@ object SparkEntry {
         |  CAST(round(o_totalprice, 2) AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey BETWEEN 6000 AND 7000
         |ORDER BY o_orderkey""".stripMargin,
+    // KMV sketch: 60-bit sha256 hashes (15 hex chars — signed-64-safe
+    // in every engine), per-type bottom-64 over DISTINCT hashes, then
+    // the (k-1)·2^60/h_k estimator; unsaturated groups report their
+    // exact distinct-hash count. All factors exact doubles, division
+    // IEEE → bit-identical cross-engine.
+    "x71_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(sha256('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM h),
+        |k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k_used,
+        |        max(CASE WHEN rn = 64 THEN h END) AS h64
+        |      FROM r WHERE rn <= 64 GROUP BY event_type),
+        |x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |      FROM events GROUP BY event_type)
+        |SELECT k.event_type, k.k_used,
+        |  CASE WHEN k.k_used < 64 THEN CAST(k.k_used AS DOUBLE)
+        |       ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |            / CAST(k.h64 AS DOUBLE) END AS distinct_est,
+        |  x.n_exact
+        |FROM k JOIN x USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // 64-bit portable SimHash (16 sha256 hex chars → per-bit ±1 vote
     // sums → sign bits, UBIGINT domain so bit 63 carries no sign),
     // then the operator's exact pairing protocol: block on the top 16

@@ -107,4 +107,46 @@ class SketchSpec extends AnyFunSuite {
         .contains("partial_count_min_sketch"),
       "CMS must partial-aggregate before the shuffle")
   }
+
+  // ---- portable KMV (the oracled, cross-engine sketch — x71) ----
+
+  test("KMV merge law: sketch(A ∪ B) == merge(sketch(A), sketch(B)), exactly") {
+    import graft.ext.Sketches
+    val k = 32
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 =!= 0)
+    val full = Sketches.kmvSketch(events, Seq("event_type"), "user_id", k)
+    val merged = Sketches.kmvMerge(
+      Seq(Sketches.kmvSketch(a, Seq("event_type"), "user_id", k),
+        Sketches.kmvSketch(b, Seq("event_type"), "user_id", k)),
+      Seq("event_type"), k)
+    assert(full.exceptAll(merged).count() == 0)
+    assert(merged.exceptAll(full).count() == 0)
+  }
+
+  test("KMV sharded global sketch equals the direct global bottom-k " +
+    "and its estimate tracks exact within the rsd bound") {
+    import graft.ext.Sketches
+    val k = 256
+    val sharded = Sketches.kmvSketchSharded(events, "event_id", k)
+    val direct = Sketches.kmvSketch(events, Seq.empty, "event_id", k)
+    assert(sharded.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(sharded).count() == 0)
+    val est = Sketches.kmvEstimate(sharded, k)
+      .select(col("distinct_est")).head.getDouble(0)
+    val exact = events.select(countDistinct(col("event_id"))).head.getLong(0)
+    // rsd ≈ 1/√(k−2) ≈ 6.3% at k=256; allow 4 sigma
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"KMV estimate $est too far from exact $exact")
+  }
+
+  test("KMV unsaturated sketch reports the exact distinct count") {
+    import graft.ext.Sketches
+    val k = 512 // > 150 distinct users: sketch must be exact
+    val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(events, Seq.empty, "user_id", k), k)
+      .select(col("distinct_est")).head.getDouble(0)
+    val exact = events.select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(est == exact.toDouble)
+  }
 }

@@ -34,3 +34,31 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Parallel forked test groups. The streaming suites are trigger-latency-
+// bound, not CPU-bound — serialized in one JVM they alone were ~5½ min of
+// an 8-10 min suite wall. Each group forks its own JVM (own SparkSession,
+// own temp warehouse dir — no shared-session races by construction), and
+// up to 6 groups run concurrently. Heavy suites (measured r6) are pinned
+// to spread the tail; unknown/new suites land in the light catch-all
+// group. Wall clock ≈ the slowest group, not the sum.
+val testGroupOf: String => Int = {
+  val pinned = Map(
+    "graft.StreamingRestartSpec" -> 0,
+    "graft.StreamingJoinSpec" -> 1,
+    "graft.StreamingSpec" -> 2,
+    "graft.StatefulSpec" -> 3,
+    "graft.StreamDedupSpec" -> 3,
+    "graft.MaintenanceSpec" -> 3,
+    "graft.ExtSpec" -> 4,
+    "graft.SnapshotsSpec" -> 4)
+  name => pinned.getOrElse(name, 5)
+}
+Test / testGrouping := {
+  val opts = (Test / forkOptions).value
+  (Test / definedTests).value.groupBy(t => testGroupOf(t.name)).toSeq
+    .sortBy(_._1)
+    .map { case (i, ts) => Tests.Group(s"g$i", ts, Tests.SubProcess(opts)) }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(12))

@@ -899,6 +899,74 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
     }),
+    "s24_mincost_line" -> ((s, d) => {
+      // TPC-H Q2 shape: correlated scalar-min subquery whose outer
+      // reference crosses a join — for each small part, the lineitems
+      // achieving that part's minimum extended price. Catalyst
+      // decorrelates into a per-part min aggregate joined back on the
+      // part key (one exchange, no per-row re-execution).
+      t(s, d, "part").createOrReplaceTempView("g_part")
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT p.p_partkey, p.p_brand, l.l_suppkey, l.l_extendedprice
+        FROM g_part p JOIN g_lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size < 10
+          AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                   FROM g_lineitem l2
+                                   WHERE l2.l_partkey = p.p_partkey)
+        ORDER BY p.p_partkey, l.l_suppkey""")
+    }),
+    "s25_small_qty_revenue" -> ((s, d) => {
+      // TPC-H Q17 shape: per-group scalar-avg subquery gating the fact
+      // scan (lines below half their part's average quantity).
+      // Decorrelated: one avg per partkey, joined back, then the brand
+      // rollup — two exchanges total at any scale.
+      t(s, d, "part").createOrReplaceTempView("g_part")
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
+          ROUND(SUM(l.l_extendedprice), 2) AS small_revenue
+        FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
+                                    FROM g_lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand""")
+    }),
+    "s26_notin_suppliers" -> ((s, d) => {
+      // TPC-H Q16 shape: NOT IN subquery (null-aware anti-join
+      // semantics — the three-valued-logic case a plain anti join gets
+      // wrong) + count(DISTINCT) per attribute pair, descending-count
+      // ordering.
+      t(s, d, "part").createOrReplaceTempView("g_part")
+      t(s, d, "supplier").createOrReplaceTempView("g_supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT p.p_brand, p.p_type,
+          CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM g_supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type""")
+    }),
+    "s27_big_orders" -> ((s, d) => {
+      // TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-order
+      // keys), planned as a semi join against the aggregated lineitem —
+      // the aggregate, not the fact, crosses the join. Quantities are
+      // integer-valued doubles, so the HAVING threshold is exact.
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      t(s, d, "customer").createOrReplaceTempView("g_customer")
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM g_orders o JOIN g_customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM g_lineitem
+                               GROUP BY l_orderkey
+                               HAVING sum(l_quantity) > 150)
+        ORDER BY o.o_orderkey""")
+    }),
     "q17_range_frame" -> ((s, d) => {
       // RANGE window frame (value-bounded, vs q10/x45's ROWS frames):
       // each event's trailing 7-day activity count per user on the
@@ -2489,6 +2557,41 @@ object SparkEntry {
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+    "s24_mincost_line" ->
+      """SELECT p.p_partkey, p.p_brand, l.l_suppkey, l.l_extendedprice
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size < 10
+        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, l.l_suppkey""".stripMargin,
+    // 2dp-quantized sum rounds stably; the avg-threshold comparison is
+    // strict-< against a quotient that never lands on a quantity value
+    "s25_small_qty_revenue" ->
+      """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(ROUND(SUM(l.l_extendedprice), 2) AS DOUBLE) AS small_revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
+        |                            FROM lineitem l2
+        |                            WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
+    "s26_notin_suppliers" ->
+      """SELECT p.p_brand, p.p_type,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type""".stripMargin,
+    "s27_big_orders" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                       GROUP BY l_orderkey
+        |                       HAVING sum(l_quantity) > 150)
+        |ORDER BY o.o_orderkey""".stripMargin,
     // integer-seconds RANGE bounds (lesson 24 base) make frame
     // membership exact cross-engine; the count is a bigint
     "q17_range_frame" ->

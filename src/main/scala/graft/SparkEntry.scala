@@ -947,7 +947,7 @@ object SparkEntry {
         FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand <> 'Brand#1'
           AND l.l_suppkey NOT IN (SELECT s_suppkey FROM g_supplier
-                                  WHERE s_acctbal < 0)
+                                  WHERE s_acctbal < 1000)
         GROUP BY p.p_brand, p.p_type
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type""")
     }),
@@ -2582,7 +2582,7 @@ object SparkEntry {
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE p.p_brand <> 'Brand#1'
         |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-        |                          WHERE s_acctbal < 0)
+        |                          WHERE s_acctbal < 1000)
         |GROUP BY p.p_brand, p.p_type
         |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type""".stripMargin,
     "s27_big_orders" ->

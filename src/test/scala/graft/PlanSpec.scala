@@ -308,6 +308,41 @@ class PlanSpec extends AnyFunSuite {
       "only the presentation orderBy may shuffle:\n" + p)
   }
 
+  test("correlated scalar-min decorrelates: aggregate-join, no per-row " +
+    "subquery, partial min (s24)") {
+    val p = plan(SparkEntry.queries("s24_mincost_line")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "Q2 shape must decorrelate, not re-execute per row:\n" + p)
+    assert(p.contains("partial_min"),
+      "the per-part min must partial-aggregate map-side:\n" + p)
+  }
+
+  test("per-group scalar-avg subquery decorrelates with map-side partial avg (s25)") {
+    val p = plan(SparkEntry.queries("s25_small_qty_revenue")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_avg"),
+      "the per-part avg must partial-aggregate map-side:\n" + p)
+  }
+
+  test("NOT IN plans as a null-aware ANTI join, never a nested loop (s26)") {
+    val p = plan(SparkEntry.queries("s26_notin_suppliers")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("LeftAnti"),
+      "NOT IN must plan as an anti join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("IN-over-HAVING plans as a semi join against the AGGREGATE (s27)") {
+    val p = plan(SparkEntry.queries("s27_big_orders")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("LeftSemi"),
+      "the large-order key set must semi-join:\n" + p)
+    assert(p.contains("partial_sum"),
+      "the per-order quantity sum must partial-aggregate map-side:\n" + p)
+  }
+
   test("span excision never pairwise-compares: no nested loop, map-side df (x61)") {
     val p = plan(SparkEntry.queries("x61_repeated_span_removal")(spark, sf))
       .split("== Initial Plan ==")(0)

@@ -1148,6 +1148,61 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
+    "x72_cms_freq" -> ((s, d) => {
+      // Portable Count-Min sketch (depth 3 × width 512, sha256-derived
+      // hash family) over the events.user_id multiset, then a point
+      // query for every distinct user — est vs exact side by side. The
+      // sketch is ≤ 1536 cells no matter the corpus size; the probe
+      // broadcasts it. DuckDB rebuilds the identical counter matrix
+      // (same hashes, same buckets) so est_cnt value-matches
+      // bit-for-bit — and the CMS "never undercounts" bound shows up
+      // as est_cnt >= exact_cnt on every row.
+      val ev = t(s, d, "events")
+      val sk = graft.ext.Sketches.cmsSketch(ev, "user_id", depth = 3, width = 512)
+      val est = graft.ext.Sketches.cmsLookup(sk, ev.select("user_id"), "user_id",
+        depth = 3, width = 512)
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, "user_id")
+        .select(col("user_id"), col("est_cnt"), col("exact_cnt"))
+        .orderBy(col("user_id"))
+    }),
+    "x73_heavy_hitters" -> ((s, d) => {
+      // Misra–Gries heavy hitters over events.event_type at capacity
+      // 64 — far above the 5 distinct types, i.e. the matched-parameter
+      // regime where the bounded-state summary is provably EXACT and
+      // order-independent (no decrement can ever fire), so the whole
+      // native TypedImperativeAggregate path (partial update → shuffle
+      // of ≤ 64 pairs → merge → eval ordering) is value-checked against
+      // DuckDB's exact group-count. The small-capacity approximation
+      // regime is spec-pinned in SketchSpec (error ≤ N/(cap+1),
+      // heavy-hitter completeness), which no SQL oracle can express.
+      val hh = graft.functions.GraftFunctions
+        .heavyHitters(s, col("event_type"), 64)
+      t(s, d, "events")
+        .agg(hh.as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key").as("event_type"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type"))
+    }),
+    "x74_hll_distinct" -> ((s, d) => {
+      // Portable HyperLogLog (b=5, m=32 registers) per event_type over
+      // user_id: register table → exact DECIMAL(38,0) register sum →
+      // α_m m² 2^61 / sum estimator with linear-counting small-range
+      // correction. Every ingredient is engine-portable (sha256 hash,
+      // mod/div bit split, length(bin(w)) for the first-one rank,
+      // integer register sum), so DuckDB reproduces v_filled and
+      // sum_scaled bit-for-bit and the 4-dp-rounded estimate exactly;
+      // n_exact rides along to show the estimate lands (rse ≈
+      // 1.04/√32 ≈ 18%). Register-merge law pinned in SketchSpec.
+      val ev = t(s, d, "events")
+      val regs = graft.ext.Sketches.hllRegisters(ev, Seq("event_type"), "user_id", b = 5)
+      val est = graft.ext.Sketches.hllEstimate(regs, Seq("event_type"), b = 5)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.withColumn("sum_scaled", col("sum_scaled").cast("double"))
+        .join(exact, "event_type")
+        .orderBy(col("event_type"))
+    }),
     "x71_kmv_distinct" -> ((s, d) => {
       // Portable KMV (bottom-k) distinct sketch per event_type over
       // user_id at k=64 — the cross-engine-deterministic counterpart of
@@ -2743,6 +2798,77 @@ object SparkEntry {
     // the (k-1)·2^60/h_k estimator; unsaturated groups report their
     // exact distinct-hash count. All factors exact doubles, division
     // IEEE → bit-identical cross-engine.
+    // Full cross-engine replica of the Count-Min counter matrix: same
+    // sha256 hash family ('cms:<r>:<value>'), same mod-512 buckets,
+    // same min-over-rows point query. CMS is pure integer arithmetic,
+    // so est_cnt must match bit-for-bit.
+    "x72_cms_freq" ->
+      """WITH v AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |hb AS (
+        |  SELECT user_id, r,
+        |    CAST(concat('0x', substr(sha256('cms:' || CAST(r AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS bucket
+        |  FROM v CROSS JOIN range(3) t(r)),
+        |sk AS (SELECT r, bucket, count(*) AS cnt FROM hb GROUP BY r, bucket),
+        |kb AS (SELECT DISTINCT user_id, r, bucket FROM hb),
+        |est AS (SELECT kb.user_id, min(coalesce(sk.cnt, 0)) AS est_cnt
+        |        FROM kb LEFT JOIN sk USING (r, bucket) GROUP BY kb.user_id),
+        |ex AS (SELECT user_id, count(*) AS exact_cnt FROM v GROUP BY user_id)
+        |SELECT est.user_id, CAST(est.est_cnt AS BIGINT) AS est_cnt,
+        |  CAST(ex.exact_cnt AS BIGINT) AS exact_cnt
+        |FROM est JOIN ex USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // Matched-parameter regime (capacity 64 >= 5 distinct types): the
+    // Misra-Gries summary is provably exact, so the oracle is the
+    // exact group-count in the aggregate's output order.
+    "x73_heavy_hitters" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY cnt DESC, event_type""".stripMargin,
+    // Portable HLL replica: same 60-bit sha256 hash, reg = h mod 32,
+    // w = h // 32, rho = 56 - length(bin(w)) (57 for w=0 would be the
+    // all-zero case; 60-bit hash over 5 bits of register leaves 55
+    // bits, so rho = 56 only when w = 0), exact DECIMAL register sum
+    // scaled by 2^61, then the same alpha*m^2*2^61/sum estimator.
+    // Multiplications by powers of two are exact IEEE scalings, so the
+    // double estimate matches despite cross-engine evaluation order;
+    // the linear-counting branch (the one libm ln) is 4-dp-rounded on
+    // both sides.
+    "x74_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(sha256('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rh AS (SELECT event_type, CAST(h % 32 AS INT) AS reg,
+        |         CASE WHEN h // 32 = 0 THEN 56
+        |              ELSE 56 - length(bin(h // 32)) END AS rho
+        |       FROM h),
+        |regs AS (SELECT event_type, reg, max(rho) AS maxrho
+        |         FROM rh GROUP BY event_type, reg),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS v_filled,
+        |        CAST(sum(CAST((CAST(1 AS BIGINT) << (61 - maxrho)) AS DECIMAL(38,0)))
+        |          AS DECIMAL(38,0)) AS sum_filled
+        |      FROM regs GROUP BY event_type),
+        |e AS (SELECT event_type, v_filled,
+        |        CAST(sum_filled + (32 - v_filled) *
+        |          CAST(2305843009213693952 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS sum_scaled
+        |      FROM g),
+        |est AS (SELECT event_type, v_filled,
+        |          CAST(sum_scaled AS DOUBLE) AS sum_scaled,
+        |          (CAST(0.697 AS DOUBLE) * 32 * 32) * (CAST(2305843009213693952 AS DOUBLE))
+        |            / CAST(sum_scaled AS DOUBLE) AS raw
+        |        FROM e),
+        |x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |      FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+        |SELECT est.event_type, est.v_filled, est.sum_scaled,
+        |  round(CASE WHEN est.raw <= 80.0 AND est.v_filled < 32
+        |             THEN 32 * ln(32.0 / (32 - est.v_filled))
+        |             ELSE est.raw END, 4) AS distinct_est,
+        |  x.n_exact
+        |FROM est JOIN x USING (event_type)
+        |ORDER BY est.event_type""".stripMargin,
     "x71_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

@@ -113,4 +113,140 @@ object Sketches {
       .groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col("h"))).as("kmv"))
   }
+
+  // ------------------------------------------------------------------
+  // Count-Min sketch (portable)
+  // ------------------------------------------------------------------
+
+  /** Row-`r` Count-Min hash: the same 60-bit sha256 derivation as
+    * [[kmvHash]] with the row index folded into the salt, so the d hash
+    * functions are independent AND every engine reproduces them. */
+  def cmsHash(v: Column, row: Int, salt: String = "cms"): Column =
+    kmvHash(v, s"$salt:$row")
+
+  /** Portable Count-Min sketch [Cormode & Muthukrishnan '05] of the
+    * multiset `valueCol`: a `(r, bucket, cnt)` table — depth rows ×
+    * width buckets, `cnt` = how many input rows hashed into that cell.
+    * The flat table IS the d×w counter matrix, stored sparse (absent
+    * cell = 0), which is the right physical shape on a cluster: one
+    * `posexplode` projection (narrow, d rows per input) and one
+    * map-side-combining aggregate; sketch size ≤ d·w rows regardless of
+    * input size. NULLs are excluded.
+    *
+    * Guarantees (spec-pinned in SketchSpec): estimates never
+    * undercount; overcount ≤ εN with probability 1−δ for w = ⌈e/ε⌉,
+    * d = ⌈ln 1/δ⌉; and the merge law `cms(A ⊎ B) = merge(cms(A),
+    * cms(B))` holds EXACTLY (cell-wise sum), which is what lets per-day
+    * sketch tables fold into a period sketch without rescanning. */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int, width: Int,
+                salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"CMS needs depth>=1 width>=2, got ($depth, $width)")
+    val buckets = (0 until depth).map(r => pmod(cmsHash(col(valueCol), r, salt), lit(width)))
+    df.filter(col(valueCol).isNotNull)
+      .select(posexplode(array(buckets: _*)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise sum of sketches built with the same (depth, width,
+    * salt) — the exact merge law above. */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query the sketch for every distinct value of
+    * `keys(keyCol)`: appends `est_cnt` = min over the d cells the key
+    * hashes into (absent cell = 0). The probe is d rows per key joined
+    * against the ≤ d·w-row sketch — broadcast-sized at any corpus
+    * scale. */
+  def cmsLookup(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                depth: Int, width: Int, salt: String = "cms"): DataFrame = {
+    val buckets = (0 until depth).map(r => pmod(cmsHash(col(keyCol), r, salt), lit(width)))
+    keys.filter(col(keyCol).isNotNull).distinct()
+      .select(col(keyCol), posexplode(array(buckets: _*)).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  // ------------------------------------------------------------------
+  // HyperLogLog (portable)
+  // ------------------------------------------------------------------
+
+  /** Portable HyperLogLog [Flajolet et al. '07] register table: for
+    * each group, `(reg, maxrho)` over the ≤ 2^b registers that saw at
+    * least one value. Unlike `approx_count_distinct` (HLL++ with a
+    * Spark-internal register blob), every ingredient here is plain
+    * SQL — 60-bit sha256 hash, register = h mod m, rho = rank of the
+    * first 1-bit of w = h div m via `length(bin(w))` (integer string
+    * ops, no floating log) — so any engine reproduces the registers
+    * bit-for-bit and sketch tables are portable across the stack.
+    *
+    * Scale shape: one narrow projection + one (group, reg) max
+    * aggregate that combines map-side; at most m rows per group ever
+    * cross the wire. Merge across shards/days = the same max — pinned
+    * as a law in SketchSpec. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   b: Int, salt: String = "hll"): DataFrame = {
+    require(b >= 4 && b <= 16, s"HLL needs 4 <= b <= 16, got $b")
+    val m = 1 << b
+    val h = kmvHash(col(valueCol), salt)
+    // h div m via bit shift: the Column `/` is DOUBLE division, which
+    // silently rounds 60-bit longs (> 2^53); m is a power of two so a
+    // shift is the exact integer division
+    val w = shiftright(h, b) // top 60-b bits
+    // rho = leading zeros of w in 60-b bits, + 1. length(bin(w)) =
+    // floor(log2 w)+1 exactly; w = 0 means all 60-b bits are zero.
+    val rho = when(w === 0, lit(61 - b))
+      .otherwise(lit(61 - b) - length(bin(w)))
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ pmod(h, lit(m)).cast("int").as("reg") :+ rho.cast("int").as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("reg"): _*)
+      .agg(max(col("rho")).as("maxrho"))
+  }
+
+  /** Register-wise max of register tables built with the same (b,
+    * salt): `hll(A ∪ B) = merge(hll(A), hll(B))` exactly. */
+  def hllMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col) :+ col("reg"): _*)
+      .agg(max(col("maxrho")).as("maxrho"))
+
+  /** Collapse a register table to one row per group:
+    * `v_filled` (registers with data), `sum_scaled` = Σ 2^(61−M_j)
+    * over ALL m registers (empty ⇒ M_j = 0 ⇒ 2^61) as DECIMAL(38,0) —
+    * exact integer arithmetic, so the sum is order-independent and
+    * engine-independent where a double Σ2^−M_j would round
+    * order-dependently — and `distinct_est`, the HLL estimator
+    * α_m·m²·2^61 / sum with the standard small-range linear-counting
+    * correction, rounded to 4 dp (the one place a libm `ln` enters;
+    * 4 dp absorbs any last-ulp divergence). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], b: Int): DataFrame = {
+    val m = 1 << b
+    val alpha = b match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val grouped = registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("long").as("v_filled"),
+        // shiftleft in the bigint domain (the DataFrame helper only
+        // takes a literal shift); 61 - maxrho <= 61 stays in range
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - maxrho) AS DECIMAL(38,0))"))
+          .cast("decimal(38,0)").as("sum_filled"))
+    val sumScaled = (col("sum_filled") +
+      (lit(m).cast("decimal(38,0)") - col("v_filled")) * lit(2305843009213693952L).cast("decimal(38,0)"))
+      .cast("decimal(38,0)")
+    val raw = lit(alpha * m.toDouble * m.toDouble) * lit(HashSpace * 2.0) /
+      sumScaled.cast("double")
+    val est = when(raw <= lit(2.5 * m) && col("v_filled") < m,
+      lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("v_filled")).cast("double")))
+      .otherwise(raw)
+    grouped.select(groupCols.map(col) :+ col("v_filled") :+
+      sumScaled.as("sum_scaled") :+ round(est, 4).as("distinct_est"): _*)
+  }
 }

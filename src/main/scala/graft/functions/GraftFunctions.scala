@@ -57,6 +57,13 @@ object GraftFunctions {
       "graft_topk_by takes (key double, value bigint, k int literal)")
   }
 
+  val heavyHittersBuilder: Seq[Expression] => Expression = {
+    case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(cap: Int, _)) =>
+      MisraGries(child, cap) // analyzer wraps AggregateFunctions itself
+    case _ => throw new IllegalArgumentException(
+      "graft_heavy_hitters takes (value string, capacity int literal)")
+  }
+
   val bloomBuilder: Seq[Expression] => Expression = {
     case Seq(key, org.apache.spark.sql.catalyst.expressions.Literal(
         bytes: Array[Byte], org.apache.spark.sql.types.BinaryType)) =>
@@ -145,6 +152,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk_by", topKByBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters", heavyHittersBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", shinglesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repetition_ok", repetitionOkBuilder, "scala_udf")
@@ -157,6 +166,14 @@ object GraftFunctions {
     register(spark)
     call_function("graft_topk_by", key, value,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column API for the bounded-memory Misra–Gries heavy-hitters
+    * aggregate; registers lazily. Exact when capacity ≥ |distinct|. */
+  def heavyHitters(spark: SparkSession, value: Column, capacity: Int): Column = {
+    register(spark)
+    call_function("graft_heavy_hitters", value,
+      org.apache.spark.sql.functions.lit(capacity))
   }
 
   /** Column API for the native cosine kernel; registers lazily. */

@@ -149,4 +149,106 @@ class SketchSpec extends AnyFunSuite {
     val exact = events.select(countDistinct(col("user_id"))).head.getLong(0)
     assert(est == exact.toDouble)
   }
+
+  test("Count-Min never undercounts and stays within eps*N even at a " +
+    "deliberately tiny width") {
+    import graft.ext.Sketches
+    val (depth, width) = (4, 64) // 150 users into 64 buckets: collisions certain
+    val sk = Sketches.cmsSketch(events, "user_id", depth, width)
+    val est = Sketches.cmsLookup(sk, events.select("user_id"), "user_id", depth, width)
+    val exact = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val joined = est.join(exact, "user_id")
+      .select(col("user_id"), col("est_cnt"), col("exact_cnt")).collect()
+    val n = events.filter(col("user_id").isNotNull).count()
+    // e/width ≈ 4.2% of N; depth 4 makes exceeding it astronomically
+    // unlikely, but the hard CMS guarantee is only one-sided — assert
+    // the one-sided bound strictly and the two-sided one generously
+    joined.foreach { r =>
+      val (e, x) = (r.getLong(1), r.getLong(2))
+      assert(e >= x, s"CMS undercounted ${r.get(0)}: est=$e exact=$x")
+      assert(e - x <= (math.E / width * n).toLong + 1,
+        s"CMS overcount beyond eps*N for ${r.get(0)}: est=$e exact=$x")
+    }
+  }
+
+  test("Count-Min merge law: cms(A ⊎ B) == merge(cms(A), cms(B)), exactly") {
+    import graft.ext.Sketches
+    val (depth, width) = (3, 128)
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 =!= 0)
+    val full = Sketches.cmsSketch(events, "user_id", depth, width)
+    val merged = Sketches.cmsMerge(Seq(
+      Sketches.cmsSketch(a, "user_id", depth, width),
+      Sketches.cmsSketch(b, "user_id", depth, width)))
+    assert(full.exceptAll(merged).count() == 0)
+    assert(merged.exceptAll(full).count() == 0)
+  }
+
+  test("Misra-Gries at small capacity: never overcounts, undercounts " +
+    "<= N/(cap+1), and every true heavy hitter survives") {
+    import graft.functions.GraftFunctions
+    val cap = 8 // far below the 150 distinct users: decrements fire
+    val rows = events.filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("u"))
+    val summary = rows.agg(GraftFunctions.heavyHitters(spark, col("u"), cap).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("u"), col("e.cnt").as("est"))
+    val exact = rows.groupBy(col("u")).agg(count(lit(1)).as("cnt"))
+    val n = rows.count()
+    val slack = n / (cap + 1) // decrement budget across all merge steps
+    val joined = summary.join(exact, "u").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, cnt) = (r.getLong(1), r.getLong(2))
+      assert(est <= cnt, s"MG overcounted ${r.get(0)}: est=$est exact=$cnt")
+      assert(cnt - est <= slack,
+        s"MG undercount beyond N/(cap+1) for ${r.get(0)}: est=$est exact=$cnt")
+    }
+    // completeness: any key with true frequency > N/(cap+1) must appear
+    val kept = summary.select("u").collect().map(_.getString(0)).toSet
+    val mustKeep = exact.filter(col("cnt") > slack).collect().map(_.getString(0))
+    mustKeep.foreach(k => assert(kept.contains(k), s"heavy hitter $k evicted"))
+  }
+
+  test("Misra-Gries exact regime is partitioning-independent") {
+    import graft.functions.GraftFunctions
+    val cap = 64 // > 5 distinct event types: provably exact
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.agg(GraftFunctions.heavyHitters(spark, col("event_type"), cap).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key"), col("e.cnt")).collect().toSeq
+    val once = run(events)
+    val repartitioned = run(events.repartition(17, col("user_id")))
+    assert(once == repartitioned, "exact-regime MG depends on partitioning")
+    val exact = events.filter(col("event_type").isNotNull)
+      .groupBy(col("event_type")).agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    once.foreach(r => assert(exact(r.getString(0)) == r.getLong(1)))
+  }
+
+  test("portable HLL merge law: registers(A ∪ B) == max-merge of parts") {
+    import graft.ext.Sketches
+    val b = 6
+    val a1 = events.filter(col("event_id") % 2 === 0)
+    val a2 = events.filter(col("event_id") % 2 =!= 0)
+    val full = Sketches.hllRegisters(events, Seq("event_type"), "user_id", b)
+    val merged = Sketches.hllMerge(Seq(
+      Sketches.hllRegisters(a1, Seq("event_type"), "user_id", b),
+      Sketches.hllRegisters(a2, Seq("event_type"), "user_id", b)),
+      Seq("event_type"))
+    assert(full.exceptAll(merged).count() == 0)
+    assert(merged.exceptAll(full).count() == 0)
+  }
+
+  test("portable HLL estimate tracks exact within 4 sigma of 1.04/sqrt(m)") {
+    import graft.ext.Sketches
+    val b = 6 // m=64: rse ≈ 13%
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(events, Seq.empty, "user_id", b), Seq.empty, b)
+      .select(col("distinct_est")).head.getDouble(0)
+    val exact = events.select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(math.abs(est - exact) / exact < 0.52,
+      s"portable HLL estimate $est too far from exact $exact")
+  }
 }

@@ -967,6 +967,163 @@ object SparkEntry {
                                HAVING sum(l_quantity) > 150)
         ORDER BY o.o_orderkey""")
     }),
+    "s28_late_orders" -> ((s, d) => {
+      // TPC-H Q4 shape: correlated EXISTS whose inner predicate
+      // references BOTH sides (l_shipdate > o_orderdate + 60 days) —
+      // Catalyst plans a left-semi hash join on l_orderkey with the
+      // date comparison as the join's residual condition, so lineitem
+      // is scanned once and only the quarter's orders shuffle.
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM g_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM g_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+    "s29_nation_volume" -> ((s, d) => {
+      // TPC-H Q7 shape: the fact joins two BROADCAST dimension chains
+      // (supplier→nation, orders→customer→nation) with a symmetric
+      // two-nation disjunction, then a (supp, cust, year) rollup. At
+      // cluster scale only orders is a real shuffle partner; every
+      // dimension is broadcast-sized, and the nation filter prunes
+      // before the rollup.
+      Seq("lineitem", "orders", "customer", "supplier", "nation")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
+      s.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+          ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM g_lineitem l
+        JOIN g_orders o ON o.o_orderkey = l.l_orderkey
+        JOIN g_customer c ON c.c_custkey = o.o_custkey
+        JOIN g_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN g_nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN g_nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3""")
+    }),
+    "s30_market_share" -> ((s, d) => {
+      // TPC-H Q8 shape: one nation's share of a region's PROMO volume
+      // per year. The share DIVIDES THE ROUNDED SUMS (2-dp-quantized
+      // values identical in both engines), then rounds the quotient —
+      // the only cross-engine-safe way to oracle a ratio of double
+      // aggregates: raw-sum division could flip the last printed digit
+      // on a 1-ulp summation-order difference.
+      Seq("lineitem", "orders", "customer", "supplier", "nation",
+        "region", "part")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
+      s.sql("""
+        WITH vol AS (
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+            l.l_extendedprice * (1 - l.l_discount) AS volume,
+            n1.n_name AS supp_nation
+          FROM g_lineitem l
+          JOIN g_part p ON p.p_partkey = l.l_partkey
+          JOIN g_orders o ON o.o_orderkey = l.l_orderkey
+          JOIN g_customer c ON c.c_custkey = o.o_custkey
+          JOIN g_nation n2 ON n2.n_nationkey = c.c_nationkey
+          JOIN g_region r ON r.r_regionkey = n2.n_regionkey
+          JOIN g_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN g_nation n1 ON n1.n_nationkey = s.s_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+        SELECT o_year,
+          ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 2) AS nation_vol,
+          ROUND(SUM(volume), 2) AS total_vol,
+          ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 2)
+                / ROUND(SUM(volume), 2), 6) AS mkt_share
+        FROM vol GROUP BY o_year ORDER BY o_year""")
+    }),
+    "s31_nation_profit" -> ((s, d) => {
+      // TPC-H Q9 shape adapted to the fixture schema: the reference's
+      // ps_supplycost has no fixture twin, so cost is proxied as
+      // 10% of p_retailprice per unit — same plan shape (fact × two
+      // broadcast dims × orders, profit expression inside the agg,
+      // (nation, year) rollup).
+      Seq("lineitem", "orders", "supplier", "nation", "part")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
+      s.sql("""
+        SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+          ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                    - CAST(0.1 AS DOUBLE) * p.p_retailprice * l.l_quantity), 2) AS profit
+        FROM g_lineitem l
+        JOIN g_part p ON p.p_partkey = l.l_partkey
+        JOIN g_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN g_nation n ON n.n_nationkey = s.s_nationkey
+        JOIN g_orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_size < 20
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")
+    }),
+    "s32_top_returners" -> ((s, d) => {
+      // TPC-H Q10 shape: returned-item revenue per customer over a
+      // half-year, top 20. ORDER BY the ROUNDED revenue (identical in
+      // both engines) with a key tiebreak makes the LIMIT boundary
+      // deterministic; plans as TakeOrderedAndProject (bounded heap),
+      // never a global sort.
+      Seq("lineitem", "orders", "customer")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+          ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM g_customer c
+        JOIN g_orders o ON o.o_custkey = c.c_custkey
+        JOIN g_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-07-01'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }),
+    "s33_important_parts" -> ((s, d) => {
+      // TPC-H Q11 shape adapted (no partsupp fixture): per-part traded
+      // value within one region's suppliers, kept only above a
+      // fraction-of-global-total threshold — the scalar subquery over
+      // the SAME aggregate is the Q11 signature. The threshold compares
+      // against 2-dp-rounded part values so both engines see identical
+      // comparands.
+      Seq("lineitem", "supplier", "nation")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
+      s.sql("""
+        WITH pv AS (
+          SELECT l.l_partkey,
+            ROUND(SUM(l.l_extendedprice * l.l_quantity), 2) AS part_value
+          FROM g_lineitem l
+          JOIN g_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN g_nation n ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_regionkey = 2
+          GROUP BY l.l_partkey)
+        SELECT l_partkey, part_value FROM pv
+        WHERE part_value > (SELECT CAST(0.0008 AS DOUBLE) * SUM(part_value) FROM pv)
+        ORDER BY part_value DESC, l_partkey""")
+    }),
+    "s34_promo_share" -> ((s, d) => {
+      // TPC-H Q14 shape: monthly PROMO revenue share. Same
+      // rounded-sums-then-divide discipline as s30; part is the only
+      // other input and broadcasts.
+      Seq("lineitem", "part")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
+      s.sql("""
+        SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT) AS ym,
+          ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS promo_rev,
+          ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
+          ROUND(CAST(100 AS DOUBLE)
+                * ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
+                / ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2), 6) AS promo_share
+        FROM g_lineitem l
+        JOIN g_part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1 ORDER BY 1""")
+    }),
     "q17_range_frame" -> ((s, d) => {
       // RANGE window frame (value-bounded, vs q10/x45's ROWS frames):
       // each event's trailing 7-day activity count per user on the
@@ -2647,6 +2804,98 @@ object SparkEntry {
         |                       GROUP BY l_orderkey
         |                       HAVING sum(l_quantity) > 150)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "s28_late_orders" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "s29_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "s30_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    l.l_extendedprice * (1 - l.l_discount) AS volume,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n2.n_regionkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+        |SELECT o_year,
+        |  ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 2) AS nation_vol,
+        |  ROUND(SUM(volume), 2) AS total_vol,
+        |  ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 2)
+        |        / ROUND(SUM(volume), 2), 6) AS mkt_share
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "s31_nation_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+        |            - CAST(0.1 AS DOUBLE) * p.p_retailprice * l.l_quantity), 2) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_size < 20
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "s32_top_returners" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "s33_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l.l_partkey,
+        |    ROUND(SUM(l.l_extendedprice * l.l_quantity), 2) AS part_value
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  WHERE n.n_regionkey = 2
+        |  GROUP BY l.l_partkey)
+        |SELECT l_partkey, part_value FROM pv
+        |WHERE part_value > (SELECT CAST(0.0008 AS DOUBLE) * SUM(part_value) FROM pv)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "s34_promo_share" ->
+      """SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT) AS ym,
+        |  ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+        |                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS promo_rev,
+        |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
+        |  ROUND(CAST(100 AS DOUBLE)
+        |        * ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+        |                         THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
+        |        / ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2), 6) AS promo_share
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // integer-seconds RANGE bounds (lesson 24 base) make frame
     // membership exact cross-engine; the count is a bigint
     "q17_range_frame" ->

@@ -343,6 +343,50 @@ class PlanSpec extends AnyFunSuite {
       "the per-order quantity sum must partial-aggregate map-side:\n" + p)
   }
 
+  test("correlated EXISTS with a cross-side date predicate plans as a " +
+    "semi join, not a per-row re-execution (s28)") {
+    val p = plan(SparkEntry.queries("s28_late_orders")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("LeftSemi"),
+      "Q4's EXISTS must plan as a left-semi join:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("Q7/Q8/Q9 star chains broadcast every dimension; only facts " +
+    "exchange (s29, s30, s31)") {
+    Seq("s29_nation_volume", "s30_market_share", "s31_nation_profit").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: dimension joins must broadcast:\n" + p)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q:\n" + p)
+      // the only sort-merge-eligible pair is lineitem⋈orders; nation/
+      // region/supplier/customer/part must never shuffle the fact
+      val smj = "SortMergeJoin".r.findAllIn(p).size
+      assert(smj <= 1, s"$q: more than one non-broadcast join:\n" + p)
+    }
+  }
+
+  test("top-returners LIMIT plans as a bounded heap, never a global " +
+    "sort (s32)") {
+    val p = plan(SparkEntry.queries("s32_top_returners")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT 20 must plan as TakeOrderedAndProject:\n" + p)
+    assert(p.contains("partial_sum"),
+      "revenue must partial-aggregate map-side:\n" + p)
+  }
+
+  test("fraction-of-global-total threshold stays a scalar broadcast, " +
+    "not a per-row re-aggregation (s33)") {
+    val p = plan(SparkEntry.queries("s33_important_parts")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      "the global total must evaluate once as a scalar subquery:\n" + p)
+  }
+
   test("span excision never pairwise-compares: no nested loop, map-side df (x61)") {
     val p = plan(SparkEntry.queries("x61_repeated_span_removal")(spark, sf))
       .split("== Initial Plan ==")(0)

@@ -1305,6 +1305,18 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
+    "x75_bm25_topk" -> ((s, d) => {
+      // Okapi BM25 top-25 for a 4-term probe query over documents —
+      // the retrieval primitive for targeted decontamination / topic
+      // mining at corpus scale. df + (n_docs, avgdl) broadcast; only
+      // the per-doc tf rows (<= 4 per doc) shuffle; the cut is ORDER BY
+      // rounded score + doc_id LIMIT 25 (TakeOrderedAndProject). DuckDB
+      // replays the identical formula; the one libm ln is inside the
+      // 6-dp-rounded score.
+      graft.ext.TextAnalysis.bm25TopK(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "vector", "stream"), k = 25)
+    }),
     "x72_cms_freq" -> ((s, d) => {
       // Portable Count-Min sketch (depth 3 × width 512, sha256-derived
       // hash family) over the events.user_id multiset, then a point
@@ -3047,6 +3059,39 @@ object SparkEntry {
     // the (k-1)·2^60/h_k estimator; unsaturated groups report their
     // exact distinct-hash count. All factors exact doubles, division
     // IEEE → bit-identical cross-engine.
+    // BM25 with the Lucene idf variant, replayed term-for-term: same
+    // whitespace tokenizer as x54, exact integer tf/df/dl, one-division
+    // avgdl, ln-bearing score rounded to 6 dp, cut ordered by (rounded
+    // score DESC, doc_id).
+    "x75_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE term IN ('spark', 'join', 'vector', 'stream')
+        |       GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)) AS contrib
+        |  FROM tf
+        |  JOIN dfreq d USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s)
+        |SELECT doc_id, round(sum(contrib), 6) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_terms_hit
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 25""".stripMargin,
     // Full cross-engine replica of the Count-Min counter matrix: same
     // sha256 hash family ('cms:<r>:<value>'), same mod-512 buckets,
     // same min-over-rows point query. CMS is pure integer arithmetic,

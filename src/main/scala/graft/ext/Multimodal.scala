@@ -179,6 +179,57 @@ object Multimodal {
     }.toDF("media_id", "embedding")
   }
 
+  /** 64-bit average-hash perceptual fingerprint per media row — the
+    * image-side twin of the text SimHash path: decode → 8×8 luminance
+    * grid (via the codec's deterministic `features`) → bit i set iff
+    * cell i is above the grid mean. Robust to re-encoding and mild
+    * noise (the properties MultimodalSpec pins with real PNG payloads);
+    * byte-identical files trivially collide. `ok = false` rows (codec
+    * could not decode) carry phash 0 and are EXCLUDED from pairing by
+    * [[mediaDupPairs]] — a poison payload must not match everything.
+    *
+    * Scale shape: one codec-bound mapPartitions (media bytes never
+    * shuffle); output is 9 bytes per row. */
+  def perceptualHash(ds: Dataset[MediaRow],
+                     codec: () => MediaCodec = () => StubCodec): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    withCodec(ds, codec) { (c, rows) =>
+      rows.map { r =>
+        val ok = c.decode(r.content, r.media_type)._4
+        if (!ok) (r.media_id, 0L, false)
+        else {
+          val f = c.features(r.content, r.media_type, 64)
+          var sum = 0.0
+          var i = 0
+          while (i < f.length) { sum += f(i); i += 1 }
+          val mean = if (f.length == 0) 0.0 else sum / f.length
+          var bits = 0L
+          i = 0
+          while (i < f.length && i < 64) {
+            if (f(i) > mean) bits |= (1L << i)
+            i += 1
+          }
+          (r.media_id, bits, true)
+        }
+      }
+    }.toDF("media_id", "phash", "ok")
+  }
+
+  /** Near-duplicate media pairs: Hamming ≤ `maxHamming` over the
+    * perceptual hashes, via the same prefix-blocked capped-bucket
+    * pairing as the text SimHash dedup ([[graft.ext.TextDedup
+    * .simhashDupPairsFromSig]]) — blocking on the top 16 bits keeps the
+    * candidate set bucket-local at corpus scale, and verification reads
+    * only the 8-byte hashes, never the media. Undecodable rows are
+    * dropped first. */
+  def mediaDupPairs(phashes: DataFrame, maxHamming: Int = 6,
+                    prefixBits: Int = 16, maxBucket: Int = 1000): DataFrame =
+    TextDedup.simhashDupPairsFromSig(
+      phashes.filter(col("ok"))
+        .select(col("media_id").as("id"), col("phash").as("sig")),
+      maxHamming, prefixBits, maxBucket)
+
   /** Frame sampling for video rows: every `stride`-th decoded frame, at
     * most `maxFrames` — one row per sampled frame, the explode shape
     * downstream training pipelines expect. */

@@ -287,6 +287,62 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Okapi BM25 retrieval scoring [Robertson & Walker '94; the Lucene
+    * `(1 + (N−df+0.5)/(df+0.5))` idf variant, which keeps idf positive
+    * for terms in over half the corpus]: score every document against a
+    * literal bag of query terms and keep the global top k. This is the
+    * relevance-ranking counterpart of [[salientTerms]] (which ranks
+    * terms per doc; this ranks docs per query) — the curation use is
+    * "pull the strongest matches for a probe query out of a 100 TB
+    * corpus" (targeted decontamination, topic mining, eval-set
+    * retrieval).
+    *
+    * Scale shape: tf is restricted to the query terms BEFORE the
+    * (doc, term) aggregate — the IN-list filter sits on the exploded
+    * token stream, so the agg input is |queryTerms|-bounded per doc
+    * after the map-side partial; df and the
+    * (n_docs, avgdl) stats are vocabulary- and scalar-sized broadcasts;
+    * the final top-k is ORDER BY rounded score + id LIMIT k, planned as
+    * TakeOrderedAndProject (bounded heap, plan-gated). Nothing but the
+    * per-doc term counts ever shuffles, and those are ≤ |queryTerms|
+    * rows per doc.
+    *
+    * Cross-engine determinism: dl/df/tf are exact integers, avgdl is
+    * one division of exact sums, idf is the one libm `ln` — the final
+    * score is rounded to 6 dp (house convention for log-bearing
+    * scores), and the top-k boundary orders by the ROUNDED score with
+    * an id tiebreak, so both engines cut the same set. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val toks = df.select(col(idCol),
+      split(trim(lower(col(textCol))), "\\s+").as("toks"))
+    val dl = toks.select(col(idCol), size(col("toks")).cast("long").as("dl"))
+    val tf = toks
+      .select(col(idCol), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms.distinct: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy(col(idCol))
+      .agg(round(sum(col("contrib")), 6).as("score"),
+        count(lit(1)).cast("bigint").as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Gopher-style repetition profile: the fraction of duplicate tokens
     * and duplicate word n-grams per document — the standard quality
     * signal for cutting boilerplate/spam from training corpora (Gopher's

@@ -147,4 +147,64 @@ class JdkCodecsSpec extends AnyFunSuite {
     val adec = Multimodal.decode(wavRows, () => JdkCodecs.WavCodec).head
     assert(adec.width == 8000 && adec.height == 1 && adec.n_frames == 2048 && adec.ok)
   }
+
+  /** Deterministic "photo-like" image: smooth 2-D gradient + per-pixel
+    * structured detail, optionally perturbed by `noise` (a small
+    * deterministic luminance offset on a sparse pixel lattice — the
+    * re-encode/mild-edit case perceptual hashing exists for). */
+  private def photoBytes(seed: Int, noise: Int = 0): Array[Byte] = {
+    val (w, h) = (64, 64)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * (2 + seed) + y * (3 + seed) + (x * y) / 16) % 256
+      val n = if (noise != 0 && (x + y * 7) % 13 == 0) noise else 0
+      val v = math.max(0, math.min(255, base + n))
+      img.setRGB(x, y, v * 0x010101)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptual hash: re-encode-identical images collide, mild noise " +
+    "stays within a small Hamming radius, different images are far") {
+    import graft.ext.TextDedup
+    val a = JdkCodecs.ImageIoCodec // direct kernel probes first
+    def ph(bytes: Array[Byte]): Long = {
+      val rows = Seq(MediaRow(0L, "image", "mem://p", bytes, 100L)).toDS()
+      Multimodal.perceptualHash(rows, () => a).head.getLong(1)
+    }
+    val base = ph(photoBytes(seed = 1))
+    val bmp = { // same pixels, lossless re-encode as BMP
+      val img = ImageIO.read(new ByteArrayInputStream(photoBytes(seed = 1)))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "bmp", bos)
+      ph(bos.toByteArray)
+    }
+    assert(base == bmp, "lossless re-encode must hash identically")
+    val noisy = ph(photoBytes(seed = 1, noise = 24))
+    val other = ph(photoBytes(seed = 7))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(base, noisy) <= 6,
+      s"mild noise moved the hash ${ham(base, noisy)} bits")
+    assert(ham(base, other) > 12,
+      s"different images too close: ${ham(base, other)} bits")
+  }
+
+  test("mediaDupPairs: exact/re-encoded copies pair, undecodable rows " +
+    "and distinct images never pair") {
+    val rows = Seq(
+      MediaRow(1L, "image", "mem://a", photoBytes(seed = 1), 100L),
+      MediaRow(2L, "image", "mem://a2", photoBytes(seed = 1), 100L), // exact copy
+      MediaRow(3L, "image", "mem://b", photoBytes(seed = 7), 100L),
+      MediaRow(4L, "image", "mem://bad", Array[Byte](1, 2, 3), 3L) // poison
+    ).toDS()
+    val ph = Multimodal.perceptualHash(rows, () => JdkCodecs.ImageIoCodec)
+    assert(ph.filter(!org.apache.spark.sql.functions.col("ok"))
+      .select("media_id").head.getLong(0) == 4L)
+    val pairs = Multimodal.mediaDupPairs(ph, maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)),
+      s"expected only the exact-copy pair, got ${pairs.mkString(",")}")
+  }
 }

@@ -387,6 +387,17 @@ class PlanSpec extends AnyFunSuite {
       "the global total must evaluate once as a scalar subquery:\n" + p)
   }
 
+  test("BM25 top-k: stats broadcast, bounded-heap cut, map-side tf (x75)") {
+    val p = plan(SparkEntry.queries("x75_bm25_topk")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k cut must be a bounded heap, not a global sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "df/stats must broadcast, never shuffle the tf side:\n" + p)
+    assert(p.contains("partial_count"),
+      "tf must partial-aggregate map-side:\n" + p)
+  }
+
   test("span excision never pairwise-compares: no nested loop, map-side df (x61)") {
     val p = plan(SparkEntry.queries("x61_repeated_span_removal")(spark, sf))
       .split("== Initial Plan ==")(0)

@@ -1305,6 +1305,41 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
+    "x76_pagerank" -> ((s, d) => {
+      // 3-iteration PageRank over the customer→supplier purchase graph
+      // (supplier ids shifted to a disjoint node space). One shuffle per
+      // iteration keyed on node ids; N and the node set broadcast.
+      // DuckDB unrolls the identical three steps as chained CTEs; ranks
+      // round to 8 dp (per-step double sums are the only
+      // order-dependent ingredient, ~9 orders below that grain).
+      val edges = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.ext.Graph.pageRank(edges, iterations = 3)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("node"))
+    }),
+    "x77_triangle_count" -> ((s, d) => {
+      // Exact triangle count over the customer co-purchase graph
+      // (customers linked iff they bought the same (supplier, part)
+      // pair) via degree orientation — the m^(3/2) algorithm; the
+      // oracle recomputes naively with an a<b<c three-way join, so the
+      // orientation + wedge-close machinery is value-checked end to
+      // end (1271 triangles at sf0.01).
+      val cp = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") * 100000L + col("l_partkey")).as("sp"))
+        .distinct()
+      val cp2 = cp.select(col("c").as("c2"), col("sp"))
+      val edges = cp.join(cp2, "sp")
+        .filter(col("c") < col("c2"))
+        .select(col("c").as("a"), col("c2").as("b"))
+        .distinct()
+      graft.ext.Graph.triangleCount(edges)
+    }),
     "x75_bm25_topk" -> ((s, d) => {
       // Okapi BM25 top-25 for a 4-term probe query over documents —
       // the retrieval primitive for targeted decontamination / topic
@@ -3059,6 +3094,54 @@ object SparkEntry {
     // the (k-1)·2^60/h_k estimator; unsaturated groups report their
     // exact distinct-hash count. All factors exact doubles, division
     // IEEE → bit-identical cross-engine.
+    // PageRank unrolled as three chained CTE steps with the identical
+    // dangling-mass convention (no redistribution); every arithmetic
+    // step is written in the same association order as the Spark side.
+    "x76_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+        |s1 AS (SELECT e.dst AS node, sum(r.rank / o.od) AS inflow
+        |       FROM edges e JOIN outdeg o ON o.src = e.src
+        |       JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         (1.0 - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * coalesce(s1.inflow, 0.0) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.node = nodes.node),
+        |s2 AS (SELECT e.dst AS node, sum(r.rank / o.od) AS inflow
+        |       FROM edges e JOIN outdeg o ON o.src = e.src
+        |       JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         (1.0 - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * coalesce(s2.inflow, 0.0) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.node = nodes.node),
+        |s3 AS (SELECT e.dst AS node, sum(r.rank / o.od) AS inflow
+        |       FROM edges e JOIN outdeg o ON o.src = e.src
+        |       JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         (1.0 - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * coalesce(s3.inflow, 0.0) AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.node = nodes.node)
+        |SELECT node, round(rank, 8) AS rank FROM r3
+        |ORDER BY node""".stripMargin,
+    // naive a<b<c three-way join recount: integer-exact, so the
+    // degree-oriented wedge machinery has a full-value oracle
+    "x77_triangle_count" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey * 100000 + l_partkey AS sp
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |e AS (SELECT DISTINCT a.c AS a, b.c AS b
+        |      FROM cp a JOIN cp b ON a.sp = b.sp AND a.c < b.c),
+        |nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
     // BM25 with the Lucene idf variant, replayed term-for-term: same
     // whitespace tokenizer as x54, exact integer tf/df/dl, one-division
     // avgdl, ln-bearing score rounded to 6 dp, cut ordered by (rounded

@@ -1305,6 +1305,44 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
+    "x79_gk_exact_quantiles" -> ((s, d) => {
+      // Spark's percentile_approx (Greenwald–Khanna summary) driven in
+      // its matched-parameter EXACT regime: accuracy >= group row
+      // count, so the summary retains every value and the answer is the
+      // exact discrete quantile — the same trick x73 plays for
+      // Misra-Gries. This value-checks the builtin sketch's query path
+      // cross-engine (its approximation contract is spec-bounded in
+      // SketchSpec; no SQL oracle can express that). Integer n_chars →
+      // integer quantiles, no float hazard.
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          percentile_approx(col("n_chars"), lit(0.5), lit(1000000))
+            .cast("bigint").as("p50"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(1000000))
+            .cast("bigint").as("p90"),
+          percentile_approx(col("n_chars"), lit(0.99), lit(1000000))
+            .cast("bigint").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+    "x78_source_drift" -> ((s, d) => {
+      // Distribution drift of each source's token distribution vs the
+      // pooled corpus: KL (nats) + Pearson chi2 over the full
+      // (source × vocab) grid (zero cells contribute e to chi2, 0 to
+      // KL). The monitoring primitive for "which crawl source went
+      // weird this week" — contingency-table-sized state, nothing
+      // wider than (source, token) counts ever shuffles. DuckDB
+      // replays the grid cell-for-cell; ln-bearing sums round to 6 dp,
+      // chi2 to 4.
+      val toks = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      graft.ext.Drift.categoricalDrift(toks, "source", "token")
+        .select(col("source"), col("n"),
+          round(col("kl"), 6).as("kl"), round(col("chi2"), 4).as("chi2"))
+        .orderBy(col("source"))
+    }),
     "x76_pagerank" -> ((s, d) => {
       // 3-iteration PageRank over the customer→supplier purchase graph
       // (supplier ids shifted to a disjoint node space). One shuffle per
@@ -3094,6 +3132,45 @@ object SparkEntry {
     // the (k-1)·2^60/h_k estimator; unsaturated groups report their
     // exact distinct-hash count. All factors exact doubles, division
     // IEEE → bit-identical cross-engine.
+    // exact-regime GK summary == discrete quantile; DuckDB's
+    // quantile_disc picks the same element at these ranks
+    "x79_gk_exact_quantiles" ->
+      """SELECT lang,
+        |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+        |  CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // cell-for-cell contingency replica: same tokenizer as x54/x75,
+    // full grid with zero cells, identical association order in the
+    // p/q/e arithmetic
+    "x78_source_drift" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |cells AS (SELECT source, token, CAST(count(*) AS BIGINT) AS o
+        |          FROM tok GROUP BY 1, 2),
+        |pooled AS (SELECT token, CAST(sum(o) AS BIGINT) AS g FROM cells GROUP BY token),
+        |totals AS (SELECT source, CAST(sum(o) AS BIGINT) AS n FROM cells GROUP BY source),
+        |grand AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+        |grid AS (SELECT totals.source, totals.n, pooled.token, pooled.g
+        |         FROM totals CROSS JOIN pooled),
+        |j AS (SELECT grid.source, grid.n, grid.g, grid.token,
+        |        coalesce(cells.o, 0) AS o
+        |      FROM grid LEFT JOIN cells
+        |        ON cells.source = grid.source AND cells.token = grid.token),
+        |terms AS (SELECT j.source, j.n,
+        |            CAST(j.o AS DOUBLE) / j.n AS p,
+        |            CAST(j.g AS DOUBLE) / g2.t AS q,
+        |            j.o, j.n * (CAST(j.g AS DOUBLE) / g2.t) AS e
+        |          FROM j CROSS JOIN grand g2)
+        |SELECT source, n,
+        |  round(sum(CASE WHEN o > 0 THEN p * ln(p / q) ELSE 0.0 END), 6) AS kl,
+        |  round(sum((o - e) * (o - e) / e), 4) AS chi2
+        |FROM terms GROUP BY source, n
+        |ORDER BY source""".stripMargin,
     // PageRank unrolled as three chained CTE steps with the identical
     // dangling-mass convention (no redistribution); every arithmetic
     // step is written in the same association order as the Spark side.

@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift metrics between per-group categorical
+  * distributions and the global one — the monitoring primitive a
+  * training-data pipeline runs per source/shard/day to catch skew
+  * before it reaches a model (a crawl source gone spammy, a day of
+  * logs with a broken enum, a shard dominated by one language).
+  *
+  * Metrics per group, against the pooled distribution:
+  *  - `kl`: Kullback–Leibler divergence Σ p·ln(p/q) in nats. Support
+  *    subtlety: a category the group never emits contributes 0 (the
+  *    p·ln p convention as p→0); a category ONLY the group emits cannot
+  *    occur, because the reference q is the pooled distribution, which
+  *    dominates every group — the standard reason to compare against
+  *    the pool rather than group-vs-group.
+  *  - `chi2`: Pearson's Σ (o−e)²/e with e = n_group · q — the classic
+  *    homogeneity statistic, ln-free (exact up to double summation
+  *    order).
+  *
+  * Scale shape: one (group, value) count aggregate (map-side combined),
+  * one value-keyed aggregate for the pooled counts (vocabulary-sized,
+  * broadcast back), one group-keyed reduce for the sums. Nothing wider
+  * than the contingency table ever shuffles. Cross-engine: counts and
+  * the per-term ratios are exact; the ln and the final sums round to
+  * 6 dp in the oracled query (house convention for log-bearing
+  * scores). */
+object Drift {
+
+  /** Per-group drift vs the pooled distribution of `valueCol`
+    * (NULL values excluded on both sides). Output:
+    * `(groupCol, n, kl, chi2)` — raw doubles; callers round for
+    * cross-engine comparison. */
+  def categoricalDrift(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("o"))
+    val pooled = cells.groupBy(col(valueCol))
+      .agg(sum(col("o")).as("g"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("o")).as("n"))
+    val grand = cells.agg(sum(col("o")).as("t"))
+    // full (group × category) grid: chi2's zero cells (o = 0, e > 0)
+    // still contribute e; KL's contribute 0 (p·ln p → 0), guarded
+    // against the 0·ln 0 NaN explicitly
+    totals.crossJoin(broadcast(pooled))
+      .join(cells, Seq(groupCol, valueCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("p", col("o").cast("double") / col("n"))
+      .withColumn("q", col("g").cast("double") / col("t"))
+      .withColumn("e", col("n") * col("q"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(
+        sum(when(col("o") > 0, col("p") * log(col("p") / col("q")))
+          .otherwise(lit(0.0))).as("kl"),
+        sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chi2"))
+      .select(col(groupCol), col("n").cast("bigint").as("n"),
+        col("kl"), col("chi2"))
+  }
+}

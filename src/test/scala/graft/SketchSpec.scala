@@ -241,6 +241,43 @@ class SketchSpec extends AnyFunSuite {
     assert(merged.exceptAll(full).count() == 0)
   }
 
+  test("streaming sketches equal batch sketches: MG exact regime and " +
+    "CMS cells over a file stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.GraftFunctions
+    import graft.ext.Sketches
+    // stage the events parquet as a streaming source directory
+    val dir = java.nio.file.Files.createTempDirectory("stream_sketch")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(dir.toString)
+    val sdf = spark.readStream.schema(raw.schema).parquet(dir.toString)
+
+    val mgStream = sdf.groupBy()
+      .agg(GraftFunctions.heavyHitters(spark, col("event_type"), 64).as("hh"))
+    val q1 = mgStream.writeStream.outputMode("complete").format("memory")
+      .queryName("mg_stream").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val streamed = spark.table("mg_stream")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key"), col("e.cnt")).collect().toSeq
+    val batch = raw.groupBy()
+      .agg(GraftFunctions.heavyHitters(spark, col("event_type"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key"), col("e.cnt")).collect().toSeq
+    assert(streamed == batch, "exact-regime MG must not depend on micro-batching")
+
+    val q2 = Sketches.cmsSketch(sdf, "user_id", depth = 3, width = 128)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val cmsStream = spark.table("cms_stream")
+    val cmsBatch = Sketches.cmsSketch(raw, "user_id", depth = 3, width = 128)
+    assert(cmsStream.exceptAll(cmsBatch).count() == 0)
+    assert(cmsBatch.exceptAll(cmsStream).count() == 0)
+  }
+
   test("portable HLL estimate tracks exact within 4 sigma of 1.04/sqrt(m)") {
     import graft.ext.Sketches
     val b = 6 // m=64: rse ≈ 13%

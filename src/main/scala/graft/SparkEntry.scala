@@ -967,6 +967,71 @@ object SparkEntry {
                                HAVING sum(l_quantity) > 150)
         ORDER BY o.o_orderkey""")
     }),
+    "s35_order_count_distribution" -> ((s, d) => {
+      // TPC-H Q13 shape: LEFT join with an ON-clause filter (customers
+      // keep their zero), per-customer count, then a histogram of the
+      // counts — two stacked aggregates, the outer one tiny. The join
+      // filter must live in ON, not WHERE (WHERE would turn the outer
+      // join inner and silently drop zero-order customers).
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      t(s, d, "customer").createOrReplaceTempView("g_customer")
+      s.sql("""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM g_customer c LEFT JOIN g_orders o
+                ON o.o_custkey = c.c_custkey
+                AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    }),
+    "s36_forecast_revenue" -> ((s, d) => {
+      // TPC-H Q6 shape: the pure scan-side query — every predicate
+      // (date range, discount band, quantity cap) pushes to the
+      // parquet scan, one partial-aggregated global sum. Discount
+      // bounds cast to DOUBLE explicitly so both engines compare
+      // against identical bits (a bare 0.02 literal is DECIMAL in
+      // both dialects, but the promotion rules differ).
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+          CAST(count(*) AS BIGINT) AS n_lines
+        FROM g_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND l_discount BETWEEN CAST(0.02 AS DOUBLE) AND CAST(0.04 AS DOUBLE)
+          AND l_quantity < 10""")
+    }),
+    "s37_set_ops" -> ((s, d) => {
+      // Set-operator family over the same pair of keyed projections:
+      // INTERSECT / EXCEPT (distinct semantics) and their ALL
+      // (bag-semantics) variants — Catalyst plans the distinct forms
+      // as left-semi/left-anti aggregates and the ALL forms via the
+      // replicate-rows rewrite; all four collapse to counts so the
+      // oracle is dialect-neutral.
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT 'inter' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT o_custkey FROM g_orders WHERE o_orderstatus = 'F'
+          INTERSECT
+          SELECT o_custkey FROM g_orders WHERE o_orderstatus = 'O') t1
+        UNION ALL
+        SELECT 'except', CAST(count(*) AS BIGINT) FROM (
+          SELECT o_custkey FROM g_orders WHERE o_orderstatus = 'F'
+          EXCEPT
+          SELECT o_custkey FROM g_orders WHERE o_orderstatus = 'O') t2
+        UNION ALL
+        SELECT 'inter_all', CAST(count(*) AS BIGINT) FROM (
+          SELECT o_custkey FROM g_orders WHERE o_orderstatus = 'F'
+          INTERSECT ALL
+          SELECT o_custkey FROM g_orders WHERE o_orderstatus = 'O') t3
+        UNION ALL
+        SELECT 'except_all', CAST(count(*) AS BIGINT) FROM (
+          SELECT o_custkey FROM g_orders WHERE o_orderstatus = 'F'
+          EXCEPT ALL
+          SELECT o_custkey FROM g_orders WHERE o_orderstatus = 'O') t4
+        ORDER BY op""")
+    }),
     "s28_late_orders" -> ((s, d) => {
       // TPC-H Q4 shape: correlated EXISTS whose inner predicate
       // references BOTH sides (l_shipdate > o_orderdate + 60 days) —
@@ -1304,6 +1369,53 @@ object SparkEntry {
           Seq(DataSkipping.Band("o_orderkey", Some(6000L), Some(7000L))))
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
+    }),
+    "x80_hof_battery" -> ((s, d) => {
+      // Higher-order array functions as one battery over the token
+      // array: transform/aggregate (sequential fold — deterministic
+      // order), filter, exists, forall, sort+slice, distinct. All
+      // integer/string valued, so every cell is exact cross-engine;
+      // DuckDB replays each with its list_* twin. HOFs are the
+      // codegen-friendly alternative to UDFs for array-valued columns
+      // — this battery is the compatibility surface check.
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          expr("CAST(aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x) AS BIGINT)")
+            .as("total_chars"),
+          expr("CAST(size(filter(toks, t -> length(t) >= 6)) AS BIGINT)").as("n_long"),
+          expr("exists(toks, t -> t = 'spark')").as("has_spark"),
+          expr("forall(toks, t -> length(t) > 0)").as("all_nonempty"),
+          expr("array_join(slice(sort_array(toks, false), 1, 3), ',')").as("top3"),
+          expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct"),
+          expr("CAST(aggregate(transform(toks, t -> length(t) * length(t)), 0, (acc, x) -> acc + x) AS BIGINT)")
+            .as("sum_sq_len"))
+        .orderBy(col("doc_id"))
+    }),
+    "x81_kmv_setops" -> ((s, d) => {
+      // Theta-sketch set algebra from two KMV sketches (click users vs
+      // purchase users): merged-sketch membership fraction → Jaccard,
+      // intersection = fraction × union estimate — set overlap answered
+      // from two KB sketches without rescanning either side. Exact
+      // counterparts ride along; every arithmetic step is replayed in
+      // DuckDB bit-for-bit (hash sets and integer match counts; one
+      // division + one multiply).
+      val ev = t(s, d, "events")
+      def side(tp: String) = ev.filter(col("event_type") === tp)
+        .withColumn("g", lit("all"))
+      val est = graft.ext.Sketches.kmvSetEstimate(
+        graft.ext.Sketches.kmvSketch(side("click"), Seq("g"), "user_id", 64),
+        graft.ext.Sketches.kmvSketch(side("purchase"), Seq("g"), "user_id", 64),
+        Seq("g"), 64)
+      val aU = side("click").select(col("user_id")).distinct()
+      val bU = side("purchase").select(col("user_id")).distinct()
+      val exact = aU.intersect(bU).agg(count(lit(1)).as("n_inter_exact"))
+        .crossJoin(aU.union(bU).distinct().agg(count(lit(1)).as("n_union_exact")))
+      est.crossJoin(broadcast(exact))
+        .select(col("g"), col("union_est"), col("inter_est"),
+          col("jaccard_est"), col("n_inter_exact"), col("n_union_exact"))
     }),
     "x79_gk_exact_quantiles" -> ((s, d) => {
       // Spark's percentile_approx (Greenwald–Khanna summary) driven in
@@ -2889,6 +3001,44 @@ object SparkEntry {
         |                       GROUP BY l_orderkey
         |                       HAVING sum(l_quantity) > 150)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "s35_order_count_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON o.o_custkey = c.c_custkey
+        |        AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "s36_forecast_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_discount BETWEEN CAST(0.02 AS DOUBLE) AND CAST(0.04 AS DOUBLE)
+        |  AND l_quantity < 10""".stripMargin,
+    "s37_set_ops" ->
+      """SELECT 'inter' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t1
+        |UNION ALL
+        |SELECT 'except', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t2
+        |UNION ALL
+        |SELECT 'inter_all', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t3
+        |UNION ALL
+        |SELECT 'except_all', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t4
+        |ORDER BY op""".stripMargin,
     "s28_late_orders" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders o
@@ -3132,6 +3282,61 @@ object SparkEntry {
     // the (k-1)·2^60/h_k estimator; unsaturated groups report their
     // exact distinct-hash count. All factors exact doubles, division
     // IEEE → bit-identical cross-engine.
+    // each HOF replayed with its DuckDB list_* twin; integer/string
+    // cells only, so every value is exact
+    "x80_hof_battery" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+        |  CAST(len(list_filter(toks, t -> length(t) >= 6)) AS BIGINT) AS n_long,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  len(list_filter(toks, t -> length(t) = 0)) = 0 AS all_nonempty,
+        |  array_to_string((list_sort(toks, 'DESC'))[1:3], ',') AS top3,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(list_sum(list_transform(toks, t -> length(t) * length(t))) AS BIGINT) AS sum_sq_len
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    // bottom-64 sketches of both sides, merged bottom-64, membership
+    // match count, then the identical (n/m)*union arithmetic
+    "x81_kmv_setops" ->
+      """WITH ah AS (
+        |  SELECT DISTINCT CAST(concat('0x', substr(sha256('kmv:' ||
+        |    CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |ak AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM ah) WHERE rn <= 64),
+        |bh AS (
+        |  SELECT DISTINCT CAST(concat('0x', substr(sha256('kmv:' ||
+        |    CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |bk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM bh) WHERE rn <= 64),
+        |mh AS (SELECT DISTINCT h FROM (SELECT h FROM ak UNION ALL SELECT h FROM bk) u),
+        |mk AS (SELECT h, rn FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM mh) WHERE rn <= 64),
+        |msz AS (SELECT CAST(count(*) AS BIGINT) AS m_size,
+        |          max(CASE WHEN rn = 64 THEN h END) AS h64 FROM mk),
+        |un AS (SELECT m_size,
+        |         CASE WHEN m_size < 64 THEN CAST(m_size AS DOUBLE)
+        |              ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |                   / CAST(h64 AS DOUBLE) END AS union_est
+        |       FROM msz),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n_match FROM mk
+        |       WHERE h IN (SELECT h FROM ak) AND h IN (SELECT h FROM bk)),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_exact FROM (
+        |         SELECT DISTINCT user_id FROM events
+        |         WHERE event_type = 'click' AND user_id IS NOT NULL
+        |         INTERSECT
+        |         SELECT DISTINCT user_id FROM events
+        |         WHERE event_type = 'purchase' AND user_id IS NOT NULL) i),
+        |ex2 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_union_exact
+        |        FROM events
+        |        WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL)
+        |SELECT 'all' AS g, un.union_est,
+        |  CAST(mm.n_match AS DOUBLE) / un.m_size * un.union_est AS inter_est,
+        |  CAST(mm.n_match AS DOUBLE) / un.m_size AS jaccard_est,
+        |  ex.n_inter_exact, ex2.n_union_exact
+        |FROM un, mm, ex, ex2""".stripMargin,
     // exact-regime GK summary == discrete quantile; DuckDB's
     // quantile_disc picks the same element at these ranks
     "x79_gk_exact_quantiles" ->

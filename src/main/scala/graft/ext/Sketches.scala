@@ -114,6 +114,43 @@ object Sketches {
       .agg(sort_array(collect_list(col("h"))).as("kmv"))
   }
 
+  /** Set-algebra estimates from two per-group KMV sketches — the
+    * theta-sketch trick [Dasgupta et al., "Theta sketches"; Beyer et
+    * al. SIGMOD'07 §4]: the merged sketch M = bottom-k(A ∪ B) is a
+    * uniform sample of the union's hash space, so the fraction of M's
+    * members present in BOTH input sketches estimates the Jaccard
+    * similarity, and |A∩B| ≈ ρ · |A∪B|̂. Lets a pipeline answer
+    * "how many users does source A share with source B" from two
+    * KB-sized sketch tables instead of re-scanning either source.
+    *
+    * Output per group: `union_est`, `inter_est`, `jaccard_est`
+    * (= matches/|M|, exact integer ratio). Every ingredient — member
+    * hashes, the intersection count, the union estimate — is
+    * engine-portable arithmetic, so the estimates are value-checkable
+    * cross-engine like the base sketch. */
+  def kmvSetEstimate(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                     k: Int): DataFrame = {
+    val merged = kmvMerge(Seq(a, b), groupCols, k)
+    val aSet = a.select(groupCols.map(col) :+ explode(col("kmv")).as("h"): _*)
+    val bSet = b.select(groupCols.map(col) :+ explode(col("kmv")).as("h"): _*)
+    val inBoth = aSet.join(bSet, groupCols :+ "h")
+    val est = kmvEstimate(merged, k)
+      .select(groupCols.map(col) :+ size(col("kmv")).as("m_size") :+
+        col("distinct_est").as("union_est") :+ col("kmv"): _*)
+    val matches = merged
+      .select(groupCols.map(col) :+ explode(col("kmv")).as("h"): _*)
+      .join(inBoth, groupCols :+ "h", "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_match"))
+    est.join(matches, groupCols, "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .select(groupCols.map(col) :+
+        col("union_est") :+
+        (col("n_match").cast("double") / col("m_size") * col("union_est"))
+          .as("inter_est") :+
+        (col("n_match").cast("double") / col("m_size")).as("jaccard_est"): _*)
+  }
+
   // ------------------------------------------------------------------
   // Count-Min sketch (portable)
   // ------------------------------------------------------------------

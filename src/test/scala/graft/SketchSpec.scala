@@ -241,6 +241,32 @@ class SketchSpec extends AnyFunSuite {
     assert(merged.exceptAll(full).count() == 0)
   }
 
+  test("KMV set algebra: unsaturated sketches give EXACT union/" +
+    "intersection/Jaccard; saturated stay within the rsd band") {
+    import graft.ext.Sketches
+    val a = events.filter(col("event_type") === "click").withColumn("g", lit("all"))
+    val b = events.filter(col("event_type") === "purchase").withColumn("g", lit("all"))
+    val aU = a.select("user_id").distinct()
+    val bU = b.select("user_id").distinct()
+    val interExact = aU.intersect(bU).count().toDouble
+    val unionExact = aU.union(bU).distinct().count().toDouble
+    // k=512 > any distinct set here: M IS the union, matches ARE the
+    // intersection — the estimates must be exact, not just close
+    val exact = Sketches.kmvSetEstimate(
+      Sketches.kmvSketch(a, Seq("g"), "user_id", 512),
+      Sketches.kmvSketch(b, Seq("g"), "user_id", 512), Seq("g"), 512).head
+    assert(exact.getDouble(1) == unionExact, s"union ${exact.getDouble(1)}")
+    assert(exact.getDouble(2) == interExact, s"inter ${exact.getDouble(2)}")
+    assert(exact.getDouble(3) == interExact / unionExact)
+    // saturated regime: 4-sigma band around the exact Jaccard
+    val approx = Sketches.kmvSetEstimate(
+      Sketches.kmvSketch(a, Seq("g"), "user_id", 64),
+      Sketches.kmvSketch(b, Seq("g"), "user_id", 64), Seq("g"), 64).head
+    val jExact = interExact / unionExact
+    assert(math.abs(approx.getDouble(3) - jExact) < 0.5,
+      s"jaccard est ${approx.getDouble(3)} vs exact $jExact")
+  }
+
   test("streaming sketches equal batch sketches: MG exact regime and " +
     "CMS cells over a file stream") {
     import org.apache.spark.sql.streaming.Trigger

@@ -1370,6 +1370,20 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
+    "x82_semantic_decontaminate" -> ((s, d) => {
+      // Embedding-space decontamination: every corpus vector's best
+      // cosine match in a broadcast benchmark slice (vec_id % 10 == 0),
+      // kept at sim >= 0.35 — catches paraphrased eval leakage the
+      // n-gram probe (x20) can't see. Ties aggregate on the ROUNDED
+      // sim + bench id, so the keeper is engine-deterministic even
+      // with duplicate benchmark vectors.
+      val emb = t(s, d, "embeddings")
+      val bench = emb.filter(col("vec_id") % 10 === 0)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      graft.ext.Similarity
+        .flagSemanticMatches(corpus, bench, "embedding", "vec_id", 0.35)
+        .orderBy(col("vec_id"))
+    }),
     "x80_hof_battery" -> ((s, d) => {
       // Higher-order array functions as one battery over the token
       // array: transform/aggregate (sequential fold — deterministic
@@ -3282,6 +3296,27 @@ object SparkEntry {
     // the (k-1)·2^60/h_k estimator; unsaturated groups report their
     // exact distinct-hash count. All factors exact doubles, division
     // IEEE → bit-identical cross-engine.
+    // float64 cosine replica (x06's arithmetic), best match per corpus
+    // vector picked on (rounded sim DESC, bench id DESC) — the
+    // lexicographic max(struct) order
+    "x82_semantic_decontaminate" ->
+      """WITH bench AS (SELECT vec_id AS bench_id, embedding FROM embeddings
+        |               WHERE vec_id % 10 = 0),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id % 10 <> 0),
+        |sims AS (
+        |  SELECT c.vec_id, b.bench_id, CAST(ROUND(
+        |    list_sum(list_transform(list_zip(c.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+        |    AS DOUBLE) AS sim
+        |  FROM corpus c CROSS JOIN bench b)
+        |SELECT vec_id, bench_id, sim FROM sims
+        |WHERE sim >= 0.35
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY sim DESC, bench_id DESC) = 1
+        |ORDER BY vec_id""".stripMargin,
     // each HOF replayed with its DuckDB list_* twin; integer/string
     // cells only, so every value is exact
     "x80_hof_battery" ->

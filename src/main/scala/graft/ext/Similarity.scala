@@ -156,6 +156,35 @@ object Similarity {
         pairPred = col("id_a") < col("id_b"))
       .filter(col("sim") >= threshold) // null sims (zero-norm) fail this
 
+  /** Semantic decontamination: for every corpus row, the best cosine
+    * match in a (small) benchmark set, kept only at or above
+    * `threshold` — the embedding-space complement of the n-gram
+    * decontamination in [[graft.ext.Decontaminate]] (paraphrased eval
+    * leakage that shares no shingles still lands nearby in embedding
+    * space). The benchmark side BROADCASTS — at 100 TB the corpus
+    * streams through map tasks against an in-memory eval set, the
+    * same shape as x20's shingle probe; no shuffle of the corpus.
+    *
+    * The best match aggregates as max(struct(ROUNDED sim, bench id)),
+    * so ties — including exact duplicate benchmark vectors — resolve
+    * deterministically and identically cross-engine. Degenerate
+    * (zero-norm) vectors produce null sims and are dropped by the
+    * threshold. Returns `(idCol, bench_id, sim)`. */
+  def flagSemanticMatches(corpus: DataFrame, bench: DataFrame,
+                          embCol: String, idCol: String,
+                          threshold: Double, roundTo: Int = 6): DataFrame = {
+    val b = bench.select(col(idCol).as("bench_id"), col(embCol).as("_emb_b"))
+    corpus.select(col(idCol), col(embCol).as("_emb_a"))
+      .crossJoin(broadcast(b))
+      .select(col(idCol), col("bench_id"),
+        round(graft.functions.GraftFunctions.cosineSim(corpus.sparkSession,
+          col("_emb_a"), col("_emb_b")), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), col("bench_id"))).as("m"))
+      .select(col(idCol), col("m.bench_id").as("bench_id"), col("m.sim").as("sim"))
+  }
+
   /** Shared candidate generator for the bucketed pair family: self-join
     * on the bucket key (ONE shuffle), pair predicate, then the fused
     * native kernel — computes dot, |a|² and |b|² in one allocation-free

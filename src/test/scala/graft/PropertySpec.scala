@@ -415,6 +415,59 @@ object PipelineProperties extends Properties("graft") {
       cleaned == expect
     }
 
+  property("Misra-Gries bounds hold under ANY split of ANY input: " +
+    "est <= true, true - est <= N/(cap+1), heavy hitters survive") =
+    forAll(
+      Gen.listOfN(60, Gen.choose(0, 8)),
+      Gen.choose(2, 5),
+      Gen.choose(2, 7)) { (keys, cap, nPart) =>
+      keys.nonEmpty ==> {
+        val df = keys.map(k => s"k$k").toDF("k").repartition(nPart)
+        val summary = df
+          .agg(graft.functions.GraftFunctions.heavyHitters(spark, col("k"), cap).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.key"), col("e.cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exact = keys.groupBy(k => s"k$k").view.mapValues(_.size.toLong).toMap
+        val slack = keys.size.toLong / (cap + 1)
+        val bounds = summary.forall { case (k, est) =>
+          est <= exact(k) && exact(k) - est <= slack
+        }
+        val complete = exact.forall { case (k, n) =>
+          n <= slack || summary.contains(k)
+        }
+        bounds && complete && summary.size <= cap
+      }
+    }
+
+  property("Count-Min never undercounts any key, for any data and width") =
+    forAll(
+      Gen.listOfN(40, Gen.choose(0, 12)),
+      Gen.choose(2, 16)) { (keys, width) =>
+      keys.nonEmpty ==> {
+        import graft.ext.Sketches
+        val df = keys.map(k => s"k$k").toDF("v")
+        val sk = Sketches.cmsSketch(df, "v", depth = 2, width = width)
+        val est = Sketches.cmsLookup(sk, df, "v", depth = 2, width = width)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exact = keys.groupBy(k => s"k$k").view.mapValues(_.size.toLong).toMap
+        exact.forall { case (k, n) => est(k) >= n }
+      }
+    }
+
+  property("PageRank mass is conserved up to dangling leak and " +
+    "positive everywhere, on random digraphs") =
+    forAll(Gen.listOfN(15, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+      .map(_.filter(p => p._1 != p._2).distinct)) { edges =>
+      edges.nonEmpty ==> {
+        val df = edges.toDF("src", "dst")
+        val ranks = graft.ext.Graph.pageRank(df, iterations = 3)
+          .collect().map(_.getDouble(1))
+        val mass = ranks.sum
+        ranks.forall(_ > 0) && mass > 0 && mass <= 1.0 + 1e-9
+      }
+    }
+
   property("Snapshots.upsert == (base ANTI srcKeys) UNION src, any key overlap") =
     forAll(
       Gen.listOfN(8, Gen.choose(0, 11)).map(_.distinct),

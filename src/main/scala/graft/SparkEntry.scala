@@ -1370,6 +1370,18 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
+    "x83_bpe_merges" -> ((s, d) => {
+      // BPE tokenizer training, 8 merge rounds over the word vocabulary
+      // (chars → merged symbols; greedy non-overlapping application).
+      // Deterministic by the (count DESC, left, right) tie-break; the
+      // oracle replays every round with the string-replace greedy
+      // formulation, so the whole iterative loop — pair counts, argmax
+      // picks, merge application — is value-checked end to end.
+      graft.ext.TextAnalysis.learnBpeMerges(t(s, d, "documents"), "text", 8)
+        .select(col("round").cast("bigint").as("round"), col("left"),
+          col("right"), col("pair_count"))
+        .orderBy(col("round"))
+    }),
     "x82_semantic_decontaminate" -> ((s, d) => {
       // Embedding-space decontamination: every corpus vector's best
       // cosine match in a broadcast benchmark slice (vec_id % 10 == 0),
@@ -3296,6 +3308,42 @@ object SparkEntry {
     // the (k-1)·2^60/h_k estimator; unsaturated groups report their
     // exact distinct-hash count. All factors exact doubles, division
     // IEEE → bit-identical cross-engine.
+    // 8 unrolled BPE rounds: per-round pair counts from the spaced
+    // symbol string, (cnt DESC, l, r) argmax, greedy non-overlapping
+    // replace — the same left-to-right semantics as the Spark fold.
+    // list_zip pads the shorter list with NULL, hence the p[2] filter.
+    "x83_bpe_merges" -> {
+      val rounds = 8
+      val steps = (1 to rounds).map { r =>
+        val prev = s"s${r - 1}"
+        s"""p$r AS MATERIALIZED (SELECT p[1] AS l, p[2] AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, unnest(list_zip(ll, ll[2:])) AS p
+           |        FROM (SELECT freq, string_split(trim(seq), ' ') AS ll FROM $prev) t1) t2
+           |  WHERE p[2] IS NOT NULL
+           |  GROUP BY 1, 2 HAVING sum(freq) >= 2),
+           |m$r AS MATERIALIZED (SELECT l, r2, cnt FROM p$r ORDER BY cnt DESC, l, r2 LIMIT 1),
+           |s$r AS MATERIALIZED (SELECT freq, replace(seq,
+           |    ' ' || (SELECT l FROM m$r) || ' ' || (SELECT r2 FROM m$r) || ' ',
+           |    ' ' || (SELECT l FROM m$r) || (SELECT r2 FROM m$r) || ' ') AS seq
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to rounds)
+        .map(r => s"SELECT $r AS round, l AS \"left\", r2 AS \"right\", cnt AS pair_count FROM m$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+         |    FROM documents) t
+         |  WHERE length(w) > 0 GROUP BY w),
+         |s0 AS MATERIALIZED (SELECT freq,
+         |         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq
+         |       FROM words),
+         |$steps
+         |SELECT CAST(round AS BIGINT) AS round, "left", "right", pair_count
+         |FROM ($out) u
+         |ORDER BY round""".stripMargin
+    },
     // float64 cosine replica (x06's arithmetic), best match per corpus
     // vector picked on (rounded sim DESC, bench id DESC) — the
     // lexicographic max(struct) order

@@ -287,6 +287,74 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** BPE merge learning [Sennrich et al. '16] — the tokenizer-training
+    * step itself, distributed: `nMerges` rounds of "count adjacent
+    * symbol pairs across the corpus, merge the most frequent". The
+    * corpus collapses to (distinct word, frequency) first — the
+    * standard trick that makes each round's pair count a
+    * vocabulary-sized aggregate instead of a corpus scan — and the
+    * merge applies as a left-to-right non-overlapping `aggregate` fold
+    * over each word's symbol array (greedy BPE application order; a
+    * freshly merged symbol never re-merges with the element it just
+    * consumed, which is exactly what the fold gives for free).
+    *
+    * Determinism: tie-breaks order by (count DESC, left ASC,
+    * right ASC), so the learned merge table is a pure function of the
+    * corpus — the DuckDB oracle replays every round with the
+    * string-replace formulation (non-overlapping left-to-right, the
+    * same greedy semantics) and must reproduce it exactly.
+    *
+    * Scale shape: per round, one explode + sum aggregate over the
+    * VOCABULARY (not the corpus) and a 1-row argmax collect (the
+    * driver holds only the merge table, ≤ nMerges rows); the merge
+    * apply is a narrow projection. Symbol arrays are persisted each
+    * round so the unrolled lineage never recomputes round k−1's fold
+    * (at cluster scale: checkpoint every ~10 rounds instead).
+    *
+    * Returns `(round, left, right, pair_count)`, rounds 1..n (stops
+    * early if no pair repeats). */
+  def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "need at least one merge round")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var seqs = words.select(col("freq"), split(col("w"), "").as("syms"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (r <- 1 to nMerges if !done) {
+      seqs = seqs.persist()
+      val top = seqs
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), " +
+            "slice(syms, 2, size(syms) - 1), (a, b) -> struct(a, b))")).as("p"))
+        .groupBy(col("p.a").as("left"), col("p.b").as("right"))
+        .agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, c))
+        def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+        val prev = seqs
+        seqs = seqs.withColumn("syms", expr(
+          s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}' " +
+            s"AND x = '${q(b)}' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a + b)}')) " +
+            s"ELSE concat(acc, array(x)) END)"))
+        seqs = seqs.persist()
+        seqs.count() // materialize before dropping the parent
+        prev.unpersist()
+      }
+    }
+    merges.toSeq.toDF("round", "left", "right", "pair_count")
+  }
+
   /** Okapi BM25 retrieval scoring [Robertson & Walker '94; the Lucene
     * `(1 + (N−df+0.5)/(df+0.5))` idf variant, which keeps idf positive
     * for terms in over half the corpus]: score every document against a

@@ -967,6 +967,53 @@ object SparkEntry {
                                HAVING sum(l_quantity) > 150)
         ORDER BY o.o_orderkey""")
     }),
+    "s38_string_battery" -> ((s, d) => {
+      // Scalar string-function battery in one narrow pass — the
+      // compatibility surface a user migrating warehouse SQL hits
+      // first. Every function here has an exact DuckDB twin (initcap
+      // and soundex deliberately excluded: no portable counterpart).
+      t(s, d, "part").createOrReplaceTempView("g_part")
+      s.sql("""
+        SELECT p_partkey,
+          upper(p_name) AS up, lower(p_type) AS lo,
+          substring(p_name, 3, 5) AS sub,
+          lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '#') AS rp,
+          reverse(p_name) AS rev,
+          replace(p_name, 'a', '@') AS repl,
+          CAST(instr(p_name, 'e') AS BIGINT) AS pos_e,
+          translate(p_type, 'AEO', 'aeo') AS tr,
+          repeat(p_brand, 2) AS rep2,
+          concat_ws('|', p_brand, p_type) AS joined,
+          element_at(split(p_name, '_'), -1) AS last_part,
+          CAST(ascii(p_name) AS BIGINT) AS first_code,
+          CAST(length(p_name) AS BIGINT) AS len,
+          md5(p_name) AS digest,
+          regexp_extract(p_name, '([0-9]+)', 1) AS digits
+        FROM g_part ORDER BY p_partkey""")
+    }),
+    "s39_date_battery" -> ((s, d) => {
+      // Scalar date/time battery: extraction fields, truncation,
+      // arithmetic, month-end — each with its DuckDB twin (DuckDB's
+      // dayofweek is 0-based Sunday; the oracle shifts it to Spark's
+      // 1-based convention).
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o_orderkey,
+          CAST(year(o_orderdate) AS BIGINT) AS y,
+          CAST(quarter(o_orderdate) AS BIGINT) AS q,
+          CAST(month(o_orderdate) AS BIGINT) AS m,
+          CAST(day(o_orderdate) AS BIGINT) AS dom,
+          CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+          CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+          CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+          CAST(last_day(o_orderdate) AS DATE) AS month_end,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45,
+          CAST(add_months(o_orderdate, 3) AS DATE) AS plus3m,
+          CAST(datediff(TIMESTAMP '2001-01-01', o_orderdate) AS BIGINT) AS days_to_2001,
+          make_date(year(o_orderdate), month(o_orderdate), 1) AS first_dom
+        FROM g_orders ORDER BY o_orderkey""")
+    }),
     "s35_order_count_distribution" -> ((s, d) => {
       // TPC-H Q13 shape: LEFT join with an ON-clause filter (customers
       // keep their zero), per-customer count, then a histogram of the
@@ -1369,6 +1416,37 @@ object SparkEntry {
           Seq(DataSkipping.Band("o_orderkey", Some(6000L), Some(7000L))))
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
+    }),
+    "x84_ols_trend" -> ((s, d) => {
+      // Per-type OLS trend of event value over time, computed from
+      // EXACT integer sums (centered integer seconds × centi-value):
+      // n, Σx, Σy, Σxy, Σx², Σy² accumulate in DECIMAL(38,0) — exact,
+      // order-independent — and the slope/intercept/r² divisions are
+      // the only floating ops, so results are bit-identical
+      // cross-engine with NO rounding. The engine-portable form of
+      // regr_slope/regr_r2 (the builtins' streaming co-moments are
+      // within-engine stable but not cross-engine comparable).
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (unix_timestamp(col("ts")) - lit(1700000000L)).as("x"),
+          round(col("value") * 100).cast("long").as("y"))
+      val sums = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+        sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val slope = num / den
+      sums.select(col("event_type"), col("n").cast("bigint").as("n"),
+          slope.as("slope"),
+          ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n")).as("intercept"),
+          (num * num / (den * deny)).as("r2"))
+        .orderBy(col("event_type"))
     }),
     "x83_bpe_merges" -> ((s, d) => {
       // BPE tokenizer training, 8 merge rounds over the word vocabulary
@@ -3027,6 +3105,39 @@ object SparkEntry {
         |                       GROUP BY l_orderkey
         |                       HAVING sum(l_quantity) > 150)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "s38_string_battery" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_type) AS lo,
+        |  substring(p_name, 3, 5) AS sub,
+        |  lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '#') AS rp,
+        |  reverse(p_name) AS rev,
+        |  replace(p_name, 'a', '@') AS repl,
+        |  CAST(instr(p_name, 'e') AS BIGINT) AS pos_e,
+        |  translate(p_type, 'AEO', 'aeo') AS tr,
+        |  repeat(p_brand, 2) AS rep2,
+        |  concat_ws('|', p_brand, p_type) AS joined,
+        |  string_split(p_name, '_')[-1] AS last_part,
+        |  CAST(ascii(p_name) AS BIGINT) AS first_code,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  md5(p_name) AS digest,
+        |  coalesce(regexp_extract(p_name, '([0-9]+)', 1), '') AS digits
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "s39_date_battery" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-01-01') AS BIGINT) AS days_to_2001,
+        |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS first_dom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "s35_order_count_distribution" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
@@ -3308,6 +3419,29 @@ object SparkEntry {
     // the (k-1)·2^60/h_k estimator; unsaturated groups report their
     // exact distinct-hash count. All factors exact doubles, division
     // IEEE → bit-identical cross-engine.
+    // exact HUGEINT sums (DuckDB's int128 twin of the Spark side's
+    // DECIMAL(38,0)), identical closed-form divisions — no rounding
+    "x84_ols_trend" ->
+      """WITH pts AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 1700000000 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |sums AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pts GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / n AS intercept,
+        |  (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        |FROM sums ORDER BY event_type""".stripMargin,
     // 8 unrolled BPE rounds: per-round pair counts from the spaced
     // symbol string, (cnt DESC, l, r) argmax, greedy non-overlapping
     // replace — the same left-to-right semantics as the Spark fold.

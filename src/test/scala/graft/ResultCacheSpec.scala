@@ -83,6 +83,27 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(k1.isDefined && k2.isDefined && k1 != k2)
   }
 
+  test("composes with snapshot tables: hits while the version is " +
+    "unchanged, misses after a new commit") {
+    import graft.warehouse.Snapshots
+    val dir = Files.createTempDirectory("rc-snap").toString + "/t"
+    val cache = Files.createTempDirectory("rc-cache").toString
+    val base = Tables(spark, sf, "orders").limit(300)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.append(spark, dir, base)
+    def agg() = Snapshots.read(spark, dir)
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("t"))
+    val r1 = ResultCache.withCache(spark, agg(), cache)
+    assert(!r1.hit && r1.key.isDefined)
+    assert(ResultCache.withCache(spark, agg(), cache).hit)
+    Snapshots.append(spark, dir,
+      Tables(spark, sf, "orders").limit(100)
+        .select(col("o_orderkey"), col("o_totalprice")))
+    val r3 = ResultCache.withCache(spark, agg(), cache)
+    assert(!r3.hit, "a new snapshot commit must invalidate")
+    assert(r3.df.head.getLong(0) == 400L)
+  }
+
   test("vacuum drops aged entries and leaves fresh ones") {
     val base = freshBase()
     val cache = Files.createTempDirectory("rc-cache").toString

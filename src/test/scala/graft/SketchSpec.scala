@@ -302,6 +302,16 @@ class SketchSpec extends AnyFunSuite {
     val cmsBatch = Sketches.cmsSketch(raw, "user_id", depth = 3, width = 128)
     assert(cmsStream.exceptAll(cmsBatch).count() == 0)
     assert(cmsBatch.exceptAll(cmsStream).count() == 0)
+
+    // HLL registers: groupBy-max is streaming-legal in complete mode
+    val q3 = Sketches.hllRegisters(sdf, Seq("event_type"), "user_id", b = 5)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream").trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val hllStream = spark.table("hll_stream")
+    val hllBatch = Sketches.hllRegisters(raw, Seq("event_type"), "user_id", b = 5)
+    assert(hllStream.exceptAll(hllBatch).count() == 0)
+    assert(hllBatch.exceptAll(hllStream).count() == 0)
   }
 
   test("portable HLL estimate tracks exact within 4 sigma of 1.04/sqrt(m)") {

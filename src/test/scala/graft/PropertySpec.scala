@@ -468,6 +468,63 @@ object PipelineProperties extends Properties("graft") {
       }
     }
 
+  property("degree-oriented triangleCount == naive enumeration on " +
+    "random graphs") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))) { raw =>
+      val edges = raw.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+      edges.nonEmpty ==> {
+        val got = graft.ext.Graph.triangleCount(edges.toDF("a", "b"))
+          .head.getLong(2)
+        val es = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val naive = (for {
+          i <- nodes; j <- nodes if i < j && es((i, j))
+          k <- nodes if j < k && es((j, k)) && es((i, k))
+        } yield 1).size.toLong
+        got == naive
+      }
+    }
+
+  property("learnBpeMerges == driver-side greedy BPE reference") =
+    forAll(Gen.listOfN(30,
+      Gen.listOfN(5, Gen.oneOf("a", "b", "c")).map(_.mkString))) { words =>
+      words.nonEmpty ==> {
+        val got = graft.ext.TextAnalysis
+          .learnBpeMerges(words.toDF("text"), "text", nMerges = 3)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq.sortBy(_._1)
+        // reference: same algorithm, sequentially on the driver
+        var seqs = words.groupBy(identity).view
+          .mapValues(_.size.toLong).toMap
+          .map { case (w, f) => (w.split("").toList, f) }.toList
+        val ref = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        var stop = false
+        for (r <- 1 to 3 if !stop) {
+          val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          seqs.foreach { case (syms, f) =>
+            syms.zip(syms.drop(1)).foreach(p =>
+              counts(p) = counts.getOrElse(p, 0L) + f)
+          }
+          val cands = counts.filter(_._2 >= 2)
+          if (cands.isEmpty) stop = true
+          else {
+            val ((a, b), c) = cands.minBy { case ((l, rr), n) => (-n, l, rr) }
+            ref += ((r, a, b, c))
+            seqs = seqs.map { case (syms, f) =>
+              val out = syms.foldLeft(List.empty[String]) { (acc, x) =>
+                if (acc.nonEmpty && acc.last == a && x == b)
+                  acc.init :+ (a + b)
+                else acc :+ x
+              }
+              (out, f)
+            }
+          }
+        }
+        got == ref.toSeq
+      }
+    }
+
   property("Snapshots.upsert == (base ANTI srcKeys) UNION src, any key overlap") =
     forAll(
       Gen.listOfN(8, Gen.choose(0, 11)).map(_.distinct),

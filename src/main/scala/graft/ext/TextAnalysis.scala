@@ -321,11 +321,14 @@ object TextAnalysis {
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var seqs = words.select(col("freq"), split(col("w"), "").as("syms"))
+    var seqs = words.select(col("freq"), split(col("w"), "").as("syms")).persist()
+    // the previous round's cached frame: its child was materialized by
+    // THIS round's pair-count collect, so it can drop one round late —
+    // no extra count() job just to force materialization
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (r <- 1 to nMerges if !done) {
-      seqs = seqs.persist()
       val top = seqs
         .select(col("freq"), explode(expr(
           "zip_with(slice(syms, 1, size(syms) - 1), " +
@@ -335,23 +338,25 @@ object TextAnalysis {
         .filter(col("cnt") >= 2)
         .orderBy(col("cnt").desc, col("left"), col("right"))
         .limit(1).collect()
+      // the collect above materialized `seqs`; the round-(r-1) cache
+      // has no remaining consumers
+      prev.foreach(_.unpersist(false))
       if (top.isEmpty) done = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, c))
         def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-        val prev = seqs
+        prev = Some(seqs)
         seqs = seqs.withColumn("syms", expr(
           s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
             s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}' " +
             s"AND x = '${q(b)}' " +
             s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a + b)}')) " +
-            s"ELSE concat(acc, array(x)) END)"))
-        seqs = seqs.persist()
-        seqs.count() // materialize before dropping the parent
-        prev.unpersist()
+            s"ELSE concat(acc, array(x)) END)")).persist()
       }
     }
+    seqs.unpersist(false)
+    prev.foreach(_.unpersist(false))
     merges.toSeq.toDF("round", "left", "right", "pair_count")
   }
 

@@ -1417,6 +1417,32 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
     }),
+    "x86_equidepth_histogram" -> ((s, d) => {
+      // Equi-depth (quantile-binned) histogram — the complement of
+      // x56's fixed-width bins: 8 buckets of equal row count per
+      // language via ntile over a TOTAL order (doc_id tiebreak makes
+      // bucket assignment engine-deterministic), then per-bucket
+      // count/min/max. Integer-exact throughout.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("bucket", ntile(8).over(w).cast("bigint"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).cast("bigint").as("lo"),
+          max(col("n_chars")).cast("bigint").as("hi"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+    "x85_bigram_score" -> ((s, d) => {
+      // Interpolated bigram LM quality score (λ=0.8 bigram + 0.2
+      // unigram backoff), position-ordered log-prob fold per doc —
+      // x62's determinism discipline one model order up. Counts are
+      // exact; DuckDB replays the identical interpolation arithmetic
+      // and ordered list_sum.
+      graft.ext.TextAnalysis.bigramScore(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     "x84_ols_trend" -> ((s, d) => {
       // Per-type OLS trend of event value over time, computed from
       // EXACT integer sums (centered integer seconds × centi-value):
@@ -3419,6 +3445,46 @@ object SparkEntry {
     // the (k-1)·2^60/h_k estimator; unsaturated groups report their
     // exact distinct-hash count. All factors exact doubles, division
     // IEEE → bit-identical cross-engine.
+    "x86_equidepth_histogram" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    CAST(ntile(8) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi
+        |FROM b GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin,
+    // bigram + unigram count tables, identical interpolation
+    // association order, position-ordered fold (x62's list_sum form)
+    "x85_bigram_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM t),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS ucnt FROM e GROUP BY tok),
+        |tot AS (SELECT CAST(sum(ucnt) AS BIGINT) AS total FROM f),
+        |pr AS (
+        |  SELECT doc_id, unnest(range(1, len(toks))) AS pos,
+        |    unnest(toks[1:len(toks)-1]) AS prev, unnest(toks[2:]) AS cur
+        |  FROM t),
+        |b AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bcnt FROM pr GROUP BY prev, cur),
+        |j AS (
+        |  SELECT pr.doc_id, pr.pos,
+        |    ln(CAST(0.8 AS DOUBLE) * (b.bcnt / CAST(fp.ucnt AS DOUBLE))
+        |       + (1.0 - CAST(0.8 AS DOUBLE)) * (fc.ucnt / CAST(tot.total AS DOUBLE))) AS lp
+        |  FROM pr
+        |  JOIN b ON b.prev = pr.prev AND b.cur = pr.cur
+        |  JOIN f fp ON fp.tok = pr.prev
+        |  JOIN f fc ON fc.tok = pr.cur
+        |  CROSS JOIN tot),
+        |g AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_sum(list(lp ORDER BY pos)) AS sum_lp
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(ROUND(sum_lp / n_bigrams, 6) AS DOUBLE) AS score
+        |FROM g ORDER BY doc_id""".stripMargin,
     // exact HUGEINT sums (DuckDB's int128 twin of the Spark side's
     // DECIMAL(38,0)), identical closed-form divisions — no rounding
     "x84_ols_trend" ->

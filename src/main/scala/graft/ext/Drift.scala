@@ -35,30 +35,34 @@ object Drift {
     * cross-engine comparison. */
   def categoricalDrift(df: DataFrame, groupCol: String,
                        valueCol: String): DataFrame = {
+    // internal columns carry a _drift_ prefix so no caller column name
+    // (e.g. a group column literally called "g" or "n") can collide
     val cells = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("o"))
+      .agg(count(lit(1)).as("_drift_o"))
     val pooled = cells.groupBy(col(valueCol))
-      .agg(sum(col("o")).as("g"))
+      .agg(sum(col("_drift_o")).as("_drift_pool"))
     val totals = cells.groupBy(col(groupCol))
-      .agg(sum(col("o")).as("n"))
-    val grand = cells.agg(sum(col("o")).as("t"))
+      .agg(sum(col("_drift_o")).as("_drift_n"))
+    val grand = cells.agg(sum(col("_drift_o")).as("_drift_t"))
     // full (group × category) grid: chi2's zero cells (o = 0, e > 0)
     // still contribute e; KL's contribute 0 (p·ln p → 0), guarded
     // against the 0·ln 0 NaN explicitly
     totals.crossJoin(broadcast(pooled))
       .join(cells, Seq(groupCol, valueCol), "left")
-      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("_drift_o", coalesce(col("_drift_o"), lit(0L)))
       .crossJoin(broadcast(grand))
-      .withColumn("p", col("o").cast("double") / col("n"))
-      .withColumn("q", col("g").cast("double") / col("t"))
-      .withColumn("e", col("n") * col("q"))
-      .groupBy(col(groupCol), col("n"))
+      .withColumn("_drift_p", col("_drift_o").cast("double") / col("_drift_n"))
+      .withColumn("_drift_q", col("_drift_pool").cast("double") / col("_drift_t"))
+      .withColumn("_drift_e", col("_drift_n") * col("_drift_q"))
+      .groupBy(col(groupCol), col("_drift_n"))
       .agg(
-        sum(when(col("o") > 0, col("p") * log(col("p") / col("q")))
+        sum(when(col("_drift_o") > 0,
+          col("_drift_p") * log(col("_drift_p") / col("_drift_q")))
           .otherwise(lit(0.0))).as("kl"),
-        sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chi2"))
-      .select(col(groupCol), col("n").cast("bigint").as("n"),
+        sum((col("_drift_o") - col("_drift_e")) * (col("_drift_o") - col("_drift_e"))
+          / col("_drift_e")).as("chi2"))
+      .select(col(groupCol), col("_drift_n").cast("bigint").as("n"),
         col("kl"), col("chi2"))
   }
 }

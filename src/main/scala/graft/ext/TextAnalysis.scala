@@ -569,6 +569,57 @@ object TextAnalysis {
         round(col("sum_lp") / col("n_tokens"), 6).as("score"))
   }
 
+  /** Interpolated bigram LM score per document — the next rung of the
+    * CCNet-style LM-quality ladder above [[unigramScore]]:
+    * mean over positions i ≥ 1 of
+    * ln( λ·c(w_{i−1},w_i)/c(w_{i−1}) + (1−λ)·c(w_i)/N ),
+    * i.e. a bigram model with unigram interpolation (never −∞ on an
+    * unseen bigram as long as the unigram exists — and corpus-scored
+    * docs always contribute their own unigrams).
+    *
+    * Determinism (x62's discipline): counts are exact integers, the
+    * per-position log-probs fold in POSITION order via an ordered
+    * `aggregate`, and the mean rounds to 6 dp — so the score is
+    * bit-reproducible across partitionings and engines, which a bare
+    * `sum(lp)` would not be.
+    *
+    * Scale shape: one (prev, cur) bigram count aggregate + one unigram
+    * count aggregate (both vocabulary-sized, broadcast back onto the
+    * position stream), one per-doc fold. Docs with < 2 tokens have no
+    * bigrams and are absent from the output (documented contract). */
+  def bigramScore(df: DataFrame, textCol: String, idCol: String,
+                  lambda: Double = 0.8): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("doc_id"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), (a, b) -> struct(a AS prev, b AS cur))"))
+        .as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val toks = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+    val total = freq.agg(sum(col("ucnt")).as("total"))
+    val big = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
+    pairs
+      .join(broadcast(big), Seq("prev", "cur"))
+      .join(broadcast(freq.withColumnRenamed("tok", "prev")
+        .withColumnRenamed("ucnt", "prev_cnt")), Seq("prev"))
+      .join(broadcast(freq.withColumnRenamed("tok", "cur")
+        .withColumnRenamed("ucnt", "cur_cnt")), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"),
+        log(lit(lambda) * (col("bcnt") / col("prev_cnt").cast("double")) +
+          lit(1.0 - lambda) * (col("cur_cnt") / col("total").cast("double"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_lp") / col("n_bigrams"), 6).as("score"))
+  }
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Drift
+
+/** Drift-metric laws the x78 value oracle can't express, plus the
+  * streaming monitor composition (per-micro-batch drift against a
+  * static reference — the production shape of "alert when a source
+  * goes weird"). */
+class DriftSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("identical distributions have kl == 0 and chi2 == 0 exactly") {
+    // two groups with the SAME value distribution (scaled copies)
+    val rows = Seq.tabulate(60)(i => ("a", s"v${i % 3}")) ++
+      Seq.tabulate(120)(i => ("b", s"v${i % 3}"))
+    val out = Drift.categoricalDrift(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    out.values.foreach { case (kl, chi2) =>
+      assert(kl == 0.0 && chi2 == 0.0, s"uniform groups must read zero, got $kl/$chi2")
+    }
+  }
+
+  test("kl is non-negative and a skewed group dominates a matched one") {
+    val rows = Seq.tabulate(90)(i => ("ok", s"v${i % 3}")) ++
+      Seq.tabulate(90)(i => ("skew", if (i < 80) "v0" else s"v${i % 3}"))
+    val out = Drift.categoricalDrift(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.values.forall(_ >= -1e-12))
+    assert(out("skew") > out("ok") + 0.05,
+      s"skewed group must dominate: ${out("skew")} vs ${out("ok")}")
+  }
+
+  test("foreachBatch drift monitor flags the skewed micro-batch only") {
+    import org.apache.spark.sql.streaming.Trigger
+    // two staged parquet files, consumed one per micro-batch
+    val src = java.nio.file.Files.createTempDirectory("drift-src")
+    val healthy = Seq.tabulate(300)(i => s"v${i % 3}").toDF("v")
+    val skewed = Seq.tabulate(300)(i => if (i < 280) "v0" else s"v${i % 3}").toDF("v")
+    // stage as FLAT files (the file-stream source does not descend
+    // into non-partition subdirectories)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("drift-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), src.resolve(name))
+    }
+    stage(healthy, "b0.parquet")
+    stage(skewed, "b1.parquet")
+    val reference = healthy // the known-good distribution to monitor against
+    val alerts = scala.collection.mutable.Map.empty[Long, Double]
+    val q = spark.readStream.schema(healthy.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val tagged = batch.withColumn("g", lit("batch"))
+          .unionByName(reference.withColumn("g", lit("ref")))
+        val kl = Drift.categoricalDrift(tagged, "g", "v")
+          .filter(col("g") === "batch")
+          .select(col("kl")).head.getDouble(0)
+        alerts.synchronized { alerts(id) = kl }
+      }
+      .start()
+    q.awaitTermination()
+    assert(alerts.size == 2, s"expected 2 micro-batches, got $alerts")
+    val (low, high) = (alerts.values.min, alerts.values.max)
+    assert(low < 0.01, s"healthy batch should read ~0 drift, got $low")
+    assert(high > 0.2, s"skewed batch must alert, got $high")
+  }
+}

@@ -967,6 +967,56 @@ object SparkEntry {
                                HAVING sum(l_quantity) > 150)
         ORDER BY o.o_orderkey""")
     }),
+    "s42_typed_agg" -> ((s, d) => {
+      // The typed Dataset face: case-class rows, groupByKey, a custom
+      // mergeable Aggregator (count/sum/max with an off-heap product
+      // buffer) — compile-time field checking at the API edge, the
+      // same partial→merge→finish contract as the native aggregates.
+      // Sums round to 2 dp (2-dp-quantized prices, house convention).
+      import s.implicits._
+      import graft.ext.Typed
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[Typed.Order]
+        .groupByKey(_.o_custkey)
+        .agg(Typed.OrderStats.toColumn.name("s"))
+        .map { case (k, v) => (k, v.n, v.total, v.max_price) }
+        .toDF("o_custkey", "n", "total", "max_price")
+        .select(col("o_custkey"), col("n"), round(col("total"), 2).as("total"),
+          col("max_price"))
+        .orderBy(col("o_custkey"))
+    }),
+    "s40_lateral_topn" -> ((s, d) => {
+      // Correlated LATERAL subquery with ORDER BY + LIMIT — the
+      // "top-n per group via join" spelling (vs the window-function
+      // spelling the RewriteLatestPerKey family optimizes). Catalyst
+      // decorrelates the lateral into a per-key window under the hood;
+      // the deterministic (price DESC, key) tiebreak pins the cut.
+      t(s, d, "customer").createOrReplaceTempView("g_customer")
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM g_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM g_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 200
+        ORDER BY c.c_custkey, t.o_orderkey""")
+    }),
+    "s41_variant_json" -> ((s, d) => {
+      // Spark 4 VARIANT path: parse_json → variant_get with typed
+      // extraction (the open-schema semi-structured column type; the
+      // engine-native successor to get_json_object string probing).
+      // NULL props and missing paths surface as SQL NULLs on both
+      // engines.
+      t(s, d, "events").createOrReplaceTempView("g_events")
+      s.sql("""
+        SELECT event_id,
+          variant_get(parse_json(props), '$.k', 'bigint') AS k,
+          variant_get(parse_json(props), '$.missing', 'bigint') AS missing,
+          CAST(parse_json(props) IS NULL AS BOOLEAN) AS no_props
+        FROM g_events ORDER BY event_id""")
+    }),
     "s38_string_battery" -> ((s, d) => {
       // Scalar string-function battery in one narrow pass — the
       // compatibility surface a user migrating warehouse SQL hits
@@ -3131,6 +3181,26 @@ object SparkEntry {
         |                       GROUP BY l_orderkey
         |                       HAVING sum(l_quantity) > 150)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "s42_typed_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS total,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "s40_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
+    "s41_variant_json" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS k,
+        |  CAST(props->>'$.missing' AS BIGINT) AS missing,
+        |  props IS NULL AS no_props
+        |FROM events ORDER BY event_id""".stripMargin,
     "s38_string_battery" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up, lower(p_type) AS lo,

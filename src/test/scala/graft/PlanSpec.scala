@@ -387,6 +387,23 @@ class PlanSpec extends AnyFunSuite {
       "the global total must evaluate once as a scalar subquery:\n" + p)
   }
 
+  test("LATERAL top-n decorrelates: no per-row re-execution, no " +
+    "cartesian (s40)") {
+    val p = plan(SparkEntry.queries("s40_lateral_topn")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "the lateral subquery must decorrelate into a join/window:\n" + p)
+  }
+
+  test("equi-depth histogram: one exchange serves ntile and the " +
+    "rollup (x86)") {
+    val p = plan(SparkEntry.queries("x86_equidepth_histogram")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n" + p)
+    assert(p.contains("ntile"), p)
+  }
+
   test("BM25 top-k: stats broadcast, bounded-heap cut, map-side tf (x75)") {
     val p = plan(SparkEntry.queries("x75_bm25_topk")(spark, sf))
       .split("== Initial Plan ==")(0)

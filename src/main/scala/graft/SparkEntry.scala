@@ -967,6 +967,54 @@ object SparkEntry {
                                HAVING sum(l_quantity) > 150)
         ORDER BY o.o_orderkey""")
     }),
+    "s43_recursive_spine" -> ((s, d) => {
+      // WITH RECURSIVE (Spark 4) generating a complete monthly
+      // calendar spine, LEFT-joined to the revenue rollup — the
+      // zero-filled-axis reporting pattern that needs recursion (or a
+      // sequence table) because months with no orders must still
+      // appear. DuckDB runs the identical recursive CTE.
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+          WHERE m < DATE '2001-08-01')
+        SELECT months.m,
+          CAST(coalesce(rev.n, 0) AS BIGINT) AS n_orders,
+          coalesce(rev.r, CAST(0 AS DOUBLE)) AS revenue
+        FROM months
+        LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                     count(*) AS n, ROUND(SUM(o_totalprice), 2) AS r
+                   FROM g_orders GROUP BY 1) rev
+          ON rev.m = months.m
+        ORDER BY months.m""")
+    }),
+    "x87_recursive_reachability" -> ((s, d) => {
+      // Recursive BFS over the customer co-purchase graph: nodes
+      // within 2 hops of customer 1, with their minimum hop distance —
+      // WITH RECURSIVE as the graph-walk surface next to the iterative
+      // operators (x22's connected components, x76's PageRank). Both
+      // engines run the identical recursion; min-distance GROUP BY
+      // collapses multi-path duplicates deterministically.
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        WITH RECURSIVE cp AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey * 100000 + l_partkey AS sp
+          FROM g_lineitem JOIN g_orders ON o_orderkey = l_orderkey),
+        e AS (SELECT DISTINCT a.c AS src, b.c AS dst
+              FROM cp a JOIN cp b ON a.sp = b.sp AND a.c <> b.c),
+        rec AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+          UNION ALL
+          SELECT e.dst AS node, rec.depth + 1 AS depth
+          FROM rec JOIN e ON e.src = rec.node
+          WHERE rec.depth < 2)
+        SELECT node, CAST(min(depth) AS BIGINT) AS hops
+        FROM rec GROUP BY node
+        ORDER BY hops, node""")
+    }),
     "s42_typed_agg" -> ((s, d) => {
       // The typed Dataset face: case-class rows, groupByKey, a custom
       // mergeable Aggregator (count/sum/max with an off-heap product
@@ -3181,6 +3229,36 @@ object SparkEntry {
         |                       GROUP BY l_orderkey
         |                       HAVING sum(l_quantity) > 150)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "s43_recursive_spine" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < DATE '2001-08-01')
+        |SELECT months.m,
+        |  CAST(coalesce(rev.n, 0) AS BIGINT) AS n_orders,
+        |  coalesce(rev.r, CAST(0 AS DOUBLE)) AS revenue
+        |FROM months
+        |LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |             count(*) AS n, ROUND(SUM(o_totalprice), 2) AS r
+        |           FROM orders GROUP BY 1) rev
+        |  ON rev.m = months.m
+        |ORDER BY months.m""".stripMargin,
+    "x87_recursive_reachability" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey * 100000 + l_partkey AS sp
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |e AS (SELECT DISTINCT a.c AS src, b.c AS dst
+        |      FROM cp a JOIN cp b ON a.sp = b.sp AND a.c <> b.c),
+        |rec AS (
+        |  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst AS node, rec.depth + 1 AS depth
+        |  FROM rec JOIN e ON e.src = rec.node
+        |  WHERE rec.depth < 2)
+        |SELECT node, CAST(min(depth) AS BIGINT) AS hops
+        |FROM rec GROUP BY node
+        |ORDER BY hops, node""".stripMargin,
     "s42_typed_agg" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
         |  ROUND(SUM(o_totalprice), 2) AS total,

@@ -38,7 +38,10 @@ object ScaleStress {
     "v00_validate_route_pipeline", "x12_lsh_neardup_pairs",
     "x13_minhash_lsh_portable", "x22_dup_groups", "x34_salient_terms",
     "x45_rolling_features", "x52_manifest_skip", "x61_repeated_span_removal",
-    "x69_snapshot_skip")
+    "x69_snapshot_skip",
+    // round-6 additions: graph, retrieval, tokenizer training, drift
+    "x75_bm25_topk", "x76_pagerank", "x77_triangle_count",
+    "x78_source_drift", "x83_bpe_merges", "x84_ols_trend")
 
   def inflate(spark: SparkSession, baseDir: String, outDir: String,
               factor: Int): Unit = {

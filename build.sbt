@@ -50,7 +50,8 @@ val testGroupOf: String => Int = {
     "graft.StreamDedupSpec" -> 3,
     "graft.MaintenanceSpec" -> 3,
     "graft.ExtSpec" -> 4,
-    "graft.SnapshotsSpec" -> 4)
+    "graft.SnapshotsSpec" -> 4,
+    "graft.PlanSweepSpec" -> 6) // ~2 min solo: the whole-surface sweep
   name => pinned.getOrElse(name, 5)
 }
 Test / testGrouping := {

@@ -967,6 +967,22 @@ object SparkEntry {
                                HAVING sum(l_quantity) > 150)
         ORDER BY o.o_orderkey""")
     }),
+    "s44_rank_ties_topk" -> ((s, d) => {
+      // RANK-with-ties top-k per group: every lineitem tied at a
+      // part's 3rd-highest quantity survives — the semantic row_number
+      // (and the graft TopKRows rewrite, which must NOT fire here)
+      // cannot express. Quantities are integer-valued doubles, so tie
+      // groups are exact and both engines cut identically.
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT l_partkey, l_orderkey, l_linenumber, l_quantity, rnk
+        FROM (SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+                CAST(rank() OVER (PARTITION BY l_partkey
+                                  ORDER BY l_quantity DESC) AS BIGINT) AS rnk
+              FROM g_lineitem) t
+        WHERE rnk <= 3 AND l_partkey <= 200
+        ORDER BY l_partkey, rnk, l_orderkey, l_linenumber""")
+    }),
     "s43_recursive_spine" -> ((s, d) => {
       // WITH RECURSIVE (Spark 4) generating a complete monthly
       // calendar spine, LEFT-joined to the revenue rollup — the
@@ -3229,6 +3245,14 @@ object SparkEntry {
         |                       GROUP BY l_orderkey
         |                       HAVING sum(l_quantity) > 150)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "s44_rank_ties_topk" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_quantity, rnk
+        |FROM (SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+        |        CAST(rank() OVER (PARTITION BY l_partkey
+        |                          ORDER BY l_quantity DESC) AS BIGINT) AS rnk
+        |      FROM lineitem) t
+        |WHERE rnk <= 3 AND l_partkey <= 200
+        |ORDER BY l_partkey, rnk, l_orderkey, l_linenumber""".stripMargin,
     "s43_recursive_spine" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT DATE '1995-01-01'

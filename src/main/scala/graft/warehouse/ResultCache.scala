@@ -65,13 +65,18 @@ object ResultCache {
   /** The cache key, or None when the plan must bypass (nondeterminism
     * or a non-fingerprintable source). */
   def key(df: DataFrame): Option[String] = {
-    val plan = df.queryExecution.analyzed
-    val nonDet = plan.exists(_.expressions.exists(e =>
-      e.exists(!_.deterministic)))
+    val outer = df.queryExecution.analyzed
+    // subquery plans (scalar/IN/EXISTS) are NOT reached by the outer
+    // tree's collectLeaves/exists — their inputs and any
+    // nondeterminism they carry must count, or a subquery-side table
+    // change would serve stale results
+    val plans = outer +: outer.subqueriesAll
+    val nonDet = plans.exists(_.exists(_.expressions.exists(e =>
+      e.exists(!_.deterministic))))
     if (nonDet) return None
     // every leaf must be a file scan (fingerprintable) or a literal
     // LocalRelation (self-contained); anything else bypasses
-    val leaves = plan.collectLeaves()
+    val leaves = plans.flatMap(_.collectLeaves())
     val fingerprintable = leaves.forall {
       case LogicalRelation(_: HadoopFsRelation, _, _, _, _) => true
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
@@ -89,7 +94,8 @@ object ResultCache {
       case _ => Nil
     }
     val md = MessageDigest.getInstance("SHA-256")
-    md.update(plan.canonicalized.toString.getBytes(StandardCharsets.UTF_8))
+    plans.foreach(p =>
+      md.update(p.canonicalized.toString.getBytes(StandardCharsets.UTF_8)))
     files.foreach(f => md.update(f.getBytes(StandardCharsets.UTF_8)))
     Some(md.digest().map("%02x".format(_)).mkString.take(32))
   }

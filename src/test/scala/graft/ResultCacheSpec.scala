@@ -104,6 +104,30 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(r3.df.head.getLong(0) == 400L)
   }
 
+  test("a scalar subquery's input is fingerprinted too: changing ONLY " +
+    "the subquery-side table invalidates") {
+    import spark.implicits._
+    val base = freshBase()
+    val thresholdDir = Files.createTempDirectory("rc-thresh").toString + "/t"
+    Seq(1000.0).toDF("cut").write.parquet(thresholdDir)
+    val cache = Files.createTempDirectory("rc-cache").toString
+    def q() = {
+      spark.read.parquet(base).createOrReplaceTempView("rc_orders")
+      spark.read.parquet(thresholdDir).createOrReplaceTempView("rc_cut")
+      spark.sql("""SELECT count(*) AS n FROM rc_orders
+                   WHERE o_totalprice > (SELECT max(cut) FROM rc_cut)""")
+    }
+    val r1 = ResultCache.withCache(spark, q(), cache)
+    assert(!r1.hit && r1.key.isDefined,
+      "subquery plans must be fingerprintable, not bypass")
+    assert(ResultCache.withCache(spark, q(), cache).hit)
+    // append a new threshold row — the OUTER table is untouched
+    Seq(50000.0).toDF("cut").write.mode("append").parquet(thresholdDir)
+    val r3 = ResultCache.withCache(spark, q(), cache)
+    assert(!r3.hit, "a subquery-side data change must invalidate")
+    assert(r3.df.head.getLong(0) == q().collect().head.getLong(0))
+  }
+
   test("vacuum drops aged entries and leaves fresh ones") {
     val base = freshBase()
     val cache = Files.createTempDirectory("rc-cache").toString

@@ -1510,6 +1510,28 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x88_snapshot_sketch" -> ((s, d) => {
+      // Incremental distinct-count over a VERSIONED table: three
+      // commits, each KMV-sketched once into the _stats cache, then
+      // the bottom-k-of-union fold — bit-identical to sketching the
+      // whole table (the exact merge law), which is what DuckDB
+      // replays over the full fixture. "Distinct customers without
+      // rescanning the table": the read is <= k longs per commit dir.
+      import graft.warehouse.Snapshots
+      val path = cachePath(d, "x88") + "/orders_sketch"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      Snapshots.append(s, path, o.filter(col("o_orderkey") <= 5000).coalesce(1))
+      Snapshots.append(s, path,
+        o.filter(col("o_orderkey") > 5000 && col("o_orderkey") <= 10000).coalesce(1))
+      Snapshots.append(s, path, o.filter(col("o_orderkey") > 10000).coalesce(1))
+      val est = Snapshots.distinctSketch(s, path, "o_custkey", k = 256)
+      val exact = t(s, d, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      est.select(size(col("kmv")).cast("bigint").as("k_used"), col("distinct_est"))
+        .crossJoin(broadcast(exact))
+    }),
     "x69_snapshot_skip" -> ((s, d) => {
       // stats-pruned read on a VERSIONED table: three range-disjoint
       // commits, per-commit stats built incrementally (each dir statted
@@ -3983,6 +4005,25 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // whole-table KMV replica: the per-commit fold must equal this by
+    // the bottom-k-of-union law, bit for bit
+    "x88_snapshot_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    CAST(concat('0x', substr(sha256('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+        |        max(CASE WHEN rn = 256 THEN h END) AS h256
+        |      FROM r WHERE rn <= 256),
+        |x AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders)
+        |SELECT k.k_used,
+        |  CASE WHEN k.k_used < 256 THEN CAST(k.k_used AS DOUBLE)
+        |       ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |            / CAST(k.h256 AS DOUBLE) END AS distinct_est,
+        |  x.n_exact
+        |FROM k, x""".stripMargin,
     "x71_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

@@ -624,6 +624,40 @@ object Snapshots {
     spark.read.parquet(paths: _*)
   }
 
+  /** Per-commit-dir KMV distinct sketch of `valueCol`, cached with the
+    * [[statsManifest]] discipline (`_stats/<dir>.kmv-….parquet` —
+    * immutable dirs ⇒ each commit is sketched exactly once, ever).
+    * Because bottom-k sketches merge EXACTLY
+    * ([[graft.ext.Sketches.kmvMerge]] bottom-k-of-union law), the fold
+    * over per-dir sketches is bit-identical to sketching the whole
+    * table — so a "distinct users over the last 90 days" question
+    * against a 100 TB snapshot table reads ≤ k·|dirs| longs instead of
+    * the table, and k new commits cost k small sketch jobs.
+    * Returns one row: `(kmv array<long>, distinct_est)`. */
+  def distinctSketch(spark: SparkSession, dir: String, valueCol: String,
+                     k: Int = 256, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, dir))
+    require(v > 0, s"table at $dir has no commits")
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, StatsDir))
+    val tag = s"kmv-$valueCol-$k"
+    val paths = liveDirs(spark, dir, v).map { d =>
+      val name = d.stripPrefix(s"$DataDir/")
+      val sp = new Path(dir, s"$StatsDir/$name.$tag.parquet")
+      if (!f.exists(sp))
+        graft.ext.Sketches.kmvSketch(
+            spark.read.parquet(new Path(dir, d).toString)
+              .select(org.apache.spark.sql.functions.lit(1).as("_g"),
+                org.apache.spark.sql.functions.col(valueCol)),
+            Seq("_g"), valueCol, k)
+          .write.mode("overwrite").parquet(sp.toString)
+      sp.toString
+    }
+    val merged = graft.ext.Sketches.kmvMerge(
+      Seq(spark.read.parquet(paths: _*)), Seq("_g"), k)
+    graft.ext.Sketches.kmvEstimate(merged, k).drop("_g")
+  }
+
   /** Per-file bloom membership index over the table's live files, with
     * the same incremental per-commit-dir cache discipline as
     * [[statsManifest]] (`_stats/<dir>.bloom-<keyCol>-….parquet`) — the

@@ -471,6 +471,42 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(f.listStatus(statsPath).length === n1)
   }
 
+  test("distinctSketch: per-commit KMV cache is incremental and the " +
+    "fold equals sketching the whole table") {
+    import graft.ext.Sketches
+    val dir = freshDir()
+    Snapshots.append(spark, dir,
+      spark.range(0, 400).toDF("id").coalesce(1))
+    Snapshots.append(spark, dir,
+      spark.range(300, 700).toDF("id").coalesce(1)) // overlapping ids
+    val k = 64
+    val est1 = Snapshots.distinctSketch(spark, dir, "id", k)
+      .select(col("distinct_est")).head.getDouble(0)
+    // exact fold law: == sketching the full read directly
+    val direct = Sketches.kmvEstimate(
+        Sketches.kmvSketch(Snapshots.read(spark, dir)
+          .withColumn("_g", lit(1)), Seq("_g"), "id", k), k)
+      .select(col("distinct_est")).head.getDouble(0)
+    assert(est1 === direct, "per-commit fold must equal the direct sketch")
+    // cache discipline: second call recomputes nothing
+    val statsPath = new Path(dir, "_stats")
+    val f = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtimes1 = f.listStatus(statsPath).map(s =>
+      s.getPath.getName -> s.getModificationTime).toMap
+    Snapshots.distinctSketch(spark, dir, "id", k)
+    val mtimes2 = f.listStatus(statsPath).map(s =>
+      s.getPath.getName -> s.getModificationTime).toMap
+    assert(mtimes2 === mtimes1, "existing sketches must not be recomputed")
+    // a new commit sketches ONLY the new dir
+    Snapshots.append(spark, dir,
+      spark.range(700, 800).toDF("id").coalesce(1))
+    val est2 = Snapshots.distinctSketch(spark, dir, "id", k)
+      .select(col("distinct_est")).head.getDouble(0)
+    assert(f.listStatus(statsPath).count(s =>
+      mtimes1.contains(s.getPath.getName)) === mtimes1.size)
+    assert(est2 > est1, "more distinct ids must raise the estimate")
+  }
+
   test("registerView exposes versioned tables to spark.sql, pinnable to a version") {
     val dir = freshDir()
     Snapshots.append(spark, dir, df(1, 2))

@@ -1510,6 +1510,18 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x89_temperature_sample" -> ((s, d) => {
+      // α=0.5 temperature mixing over sources: integer-sqrt weights
+      // (engine-exact where pow() would wobble a ulp into the keep
+      // threshold), target 30% of the corpus, rates = (T·w)/(Σw·n) as
+      // one double division from integer products, sha256 keep
+      // decision. DuckDB replays weights, rates and thresholds
+      // bit-for-bit.
+      graft.ext.Sampling.temperatureSample(
+        t(s, d, "documents"), "doc_id", "source", "temp", 0.3)
+        .select(col("doc_id"), col("source"), col("rate"))
+        .orderBy(col("doc_id"))
+    }),
     "x88_snapshot_sketch" -> ((s, d) => {
       // Incremental distinct-count over a VERSIONED table: three
       // commits, each KMV-sketched once into the _stats cache, then
@@ -4005,6 +4017,29 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // integer-sqrt weights, the same (T*w)/(sumW*n) association order,
+    // x42's sha256 threshold form
+    "x89_temperature_sample" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, c,
+        |        CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS wt FROM n),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_rows,
+        |          CAST(sum(wt) AS BIGINT) AS sum_w FROM w),
+        |f AS (
+        |  SELECT source,
+        |    least(CAST(1 AS DOUBLE),
+        |      CAST(CAST(floor(CAST(0.3 AS DOUBLE) * t_rows) AS BIGINT) * wt AS DOUBLE)
+        |        / CAST(sum_w * c AS DOUBLE)) AS rate
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.source, f.rate
+        |FROM documents d JOIN f USING (source)
+        |WHERE substr(sha256('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 12) <
+        |      CASE WHEN f.rate >= 1.0 THEN 'g'
+        |           ELSE printf('%012x',
+        |                  CAST(greatest(0, floor(f.rate * 281474976710656.0)) AS BIGINT))
+        |      END
+        |ORDER BY d.doc_id""".stripMargin,
     // whole-table KMV replica: the per-commit fold must equal this by
     // the bottom-k-of-union law, bit for bit
     "x88_snapshot_sketch" ->

@@ -176,6 +176,47 @@ object Sampling {
     weightedSample(df.withColumn(rateOut, rate), idCol, salt, col(rateOut))
   }
 
+  /** Temperature-scaled source mixing [the data-mixing α-sampling of
+    * multilingual/multi-source LM training, e.g. mBERT/XLM-R's
+    * exponent-smoothed sampling]: stratum s receives a target share
+    * ∝ its INTEGER-SQRT weight w_s = ⌊√n_s⌋ (the α = 0.5 temperature
+    * that upweights small sources without drowning large ones), scaled
+    * so the expected kept total is `targetFraction`·N; rates cap at 1
+    * (rare strata keep everything).
+    *
+    * Why integer sqrt: IEEE sqrt is correctly rounded in every engine,
+    * so ⌊√n⌋ is engine-exact where a pow(n, α) weight would carry a
+    * 1-ulp libm wobble straight into the keep-threshold comparison.
+    * Every rate is then (T·w_s)/(Σw·n_s) — integer products, one
+    * double division — and the keep decision reuses
+    * [[weightedSample]]'s sha256 threshold, so the sample is
+    * bit-reproducible across engines and partitionings.
+    *
+    * Driver state is the per-stratum count map (same bound as
+    * [[rebalanceSample]], documented there). */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        salt: String, targetFraction: Double,
+                        rateOut: String = "rate"): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    reserveColumns(df, Seq(rateOut), "temperatureSample")
+    val counts = df.groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val weights = counts.map { case (s, n) => s -> math.sqrt(n.toDouble).toLong }
+    val sumW = weights.values.sum
+    val t = math.floor(targetFraction * total).toLong
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, (t * weights(s)).toDouble / (sumW * n).toDouble)
+    }
+    val rate = rates.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, r)) =>
+        when(col(strataCol).cast("string") === s, lit(r)).otherwise(acc)
+    }
+    weightedSample(df.withColumn(rateOut, rate), idCol, salt, col(rateOut))
+  }
+
   /** Deterministic train/valid/test assignment: `trainFrac` of the hash
     * space to "train", then `validFrac` to "valid", remainder "test".
     * A null id has a null bucket, which fails both `<` guards and lands

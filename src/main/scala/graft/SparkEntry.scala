@@ -1510,6 +1510,25 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x90_window_funnel" -> ((s, d) => {
+      // ClickHouse-style windowFunnel (earliest-anchor greedy
+      // semantics, documented on the operator): view → click →
+      // purchase within 7 days of the anchor, per user. k tiny grouped
+      // min-aggregates joined on user_id; the oracle replays the
+      // identical chained stages. Integer-seconds timestamps — exact.
+      graft.olap.Funnel.windowFunnel(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 7L * 86400)
+        .orderBy(col("user_id"))
+    }),
+    "x91_retention" -> ((s, d) => {
+      // ClickHouse-style retention: weekly cohorts by first event,
+      // offsets 0..3, integer-exact counts and ratio-of-counts pct.
+      graft.olap.Funnel.retention(
+        t(s, d, "events"), "user_id", "ts", periodSec = 7L * 86400,
+        maxOffset = 3)
+        .orderBy(col("cohort"), col("offset"))
+    }),
     "x89_temperature_sample" -> ((s, d) => {
       // α=0.5 temperature mixing over sources: integer-sqrt weights
       // (engine-exact where pow() would wobble a ulp into the keep
@@ -4017,6 +4036,42 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // chained greedy stages: earliest anchor, each next step the
+    // earliest qualifying event, all within the anchor window
+    "x90_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+        |    event_type AS et
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.t) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.et = 'click'
+        |         AND e.t > s1.t1 AND e.t <= s1.t1 + 604800
+        |       GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.t) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.et = 'purchase'
+        |         AND s2.t2 IS NOT NULL AND e.t > s2.t2 AND e.t <= s2.t1 + 604800
+        |       GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1,
+        |  CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS steps_completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
+    "x91_retention" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS p
+        |  FROM events),
+        |f AS (SELECT user_id, min(p) AS cp FROM b GROUP BY user_id),
+        |sz AS (SELECT cp, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY cp),
+        |a AS (SELECT DISTINCT user_id, p FROM b),
+        |act AS (SELECT f.cp, a.p - f.cp AS off, CAST(count(*) AS BIGINT) AS n_active
+        |        FROM a JOIN f USING (user_id)
+        |        WHERE a.p - f.cp BETWEEN 0 AND 3 GROUP BY 1, 2)
+        |SELECT act.cp * 604800 AS cohort, CAST(act.off AS BIGINT) AS "offset",
+        |  act.n_active, sz.cohort_size,
+        |  round(CAST(act.n_active AS DOUBLE) / sz.cohort_size * 100, 4) AS pct
+        |FROM act JOIN sz USING (cp)
+        |ORDER BY cohort, "offset"""".stripMargin,
     // integer-sqrt weights, the same (T*w)/(sumW*n) association order,
     // x42's sha256 threshold form
     "x89_temperature_sample" ->

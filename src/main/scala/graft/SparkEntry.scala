@@ -1510,6 +1510,15 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x92_table_profile" -> ((s, d) => {
+      // Dataset-card column profile of events: rows / nulls / exact
+      // distincts / null fraction per column in one logical scan
+      // (conditional sums + the multi-distinct Expand). Exact integers
+      // and integer ratios — no rounding.
+      graft.warehouse.Checks.profile(t(s, d, "events"),
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+        .orderBy(col("column"))
+    }),
     "x90_window_funnel" -> ((s, d) => {
       // ClickHouse-style windowFunnel (earliest-anchor greedy
       // semantics, documented on the operator): view → click →
@@ -4036,6 +4045,31 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    "x92_table_profile" ->
+      """WITH p AS (
+        |  SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(user_id) AS BIGINT),
+        |    CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(event_type) AS BIGINT),
+        |    CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'value', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(value) AS BIGINT),
+        |    CAST(count(DISTINCT value) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'props', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(props) AS BIGINT),
+        |    CAST(count(DISTINCT props) AS BIGINT) FROM events)
+        |SELECT "column", n, n_null, n_distinct,
+        |  CAST(n_null AS DOUBLE) / n AS null_frac
+        |FROM p ORDER BY "column"""".stripMargin,
     // chained greedy stages: earliest anchor, each next step the
     // earliest qualifying event, all within the anchor window
     "x90_window_funnel" ->

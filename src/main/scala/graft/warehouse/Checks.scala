@@ -152,4 +152,32 @@ object Checks {
       .withColumn("pass", col("violations") === 0L)
       .orderBy("check_name")
   }
+
+  /** Dataset-card column profile: for each named column, row count,
+    * null count, exact distinct count and the null fraction — the
+    * summary block every training-data manifest leads with. One
+    * logical scan: the null counters are conditional sums in a single
+    * aggregate and the exact distincts ride Spark's multi-distinct
+    * Expand rewrite (for approximate-at-scale profiles, swap in the
+    * [[graft.ext.Sketches]] KMV estimate per column). All outputs are
+    * exact integers / integer ratios — engine-deterministic. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    val aggCols = count(lit(1)).cast("long").as("_n") +:
+      cols.flatMap { c =>
+        Seq(sum(col(c).isNull.cast("long")).cast("long").as(s"_null_$c"),
+          countDistinct(col(c)).cast("long").as(s"_dist_$c"))
+      }
+    val oneRow = df.agg(aggCols.head, aggCols.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"),
+        coalesce(col(s"_null_$c"), lit(0L)).as("n_null"),
+        col(s"_dist_$c").as("n_distinct"))
+    }
+    oneRow
+      .select(explode(array(entries: _*)).as("kv"), col("_n").as("n"))
+      .select(col("kv.column").as("column"), col("n"),
+        col("kv.n_null").as("n_null"), col("kv.n_distinct").as("n_distinct"),
+        (col("kv.n_null").cast("double") / col("n")).as("null_frac"))
+  }
 }

@@ -505,6 +505,19 @@ object SparkEntry {
         .withColumn("is_clean", col("contamination") <= 0.2)
         .orderBy(col("doc_id"))
     }),
+    "x93_dup_cluster_sizes" -> ((s, d) => {
+      // Dedup REPORTING: the near-dup cluster-size histogram (how many
+      // groups of 2, of 3, …) — the number a curation run publishes to
+      // justify its dedup rate. Same components as x22, two tiny
+      // rollups on top; the oracle extends x22's recursive reachability
+      // with the same rollups.
+      val pairs = portablePairs(s, d)
+      TextDedup.duplicateGroups(pairs)
+        .groupBy(col("comp")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("group_size"))
+    }),
     "x22_dup_groups" -> ((s, d) => {
       // transitive near-dup groups: the portable MinHash pairs (x13's
       // corpus) fed through connected components — group id = min
@@ -2748,6 +2761,14 @@ object SparkEntry {
       s"""$duckRecursivePairCtes,
          |$duckComponentCtes
          |SELECT id AS doc_id, group_id FROM comp ORDER BY doc_id""".stripMargin,
+    "x93_dup_cluster_sizes" ->
+      s"""$duckRecursivePairCtes,
+         |$duckComponentCtes,
+         |sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+         |          FROM comp GROUP BY group_id)
+         |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+         |FROM sizes GROUP BY group_size
+         |ORDER BY group_size""".stripMargin,
     "x23_neardup_dedup_kept" ->
       // kept = corpus ids minus every component member above its
       // group min

@@ -523,6 +523,38 @@ object Snapshots {
     * read: commits written before a column existed surface it as NULL.
     * Off by default because schema merging footer-reads every file up
     * front; turn it on only for tables that actually evolved. */
+  /** Delta-style SHALLOW CLONE: `dstDir` becomes a new table whose
+    * version-1 manifest references the SOURCE's live commit dirs by
+    * absolute path — no data is copied, the clone is a metadata-only
+    * commit however large the source. Manifest resolution
+    * (`new Path(dir, line)`) takes absolute lines as-is, so every read
+    * path (read / time travel / stats / skipping) works unchanged.
+    *
+    * Independence: appends and rewrites on the clone write NEW dirs
+    * under the CLONE's `data/` and never touch source dirs (deleteWhere
+    * carries unaffected source dirs by reference and rewrites affected
+    * ones into the clone; `compact` fully materializes the clone).
+    * The clone's vacuum only ever deletes orphans under its OWN data
+    * root, so it cannot reclaim source data. The documented hazard is
+    * the same as Delta's: a vacuum on the SOURCE does not know about
+    * clone references — keep the source's retention ≥ the clone's
+    * lifetime, or compact the clone to cut the dependency.
+    *
+    * Batch-id records are deliberately NOT carried: the clone is a new
+    * streaming target with its own exactly-once ledger. */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String,
+                   version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, srcDir))
+    require(v > 0, s"table at $srcDir has no commits")
+    require(latestVersion(spark, dstDir) == 0,
+      s"clone target $dstDir already has commits")
+    val f = fs(spark, srcDir)
+    val srcBase = f.makeQualified(new Path(srcDir))
+    val absolute = liveDirs(spark, srcDir, v)
+      .map(d => new Path(srcBase, d).toString)
+    publish(spark, dstDir, 0, absolute, identity)
+  }
+
   def read(spark: SparkSession, dir: String,
            version: Option[Int] = None,
            mergeSchema: Boolean = false): DataFrame = {

@@ -507,6 +507,41 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(est2 > est1, "more distinct ids must raise the estimate")
   }
 
+  test("shallowClone: metadata-only, independent writes, compaction " +
+    "materializes, clone vacuum cannot touch source data") {
+    val src = freshDir()
+    Snapshots.append(spark, src, df(1, 2, 3))
+    Snapshots.append(spark, src, df(4, 5))
+    val dst = freshDir()
+    assert(Snapshots.shallowClone(spark, src, dst) === 1)
+    // identical content, zero data under the clone's own data root
+    assert(idSet(Snapshots.read(spark, dst)) === Set(1, 2, 3, 4, 5))
+    val dstData = new Path(dst, "data")
+    val f = dstData.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(dstData) || f.listStatus(dstData).isEmpty,
+      "a shallow clone must copy no data")
+    // divergence: writes land on the right side only
+    Snapshots.append(spark, dst, df(6))
+    Snapshots.append(spark, src, df(7))
+    assert(idSet(Snapshots.read(spark, dst)) === Set(1, 2, 3, 4, 5, 6))
+    assert(idSet(Snapshots.read(spark, src)) === Set(1, 2, 3, 4, 5, 7))
+    // deleteWhere on the clone rewrites INTO the clone; source intact
+    Snapshots.deleteWhere(spark, dst, col("id") === 2)
+    assert(idSet(Snapshots.read(spark, dst)) === Set(1, 3, 4, 5, 6))
+    assert(idSet(Snapshots.read(spark, src)) === Set(1, 2, 3, 4, 5, 7))
+    // clone vacuum reclaims only under its OWN data root
+    Snapshots.vacuum(spark, dst, keepFromVersion = Snapshots.latestVersion(spark, dst),
+      retentionMs = 0)
+    assert(idSet(Snapshots.read(spark, src)) === Set(1, 2, 3, 4, 5, 7),
+      "clone vacuum must never touch source data")
+    // compaction cuts the dependency: every live dir is clone-local
+    Snapshots.compact(spark, dst)
+    val live = Snapshots.liveDirs(spark, dst, Snapshots.latestVersion(spark, dst))
+    assert(live.forall(_.startsWith("data/")),
+      s"compacted clone must be fully materialized, got $live")
+    assert(idSet(Snapshots.read(spark, dst)) === Set(1, 3, 4, 5, 6))
+  }
+
   test("registerView exposes versioned tables to spark.sql, pinnable to a version") {
     val dir = freshDir()
     Snapshots.append(spark, dir, df(1, 2))

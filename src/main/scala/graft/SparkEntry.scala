@@ -996,6 +996,22 @@ object SparkEntry {
         WHERE rnk <= 3 AND l_partkey <= 200
         ORDER BY l_partkey, rnk, l_orderkey, l_linenumber""")
     }),
+    "s45_filter_clause" -> ((s, d) => {
+      // Aggregate FILTER (WHERE …) clauses — the SQL-standard spelling
+      // of conditional aggregation (vs q03's CASE-inside-agg): one
+      // pass, several differently-filtered aggregates per group.
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+          CAST(count(*) AS BIGINT) AS n_all,
+          CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_big,
+          CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+            AS n_supp_disc,
+          ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS rev_untaxed
+        FROM g_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }),
     "s43_recursive_spine" -> ((s, d) => {
       // WITH RECURSIVE (Spark 4) generating a complete monthly
       // calendar spine, LEFT-joined to the revenue rollup — the
@@ -3336,6 +3352,16 @@ object SparkEntry {
         |      FROM lineitem) t
         |WHERE rnk <= 3 AND l_partkey <= 200
         |ORDER BY l_partkey, rnk, l_orderkey, l_linenumber""".stripMargin,
+    "s45_filter_clause" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_big,
+        |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+        |    AS n_supp_disc,
+        |  ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS rev_untaxed
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "s43_recursive_spine" ->
       """WITH RECURSIVE months(m) AS (
         |  SELECT DATE '1995-01-01'

@@ -1539,6 +1539,52 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x94_transition_matrix" -> ((s, d) => {
+      // First-order Markov transition counts between consecutive
+      // events per user (the path-analysis primitive behind sankey /
+      // next-action dashboards): lag over (user ORDER BY ts, event_id)
+      // — the id tiebreak totalizes equal timestamps — then one count
+      // rollup and an integer-ratio probability. One window sort, one
+      // aggregate.
+      val ev = t(s, d, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = ev
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val outTotals = trans.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("n_out"))
+      trans.join(outTotals, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("n_out")).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+    "x95_skew_report" -> ((s, d) => {
+      // Join-key skew diagnostics BEFORE the join bill arrives: key
+      // count, max key share, and the Gini coefficient of the key
+      // distribution — 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over counts sorted
+      // ascending with a key tiebreak (exact integers, one division).
+      // Flat keys → Gini ≈ 0; one hot key → → 1. Pairs with
+      // warehouse/Skew's salting: this report says WHEN to salt.
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt"), col("l_suppkey"))
+      val ranked = counts.withColumn("i", row_number().over(w))
+      ranked.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total"),
+          max(col("cnt")).as("max_cnt"),
+          sum(col("i") * col("cnt")).as("iwsum"))
+        .select(
+          col("n_keys").cast("bigint").as("n_keys"),
+          (col("max_cnt").cast("double") / col("total")).as("max_share"),
+          (lit(2.0) * col("iwsum") / (col("n_keys") * col("total"))
+            - (col("n_keys") + 1).cast("double") / col("n_keys")).as("gini"))
+    }),
     "x92_table_profile" -> ((s, d) => {
       // Dataset-card column profile of events: rows / nulls / exact
       // distincts / null fraction per column in one logical scan
@@ -4092,6 +4138,35 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    "x94_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |tr AS (SELECT prev_type, event_type AS next_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out
+        |      FROM tr GROUP BY prev_type)
+        |SELECT tr.prev_type, tr.next_type, tr.n,
+        |  CAST(tr.n AS DOUBLE) / o.n_out AS p
+        |FROM tr JOIN o USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
+    "x95_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT cnt, l_suppkey,
+        |        row_number() OVER (ORDER BY cnt, l_suppkey) AS i FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(cnt) AS BIGINT) AS total,
+        |        CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |        CAST(sum(i * cnt) AS BIGINT) AS iwsum FROM r)
+        |SELECT n_keys,
+        |  CAST(max_cnt AS DOUBLE) / total AS max_share,
+        |  CAST(2 AS DOUBLE) * iwsum / (n_keys * total)
+        |    - CAST(n_keys + 1 AS DOUBLE) / n_keys AS gini
+        |FROM a""".stripMargin,
     "x92_table_profile" ->
       """WITH p AS (
         |  SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n,

@@ -1539,6 +1539,23 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x96_share_of_total" -> ((s, d) => {
+      // ratio-to-report: each month's revenue as a share of its year's
+      // total via an aggregate-then-window two-level plan (the BI
+      // staple). The share divides the ROUNDED month sums by their
+      // window total-of-rounded — both engines see identical 2-dp
+      // comparands, so the 6-dp share is stable.
+      val monthly = t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("y"),
+          month(col("o_orderdate")).cast("bigint").as("m"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("y"))
+      monthly
+        .withColumn("year_rev", round(sum(col("rev")).over(w), 2))
+        .select(col("y"), col("m"), col("rev"),
+          round(col("rev") / col("year_rev"), 6).as("share"))
+        .orderBy(col("y"), col("m"))
+    }),
     "x94_transition_matrix" -> ((s, d) => {
       // First-order Markov transition counts between consecutive
       // events per user (the path-analysis primitive behind sankey /
@@ -4138,6 +4155,15 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    "x96_share_of_total" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    ROUND(SUM(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, m, rev,
+        |  round(rev / round(sum(rev) OVER (PARTITION BY y), 2), 6) AS share
+        |FROM m ORDER BY y, m""".stripMargin,
     "x94_transition_matrix" ->
       """WITH t AS (
         |  SELECT user_id, ts, event_id, event_type,

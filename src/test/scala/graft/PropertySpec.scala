@@ -525,6 +525,46 @@ object PipelineProperties extends Properties("graft") {
       }
     }
 
+  property("windowFunnel == the documented greedy reference on random " +
+    "timelines") =
+    forAll(Gen.listOfN(20, Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(0, 50), Gen.oneOf("a", "b", "c")))) { evs =>
+      evs.nonEmpty ==> {
+        val windowSec = 600L
+        val rows = evs.map { case (u, m, e) =>
+          (u, new java.sql.Timestamp(1700000000000L + m * 60000L), e)
+        }
+        val got = graft.olap.Funnel.windowFunnel(
+            rows.toDF("user_id", "ts", "event_type"),
+            "user_id", "ts", "event_type", Seq("a", "b", "c"), windowSec)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        // reference: per user, earliest anchor then greedy earliest
+        // qualifying next step, all within windowSec of the anchor
+        val byUser = rows.groupBy(_._1)
+        val expect = byUser.flatMap { case (u, rs) =>
+          val t = rs.map(r => (r._2.getTime / 1000, r._3))
+          val anchors = t.filter(_._2 == "a").map(_._1)
+          if (anchors.isEmpty) None
+          else {
+            val t1 = anchors.min
+            var prev = t1
+            var steps = 1L
+            var blocked = false
+            Seq("b", "c").foreach { st =>
+              if (!blocked) {
+                val cand = t.filter(e => e._2 == st && e._1 > prev &&
+                  e._1 <= t1 + windowSec).map(_._1)
+                if (cand.isEmpty) blocked = true
+                else { prev = cand.min; steps += 1 }
+              }
+            }
+            Some(u -> ((t1, steps)))
+          }
+        }
+        got == expect
+      }
+    }
+
   property("Snapshots.upsert == (base ANTI srcKeys) UNION src, any key overlap") =
     forAll(
       Gen.listOfN(8, Gen.choose(0, 11)).map(_.distinct),

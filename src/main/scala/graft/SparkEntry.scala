@@ -1042,19 +1042,32 @@ object SparkEntry {
       // operators (x22's connected components, x76's PageRank). Both
       // engines run the identical recursion; min-distance GROUP BY
       // collapses multi-path duplicates deterministically.
-      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
-      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      // Spark executes a recursive CTE's non-recursive CTE siblings
+      // FRESH on every iteration step — the edge self-join would run
+      // once per hop. Stage the edge list to parquet once (PID-keyed
+      // path, same discipline as the portable-pair staging) so each
+      // step reads a materialized table.
+      val edgePath = cachePath(d, "x87") + "/edges"
+      val ep = new org.apache.hadoop.fs.Path(edgePath)
+      if (!ep.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ep)) {
+        val cp = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") * 100000L + col("l_partkey")).as("sp"))
+          .distinct()
+        val cp2 = cp.select(col("c").as("c2"), col("sp"))
+        cp.join(cp2, "sp").filter(col("c") =!= col("c2"))
+          .select(col("c").as("src"), col("c2").as("dst"))
+          .distinct()
+          .write.mode("overwrite").parquet(edgePath)
+      }
+      s.read.parquet(edgePath).createOrReplaceTempView("g_x87_edges")
       s.sql("""
-        WITH RECURSIVE cp AS (
-          SELECT DISTINCT o_custkey AS c, l_suppkey * 100000 + l_partkey AS sp
-          FROM g_lineitem JOIN g_orders ON o_orderkey = l_orderkey),
-        e AS (SELECT DISTINCT a.c AS src, b.c AS dst
-              FROM cp a JOIN cp b ON a.sp = b.sp AND a.c <> b.c),
-        rec AS (
+        WITH RECURSIVE rec AS (
           SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
           UNION ALL
           SELECT e.dst AS node, rec.depth + 1 AS depth
-          FROM rec JOIN e ON e.src = rec.node
+          FROM rec JOIN g_x87_edges e ON e.src = rec.node
           WHERE rec.depth < 2)
         SELECT node, CAST(min(depth) AS BIGINT) AS hops
         FROM rec GROUP BY node

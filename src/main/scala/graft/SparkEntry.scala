@@ -30,6 +30,30 @@ object SparkEntry {
     * CI) from overwriting a parquet the other is mid-read — mode
     * `overwrite` deletes files first, so a shared path races to
     * spurious FileNotFound. */
+  /** Directed customer co-purchase edges (src ≠ dst, both
+    * orientations), staged to a PID-keyed parquet once per JVM — the
+    * graph x77/x87/x91's family walks. Staging matters doubly for x87:
+    * Spark re-executes a recursive CTE's non-recursive CTE siblings on
+    * EVERY iteration step, so an unstaged edge self-join would run
+    * once per hop. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val edgePath = cachePath(d, "coedges") + "/edges"
+    val ep = new org.apache.hadoop.fs.Path(edgePath)
+    if (!ep.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ep)) {
+      val cp = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") * 100000L + col("l_partkey")).as("sp"))
+        .distinct()
+      val cp2 = cp.select(col("c").as("c2"), col("sp"))
+      cp.join(cp2, "sp").filter(col("c") =!= col("c2"))
+        .select(col("c").as("src"), col("c2").as("dst"))
+        .distinct()
+        .write.mode("overwrite").parquet(edgePath)
+    }
+    s.read.parquet(edgePath)
+  }
+
   private def cachePath(sfDir: String, tag: String): String = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
@@ -1042,26 +1066,7 @@ object SparkEntry {
       // operators (x22's connected components, x76's PageRank). Both
       // engines run the identical recursion; min-distance GROUP BY
       // collapses multi-path duplicates deterministically.
-      // Spark executes a recursive CTE's non-recursive CTE siblings
-      // FRESH on every iteration step — the edge self-join would run
-      // once per hop. Stage the edge list to parquet once (PID-keyed
-      // path, same discipline as the portable-pair staging) so each
-      // step reads a materialized table.
-      val edgePath = cachePath(d, "x87") + "/edges"
-      val ep = new org.apache.hadoop.fs.Path(edgePath)
-      if (!ep.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ep)) {
-        val cp = t(s, d, "lineitem")
-          .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"),
-            (col("l_suppkey") * 100000L + col("l_partkey")).as("sp"))
-          .distinct()
-        val cp2 = cp.select(col("c").as("c2"), col("sp"))
-        cp.join(cp2, "sp").filter(col("c") =!= col("c2"))
-          .select(col("c").as("src"), col("c2").as("dst"))
-          .distinct()
-          .write.mode("overwrite").parquet(edgePath)
-      }
-      s.read.parquet(edgePath).createOrReplaceTempView("g_x87_edges")
+      coPurchaseEdges(s, d).createOrReplaceTempView("g_x87_edges")
       s.sql("""
         WITH RECURSIVE rec AS (
           SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
@@ -1888,17 +1893,12 @@ object SparkEntry {
       // pair) via degree orientation — the m^(3/2) algorithm; the
       // oracle recomputes naively with an a<b<c three-way join, so the
       // orientation + wedge-close machinery is value-checked end to
-      // end (1271 triangles at sf0.01).
-      val cp = t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"),
-          (col("l_suppkey") * 100000L + col("l_partkey")).as("sp"))
-        .distinct()
-      val cp2 = cp.select(col("c").as("c2"), col("sp"))
-      val edges = cp.join(cp2, "sp")
-        .filter(col("c") < col("c2"))
-        .select(col("c").as("a"), col("c2").as("b"))
-        .distinct()
+      // end (1271 triangles at sf0.01). The directed edge staging is
+      // shared with x87; the canonical a<b form is its one-direction
+      // slice.
+      val edges = coPurchaseEdges(s, d)
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
       graft.ext.Graph.triangleCount(edges)
     }),
     "x75_bm25_topk" -> ((s, d) => {

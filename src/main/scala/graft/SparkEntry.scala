@@ -1557,6 +1557,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x97_priority_sample" -> ((s, d) => {
+      // A-Res weighted sampling WITHOUT replacement: exact k=100 docs,
+      // inclusion odds ∝ n_chars, no duplicates by construction — the
+      // complement of x30's independent Bernoulli. 9-dp-rounded
+      // priorities + id tiebreak make the cut engine-stable; plans as
+      // a bounded heap.
+      graft.ext.Sampling.prioritySample(
+        t(s, d, "documents"), "doc_id", "ares", col("n_chars"), k = 100)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+        .orderBy(col("doc_id"))
+    }),
     "x96_share_of_total" -> ((s, d) => {
       // ratio-to-report: each month's revenue as a share of its year's
       // total via an aggregate-then-window two-level plan (the BI
@@ -4168,6 +4179,20 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    "x97_priority_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln((CAST(concat('0x', substr(sha256('ares:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+        |        / 281474976710656.0)
+        |      / CAST(n_chars AS DOUBLE), 9) AS priority
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, source, n_chars, priority
+        |FROM p
+        |ORDER BY priority DESC, doc_id
+        |LIMIT 100""".stripMargin, // driver sorts rows before hashing,
+        // so the Spark side's doc_id presentation order is immaterial
     "x96_share_of_total" ->
       """WITH m AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,

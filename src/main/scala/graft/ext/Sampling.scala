@@ -217,6 +217,35 @@ object Sampling {
     weightedSample(df.withColumn(rateOut, rate), idCol, salt, col(rateOut))
   }
 
+  /** Weighted sampling WITHOUT replacement [Efraimidis & Spirakis '06,
+    * A-Res]: each row draws u ∈ (0, 1] from the salted 48-bit hash
+    * grid and keeps priority ln(u)/w (the log form of u^(1/w)); the k
+    * LARGEST priorities are an exact weighted sample without
+    * replacement — the missing member next to [[weightedSample]]'s
+    * independent Bernoulli (which cannot hit an exact k or guarantee
+    * no-replacement semantics).
+    *
+    * Determinism: the cut orders by the 9-dp-ROUNDED priority with an
+    * id tiebreak, so the boundary is engine-stable (the one libm `ln`
+    * sits ~6 orders below the rounding grain); rows with null or ≤ 0
+    * weights are dropped (documented contract). Plans as
+    * TakeOrderedAndProject — a bounded heap, never a global sort.
+    *
+    * Returns the sampled rows + `priority` (rounded). */
+  def prioritySample(df: DataFrame, idCol: String, salt: String,
+                     weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    reserveColumns(df, Seq("priority"), "prioritySample")
+    val space = 281474976710656.0 // 2^48
+    val h = conv(hashKey(col(idCol), salt, 12), 16, 10).cast("long")
+    val u = (h + 1).cast("double") / space // (0, 1]: ln never sees 0
+    val w = weightCol.cast("double")
+    df.filter(w.isNotNull && w > 0)
+      .withColumn("priority", round(log(u) / w, 9))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic train/valid/test assignment: `trainFrac` of the hash
     * space to "train", then `validFrac` to "valid", remainder "test".
     * A null id has a null bucket, which fails both `<` guards and lands

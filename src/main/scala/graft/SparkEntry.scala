@@ -43,7 +43,11 @@ object SparkEntry {
       val cp = t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"),
-          (col("l_suppkey") * 100000L + col("l_partkey")).as("sp"))
+          // collision-free (supplier, part) packing: partkey ranges to
+          // 200000*SF, so a 1e7 stride keeps pairs distinct through
+          // SF 50 (the old 1e5 stride aliased from SF 0.5 upward and
+          // would have manufactured spurious co-purchase edges)
+          (col("l_suppkey") * 10000000L + col("l_partkey")).as("sp"))
         .distinct()
       val cp2 = cp.select(col("c").as("c2"), col("sp"))
       cp.join(cp2, "sp").filter(col("c") =!= col("c2"))
@@ -1775,9 +1779,12 @@ object SparkEntry {
       // BPE tokenizer training, 8 merge rounds over the word vocabulary
       // (chars → merged symbols; greedy non-overlapping application).
       // Deterministic by the (count DESC, left, right) tie-break; the
-      // oracle replays every round with the string-replace greedy
-      // formulation, so the whole iterative loop — pair counts, argmax
-      // picks, merge application — is value-checked end to end.
+      // oracle replays every round with a list_reduce fold carrying the
+      // same left-to-right greedy merge semantics as this side's
+      // `aggregate` fold, so the whole iterative loop — pair counts,
+      // argmax picks, merge application — is value-checked end to end
+      // (including adjacent-repeat words like 'papa', where a naive
+      // string-replace replay would diverge).
       graft.ext.TextAnalysis.learnBpeMerges(t(s, d, "documents"), "text", 8)
         .select(col("round").cast("bigint").as("round"), col("left"),
           col("right"), col("pair_count"))
@@ -3466,7 +3473,7 @@ object SparkEntry {
         |ORDER BY months.m""".stripMargin,
     "x87_recursive_reachability" ->
       """WITH RECURSIVE cp AS (
-        |  SELECT DISTINCT o_custkey AS c, l_suppkey * 100000 + l_partkey AS sp
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey * 10000000 + l_partkey AS sp
         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
         |e AS (SELECT DISTINCT a.c AS src, b.c AS dst
         |      FROM cp a JOIN cp b ON a.sp = b.sp AND a.c <> b.c),
@@ -3877,8 +3884,14 @@ object SparkEntry {
         |    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
         |FROM sums ORDER BY event_type""".stripMargin,
     // 8 unrolled BPE rounds: per-round pair counts from the spaced
-    // symbol string, (cnt DESC, l, r) argmax, greedy non-overlapping
-    // replace — the same left-to-right semantics as the Spark fold.
+    // symbol string, (cnt DESC, l, r) argmax, then the merge applied by
+    // a list_reduce FOLD (merge when the accumulator's last token == l
+    // and the incoming symbol == r) — the SAME left-to-right greedy
+    // semantics as the Spark `aggregate` fold. A plain string
+    // replace(' l r ') is NOT equivalent: adjacent occurrences share
+    // the separator space, so 'papa' under merge (p,a) would come out
+    // [pa, p, a] instead of the correct [pa, pa], corrupting later
+    // rounds' pair counts on any corpus with adjacent-repeat words.
     // list_zip pads the shorter list with NULL, hence the p[2] filter.
     "x83_bpe_merges" -> {
       val rounds = 8
@@ -3890,10 +3903,12 @@ object SparkEntry {
            |  WHERE p[2] IS NOT NULL
            |  GROUP BY 1, 2 HAVING sum(freq) >= 2),
            |m$r AS MATERIALIZED (SELECT l, r2, cnt FROM p$r ORDER BY cnt DESC, l, r2 LIMIT 1),
-           |s$r AS MATERIALIZED (SELECT freq, replace(seq,
-           |    ' ' || (SELECT l FROM m$r) || ' ' || (SELECT r2 FROM m$r) || ' ',
-           |    ' ' || (SELECT l FROM m$r) || (SELECT r2 FROM m$r) || ' ') AS seq
-           |  FROM $prev)""".stripMargin
+           |s$r AS MATERIALIZED (SELECT freq, ' ' || list_reduce(
+           |    string_split(trim(seq), ' '),
+           |    (acc, x) -> CASE WHEN x = mr AND (acc = ml OR right(acc, length(ml)+1) = ' ' || ml)
+           |                THEN left(acc, length(acc) - length(ml)) || ml || mr
+           |                ELSE acc || ' ' || x END) || ' ' AS seq
+           |  FROM $prev, (SELECT l AS ml, r2 AS mr FROM m$r) mm$r)""".stripMargin
       }.mkString(",\n")
       val out = (1 to rounds)
         .map(r => s"SELECT $r AS round, l AS \"left\", r2 AS \"right\", cnt AS pair_count FROM m$r")
@@ -4065,7 +4080,7 @@ object SparkEntry {
     // degree-oriented wedge machinery has a full-value oracle
     "x77_triangle_count" ->
       """WITH cp AS (
-        |  SELECT DISTINCT o_custkey AS c, l_suppkey * 100000 + l_partkey AS sp
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey * 10000000 + l_partkey AS sp
         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
         |e AS (SELECT DISTINCT a.c AS a, b.c AS b
         |      FROM cp a JOIN cp b ON a.sp = b.sp AND a.c < b.c),

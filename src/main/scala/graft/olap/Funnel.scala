@@ -81,8 +81,13 @@ object Funnel {
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 periodSec: Long, maxOffset: Int): DataFrame = {
     require(periodSec > 0 && maxOffset >= 0)
+    // floor division, NOT truncate-toward-zero: Spark's `/` on longs is
+    // double division and a bare cast truncates, which buckets negative
+    // (pre-1970) epochs one period too late vs the floor-div (`//`)
+    // semantics the SQL oracle uses. floor() makes both engines agree
+    // on the whole epoch axis.
     val base = events.select(col(userCol).as("user_id"),
-      (unix_timestamp(col(tsCol)).cast("long") / periodSec).cast("long")
+      floor(unix_timestamp(col(tsCol)).cast("long") / periodSec).cast("long")
         .as("period"))
     val firsts = base.groupBy(col("user_id")).agg(min(col("period")).as("cohort_p"))
     val sizes = firsts.groupBy(col("cohort_p"))

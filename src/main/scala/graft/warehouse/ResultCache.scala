@@ -56,8 +56,19 @@ object ResultCache {
           val tmp = new Path(cacheDir, s".tmp-${java.util.UUID.randomUUID()}")
           df.write.mode("overwrite").parquet(tmp.toString)
           // publish by rename; a lost race leaves the winner's
-          // identical entry in place — drop ours and read theirs
-          if (!fs.rename(tmp, dir)) fs.delete(tmp, true)
+          // identical entry in place — drop ours and read theirs.
+          // Local-FS hazard: RawLocalFileSystem.rename onto an EXISTING
+          // dir falls back to FileUtil.copy, which copies our tmp dir
+          // INSIDE the winner's entry and still returns true — so (a)
+          // re-check existence right before renaming, and (b) after a
+          // "successful" rename, delete any nested `.tmp-*` leak (the
+          // dot prefix hides it from parquet reads, but it would sit
+          // there until the whole entry ages out otherwise).
+          if (fs.exists(dir) || !fs.rename(tmp, dir)) fs.delete(tmp, true)
+          else {
+            val nested = new Path(dir, tmp.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          }
           Cached(spark.read.parquet(dir.toString), hit = false, Some(k))
         }
     }

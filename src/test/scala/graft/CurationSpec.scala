@@ -261,6 +261,24 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 1.5)
   }
 
+  test("learnBpeMerges: adjacent-repeat words merge BOTH occurrences " +
+    "(greedy left-to-right fold, the 'papa' case)") {
+    // 'papa' under merge (p,a) must become [pa, pa], not [pa, p, a]:
+    // a non-overlapping string replace of ' p a ' misses the second
+    // occurrence because the two share a separator space. Round 2's
+    // winning pair therefore MUST be (pa, pa) — its count (6: papa ×4
+    // + papapapa 2×) only exists if round 1 merged every occurrence.
+    val words = Seq.fill(4)("papa") ++ Seq.fill(2)("papapapa") ++
+      Seq.fill(3)("pap")
+    val out = TextAnalysis.learnBpeMerges(words.toDF("text"), "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (p,a) count = papa 2×4 + papapapa 4×2 + pap 1×3 = 19
+    assert(out(0) == ((1, "p", "a", 19L)))
+    // after merging: papa=[pa,pa], papapapa=[pa,pa,pa,pa], pap=[pa,p]
+    // round 2 pairs: (pa,pa) 1×4 + 3×2 = 10 — the adjacent repeats
+    assert(out(1) == ((2, "pa", "pa", 10L)))
+  }
+
   test("robustOutliers plan: no window over the fact, dims broadcast back") {
     val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0)).toDF("g", "id", "v")
     val out = Quality.robustOutliers(df, "g", "v")

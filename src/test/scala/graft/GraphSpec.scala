@@ -56,6 +56,80 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b, "PageRank result depends on partitioning beyond 8 dp")
   }
 
+  test("PageRank with in-operator checkpointing matches the unrolled " +
+    "plan at the documented 8-dp grain, iterations=10") {
+    val edges = Tables(spark, TestSpark.sf, "lineitem")
+      .join(Tables(spark, TestSpark.sf, "orders"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    val staging = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
+      .toString
+    def collect(ckpt: Int) =
+      Graph.pageRank(edges, iterations = 10, checkpointEvery = ckpt,
+          stagingDir = Some(staging))
+        .select(col("node"), round(col("rank"), 8).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a checkpoint snapshots the already-computed iterate; the only
+    // execution-visible change is AQE coalescing over the materialized
+    // sizes, which reorders double partial sums — the same ≤1-ulp
+    // effect as repartitioning, so the 8-dp grain is the right contract
+    // (identical to the partitioning-independence test above)
+    assert(collect(0) == collect(3), "checkpointing changed PageRank values")
+  }
+
+  test("bfsDistances: min-hop distances on a known graph — multi-path " +
+    "nodes take the shorter route, cycles terminate, unreachables and " +
+    "over-depth nodes are absent") {
+    // 0→1→2→3→4 chain, a 0→2 shortcut, a 3→0 back-edge (cycle), and an
+    // isolated edge 8→9 unreachable from 0
+    val edges = edgesDf(Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L,
+      0L -> 2L, 3L -> 0L, 8L -> 9L), ("src", "dst"))
+    val got = Graph.bfsDistances(edges, source = 0L, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 2 via the shortcut (1 hop, not 2); node 4 is 3 hops — cut
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    val full = Graph.bfsDistances(edges, source = 0L, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // early exit once the frontier empties; the cycle must not loop
+    assert(full == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsDistances == the recursive-CTE walk (x87 semantics) on the " +
+    "co-purchase graph, with and without checkpointing") {
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .join(Tables(spark, TestSpark.sf, "orders"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") * 10000000L + col("l_partkey")).as("sp"))
+      .distinct()
+    val edges = li.join(li.select(col("c").as("c2"), col("sp")), "sp")
+      .filter(col("c") =!= col("c2"))
+      .select(col("c").as("src"), col("c2").as("dst")).distinct()
+    edges.createOrReplaceTempView("bfs_edges")
+    val rec = spark.sql("""
+      WITH RECURSIVE rec AS (
+        SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+        UNION ALL
+        SELECT e.dst AS node, rec.depth + 1 AS depth
+        FROM rec JOIN bfs_edges e ON e.src = rec.node
+        WHERE rec.depth < 2)
+      SELECT node, CAST(min(depth) AS BIGINT) AS hops FROM rec GROUP BY node""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val staging = java.nio.file.Files.createTempDirectory("graft-bfs-ckpt")
+      .toString
+    def run(ckpt: Int) = Graph.bfsDistances(edges, 1L, 2, checkpointEvery = ckpt,
+        stagingDir = Some(staging))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(0) == rec, "BFS diverges from the recursive CTE")
+    assert(run(1) == rec, "checkpointed BFS diverges")
+    // misconfiguration is loud: checkpointing with nowhere to stage
+    // must throw, not silently fall back to a driver-local tmp path
+    assertThrows[IllegalArgumentException] {
+      Graph.bfsDistances(edges, 1L, 2, checkpointEvery = 1)
+    }
+  }
+
   test("triangle count: K4 has 4, K5 has 10, a path has 0, and a " +
     "triangle with a pendant has 1") {
     def complete(n: Long) = edgesDf(

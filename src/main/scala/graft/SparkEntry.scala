@@ -186,6 +186,39 @@ object SparkEntry {
         .groupBy(col("topic")).agg(count(lit(1)).as("n"))
         .orderBy(col("topic"))
     }),
+    "v03_single_pass_route" -> ((s, d) => {
+      // v00's pipeline through the SINGLE-PASS demux (one merged-schema
+      // from_json, per-topic CASE dispatch, one source scan per route —
+      // the 100 TB shape; plan() reads the source once per topic
+      // branch). Same oracle as v00: the routes must be identical.
+      val spec = TopicSpec("events",
+        org.apache.spark.sql.types.StructType(
+          Seq("event_id", "user_id", "event_type", "value", "props")
+            .map(f => org.apache.spark.sql.types.StructField(f,
+              org.apache.spark.sql.types.StringType)) :+
+          org.apache.spark.sql.types.StructField("ingested_at",
+            org.apache.spark.sql.types.DoubleType)),
+        pk = Seq("event_id"),
+        required = Seq("event_id", "user_id", "event_type", "ingested_at"),
+        sportField = Some("event_type"),
+        sportPattern = "(?i)^(purchase|view|click)$")
+      val ev = t(s, d, "events")
+      val msgs = ev.select(
+        lit("soccer.events").as("topic"),
+        to_json(struct(
+          col("event_id").cast("string").as("event_id"),
+          col("user_id").cast("string").as("user_id"),
+          col("event_type"),
+          col("value").cast("string").as("value"),
+          col("props"),
+          col("value").as("ingested_at"))).as("value"),
+        col("ts").as("timestamp"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val routed = ValidateRoute.planSinglePass(msgs, Seq(spec))
+      routed.validated.unionByName(routed.rejected)
+        .groupBy(col("topic")).agg(count(lit(1)).as("n"))
+        .orderBy(col("topic"))
+    }),
     "v01_pk_hash" -> ((s, d) => {
       // P8 pk synthesis + P10 payload hash, oracle-checkable: sha2 of the
       // canonical concat matches DuckDB sha256 byte-for-byte.
@@ -2688,6 +2721,15 @@ object SparkEntry {
         |            * CAST(100 AS DOUBLE) / len(json_keys(props)) END AS null_pct
         |FROM events ORDER BY event_id""".stripMargin,
     "v00_validate_route_pipeline" ->
+      """SELECT CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
+        |            AND COALESCE(regexp_matches(event_type, '(?i)^(purchase|view|click)$'), false)
+        |       THEN 'validated.soccer.events' ELSE 'rejected.soccer.events' END AS topic,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical routes to v00 by the equivalence contract (the Spark
+    // side swaps plan() for planSinglePass(); ValidateRouteSpec pins
+    // full-row equality including hashes on the 13-topic corpus)
+    "v03_single_pass_route" ->
       """SELECT CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
         |            AND COALESCE(regexp_matches(event_type, '(?i)^(purchase|view|click)$'), false)
         |       THEN 'validated.soccer.events' ELSE 'rejected.soccer.events' END AS topic,

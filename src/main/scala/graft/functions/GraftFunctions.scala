@@ -131,6 +131,13 @@ object GraftFunctions {
       s"graft_vecsum takes 1 argument, got ${other.size}")
   }
 
+  val structAtBuilder: Seq[Expression] => Expression = {
+    case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _)) =>
+      org.apache.spark.sql.catalyst.expressions.GetStructField(child, i)
+    case _ => throw new IllegalArgumentException(
+      "graft_struct_at takes (struct, ordinal int literal)")
+  }
+
   /** Register graft functions in an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -159,6 +166,20 @@ object GraftFunctions {
       "graft_repetition_ok", repetitionOkBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains_any", bloomContainsAnyBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_struct_at", structAtBuilder, "scala_udf")
+  }
+
+  /** Positional struct-field access (`GetStructField` by ordinal) —
+    * the escape hatch for schemas where two fields differ only by
+    * letter case (the reference's `strTimeStamp` vs `strTimestamp`):
+    * name-based `getField`/dot-path resolution is case-insensitive by
+    * default and throws AMBIGUOUS_REFERENCE_TO_FIELDS on such pairs,
+    * while the ordinal is always exact. Registers lazily. */
+  def structAt(spark: SparkSession, struct: Column, ordinal: Int): Column = {
+    register(spark)
+    call_function("graft_struct_at", struct,
+      org.apache.spark.sql.functions.lit(ordinal))
   }
 
   /** Column API for the reducing top-k aggregate; registers lazily. */
@@ -322,5 +343,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomContainsAny].getName,
         "graft_bloom_contains_any"),
       GraftFunctions.bloomContainsAnyBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_struct_at"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.GetStructField",
+        "graft_struct_at"),
+      GraftFunctions.structAtBuilder))
   }
 }

@@ -90,11 +90,12 @@ object ValidateRoute {
     * "drop replays within 48 h"), where plain dropDuplicates would keep
     * state keyed on exact event-time equality. Batch frames (backfill)
     * fall back to plain dropDuplicates — same result, no state. */
-  def dedup(df: DataFrame, watermark: String = "48 hours"): DataFrame =
+  def dedup(df: DataFrame, watermark: String = "48 hours",
+            keys: Seq[String] = Seq("pk", "payload_hash")): DataFrame =
     if (df.isStreaming)
       df.withWatermark("evt_ts", watermark)
-        .dropDuplicatesWithinWatermark("pk", "payload_hash")
-    else df.dropDuplicates("pk", "payload_hash")
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else df.dropDuplicates(keys)
 
   /** P11: drop metadata, re-serialize to the `(topic, key, value)` envelope. */
   private def envelope(df: DataFrame, destTopic: String, drop: Seq[String]): DataFrame = {
@@ -189,7 +190,15 @@ object ValidateRoute {
     }
 
   /** ST6: the whole topology — one source, |specs|-way split, two fan-in
-    * routes. Works unchanged on batch and streaming frames. */
+    * routes. Works unchanged on batch and streaming frames.
+    *
+    * Read amplification caveat (measured by `graft.StreamSoak`): each
+    * union leg is its own scan of the source, so the validated query
+    * reads the envelope |specs| times and the rejected query 2·|specs|
+    * times per micro-batch — the reference job's own topology
+    * (VJ:643-653) and fine at its scale, but 39 passes over a 100 TB/day
+    * feed is the wrong shape. [[planSinglePass]] is the scale form:
+    * identical outputs (spec-pinned), 1+2 scans instead of 13+26. */
   def plan(raw: DataFrame, specs: Seq[TopicSpec], prefix: String = "soccer",
            enableDedup: Boolean = false): Routed = {
     val named = topicName(raw, prefix)
@@ -198,5 +207,170 @@ object ValidateRoute {
     Routed(
       validated = unionAll(perTopic.map(_._1), spark),
       rejected = unionAll(perTopic.flatMap(_._2), spark))
+  }
+
+  /** Union of every spec's fields (plus the corrupt-record column),
+    * for the single-parse demux. Field types must agree across topics —
+    * true for the reference set (all strings + the shared
+    * `ingested_at: double` + player's unique nested struct) and
+    * enforced loudly here, because a silent winner-takes-all merge
+    * would corrupt another topic's parse. */
+  private[graft] def mergedSchema(specs: Seq[TopicSpec], corruptCol: String): StructType = {
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    specs.foreach(_.schema.fields.foreach { f =>
+      fields.get(f.name) match {
+        case Some(prev) =>
+          require(prev.dataType == f.dataType,
+            s"field ${f.name} has conflicting types across topic schemas: " +
+              s"${prev.dataType} vs ${f.dataType} — single-pass demux needs agreement")
+        case None => fields(f.name) = f
+      }
+    })
+    require(!fields.contains(corruptCol),
+      s"schema field $corruptCol collides with the parse-verdict column")
+    StructType(fields.values.toSeq :+ StructField(corruptCol, StringType))
+  }
+
+  /** The single-pass form of [[plan]]: ONE merged-schema `from_json`,
+    * with every per-topic decision — pk synthesis, required fold,
+    * sport filter, canonical hash, output serialization — folded into
+    * topic-dispatched CASE chains evaluated per row. Output is
+    * identical to [[plan]]'s (ValidateRouteSpec pins both routes
+    * row-for-row, hashes included), but the validated query reads the
+    * source ONCE and the rejected query twice (its schema-reject and
+    * parse-failure branches split at the parse verdict) instead of 13
+    * and 26 times — at 100 TB/day the difference between 3 and 39
+    * passes over the feed.
+    *
+    * Why a merged parse is safe here: the reference's topic fields are
+    * disjoint-or-identically-typed (everything a string except the
+    * shared `ingested_at: double`; [[mergedSchema]] verifies), and each
+    * topic's hash/output structs reference only that topic's own
+    * declared fields, so a field another topic owns can never leak into
+    * this topic's envelope. The one observable divergence from
+    * per-topic parsing: a payload carrying ANOTHER topic's field with a
+    * type its schema can't cast (e.g. `lookup_player` as a bare string
+    * on a non-player topic) parse-rejects here but schema-validates
+    * under [[plan]] — unreachable for conforming producers, and the
+    * stricter verdict is the safer one.
+    *
+    * Per-row cost note: the CASE chains are O(|specs|) expression
+    * depth but each row evaluates exactly one guarded branch; the
+    * heavyweight JSON parse is shared, NOT cloned per branch (the
+    * planTopic comment's OOM trap does not apply — there is one
+    * `from_json`, and the flatten projection boundary keeps it
+    * single-instance in the optimized plan). */
+  def planSinglePass(raw: DataFrame, specs: Seq[TopicSpec],
+                     prefix: String = "soccer",
+                     enableDedup: Boolean = false): Routed = {
+    require(specs.nonEmpty, "need at least one topic spec")
+    val corruptCol = "_graft_corrupt"
+    val parseSchema = mergedSchema(specs, corruptCol)
+    val topicNames = specs.map(_.name)
+
+    /** topic-dispatched CASE over the flattened merged columns */
+    def byTopic(f: TopicSpec => Column): Column =
+      specs.tail.foldLeft(
+        when(col("topic_name") === specs.head.name, f(specs.head)))(
+        (acc, s) => acc.when(col("topic_name") === s.name, f(s)))
+
+    val base = topicName(raw, prefix)
+      .filter(col("topic_name").isin(topicNames: _*))
+      .select(
+        col("topic_name"),
+        from_json(col("value").cast("string"), parseSchema,
+          Map("columnNameOfCorruptRecord" -> corruptCol)).as("data"),
+        col("timestamp").as("kafka_ts"),
+        col("value").cast("string").as("json_str"))
+      // same parse verdict as planTopic (see the PERMISSIVE notes there)
+      .withColumn("parse_ok",
+        col("json_str").isNotNull && col("data").isNotNull &&
+          col(s"data.$corruptCol").isNull)
+
+    // Flatten by ORDINAL, not `data.*`: the reference schema set has
+    // field pairs differing only by letter case (`strTimeStamp` on
+    // broadcast vs `strTimestamp` on schedule), and name-based
+    // resolution over the merged row is case-insensitive — any later
+    // reference would throw AMBIGUOUS_REFERENCE. Colliding fields get
+    // positional safe names; everything else keeps its exact name, and
+    // `fcol` routes all downstream references (output structs alias
+    // back to the exact JSON key, so serialization is unaffected).
+    val spark = raw.sparkSession
+    val mergedFields = parseSchema.fields.dropRight(1) // minus corrupt
+    val collides: Set[String] = mergedFields.map(_.name)
+      .groupBy(_.toLowerCase).values.filter(_.length > 1).flatten.toSet
+    val safeName: Map[String, String] = mergedFields.zipWithIndex.map {
+      case (f, i) => f.name -> (if (collides(f.name)) s"__g$i" else f.name)
+    }.toMap
+    def fcol(path: String): Column = path.split("\\.").toList match {
+      case top :: Nil => col(safeName(top))
+      case top :: rest => rest.foldLeft(col(safeName(top)))(_.getField(_))
+      case Nil => throw new IllegalArgumentException("empty field path")
+    }
+    val flat = base.filter(col("parse_ok"))
+      .select(mergedFields.toSeq.zipWithIndex.map { case (f, i) =>
+        graft.functions.GraftFunctions.structAt(spark, col("data"), i)
+          .as(safeName(f.name))
+      } ++ Seq(col("topic_name"), col("kafka_ts"), col("json_str")): _*)
+    // shared repair (P9) — identical expression to the per-topic path
+    // (ingested_at never collides: every topic declares it identically)
+    val timed = ensureTimestamps(flat)
+      .withColumn("pk", byTopic(s => concat_ws("|",
+        s.pk.map(c => coalesce(fcol(c).cast("string"), lit(""))): _*)))
+      .withColumn("is_valid", byTopic { s =>
+        val reqOk = s.required.map(c => fcol(c).isNotNull).reduce(_ && _)
+        val sportOk = s.sportField match {
+          case Some(path) =>
+            when(fcol(path).rlike(s.sportPattern), lit(true)).otherwise(lit(false))
+          case None => lit(true)
+        }
+        reqOk && sportOk
+      })
+      .withColumn("payload_hash", byTopic { s =>
+        val cols = s.schema.fieldNames.filterNot(excludeFromHash).sorted
+        sha2(to_json(struct(cols.toSeq.map(c => fcol(c).as(c)): _*)), 256)
+      })
+    // topic_name joins the state key: the per-topic path dedups WITHIN
+    // each topic, so a (pk, hash) coincidence across topics must not
+    // collapse here either
+    val deduped =
+      if (enableDedup) dedup(timed, keys = Seq("topic_name", "pk", "payload_hash"))
+      else timed
+
+    /** per-topic output serialization, mirroring envelope()'s column
+      * order exactly: the topic's declared fields (repaired
+      * ingested_at in place), then kafka_ts, json_str */
+    def valueOut(s: TopicSpec): Column = {
+      val fields = s.schema.fieldNames.toSeq.map(c => fcol(c).as(c)) ++
+        Seq(col("kafka_ts"), col("json_str"))
+      to_json(struct(fields: _*))
+    }
+    def route(df: DataFrame, dest: String): DataFrame =
+      df.select(
+        concat(lit(s"$dest.$prefix."), col("topic_name")).as("topic"),
+        col("pk").cast("string").as("key"),
+        byTopic(valueOut).as("value"))
+
+    val validated = route(deduped.filter(col("is_valid")), "validated")
+    val rejectedSchema = route(deduped.filter(!col("is_valid")), "rejected")
+
+    // parse failures: topic-independent envelope, same as planTopic's
+    val parseBad = base.filter(!col("parse_ok"))
+      .select(col("topic_name"), col("kafka_ts"), col("json_str"))
+      .withColumn("pk", sha2(coalesce(col("json_str"), lit("")), 256))
+      .withColumn("ingested_at", unix_timestamp(col("kafka_ts")).cast("double"))
+      .withColumn("evt_ts", to_timestamp(col("kafka_ts")))
+      .withColumn("parse_error", lit(true))
+    // (the per-topic path also computes a payload_hash here, but every
+    // hashable column is metadata-excluded — it hashes an empty struct
+    // and envelope() drops it, so there is nothing to replicate)
+    val parseBadRejected = parseBad.select(
+      concat(lit(s"rejected.$prefix."), col("topic_name")).as("topic"),
+      col("pk").cast("string").as("key"),
+      to_json(struct(col("kafka_ts"), col("json_str"), col("ingested_at"),
+        col("parse_error"))).as("value"))
+
+    Routed(validated,
+      rejectedSchema.unionByName(parseBadRejected, allowMissingColumns = true))
   }
 }

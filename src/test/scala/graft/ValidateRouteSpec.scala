@@ -150,4 +150,68 @@ class ValidateRouteSpec extends AnyFunSuite {
     val p = routed.validated.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
   }
+
+  test("planSinglePass == plan: both routes row-identical on the " +
+    "13-topic soak corpus plus edge traffic (hashes, values and all)") {
+    // the soak generator fans events across all 13 topic schemas with
+    // wrong-sport and garbage seasoning; add the hand-built edge rows
+    // (tombstone, blank, unknown topic, nested-sport misses) on top.
+    // STAGED to parquet first: inlining the 13-branch generator into
+    // plan()'s 39 union branches (which each rescan the source) makes
+    // the comparison's optimized tree explode — and a file source is
+    // what both topologies read in production anyway.
+    val dir = java.nio.file.Files.createTempDirectory("graft-route-eq").toString
+    StreamSoak.buildMessages(spark, TestSpark.sf)
+      .unionByName(raw(
+        "soccer.league" -> validLeague,
+        "soccer.league" -> basketballLeague,
+        "soccer.league" -> nullRequiredLeague,
+        "soccer.league" -> notJson,
+        "soccer.league" -> staleTsLeague,
+        "soccer.player" -> validPlayer,
+        "soccer.player" -> darstPlayer,
+        "soccer.event.stats" -> validStats,
+        "soccer.league" -> null.asInstanceOf[String],
+        "soccer.league" -> "",
+        "not-a-soccer-topic" -> validLeague))
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val a = ValidateRoute.plan(corpus, Schemas.specs)
+    val b = ValidateRoute.planSinglePass(corpus, Schemas.specs)
+    // compare as collected multisets, NOT exceptAll: fusing the
+    // 39-branch union tree and the CASE-dispatch tree into one query
+    // sends the optimizer into an OOM-grade blowup (each runs fine
+    // alone — it is the combined rewrite that explodes), and a driver
+    // compare of a fixture-sized corpus is the honest tool anyway
+    def multiset(df: DataFrame): Map[Seq[Any], Int] =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    def same(x: DataFrame, y: DataFrame, what: String): Unit = {
+      val (mx, my) = (multiset(x), multiset(y))
+      assert(mx.nonEmpty, s"$what: empty comparison proves nothing")
+      assert(mx == my, s"$what routes diverge: " +
+        s"only-in-left=${(mx.keySet -- my.keySet).take(2)} " +
+        s"only-in-right=${(my.keySet -- mx.keySet).take(2)}")
+    }
+    same(a.validated, b.validated, "validated")
+    same(a.rejected, b.rejected, "rejected")
+  }
+
+  test("planSinglePass reads the source once per route (plan reads it " +
+    "per topic branch)") {
+    // stage the corpus so it is ONE parquet source — the generator
+    // itself fans 13 branches over events, which would muddy the count
+    val dir = java.nio.file.Files.createTempDirectory("graft-route-scan").toString
+    StreamSoak.buildMessages(spark, TestSpark.sf).limit(100)
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    def scans(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().size
+    val multi = ValidateRoute.plan(corpus, Schemas.specs)
+    val single = ValidateRoute.planSinglePass(corpus, Schemas.specs)
+    // validated: ONE scan; rejected: two (the schema-reject and
+    // parse-failure branches split at the parse verdict)
+    assert(scans(single.validated) == 1 && scans(single.rejected) == 2)
+    // documents the amplification the single-pass form removes
+    assert(scans(multi.validated) == 13 && scans(multi.rejected) == 26)
+  }
 }

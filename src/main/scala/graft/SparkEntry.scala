@@ -1594,6 +1594,37 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x100_kll_quantiles" -> ((s, d) => {
+      // Mergeable KLL quantile sketch in its EXACT regime (n ≤ k → no
+      // compaction ever fires; the x79 GK trick, but this sketch
+      // MERGES — partial aggregation across partitions IS the merge
+      // law, spec-pinned in SketchSpec with an O(n/k) rank-error band
+      // past the regime). Returns the rank-⌈q·n⌉ order statistic per
+      // requested q; both engines compute ⌈q·n⌉ in IEEE double, so the
+      // rank choice can never diverge at representation boundaries.
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      t(s, d, "documents")
+        .agg(graft.functions.GraftFunctions.kllQuantiles(s,
+          col("n_chars").cast("double"), 8192, qs).as("qv"))
+        .select(posexplode(col("qv")).as(Seq("qi", "v")))
+        .select(col("qi").cast("bigint").as("qi"), col("v"))
+        .orderBy(col("qi"))
+    }),
+    "x99_ivf_batch_topk" -> ((s, d) => {
+      // Batch IVF probe: top-5 neighbors for every 97th vector through
+      // the learned-quantizer index in ONE distributed pass (centroid
+      // broadcast → per-query probe set → cluster-key join → reducing
+      // top-k heap). Probe-all (nProbes = k) is exact by construction —
+      // x10's oracle trick, batched — so the DuckDB brute-force replay
+      // value-checks the whole machinery; recall at nProbes < k is
+      // pinned in ExtSpec.
+      val emb = t(s, d, "embeddings")
+      val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
+      val queries = emb.filter(col("vec_id") % 97 === 0)
+      graft.ext.IvfIndex.batchTopK(model, queries, "embedding", "vec_id",
+          k = 5, nProbes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "x98_bfs_distances" -> ((s, d) => {
       // Driver-loop BFS over the co-purchase graph: min hops from
       // customer 7 within 3 levels — the scale twin of x87's WITH
@@ -4249,6 +4280,41 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // exact-regime KLL = plain order statistics; q CAST to DOUBLE so
+    // the ⌈q·n⌉ rank arithmetic is the same IEEE product on both sides
+    // (a DECIMAL q would round differently at representation edges)
+    "x100_kll_quantiles" ->
+      """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM s),
+        |qs(qi, q) AS (VALUES (0, 0.1), (1, 0.25), (2, 0.5),
+        |                     (3, 0.75), (4, 0.9), (5, 0.99))
+        |SELECT CAST(qs.qi AS BIGINT) AS qi, o.v AS v
+        |FROM qs JOIN o
+        |  ON o.rn = GREATEST(1, CAST(CEIL(CAST(qs.q AS DOUBLE) * o.n) AS BIGINT))
+        |ORDER BY qi""".stripMargin,
+    // probe-all IVF batch is exact (see the query's note) → oracle is
+    // the per-query brute-force scan, x19's arithmetic; queries keep
+    // their own corpus row (separate-namespace contract → self at 1.0)
+    "x99_ivf_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id % 97 = 0),
+        |sims AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id, CAST(ROUND(
+        |    list_sum(list_transform(list_zip(q.qe, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sim
+        |  FROM q, embeddings b),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM sims WHERE sim IS NOT NULL)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // UNION (not ALL) recursion: the accumulated (node, depth) set
     // dedups, so the replay is node×depth-bounded instead of
     // path-enumerating — matches BFS min-hop semantics under the

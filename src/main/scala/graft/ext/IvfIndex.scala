@@ -91,4 +91,57 @@ object IvfIndex {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Batch probe: top-k neighbors for EVERY row of `queries` in one
+    * distributed pass — the query-batch shape ([[Similarity.batchTopK]]
+    * is the LSH-bucketed sibling; [[topK]] ranks centroids on the
+    * driver, which a million-query batch cannot).
+    *
+    * Shape: the k×dim centroid table broadcasts against the query set
+    * (BroadcastNestedLoopJoin over k rows — NOT a shuffle), each query
+    * keeps its `nProbes` best centroids via the `row_number() <= n`
+    * idiom (planned as the bounded TopKRows heap under graft
+    * extensions), the probe pairs join the assignment table ON THE
+    * CLUSTER KEY — so each query's candidate set is its probed lists
+    * only, never the corpus — and the final per-query top-k is the
+    * reducing heap aggregate (k rows per query per map task cross the
+    * wire). Zero-norm sims are null → excluded on both engines (x19
+    * convention). A query id equal to a corpus id is NOT excluded:
+    * query and corpus ids are separate namespaces in the batch
+    * contract (a corpus-sourced query surfaces itself at sim 1.0).
+    *
+    * Returns `(query_id, rank, neighbor_id, sim)`, ranks 1..k. */
+  def batchTopK(model: Model, queries: DataFrame, embCol: String,
+                idCol: String, k: Int, nProbes: Int = 3,
+                roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbes > 0, s"nProbes must be positive, got $nProbes")
+    val spark = model.assigned.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "_cvec")
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("_qv"))
+    val ranked = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("_qv"), col("cluster"),
+        GraftFunctions.cosineSim(spark, col("_qv"), col("_cvec")).as("_csim"))
+      .filter(col("_csim").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_csim").desc, col("cluster"))
+    val probes = ranked.withColumn("_pr", row_number().over(w))
+      .filter(col("_pr") <= nProbes)
+      .select(col("query_id"), col("_qv"), col("cluster"))
+    val cand = probes.join(
+      model.assigned.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("_nv"), col("cluster")), "cluster")
+    cand
+      .select(col("query_id"), col("neighbor_id"),
+        round(GraftFunctions.cosineSim(spark, col("_qv"), col("_nv")),
+          roundTo).as("sim"))
+      .filter(col("sim").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKBy(spark, col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("query_id"), (col("rank0") + 1).cast("bigint").as("rank"),
+        col("t.value").as("neighbor_id"), col("t.key").as("sim"))
+  }
 }

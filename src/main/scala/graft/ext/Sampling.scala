@@ -168,12 +168,9 @@ object Sampling {
     val rates: Map[String, Double] = targets.flatMap { case (s, w) =>
       counts.get(s).map(n => s -> math.min(1.0, w * total / n))
     }
-    val rate = rates.foldLeft(lit(null).cast("double")) {
-      case (acc, (s, r)) =>
-        when(col(strataCol).cast("string") === s, lit(r)).otherwise(acc)
-    }
     // weightedSample drops null-rate rows (strata outside the targets)
-    weightedSample(df.withColumn(rateOut, rate), idCol, salt, col(rateOut))
+    weightedSample(withRates(df, strataCol, rates, rateOut),
+      idCol, salt, col(rateOut))
   }
 
   /** Temperature-scaled source mixing [the data-mixing α-sampling of
@@ -210,12 +207,42 @@ object Sampling {
     val rates = counts.map { case (s, n) =>
       s -> math.min(1.0, (t * weights(s)).toDouble / (sumW * n).toDouble)
     }
-    val rate = rates.foldLeft(lit(null).cast("double")) {
-      case (acc, (s, r)) =>
-        when(col(strataCol).cast("string") === s, lit(r)).otherwise(acc)
-    }
-    weightedSample(df.withColumn(rateOut, rate), idCol, salt, col(rateOut))
+    weightedSample(withRates(df, strataCol, rates, rateOut),
+      idCol, salt, col(rateOut))
   }
+
+  /** Above this many strata the rate mapping joins a broadcast rates
+    * table instead of folding a `when` chain (O(#strata) expression
+    * depth bloats codegen at 10⁴-stratum domains; sources/languages at
+    * 10–10² stay on the chain). */
+  private[graft] val rateChainMax = 64
+
+  /** Attach the per-stratum keep rate: a folded `when` chain for small
+    * rate maps, a broadcast left join above [[rateChainMax]]. The two
+    * forms are decision-identical (spec-pinned): the rate DOUBLES are
+    * the same driver-computed values either way — literal vs joined —
+    * and a null/unmapped stratum gets a null rate in both (a null join
+    * key matches nothing; a null chain comparison falls through to the
+    * null default), which the downstream sampler drops. */
+  private[graft] def withRates(df: DataFrame, strataCol: String,
+                               rates: Map[String, Double],
+                               rateOut: String): DataFrame =
+    if (rates.size <= rateChainMax) {
+      val rate = rates.foldLeft(lit(null).cast("double")) {
+        case (acc, (s, r)) =>
+          when(col(strataCol).cast("string") === s, lit(r)).otherwise(acc)
+      }
+      df.withColumn(rateOut, rate)
+    } else {
+      val spark = df.sparkSession
+      reserveColumns(df, Seq("_graft_rate_s", "_graft_rate_v"), "withRates")
+      val ratesDf = spark.createDataFrame(rates.toSeq)
+        .toDF("_graft_rate_s", "_graft_rate_v")
+      df.join(broadcast(ratesDf),
+          col(strataCol).cast("string") === col("_graft_rate_s"), "left")
+        .withColumn(rateOut, col("_graft_rate_v"))
+        .drop("_graft_rate_s", "_graft_rate_v")
+    }
 
   /** Weighted sampling WITHOUT replacement [Efraimidis & Spirakis '06,
     * A-Res]: each row draws u ∈ (0, 1] from the salted 48-bit hash

@@ -301,7 +301,8 @@ object TextDedup {
                       shingleK: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.7,
                       maxBucket: Int = 1000,
-                      stagingPath: Option[String] = None): DataFrame = {
+                      stagingPath: Option[String] = None,
+                      maxPairsPerDoc: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // The signature table feeds THREE plan branches (band explosion + both
@@ -324,8 +325,30 @@ object TextDedup {
     val exploded = sigTable.select(col("id"),
       posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bh")))
     val candidates = bucketCandidates(exploded, maxBucket)
-    verifyCandidates(candidates, sigTable, numHashes, threshold)
+    capPairs(verifyCandidates(candidates, sigTable, numHashes, threshold),
+      maxPairsPerDoc, col("jaccard").desc)
   }
+
+  /** Optional per-anchor pair cap: keep the `max` BEST pairs per `id_a`
+    * (by `order`, id_b tiebreak), 0 = unlimited. This bounds the raw
+    * pair list itself — it is quadratic in per-document duplicate
+    * multiplicity by contract (ten copies of a page → 45 pairs each),
+    * and while the grouped consumers (dup groups / keep-best) are the
+    * recommended scale path, a pipeline that materializes raw pairs
+    * needs its own ceiling. Expressed as the `row_number() <= k` idiom
+    * so `RewriteLatestPerKey` plans it as the bounded-heap TopKRows
+    * aggregate (k rows per anchor per map task cross the wire) on
+    * sessions with graft extensions; elsewhere it degrades gracefully
+    * to the window form with identical output. */
+  private def capPairs(pairs: DataFrame, max: Int, order: Column): DataFrame =
+    if (max <= 0) pairs
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a")).orderBy(order, col("id_b"))
+      pairs.withColumn("_graft_pair_rank", row_number().over(w))
+        .filter(col("_graft_pair_rank") <= max)
+        .drop("_graft_pair_rank")
+    }
 
   /** The estimate-prefilter + exact-verify tail shared by the batch and
     * incremental pipelines: join `lookup` (`id`, `shh`, `sig`) to both
@@ -795,12 +818,13 @@ object TextDedup {
 
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, prefixBits: Int = 16,
-                      maxBucket: Int = 1000): DataFrame =
+                      maxBucket: Int = 1000,
+                      maxPairsPerDoc: Int = 0): DataFrame =
     simhashDupPairsFromSig(
       withSimhash(
         spreadCompute(df.select(col(idCol).as("id"), col(textCol))), textCol, "sig")
         .select(col("id"), col("sig")),
-      maxHamming, prefixBits, maxBucket)
+      maxHamming, prefixBits, maxBucket, maxPairsPerDoc)
 
   /** The signature-independent core of [[simhashDupPairs]]: prefix-bit
     * blocking + capped bucket pairing + Hamming verify over a
@@ -814,14 +838,17 @@ object TextDedup {
     * builtin in FunctionsSpec. */
   def simhashDupPairsFromSig(sigs: DataFrame, maxHamming: Int = 3,
                              prefixBits: Int = 16,
-                             maxBucket: Int = 1000): DataFrame = {
+                             maxBucket: Int = 1000,
+                             maxPairsPerDoc: Int = 0): DataFrame = {
     val withSig = sigs
       .select(lit(0).as("band"),
         shiftrightunsigned(col("sig"), 64 - prefixBits).as("bh"),
         col("id"), col("sig"))
-    bucketCandidates(withSig, maxBucket, payload = Some("sig"), dedupPairs = false)
+    val pairs = bucketCandidates(withSig, maxBucket, payload = Some("sig"),
+        dedupPairs = false)
       .select(col("id_a"), col("id_b"),
         hamming(col("v_a"), col("v_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    capPairs(pairs, maxPairsPerDoc, col("hamming").asc)
   }
 }

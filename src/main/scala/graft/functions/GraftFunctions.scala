@@ -131,6 +131,18 @@ object GraftFunctions {
       s"graft_vecsum takes 1 argument, got ${other.size}")
   }
 
+  val kllQuantilesBuilder: Seq[Expression] => Expression = {
+    case Seq(child, kE, org.apache.spark.sql.catalyst.expressions.Literal(
+        qs: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _)))
+        if longLiteral(kE).isDefined =>
+      KllQuantiles(child, longLiteral(kE).get.toInt,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(qs.toDoubleArray()))
+    case _ => throw new IllegalArgumentException(
+      "graft_kll_quantiles takes (value double, k int literal, quantiles array<double> literal)")
+  }
+
   val structAtBuilder: Seq[Expression] => Expression = {
     case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _)) =>
       org.apache.spark.sql.catalyst.expressions.GetStructField(child, i)
@@ -168,6 +180,19 @@ object GraftFunctions {
       "graft_bloom_contains_any", bloomContainsAnyBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_struct_at", structAtBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_quantiles", kllQuantilesBuilder, "scala_udf")
+  }
+
+  /** Column API for the mergeable KLL quantile aggregate; registers
+    * lazily. Exact while n ≤ k (no compaction); O(n/k) rank error
+    * beyond. */
+  def kllQuantiles(spark: SparkSession, value: Column, k: Int,
+                   qs: Seq[Double]): Column = {
+    register(spark)
+    call_function("graft_kll_quantiles", value,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.typedlit(qs))
   }
 
   /** Positional struct-field access (`GetStructField` by ordinal) —
@@ -349,5 +374,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "org.apache.spark.sql.catalyst.expressions.GetStructField",
         "graft_struct_at"),
       GraftFunctions.structAtBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "graft_kll_quantiles"),
+      GraftFunctions.kllQuantilesBuilder))
   }
 }

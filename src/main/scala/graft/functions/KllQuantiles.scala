@@ -1,0 +1,207 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** KLL-style mergeable quantile sketch [Karnin, Lang & Liberty FOCS'16;
+  * simplified to uniform per-level capacity, as in the original MRL
+  * line of work]: a level ladder where level i holds items of weight
+  * 2^i; a full level sorts and keeps every other item (promoting the
+  * survivors one level up), so state is O(k·log(n/k)) no matter how
+  * many rows flow through — the mergeable counterpart of the GK sketch
+  * (x79's exact-regime oracle), which cannot merge and therefore
+  * cannot be a partial aggregate.
+  *
+  * Deterministic compaction: classical KLL flips a random coin per
+  * compaction to pick the kept parity; this implementation derives the
+  * parity from a per-buffer compaction counter instead. That trades
+  * the formal unbiasedness proof for bit-reproducible results given a
+  * fixed partitioning (house rule: no RNG state in operators), while
+  * the empirical rank error stays O(n/k) — spec-pinned with a
+  * randomized bound in SketchSpec. Merge concatenates level-wise and
+  * re-compacts overflowing levels bottom-up, the PODS'12 mergeable-
+  * summaries shape; partial aggregation exercises it on every
+  * multi-partition run.
+  *
+  * Contracts (spec-pinned):
+  *  - EXACT regime: while no compaction has fired (n ≤ k), the sketch
+  *    holds every value, and each requested quantile q returns the
+  *    rank-⌈q·n⌉ smallest value exactly (min rank 1) — the regime the
+  *    x-query oracle checks cross-engine, same trick as x79;
+  *  - estimates are always actual input VALUES (never interpolated);
+  *  - null inputs are skipped; an empty group yields null.
+  *
+  * Result: `array<double>`, one entry per requested quantile, in the
+  * order the quantiles were given.
+  */
+case class KllQuantiles(
+    child: Expression,
+    k: Int,
+    quantiles: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllQuantiles.Buf] {
+
+  require(k >= 8, s"k must be at least 8, got $k")
+  require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
+    s"quantiles must be in [0, 1], got $quantiles")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kll_quantiles expects a double column, got ${child.dataType.simpleString}")
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): KllQuantiles.Buf =
+    new KllQuantiles.Buf(k)
+
+  override def update(buf: KllQuantiles.Buf, input: InternalRow): KllQuantiles.Buf = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllQuantiles.Buf, other: KllQuantiles.Buf): KllQuantiles.Buf = {
+    buf.mergeIn(other)
+    buf
+  }
+
+  override def eval(buf: KllQuantiles.Buf): Any =
+    if (buf.n == 0) null
+    else new GenericArrayData(buf.quantiles(quantiles).toArray[Any])
+
+  override def serialize(buf: KllQuantiles.Buf): Array[Byte] = buf.serialize()
+
+  override def deserialize(bytes: Array[Byte]): KllQuantiles.Buf =
+    KllQuantiles.Buf.deserialize(k, bytes)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllQuantiles =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllQuantiles =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_kll_quantiles"
+}
+
+object KllQuantiles {
+
+  /** The level ladder. Level i's items each represent 2^i inputs. */
+  final class Buf(k: Int) {
+    private[KllQuantiles] val levels =
+      mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double])
+    var n: Long = 0L
+    private[KllQuantiles] var compactions: Long = 0L
+
+    def insert(v: Double): Unit = {
+      levels(0) += v
+      n += 1
+      if (levels(0).length > k) compact(0)
+    }
+
+    /** Sort the level, keep alternate items (parity from the
+      * compaction counter — deterministic, see class doc), promote the
+      * survivors: their weight doubles by moving one level up. */
+    private def compact(l: Int): Unit = {
+      if (l + 1 >= levels.length) levels += mutable.ArrayBuffer.empty[Double]
+      val sorted = levels(l).sorted
+      val parity = (compactions & 1L).toInt
+      compactions += 1
+      var i = parity
+      while (i < sorted.length) { levels(l + 1) += sorted(i); i += 2 }
+      levels(l).clear()
+      if (levels(l + 1).length > k) compact(l + 1)
+    }
+
+    def mergeIn(other: Buf): Unit = {
+      while (levels.length < other.levels.length)
+        levels += mutable.ArrayBuffer.empty[Double]
+      var l = 0
+      while (l < other.levels.length) {
+        levels(l) ++= other.levels(l)
+        l += 1
+      }
+      n += other.n
+      compactions += other.compactions
+      l = 0
+      while (l < levels.length) {
+        if (levels(l).length > k) compact(l)
+        l += 1
+      }
+    }
+
+    /** Weighted rank selection: value at cumulative weight ≥ ⌈q·n⌉
+      * (min 1) over the value-sorted (item, 2^level) pairs. */
+    def quantiles(qs: Seq[Double]): Seq[Double] = {
+      val weighted = mutable.ArrayBuffer.empty[(Double, Long)]
+      var l = 0
+      while (l < levels.length) {
+        val w = 1L << l
+        levels(l).foreach(v => weighted += ((v, w)))
+        l += 1
+      }
+      val sorted = weighted.sortBy(_._1).toArray
+      val cum = new Array[Long](sorted.length)
+      var acc = 0L
+      var i = 0
+      while (i < sorted.length) { acc += sorted(i)._2; cum(i) = acc; i += 1 }
+      qs.map { q =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        var lo = 0
+        var hi = sorted.length - 1
+        while (lo < hi) { // first index with cum >= target
+          val mid = (lo + hi) >>> 1
+          if (cum(mid) >= target) hi = mid else lo = mid + 1
+        }
+        sorted(lo)._1
+      }
+    }
+
+    def serialize(): Array[Byte] = {
+      val size = 8 + 8 + 4 + levels.map(4 + _.length * 8).sum
+      val bb = ByteBuffer.allocate(size)
+      bb.putLong(n)
+      bb.putLong(compactions)
+      bb.putInt(levels.length)
+      levels.foreach { lv =>
+        bb.putInt(lv.length)
+        lv.foreach(bb.putDouble)
+      }
+      bb.array()
+    }
+  }
+
+  object Buf {
+    def deserialize(k: Int, bytes: Array[Byte]): Buf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val buf = new Buf(k)
+      buf.n = bb.getLong
+      buf.compactions = bb.getLong
+      val nLevels = bb.getInt
+      while (buf.levels.length < nLevels)
+        buf.levels += mutable.ArrayBuffer.empty[Double]
+      var l = 0
+      while (l < nLevels) {
+        val sz = bb.getInt
+        var i = 0
+        while (i < sz) { buf.levels(l) += bb.getDouble; i += 1 }
+        l += 1
+      }
+      buf
+    }
+  }
+}

@@ -237,6 +237,39 @@ class CurationSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("withRates: broadcast-join form is decision-identical to the " +
+    "when-chain form above the 64-strata threshold") {
+    import graft.ext.Sampling
+    val nStrata = 100 // > rateChainMax → join path
+    val df = (1L to 3000L).map(i => (i, s"s${i % nStrata}")).toDF("id", "src")
+    val rates = (0 until nStrata)
+      .map(i => s"s$i" -> math.min(1.0, (i % 7 + 1) / 8.0)).toMap
+    val joined = Sampling.withRates(df, "src", rates, "rate")
+    // reference: the chain form, built inline exactly as withRates
+    // does below the threshold
+    val chainRate = rates.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, r)) => when($"src" === s, lit(r)).otherwise(acc)
+    }
+    val chained = df.withColumn("rate", chainRate)
+    def rateMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the rate DOUBLES must be bit-equal — same driver-computed values
+    assert(rateMap(joined) == rateMap(chained))
+    // and therefore the downstream keep decisions are identical
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, "id", "wr-eq", col("rate"))
+        .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept(joined) == kept(chained))
+    assert(kept(joined).nonEmpty && kept(joined).size < 3000)
+    // the big-map form really is a broadcast join, and the small-map
+    // form really is not a join at all
+    val pJoin = joined.queryExecution.executedPlan.toString
+    assert(pJoin.contains("BroadcastHashJoin"), pJoin)
+    val pChain = Sampling.withRates(df, "src", rates.take(10), "rate")
+      .queryExecution.executedPlan.toString
+    assert(!pChain.contains("Join"), pChain)
+  }
+
   test("robustOutliers: flags the far point, MAD=0 group degrades to in-lier") {
     val df = Seq(
       // group g1: median 10, MAD 1 -> 30 has z=20

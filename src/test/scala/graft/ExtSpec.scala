@@ -97,6 +97,38 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.count() >= docs.count())
   }
 
+  test("maxPairsPerDoc caps the raw pair surface: best pairs kept per " +
+    "anchor, default unlimited unchanged") {
+    // 8 exact copies of one document → C(8,2)=28 raw pairs (quadratic
+    // in duplicate multiplicity by contract); anchor doc 1 sees 7
+    val copies = (1L to 8L).map(i => (i, "alpha beta gamma delta epsilon " +
+      "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val unlimited = TextDedup.minhashDupPairs(copies, "text", "doc_id")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(unlimited.length == 28)
+    val capped = TextDedup.minhashDupPairs(copies, "text", "doc_id",
+        maxPairsPerDoc = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a subset of the raw pairs, ≤3 per anchor, and the jaccard-tie
+    // break keeps the LOWEST id_b per anchor (deterministic cut)
+    assert(capped.toSet.subsetOf(unlimited.toSet))
+    val perAnchor = capped.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ <= 3), perAnchor.toMap.toString)
+    assert(perAnchor(1L) == 3 &&
+      capped.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(2L, 3L, 4L))
+    // cap=0 (the default) is the identity — the oracled surfaces
+    // (x12/x13) are unaffected
+    val explicit0 = TextDedup.minhashDupPairs(copies, "text", "doc_id",
+        maxPairsPerDoc = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(explicit0.sorted.toSeq == unlimited.sorted.toSeq)
+    // simhash variant: hamming-ascending cut, same ceiling
+    val sim = TextDedup.simhashDupPairs(copies, "text", "doc_id",
+        maxPairsPerDoc = 2)
+      .select("id_a").collect().map(_.getLong(0))
+    assert(sim.nonEmpty && sim.groupBy(identity).values.forall(_.length <= 2))
+  }
+
   test("kernel pairs equal portable pairs at production params (x59 transitive oracle)") {
     // the invariant x59_kernel_minhash_oracled's DuckDB oracle rests on:
     // at 64 hashes / 16 bands both hash schemes reach full recall on
@@ -374,6 +406,48 @@ class ExtSpec extends AnyFunSuite {
     assert(probed < emb.count())
     // at-or-under the bound the quantizer sees everything (pre-sampling parity)
     assert(model.fitRows == emb.count())
+  }
+
+  test("IVF batchTopK: probe-all equals per-query brute force; partial " +
+    "probes hit self and keep high recall") {
+    val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val all = asMap(graft.ext.IvfIndex.batchTopK(model, queries,
+      "embedding", "vec_id", k = 5, nProbes = 8)
+      .select("query_id", "rank", "neighbor_id"))
+    // probe-all is exact: per query, identical to a driver brute force
+    val qs = queries.select("vec_id").collect().map(_.getLong(0))
+    val vecs = emb.select(col("vec_id"), graft.ext.Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      // HALF_UP like Spark's round(), not rint's half-even
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    qs.foreach { q =>
+      val brute = vecs.toSeq.map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      val got = (1 to 5).map(r => all((q, r.toLong)))
+      assert(got == brute, s"query $q: got=$got brute=$brute")
+    }
+    // partial probes: self always lands in its own probed cluster, and
+    // recall vs probe-all stays useful (fixture clusters are coherent)
+    val partial = asMap(graft.ext.IvfIndex.batchTopK(model, queries,
+      "embedding", "vec_id", k = 5, nProbes = 3)
+      .select("query_id", "rank", "neighbor_id"))
+    // self-match needs the euclidean-assigned home cluster to be among
+    // the top-3 cosine-ranked probes — true for coherent clusters but
+    // not guaranteed pointwise, so assert in aggregate
+    val selfHits = qs.count(q => partial((q, 1L)) == q)
+    assert(selfHits >= qs.length * 8 / 10, s"self-match $selfHits/${qs.length}")
+    val recall = qs.map(q => (1 to 5).count(r =>
+      partial.get((q, r.toLong)).exists(n =>
+        (1 to 5).exists(rr => all((q, rr.toLong)) == n)))).sum
+    assert(recall >= qs.length * 5 * 0.6, s"recall $recall/${qs.length * 5}")
   }
 
   test("IVF sample-fit: quantizer sees a bounded sample, assignment and " +

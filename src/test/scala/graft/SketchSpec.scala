@@ -314,6 +314,69 @@ class SketchSpec extends AnyFunSuite {
     assert(hllBatch.exceptAll(hllStream).count() == 0)
   }
 
+  test("KLL exact regime (n <= k): every requested quantile equals the " +
+    "rank-ceil(q*n) order statistic, any partitioning") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    val n = 500
+    val values = (1 to n).map(i => ((i * 37) % n).toDouble + 1) // a permutation
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val sortedV = values.sorted
+    val expected = qs.map { q =>
+      sortedV(math.max(1, math.ceil(q * n).toInt) - 1)
+    }
+    for (parts <- Seq(1, 17)) {
+      val got = values.toDF("v").repartition(parts)
+        .agg(GraftFunctions.kllQuantiles(spark, col("v"), k = 1024, qs).as("q"))
+        .head.getSeq[Double](0)
+      assert(got == expected, s"parts=$parts got=$got expected=$expected")
+    }
+  }
+
+  test("KLL merge law: buffer merge == feeding the concatenation, and " +
+    "partial aggregation reproduces the single-partition result in the " +
+    "exact regime") {
+    import graft.functions.KllQuantiles
+    // direct buffer-level law (what partial aggregation exercises)
+    val a = new KllQuantiles.Buf(64)
+    val b = new KllQuantiles.Buf(64)
+    val both = new KllQuantiles.Buf(64)
+    (1 to 40).foreach(i => { a.insert(i.toDouble); both.insert(i.toDouble) })
+    (41 to 60).foreach(i => { b.insert(i.toDouble); both.insert(i.toDouble) })
+    a.mergeIn(b)
+    val qs = Seq(0.1, 0.5, 0.9)
+    assert(a.n == 60 && a.quantiles(qs) == both.quantiles(qs))
+    // exact even though the MERGE itself may compact: 60 items at k=64
+    assert(a.quantiles(qs) == Seq(6.0, 30.0, 54.0))
+  }
+
+  test("KLL rank error stays O(n/k) past the exact regime, on uniform, " +
+    "sorted and reversed inputs") {
+    import graft.functions.KllQuantiles
+    val n = 20000
+    val k = 200
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val inputs = Map(
+      "shuffled" -> (1 to n).map(i => ((i.toLong * 48271) % n).toDouble),
+      "sorted" -> (1 to n).map(_.toDouble),
+      "reversed" -> (n to 1 by -1).map(_.toDouble))
+    inputs.foreach { case (name, vals) =>
+      val buf = new KllQuantiles.Buf(k)
+      vals.foreach(buf.insert)
+      val sortedV = vals.sorted
+      val got = buf.quantiles(qs)
+      qs.zip(got).foreach { case (q, est) =>
+        // rank of the estimate in the true order
+        val rank = sortedV.count(_ <= est)
+        val target = math.max(1, math.ceil(q * n).toInt)
+        val err = math.abs(rank - target)
+        // deterministic-parity KLL: generous 4n/k empirical band
+        assert(err <= 4 * n / k,
+          s"$name q=$q: rank $rank vs target $target (err $err, bound ${4 * n / k})")
+      }
+    }
+  }
+
   test("portable HLL estimate tracks exact within 4 sigma of 1.04/sqrt(m)") {
     import graft.ext.Sketches
     val b = 6 // m=64: rse ≈ 13%

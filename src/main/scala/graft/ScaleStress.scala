@@ -41,7 +41,14 @@ object ScaleStress {
     "x69_snapshot_skip",
     // round-6 additions: graph, retrieval, tokenizer training, drift
     "x75_bm25_topk", "x76_pagerank", "x77_triangle_count",
-    "x78_source_drift", "x83_bpe_merges", "x84_ols_trend")
+    "x78_source_drift", "x83_bpe_merges", "x84_ols_trend",
+    // round-6 late additions: funnels, sampling, diagnostics, windows
+    "x90_window_funnel", "x91_retention", "x92_table_profile",
+    "x93_dup_cluster_sizes", "x94_transition_matrix", "x95_skew_report",
+    "x96_share_of_total", "x97_priority_sample",
+    // round-7: single-pass routing, BFS, batch IVF, KLL
+    "v03_single_pass_route", "x98_bfs_distances", "x99_ivf_batch_topk",
+    "x100_kll_quantiles")
 
   def inflate(spark: SparkSession, baseDir: String, outDir: String,
               factor: Int): Unit = {

@@ -1594,6 +1594,21 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x101_session_windows" -> ((s, d) => {
+      // Spark's native session_window in BATCH under a DuckDB
+      // gaps-and-islands oracle — value-checks the merge semantics
+      // (half-open [start, last+gap): an event exactly `gap` after the
+      // previous one starts a NEW session) that the ST8 stream==batch
+      // parity spec ties to the streaming path; x26's lag/cumsum
+      // sessionize is the hand-rolled twin of the same islands.
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start").as("s_start"),
+          col("sw.end").as("s_end"), col("n"))
+        .orderBy(col("user_id"), col("s_start"))
+    }),
     "x100_kll_quantiles" -> ((s, d) => {
       // Mergeable KLL quantile sketch in its EXACT regime (n ≤ k → no
       // compaction ever fires; the x79 GK trick, but this sketch
@@ -4280,6 +4295,25 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // gaps-and-islands: break when the gap REACHES 30 min (half-open
+    // session windows), cumulative-sum the breaks into session ids
+    "x101_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM e)
+        |SELECT user_id, min(ts) AS s_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
     // exact-regime KLL = plain order statistics; q CAST to DOUBLE so
     // the ⌈q·n⌉ rank arithmetic is the same IEEE product on both sides
     // (a DECIMAL q would round differently at representation edges)

@@ -312,6 +312,23 @@ class SketchSpec extends AnyFunSuite {
     val hllBatch = Sketches.hllRegisters(raw, Seq("event_type"), "user_id", b = 5)
     assert(hllStream.exceptAll(hllBatch).count() == 0)
     assert(hllBatch.exceptAll(hllStream).count() == 0)
+
+    // KLL in the exact regime (k ≥ rows): micro-batch partials merge to
+    // the same order statistics as one batch pass — the merge law under
+    // the streaming execution path
+    val kq = Seq(0.1, 0.5, 0.9)
+    val q4 = sdf.groupBy()
+      .agg(GraftFunctions.kllQuantiles(spark, col("value").cast("double"),
+        k = 1 << 20, kq).as("q"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kll_stream").trigger(Trigger.AvailableNow()).start()
+    q4.awaitTermination()
+    val kllStream = spark.table("kll_stream").head.getSeq[Double](0)
+    val kllBatch = raw.groupBy()
+      .agg(GraftFunctions.kllQuantiles(spark, col("value").cast("double"),
+        k = 1 << 20, kq).as("q"))
+      .head.getSeq[Double](0)
+    assert(kllStream == kllBatch, s"stream=$kllStream batch=$kllBatch")
   }
 
   test("KLL exact regime (n <= k): every requested quantile equals the " +

@@ -58,6 +58,28 @@ object SparkEntry {
     s.read.parquet(edgePath)
   }
 
+  /** customer→supplier purchase edges (supplier ids shifted to a
+    * disjoint node space), staged to PID-keyed parquet — the same
+    * staging discipline as [[coPurchaseEdges]]: iterative consumers
+    * (x76's three power steps reference the edge set ~3× each via
+    * edges/outdeg/nodes) re-scan columnar storage instead of
+    * re-running the join+distinct per reference, and file-scan stats
+    * keep the planner broadcasting the small sides (the IterBench
+    * persisted-input lesson, SCALING §15). */
+  private def custSupplierEdges(s: SparkSession, d: String): DataFrame = {
+    val edgePath = cachePath(d, "csedges") + "/edges"
+    val ep = new org.apache.hadoop.fs.Path(edgePath)
+    if (!ep.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ep)) {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+        .write.mode("overwrite").parquet(edgePath)
+    }
+    s.read.parquet(edgePath)
+  }
+
   private def cachePath(sfDir: String, tag: String): String = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
@@ -1988,12 +2010,9 @@ object SparkEntry {
       // DuckDB unrolls the identical three steps as chained CTEs; ranks
       // round to 8 dp (per-step double sums are the only
       // order-dependent ingredient, ~9 orders below that grain).
-      val edges = t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      graft.ext.Graph.pageRank(edges, iterations = 3)
+      // Edges come from the staged parquet (see custSupplierEdges) —
+      // the iterative plan references them ~9 times across 3 steps.
+      graft.ext.Graph.pageRank(custSupplierEdges(s, d), iterations = 3)
         .select(col("node"), round(col("rank"), 8).as("rank"))
         .orderBy(col("node"))
     }),

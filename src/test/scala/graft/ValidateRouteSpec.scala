@@ -194,6 +194,19 @@ class ValidateRouteSpec extends AnyFunSuite {
     }
     same(a.validated, b.validated, "validated")
     same(a.rejected, b.rejected, "rejected")
+    // with dedup ON: the single-pass form keys its state on
+    // (topic_name, pk, payload_hash) precisely so a cross-topic
+    // (pk, hash) coincidence cannot collapse — batch outputs must
+    // still match the per-topic dropDuplicates row for row
+    val ad = ValidateRoute.plan(corpus, Schemas.specs, enableDedup = true)
+    val bd = ValidateRoute.planSinglePass(corpus, Schemas.specs,
+      enableDedup = true)
+    same(ad.validated, bd.validated, "validated+dedup")
+    same(ad.rejected, bd.rejected, "rejected+dedup")
+    // and dedup actually deduped: the soak corpus has no exact
+    // duplicate payloads, but the hand-built rows repeat topics —
+    // counts must never exceed the dedup-off counts
+    assert(bd.validated.count() <= b.validated.count())
   }
 
   test("planSinglePass reads the source once per route (plan reads it " +

@@ -48,7 +48,24 @@ object ScaleStress {
     "x96_share_of_total", "x97_priority_sample",
     // round-7: single-pass routing, BFS, batch IVF, KLL
     "v03_single_pass_route", "x98_bfs_distances", "x99_ivf_batch_topk",
-    "x100_kll_quantiles")
+    "x100_kll_quantiles",
+    // stress-only probe (not an oracled query): see `extraProbes`
+    "ivf_batch_nprobes2")
+
+  /** Stress-only probes with no oracle entry: x99's bench/oracle form
+    * runs probe-ALL (exact by construction, O(|queries|·|corpus|) BY
+    * CONTRACT — its ×10 ratio reads ~100× and says nothing about the
+    * operator). This is the production shape: nProbes ≪ k, candidate
+    * volume bounded by the probed lists — the ratio that SHOULD stay
+    * near-linear as data grows. */
+  private val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "ivf_batch_nprobes2" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 16)
+      val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 97 === 0)
+      graft.ext.IvfIndex.batchTopK(model, queries, "embedding", "vec_id",
+        k = 5, nProbes = 2)
+    }))
 
   def inflate(spark: SparkSession, baseDir: String, outDir: String,
               factor: Int): Unit = {
@@ -90,8 +107,8 @@ object ScaleStress {
 
     def time(name: String, dir: String): Double = {
       val start = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.mode("overwrite")
-        .format("noop").save()
+      extraProbes.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+        .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - start) / 1e9
     }
 

@@ -1616,6 +1616,21 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x102_personalized_pagerank" -> ((s, d) => {
+      // Random walk with restart from customer 1 (personalized
+      // PageRank) over the staged customer→supplier purchase graph:
+      // proximity-to-source scores, unreachable nodes exactly 0. Same
+      // power-iteration machinery as x76 with the teleport swapped —
+      // the oracle replays the indicator base term through the same
+      // chained CTEs. Zero-rank rows (unreachable nodes — most of the
+      // graph) are pruned on BOTH sides: the useful output is the
+      // proximity ranking, not a zero for every other customer.
+      graft.ext.Graph.pageRank(custSupplierEdges(s, d), iterations = 3,
+          personalized = Some(1L))
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .filter(col("rank") > 0)
+        .orderBy(col("node"))
+    }),
     "x101_session_windows" -> ((s, d) => {
       // Spark's native session_window in BATCH under a DuckDB
       // gaps-and-islands oracle — value-checks the merge semantics
@@ -4314,6 +4329,41 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // x76's chained-CTE replay with the teleport swapped for the
+    // source indicator; rank-0 (unreachable) rows pruned both sides
+    "x102_personalized_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |r0 AS (SELECT node,
+        |         CASE WHEN node = 1 THEN CAST(1 AS DOUBLE) ELSE 0.0 END AS rank
+        |       FROM nodes),
+        |s1 AS (SELECT e.dst AS node, sum(r.rank / o.od) AS inflow
+        |       FROM edges e JOIN outdeg o ON o.src = e.src
+        |       JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         CASE WHEN nodes.node = 1 THEN 1.0 - CAST(0.85 AS DOUBLE) ELSE 0.0 END
+        |           + CAST(0.85 AS DOUBLE) * coalesce(s1.inflow, 0.0) AS rank
+        |       FROM nodes LEFT JOIN s1 ON s1.node = nodes.node),
+        |s2 AS (SELECT e.dst AS node, sum(r.rank / o.od) AS inflow
+        |       FROM edges e JOIN outdeg o ON o.src = e.src
+        |       JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         CASE WHEN nodes.node = 1 THEN 1.0 - CAST(0.85 AS DOUBLE) ELSE 0.0 END
+        |           + CAST(0.85 AS DOUBLE) * coalesce(s2.inflow, 0.0) AS rank
+        |       FROM nodes LEFT JOIN s2 ON s2.node = nodes.node),
+        |s3 AS (SELECT e.dst AS node, sum(r.rank / o.od) AS inflow
+        |       FROM edges e JOIN outdeg o ON o.src = e.src
+        |       JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         CASE WHEN nodes.node = 1 THEN 1.0 - CAST(0.85 AS DOUBLE) ELSE 0.0 END
+        |           + CAST(0.85 AS DOUBLE) * coalesce(s3.inflow, 0.0) AS rank
+        |       FROM nodes LEFT JOIN s3 ON s3.node = nodes.node)
+        |SELECT node, round(rank, 8) AS rank FROM r3
+        |WHERE round(rank, 8) > 0
+        |ORDER BY node""".stripMargin,
     // gaps-and-islands: break when the gap REACHES 30 min (half-open
     // session windows), cumulative-sum the breaks into session ids
     "x101_session_windows" ->

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives over plain edge DataFrames — PageRank
@@ -24,7 +24,11 @@ object Graph {
     * DISTINCT directed edge list `(src, dst)`.
     *
     * Convention: rank starts uniform at 1/N; each step is
-    * r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u). Dangling nodes (no
+    * r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u). With
+    * `personalized = Some(src)` the uniform teleport becomes a
+    * restart at `src` (random walk with restart — the
+    * similar-entities/recommendation primitive): start = 1[v=src],
+    * base term = (1−d)·1[v=src]. Dangling nodes (no
     * out-edges) leak their mass — ranks sum to < 1 — which is the
     * plain-iteration convention (redistribution is a one-line variant);
     * the DuckDB oracle replays the identical convention, so ranks are
@@ -50,7 +54,8 @@ object Graph {
     * ranks agree at the documented 8-dp grain (spec-pinned). */
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85, checkpointEvery: Int = 0,
-               stagingDir: Option[String] = None): DataFrame = {
+               stagingDir: Option[String] = None,
+               personalized: Option[Long] = None): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val stageRoot = stagingRoot(edges, checkpointEvery, stagingDir, "pagerank")
     val nodes = edges.select(col("src").as("node"))
@@ -58,8 +63,23 @@ object Graph {
       .distinct()
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var ranks = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    // personalized (PPR): ALL teleport mass returns to the source node
+    // — initial rank is the source indicator and the per-step base term
+    // is (1−d)·1[v=src] instead of (1−d)/N. Ranks then measure
+    // random-walk-with-restart proximity TO the source (the
+    // recommendation / similar-entity primitive), and unreachable
+    // nodes stay exactly 0.
+    def baseTerm: Column = personalized match {
+      case None => lit(1.0 - damping) / col("n")
+      case Some(src) =>
+        when(col("node") === src, lit(1.0 - damping)).otherwise(lit(0.0))
+    }
+    var ranks = personalized match {
+      case None => nodes.crossJoin(broadcast(nDf))
+        .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      case Some(src) => nodes.select(col("node"),
+        when(col("node") === src, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    }
     for (i <- 1 to iterations) {
       val contribs = edges
         .join(outdeg, "src")
@@ -69,7 +89,7 @@ object Graph {
       ranks = nodes.crossJoin(broadcast(nDf))
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(1.0 - damping) / col("n") +
+          (baseTerm +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
         ranks = truncateLineage(ranks, stageRoot.get, i)

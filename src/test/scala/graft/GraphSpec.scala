@@ -78,6 +78,23 @@ class GraphSpec extends AnyFunSuite {
     assert(collect(0) == collect(3), "checkpointing changed PageRank values")
   }
 
+  test("personalized PageRank: closed form on a chain, unreachable " +
+    "nodes exactly 0, restart mass pins the source") {
+    // 1 → 2 → 3, plus an unreachable island 8 → 9
+    val edges = edgesDf(Seq(1L -> 2L, 2L -> 3L, 8L -> 9L), ("src", "dst"))
+    val r = Graph.pageRank(edges, iterations = 3, personalized = Some(1L))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val d = 0.85
+    // r0 = 1[v=1]; each step: base (1−d) at the source + d·inflow.
+    // node1: 0.15 every step (no in-edges). node2: d·r(1) = 0.1275.
+    // node3 after ≥2 steps: d·r(2) = 0.85·0.1275 = 0.108375.
+    assert(math.abs(r(1L) - (1 - d)) < 1e-12)
+    assert(math.abs(r(2L) - d * (1 - d)) < 1e-12)
+    assert(math.abs(r(3L) - d * d * (1 - d)) < 1e-12)
+    // the island never sees restart mass: exactly zero, not epsilon
+    assert(r(8L) == 0.0 && r(9L) == 0.0)
+  }
+
   test("bfsDistances: min-hop distances on a known graph — multi-path " +
     "nodes take the shorter route, cycles terminate, unreachables and " +
     "over-depth nodes are absent") {

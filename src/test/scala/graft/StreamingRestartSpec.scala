@@ -44,6 +44,46 @@ class StreamingRestartSpec extends AnyFunSuite with StreamingFixtures {
     assert(keys.toSeq == Seq("4328", "5000"), s"got ${keys.toSeq}")
   }
 
+  test("single-pass topology restarts exactly-once too, dedup state " +
+    "included (ST3/ST4 over planSinglePass)") {
+    // the production (scale) topology must carry the same checkpoint
+    // contract as the reference-faithful plan(): restart skips batch-0
+    // files, and the (topic, pk, hash)-keyed dedup state restores
+    val dir = Files.createTempDirectory("graft-sp-ckpt").toString
+    val out = Files.createTempDirectory("graft-sp-out").toString
+    val chk = Files.createTempDirectory("graft-sp-chk").toString
+
+    def runOnce(): Unit = {
+      val stream = Streaming.jsonStream(spark, dir, msgSchema)
+      val routed = ValidateRoute.planSinglePass(stream, Schemas.specs,
+        enableDedup = true)
+      val (qv, qr) = Streaming.startRoutes(routed, out, chk, Trigger.AvailableNow())
+      qv.awaitTermination(60000); qr.awaitTermination(60000)
+      qv.stop(); qr.stop()
+    }
+
+    writeMessages(dir, Seq("soccer.league" -> validLeague))
+    runOnce()
+    assert(spark.read.parquet(s"$out/validated-all").count() == 1)
+
+    // run 2: one new league + a replay of the first (must be dropped by
+    // RESTORED dedup state) + a garbage row for the parse-reject branch
+    val fresh = s"""{"topic":"soccer.league","value":${ujsonEscape(
+      validLeague.replace("4328", "7000"))},"timestamp":"2024-05-01T12:02:00.000Z"}"""
+    val replay = s"""{"topic":"soccer.league","value":${ujsonEscape(
+      validLeague)},"timestamp":"2024-05-01T12:02:30.000Z"}"""
+    val garbage = s"""{"topic":"soccer.league","value":${ujsonEscape(
+      "NOT JSON {{")},"timestamp":"2024-05-01T12:02:45.000Z"}"""
+    Files.writeString(java.nio.file.Paths.get(s"$dir/batch1.json"),
+      s"$fresh\n$replay\n$garbage")
+    runOnce()
+
+    val keys = spark.read.parquet(s"$out/validated-all")
+      .select("key").as[String].collect().sorted
+    assert(keys.toSeq == Seq("4328", "7000"), s"got ${keys.toSeq}")
+    assert(spark.read.parquet(s"$out/rejected-all").count() == 1)
+  }
+
   test("multi-restart soak: five cycles stay exactly-once and dedup state " +
     "survives restarts (ST3/ST4/A10)") {
     val dir = Files.createTempDirectory("graft-soak").toString

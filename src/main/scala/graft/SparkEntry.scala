@@ -1616,6 +1616,22 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x103_bpe_encode" -> ((s, d) => {
+      // Tokenizer ENCODE: learn the 8-round merge table (x83's loop)
+      // then APPLY it to every document with the same ordered greedy
+      // fold — the half of BPE a pipeline actually runs at 100 TB.
+      // Output is the per-doc compression diagnostic (words, chars,
+      // post-merge tokens); the oracle re-learns the identical table
+      // and applies it through the word→sequence mapping, so merge
+      // ORDER and fold semantics are both value-checked end to end.
+      val docs = t(s, d, "documents")
+      val merges = graft.ext.TextAnalysis.learnBpeMerges(docs, "text", 8)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ext.TextAnalysis.applyBpeMerges(docs, "text", "doc_id", merges)
+        .select(col("id").as("doc_id"), col("n_words"),
+          col("n_chars_tokenized"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "x102_personalized_pagerank" -> ((s, d) => {
       // Random walk with restart from customer 1 (personalized
       // PageRank) over the staged customer→supplier purchase graph:
@@ -4329,6 +4345,48 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // x83's 8-round learn chain carrying the word key through, then the
+    // word→final-sequence mapping joins back to per-doc word lists —
+    // merge order, fold semantics and the doc-level rollup all checked
+    "x103_bpe_encode" -> {
+      val rounds = 8
+      val steps = (1 to rounds).map { r =>
+        val prev = s"s${r - 1}"
+        s"""p$r AS MATERIALIZED (SELECT p[1] AS l, p[2] AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, unnest(list_zip(ll, ll[2:])) AS p
+           |        FROM (SELECT freq, string_split(trim(seq), ' ') AS ll FROM $prev) t1) t2
+           |  WHERE p[2] IS NOT NULL
+           |  GROUP BY 1, 2 HAVING sum(freq) >= 2),
+           |m$r AS MATERIALIZED (SELECT l, r2, cnt FROM p$r ORDER BY cnt DESC, l, r2 LIMIT 1),
+           |s$r AS MATERIALIZED (SELECT w, freq, ' ' || list_reduce(
+           |    string_split(trim(seq), ' '),
+           |    (acc, x) -> CASE WHEN x = mr AND (acc = ml OR right(acc, length(ml)+1) = ' ' || ml)
+           |                THEN left(acc, length(acc) - length(ml)) || ml || mr
+           |                ELSE acc || ' ' || x END) || ' ' AS seq
+           |  FROM $prev, (SELECT l AS ml, r2 AS mr FROM m$r) mm$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+         |    FROM documents) t
+         |  WHERE length(w) > 0 GROUP BY w),
+         |s0 AS MATERIALIZED (SELECT w, freq,
+         |         ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq
+         |       FROM words),
+         |$steps,
+         |dw AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(
+         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+         |    FROM documents) t WHERE length(w) > 0)
+         |SELECT dw.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(dw.w)) AS BIGINT) AS n_chars_tokenized,
+         |  CAST(sum(len(string_split(trim(s$rounds.seq), ' '))) AS BIGINT) AS n_tokens
+         |FROM dw JOIN s$rounds ON s$rounds.w = dw.w
+         |GROUP BY dw.doc_id
+         |ORDER BY dw.doc_id""".stripMargin
+    },
     // x76's chained-CTE replay with the teleport swapped for the
     // source indicator; rank-0 (unreachable) rows pruned both sides
     "x102_personalized_pagerank" ->

@@ -300,9 +300,10 @@ object TextAnalysis {
     *
     * Determinism: tie-breaks order by (count DESC, left ASC,
     * right ASC), so the learned merge table is a pure function of the
-    * corpus — the DuckDB oracle replays every round with the
-    * string-replace formulation (non-overlapping left-to-right, the
-    * same greedy semantics) and must reproduce it exactly.
+    * corpus — the DuckDB oracle replays every round with a
+    * `list_reduce` fold carrying the identical left-to-right greedy
+    * merge semantics (a plain string replace is NOT equivalent on
+    * adjacent repeats like 'papa') and must reproduce it exactly.
     *
     * Scale shape: per round, one explode + sum aggregate over the
     * VOCABULARY (not the corpus) and a 1-row argmax collect (the
@@ -358,6 +359,51 @@ object TextAnalysis {
     seqs.unpersist(false)
     prev.foreach(_.unpersist(false))
     merges.toSeq.toDF("round", "left", "right", "pair_count")
+  }
+
+  /** Tokenizer ENCODE: apply a learned merge table ([[learnBpeMerges]]'
+    * output order) to every document — the missing half of BPE (learn
+    * produces the vocabulary; this is what a data pipeline runs over
+    * the other 100 TB). Each word splits to characters, then each
+    * merge rule applies IN TABLE ORDER with the same left-to-right
+    * greedy fold as training (rule k must see the symbols rule k−1
+    * produced — applying rules out of order or simultaneously yields a
+    * different, wrong tokenization).
+    *
+    * Scale shape: one narrow projection per document — the merge table
+    * compiles into |merges| nested `aggregate` folds over the per-word
+    * symbol arrays (merge tables are vocabulary-sized constants, 10²-
+    * 10⁴ rules; each fold is O(symbols)); nothing shuffles until the
+    * caller aggregates. Per-doc output keeps token identity for
+    * downstream vocab lookups.
+    *
+    * Returns `(id, n_words, n_chars_tokenized, n_tokens)` — the
+    * compression diagnostics every tokenizer report needs; token
+    * arrays stay internal (expose by taking `_syms` before the final
+    * projection if a consumer needs them). */
+  def applyBpeMerges(df: DataFrame, textCol: String, idCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge rule")
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    // per word: chars → fold each rule in order
+    val charSplit = "transform(split(w, ''), x -> x)"
+    val folded = merges.foldLeft(charSplit) { case (acc, (l, r)) =>
+      s"aggregate($acc, CAST(array() AS array<string>), (acc, x) -> " +
+        s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(l)}' " +
+        s"AND x = '${q(r)}' " +
+        s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(l + r)}')) " +
+        s"ELSE concat(acc, array(x)) END)"
+    }
+    df.select(col(idCol).as("id"),
+        split(trim(lower(col(textCol))), "\\s+").as("words"))
+      .select(col("id"), expr(
+        s"transform(filter(words, w -> length(w) > 0), w -> $folded)")
+        .as("_syms"))
+      .select(col("id"),
+        size(col("_syms")).cast("bigint").as("n_words"),
+        expr("aggregate(_syms, 0L, (a, s) -> a + " +
+          "aggregate(s, 0L, (b, t) -> b + length(t)))").as("n_chars_tokenized"),
+        expr("aggregate(_syms, 0L, (a, s) -> a + size(s))").as("n_tokens"))
   }
 
   /** Okapi BM25 retrieval scoring [Robertson & Walker '94; the Lucene

@@ -312,6 +312,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1) == ((2, "pa", "pa", 10L)))
   }
 
+  test("applyBpeMerges: ordered greedy application — later rules see " +
+    "earlier rules' output, counts are exact") {
+    // merges as learned from the 'papa' corpus: (p,a) then (pa,pa).
+    // 'papa' → [pa,pa] → [papa]: 1 token. 'pap' → [pa,p]: rule 2
+    // never fires (no adjacent pa pa). 'ba pap' shows per-word splits.
+    val docs = Seq((1L, "papa pap"), (2L, "ba papa papa")).toDF("doc_id", "text")
+    val out = TextAnalysis.applyBpeMerges(docs, "text", "doc_id",
+        Seq(("p", "a"), ("pa", "pa")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1: words papa+pap, 7 chars, tokens [papa] + [pa, p] = 3
+    assert(out(1L) == ((2L, 7L, 3L)))
+    // doc 2: ba → [b, a] (no rule matches), papa ×2 → [papa] each
+    assert(out(2L) == ((3L, 10L, 4L)))
+    // order matters: reversing the rules must NOT merge anything for
+    // (pa,pa) first (no pa symbols exist yet) — papa ends [pa, pa]
+    val rev = TextAnalysis.applyBpeMerges(docs, "text", "doc_id",
+        Seq(("pa", "pa"), ("p", "a")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rev(1L) == 4L) // [pa, pa] + [pa, p]
+  }
+
   test("robustOutliers plan: no window over the fact, dims broadcast back") {
     val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0)).toDF("g", "id", "v")
     val out = Quality.robustOutliers(df, "g", "v")

@@ -1616,6 +1616,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x104_numeric_drift" -> ((s, d) => {
+      // PSI per event type over fixed equi-width value bins (10 bins on
+      // [0, 500)) vs the pooled distribution — the numeric-feature
+      // monitoring twin of x78's categorical KL/chi². Fixed edges keep
+      // the binning a pure per-row function (deterministic,
+      // incremental, cross-engine); 1e-6 smoothing on group-empty bins.
+      graft.ext.Drift.numericDrift(t(s, d, "events"), "event_type",
+          "value", nBins = 10, lo = 0.0, hi = 500.0)
+        .select(col("event_type"), col("n"), round(col("psi"), 6).as("psi"))
+        .orderBy(col("event_type"))
+    }),
     "x103_bpe_encode" -> ((s, d) => {
       // Tokenizer ENCODE: learn the 8-round merge table (x83's loop)
       // then APPLY it to every document with the same ordered greedy
@@ -4345,6 +4356,33 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // bin shares replayed cell-for-cell; (hi-lo)/nBins = 50 exactly, so
+    // the floor-bin arithmetic is the same IEEE division on both sides
+    "x104_numeric_drift" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    LEAST(GREATEST(CAST(FLOOR(CAST(value AS DOUBLE) / CAST(50 AS DOUBLE)) AS INT), 0), 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pooled AS (SELECT bin, CAST(sum(o) AS BIGINT) AS pool FROM cells GROUP BY bin),
+        |totals AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n FROM cells GROUP BY event_type),
+        |grand AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+        |grid AS (
+        |  SELECT totals.event_type, totals.n, pooled.bin, pooled.pool,
+        |         COALESCE(cells.o, 0) AS o, grand.t
+        |  FROM totals CROSS JOIN pooled
+        |  LEFT JOIN cells ON cells.event_type = totals.event_type
+        |                 AND cells.bin = pooled.bin
+        |  CROSS JOIN grand),
+        |terms AS (
+        |  SELECT event_type, n,
+        |    CASE WHEN o > 0 THEN CAST(o AS DOUBLE) / n
+        |         ELSE CAST(1e-6 AS DOUBLE) END AS p,
+        |    CAST(pool AS DOUBLE) / t AS q
+        |  FROM grid)
+        |SELECT event_type, n, round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM terms GROUP BY event_type, n ORDER BY event_type""".stripMargin,
     // x83's 8-round learn chain carrying the word key through, then the
     // word→final-sequence mapping joins back to per-doc word lists —
     // merge order, fold semantics and the doc-level rollup all checked

@@ -65,4 +65,60 @@ object Drift {
       .select(col(groupCol), col("_drift_n").cast("bigint").as("n"),
         col("kl"), col("chi2"))
   }
+
+  /** Numeric drift via the Population Stability Index over FIXED
+    * equi-width bins on [lo, hi) — the standard ML-monitoring score for
+    * a numeric feature (PSI < 0.1 stable / 0.1–0.25 moderate / > 0.25
+    * major shift, the conventional reading). Bin edges are
+    * caller-fixed, NOT data-derived: quantile-derived edges would make
+    * every group's score depend on every other group's data (and on
+    * sampling order), where fixed edges keep the binning a pure
+    * per-row function — deterministic, incremental, cross-engine.
+    * Values outside [lo, hi) clamp into the edge bins (standard PSI
+    * practice: out-of-range mass is drift signal, not discard).
+    *
+    * PSI(group) = Σ_bins (p_i − q_i)·ln(p_i/q_i) against the pooled
+    * distribution, with `eps` (default 1e-6) substituted for empty
+    * bins on either side (the conventional smoothing — PSI is
+    * undefined at zero mass; smoothed terms stay finite and the
+    * metric keeps its monotone-in-shift reading).
+    *
+    * Scale shape: identical to [[categoricalDrift]] with the bin index
+    * as the category — one (group, bin) aggregate, broadcast pooled
+    * counts, group-keyed reduce. Output:
+    * `(groupCol, n, psi)` — raw doubles; callers round. */
+  def numericDrift(df: DataFrame, groupCol: String, valueCol: String,
+                   nBins: Int, lo: Double, hi: Double,
+                   eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    require(lo < hi, s"empty bin range [$lo, $hi)")
+    require(eps > 0, "eps must be positive")
+    val v = col(valueCol).cast("double")
+    val rawBin = floor((v - lo) / ((hi - lo) / nBins)).cast("int")
+    val bin = least(greatest(rawBin, lit(0)), lit(nBins - 1))
+    val cells = df.filter(v.isNotNull)
+      .select(col(groupCol), bin.as("_drift_bin"))
+      .groupBy(col(groupCol), col("_drift_bin"))
+      .agg(count(lit(1)).as("_drift_o"))
+    val pooled = cells.groupBy(col("_drift_bin"))
+      .agg(sum(col("_drift_o")).as("_drift_pool"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("_drift_o")).as("_drift_n"))
+    val grand = cells.agg(sum(col("_drift_o")).as("_drift_t"))
+    totals.crossJoin(broadcast(pooled))
+      .join(cells, Seq(groupCol, "_drift_bin"), "left")
+      .withColumn("_drift_o", coalesce(col("_drift_o"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      // eps-smoothed shares: empty bins on either side take eps
+      .withColumn("_drift_p",
+        when(col("_drift_o") > 0,
+          col("_drift_o").cast("double") / col("_drift_n")).otherwise(lit(eps)))
+      .withColumn("_drift_q",
+        col("_drift_pool").cast("double") / col("_drift_t"))
+      .groupBy(col(groupCol), col("_drift_n"))
+      .agg(sum((col("_drift_p") - col("_drift_q")) *
+        log(col("_drift_p") / col("_drift_q"))).as("psi"))
+      .select(col(groupCol), col("_drift_n").cast("bigint").as("n"),
+        col("psi"))
+  }
 }

@@ -34,6 +34,34 @@ class DriftSpec extends AnyFunSuite {
       s"skewed group must dominate: ${out("skew")} vs ${out("ok")}")
   }
 
+  test("numeric PSI: identical distributions read exactly 0, a shifted " +
+    "group dominates, clamping keeps out-of-range mass") {
+    // groups a/b: same shape (scaled); group c: mass shifted upward
+    val rows = Seq.tabulate(60)(i => ("a", (i % 10) * 10.0)) ++
+      Seq.tabulate(120)(i => ("b", (i % 10) * 10.0)) ++
+      Seq.tabulate(60)(i => ("c", 80.0 + (i % 2) * 10.0))
+    val out = Drift.numericDrift(rows.toDF("g", "v"), "g", "v",
+        nBins = 5, lo = 0.0, hi = 100.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // a and b bin identically (p == q per bin before c is added...
+    // c shifts the POOL, so a/b read equal, small, positive-ish;
+    // c must dominate both by a wide margin)
+    assert(math.abs(out("a") - out("b")) < 1e-12, s"matched groups differ: $out")
+    assert(out("c") > out("a") * 3 + 0.1, s"shifted group must dominate: $out")
+    // exact zero when the pool == the group (single group: p == q)
+    val solo = Drift.numericDrift(
+        Seq.tabulate(50)(i => ("only", i * 2.0)).toDF("g", "v"),
+        "g", "v", nBins = 4, lo = 0.0, hi = 100.0)
+      .head.getDouble(2)
+    assert(solo == 0.0, s"pool-vs-self must be exactly 0, got $solo")
+    // out-of-range values clamp into edge bins, not vanish: n counts them
+    val clamped = Drift.numericDrift(
+        Seq(("g", -5.0), ("g", 999.0), ("g", 50.0)).toDF("g", "v"),
+        "g", "v", nBins = 2, lo = 0.0, hi = 100.0)
+      .head.getLong(1)
+    assert(clamped == 3L)
+  }
+
   test("foreachBatch drift monitor flags the skewed micro-batch only") {
     import org.apache.spark.sql.streaming.Trigger
     // two staged parquet files, consumed one per micro-batch

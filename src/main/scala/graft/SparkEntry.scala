@@ -1616,6 +1616,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x105_negative_sample" -> ((s, d) => {
+      // Deterministic negative sampling (contrastive-training prep):
+      // 3 pseudo-random non-self documents per anchor, drawn by salted
+      // hash of (anchor, j) modulo N over the dense hash-order
+      // positions — no RNG state, no cross join; draws landing on the
+      // anchor drop (pure-function contract). The oracle replays the
+      // position assignment and the modulo draws hash-for-hash.
+      graft.ext.Sampling.negativeSample(
+          t(s, d, "documents"), "doc_id", "negx105", k = 3)
+        .orderBy(col("anchor"), col("j"))
+    }),
     "x104_numeric_drift" -> ((s, d) => {
       // PSI per event type over fixed equi-width value bins (10 bins on
       // [0, 500)) vs the pooled distribution — the numeric-feature
@@ -4356,6 +4367,26 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // positions = row_number over the (48-bit salted hash, id) total
+    // order; negatives = hex-prefix hash of 'anchor#j' mod N resolved
+    // through those positions — every ingredient replayed exactly
+    "x105_negative_sample" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        |pos AS (SELECT doc_id, CAST(row_number() OVER (
+        |          ORDER BY substr(sha256('negx105:pos:' || CAST(doc_id AS VARCHAR)), 1, 12),
+        |                   doc_id) - 1 AS BIGINT) AS pos
+        |        FROM ids),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+        |cands AS (
+        |  SELECT ids.doc_id AS anchor, js.j,
+        |    CAST(concat('0x', substr(sha256('negx105:neg:' ||
+        |      CAST(ids.doc_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)),
+        |      1, 12)) AS BIGINT) % nn.n AS negpos
+        |  FROM ids, nn, (SELECT unnest(range(3)) AS j) js)
+        |SELECT c.anchor, CAST(c.j AS BIGINT) AS j, p.doc_id AS negative
+        |FROM cands c JOIN pos p ON p.pos = c.negpos
+        |WHERE p.doc_id <> c.anchor
+        |ORDER BY anchor, j""".stripMargin,
     // bin shares replayed cell-for-cell; (hi-lo)/nBins = 50 exactly, so
     // the floor-bin arithmetic is the same IEEE division on both sides
     "x104_numeric_drift" ->

@@ -365,4 +365,81 @@ object Sampling {
       .withColumn("start_offset", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("bin", floor(col("start_offset") / budget))
   }
+
+  /** Dense 0-based global position of every row under the
+    * deterministic salted-hash total order (48-bit key, id tiebreak) —
+    * a distributed `zipWithIndex`. NO single-partition window: rows
+    * partition into 256 hash-prefix buckets (the prefix of the SAME
+    * key that orders them, so per-bucket order concatenated in bucket
+    * order IS the global order), per-bucket counts come back to the
+    * driver (256 values), and each bucket's `row_number` shifts by its
+    * exclusive prefix offset. Null-id rows are excluded (no stable
+    * position exists for them — the samplers' convention).
+    *
+    * The position is a pure function of (id set, salt): independent of
+    * partitioning, engine, and row order — an engine replaying
+    * `row_number() OVER (ORDER BY substr(sha256('salt:'||id),1,12),
+    * id) - 1` reproduces it exactly (the bucket decomposition is an
+    * implementation detail of scale, not of the definition). */
+  def globalPositions(df: DataFrame, idCol: String, salt: String,
+                      posOut: String = "pos"): DataFrame = {
+    val internal = Seq("_graft_gp_h", "_graft_gp_b", "_graft_gp_off")
+    reserveColumns(df, posOut +: internal, "globalPositions")
+    val spark = df.sparkSession
+    val withH = df.filter(col(idCol).isNotNull)
+      .withColumn("_graft_gp_h", hashKey(col(idCol), salt, 12))
+      .withColumn("_graft_gp_b", substring(col("_graft_gp_h"), 1, 2))
+    val counts = withH.groupBy(col("_graft_gp_b"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = counts.keys.toSeq.sorted.map { b =>
+      val o = acc; acc += counts(b); (b, o)
+    }
+    val offDf = spark.createDataFrame(offsets)
+      .toDF("_graft_gp_b", "_graft_gp_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_graft_gp_b"))
+      .orderBy(col("_graft_gp_h"), col(idCol))
+    withH.join(broadcast(offDf), "_graft_gp_b")
+      .withColumn(posOut,
+        (row_number().over(w).cast("long") - 1L + col("_graft_gp_off")))
+      .drop(internal: _*)
+  }
+
+  /** k deterministic pseudo-random negatives per anchor row — the
+    * contrastive-training sampler ("for each document, k documents
+    * that are NOT it") without RNG state or a cross join: candidate
+    * POSITIONS come from the salted hash of (anchor, j) modulo N, and
+    * a join against [[globalPositions]] resolves them to ids. Each
+    * (anchor, j) draw is a pure function of (id set, salt), so the
+    * negative set is bit-reproducible across engines and partitionings
+    * (oracle-checkable). A draw that lands on the anchor itself is
+    * DROPPED (that (anchor, j) slot stays empty — expected k/N per
+    * anchor; re-draw loops would break the pure-function contract).
+    * Modulo bias over the 48-bit space is ≤ N/2⁴⁸ per bucket —
+    * negligible for any real corpus.
+    *
+    * Scale shape: positions build as in [[globalPositions]]; the
+    * candidate table is k narrow rows per anchor; one position-keyed
+    * join resolves negatives. Returns `(anchor, j, negative)`. */
+  def negativeSample(df: DataFrame, idCol: String, salt: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val pos = globalPositions(df.select(col(idCol)).filter(col(idCol).isNotNull)
+      .distinct(), idCol, s"$salt:pos")
+    val n = pos.count()
+    require(n >= 2, s"need at least 2 distinct ids, got $n")
+    val negKey = concat(col("anchor").cast("string"), lit("#"),
+      col("j").cast("string"))
+    val cands = pos.select(col(idCol).as("anchor"))
+      .select(col("anchor"), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("_graft_negpos",
+        conv(hashKey(negKey, s"$salt:neg", 12), 16, 10).cast("long") % n)
+    cands
+      .join(pos.select(col("pos").as("_graft_negpos"),
+        col(idCol).as("negative")), "_graft_negpos")
+      .filter(col("negative") =!= col("anchor"))
+      .select(col("anchor"), col("j").cast("bigint").as("j"), col("negative"))
+  }
 }

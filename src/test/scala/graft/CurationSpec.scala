@@ -270,6 +270,46 @@ class CurationSpec extends AnyFunSuite {
     assert(!pChain.contains("Join"), pChain)
   }
 
+  test("globalPositions: a dense 0..n-1 permutation, partitioning-" +
+    "independent, null ids excluded, no single-partition window") {
+    import graft.ext.Sampling
+    val df = ((1L to 500L).map(i => Some(i)) :+ None)
+      .toDF("id")
+    def posMap(d: org.apache.spark.sql.DataFrame) =
+      Sampling.globalPositions(d, "id", "gp-test")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = posMap(df)
+    assert(a.size == 500 && a.values.toSeq.sorted == (0L until 500L))
+    assert(posMap(df.repartition(13)) == a, "positions depend on partitioning")
+    // scale shape: the window partitions by the hash-prefix bucket —
+    // nothing in the plan collapses to a single partition
+    val plan = Sampling.globalPositions(df, "id", "gp-test")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition stage in globalPositions:\n$plan")
+  }
+
+  test("negativeSample: at most k non-self negatives per anchor, " +
+    "deterministic, self-draws drop") {
+    import graft.ext.Sampling
+    val df = (1L to 200L).toDF("doc")
+    val neg = Sampling.negativeSample(df, "doc", "ns-test", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perAnchor = neg.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.size == 200)
+    assert(perAnchor.values.forall(_ <= 4))
+    // with N=200, self-draws are rare: expect ~4 negatives for nearly all
+    assert(neg.length > 200 * 4 - 20, s"too many dropped slots: ${neg.length}")
+    assert(neg.forall { case (a, _, n) => a != n }, "self-negative leaked")
+    val again = Sampling.negativeSample(df, "doc", "ns-test", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(neg.sorted.toSeq == again.sorted.toSeq, "nondeterministic draws")
+    // a different salt draws a different set
+    val other = Sampling.negativeSample(df, "doc", "ns-other", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.sorted.toSeq != neg.sorted.toSeq)
+  }
+
   test("robustOutliers: flags the far point, MAD=0 group degrades to in-lier") {
     val df = Seq(
       // group g1: median 10, MAD 1 -> 30 has z=20

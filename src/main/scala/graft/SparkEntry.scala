@@ -1616,6 +1616,15 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x106_hard_negatives" -> ((s, d) => {
+      // Hard-negative mining: per vector, top-2 in-band [0.2, 0.8)
+      // neighbors within its label bucket — informative negatives
+      // below the near-dup ceiling, band applied BEFORE the per-query
+      // heap (x19's machinery with the mining cut).
+      Similarity.hardNegatives(t(s, d, "embeddings"), "embedding",
+          "vec_id", "label", k = 2, loSim = 0.2, hiSim = 0.8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "x105_negative_sample" -> ((s, d) => {
       // Deterministic negative sampling (contrastive-training prep):
       // 3 pseudo-random non-self documents per anchor, drawn by salted
@@ -4367,6 +4376,25 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // x19's brute-force replay with the band filter before the rank cut
+    "x106_hard_negatives" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(ROUND(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |banded AS (SELECT * FROM sims
+        |           WHERE sim IS NOT NULL AND sim >= 0.2 AND sim < 0.8),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM banded)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rnk <= 2
+        |ORDER BY query_id, rank""".stripMargin,
     // positions = row_number over the (48-bit salted hash, id) total
     // order; negatives = hex-prefix hash of 'anchor#j' mod N resolved
     // through those positions — every ingredient replayed exactly

@@ -191,6 +191,40 @@ object Similarity {
     * loop per pair, reading float32 directly, bit-identical to the
     * oracle's dot/sqrt(na·nb) float64 form. Output: (id_a, id_b, sim),
     * sim rounded, null for degenerate vectors. */
+  /** Hard-negative mining for contrastive training: per query, the k
+    * MOST similar neighbors inside a similarity band [loSim, hiSim) —
+    * similar enough to be informative negatives, below the near-dup
+    * ceiling that would make them false negatives (the standard
+    * ANCE/contriever-style mining cut). Same machinery as
+    * [[batchTopK]] with the band filter applied BEFORE the per-query
+    * reducing heap (band-then-top-k, NOT top-k-then-band: a query
+    * whose global top-k is all near-dups must still surface its best
+    * in-band candidates).
+    *
+    * Scale shape: one bucket join (quadratic confined per bucket), the
+    * band filter drops candidates before any state accumulates, and
+    * the bounded heap ships ≤ k rows per query per map task. Returns
+    * `(query_id, rank, neighbor_id, sim)`. */
+  def hardNegatives(df: DataFrame, embCol: String, idCol: String,
+                    bucketCol: String, k: Int,
+                    loSim: Double, hiSim: Double,
+                    roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(loSim < hiSim, s"empty similarity band [$loSim, $hiSim)")
+    val sims = bucketedPairSims(df, embCol, idCol, bucketCol, roundTo,
+        pairPred = col("id_a") =!= col("id_b"))
+      .withColumnRenamed("id_a", "query_id")
+      .withColumnRenamed("id_b", "neighbor_id")
+      // null sims (zero-norm) fail the band on both engines
+      .filter(col("sim") >= loSim && col("sim") < hiSim)
+    sims.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions.topKBy(df.sparkSession,
+        col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("query_id"), (col("rank0") + 1).cast("bigint").as("rank"),
+        col("t.value").as("neighbor_id"), col("t.key").as("sim"))
+  }
+
   private def bucketedPairSims(df: DataFrame, embCol: String, idCol: String,
                                bucketCol: String, roundTo: Int,
                                pairPred: Column): DataFrame = {

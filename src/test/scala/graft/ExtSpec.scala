@@ -408,6 +408,32 @@ class ExtSpec extends AnyFunSuite {
     assert(model.fitRows == emb.count())
   }
 
+  test("hardNegatives: band applies BEFORE the cut — a near-dup top-1 " +
+    "is excluded, the best in-band candidates surface") {
+    import spark.implicits._
+    // query q: a near-dup twin (sim ≈ 1, above the band), plus two
+    // in-band candidates at distinct angles, plus an orthogonal one
+    // (below the band). All in one bucket.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (1L, v(1, 0)),            // query
+      (2L, v(0.999, 0.04)),     // near-dup: sim ≈ 0.999 ≥ hiSim
+      (3L, v(0.8, 0.6)),        // sim 0.8... make 0.6/0.8: sim = 0.8 — at hiSim boundary, excluded by <
+      (4L, v(0.6, 0.8)),        // sim 0.6 — in band
+      (5L, v(0.5, 0.866)),      // sim 0.5 — in band
+      (6L, v(0, 1)))            // sim 0 — below band
+      .toDF("vec_id", "embedding").withColumn("label", lit("b"))
+    val got = Similarity.hardNegatives(rows, "embedding", "vec_id", "label",
+        k = 2, loSim = 0.2, hiSim = 0.8)
+      .filter(col("query_id") === 1L)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    // 2 (near-dup, 0.999) and 3 (exactly 0.8) are above/at the band
+    // ceiling; 6 (0.0) below the floor — the cut is 4 then 5
+    assert(got.map(_._1).toSeq == Seq(4L, 5L), got.mkString(","))
+    assert(got.forall { case (_, s2) => s2 >= 0.2 && s2 < 0.8 })
+  }
+
   test("IVF batchTopK: probe-all equals per-query brute force; partial " +
     "probes hit self and keep high recall") {
     val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)

@@ -46,9 +46,12 @@ object ScaleStress {
     "x90_window_funnel", "x91_retention", "x92_table_profile",
     "x93_dup_cluster_sizes", "x94_transition_matrix", "x95_skew_report",
     "x96_share_of_total", "x97_priority_sample",
-    // round-7: single-pass routing, BFS, batch IVF, KLL
+    // round-7: single-pass routing, BFS, batch IVF, KLL, sessions,
+    // PPR, BPE encode, PSI, negative/hard-negative sampling
     "v03_single_pass_route", "x98_bfs_distances", "x99_ivf_batch_topk",
-    "x100_kll_quantiles",
+    "x100_kll_quantiles", "x101_session_windows",
+    "x102_personalized_pagerank", "x103_bpe_encode", "x104_numeric_drift",
+    "x105_negative_sample", "x106_hard_negatives",
     // stress-only probe (not an oracled query): see `extraProbes`
     "ivf_batch_nprobes2")
 

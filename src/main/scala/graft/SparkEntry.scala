@@ -1616,6 +1616,30 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x107_chat_validation" -> ((s, d) => {
+      // Instruction-data QA: each user's event stream becomes a chat
+      // transcript (signup→system, click/view→user, purchase/error→
+      // assistant; low-value events get blank content), serialized to
+      // the {role, content}[] JSON shape and pushed through the full
+      // validateChat gate — opening role, no late system, strict
+      // user/assistant alternation, assistant close, no blank turns.
+      // The oracle evaluates the identical contract relationally over
+      // the same ordered turns, so every verdict bit is value-checked.
+      val ev = t(s, d, "events")
+      val role = when(col("event_type") === "signup", lit("system"))
+        .when(col("event_type").isin("click", "view"), lit("user"))
+        .otherwise(lit("assistant"))
+      val content = when(col("value") < 5, lit(""))
+        .otherwise(col("event_type"))
+      val chats = ev.select(col("user_id"), col("ts"), col("event_id"),
+          struct(role.as("role"), content.as("content")).as("turn"))
+        .groupBy(col("user_id"))
+        .agg(to_json(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, turn)))," +
+            " x -> x.turn)")).as("chat"))
+      graft.ext.TextAnalysis.validateChat(chats, "chat", "user_id")
+        .orderBy(col("id"))
+    }),
     "x106_hard_negatives" -> ((s, d) => {
       // Hard-negative mining: per vector, top-2 in-band [0.2, 0.8)
       // neighbors within its label bucket — informative negatives
@@ -4376,6 +4400,49 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // the chat contract evaluated relationally over the same ordered
+    // turns: window-lagged alternation, position-1 opening, blank scan
+    "x107_chat_validation" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'system'
+        |         WHEN event_type IN ('click', 'view') THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    CASE WHEN value < 5 THEN '' ELSE event_type END AS content,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |tl AS (SELECT user_id, role,
+        |         lag(role) OVER (PARTITION BY user_id ORDER BY pos) AS prev,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY pos) AS tpos
+        |       FROM t WHERE role <> 'system'),
+        |tagg AS (SELECT user_id,
+        |           CAST(count(*) AS BIGINT) AS n_tail,
+        |           count(*) FILTER (prev IS NOT NULL AND role = prev) AS n_adj_same,
+        |           min(CASE WHEN tpos = 1 THEN role END) AS first_tail
+        |         FROM tl GROUP BY user_id),
+        |agg AS (SELECT user_id,
+        |          CAST(count(*) AS BIGINT) AS n_turns,
+        |          CAST(count(*) FILTER (role = 'assistant') AS BIGINT) AS n_assistant,
+        |          min(CASE WHEN pos = 1 THEN role END) AS first_role,
+        |          count(*) FILTER (role = 'system' AND pos > 1) AS sys_late,
+        |          min(CASE WHEN pos = n THEN role END) AS last_role,
+        |          count(*) FILTER (trim(content) = '') AS n_blank
+        |        FROM t GROUP BY user_id)
+        |SELECT a.user_id AS id, a.n_turns, a.n_assistant,
+        |  true AS parse_ok,
+        |  (a.first_role IN ('system', 'user') AND a.sys_late = 0) AS starts_ok,
+        |  (COALESCE(g.n_tail, 0) > 0 AND g.first_tail = 'user'
+        |     AND g.n_adj_same = 0) AS alternates_ok,
+        |  (a.last_role = 'assistant') AS ends_ok,
+        |  (a.n_blank = 0) AS content_ok,
+        |  true AS roles_ok,
+        |  (a.first_role IN ('system', 'user') AND a.sys_late = 0
+        |     AND COALESCE(g.n_tail, 0) > 0 AND g.first_tail = 'user'
+        |     AND g.n_adj_same = 0 AND a.last_role = 'assistant'
+        |     AND a.n_blank = 0) AS is_valid
+        |FROM agg a LEFT JOIN tagg g ON g.user_id = a.user_id
+        |ORDER BY id""".stripMargin,
     // x19's brute-force replay with the band filter before the rank cut
     "x106_hard_negatives" ->
       """WITH sims AS (

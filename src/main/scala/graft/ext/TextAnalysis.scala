@@ -674,6 +674,69 @@ object TextAnalysis {
         round(col("sum_lp") / col("n_bigrams"), 6).as("score"))
   }
 
+  /** Instruction-data (chat-transcript) validation — the QA gate a
+    * fine-tuning pipeline runs over conversation datasets before
+    * training. `jsonCol` holds a JSON array of `{role, content}`
+    * turns; each transcript is checked against the standard contract:
+    *
+    *  - parses as a non-empty array of role/content objects;
+    *  - opens with `system` or `user` (a system turn, if any, only at
+    *    position 0);
+    *  - user/assistant strictly ALTERNATE after the opening;
+    *  - closes on an `assistant` turn (the training target);
+    *  - no empty/blank content anywhere; no unknown roles.
+    *
+    * All checks are codegen'd array HOFs over the one parsed array —
+    * a narrow projection, no shuffle, linear in turns; every verdict
+    * column is boolean/integer so the whole gate is oracle-exact.
+    *
+    * Returns `(id, n_turns, n_assistant, parse_ok, starts_ok,
+    * alternates_ok, ends_ok, content_ok, roles_ok, is_valid)`. */
+  def validateChat(df: DataFrame, jsonCol: String, idCol: String): DataFrame = {
+    val turnsType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("role",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.StringType))))
+    val t = from_json(col(jsonCol), turnsType)
+    val known = Seq("system", "user", "assistant")
+    // the user/assistant tail (system stripped) must alternate strictly:
+    // turn i's role differs from turn i+1's
+    val tail = expr("filter(_t, x -> x.role != 'system')")
+    df.select(col(idCol).as("id"), t.as("_t"))
+      .withColumn("parse_ok", col("_t").isNotNull && size(col("_t")) > 0)
+      .withColumn("_tail", when(col("parse_ok"), tail))
+      .withColumn("n_turns",
+        when(col("parse_ok"), size(col("_t"))).otherwise(lit(0)).cast("bigint"))
+      .withColumn("n_assistant", coalesce(
+        expr("size(filter(_t, x -> x.role = 'assistant'))"), lit(0))
+        .cast("bigint"))
+      .withColumn("starts_ok", col("parse_ok") &&
+        expr("element_at(_t, 1).role").isin("system", "user") &&
+        // system only at position 0
+        expr("size(filter(slice(_t, 2, size(_t)), x -> x.role = 'system'))") === 0)
+      .withColumn("alternates_ok", col("parse_ok") && size(col("_tail")) > 0 &&
+        expr("element_at(_tail, 1).role") === "user" &&
+        expr("""size(filter(zip_with(slice(_tail, 1, size(_tail) - 1),
+                                     slice(_tail, 2, size(_tail) - 1),
+                                     (a, b) -> a.role = b.role),
+                            x -> x)) = 0"""))
+      .withColumn("ends_ok", col("parse_ok") &&
+        expr("element_at(_t, -1).role") === "assistant")
+      .withColumn("content_ok", col("parse_ok") &&
+        expr("size(filter(_t, x -> x.content IS NULL OR trim(x.content) = ''))") === 0)
+      .withColumn("roles_ok", col("parse_ok") &&
+        expr(s"size(filter(_t, x -> x.role IS NULL OR NOT x.role IN " +
+          s"(${known.map(r => s"'$r'").mkString(", ")})))") === 0)
+      .withColumn("is_valid", col("parse_ok") && col("starts_ok") &&
+        col("alternates_ok") && col("ends_ok") && col("content_ok") &&
+        col("roles_ok"))
+      .select(col("id"), col("n_turns"), col("n_assistant"),
+        col("parse_ok"), col("starts_ok"), col("alternates_ok"),
+        col("ends_ok"), col("content_ok"), col("roles_ok"), col("is_valid"))
+  }
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

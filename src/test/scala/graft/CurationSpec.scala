@@ -270,6 +270,40 @@ class CurationSpec extends AnyFunSuite {
     assert(!pChain.contains("Join"), pChain)
   }
 
+  test("validateChat: every contract clause fires on its violation and " +
+    "only that one") {
+    def chat(turns: (String, String)*) =
+      "[" + turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString(",") + "]"
+    val rows = Seq(
+      1L -> chat("system" -> "be helpful", "user" -> "hi", "assistant" -> "hello"),
+      2L -> chat("user" -> "hi", "assistant" -> "hello", "user" -> "more", "assistant" -> "sure"),
+      3L -> "NOT JSON [",                        // parse fails
+      4L -> chat("assistant" -> "hi", "user" -> "x", "assistant" -> "y"), // wrong opener
+      5L -> chat("user" -> "hi", "system" -> "late", "assistant" -> "y"), // late system
+      6L -> chat("user" -> "a", "user" -> "b", "assistant" -> "c"),       // no alternation
+      7L -> chat("user" -> "a", "assistant" -> "b", "user" -> "dangling"), // ends on user
+      8L -> chat("user" -> "a", "assistant" -> "  "),                      // blank content
+      9L -> chat("user" -> "a", "tool" -> "b", "assistant" -> "c"),        // unknown role
+      10L -> "[]")                                                         // empty array
+    val out = TextAnalysis.validateChat(rows.toDF("cid", "chat"), "chat", "cid")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(3), r.getBoolean(9))).toMap // (parse_ok, is_valid)
+    assert(out(1L) == ((true, true)) && out(2L) == ((true, true)))
+    assert(out(3L)._1 == false && out(3L)._2 == false)
+    assert(out(10L)._1 == false)
+    Seq(4L, 5L, 6L, 7L, 8L, 9L).foreach(id =>
+      assert(out(id) == ((true, false)), s"transcript $id: ${out(id)}"))
+    // clause isolation: the failing transcript trips ITS clause
+    val full = TextAnalysis.validateChat(rows.toDF("cid", "chat"), "chat", "cid")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!full(4L).getBoolean(4) && full(4L).getBoolean(6), "starts_ok")
+    assert(!full(6L).getBoolean(5), "alternates_ok")
+    assert(!full(7L).getBoolean(6), "ends_ok")
+    assert(!full(8L).getBoolean(7), "content_ok")
+    assert(!full(9L).getBoolean(8), "roles_ok")
+  }
+
   test("globalPositions: a dense 0..n-1 permutation, partitioning-" +
     "independent, null ids excluded, no single-partition window") {
     import graft.ext.Sampling

@@ -51,7 +51,7 @@ object ScaleStress {
     "v03_single_pass_route", "x98_bfs_distances", "x99_ivf_batch_topk",
     "x100_kll_quantiles", "x101_session_windows",
     "x102_personalized_pagerank", "x103_bpe_encode", "x104_numeric_drift",
-    "x105_negative_sample", "x106_hard_negatives",
+    "x105_negative_sample", "x106_hard_negatives", "x107_chat_validation",
     // stress-only probe (not an oracled query): see `extraProbes`
     "ivf_batch_nprobes2")
 

@@ -1616,6 +1616,34 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x108_preference_pairs" -> ((s, d) => {
+      // DPO/RLHF preference-pair QA on synthesized pairs: chosen =
+      // x107's transcript, rejected = same with the final content
+      // REVERSED (equal prefix by construction — the HOF still has to
+      // prove it — and divergence exactly when the last content isn't
+      // blank). Both transcripts run the full chat contract side by
+      // side; the oracle replays every verdict relationally.
+      val ev = t(s, d, "events")
+      val role = when(col("event_type") === "signup", lit("system"))
+        .when(col("event_type").isin("click", "view"), lit("user"))
+        .otherwise(lit("assistant"))
+      val content = when(col("value") < 5, lit(""))
+        .otherwise(col("event_type"))
+      val chats = ev.select(col("user_id"), col("ts"), col("event_id"),
+          struct(role.as("role"), content.as("content")).as("turn"))
+        .groupBy(col("user_id"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, turn)))," +
+            " x -> x.turn)").as("_turns"))
+        .withColumn("chosen", to_json(col("_turns")))
+        .withColumn("rejected", to_json(expr(
+          "concat(slice(_turns, 1, size(_turns) - 1), " +
+            "array(named_struct('role', element_at(_turns, -1).role, " +
+            "'content', reverse(element_at(_turns, -1).content))))")))
+      graft.ext.TextAnalysis.validatePreferencePairs(
+          chats, "chosen", "rejected", "user_id")
+        .orderBy(col("id"))
+    }),
     "x107_chat_validation" -> ((s, d) => {
       // Instruction-data QA: each user's event stream becomes a chat
       // transcript (signup→system, click/view→user, purchase/error→
@@ -4400,6 +4428,48 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // chosen and rejected share every verdict except divergence (a
+    // reversed string is blank iff the original is), so the replay is
+    // x107's contract + the last-content self-comparison
+    "x108_preference_pairs" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'system'
+        |         WHEN event_type IN ('click', 'view') THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    CASE WHEN value < 5 THEN '' ELSE event_type END AS content,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |tl AS (SELECT user_id, role,
+        |         lag(role) OVER (PARTITION BY user_id ORDER BY pos) AS prev,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY pos) AS tpos
+        |       FROM t WHERE role <> 'system'),
+        |tagg AS (SELECT user_id,
+        |           CAST(count(*) AS BIGINT) AS n_tail,
+        |           count(*) FILTER (prev IS NOT NULL AND role = prev) AS n_adj_same,
+        |           min(CASE WHEN tpos = 1 THEN role END) AS first_tail
+        |         FROM tl GROUP BY user_id),
+        |agg AS (SELECT user_id,
+        |          min(CASE WHEN pos = 1 THEN role END) AS first_role,
+        |          count(*) FILTER (role = 'system' AND pos > 1) AS sys_late,
+        |          min(CASE WHEN pos = n THEN role END) AS last_role,
+        |          min(CASE WHEN pos = n THEN content END) AS last_content,
+        |          count(*) FILTER (trim(content) = '') AS n_blank
+        |        FROM t GROUP BY user_id),
+        |v AS (SELECT a.user_id,
+        |        (a.first_role IN ('system', 'user') AND a.sys_late = 0
+        |           AND COALESCE(g.n_tail, 0) > 0 AND g.first_tail = 'user'
+        |           AND g.n_adj_same = 0 AND a.last_role = 'assistant'
+        |           AND a.n_blank = 0) AS chat_valid,
+        |        (a.last_role = 'assistant'
+        |           AND a.last_content <> reverse(a.last_content)) AS div_last
+        |      FROM agg a LEFT JOIN tagg g ON g.user_id = a.user_id)
+        |SELECT user_id AS id, chat_valid AS chosen_valid,
+        |  chat_valid AS rejected_valid, true AS same_prefix,
+        |  div_last AS divergent_last,
+        |  (chat_valid AND div_last) AS is_valid
+        |FROM v ORDER BY id""".stripMargin,
     // the chat contract evaluated relationally over the same ordered
     // turns: window-lagged alternation, position-1 opening, blank scan
     "x107_chat_validation" ->

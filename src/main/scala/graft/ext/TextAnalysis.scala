@@ -693,49 +693,104 @@ object TextAnalysis {
     * Returns `(id, n_turns, n_assistant, parse_ok, starts_ok,
     * alternates_ok, ends_ok, content_ok, roles_ok, is_valid)`. */
   def validateChat(df: DataFrame, jsonCol: String, idCol: String): DataFrame = {
-    val turnsType = org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("role",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("content",
-          org.apache.spark.sql.types.StringType))))
-    val t = from_json(col(jsonCol), turnsType)
-    val known = Seq("system", "user", "assistant")
-    // the user/assistant tail (system stripped) must alternate strictly:
-    // turn i's role differs from turn i+1's
-    val tail = expr("filter(_t, x -> x.role != 'system')")
-    df.select(col(idCol).as("id"), t.as("_t"))
-      .withColumn("parse_ok", col("_t").isNotNull && size(col("_t")) > 0)
-      .withColumn("_tail", when(col("parse_ok"), tail))
+    df.select(col(idCol).as("id"), parseTurns(jsonCol).as("_t"))
+      .transform(withChatVerdicts("_t", ""))
       .withColumn("n_turns",
         when(col("parse_ok"), size(col("_t"))).otherwise(lit(0)).cast("bigint"))
       .withColumn("n_assistant", coalesce(
         expr("size(filter(_t, x -> x.role = 'assistant'))"), lit(0))
         .cast("bigint"))
-      .withColumn("starts_ok", col("parse_ok") &&
-        expr("element_at(_t, 1).role").isin("system", "user") &&
-        // system only at position 0
-        expr("size(filter(slice(_t, 2, size(_t)), x -> x.role = 'system'))") === 0)
-      .withColumn("alternates_ok", col("parse_ok") && size(col("_tail")) > 0 &&
-        expr("element_at(_tail, 1).role") === "user" &&
-        expr("""size(filter(zip_with(slice(_tail, 1, size(_tail) - 1),
-                                     slice(_tail, 2, size(_tail) - 1),
-                                     (a, b) -> a.role = b.role),
-                            x -> x)) = 0"""))
-      .withColumn("ends_ok", col("parse_ok") &&
-        expr("element_at(_t, -1).role") === "assistant")
-      .withColumn("content_ok", col("parse_ok") &&
-        expr("size(filter(_t, x -> x.content IS NULL OR trim(x.content) = ''))") === 0)
-      .withColumn("roles_ok", col("parse_ok") &&
-        expr(s"size(filter(_t, x -> x.role IS NULL OR NOT x.role IN " +
-          s"(${known.map(r => s"'$r'").mkString(", ")})))") === 0)
-      .withColumn("is_valid", col("parse_ok") && col("starts_ok") &&
-        col("alternates_ok") && col("ends_ok") && col("content_ok") &&
-        col("roles_ok"))
       .select(col("id"), col("n_turns"), col("n_assistant"),
         col("parse_ok"), col("starts_ok"), col("alternates_ok"),
         col("ends_ok"), col("content_ok"), col("roles_ok"), col("is_valid"))
   }
+
+  /** The declared turn shape: `{role, content}`. */
+  private val turnsType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("role",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.StringType))))
+
+  private def parseTurns(jsonCol: String): Column =
+    from_json(col(jsonCol), turnsType)
+
+  /** Append the chat-contract verdict columns for the parsed turn
+    * array in column `arr` (prefixed with `pfx` so two transcripts can
+    * carry verdicts side by side). One definition — [[validateChat]]
+    * and [[validatePreferencePairs]] must agree clause for clause. */
+  private def withChatVerdicts(arr: String, pfx: String)
+      (df: DataFrame): DataFrame = {
+    val known = Seq("system", "user", "assistant")
+    val tailCol = s"_tail$pfx"
+    df.withColumn(s"${pfx}parse_ok", col(arr).isNotNull && size(col(arr)) > 0)
+      // the user/assistant tail (system stripped) must alternate
+      // strictly: turn i's role differs from turn i+1's
+      .withColumn(tailCol, when(col(s"${pfx}parse_ok"),
+        expr(s"filter($arr, x -> x.role != 'system')")))
+      .withColumn(s"${pfx}starts_ok", col(s"${pfx}parse_ok") &&
+        expr(s"element_at($arr, 1).role").isin("system", "user") &&
+        // system only at position 0
+        expr(s"size(filter(slice($arr, 2, size($arr)), x -> x.role = 'system'))") === 0)
+      .withColumn(s"${pfx}alternates_ok", col(s"${pfx}parse_ok") &&
+        size(col(tailCol)) > 0 &&
+        expr(s"element_at($tailCol, 1).role") === "user" &&
+        expr(s"""size(filter(zip_with(slice($tailCol, 1, size($tailCol) - 1),
+                                      slice($tailCol, 2, size($tailCol) - 1),
+                                      (a, b) -> a.role = b.role),
+                             x -> x)) = 0"""))
+      .withColumn(s"${pfx}ends_ok", col(s"${pfx}parse_ok") &&
+        expr(s"element_at($arr, -1).role") === "assistant")
+      .withColumn(s"${pfx}content_ok", col(s"${pfx}parse_ok") &&
+        expr(s"size(filter($arr, x -> x.content IS NULL OR trim(x.content) = ''))") === 0)
+      .withColumn(s"${pfx}roles_ok", col(s"${pfx}parse_ok") &&
+        expr(s"size(filter($arr, x -> x.role IS NULL OR NOT x.role IN " +
+          s"(${known.map(r => s"'$r'").mkString(", ")})))") === 0)
+      .withColumn(s"${pfx}is_valid", col(s"${pfx}parse_ok") &&
+        col(s"${pfx}starts_ok") && col(s"${pfx}alternates_ok") &&
+        col(s"${pfx}ends_ok") && col(s"${pfx}content_ok") &&
+        col(s"${pfx}roles_ok"))
+      .drop(tailCol)
+  }
+
+  /** Preference-pair (DPO/RLHF) dataset validation: each row carries a
+    * `chosen` and a `rejected` transcript that must BOTH pass the chat
+    * contract, share the exact turn prefix (everything before the
+    * final assistant turn — same roles, same contents, same length),
+    * and diverge ONLY in the final assistant content (equal chosen/
+    * rejected answers carry no preference signal). The structural gate
+    * before any reward modeling.
+    *
+    * Same narrow HOF shape as [[validateChat]], run over both parsed
+    * arrays side by side. Returns `(id, chosen_valid, rejected_valid,
+    * same_prefix, divergent_last, is_valid)`. */
+  def validatePreferencePairs(df: DataFrame, chosenCol: String,
+                              rejectedCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        parseTurns(chosenCol).as("_tc"), parseTurns(rejectedCol).as("_tr"))
+      .transform(withChatVerdicts("_tc", "c_"))
+      .transform(withChatVerdicts("_tr", "r_"))
+      .withColumn("same_prefix",
+        col("c_parse_ok") && col("r_parse_ok") &&
+        size(col("_tc")) === size(col("_tr")) &&
+        expr("""size(filter(zip_with(slice(_tc, 1, size(_tc) - 1),
+                                     slice(_tr, 1, size(_tr) - 1),
+                                     (a, b) -> a.role = b.role
+                                           AND a.content <=> b.content),
+                            x -> NOT x)) = 0"""))
+      .withColumn("divergent_last",
+        col("c_parse_ok") && col("r_parse_ok") &&
+        expr("element_at(_tc, -1).role") === "assistant" &&
+        expr("element_at(_tr, -1).role") === "assistant" &&
+        !(expr("element_at(_tc, -1).content") <=>
+          expr("element_at(_tr, -1).content")))
+      .select(col("id"),
+        col("c_is_valid").as("chosen_valid"),
+        col("r_is_valid").as("rejected_valid"),
+        col("same_prefix"), col("divergent_last"),
+        (col("c_is_valid") && col("r_is_valid") && col("same_prefix") &&
+          col("divergent_last")).as("is_valid"))
 
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =

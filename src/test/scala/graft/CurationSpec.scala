@@ -304,6 +304,31 @@ class CurationSpec extends AnyFunSuite {
     assert(!full(9L).getBoolean(8), "roles_ok")
   }
 
+  test("validatePreferencePairs: prefix equality, divergence and " +
+    "per-side validity each gate the pair") {
+    def chat(turns: (String, String)*) =
+      "[" + turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString(",") + "]"
+    val good = chat("user" -> "q", "assistant" -> "A")
+    val rows = Seq(
+      (1L, good, chat("user" -> "q", "assistant" -> "B")),   // valid pair
+      (2L, good, good),                                       // no divergence
+      (3L, good, chat("user" -> "DIFFERENT", "assistant" -> "B")), // prefix differs
+      (4L, chat("assistant" -> "bad-open", "user" -> "q", "assistant" -> "A"),
+        chat("assistant" -> "bad-open", "user" -> "q", "assistant" -> "B")), // both invalid chats
+      (5L, good, chat("user" -> "q", "assistant" -> "B", "user" -> "extra")) // length differs + bad close
+    ).toDF("pid", "chosen", "rejected")
+    val out = TextAnalysis.validatePreferencePairs(rows, "chosen", "rejected", "pid")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L) == ((true, true, true, false, false)), out(2L).toString)
+    assert(out(3L)._3 == false && out(3L)._5 == false)
+    assert(out(4L)._1 == false && out(4L)._2 == false && out(4L)._5 == false)
+    assert(out(5L)._2 == false && out(5L)._3 == false && out(5L)._5 == false)
+  }
+
   test("globalPositions: a dense 0..n-1 permutation, partitioning-" +
     "independent, null ids excluded, no single-partition window") {
     import graft.ext.Sampling

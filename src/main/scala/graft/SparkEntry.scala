@@ -1616,6 +1616,31 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x109_chat_truncation" -> ((s, d) => {
+      // Context-window truncation over synthesized transcripts with
+      // REAL token spread (content = event_type + props JSON): keep
+      // system turns + the longest user-led suffix within 40 tokens.
+      // The oracle re-derives suffix costs with a reverse-running
+      // window sum and picks the same minimal start; the re-serialized
+      // chat column stays spec-tested (JSON building has no SQL twin
+      // worth hashing), so the oracled projection is the decision.
+      val ev = t(s, d, "events")
+      val role = when(col("event_type") === "signup", lit("system"))
+        .when(col("event_type").isin("click", "view"), lit("user"))
+        .otherwise(lit("assistant"))
+      val content = concat_ws(" ", col("event_type"),
+        coalesce(col("props"), lit("")))
+      val chats = ev.select(col("user_id"), col("ts"), col("event_id"),
+          struct(role.as("role"), content.as("content")).as("turn"))
+        .groupBy(col("user_id"))
+        .agg(to_json(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, turn)))," +
+            " x -> x.turn)")).as("chat"))
+      graft.ext.TextAnalysis.truncateChat(chats, "chat", "user_id",
+          budget = 40)
+        .select(col("id"), col("n_kept"), col("tokens_kept"), col("fits"))
+        .orderBy(col("id"))
+    }),
     "x108_preference_pairs" -> ((s, d) => {
       // DPO/RLHF preference-pair QA on synthesized pairs: chosen =
       // x107's transcript, rejected = same with the final content
@@ -4428,6 +4453,44 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // suffix costs via a reverse-running window sum; the chosen start
+    // is the minimal user-led position fitting budget + system cost
+    "x109_chat_truncation" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'system'
+        |         WHEN event_type IN ('click', 'view') THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    concat_ws(' ', event_type, COALESCE(props, '')) AS content,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        |  FROM events),
+        |c AS (SELECT user_id, pos, role,
+        |        CAST(len(list_filter(string_split(
+        |          regexp_replace(trim(content), '\s+', ' ', 'g'), ' '),
+        |          x -> len(x) > 0)) AS BIGINT) AS cost
+        |      FROM t),
+        |sys AS (SELECT user_id,
+        |          CAST(COALESCE(sum(cost) FILTER (role = 'system'), 0) AS BIGINT) AS syscost
+        |        FROM c GROUP BY user_id),
+        |tail AS (SELECT user_id, role, cost,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY pos) AS tpos,
+        |           sum(cost) OVER (PARTITION BY user_id ORDER BY pos
+        |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sufcost,
+        |           count(*) OVER (PARTITION BY user_id) AS ntail
+        |         FROM c WHERE role <> 'system'),
+        |sel AS (SELECT tail.user_id, min(tpos) AS s
+        |        FROM tail JOIN sys ON sys.user_id = tail.user_id
+        |        WHERE role = 'user' AND sufcost + syscost <= 40
+        |        GROUP BY tail.user_id),
+        |picked AS (SELECT t2.user_id, t2.tpos AS s, t2.sufcost, t2.ntail
+        |           FROM tail t2 JOIN sel ON sel.user_id = t2.user_id
+        |                                AND sel.s = t2.tpos)
+        |SELECT sys.user_id AS id,
+        |  CAST(COALESCE(p.ntail - p.s + 1, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(p.sufcost + sys.syscost, sys.syscost) AS BIGINT) AS tokens_kept,
+        |  (p.s IS NOT NULL) AS fits
+        |FROM sys LEFT JOIN picked p ON p.user_id = sys.user_id
+        |ORDER BY id""".stripMargin,
     // chosen and rejected share every verdict except divergence (a
     // reversed string is blank iff the original is), so the replay is
     // x107's contract + the last-content self-comparison

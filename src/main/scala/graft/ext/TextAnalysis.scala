@@ -792,6 +792,61 @@ object TextAnalysis {
         (col("c_is_valid") && col("r_is_valid") && col("same_prefix") &&
           col("divergent_last")).as("is_valid"))
 
+  /** Context-window truncation for chat transcripts: keep every
+    * `system` turn (in order) plus the LONGEST suffix of the
+    * user/assistant tail that (a) starts on a `user` turn — a
+    * transcript resuming mid-exchange on an assistant turn is
+    * malformed — and (b) fits `budget` whitespace tokens including
+    * the system turns' cost. The standard serving/training
+    * preprocessing step ("drop the oldest exchanges until it fits").
+    *
+    * All-HOF narrow projection over the parsed array; the prefix-sum
+    * build is O(turns²) array work per transcript (turn counts are
+    * tens, never corpus-sized — same trade as the interval buffers).
+    * When nothing fits, the output keeps only the system turns and
+    * `fits` reads false (budget below the system cost included).
+    *
+    * Returns `(id, chat, n_kept, tokens_kept, fits)` — `chat` is the
+    * re-serialized truncated transcript, `n_kept` counts kept
+    * non-system turns, `tokens_kept` the total kept cost. */
+  def truncateChat(df: DataFrame, jsonCol: String, idCol: String,
+                   budget: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    def costOf(v: String) =
+      s"CAST(size(filter(split(trim($v.content), '\\\\s+'), " +
+        s"t -> length(t) > 0)) AS BIGINT)"
+    df.select(col(idCol).as("id"), parseTurns(jsonCol).as("_t"))
+      .withColumn("_ok", col("_t").isNotNull && size(col("_t")) > 0)
+      .withColumn("_sys", when(col("_ok"),
+        expr("filter(_t, x -> x.role = 'system')")))
+      .withColumn("_tail", when(col("_ok"),
+        expr("filter(_t, x -> x.role != 'system')")))
+      .withColumn("_syscost",
+        expr(s"aggregate(_sys, 0L, (a, x) -> a + ${costOf("x")})"))
+      .withColumn("_costs", expr(s"transform(_tail, x -> ${costOf("x")})"))
+      // prefix[i] (1-based) = cost of the first i-1 tail turns
+      .withColumn("_prefix", expr(
+        "aggregate(_costs, array(0L), " +
+          "(acc, c) -> concat(acc, array(element_at(acc, -1) + c)))"))
+      .withColumn("_total", expr("element_at(_prefix, -1)"))
+      // candidate suffix starts: user-turn positions whose suffix cost
+      // plus the system cost fits the budget; keep the longest (min s)
+      .withColumn("_s", expr(
+        s"array_min(filter(sequence(1, size(_tail)), " +
+          s"s -> element_at(_tail, s).role = 'user' AND " +
+          s"_total - element_at(_prefix, s) + _syscost <= $budget))"))
+      .withColumn("_kept", when(col("_s").isNotNull,
+        expr("slice(_tail, _s, size(_tail) - _s + 1)"))
+        .otherwise(expr("slice(_tail, 1, 0)")))
+      .select(col("id"),
+        when(col("_ok"), to_json(expr("concat(_sys, _kept)"))).as("chat"),
+        coalesce(size(col("_kept")), lit(0)).cast("bigint").as("n_kept"),
+        coalesce(when(col("_s").isNotNull,
+            expr("_syscost + _total - element_at(_prefix, _s)"))
+          .otherwise(col("_syscost")), lit(0L)).as("tokens_kept"),
+        coalesce(col("_s").isNotNull, lit(false)).as("fits"))
+  }
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -329,6 +329,33 @@ class CurationSpec extends AnyFunSuite {
     assert(out(5L)._2 == false && out(5L)._3 == false && out(5L)._5 == false)
   }
 
+  test("truncateChat: longest user-led suffix within budget, system " +
+    "turns always kept, over-budget system degrades gracefully") {
+    def chat(turns: (String, String)*) =
+      "[" + turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString(",") + "]"
+    // costs: system 2, then tail user 3 / assistant 2 / user 1 / assistant 1
+    val c = chat("system" -> "be very helpful", // 3 tokens
+      "user" -> "what is this", "assistant" -> "a test",
+      "user" -> "ok", "assistant" -> "yes")
+    def run(budget: Int) = TextAnalysis.truncateChat(
+        Seq((1L, c)).toDF("cid", "chat"), "chat", "cid", budget)
+      .head
+    val full = run(10) // 3 + 3+2+1+1 = 10 → everything fits
+    assert(full.getLong(2) == 4 && full.getLong(3) == 10 && full.getBoolean(4))
+    val cut = run(7) // s=1 needs 10; s=3 (user "ok") needs 3+1+1=5 ≤ 7
+    assert(cut.getLong(2) == 2 && cut.getLong(3) == 5 && cut.getBoolean(4))
+    assert(cut.getString(1).contains("be very helpful") &&
+      cut.getString(1).contains("\"ok\"") &&
+      !cut.getString(1).contains("what is this"))
+    val none = run(2) // below even the system cost → system only, no fit
+    assert(none.getLong(2) == 0 && none.getLong(3) == 3 && !none.getBoolean(4))
+    assert(none.getString(1).contains("be very helpful"))
+    val bad = TextAnalysis.truncateChat(
+        Seq((9L, "NOT JSON")).toDF("cid", "chat"), "chat", "cid", 10).head
+    assert(bad.isNullAt(1) && bad.getLong(2) == 0 && !bad.getBoolean(4))
+  }
+
   test("globalPositions: a dense 0..n-1 permutation, partitioning-" +
     "independent, null ids excluded, no single-partition window") {
     import graft.ext.Sampling

@@ -525,6 +525,43 @@ object PipelineProperties extends Properties("graft") {
       }
     }
 
+  property("applyBpeMerges == driver-side ordered greedy application; " +
+    "merges conserve characters and never increase tokens") =
+    forAll(Gen.listOfN(20,
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c")).map(_.mkString))) { words =>
+      words.nonEmpty ==> {
+        // learn on the corpus, then apply the learned table back to it
+        val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("doc_id", "text")
+        val merges = graft.ext.TextAnalysis
+          .learnBpeMerges(docs, "text", nMerges = 3)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        merges.nonEmpty ==> {
+          val got = graft.ext.TextAnalysis
+            .applyBpeMerges(docs, "text", "doc_id", merges)
+            .collect().map(r => r.getLong(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+          // driver reference: same ordered fold per word
+          def tokenize(w: String): List[String] =
+            merges.foldLeft(w.split("").toList) { case (syms, (a, b)) =>
+              syms.foldLeft(List.empty[String]) { (acc, x) =>
+                if (acc.nonEmpty && acc.last == a && x == b)
+                  acc.init :+ (a + b)
+                else acc :+ x
+              }
+            }
+          words.zipWithIndex.forall { case (w, i) =>
+            val toks = tokenize(w)
+            val (nw, nc, nt) = got(i.toLong)
+            nw == 1L && nc == w.length.toLong &&
+              nt == toks.length.toLong &&
+              nc == toks.map(_.length).sum.toLong && // chars conserved
+              nt <= w.length.toLong                  // merging only shrinks
+          }
+        }
+      }
+    }
+
   property("windowFunnel == the documented greedy reference on random " +
     "timelines") =
     forAll(Gen.listOfN(20, Gen.zip(

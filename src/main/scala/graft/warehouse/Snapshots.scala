@@ -588,6 +588,36 @@ object Snapshots {
                mergeSchema: Boolean = false): DataFrame =
     read(spark, dir, Some(versionAsOf(spark, dir, tsMillis)), mergeSchema)
 
+  /** Schema drift between two versions (DESCRIBE-HISTORY companion to
+    * `mergeSchema` reads): column-level `added` / `removed` /
+    * `retyped` changes from `fromVersion` to `toVersion`, resolved
+    * from each version's merged parquet footers — metadata-only
+    * relative to the data (footer reads, no row scans), so it is the
+    * cheap pre-flight a pipeline runs before deciding whether a new
+    * commit broke downstream consumers. Nested types compare by their
+    * full DDL string (any nested change reads as `retyped`). Returns
+    * `(column, change, from_type, to_type)` sorted by column; empty
+    * when the schemas agree exactly. */
+  def schemaDiff(spark: SparkSession, dir: String,
+                 fromVersion: Int, toVersion: Int): DataFrame = {
+    import spark.implicits._
+    def fields(v: Int): Map[String, String] =
+      read(spark, dir, Some(v), mergeSchema = true)
+        .schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val from = fields(fromVersion)
+    val to = fields(toVersion)
+    val rows =
+      (to.keySet -- from.keySet).toSeq.map(c =>
+        (c, "added", null: String, to(c))) ++
+      (from.keySet -- to.keySet).toSeq.map(c =>
+        (c, "removed", from(c), null: String)) ++
+      (from.keySet & to.keySet).toSeq.collect {
+        case c if from(c) != to(c) => (c, "retyped", from(c), to(c))
+      }
+    rows.sortBy(_._1)
+      .toDF("column", "change", "from_type", "to_type")
+  }
+
   /** Register the table as a temp view for `spark.sql` — the SQL
     * surface over versioned tables (pin `version` for a time-travel
     * view). The view captures the version's file list at registration;

@@ -395,6 +395,26 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(got === Map(1 -> null, 2 -> null, 3 -> "x"))
   }
 
+  test("schemaDiff reports added/removed/retyped columns between versions, " +
+    "empty when schemas agree") {
+    val dir = freshDir()
+    Snapshots.append(spark, dir, Seq((1, "a", 1.5)).toDF("id", "name", "score"))
+    // v2 evolves: adds `extra`; v3 overwrites: drops `name`, retypes
+    // `score` to string
+    Snapshots.append(spark, dir, Seq((2, "b", 2.5, true)).toDF("id", "name", "score", "extra"))
+    Snapshots.overwrite(spark, dir, Seq((3, "9.9", false)).toDF("id", "score", "extra"))
+    def diff(a: Int, b: Int) = Snapshots.schemaDiff(spark, dir, a, b)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)).orNull, Option(r.getString(3)).orNull)).toSeq
+    assert(diff(1, 2) == Seq(("extra", "added", null, "BOOLEAN")))
+    assert(diff(2, 3) == Seq(
+      ("name", "removed", "STRING", null),
+      ("score", "retyped", "DOUBLE", "STRING")))
+    assert(diff(1, 1).isEmpty)
+    // direction flips the verdicts
+    assert(diff(2, 1) == Seq(("extra", "removed", "BOOLEAN", null)))
+  }
+
   test("8 concurrent appenders all land: no lost commits under real contention") {
     val dir = freshDir()
     import scala.concurrent.{Await, Future}

@@ -1616,6 +1616,26 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x110_snapshot_quantiles" -> ((s, d) => {
+      // Incremental quantiles over a VERSIONED table: three commits,
+      // each KLL-sketched once into _stats, serialized sketches folded
+      // on the driver by the merge law, quantiles resolved from the
+      // merged ladder. Exact regime (k ≥ table rows), so the oracle is
+      // the whole-fixture rank-⌈q·n⌉ order statistics — x100's
+      // arithmetic reached WITHOUT rescanning the table (≤ one sketch
+      // blob per commit dir is all the fold reads).
+      import graft.warehouse.Snapshots
+      val path = cachePath(d, "x110") + "/docs_kll"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      (0 until 3).foreach(m => Snapshots.append(s, path,
+        docs.filter(pmod(col("doc_id"), lit(3)) === m).coalesce(1)))
+      Snapshots.quantileSketch(s, path, "n_chars",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), k = 8192)
+        .select(col("qi"), col("value"))
+        .orderBy(col("qi"))
+    }),
     "x109_chat_truncation" -> ((s, d) => {
       // Context-window truncation over synthesized transcripts with
       // REAL token spread (content = event_type + props JSON): keep
@@ -4453,6 +4473,19 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // exact-regime fold == whole-table order statistics (x100's SQL)
+    "x110_snapshot_quantiles" ->
+      """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM s),
+        |qs(qi, q) AS (VALUES (0, 0.1), (1, 0.25), (2, 0.5),
+        |                     (3, 0.75), (4, 0.9), (5, 0.99))
+        |SELECT CAST(qs.qi AS BIGINT) AS qi, o.v AS value
+        |FROM qs JOIN o
+        |  ON o.rn = GREATEST(1, CAST(CEIL(CAST(qs.q AS DOUBLE) * o.n) AS BIGINT))
+        |ORDER BY qi""".stripMargin,
     // suffix costs via a reverse-running window sum; the chosen start
     // is the minimal user-led position fitting budget + system cost
     "x109_chat_truncation" ->

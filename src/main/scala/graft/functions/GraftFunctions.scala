@@ -143,6 +143,13 @@ object GraftFunctions {
       "graft_kll_quantiles takes (value double, k int literal, quantiles array<double> literal)")
   }
 
+  val kllSketchBuilder: Seq[Expression] => Expression = {
+    case Seq(child, kE) if longLiteral(kE).isDefined =>
+      KllSketch(child, longLiteral(kE).get.toInt)
+    case _ => throw new IllegalArgumentException(
+      "graft_kll_sketch takes (value double, k int literal)")
+  }
+
   val structAtBuilder: Seq[Expression] => Expression = {
     case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _)) =>
       org.apache.spark.sql.catalyst.expressions.GetStructField(child, i)
@@ -182,6 +189,8 @@ object GraftFunctions {
       "graft_struct_at", structAtBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_quantiles", kllQuantilesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_sketch", kllSketchBuilder, "scala_udf")
   }
 
   /** Column API for the mergeable KLL quantile aggregate; registers
@@ -193,6 +202,14 @@ object GraftFunctions {
     call_function("graft_kll_quantiles", value,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.typedlit(qs))
+  }
+
+  /** Column API for the binary-sketch KLL aggregate (the persistable
+    * form); registers lazily. */
+  def kllSketch(spark: SparkSession, value: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_kll_sketch", value,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Positional struct-field access (`GetStructField` by ordinal) —
@@ -378,5 +395,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll_quantiles"),
       new ExpressionInfo(classOf[KllQuantiles].getName, "graft_kll_quantiles"),
       GraftFunctions.kllQuantilesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_sketch"),
+      new ExpressionInfo(classOf[KllSketch].getName, "graft_kll_sketch"),
+      GraftFunctions.kllSketchBuilder))
   }
 }

@@ -98,6 +98,62 @@ case class KllQuantiles(
   override def prettyName: String = "graft_kll_quantiles"
 }
 
+/** The sketch-valued sibling of [[KllQuantiles]]: same buffer, same
+  * merge, but `eval` returns the SERIALIZED sketch (binary) instead of
+  * resolved quantiles — the persistable form for incremental stats
+  * manifests (per-commit sketches folded later by
+  * `Snapshots.quantileSketch`, the x88 KMV discipline for quantiles). */
+case class KllSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllQuantiles.Buf] {
+
+  require(k >= 8, s"k must be at least 8, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kll_sketch expects a double column, got ${child.dataType.simpleString}")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllQuantiles.Buf =
+    new KllQuantiles.Buf(k)
+
+  override def update(buf: KllQuantiles.Buf, input: InternalRow): KllQuantiles.Buf = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllQuantiles.Buf, other: KllQuantiles.Buf): KllQuantiles.Buf = {
+    buf.mergeIn(other)
+    buf
+  }
+
+  override def eval(buf: KllQuantiles.Buf): Any = buf.serialize()
+
+  override def serialize(buf: KllQuantiles.Buf): Array[Byte] = buf.serialize()
+
+  override def deserialize(bytes: Array[Byte]): KllQuantiles.Buf =
+    KllQuantiles.Buf.deserialize(k, bytes)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllSketch =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_kll_sketch"
+}
+
 object KllQuantiles {
 
   /** The level ladder. Level i's items each represent 2^i inputs. */

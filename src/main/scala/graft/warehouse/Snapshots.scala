@@ -720,6 +720,49 @@ object Snapshots {
     graft.ext.Sketches.kmvEstimate(merged, k).drop("_g")
   }
 
+  /** Incremental quantile sketches over the table's live commit dirs —
+    * the [[distinctSketch]] discipline for order statistics: each dir
+    * is KLL-sketched ONCE into `_stats/<dir>.kll-<col>-<k>.parquet`
+    * (k new commits = k sketch jobs, old dirs never re-read), the
+    * ≤|dirs| serialized sketches fold on the driver (KLL's merge law —
+    * the reason GK couldn't fill this role), and the requested
+    * quantiles resolve from the merged ladder. Exact while the table
+    * fits k (no compaction anywhere); O(n/k) rank error beyond.
+    * Returns `(qi, value)` in the order the quantiles were given;
+    * empty frame for an all-null column. */
+  def quantileSketch(spark: SparkSession, dir: String, valueCol: String,
+                     qs: Seq[Double], k: Int = 8192,
+                     version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    require(qs.nonEmpty, "need at least one quantile")
+    val v = version.getOrElse(latestVersion(spark, dir))
+    require(v > 0, s"table at $dir has no commits")
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, StatsDir))
+    val tag = s"kll-$valueCol-$k"
+    val paths = liveDirs(spark, dir, v).map { d =>
+      val name = d.stripPrefix(s"$DataDir/")
+      val sp = new Path(dir, s"$StatsDir/$name.$tag.parquet")
+      if (!f.exists(sp))
+        spark.read.parquet(new Path(dir, d).toString)
+          .agg(graft.functions.GraftFunctions.kllSketch(spark,
+            org.apache.spark.sql.functions.col(valueCol).cast("double"), k)
+            .as("sketch"))
+          .write.mode("overwrite").parquet(sp.toString)
+      sp.toString
+    }
+    val bufs = spark.read.parquet(paths: _*).collect()
+      .map(_.getAs[Array[Byte]]("sketch"))
+      .map(graft.functions.KllQuantiles.Buf.deserialize(k, _))
+      .filter(_.n > 0)
+    if (bufs.isEmpty) Seq.empty[(Long, Double)].toDF("qi", "value")
+    else {
+      val merged = bufs.reduce { (a, b) => a.mergeIn(b); a }
+      val vals = merged.quantiles(qs)
+      qs.indices.map(i => (i.toLong, vals(i))).toDF("qi", "value")
+    }
+  }
+
   /** Per-file bloom membership index over the table's live files, with
     * the same incremental per-commit-dir cache discipline as
     * [[statsManifest]] (`_stats/<dir>.bloom-<keyCol>-….parquet`) — the

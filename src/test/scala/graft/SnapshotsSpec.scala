@@ -415,6 +415,39 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(diff(2, 1) == Seq(("extra", "removed", "BOOLEAN", null)))
   }
 
+  test("quantileSketch: per-commit sketches cached once, fold equals " +
+    "the exact order statistics in the exact regime") {
+    val dir = freshDir()
+    val qs = Seq(0.25, 0.5, 0.9)
+    (0 until 3).foreach(m => Snapshots.append(spark, dir,
+      (1 to 100).filter(_ % 3 == m).map(i => (i.toLong, (i * 7 % 100).toDouble))
+        .toDF("id", "v")))
+    def sketch() = Snapshots.quantileSketch(spark, dir, "v", qs, k = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = sketch()
+    // exact regime: rank-ceil(q*n) order statistics of the 100 values
+    val sorted = (1 to 100).map(i => (i * 7 % 100).toDouble).sorted
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val expect = sorted(math.max(1, math.ceil(q * 100).toInt) - 1)
+      assert(got(i.toLong) == expect, s"q=$q got=${got(i.toLong)} want=$expect")
+    }
+    // incrementality: a second call re-reads only cached sketch blobs
+    val stats = new org.apache.hadoop.fs.Path(dir, "_stats")
+    val f = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes() = f.listStatus(stats)
+      .filter(_.getPath.getName.contains("kll-v"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val before = mtimes()
+    assert(before.size == 3)
+    assert(sketch() == got)
+    assert(mtimes() == before, "cached sketches were rebuilt")
+    // a new commit adds exactly one new sketch blob
+    Snapshots.append(spark, dir, Seq((999L, 1000.0)).toDF("id", "v"))
+    Snapshots.quantileSketch(spark, dir, "v", qs, k = 1024)
+    val after = mtimes()
+    assert(after.size == 4 && before.forall { case (k2, t) => after(k2) == t })
+  }
+
   test("8 concurrent appenders all land: no lost commits under real contention") {
     val dir = freshDir()
     import scala.concurrent.{Await, Future}

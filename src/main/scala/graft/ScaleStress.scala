@@ -53,6 +53,7 @@ object ScaleStress {
     "x102_personalized_pagerank", "x103_bpe_encode", "x104_numeric_drift",
     "x105_negative_sample", "x106_hard_negatives", "x107_chat_validation",
     "x108_preference_pairs", "x109_chat_truncation",
+    "x110_snapshot_quantiles",
     // stress-only probe (not an oracled query): see `extraProbes`
     "ivf_batch_nprobes2")
 

@@ -100,4 +100,43 @@ class DriftSpec extends AnyFunSuite {
     assert(low < 0.01, s"healthy batch should read ~0 drift, got $low")
     assert(high > 0.2, s"skewed batch must alert, got $high")
   }
+
+  test("foreachBatch PSI monitor: the numeric twin flags the shifted " +
+    "micro-batch only") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("psi-src")
+    val healthy = Seq.tabulate(300)(i => ((i % 10) * 10.0)).toDF("v")
+    val shifted = Seq.tabulate(300)(i => (70.0 + (i % 3) * 10.0)).toDF("v")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("psi-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), src.resolve(name))
+    }
+    stage(healthy, "b0.parquet")
+    stage(shifted, "b1.parquet")
+    val reference = healthy
+    val alerts = scala.collection.mutable.Map.empty[Long, Double]
+    val q = spark.readStream.schema(healthy.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val tagged = batch.withColumn("g", lit("batch"))
+          .unionByName(reference.withColumn("g", lit("ref")))
+        val psi = Drift.numericDrift(tagged, "g", "v",
+            nBins = 10, lo = 0.0, hi = 100.0)
+          .filter(col("g") === "batch")
+          .select(col("psi")).head.getDouble(0)
+        alerts.synchronized { alerts(id) = psi }
+      }
+      .start()
+    q.awaitTermination()
+    assert(alerts.size == 2, s"expected 2 micro-batches, got $alerts")
+    val (low, high) = (alerts.values.min, alerts.values.max)
+    // PSI reading: < 0.1 stable, > 0.25 major shift
+    assert(low < 0.1, s"healthy batch should read stable, got $low")
+    assert(high > 0.25, s"shifted batch must alert, got $high")
+  }
 }

@@ -114,7 +114,10 @@ object Graph {
     * loop early-exits when a frontier comes back empty, and
     * `checkpointEvery` truncates lineage exactly as in [[pageRank]].
     *
-    * Returns `(node, hops)` including the source at 0. */
+    * Returns `(node, hops)` including the source at 0. With a staging
+    * dir the result is a plain parquet scan and no cached level frames
+    * remain; without one, the result is a single persisted frame (the
+    * per-level caches are released) the caller may `unpersist()`. */
   def bfsDistances(edges: DataFrame, source: Long, maxDepth: Int,
                    checkpointEvery: Int = 0,
                    stagingDir: Option[String] = None): DataFrame = {
@@ -126,6 +129,10 @@ object Graph {
     var frontier = visited.select(col("node"))
     var depth = 0L
     var done = maxDepth == 0
+    // every persisted (non-staged) level frame, released once the final
+    // visited frame is materialized — a deep BFS must not accumulate
+    // maxDepth cached frames for the lifetime of the session
+    val persistedLevels = scala.collection.mutable.ListBuffer.empty[DataFrame]
     while (!done) {
       depth += 1
       val next = frontier
@@ -139,7 +146,7 @@ object Graph {
       val materialized =
         if (checkpointEvery > 0 && depth % checkpointEvery == 0)
           truncateLineage(next, stageRoot.get, depth)
-        else next.persist()
+        else { val p = next.persist(); persistedLevels += p; p }
       if (materialized.isEmpty) done = true
       else {
         visited = visited.unionByName(materialized)
@@ -147,7 +154,23 @@ object Graph {
         if (depth >= maxDepth) done = true
       }
     }
-    visited.select(col("node"), col("hops"))
+    val result = visited.select(col("node"), col("hops"))
+    if (persistedLevels.isEmpty) result
+    else if (stageRoot.isDefined) {
+      // stage the final frame once, then drop every cached level — the
+      // returned frame is a plain parquet scan with zero cached residue
+      val staged = truncateLineage(result, stageRoot.get, depth + 1)
+      persistedLevels.foreach(_.unpersist(true))
+      staged
+    } else {
+      // no staging dir: consolidate the cached levels into ONE persisted
+      // frame (materialized here, so the per-level caches are safe to
+      // blocking-release), which the caller may `unpersist()` when done
+      val consolidated = result.persist()
+      consolidated.count()
+      persistedLevels.foreach(_.unpersist(true))
+      consolidated
+    }
   }
 
   /** Cut a DataFrame's lineage by staging it to parquet and reading it

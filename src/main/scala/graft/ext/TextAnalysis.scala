@@ -830,11 +830,14 @@ object TextAnalysis {
           "(acc, c) -> concat(acc, array(element_at(acc, -1) + c)))"))
       .withColumn("_total", expr("element_at(_prefix, -1)"))
       // candidate suffix starts: user-turn positions whose suffix cost
-      // plus the system cost fits the budget; keep the longest (min s)
-      .withColumn("_s", expr(
+      // plus the system cost fits the budget; keep the longest (min s).
+      // Guard on a non-empty tail: sequence(1, 0) yields the DESCENDING
+      // array [1, 0] and the filter lambda would index out of bounds —
+      // an all-system transcript must degrade to n_kept=0 / fits=false.
+      .withColumn("_s", when(size(col("_tail")) > 0, expr(
         s"array_min(filter(sequence(1, size(_tail)), " +
           s"s -> element_at(_tail, s).role = 'user' AND " +
-          s"_total - element_at(_prefix, s) + _syscost <= $budget))"))
+          s"_total - element_at(_prefix, s) + _syscost <= $budget))")))
       .withColumn("_kept", when(col("_s").isNotNull,
         expr("slice(_tail, _s, size(_tail) - _s + 1)"))
         .otherwise(expr("slice(_tail, 1, 0)")))

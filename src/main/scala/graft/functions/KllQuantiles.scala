@@ -22,14 +22,19 @@ import org.apache.spark.sql.types._
   *
   * Deterministic compaction: classical KLL flips a random coin per
   * compaction to pick the kept parity; this implementation derives the
-  * parity from a per-buffer compaction counter instead. That trades
-  * the formal unbiasedness proof for bit-reproducible results given a
-  * fixed partitioning (house rule: no RNG state in operators), while
-  * the empirical rank error stays O(n/k) — spec-pinned with a
-  * randomized bound in SketchSpec. Merge concatenates level-wise and
-  * re-compacts overflowing levels bottom-up, the PODS'12 mergeable-
-  * summaries shape; partial aggregation exercises it on every
-  * multi-partition run.
+  * parity from a per-buffer compaction counter instead (house rule: no
+  * RNG state in operators). That trades the formal unbiasedness proof
+  * for a weaker but honest guarantee: results are bit-reproducible in
+  * the EXACT regime (n ≤ k — no compaction ever fires), and within the
+  * O(n/k) rank-error band beyond it. They are NOT bit-reproducible
+  * run-to-run past the exact regime: the partial-aggregate merge order
+  * follows shuffle fetch order, which is nondeterministic even with
+  * fixed partitioning, and both the compaction counter and the level
+  * contents depend on it. The rank-error band is what SketchSpec pins
+  * (randomized bound over shuffled/sorted/reversed inputs). Merge
+  * concatenates level-wise and re-compacts overflowing levels
+  * bottom-up, the PODS'12 mergeable-summaries shape; partial
+  * aggregation exercises it on every multi-partition run.
   *
   * Contracts (spec-pinned):
   *  - EXACT regime: while no compaction has fired (n ≤ k), the sketch

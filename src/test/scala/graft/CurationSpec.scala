@@ -354,6 +354,17 @@ class CurationSpec extends AnyFunSuite {
     val bad = TextAnalysis.truncateChat(
         Seq((9L, "NOT JSON")).toDF("cid", "chat"), "chat", "cid", 10).head
     assert(bad.isNullAt(1) && bad.getLong(2) == 0 && !bad.getBoolean(4))
+    // all-system transcript: the tail is EMPTY — sequence(1, 0) is the
+    // descending [1, 0] trap, so _s must be guarded on a non-empty tail.
+    // Contract: degrade to system-only output, n_kept=0, fits=false.
+    val allSys = TextAnalysis.truncateChat(
+        Seq((10L, chat("system" -> "be very helpful",
+                       "system" -> "be terse"))).toDF("cid", "chat"),
+        "chat", "cid", 100).head
+    assert(allSys.getLong(2) == 0 && allSys.getLong(3) == 5 &&
+      !allSys.getBoolean(4), allSys.toString)
+    assert(allSys.getString(1).contains("be very helpful") &&
+      allSys.getString(1).contains("be terse"))
   }
 
   test("globalPositions: a dense 0..n-1 permutation, partitioning-" +

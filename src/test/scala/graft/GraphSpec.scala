@@ -112,6 +112,30 @@ class GraphSpec extends AnyFunSuite {
     assert(full == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("bfsDistances releases per-level caches: a deep BFS leaves at most " +
+    "one persisted frame (the consolidated result), not one per level") {
+    val sc = spark.sparkContext
+    // a 6-deep chain: deep enough that the per-level persist discipline
+    // bites, shallow enough for checkpoint-free mode (whose logical plan
+    // doubles per level — deeper runs are what checkpointEvery is for)
+    val edges = edgesDf((0L until 6L).map(i => i -> (i + 1)), ("src", "dst"))
+    val before = sc.getPersistentRDDs.size
+    val out = Graph.bfsDistances(edges, source = 0L, maxDepth = 20)
+    assert(out.count() == 7)
+    val residue = sc.getPersistentRDDs.size - before
+    assert(residue <= 1,
+      s"BFS leaked $residue cached frames (expected the single consolidated result)")
+    out.unpersist(true)
+    assert(sc.getPersistentRDDs.size == before, "unpersist did not release the result")
+    // staged mode: zero cached residue — the result is a parquet scan
+    val staging = java.nio.file.Files.createTempDirectory("graft-bfs-leak").toString
+    val staged = Graph.bfsDistances(edges, source = 0L, maxDepth = 20,
+      checkpointEvery = 2, stagingDir = Some(staging))
+    assert(staged.count() == 7)
+    assert(sc.getPersistentRDDs.size == before,
+      "staged BFS must leave no cached frames")
+  }
+
   test("bfsDistances == the recursive-CTE walk (x87 semantics) on the " +
     "co-purchase graph, with and without checkpointing") {
     val li = Tables(spark, TestSpark.sf, "lineitem")

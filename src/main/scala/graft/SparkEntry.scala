@@ -425,31 +425,20 @@ object SparkEntry {
           "label", 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // rows-only checks (not SQL-expressible in DuckDB): the xxhash64
-    // MinHash and 64-bit SimHash kernels have no DuckDB equivalent
-    // (XXH64's wrapping 64-bit multiplies don't exist in SQL). These
-    // two entries are NOT unverified — each has an equality bridge:
-    //   x07: x59 proves kernel pairs == portable pairs at production
-    //        params, and the portable pipeline is hash-oracled (x13).
-    //   x08: x70 runs the SAME 64-bit pairing machinery
-    //        (simhashDupPairsFromSig — blocking, maxBucket, Hamming)
-    //        under a DuckDB oracle with a portable 64-bit signature;
-    //        the only unoracled ingredient is xxhash64 itself, pinned
-    //        bit-for-bit against Spark's builtin in FunctionsSpec.
-    //        x16 additionally oracles the 16-bit portable class.
+    // NOTE on the retired x07/x08 slots: the raw xxhash64 MinHash and
+    // 64-bit SimHash kernel pair queries have no DuckDB twin (XXH64's
+    // wrapping 64-bit multiplies don't exist in SQL), so they lived
+    // here as rows-only entries through r7. They are now spec-only
+    // (ExtSpec runs the identical docs ∪ shifted-copy formulations) so
+    // every remaining `queries` entry is value-oracled. The machinery
+    // itself never lost verification:
+    //   minhash: x59 proves kernel pairs == portable pairs at
+    //     production params, and the portable pipeline is hash-oracled
+    //     (x13); FunctionsSpec pins xxhash64 bit-parity.
+    //   simhash: x70 runs the SAME 64-bit pairing machinery (blocking,
+    //     maxBucket, Hamming) under a DuckDB oracle with a portable
+    //     64-bit signature; x16 oracles the 16-bit portable class.
     // COVERAGE.md §x07/x08 carries the same cross-links.
-    "x07_minhash_dup_pairs" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
-      TextDedup.minhashDupPairs(docs.unionByName(shifted), "text", "doc_id")
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-    "x08_simhash_dup_pairs" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
-      TextDedup.simhashDupPairs(docs.unionByName(shifted), "text", "doc_id")
-        .orderBy(col("id_a"), col("id_b"))
-    }),
     "x09_lsh_ann_topk" -> ((s, d) => {
       // LSH ANN with REAL bucket pruning (query bucket + Hamming-1
       // probes, 9 of 256 buckets scanned). Hash-oracled exactly: the
@@ -1615,6 +1604,28 @@ object SparkEntry {
       TextDedup.duplicateGroups(pairs)
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
+    }),
+    "x111_incremental_mv" -> ((s, d) => {
+      // Incrementally-maintained MV (ST10 generalized to mergeable
+      // aggregate states — the ClickHouse-MV rollup shape, reference
+      // DDL:236-439): events arrive in three deltas (pmod(event_id, 3)),
+      // each merged into ONLY its touched day partitions through the
+      // staged-commit loop; the read-back serves the MV, never the fact
+      // history. Integer-cents SUM keeps the state bit-exact
+      // cross-engine; the oracle recomputes the rollup from scratch —
+      // incremental == recompute is the law being oracled.
+      import graft.stream.{IncrementalMv, MvAgg}
+      val path = cachePath(d, "x111") + "/mv_sum"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, d, "events")
+      (0 until 3).foreach(m => IncrementalMv.applyAggDelta(
+        ev.filter(pmod(col("event_id"), lit(3)) === m), m, path,
+        "ts", "event_type", round(col("value") * 100), MvAgg.sumOf))
+      IncrementalMv.readAgg(s, path, MvAgg.sumOf)
+        .select(col("day"), col("key"),
+          col("value").cast("long").as("cents"))
+        .orderBy(col("day"), col("key"))
     }),
     "x110_snapshot_quantiles" -> ((s, d) => {
       // Incremental quantiles over a VERSIONED table: three commits,
@@ -4473,6 +4484,14 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // from-scratch rollup == the incrementally-maintained MV (integer
+    // cents keep the sum state bit-exact cross-engine)
+    "x111_incremental_mv" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type AS key,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, key""".stripMargin,
     // exact-regime fold == whole-table order statistics (x100's SQL)
     "x110_snapshot_quantiles" ->
       """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents

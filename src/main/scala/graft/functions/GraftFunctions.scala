@@ -150,6 +150,25 @@ object GraftFunctions {
       "graft_kll_sketch takes (value double, k int literal)")
   }
 
+  val kllMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(child, kE) if longLiteral(kE).isDefined =>
+      KllMerge(child, longLiteral(kE).get.toInt)
+    case _ => throw new IllegalArgumentException(
+      "graft_kll_merge takes (sketch binary, k int literal)")
+  }
+
+  val kllValuesBuilder: Seq[Expression] => Expression = {
+    case Seq(child, kE, org.apache.spark.sql.catalyst.expressions.Literal(
+        qs: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _)))
+        if longLiteral(kE).isDefined =>
+      KllValues(child, longLiteral(kE).get.toInt,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(qs.toDoubleArray()))
+    case _ => throw new IllegalArgumentException(
+      "graft_kll_values takes (sketch binary, k int literal, quantiles array<double> literal)")
+  }
+
   val structAtBuilder: Seq[Expression] => Expression = {
     case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _)) =>
       org.apache.spark.sql.catalyst.expressions.GetStructField(child, i)
@@ -191,6 +210,10 @@ object GraftFunctions {
       "graft_kll_quantiles", kllQuantilesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_sketch", kllSketchBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_merge", kllMergeBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_values", kllValuesBuilder, "scala_udf")
   }
 
   /** Column API for the mergeable KLL quantile aggregate; registers
@@ -210,6 +233,25 @@ object GraftFunctions {
     register(spark)
     call_function("graft_kll_sketch", value,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column API for the distributed serialized-sketch fold (aggregate:
+    * binary sketches in, one merged binary sketch out); registers
+    * lazily. */
+  def kllMerge(spark: SparkSession, sketch: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_kll_merge", sketch,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column API for read-time quantile resolution from a serialized
+    * sketch (scalar); registers lazily. */
+  def kllValues(spark: SparkSession, sketch: Column, k: Int,
+                qs: Seq[Double]): Column = {
+    register(spark)
+    call_function("graft_kll_values", sketch,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.typedlit(qs))
   }
 
   /** Positional struct-field access (`GetStructField` by ordinal) —
@@ -399,5 +441,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll_sketch"),
       new ExpressionInfo(classOf[KllSketch].getName, "graft_kll_sketch"),
       GraftFunctions.kllSketchBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMerge].getName, "graft_kll_merge"),
+      GraftFunctions.kllMergeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_values"),
+      new ExpressionInfo(classOf[KllValues].getName, "graft_kll_values"),
+      GraftFunctions.kllValuesBuilder))
   }
 }

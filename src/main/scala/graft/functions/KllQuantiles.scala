@@ -159,6 +159,103 @@ case class KllSketch(
   override def prettyName: String = "graft_kll_sketch"
 }
 
+/** DISTRIBUTED fold of serialized KLL sketches: aggregates a binary
+  * sketch column (each row a [[KllSketch]] output) into one merged
+  * serialized sketch — the level-concat merge law as a partial
+  * aggregate, so persisted per-group/per-commit sketches re-merge with
+  * a plain `groupBy.agg` instead of a driver-side collect. This is
+  * what lets an incrementally-maintained MV carry a quantile state:
+  * merge(existing sketch, delta sketch) == sketch(all rows) up to the
+  * documented merge-order caveat (exact regime: bit-identical). */
+case class KllMerge(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllQuantiles.Buf] {
+
+  require(k >= 8, s"k must be at least 8, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kll_merge expects a binary sketch column, got ${child.dataType.simpleString}")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllQuantiles.Buf =
+    new KllQuantiles.Buf(k)
+
+  override def update(buf: KllQuantiles.Buf, input: InternalRow): KllQuantiles.Buf = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.mergeIn(KllQuantiles.Buf.deserialize(k, v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: KllQuantiles.Buf, other: KllQuantiles.Buf): KllQuantiles.Buf = {
+    buf.mergeIn(other)
+    buf
+  }
+
+  override def eval(buf: KllQuantiles.Buf): Any = buf.serialize()
+
+  override def serialize(buf: KllQuantiles.Buf): Array[Byte] = buf.serialize()
+
+  override def deserialize(bytes: Array[Byte]): KllQuantiles.Buf =
+    KllQuantiles.Buf.deserialize(k, bytes)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllMerge =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_kll_merge"
+}
+
+/** Read-time quantile resolution from a SERIALIZED sketch — the scalar
+  * complement of [[KllMerge]]: `(sketch binary) -> array<double>`, one
+  * entry per requested quantile, null for an empty sketch. Presentation
+  * only (runs once per MV/manifest row, never per fact row), so
+  * CodegenFallback's per-eval deserialization is the right trade —
+  * same reasoning as BloomContainsAny. */
+case class KllValues(
+    child: Expression,
+    k: Int,
+    quantiles: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 8, s"k must be at least 8, got $k")
+  require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
+    s"quantiles must be in [0, 1], got $quantiles")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_kll_values expects a binary sketch column, got ${child.dataType.simpleString}")
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val buf = KllQuantiles.Buf.deserialize(k, input.asInstanceOf[Array[Byte]])
+    if (buf.n == 0) null
+    else new GenericArrayData(buf.quantiles(quantiles).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KllValues =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_kll_values"
+}
+
 object KllQuantiles {
 
   /** The level ladder. Level i's items each represent 2^i inputs. */

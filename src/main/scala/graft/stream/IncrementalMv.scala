@@ -1,15 +1,69 @@
 package graft.stream
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** A mergeable aggregate the MV maintenance loop can keep incrementally
+  * fresh: `delta` turns raw micro-batch rows into one per-group STATE
+  * value (an aggregate Column), `merge` folds states (existing ∪ delta
+  * — also an aggregate Column), `finish` presents a state at read time
+  * (scalar Column, identity for plain aggregates).
+  *
+  * Laws the maintenance loop relies on (spec-pinned in
+  * MaintenanceSpec): `merge(delta(A), delta(B)) == delta(A ∪ B)` —
+  * incremental maintenance equals recompute — and merge is
+  * associative + commutative, so any batch arrival order converges.
+  * count/sum/min/max satisfy them exactly; sketch states (KLL here,
+  * KMV/CMS/HLL by the same pattern) satisfy them up to their
+  * documented estimation band, exactly in the exact regime. */
+final case class MvAgg(
+    name: String,
+    delta: Column => Column,
+    merge: Column => Column,
+    finish: Column => Column)
+
+object MvAgg {
+  /** COUNT(*) per group — the value column is ignored. */
+  val rowCount: MvAgg =
+    MvAgg("count", _ => count(lit(1)), s => sum(s), identity)
+
+  /** SUM(value) per group (double state). */
+  val sumOf: MvAgg =
+    MvAgg("sum", v => sum(v.cast("double")), s => sum(s), identity)
+
+  /** MIN(value) per group — merge is min of mins. */
+  val minOf: MvAgg =
+    MvAgg("min", v => min(v.cast("double")), s => min(s), identity)
+
+  /** MAX(value) per group — merge is max of maxes. */
+  val maxOf: MvAgg =
+    MvAgg("max", v => max(v.cast("double")), s => max(s), identity)
+
+  /** KLL quantile sketch per group: the state is the SERIALIZED sketch
+    * (binary), merged distributedly by `graft_kll_merge`; `finish`
+    * resolves the requested quantiles at read time. The ClickHouse
+    * `-State`/`-Merge` combinator shape (reference DDL:236-439 keeps
+    * such rollups engine-side) expressed as Catalyst aggregates. */
+  def kll(spark: SparkSession, k: Int, qs: Seq[Double]): MvAgg = {
+    import graft.functions.GraftFunctions
+    MvAgg(s"kll$k",
+      v => GraftFunctions.kllSketch(spark, v.cast("double"), k),
+      s => GraftFunctions.kllMerge(spark, s, k),
+      s => GraftFunctions.kllValues(spark, s, k, qs))
+  }
+}
 
 /** Incrementally-maintained aggregate table (materialized view) over a
   * stream — the reference keeps its per-day rollups as engine-side
   * materialized views; this is the Spark-native maintenance loop:
   * `foreachBatch` merges each micro-batch's delta into ONLY the day
   * partitions that batch touched, via dynamic partition overwrite.
+  * Parameterized over any [[MvAgg]] (count/sum/min/max natively, KLL
+  * and other mergeable sketch states through their binary form), so a
+  * ClickHouse-MV-style ingest rollup can maintain any mergeable
+  * aggregate with the same staged-commit idempotence.
   *
   * Correctness under failure: `foreachBatch` is at-least-once — after a
   * crash the last batch replays. A replayed merge would double-count, so
@@ -35,13 +89,14 @@ object IncrementalMv {
   private def stagingPath(mvPath: String, batchId: Long) =
     new Path(s"${mvPath.stripSuffix("/")}/_graft_staging/$batchId")
 
-  /** Merge one micro-batch of raw events into the daily-count MV
-    * (schema: day DATE partition, key, n). Idempotent per `batchId`
-    * through a write-ahead staging snapshot:
+  /** Merge one micro-batch of raw events into the MV (schema: day DATE
+    * partition, key STRING, state — the [[MvAgg]]'s state type).
+    * Idempotent per `batchId` through a write-ahead staging snapshot:
     *
-    *  1. MERGE: compute existing(touched days) + delta into a staging
-    *     dir (parquet commit protocol marks completion with _SUCCESS);
-    *     the MV itself is untouched, so a crash here just recomputes.
+    *  1. MERGE: compute merge(existing(touched days) ∪ delta) into a
+    *     staging dir (parquet commit protocol marks completion with
+    *     _SUCCESS); the MV itself is untouched, so a crash here just
+    *     recomputes.
     *  2. INSTALL: dynamic-partition-overwrite the staged partitions
     *     into the MV. Re-installing the SAME staged snapshot is
     *     idempotent, so a crash mid-install (or after install, before
@@ -52,8 +107,9 @@ object IncrementalMv {
     *     latest batch can ever replay — the streaming checkpoint is the
     *     source of truth for progress), drop the staging dir.
     */
-  def applyDailyCountsDelta(batch: DataFrame, batchId: Long, mvPath: String,
-                            tsCol: String, keyCol: String): Unit = {
+  def applyAggDelta(batch: DataFrame, batchId: Long, mvPath: String,
+                    tsCol: String, keyCol: String, valueCol: Column,
+                    agg: MvAgg, stateCol: String = "state"): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(mvPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -66,8 +122,9 @@ object IncrementalMv {
       // phase 1 — merge into staging (MV untouched; delta persisted so
       // the touched-days collect and the write share one computation)
       val delta = batch
-        .groupBy(to_date(col(tsCol)).as("day"), col(keyCol).as("key"))
-        .agg(count(lit(1)).as("n"))
+        .groupBy(to_date(col(tsCol)).as("day"),
+          col(keyCol).cast("string").as("key"))
+        .agg(agg.delta(valueCol).as(stateCol))
         .persist()
       try {
         val touched = delta.select(col("day")).distinct().collect()
@@ -80,11 +137,11 @@ object IncrementalMv {
             spark.read.parquet(mvPath)
               .filter(col("day").isin(touched.map(d => lit(d)): _*))
           else delta.limit(0)
-        existing.select(col("day"), col("key").cast("string").as("key"), col("n"))
-          .unionByName(delta.select(col("day"),
-            col("key").cast("string").as("key"), col("n")))
+        existing.select(col("day"), col("key").cast("string").as("key"),
+            col(stateCol))
+          .unionByName(delta)
           .groupBy(col("day"), col("key"))
-          .agg(sum(col("n")).as("n"))
+          .agg(agg.merge(col(stateCol)).as(stateCol))
           .write.mode("overwrite").parquet(staged.toString)
       } finally delta.unpersist()
     }
@@ -109,6 +166,28 @@ object IncrementalMv {
     fs.delete(staged.getParent, true)
   }
 
+  /** The original daily-count MV (schema: day, key, n) — now the
+    * [[MvAgg.rowCount]] instance of the general loop. */
+  def applyDailyCountsDelta(batch: DataFrame, batchId: Long, mvPath: String,
+                            tsCol: String, keyCol: String): Unit =
+    applyAggDelta(batch, batchId, mvPath, tsCol, keyCol, lit(1),
+      MvAgg.rowCount, stateCol = "n")
+
+  /** Start a maintenance query keeping one [[MvAgg]] MV current from
+    * the stream. */
+  def startAgg(events: DataFrame, tsCol: String, keyCol: String,
+               valueCol: String, agg: MvAgg, mvPath: String, chkDir: String,
+               trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : StreamingQuery =
+    events.writeStream
+      .queryName(s"graft-mv-${agg.name}")
+      .option("checkpointLocation", chkDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyAggDelta(batch, id, mvPath, tsCol, keyCol, col(valueCol), agg)
+      }
+      .start()
+
   /** Start the maintenance query: one daily-count MV kept current from
     * the stream. */
   def startDailyCounts(events: DataFrame, tsCol: String, keyCol: String,
@@ -124,7 +203,14 @@ object IncrementalMv {
       }
       .start()
 
-  /** Read the MV (for assertions/serving). */
+  /** Read an [[MvAgg]] MV for serving: `(day, key, value)` with the
+    * aggregate's `finish` applied to the stored state. */
+  def readAgg(spark: SparkSession, mvPath: String, agg: MvAgg,
+              stateCol: String = "state"): DataFrame =
+    spark.read.parquet(mvPath).select(col("day"), col("key"),
+      agg.finish(col(stateCol)).as("value"))
+
+  /** Read the daily-count MV (for assertions/serving). */
   def read(spark: SparkSession, mvPath: String): DataFrame =
     spark.read.parquet(mvPath).select(col("day"), col("key"), col("n"))
 }

@@ -97,6 +97,17 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.count() >= docs.count())
   }
 
+  test("simhashDupPairs finds exact duplicates at hamming 0 on the doubled " +
+    "fixture corpus (the retired rows-only x08 query, kept spec-exercised; " +
+    "value bridge: x70 oracles the pairing machinery, FunctionsSpec the hash)") {
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+    val pairs = TextDedup.simhashDupPairs(
+      docs.unionByName(shifted), "text", "doc_id")
+    val doubled = pairs.filter(col("id_b") - col("id_a") === 1000000L)
+    assert(doubled.count() == docs.count())
+    assert(doubled.filter(col("hamming") =!= 0).count() == 0)
+  }
+
   test("maxPairsPerDoc caps the raw pair surface: best pairs kept per " +
     "anchor, default unlimited unchanged") {
     // 8 exact copies of one document → C(8,2)=28 raw pairs (quadratic

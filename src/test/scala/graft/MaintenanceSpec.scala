@@ -126,6 +126,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(markers == Seq("2"), s"expected only the latest marker: $markers")
   }
 
+  test("generalized MvAgg MVs: incremental maintenance == recompute for " +
+    "sum/min/KLL, and a replayed batch id is a no-op for every agg") {
+    import graft.stream.MvAgg
+    val ev = Tables(spark, TestSpark.sf, "events")
+    def chunk(m: Int) = ev.filter(pmod(col("event_id"), lit(3)) === m)
+    // integer cents for the SUM case: exact-integer doubles make the
+    // state independent of addition order (raw-double sums would differ
+    // in the last ulp between the chunked and one-shot groupings)
+    val cents = round(col("value") * 100)
+
+    def maintain(agg: MvAgg): String = {
+      val mvDir = Files.createTempDirectory(s"graft-mv-${agg.name}")
+        .toString + "/mv"
+      (0 until 3).foreach(m => IncrementalMv.applyAggDelta(
+        chunk(m), m, mvDir, "ts", "event_type", cents, agg))
+      // replay the LAST batch id — at-least-once delivery — must no-op
+      IncrementalMv.applyAggDelta(
+        chunk(2), 2, mvDir, "ts", "event_type", cents, agg)
+      mvDir
+    }
+
+    def recompute(agg: MvAgg) = ev
+      .groupBy(to_date(col("ts")).as("day"),
+        col("event_type").cast("string").as("key"))
+      .agg(agg.delta(cents).as("state"))
+      .select(col("day"), col("key"), agg.finish(col("state")).as("value"))
+
+    for (agg <- Seq(MvAgg.sumOf, MvAgg.minOf,
+        MvAgg.kll(spark, k = 4096, qs = Seq(0.25, 0.5, 0.9)))) {
+      val got = IncrementalMv.readAgg(spark, maintain(agg), agg)
+      val want = recompute(agg)
+      assert(got.count() > 0 && got.count() == want.count(), agg.name)
+      // KLL value is array<double>; sum/min are doubles — exceptAll
+      // compares both shapes exactly (exact regime for KLL: k=4096 ≥
+      // every per-(day, key) group, so the ladders hold all values and
+      // the resolved quantiles are bit-identical)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"${agg.name}: incrementally maintained MV must equal recompute")
+    }
+  }
+
   test("compact refuses partitioned directories (flatten hazard)") {
     val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
     Seq((1, "a"), (2, "b")).toDF("v", "k")

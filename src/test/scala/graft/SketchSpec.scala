@@ -367,6 +367,33 @@ class SketchSpec extends AnyFunSuite {
     assert(a.quantiles(qs) == Seq(6.0, 30.0, 54.0))
   }
 
+  test("graft_kll_merge folds serialized sketches distributedly, and " +
+    "graft_kll_values resolves them — round-trip equals direct kllQuantiles") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    val qs = Seq(0.1, 0.5, 0.9)
+    val k = 1024
+    // per-group sketches (the persisted MV/manifest state), re-merged by
+    // the aggregate and resolved by the scalar — no driver-side fold
+    val df = (1 to 300).map(i => (i % 5, ((i * 37) % 300).toDouble)).toDF("g", "v")
+    val perGroup = df.groupBy(col("g") % 2) // 5 groups sketched, folded to 2
+      .agg(GraftFunctions.kllSketch(spark, col("v"), k).as("sk"))
+    val folded = perGroup
+      .agg(GraftFunctions.kllMerge(spark, col("sk"), k).as("sk"))
+      .select(GraftFunctions.kllValues(spark, col("sk"), k, qs).as("q"))
+      .head.getSeq[Double](0)
+    val direct = df
+      .agg(GraftFunctions.kllQuantiles(spark, col("v"), k, qs).as("q"))
+      .head.getSeq[Double](0)
+    assert(folded == direct, s"folded=$folded direct=$direct")
+    // empty sketch resolves to null, not garbage
+    val empty = df.filter(col("v") < 0)
+      .agg(GraftFunctions.kllSketch(spark, col("v"), k).as("sk"))
+      .select(GraftFunctions.kllValues(spark, col("sk"), k, qs).as("q"))
+      .head
+    assert(empty.isNullAt(0))
+  }
+
   test("KLL rank error stays O(n/k) past the exact regime, on uniform, " +
     "sorted and reversed inputs") {
     import graft.functions.KllQuantiles

@@ -454,6 +454,26 @@ object Snapshots {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val base = latestVersion(spark, dir)
     require(base > 0, s"table at $dir has no commits")
+    // MERGE multiple-match check: a source with duplicate merge keys has
+    // no well-defined upsert result — the commit dir would carry BOTH
+    // rows and "latest" would depend on read order, silently corrupting
+    // the ReplacingMergeTree latest-wins contract (reference DDL:37,143)
+    // this operator implements. Fail loudly (ANSI MERGE raises the same
+    // cardinality violation); the caller dedups deterministically first
+    // (Star.latestPerKey / a max_by over an explicit version column).
+    // Cost: one aggregate over the SOURCE side only — the small side of
+    // an upsert by construction, never the table.
+    val dup = source
+      .groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert source has multiple rows for merge key ${keyCols.mkString("(", ", ", ")")} = " +
+        dup.headOption.map(r => keyCols.indices.map(r.get).mkString("(", ", ", ")"))
+          .getOrElse("?") +
+        " — dedup the source to one row per key (latest-wins needs an explicit" +
+        " version order, e.g. Star.latestPerKey) before merging")
     val lines = manifestLines(spark, dir, base)
     val live = lines.filterNot(isMeta)
     import org.apache.spark.sql.functions.input_file_name

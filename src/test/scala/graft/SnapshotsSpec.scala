@@ -324,6 +324,33 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(dirsBefore.subsetOf(dirsAfter), "pure insert must not rewrite")
   }
 
+  test("upsert refuses a source with duplicate merge keys (MERGE " +
+    "multiple-match cardinality violation), and the table is untouched") {
+    val dir = freshDir()
+    def kv(rows: (Int, String)*) = rows.toSeq.toDF("id", "v")
+    Snapshots.append(spark, dir, kv(1 -> "a", 2 -> "b"))
+    // two source rows match key 2 — latest-wins is undefined without an
+    // explicit version order, so the merge must fail loudly, not pick one
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, dir, kv(2 -> "B2", 2 -> "B3", 4 -> "d"), Seq("id"))
+    }
+    assert(e.getMessage.contains("multiple rows for merge key") &&
+      e.getMessage.contains("(2)"), e.getMessage)
+    // nothing committed, nothing rewritten
+    assert(Snapshots.latestVersion(spark, dir) === 1)
+    val got = Snapshots.read(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "a", 2 -> "b"))
+    // a deterministically pre-deduped source (max_by on a version) merges
+    val fixed = Seq((2, "B2", 1L), (2, "B3", 2L), (4, "d", 1L))
+      .toDF("id", "v", "ver")
+      .groupBy("id").agg(expr("max_by(v, ver)").as("v"))
+    Snapshots.upsert(spark, dir, fixed, Seq("id"))
+    val after = Snapshots.read(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(after === Map(1 -> "a", 2 -> "B3", 4 -> "d"))
+  }
+
   test("upsertBatch: a replayed old batch never clobbers newer values") {
     val dir = freshDir()
     def kv(rows: (Int, String)*) = rows.toSeq.toDF("id", "v")

@@ -62,14 +62,75 @@ object ValidateRoute {
     df.withColumn("pk",
       concat_ws("|", pkCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
 
+  /** Resolve a dotted field path with EXACT-name matching at every
+    * nested level, descending structs by ORDINAL (`graft_struct_at` /
+    * GetStructField) instead of name: name-based nested resolution is
+    * case-insensitive and throws AMBIGUOUS_REFERENCE_TO_FIELDS the
+    * moment a struct carries fields differing only by letter case (the
+    * reference's `strTimeStamp` vs `strTimestamp` shape, one rename
+    * away from appearing NESTED under `player.lookup_player`,
+    * VJ:442-491). Exact match wins; a unique case-insensitive match is
+    * accepted for non-colliding schemas (ordinary resolution
+    * behavior); ambiguity without an exact spelling fails loudly.
+    * `base` resolves the top-level segment (per-topic: plain `col`;
+    * single-pass: the safe-renamed merged columns). */
+  private[graft] def nestedCol(spark: org.apache.spark.sql.SparkSession,
+                               schema: StructType, base: String => Column,
+                               path: String): Column =
+    path.split("\\.").toList match {
+      case top :: rest if top.nonEmpty =>
+        val topIdx = {
+          val exact = schema.fieldNames.indexOf(top)
+          if (exact >= 0) exact
+          else {
+            val ci = schema.fieldNames.zipWithIndex
+              .filter(_._1.equalsIgnoreCase(top))
+            require(ci.length == 1,
+              s"field path '$path': top segment '$top' is " +
+                (if (ci.isEmpty) "unknown" else s"ambiguous (${ci.map(_._1).mkString(", ")})"))
+            ci.head._2
+          }
+        }
+        var dt = schema.fields(topIdx).dataType
+        rest.foldLeft(base(schema.fieldNames(topIdx))) { (acc, seg) =>
+          dt match {
+            case st: StructType =>
+              val exact = st.fieldNames.indexOf(seg)
+              val idx =
+                if (exact >= 0) exact
+                else {
+                  val ci = st.fieldNames.zipWithIndex
+                    .filter(_._1.equalsIgnoreCase(seg))
+                  require(ci.length == 1,
+                    s"field path '$path': segment '$seg' is " +
+                      (if (ci.isEmpty) "unknown"
+                       else s"ambiguous (${ci.map(_._1).mkString(", ")}) — use the exact spelling"))
+                  ci.head._2
+                }
+              dt = st.fields(idx).dataType
+              graft.functions.GraftFunctions.structAt(spark, acc, idx)
+            case other => throw new IllegalArgumentException(
+              s"field path '$path': segment '$seg' applied to non-struct ${other.simpleString}")
+          }
+        }
+      case _ => throw new IllegalArgumentException(s"bad field path '$path'")
+    }
+
   /** P5+P6: required-fields AND-fold plus the sport filter (null sport ⇒
     * invalid; three topics carry no sport field; `player` reads a nested
     * path) (VJ:551-564). */
   def validate(df: DataFrame, spec: TopicSpec): DataFrame = {
-    val reqOk = spec.required.map(c => col(c).isNotNull).reduce(_ && _)
+    // dotted paths resolve by exact-name ordinal against the topic
+    // schema (see nestedCol) so nested case-colliding fields stay
+    // addressable; plain top-level references keep ordinary resolution
+    def r(path: String): Column =
+      if (path.contains("."))
+        nestedCol(df.sparkSession, spec.schema, col, path)
+      else col(path)
+    val reqOk = spec.required.map(c => r(c).isNotNull).reduce(_ && _)
     val sportOk: Column = spec.sportField match {
       case Some(path) =>
-        when(col(path).rlike(spec.sportPattern), lit(true)).otherwise(lit(false))
+        when(r(path).rlike(spec.sportPattern), lit(true)).otherwise(lit(false))
       case None => lit(true)
     }
     df.withColumn("is_valid", reqOk && sportOk)
@@ -158,7 +219,16 @@ object ValidateRoute {
     val parsedOk = base.filter(col("parse_ok"))
       .select(col("data.*"), col("kafka_ts"), col("json_str"))
       .drop(corruptCol)
-    val hashed = addPayloadHash(validate(addPk(ensureTimestamps(parsedOk), spec.pk), spec))
+    // pk components may be nested paths — resolve dotted ones by exact-
+    // name ordinal (nestedCol) so nested case collisions can't ambiguate
+    def pkRef(path: String): Column =
+      if (path.contains("."))
+        nestedCol(raw.sparkSession, spec.schema, col, path)
+      else col(path)
+    val withPk = ensureTimestamps(parsedOk).withColumn("pk",
+      concat_ws("|", spec.pk.map(c =>
+        coalesce(pkRef(c).cast("string"), lit(""))): _*))
+    val hashed = addPayloadHash(validate(withPk, spec))
     val deduped = if (enableDedup) dedup(hashed) else hashed
 
     val dropCols = metaColsOut
@@ -302,11 +372,13 @@ object ValidateRoute {
     val safeName: Map[String, String] = mergedFields.zipWithIndex.map {
       case (f, i) => f.name -> (if (collides(f.name)) s"__g$i" else f.name)
     }.toMap
-    def fcol(path: String): Column = path.split("\\.").toList match {
-      case top :: Nil => col(safeName(top))
-      case top :: rest => rest.foldLeft(col(safeName(top)))(_.getField(_))
-      case Nil => throw new IllegalArgumentException("empty field path")
-    }
+    // nested segments descend by exact-name ORDINAL (nestedCol), not
+    // `.getField`: a struct with case-colliding inner fields (NOTES_r8
+    // watch 3 — the nested twin of the top-level collisions this ordinal
+    // flatten already handles) would make name-based access ambiguous
+    val mergedStruct = StructType(mergedFields)
+    def fcol(path: String): Column =
+      nestedCol(spark, mergedStruct, top => col(safeName(top)), path)
     val flat = base.filter(col("parse_ok"))
       .select(mergedFields.toSeq.zipWithIndex.map { case (f, i) =>
         graft.functions.GraftFunctions.structAt(spark, col("data"), i)

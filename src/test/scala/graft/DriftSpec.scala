@@ -138,5 +138,23 @@ class DriftSpec extends AnyFunSuite {
     // PSI reading: < 0.1 stable, > 0.25 major shift
     assert(low < 0.1, s"healthy batch should read stable, got $low")
     assert(high > 0.25, s"shifted batch must alert, got $high")
+    // stream == batch parity (the house pattern): each streamed alert
+    // must equal the batch numericDrift over the same (batch, reference)
+    // union. Bin counts are exact longs, so the only latitude is the
+    // 10-term double fold's summation order — hence the 1e-12 band, not
+    // a threshold check.
+    def batchPsi(df: org.apache.spark.sql.DataFrame): Double =
+      Drift.numericDrift(
+          df.withColumn("g", lit("batch"))
+            .unionByName(reference.withColumn("g", lit("ref"))),
+          "g", "v", nBins = 10, lo = 0.0, hi = 100.0)
+        .filter(col("g") === "batch")
+        .select(col("psi")).head.getDouble(0)
+    val expected = Seq(batchPsi(healthy), batchPsi(shifted)).sorted
+    val got = alerts.values.toSeq.sorted
+    expected.zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-12,
+        s"stream PSI diverged from batch: stream=$got batch=$expected")
+    }
   }
 }

@@ -209,6 +209,57 @@ class ValidateRouteSpec extends AnyFunSuite {
     assert(bd.validated.count() <= b.validated.count())
   }
 
+  test("nested case-colliding fields route identically through both " +
+    "topologies (recursive ordinal flatten — NOTES_r8 watch 3)") {
+    import org.apache.spark.sql.types._
+    // the reference's player.lookup_player shape one rename away from
+    // a nested collision: two inner fields differing only by case, with
+    // pk/required/sport all reaching THROUGH the colliding struct
+    val spec = graft.schema.TopicSpec(
+      name = "nested",
+      schema = StructType(Seq(
+        StructField("idThing", StringType),
+        StructField("player", StructType(Seq(
+          StructField("lookup_player", StringType),
+          StructField("lookup_Player", StringType),
+          StructField("strSport", StringType)))),
+        StructField("ingested_at", DoubleType))),
+      pk = Seq("idThing", "player.lookup_player"),
+      required = Seq("idThing", "player.lookup_player"),
+      sportField = Some("player.strSport"))
+    def row(id: String, sport: String) =
+      s"""{"idThing":"$id","player":{"lookup_player":"low$id",""" +
+        s""""lookup_Player":"UP$id","strSport":"$sport"},""" +
+        s""""ingested_at":1714564800.0}"""
+    val corpus = raw(
+      "soccer.nested" -> row("1", "Soccer"),
+      "soccer.nested" -> row("2", "Basketball"), // wrong sport → rejected
+      // required player.lookup_player ABSENT while its case-twin is
+      // present — exact-name resolution must not accept the twin
+      "soccer.nested" -> ("""{"idThing":"3","player":{"lookup_Player":"UP3",""" +
+        """"strSport":"Soccer"},"ingested_at":1714564800.0}"""),
+      "soccer.nested" -> notJson,
+      "soccer.league" -> validLeague)
+    val specs = Seq(spec, Schemas.byName("league"))
+    val a = ValidateRoute.plan(corpus, specs)
+    val b = ValidateRoute.planSinglePass(corpus, specs)
+    def multiset(df: DataFrame): Map[Seq[Any], Int] =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(multiset(a.validated) == multiset(b.validated), "validated diverge")
+    assert(multiset(a.rejected) == multiset(b.rejected), "rejected diverge")
+    // the routing itself is right: only rows 1 (nested) + league validate
+    assert(a.validated.count() == 2)
+    val v = a.validated.filter(col("topic").endsWith("nested"))
+      .select(col("key"), col("value")).head
+    // pk reached the EXACT lower-case spelling through the ordinal path
+    assert(v.getString(0) == "1|low1", v.getString(0))
+    // both case-twins survive serialization with their exact names
+    assert(v.getString(1).contains("\"lookup_player\":\"low1\"") &&
+      v.getString(1).contains("\"lookup_Player\":\"UP1\""), v.getString(1))
+    // row 3 (missing exact required field) and row 2 (wrong sport) reject
+    assert(a.rejected.filter(col("topic").endsWith("nested")).count() == 3)
+  }
+
   test("planSinglePass reads the source once per route (plan reads it " +
     "per topic branch)") {
     // stage the corpus so it is ONE parquet source — the generator

@@ -54,8 +54,10 @@ object ScaleStress {
     "x105_negative_sample", "x106_hard_negatives", "x107_chat_validation",
     "x108_preference_pairs", "x109_chat_truncation",
     "x110_snapshot_quantiles",
-    // stress-only probe (not an oracled query): see `extraProbes`
-    "ivf_batch_nprobes2")
+    // round-8: incremental MV, quantized re-rank (oracled exact modes)
+    "x111_incremental_mv", "x112_ivf_pq_rerank",
+    // stress-only probes (not oracled queries): see `extraProbes`
+    "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 
   /** Stress-only probes with no oracle entry: x99's bench/oracle form
     * runs probe-ALL (exact by construction, O(|queries|·|corpus|) BY
@@ -70,6 +72,18 @@ object ScaleStress {
       val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 97 === 0)
       graft.ext.IvfIndex.batchTopK(model, queries, "embedding", "vec_id",
         k = 5, nProbes = 2)
+    }),
+    // the quantized sibling at the same production shape (nProbes=2,
+    // rerank=4k): the int8 pre-rank scans packed codes instead of float
+    // rows and the float re-rank touches only the survivors — compare
+    // its base/x10 line against ivf_batch_nprobes2's
+    "ivf_pq_nprobes2" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 16)
+      val codes = graft.ext.IvfIndex.codes(model, "embedding", "vec_id")
+      val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 97 === 0)
+      graft.ext.IvfIndex.batchTopKQuantized(model, codes, queries,
+        "embedding", "vec_id", k = 5, nProbes = 2)
     }))
 
   def inflate(spark: SparkSession, baseDir: String, outDir: String,

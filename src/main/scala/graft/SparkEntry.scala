@@ -1605,6 +1605,23 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x112_ivf_pq_rerank" -> ((s, d) => {
+      // IVF + quantized re-rank (the PQ memory/IO shape): approximate
+      // cosine on PACKED int8 codes (binary, one byte/dim — the narrow
+      // table) inside the probed clusters, exact float re-rank of the
+      // survivors only. Oracle mode probes ALL clusters with the rerank
+      // cut above the corpus size, so nothing is approximated away and
+      // the result must equal the x99 brute-force replay bit-for-bit;
+      // the production shape (nProbes<k, rerank=4k) is recall-pinned in
+      // ExtSpec and stress-timed in ScaleStress.
+      val emb = t(s, d, "embeddings")
+      val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
+      val codes = graft.ext.IvfIndex.codes(model, "embedding", "vec_id")
+      val queries = emb.filter(col("vec_id") % 97 === 0)
+      graft.ext.IvfIndex.batchTopKQuantized(model, codes, queries,
+          "embedding", "vec_id", k = 5, nProbes = 8, rerank = 1000000)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "x111_incremental_mv" -> ((s, d) => {
       // Incrementally-maintained MV (ST10 generalized to mergeable
       // aggregate states — the ClickHouse-MV rollup shape, reference
@@ -4484,6 +4501,27 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // probe-all + above-corpus rerank = exact regime: the quantized
+    // two-stage pipeline must reproduce the same brute-force replay as
+    // x99 (the int8 pre-rank only REORDERS candidates; with nothing cut
+    // the exact float re-rank decides everything)
+    "x112_ivf_pq_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id % 97 = 0),
+        |sims AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id, CAST(ROUND(
+        |    list_sum(list_transform(list_zip(q.qe, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sim
+        |  FROM q, embeddings b),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM sims WHERE sim IS NOT NULL)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // from-scratch rollup == the incrementally-maintained MV (integer
     // cents keep the sum state bit-exact cross-engine)
     "x111_incremental_mv" ->

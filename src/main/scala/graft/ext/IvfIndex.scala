@@ -144,4 +144,93 @@ object IvfIndex {
       .select(col("query_id"), (col("rank0") + 1).cast("bigint").as("rank"),
         col("t.value").as("neighbor_id"), col("t.key").as("sim"))
   }
+
+  /** The compressed code table for [[batchTopKQuantized]]:
+    * `(cluster, id, code)` with `code` the PACKED int8 quantization of
+    * the embedding (BinaryType, one byte per dimension — 4-8x smaller
+    * than the float rows). At 100 TB this is built ONCE next to the
+    * assignment table and staged to parquet partitioned by `cluster`;
+    * deriving it per query batch would re-read the wide float table the
+    * codes exist to avoid. */
+  def codes(model: Model, embCol: String, idCol: String): DataFrame = {
+    val spark = model.assigned.sparkSession
+    model.assigned.select(col("cluster"), col(idCol),
+      GraftFunctions.int8Pack(spark, col(embCol)).as("code"))
+  }
+
+  /** [[batchTopK]] with a QUANTIZED first pass — the IVF+PQ-style
+    * memory/IO shape for 100 TB ANN:
+    *
+    *  1. probe selection as in [[batchTopK]] (broadcast float
+    *     centroids, `nProbes` best per query);
+    *  2. APPROXIMATE rank inside the probed clusters on the packed
+    *     int8 `codes` table — the scan touches `dim` bytes per
+    *     candidate instead of the float row, and the distance is one
+    *     integer byte-lane loop ([[graft.functions.Int8CosineSim]];
+    *     symmetric-quantization scales cancel under cosine);
+    *  3. keep `rerank` approximate-best candidates per query (the
+    *     bounded TopKRows heap — `rerank` rows per query cross the
+    *     wire, never the candidate lists);
+    *  4. EXACT float re-rank of the survivors only: one id-equi-join
+    *     back to the float assignment — at scale the only touch of the
+    *     wide vectors — then the final per-query top-k heap.
+    *
+    * `rerank` trades recall for float IO (classical PQ re-rank; 4k is
+    * the conventional default). With `rerank` at or above the probed
+    * candidate count nothing is cut and the result equals [[batchTopK]]
+    * exactly — the oracle bridge (x112 pins the probe-all exact regime
+    * against x99's brute-force SQL).
+    *
+    * Returns `(query_id, rank, neighbor_id, sim)` — exact float sims,
+    * ranks 1..k. */
+  def batchTopKQuantized(model: Model, codesDf: DataFrame, queries: DataFrame,
+                         embCol: String, idCol: String, k: Int,
+                         nProbes: Int = 3, rerank: Int = 0,
+                         roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbes > 0, s"nProbes must be positive, got $nProbes")
+    val effRerank = if (rerank > 0) rerank else 4 * k
+    require(effRerank >= k, s"rerank ($effRerank) must be at least k ($k)")
+    val spark = model.assigned.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "_cvec")
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("_qv"),
+      GraftFunctions.int8Pack(spark, col(embCol)).as("_qcode"))
+    val ranked = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("_qv"), col("_qcode"), col("cluster"),
+        GraftFunctions.cosineSim(spark, col("_qv"), col("_cvec")).as("_csim"))
+      .filter(col("_csim").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_csim").desc, col("cluster"))
+    val probes = ranked.withColumn("_pr", row_number().over(w))
+      .filter(col("_pr") <= nProbes)
+      .select(col("query_id"), col("_qv"), col("_qcode"), col("cluster"))
+    // stage 2: approximate rank on the NARROW code table
+    val approx = probes
+      .join(codesDf.select(col("cluster"), col(idCol).as("neighbor_id"),
+        col("code")), "cluster")
+      .select(col("query_id"), col("_qv"), col("neighbor_id"),
+        GraftFunctions.int8Cosine(spark, col("_qcode"), col("code")).as("_asim"))
+      .filter(col("_asim").isNotNull)
+    // stage 3: per-query rerank-cut heap (survivor ids only)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_asim").desc, col("neighbor_id"))
+    val survivors = approx.withColumn("_ar", row_number().over(wq))
+      .filter(col("_ar") <= effRerank)
+      .select(col("query_id"), col("_qv"), col("neighbor_id"))
+    // stage 4: exact float re-rank of the survivors only
+    survivors
+      .join(model.assigned.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("_nv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(GraftFunctions.cosineSim(spark, col("_qv"), col("_nv")),
+          roundTo).as("sim"))
+      .filter(col("sim").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKBy(spark, col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("query_id"), (col("rank0") + 1).cast("bigint").as("rank"),
+        col("t.value").as("neighbor_id"), col("t.key").as("sim"))
+  }
 }

@@ -150,6 +150,18 @@ object GraftFunctions {
       "graft_kll_sketch takes (value double, k int literal)")
   }
 
+  val int8PackBuilder: Seq[Expression] => Expression = {
+    case Seq(v) => QuantizeInt8Pack(v)
+    case other => throw new IllegalArgumentException(
+      s"graft_int8_pack takes 1 argument, got ${other.size}")
+  }
+
+  val int8CosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => Int8CosineSim(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_int8_cosine takes 2 arguments, got ${other.size}")
+  }
+
   val kllMergeBuilder: Seq[Expression] => Expression = {
     case Seq(child, kE) if longLiteral(kE).isDefined =>
       KllMerge(child, longLiteral(kE).get.toInt)
@@ -211,6 +223,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_sketch", kllSketchBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_int8_pack", int8PackBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_int8_cosine", int8CosineBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_merge", kllMergeBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_values", kllValuesBuilder, "scala_udf")
@@ -233,6 +249,19 @@ object GraftFunctions {
     register(spark)
     call_function("graft_kll_sketch", value,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column API for int8 code packing (array<float|double> → binary,
+    * one byte per dimension); registers lazily. */
+  def int8Pack(spark: SparkSession, vec: Column): Column = {
+    register(spark)
+    call_function("graft_int8_pack", vec)
+  }
+
+  /** Column API for cosine over packed int8 codes; registers lazily. */
+  def int8Cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_int8_cosine", a, b)
   }
 
   /** Column API for the distributed serialized-sketch fold (aggregate:
@@ -441,6 +470,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll_sketch"),
       new ExpressionInfo(classOf[KllSketch].getName, "graft_kll_sketch"),
       GraftFunctions.kllSketchBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int8_pack"),
+      new ExpressionInfo(classOf[QuantizeInt8Pack].getName, "graft_int8_pack"),
+      GraftFunctions.int8PackBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int8_cosine"),
+      new ExpressionInfo(classOf[Int8CosineSim].getName, "graft_int8_cosine"),
+      GraftFunctions.int8CosineBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_kll_merge"),
       new ExpressionInfo(classOf[KllMerge].getName, "graft_kll_merge"),

@@ -487,6 +487,51 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= qs.length * 5 * 0.6, s"recall $recall/${qs.length * 5}")
   }
 
+  test("IVF quantized re-rank: exact regime equals batchTopK; the " +
+    "production cut (nProbes<k, rerank=4k) keeps recall vs the float path") {
+    val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
+    val codes = graft.ext.IvfIndex.codes(model, "embedding", "vec_id")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // probe-all + above-corpus rerank: nothing approximated away — the
+    // two-stage pipeline must equal the float path EXACTLY (x112's bridge)
+    val exactFloat = rows(graft.ext.IvfIndex.batchTopK(model, queries,
+      "embedding", "vec_id", k = 5, nProbes = 8))
+    val exactQuant = rows(graft.ext.IvfIndex.batchTopKQuantized(model, codes,
+      queries, "embedding", "vec_id", k = 5, nProbes = 8, rerank = 1000000))
+    assert(exactQuant == exactFloat,
+      s"exact-regime divergence: only-quant=${(exactQuant -- exactFloat).take(3)} " +
+        s"only-float=${(exactFloat -- exactQuant).take(3)}")
+    // production shape: same probes as the float partial path, rerank=4k
+    // — the int8 pre-rank may only reorder WITHIN the probed candidates,
+    // so recall is measured against the float path at the same nProbes
+    def topIds(s: Set[(Long, Long, Long, Double)]) =
+      s.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val floatPartial = topIds(rows(graft.ext.IvfIndex.batchTopK(model,
+      queries, "embedding", "vec_id", k = 5, nProbes = 3)))
+    val quantPartial = topIds(rows(graft.ext.IvfIndex.batchTopKQuantized(
+      model, codes, queries, "embedding", "vec_id", k = 5, nProbes = 3)))
+    val hits = floatPartial.keys.toSeq.map(q =>
+      (quantPartial(q) intersect floatPartial(q)).size).sum
+    val total = floatPartial.values.map(_.size).sum
+    assert(hits >= total * 8 / 10,
+      s"quantized rerank recall $hits/$total vs float path at same probes")
+    // exact sims are reported (float, not approximate): every returned
+    // (query, neighbor) sim matches the float path's value where shared
+    val fq = rows(graft.ext.IvfIndex.batchTopK(model, queries,
+      "embedding", "vec_id", k = 5, nProbes = 3))
+      .map(t => (t._1, t._3) -> t._4).toMap
+    rows(graft.ext.IvfIndex.batchTopKQuantized(model, codes, queries,
+      "embedding", "vec_id", k = 5, nProbes = 3))
+      .foreach { case (q, _, n, s) =>
+        fq.get((q, n)).foreach(f => assert(f == s,
+          s"re-rank sim for ($q, $n) is not the exact float sim: $s vs $f"))
+      }
+  }
+
   test("IVF sample-fit: quantizer sees a bounded sample, assignment and " +
     "recall still cover the full table") {
     val n = emb.count()

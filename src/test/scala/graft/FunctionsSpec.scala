@@ -302,6 +302,72 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a(1L) != null && a(2L) == null && a(3L) == null)
   }
 
+  test("QuantizeInt8Pack codes == QuantizeInt8 values byte-for-byte, and " +
+    "Int8CosineSim matches a driver-computed integer cosine; interpreted " +
+    "and codegen agree; nulls/mismatches/zero-norms null out") {
+    import graft.functions.GraftFunctions
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() * 2 - 1).toFloat))) :+
+      (900L, Array.fill(16)(0.0f)) // all-zero → zero-norm code
+    val df = rows.toDF("vec_id", "embedding")
+    // codes are exactly the QuantizeInt8 q-values, packed as bytes
+    val both = df.select($"vec_id",
+        GraftFunctions.int8Pack(spark, $"embedding").as("code"),
+        GraftFunctions.quantizeInt8(spark, $"embedding").as("qv"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
+        r.getStruct(2).getSeq[Int](1)))
+    both.foreach { case (id, code, q) =>
+      assert(code.toSeq.map(_.toInt) == q, s"code/q mismatch for $id")
+    }
+    // pairwise int8 cosine vs the driver-side integer formula
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 20)
+      .select($"a.vec_id", $"b.vec_id",
+        GraftFunctions.int8Cosine(spark,
+          GraftFunctions.int8Pack(spark, $"a.embedding"),
+          GraftFunctions.int8Pack(spark, $"b.embedding")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))))
+    val codeOf = both.map(t => t._1 -> t._2).toMap
+    pairs.foreach { case (a, b, sim) =>
+      val (ca, cb) = (codeOf(a), codeOf(b))
+      val dot = ca.zip(cb).map { case (x, y) => x.toLong * y.toLong }.sum
+      val na = ca.map(x => x.toLong * x.toLong).sum
+      val nb = cb.map(x => x.toLong * x.toLong).sum
+      val want: java.lang.Double =
+        if (na == 0 || nb == 0) null
+        else java.lang.Double.valueOf(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
+      assert(sim == want, s"int8 cosine differs for ($a, $b): $sim vs $want")
+      // quantization error stays small: int8 cosine tracks float cosine
+      if (want != null) {
+        val fa = rows.find(_._1 == a).get._2.map(_.toDouble)
+        val fb = rows.find(_._1 == b).get._2.map(_.toDouble)
+        val fdot = fa.zip(fb).map(p => p._1 * p._2).sum
+        val fcos = fdot / math.sqrt(fa.map(x => x * x).sum * fb.map(x => x * x).sum)
+        assert(math.abs(want - fcos) < 0.02,
+          s"approx cosine drifted: $want vs float $fcos")
+      }
+    }
+    // contracts: length mismatch and zero-norm → null, not a throw
+    val edge = Seq(
+      (1L, Array[Byte](1, 2, 3), Array[Byte](1, 2)),        // mismatch
+      (2L, Array[Byte](0, 0, 0), Array[Byte](1, 2, 3)),     // zero norm
+      (3L, Array[Byte](1, 0, 0), Array[Byte](127, 0, 0))    // parallel → 1.0
+    ).toDF("id", "ca", "cb")
+    def runEdge(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try edge.select($"id",
+          GraftFunctions.int8Cosine(spark, $"ca", $"cb").as("sim"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val ce = runEdge("CODEGEN_ONLY"); val ie = runEdge("NO_CODEGEN")
+    assert(ce == ie)
+    assert(ce(1L) == null && ce(2L) == null && ce(3L) == 1.0)
+  }
+
   test("kernel-backed APIs still accept castable numeric arrays (int embeddings)") {
     val ints = Seq((1L, Array(3, -4, 0))).toDF("vec_id", "embedding")
     val q = graft.ext.Embeddings.quantizeInt8(ints, "embedding", "qv")

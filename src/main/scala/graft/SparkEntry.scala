@@ -1631,6 +1631,10 @@ object SparkEntry {
       // history. Integer-cents SUM keeps the state bit-exact
       // cross-engine; the oracle recomputes the rollup from scratch —
       // incremental == recompute is the law being oracled.
+      // Bench accounting: ~4 s at sf0.1 is three FULL maintenance
+      // cycles (delta agg + merge + staged write + 30-partition dynamic
+      // overwrite + ledger, ×3) measured in-query — the x52 in-query-
+      // build convention. The serving read alone is the cheap tail.
       import graft.stream.{IncrementalMv, MvAgg}
       val path = cachePath(d, "x111") + "/mv_sum"
       val p = new org.apache.hadoop.fs.Path(path)

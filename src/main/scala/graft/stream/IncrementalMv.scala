@@ -146,8 +146,14 @@ object IncrementalMv {
       } finally delta.unpersist()
     }
 
-    // phase 2 — install the staged snapshot (idempotent re-run)
+    // phase 2 — install the staged snapshot (idempotent re-run).
+    // Cluster by day first: without it every shuffle partition writes a
+    // sliver into every touched day dir (≤ partitions × days files per
+    // batch — a small-file factory); day-hash clustering lands each day
+    // as one file, which is also the serving-scan layout the partition
+    // pruning expects.
     spark.read.parquet(staged.toString)
+      .repartition(col("day"))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -208,10 +208,27 @@ object Similarity {
   def hardNegatives(df: DataFrame, embCol: String, idCol: String,
                     bucketCol: String, k: Int,
                     loSim: Double, hiSim: Double,
-                    roundTo: Int = 6): DataFrame = {
+                    roundTo: Int = 6, maxBucket: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(loSim < hiSim, s"empty similarity band [$loSim, $hiSim)")
-    val sims = bucketedPairSims(df, embCol, idCol, bucketCol, roundTo,
+    // maxBucket caps the NEGATIVE-POOL side of the in-bucket pair join —
+    // the operator's one quadratic surface (candidates per bucket grow as
+    // |bucket|²; the 10× stress read 6.9× once inflation duplicated
+    // labels). Mining wants a representative pool, not completeness, so
+    // an oversized bucket keeps a deterministic hash-ordered subset as
+    // candidates (xxhash64 order — pseudo-random but reproducible, no
+    // id-correlated bias) while EVERY query row still mines. Default 0 =
+    // off: the oracled x106 surface is unchanged.
+    val pool =
+      if (maxBucket <= 0) df
+      else {
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(bucketCol))
+          .orderBy(xxhash64(col(idCol)), col(idCol))
+        df.withColumn("_br", row_number().over(wb))
+          .filter(col("_br") <= maxBucket).drop("_br")
+      }
+    val sims = bucketedPairSims(df, pool, embCol, idCol, bucketCol, roundTo,
         pairPred = col("id_a") =!= col("id_b"))
       .withColumnRenamed("id_a", "query_id")
       .withColumnRenamed("id_b", "neighbor_id")
@@ -227,10 +244,19 @@ object Similarity {
 
   private def bucketedPairSims(df: DataFrame, embCol: String, idCol: String,
                                bucketCol: String, roundTo: Int,
+                               pairPred: Column): DataFrame =
+    bucketedPairSims(df, df, embCol, idCol, bucketCol, roundTo, pairPred)
+
+  /** Two-sided form: `df` supplies the `id_a` (query) rows, `poolDf`
+    * the `id_b` (candidate) rows — lets callers cap one side of the
+    * in-bucket quadratic without losing any query row. */
+  private def bucketedPairSims(df: DataFrame, poolDf: DataFrame,
+                               embCol: String, idCol: String,
+                               bucketCol: String, roundTo: Int,
                                pairPred: Column): DataFrame = {
     val a = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_a"),
       col(embCol).as("_emb_a"))
-    val b = df.select(col(bucketCol).as("_bkt"), col(idCol).as("id_b"),
+    val b = poolDf.select(col(bucketCol).as("_bkt"), col(idCol).as("id_b"),
       col(embCol).as("_emb_b"))
     a.join(b, Seq("_bkt"))
       .filter(pairPred)

@@ -111,6 +111,11 @@ object IncrementalMv {
                     tsCol: String, keyCol: String, valueCol: Column,
                     agg: MvAgg, stateCol: String = "state"): Unit = {
     val spark = batch.sparkSession
+    // sketch-state aggs resolve graft_* by NAME; a streaming micro-batch
+    // runs on a cloned session whose registry may predate the caller's
+    // lazy registration — re-register here (idempotent) so any MvAgg
+    // Column resolves in whichever session executes the merge
+    graft.functions.GraftFunctions.register(spark)
     val fs = new Path(mvPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = commitPath(mvPath, batchId)

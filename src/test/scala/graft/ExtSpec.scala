@@ -487,6 +487,40 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= qs.length * 5 * 0.6, s"recall $recall/${qs.length * 5}")
   }
 
+  test("hardNegatives maxBucket caps the candidate pool per label: every " +
+    "query still mines, negatives come from the hash-chosen subset, " +
+    "default 0 is the identity") {
+    import graft.ext.Similarity
+    // one heavy label bucket of 30 vectors spread across the sim band
+    val rnd = new scala.util.Random(41)
+    val df = (1L to 30L).map { i =>
+      val base = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      (i, base, "L")
+    }.toDF("vec_id", "embedding", "label")
+    val full = Similarity.hardNegatives(df, "embedding", "vec_id", "label",
+      k = 3, loSim = -1.0, hiSim = 0.99)
+    val explicit0 = Similarity.hardNegatives(df, "embedding", "vec_id", "label",
+      k = 3, loSim = -1.0, hiSim = 0.99, maxBucket = 0)
+    assert(full.collect().toSet == explicit0.collect().toSet,
+      "maxBucket=0 must be the identity")
+    val capped = Similarity.hardNegatives(df, "embedding", "vec_id", "label",
+      k = 3, loSim = -1.0, hiSim = 0.99, maxBucket = 10)
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(2)))
+    // every query row still mines (pool members pair with everyone;
+    // non-pool queries pair against the pool) — 30 queries expected
+    assert(rows.map(_._1).distinct.length == 30,
+      s"queries lost under the cap: ${rows.map(_._1).distinct.length}")
+    // the negative pool is the hash-chosen 10 — at most 10 distinct
+    // neighbors ever appear, and each appears for many queries
+    val pool = rows.map(_._2).distinct
+    assert(pool.length <= 10, s"pool leaked past the cap: ${pool.length}")
+    // deterministic: same call, same pool
+    val again = Similarity.hardNegatives(df, "embedding", "vec_id", "label",
+      k = 3, loSim = -1.0, hiSim = 0.99, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toSet == rows.toSet, "cap must be deterministic")
+  }
+
   test("IVF quantized re-rank: exact regime equals batchTopK; the " +
     "production cut (nProbes<k, rerank=4k) keeps recall vs the float path") {
     val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 8)

@@ -126,6 +126,39 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(markers == Seq("2"), s"expected only the latest marker: $markers")
   }
 
+  test("startAgg streams a KLL-state MV: two AvailableNow drips equal the " +
+    "batch recompute through the sketch finish") {
+    import graft.stream.MvAgg
+    val agg = MvAgg.kll(spark, k = 4096, qs = Seq(0.5, 0.9))
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val cutSec = ev.agg(percentile_approx(unix_timestamp(col("ts")),
+      lit(0.5), lit(100))).head.getLong(0)
+    val inDir = Files.createTempDirectory("graft-mvk-in").toString
+    val mvDir = Files.createTempDirectory("graft-mvk").toString + "/mv"
+    val chkDir = Files.createTempDirectory("graft-mvk-chk").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+      val q = IncrementalMv.startAgg(stream, "ts", "event_type", "value",
+        agg, mvDir, chkDir, Trigger.AvailableNow())
+      q.awaitTermination(120000); q.stop()
+    }
+    ev.filter(unix_timestamp(col("ts")) <= cutSec)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    ev.filter(unix_timestamp(col("ts")) > cutSec)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    val got = IncrementalMv.readAgg(spark, mvDir, agg)
+    val want = ev.groupBy(to_date(col("ts")).as("day"),
+        col("event_type").cast("string").as("key"))
+      .agg(agg.delta(col("value")).as("state"))
+      .select(col("day"), col("key"), agg.finish(col("state")).as("value"))
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed KLL MV must equal the batch recompute (exact regime)")
+  }
+
   test("generalized MvAgg MVs: incremental maintenance == recompute for " +
     "sum/min/KLL, and a replayed batch id is a no-op for every agg") {
     import graft.stream.MvAgg

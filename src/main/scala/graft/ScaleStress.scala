@@ -54,8 +54,9 @@ object ScaleStress {
     "x105_negative_sample", "x106_hard_negatives", "x107_chat_validation",
     "x108_preference_pairs", "x109_chat_truncation",
     "x110_snapshot_quantiles",
-    // round-8: incremental MV, quantized re-rank (oracled exact modes)
+    // round-8: incremental MVs, quantized re-rank (oracled exact modes)
     "x111_incremental_mv", "x112_ivf_pq_rerank",
+    "x113_incremental_mv_distinct",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

@@ -1605,6 +1605,27 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x113_incremental_mv_distinct" -> ((s, d) => {
+      // Distinct-users-per-(day, type) maintained INCREMENTALLY as a
+      // KMV-state MV (x111's loop with a sketch state): three deltas
+      // merge bottom-k hash sets per group — the KMV merge law is
+      // exact, and below saturation (distinct < k) the state IS the
+      // distinct set, so the served estimate equals COUNT(DISTINCT)
+      // exactly and DuckDB can value-check the whole maintenance loop.
+      import graft.stream.{IncrementalMv, MvAgg}
+      val agg = MvAgg.kmvDistinct(8192)
+      val path = cachePath(d, "x113") + "/mv_kmv"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, d, "events")
+      (0 until 3).foreach(m => IncrementalMv.applyAggDelta(
+        ev.filter(pmod(col("event_id"), lit(3)) === m), m, path,
+        "ts", "event_type", col("user_id"), agg))
+      IncrementalMv.readAgg(s, path, agg)
+        .select(col("day"), col("key"),
+          col("value").cast("long").as("n_users"))
+        .orderBy(col("day"), col("key"))
+    }),
     "x112_ivf_pq_rerank" -> ((s, d) => {
       // IVF + quantized re-rank (the PQ memory/IO shape): approximate
       // cosine on PACKED int8 codes (binary, one byte/dim — the narrow
@@ -4505,6 +4526,14 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // below-saturation KMV state == the exact distinct set, so the
+    // incrementally maintained MV must serve COUNT(DISTINCT) exactly
+    "x113_incremental_mv_distinct" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type AS key,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, key""".stripMargin,
     // probe-all + above-corpus rerank = exact regime: the quantized
     // two-stage pipeline must reproduce the same brute-force replay as
     // x99 (the int8 pre-rank only REORDERS candidates; with nothing cut

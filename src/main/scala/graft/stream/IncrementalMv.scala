@@ -53,6 +53,30 @@ object MvAgg {
       s => GraftFunctions.kllMerge(spark, s, k),
       s => GraftFunctions.kllValues(spark, s, k, qs))
   }
+
+  /** KMV distinct-count sketch per group (`array<long>` state: the ≤ k
+    * smallest distinct 60-bit hashes, ascending — `Sketches.kmvHash`'s
+    * portable derivation). The merge law is EXACT (bottom-k of a union
+    * of bottom-k's == bottom-k of the union), so incremental == full
+    * recompute holds bit-for-bit, and below saturation (distinct < k)
+    * the state IS the distinct set — `finish` then returns the exact
+    * count, which is what lets an MV of this agg be value-oracled
+    * against COUNT(DISTINCT). State note: the delta's `collect_set`
+    * holds one micro-batch × one (day, key) group's distinct hashes
+    * before the cut — bounded by the micro-batch, the same trade as
+    * any partial aggregate; the PERSISTED state is always ≤ k longs. */
+  def kmvDistinct(k: Int, salt: String = "mv-kmv"): MvAgg = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val est: Column => Column = s =>
+      when(size(s) < k, size(s).cast("double"))
+        .otherwise(lit((k - 1).toDouble * graft.ext.Sketches.HashSpace) /
+          element_at(s, k).cast("double"))
+    MvAgg(s"kmv$k",
+      v => slice(sort_array(collect_set(
+        when(v.isNotNull, graft.ext.Sketches.kmvHash(v, salt)))), 1, k),
+      s => slice(sort_array(array_distinct(flatten(collect_list(s)))), 1, k),
+      est)
+  }
 }
 
 /** Incrementally-maintained aggregate table (materialized view) over a

@@ -187,7 +187,8 @@ class MaintenanceSpec extends AnyFunSuite {
       .select(col("day"), col("key"), agg.finish(col("state")).as("value"))
 
     for (agg <- Seq(MvAgg.sumOf, MvAgg.minOf,
-        MvAgg.kll(spark, k = 4096, qs = Seq(0.25, 0.5, 0.9)))) {
+        MvAgg.kll(spark, k = 4096, qs = Seq(0.25, 0.5, 0.9)),
+        MvAgg.kmvDistinct(1024))) {
       val got = IncrementalMv.readAgg(spark, maintain(agg), agg)
       val want = recompute(agg)
       assert(got.count() > 0 && got.count() == want.count(), agg.name)

@@ -18,6 +18,40 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("IVF quantized re-rank IO shape: with staged tables, the approx " +
+    "stage reads only the code parquet and the float parquet feeds " +
+    "queries + re-rank (x112 at 100 TB)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-plan").toString
+    // the production layout: codes and float assignments each staged
+    graft.ext.IvfIndex.codes(model, "embedding", "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    model.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    val stagedModel = model.copy(assigned = spark.read.parquet(s"$dir/assigned"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val queries = emb.filter(col("vec_id") % 200 === 0)
+    val whole = plan(graft.ext.IvfIndex.batchTopKQuantized(stagedModel, codes,
+      queries, "embedding", "vec_id", k = 3, nProbes = 2))
+    // AQE prints Final + Initial plans; gate on the FINAL section only
+    val p = whole.split("== Initial Plan ==").head
+    // the code parquet is scanned exactly once, and that scan never
+    // drags the float vectors along (the narrow-table point of codes)
+    val codeScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("code:binary")).toSeq
+    assert(codeScans.size == 1, s"expected one code scan:\n$p")
+    assert(!codeScans.head.contains("embedding"), codeScans.head)
+    // the re-rank cut plans as WindowGroupLimit (partial heap before the
+    // shuffle), not a full per-query sort of the candidate lists
+    assert(p.contains("WindowGroupLimit"), p)
+    // the float assignment scan prunes to (vec_id, embedding) — the
+    // cluster column belongs to the approx stage, not the re-rank join
+    val rerankScan = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("/assigned")).getOrElse("")
+    assert(rerankScan.contains("vec_id") && rerankScan.contains("embedding") &&
+      !rerankScan.contains("cluster"), s"re-rank scan not pruned: $rerankScan")
+  }
+
   test("column pruning: q01 scans only event_type (ReadSchema)") {
     val p = plan(SparkEntry.queries("q01_count_by_type")(spark, sf))
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

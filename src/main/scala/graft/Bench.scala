@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Extract per-query seconds from a prior bench artifact. The map is
+    * flat `"name":seconds` — regex-extracted (no JSON lib on the
+    * unmanaged classpath). Two shapes exist: Bench's own stdout line,
+    * and the driver's BENCH_r*.json whose `tail` field carries the map
+    * with ESCAPED quotes (\"name\":t) — `\\?` tolerates both. Query
+    * names are strictly `<letter><digits>_...` (q01/s05/v00/x111),
+    * which excludes every envelope key (n/rc/cpus/sf/value/
+    * n_queries/...) without a denylist. */
+  private[graft] def parseBaseline(body: String): Map[String, Double] = {
+    val entry = "\\\\?\"([a-z][0-9]+_[a-z0-9_]+)\\\\?\":(-?[0-9.]+)".r
+    entry.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,16 +103,7 @@ object Bench {
       latest.filter(_.isFile).map { f =>
         val txt = scala.io.Source.fromFile(f)
         val body = try txt.mkString finally txt.close()
-        // the per-query map is flat `"name":seconds` — regex-extract it
-        // (no JSON lib on the unmanaged classpath). Two shapes exist:
-        // Bench's own stdout line, and the driver's BENCH_r*.json whose
-        // `tail` field carries the map with ESCAPED quotes (\"name\":t)
-        // — \\? tolerates both. Query names are strictly `<letter><digits>_...`
-        // (q01/s05/v00/x111), which excludes every envelope key
-        // (n/rc/cpus/sf/value/n_queries/...) without a denylist.
-        val entry = "\\\\?\"([a-z][0-9]+_[a-z0-9_]+)\\\\?\":(-?[0-9.]+)".r
-        entry.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        parseBaseline(body)
       }.getOrElse(Map.empty)
     }
     val retimed = scala.collection.mutable.ListBuffer.empty[String]

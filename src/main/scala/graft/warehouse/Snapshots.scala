@@ -423,13 +423,41 @@ object Snapshots {
     * dirs holding those keys, not the table. Rewrites preserve batch
     * tags and rebase strictly ([[swapStrict]]) — a concurrent rewrite
     * of an affected dir fails loudly rather than losing updates.
-    * Source rows must be unique per key (enforce upstream with
-    * latest-per-key); duplicate source keys would insert duplicates,
-    * same as SQL MERGE's multiple-match error, but unchecked here to
-    * keep the probe single-pass. */
+    * Source rows must be unique per key — CHECKED: duplicate source
+    * keys raise SQL MERGE's multiple-match cardinality violation
+    * before any write (latest-wins over an unordered duplicate pair
+    * would be read-order-dependent). Dedup upstream, or use
+    * [[upsertLatest]] when the source carries a version order. */
   def upsert(spark: SparkSession, dir: String, source: DataFrame,
              keyCols: Seq[String]): Int =
     upsertImpl(spark, dir, source, keyCols, None)
+
+  /** [[upsert]] with the deterministic pre-dedup built in: keep each
+    * key's row with the greatest `versionCol` (ties broken by the
+    * greatest remaining row via max_by's struct ordering — stable), then
+    * merge. The ReplacingMergeTree latest-wins contract (DDL:37,143)
+    * with the version order EXPLICIT instead of read-order luck. */
+  def upsertLatest(spark: SparkSession, dir: String, source: DataFrame,
+                   keyCols: Seq[String], versionCol: String): Int = {
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    require(!keyCols.contains(versionCol),
+      s"versionCol $versionCol cannot be a merge key")
+    require(source.columns.contains(versionCol),
+      s"source has no column $versionCol")
+    val others = source.columns.filterNot(keyCols.contains).toSeq
+    // total order: version first, remaining payload columns after —
+    // struct comparison is lexicographic, so version ties resolve
+    // deterministically by content, never by read order
+    val ord = struct((versionCol +: others.filterNot(_ == versionCol))
+      .map(col): _*)
+    val latest = source
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), ord).as("_latest"))
+    val restored = others.foldLeft(latest)((df, c) =>
+      df.withColumn(c, col(s"_latest.$c"))).drop("_latest")
+    upsertImpl(spark, dir,
+      restored.select(source.columns.map(col): _*), keyCols, None)
+  }
 
   /** One STREAMING micro-batch applied as a keyed upsert, exactly once
     * per `batchId` — the CDC-into-warehouse shape: a changelog stream's

@@ -349,6 +349,18 @@ class SnapshotsSpec extends AnyFunSuite {
     val after = Snapshots.read(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(after === Map(1 -> "a", 2 -> "B3", 4 -> "d"))
+    // upsertLatest composes that dedup: greatest version wins, version
+    // ties break by payload content (struct order), never read order
+    val dir2 = freshDir()
+    def kvv(rows: (Int, String, Long)*) = rows.toSeq.toDF("id", "v", "ver")
+    Snapshots.append(spark, dir2, kvv((2, "base", 0L), (9, "keep", 0L)))
+    val dupSrc = kvv((2, "newer", 9L), (2, "older", 1L),
+      (4, "tie-b", 5L), (4, "tie-a", 5L), (7, "ins", 1L))
+    Snapshots.upsertLatest(spark, dir2, dupSrc, Seq("id"), "ver")
+    val served = Snapshots.read(spark, dir2).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(served == Map(2 -> "newer", 4 -> "tie-b", 7 -> "ins", 9 -> "keep"),
+      served.toString)
   }
 
   test("upsertBatch: a replayed old batch never clobbers newer values") {

@@ -602,6 +602,47 @@ object PipelineProperties extends Properties("graft") {
       }
     }
 
+  property("MvAgg.kmvDistinct merge law: merge(delta(A), delta(B)) == " +
+    "delta(A ++ B) for any split, and the estimate is exact below k") =
+    forAll(Gen.listOfN(40, Gen.choose(0L, 25L)),
+           Gen.choose(0, 40)) { (vals, cut) =>
+      val agg = graft.stream.MvAgg.kmvDistinct(16)
+      val (a, b) = vals.splitAt(cut)
+      def state(xs: Seq[Long]) =
+        if (xs.isEmpty) Seq.empty[Long]
+        else xs.toDF("v").agg(agg.delta(col("v")).as("s"))
+          .head.getSeq[Long](0)
+      val merged = Seq(state(a), state(b)).toDF("s")
+        .agg(agg.merge(col("s")).as("s")).head.getSeq[Long](0)
+      val direct = state(vals)
+      val est = Seq(Tuple1(merged)).toDF("s")
+        .select(agg.finish(col("s"))).head.getDouble(0)
+      val exact = vals.distinct.size
+      merged == direct && (exact >= 16 || est == exact.toDouble)
+    }
+
+  property("int8 packed cosine tracks the float cosine within the " +
+    "quantization bound on random vectors") =
+    forAll(Gen.listOfN(12, Gen.choose(-1000, 1000)),
+           Gen.listOfN(12, Gen.choose(-1000, 1000))) { (xs, ys) =>
+      import graft.functions.GraftFunctions
+      val a = xs.map(_ / 250.0f / 4).toArray
+      val b = ys.map(_ / 250.0f / 4).toArray
+      val na = a.map(x => x.toDouble * x).sum
+      val nb = b.map(x => x.toDouble * x).sum
+      (na > 1e-9 && nb > 1e-9) ==> {
+        val fcos = a.zip(b).map(p => p._1.toDouble * p._2).sum / math.sqrt(na * nb)
+        val got = Seq((a, b)).toDF("a", "b")
+          .select(GraftFunctions.int8Cosine(spark,
+            GraftFunctions.int8Pack(spark, col("a")),
+            GraftFunctions.int8Pack(spark, col("b"))))
+          .head
+        // ±0.5-code rounding on 127 levels: generous 0.05 band for
+        // 12-dim vectors (observed drift is well under 0.02)
+        !got.isNullAt(0) && math.abs(got.getDouble(0) - fcos) < 0.05
+      }
+    }
+
   property("Snapshots.upsert == (base ANTI srcKeys) UNION src, any key overlap") =
     forAll(
       Gen.listOfN(8, Gen.choose(0, 11)).map(_.distinct),

@@ -112,7 +112,10 @@ object Bench {
       if (t > 0 && prior > 0 && t > prior * 1.25) {
         retimed += name
         val again = timeOnce(name, selected.toMap.apply(name))
-        val best = if (again < 0) t else math.min(t, again)
+        // a throw on the retime surfaces as the failure sentinel, same
+        // policy as the first pass — a flaky query must never report a
+        // clean time just because its clean runs happened first
+        val best = if (again < 0) -1.0 else math.min(t, again)
         System.err.println(f"[bench] retimed $name: $t%.3f vs prior $prior%.3f -> $best%.3f")
         name -> best
       } else name -> t

@@ -203,14 +203,20 @@ object IvfIndex {
       .filter(col("_csim").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("_csim").desc, col("cluster"))
+    // the float query vector does NOT ride the candidate pipeline: a
+    // 64-dim float _qv on every candidate row would be 4x wider than
+    // the int8 code the narrow table exists for. Stages 2-3 carry only
+    // (query_id, code sim); the survivors re-join the small query frame
+    // for their exact re-rank — one extra scan of the QUERY side buys
+    // candidate-volume x 256B off the big exchange.
     val probes = ranked.withColumn("_pr", row_number().over(w))
       .filter(col("_pr") <= nProbes)
-      .select(col("query_id"), col("_qv"), col("_qcode"), col("cluster"))
+      .select(col("query_id"), col("_qcode"), col("cluster"))
     // stage 2: approximate rank on the NARROW code table
     val approx = probes
       .join(codesDf.select(col("cluster"), col(idCol).as("neighbor_id"),
         col("code")), "cluster")
-      .select(col("query_id"), col("_qv"), col("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"),
         GraftFunctions.int8Cosine(spark, col("_qcode"), col("code")).as("_asim"))
       .filter(col("_asim").isNotNull)
     // stage 3: per-query rerank-cut heap (survivor ids only)
@@ -218,9 +224,10 @@ object IvfIndex {
       .partitionBy(col("query_id")).orderBy(col("_asim").desc, col("neighbor_id"))
     val survivors = approx.withColumn("_ar", row_number().over(wq))
       .filter(col("_ar") <= effRerank)
-      .select(col("query_id"), col("_qv"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
     // stage 4: exact float re-rank of the survivors only
     survivors
+      .join(q.select(col("query_id"), col("_qv")), "query_id")
       .join(model.assigned.select(col(idCol).as("neighbor_id"),
         col(embCol).as("_nv")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),

@@ -88,16 +88,21 @@ object Sketches {
     bottomK(exploded, groupCols, k)
   }
 
-  /** Append `distinct_est`: exact size when the sketch is unsaturated
-    * (< k distinct hashes seen — the sketch IS the distinct set), else
-    * (k−1)·2^60 / h_k. All factors are exactly-representable doubles and
-    * the one division is IEEE, so the estimate is bit-identical across
-    * engines. */
+  /** The estimate EXPRESSION — exact size when the sketch is
+    * unsaturated (< k distinct hashes seen — the sketch IS the distinct
+    * set), else (k−1)·2^60 / h_k. All factors are exactly-representable
+    * doubles and the one division is IEEE, so the estimate is
+    * bit-identical across engines. The one copy of this formula:
+    * [[kmvEstimate]] and the incremental-MV KMV state
+    * (`MvAgg.kmvDistinct`) both resolve through it. */
+  def kmvEstimateCol(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble * HashSpace) /
+        element_at(sketch, k).cast("double"))
+
+  /** Append `distinct_est` (see [[kmvEstimateCol]]). */
   def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
-    sketch.withColumn("distinct_est",
-      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-        .otherwise(lit((k - 1).toDouble * HashSpace) /
-          element_at(col("kmv"), k).cast("double")))
+    sketch.withColumn("distinct_est", kmvEstimateCol(col("kmv"), k))
 
   /** rn ≤ k over (group ORDER BY h) → collect ascending. The window is
     * the RewriteLatestPerKey-recognized idiom: planned as the TopKRows

@@ -56,29 +56,17 @@ case class QuantizeInt8Pack(child: Expression) extends UnaryExpression {
 }
 
 object QuantizeInt8Pack {
-  /** One-pass quantize + pack; shared by interpreted and generated code. */
+  /** Quantize + pack via [[QuantizeInt8.quantizeCore]] — the same
+    * arithmetic as the struct-valued kernel BY CONSTRUCTION (codes are
+    * already clamped ±127, so the byte narrowing is exact). Shared by
+    * interpreted and generated code. */
   def pack(arr: ArrayData, isFloat: Boolean): Array[Byte] = {
-    val n = arr.numElements()
-    val xs = new Array[Double](n)
-    var maxAbs = 0.0
+    val core = QuantizeInt8.quantizeCore(arr, isFloat)
+    if (core == null) return null
+    val q = core._2
+    val out = new Array[Byte](q.length)
     var i = 0
-    while (i < n) {
-      if (arr.isNullAt(i)) return null
-      val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
-      xs(i) = v
-      val a = math.abs(v)
-      if (a > maxAbs) maxAbs = a
-      i += 1
-    }
-    val scale = math.max(maxAbs, 1e-30) / 127.0
-    val out = new Array[Byte](n)
-    i = 0
-    while (i < n) {
-      val r = math.floor(xs(i) / scale + 0.5)
-      out(i) = math.max(-127.0, math.min(127.0, r)).toByte
-      i += 1
-    }
+    while (i < q.length) { out(i) = q(i).toByte; i += 1 }
     out
   }
 }

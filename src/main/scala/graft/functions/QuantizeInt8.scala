@@ -70,9 +70,14 @@ object QuantizeInt8 {
     StructField("q", ArrayType(IntegerType, containsNull = false),
       nullable = false)))
 
-  /** One-pass quantization; called from both interpreted and generated
-    * code. Returns null on null/NaN elements. */
-  def quantize(arr: ArrayData, isFloat: Boolean): InternalRow = {
+  /** Shared quantization core — the ONE copy of the validate/scale/
+    * round arithmetic, consumed by both the struct-valued [[quantize]]
+    * and the packed-byte [[QuantizeInt8Pack]]: their documented
+    * value-level agreement (the x112 exact-regime bridge rests on it)
+    * is structural, not kept in sync by hand. Returns null on null/
+    * non-finite elements; codes are clamped to ±127. */
+  private[functions] def quantizeCore(arr: ArrayData,
+                                      isFloat: Boolean): (Double, Array[Int]) = {
     val n = arr.numElements()
     val xs = new Array[Double](n)
     var maxAbs = 0.0
@@ -94,6 +99,14 @@ object QuantizeInt8 {
       q(i) = math.max(-127.0, math.min(127.0, r)).toInt
       i += 1
     }
-    InternalRow(scale, new GenericArrayData(q))
+    (scale, q)
+  }
+
+  /** One-pass quantization; called from both interpreted and generated
+    * code. Returns null on null/NaN elements. */
+  def quantize(arr: ArrayData, isFloat: Boolean): InternalRow = {
+    val core = quantizeCore(arr, isFloat)
+    if (core == null) null
+    else InternalRow(core._1, new GenericArrayData(core._2))
   }
 }

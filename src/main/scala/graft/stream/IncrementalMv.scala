@@ -67,15 +67,11 @@ object MvAgg {
     * any partial aggregate; the PERSISTED state is always ≤ k longs. */
   def kmvDistinct(k: Int, salt: String = "mv-kmv"): MvAgg = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val est: Column => Column = s =>
-      when(size(s) < k, size(s).cast("double"))
-        .otherwise(lit((k - 1).toDouble * graft.ext.Sketches.HashSpace) /
-          element_at(s, k).cast("double"))
     MvAgg(s"kmv$k",
       v => slice(sort_array(collect_set(
         when(v.isNotNull, graft.ext.Sketches.kmvHash(v, salt)))), 1, k),
       s => slice(sort_array(array_distinct(flatten(collect_list(s)))), 1, k),
-      est)
+      s => graft.ext.Sketches.kmvEstimateCol(s, k))
   }
 }
 

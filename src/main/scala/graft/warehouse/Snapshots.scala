@@ -455,8 +455,12 @@ object Snapshots {
       .agg(max_by(struct(others.map(col): _*), ord).as("_latest"))
     val restored = others.foldLeft(latest)((df, c) =>
       df.withColumn(c, col(s"_latest.$c"))).drop("_latest")
+    // unique per key by construction (output of groupBy(keyCols)) —
+    // skip the cardinality check rather than re-running the max_by
+    // shuffle just to prove what the plan already guarantees
     upsertImpl(spark, dir,
-      restored.select(source.columns.map(col): _*), keyCols, None)
+      restored.select(source.columns.map(col): _*), keyCols, None,
+      checkDuplicates = false)
   }
 
   /** One STREAMING micro-batch applied as a keyed upsert, exactly once
@@ -471,26 +475,29 @@ object Snapshots {
   def upsertBatch(spark: SparkSession, dir: String, df: DataFrame,
                   batchId: Long, keyCols: Seq[String]): Int = {
     val tip = latestVersion(spark, dir)
-    if (tip == 0) return appendBatch(spark, dir, df, batchId)
+    if (tip == 0) {
+      // the first micro-batch takes the append shortcut (nothing to
+      // merge against), but the cardinality contract must hold from
+      // version 1: duplicate keys written here would be permanent and
+      // invisible to every later batch's own check
+      requireUniqueKeys(df, keyCols)
+      return appendBatch(spark, dir, df, batchId)
+    }
     if (maxRecordedBatch(manifestLines(spark, dir, tip)).exists(batchId <= _))
       return tip
     upsertImpl(spark, dir, df, keyCols, Some(batchId))
   }
 
-  private def upsertImpl(spark: SparkSession, dir: String, source: DataFrame,
-                         keyCols: Seq[String], batchRecord: Option[Long]): Int = {
-    require(keyCols.nonEmpty, "upsert needs at least one key column")
-    val base = latestVersion(spark, dir)
-    require(base > 0, s"table at $dir has no commits")
-    // MERGE multiple-match check: a source with duplicate merge keys has
-    // no well-defined upsert result — the commit dir would carry BOTH
-    // rows and "latest" would depend on read order, silently corrupting
-    // the ReplacingMergeTree latest-wins contract (reference DDL:37,143)
-    // this operator implements. Fail loudly (ANSI MERGE raises the same
-    // cardinality violation); the caller dedups deterministically first
-    // (Star.latestPerKey / a max_by over an explicit version column).
-    // Cost: one aggregate over the SOURCE side only — the small side of
-    // an upsert by construction, never the table.
+  /** MERGE multiple-match check: a source with duplicate merge keys has
+    * no well-defined upsert result — the commit dir would carry BOTH
+    * rows and "latest" would depend on read order, silently corrupting
+    * the ReplacingMergeTree latest-wins contract (reference DDL:37,143)
+    * this operator implements. Fail loudly (ANSI MERGE raises the same
+    * cardinality violation); the caller dedups deterministically first
+    * ([[upsertLatest]] / Star.latestPerKey). Cost: one aggregate over
+    * the SOURCE side only — the small side of an upsert by
+    * construction, never the table. */
+  private def requireUniqueKeys(source: DataFrame, keyCols: Seq[String]): Unit = {
     val dup = source
       .groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .count()
@@ -501,7 +508,16 @@ object Snapshots {
         dup.headOption.map(r => keyCols.indices.map(r.get).mkString("(", ", ", ")"))
           .getOrElse("?") +
         " — dedup the source to one row per key (latest-wins needs an explicit" +
-        " version order, e.g. Star.latestPerKey) before merging")
+        " version order, e.g. upsertLatest / Star.latestPerKey) before merging")
+  }
+
+  private def upsertImpl(spark: SparkSession, dir: String, source: DataFrame,
+                         keyCols: Seq[String], batchRecord: Option[Long],
+                         checkDuplicates: Boolean = true): Int = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val base = latestVersion(spark, dir)
+    require(base > 0, s"table at $dir has no commits")
+    if (checkDuplicates) requireUniqueKeys(source, keyCols)
     val lines = manifestLines(spark, dir, base)
     val live = lines.filterNot(isMeta)
     import org.apache.spark.sql.functions.input_file_name

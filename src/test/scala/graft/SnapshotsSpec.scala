@@ -349,6 +349,14 @@ class SnapshotsSpec extends AnyFunSuite {
     val after = Snapshots.read(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(after === Map(1 -> "a", 2 -> "B3", 4 -> "d"))
+    // the guard holds from version 1: the FIRST streaming batch takes
+    // the append shortcut, where duplicate keys would be permanent and
+    // invisible to every later batch's own check
+    val dirS = freshDir()
+    assertThrows[IllegalArgumentException] {
+      Snapshots.upsertBatch(spark, dirS, kv(1 -> "a", 1 -> "b"), 0L, Seq("id"))
+    }
+    assert(Snapshots.latestVersion(spark, dirS) === 0)
     // upsertLatest composes that dedup: greatest version wins, version
     // ties break by payload content (struct order), never read order
     val dir2 = freshDir()

@@ -1605,6 +1605,23 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x114_nb_lang_classify" -> ((s, d) => {
+      // Learned language/domain routing (the fastText-style filter
+      // stage of a curation pipeline) as portable arithmetic: train
+      // multinomial naive Bayes on the even doc_ids, classify the odd
+      // half. Every count is exact, the per-(doc, label) log-prob fold
+      // is position-ordered (x62's determinism discipline), and the
+      // argmax tie rule is explicit — so DuckDB replays training AND
+      // inference end-to-end, scores included.
+      import graft.ext.TextClassify
+      val docs = t(s, d, "documents")
+      val model = TextClassify.trainNaiveBayes(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "lang")
+      TextClassify.classify(model,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("pred"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
     "x113_incremental_mv_distinct" -> ((s, d) => {
       // Distinct-users-per-(day, type) maintained INCREMENTALLY as a
       // KMV-state MV (x111's loop with a sketch state): three deltas
@@ -4526,6 +4543,43 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // full NB replay: token x label counts -> smoothed grid -> ordered
+    // per-(doc, label) fold -> explicit argmax (score DESC, label DESC)
+    "x114_nb_lang_classify" ->
+      """WITH tr AS (SELECT lang AS label, text FROM documents
+        |            WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
+        |ap AS (SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |ttok AS (SELECT label,
+        |           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |         FROM tr),
+        |cnt AS (SELECT label, tok, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2),
+        |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_l FROM ttok GROUP BY 1),
+        |dl AS (SELECT label, CAST(count(*) AS BIGINT) AS docs FROM tr GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS all_docs FROM tr),
+        |voc AS (SELECT DISTINCT tok FROM cnt),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM voc),
+        |grid AS (
+        |  SELECT voc.tok, nl.label,
+        |    ln((COALESCE(cnt.c, 0) + 1.0) / (CAST(nl.n_l AS DOUBLE) + 1.0 * CAST(v.vsz AS DOUBLE))) AS lp
+        |  FROM voc CROSS JOIN nl CROSS JOIN v
+        |  LEFT JOIN cnt ON cnt.tok = voc.tok AND cnt.label = nl.label),
+        |pri AS (SELECT dl.label, ln(CAST(dl.docs AS DOUBLE) / CAST(tot.all_docs AS DOUBLE)) AS log_prior
+        |        FROM dl, tot),
+        |atok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM ap),
+        |sc AS (SELECT atok.doc_id, grid.label,
+        |         list_sum(list(grid.lp ORDER BY atok.pos)) AS sum_lp
+        |       FROM atok JOIN grid USING (tok) GROUP BY 1, 2),
+        |fs AS (SELECT a.doc_id, pri.label, pri.log_prior + COALESCE(sc.sum_lp, 0.0) AS score
+        |       FROM (SELECT DISTINCT doc_id FROM ap) a CROSS JOIN pri
+        |       LEFT JOIN sc ON sc.doc_id = a.doc_id AND sc.label = pri.label),
+        |r AS (SELECT doc_id, label, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn
+        |      FROM fs)
+        |SELECT doc_id, label AS pred, CAST(ROUND(score, 6) AS DOUBLE) AS score
+        |FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     // below-saturation KMV state == the exact distinct set, so the
     // incrementally maintained MV must serve COUNT(DISTINCT) exactly
     "x113_incremental_mv_distinct" ->

@@ -367,6 +367,52 @@ class CurationSpec extends AnyFunSuite {
       allSys.getString(1).contains("be terse"))
   }
 
+  test("naive Bayes: hand-computed posteriors, unknown-token drop, " +
+    "prior-only tie rule, and high accuracy on the fixture languages") {
+    import graft.ext.TextClassify
+    // train: label x = "aa aa bb" (N=3), label y = "bb cc" (N=2); V=3
+    val train = Seq(("x", "aa aa bb"), ("y", "bb cc")).toDF("lab", "txt")
+    val model = TextClassify.trainNaiveBayes(train, "txt", "lab", alpha = 1.0)
+    val grid = model.grid.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(grid.size == 6) // complete 3x2 grid
+    assert(math.abs(grid(("aa", "x")) - math.log(3.0 / 6)) < 1e-12)
+    assert(math.abs(grid(("cc", "x")) - math.log(1.0 / 6)) < 1e-12)
+    assert(math.abs(grid(("bb", "y")) - math.log(2.0 / 5)) < 1e-12)
+    // classify: "aa bb" → x wins (ln(1/12) > ln(1/25)); "zz" is
+    // out-of-vocab → dropped → prior-only tie → greater label y
+    val out = TextClassify.classify(model,
+        Seq((1L, "aa bb"), (2L, "zz")).toDF("id", "txt"), "txt", "id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == "x")
+    assert(math.abs(out(1L)._2 -
+      BigDecimal(math.log(0.5) + math.log(0.5) + math.log(1.0 / 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(2L)._1 == "y" && out(2L)._2 ==
+      BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // separable-corpus sanity (the fixture's `lang` label is RANDOM over
+    // a shared vocabulary — no learnable signal by construction, which
+    // is why x114 oracles determinism, not accuracy): two disjoint
+    // vocabularies + mild shared noise → held-out accuracy near 1.0
+    val vocabA = Seq("blau", "haus", "strasse", "wasser", "berg")
+    val vocabB = Seq("azul", "casa", "calle", "agua", "monte")
+    def doc(vocab: Seq[String], seedRow: Int) =
+      (0 until 12).map(j => vocab((seedRow * 7 + j * 3) % vocab.size))
+        .mkString(" ") + " the of" // shared noise tokens
+    val corpus = (0 until 100).map { i =>
+      val lab = if (i % 2 == 0) "A" else "B"
+      (i.toLong, lab, doc(if (lab == "A") vocabA else vocabB, i))
+    }.toDF("id", "lab", "txt")
+    val m2 = TextClassify.trainNaiveBayes(
+      corpus.filter(col("id") < 60), "txt", "lab")
+    val pred = TextClassify.classify(m2,
+        corpus.filter(col("id") >= 60), "txt", "id")
+      .join(corpus.select(col("id"), col("lab")), "id")
+    val (hit, total) = (pred.filter(col("pred") === col("lab")).count(),
+      pred.count())
+    assert(total == 40 && hit == total, s"NB separable accuracy $hit/$total")
+  }
+
   test("globalPositions: a dense 0..n-1 permutation, partitioning-" +
     "independent, null ids excluded, no single-partition window") {
     import graft.ext.Sampling

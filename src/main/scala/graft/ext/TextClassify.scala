@@ -30,7 +30,14 @@ object TextClassify {
     * apply never needs the floor for in-vocab tokens, and OUT-of-vocab
     * tokens are dropped (standard NB practice: an unknown token
     * carries no class signal). */
-  final case class NbModel(grid: DataFrame, labels: DataFrame)
+  final case class NbModel(grid: DataFrame, labels: DataFrame,
+                           private[ext] val cachedCounts: DataFrame) {
+    /** Release the cached token×label counts backing the model frames.
+      * Call after persisting/staging `grid`+`labels`, or when done —
+      * the frames stay CORRECT afterwards (lineage recomputes), they
+      * just lose the cache. */
+    def unpersist(): Unit = { cachedCounts.unpersist(); () }
+  }
 
   /** Train on `(textCol, labelCol)` rows; null/blank labels and null
     * texts are excluded. α must be positive (Laplace α=1 default). */
@@ -41,10 +48,16 @@ object TextClassify {
       .select(col(labelCol).as("label"), col(textCol).as("_text"))
     val tok = rows.select(col("label"),
       explode(TextDedup.tokens(col("_text"))).as("tok"))
+    // ONE tokenize pass: label totals (N_l = Σ_t c(l,t)) and the vocab
+    // both derive from the persisted token×label counts — at corpus
+    // scale the counts table is vocab-sized, the corpus is not, so
+    // every downstream model frame reads the small cached aggregate
+    // instead of re-scanning/re-exploding the text
     val counts = tok.groupBy(col("label"), col("tok"))
       .agg(count(lit(1)).as("c"))
-    val labelTotals = tok.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_l"))
+      .persist()
+    val labelTotals = counts.groupBy(col("label"))
+      .agg(sum(col("c")).as("n_l"))
     val docTotals = rows.groupBy(col("label")).agg(count(lit(1)).as("docs"))
     val vocab = counts.select(col("tok")).distinct()
     val vocabSize = vocab.count()
@@ -63,7 +76,7 @@ object TextClassify {
         log(col("docs").cast("double") / lit(allDocs.toDouble)).as("log_prior"),
         log(lit(alpha) / (col("n_l").cast("double") +
           lit(alpha) * lit(vocabSize.toDouble))).as("lp_unseen"))
-    NbModel(grid, labels)
+    NbModel(grid, labels, counts)
   }
 
   /** Classify every row: `(id, pred, score)` — `pred` the argmax label

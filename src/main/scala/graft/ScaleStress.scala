@@ -85,7 +85,54 @@ object ScaleStress {
       val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 97 === 0)
       graft.ext.IvfIndex.batchTopKQuantized(model, codes, queries,
         "embedding", "vec_id", k = 5, nProbes = 2)
+    }),
+    // QUERY-PATH-ONLY pair: the in-query probes above re-fit k-means and
+    // re-derive tables every call, so their lines measure mostly BUILD.
+    // These two stage the index ONCE per (process, dir) — the
+    // build-once/query-many production life — and time only the probe
+    // against the staged parquet layout (assigned + packed codes), the
+    // shape PlanSpec gates. Compare flat vs pq on equal footing.
+    // Query batch: ~0.1% of the corpus (% 971) — the serving shape.
+    // A DENSE batch (the in-query probes' 1%) makes rerank survivors
+    // corpus-sized, and the pq path's survivor-side float join then
+    // costs what the flat path's full float pass does — the quantized
+    // trade only pays when survivors ≪ corpus, which is what real ANN
+    // serving looks like.
+    "ivf_flat_staged2" -> ((s, dir) => {
+      val (model, _) = stagedIvf(s, dir)
+      val queries = Tables(s, dir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 971 === 0)
+      graft.ext.IvfIndex.batchTopK(model, queries, "embedding", "vec_id",
+        k = 5, nProbes = 2)
+    }),
+    "ivf_pq_staged2" -> ((s, dir) => {
+      val (model, codes) = stagedIvf(s, dir)
+      val queries = Tables(s, dir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") % 971 === 0)
+      graft.ext.IvfIndex.batchTopKQuantized(model, codes, queries,
+        "embedding", "vec_id", k = 5, nProbes = 2)
     }))
+
+  /** Build-once memo for the staged-index probes: fit, stage assigned +
+    * codes to parquet, re-read — per (JVM, data dir). */
+  private val ivfMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.ext.IvfIndex.Model, DataFrame)]
+  private def stagedIvf(s: SparkSession, dir: String): (graft.ext.IvfIndex.Model, DataFrame) =
+    ivfMemo.synchronized {
+      ivfMemo.getOrElseUpdate(dir, {
+        val emb = Tables(s, dir, "embeddings")
+        val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 16)
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-stress-ivf-${ProcessHandle.current().pid()}-" +
+            java.lang.Integer.toHexString(dir.hashCode)).toString
+        model.assigned.write.mode("overwrite").parquet(s"$root/assigned")
+        graft.ext.IvfIndex.codes(model, "embedding", "vec_id")
+          .write.mode("overwrite").parquet(s"$root/codes")
+        (model.copy(assigned = s.read.parquet(s"$root/assigned")),
+          s.read.parquet(s"$root/codes"))
+      })
+    }
 
   def inflate(spark: SparkSession, baseDir: String, outDir: String,
               factor: Int): Unit = {

@@ -219,12 +219,18 @@ object IvfIndex {
       .select(col("query_id"), col("neighbor_id"),
         GraftFunctions.int8Cosine(spark, col("_qcode"), col("code")).as("_asim"))
       .filter(col("_asim").isNotNull)
-    // stage 3: per-query rerank-cut heap (survivor ids only)
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("_asim").desc, col("neighbor_id"))
-    val survivors = approx.withColumn("_ar", row_number().over(wq))
-      .filter(col("_ar") <= effRerank)
-      .select(col("query_id"), col("neighbor_id"))
+    // stage 3: per-query rerank cut as the REDUCING topKBy heap
+    // (map-side partial, ≤ rerank rows per query per task cross the
+    // wire) — NOT a row_number window: without the optimizer rewrite
+    // loaded, that plans as a full Sort of every candidate, measured 3×
+    // slower than the flat path at 100× on the staged layout. Tie rule
+    // (asim DESC, neighbor_id ASC) matches the window formulation.
+    val survivors = approx
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.topKBy(spark, col("_asim"), col("neighbor_id"),
+        effRerank).as("_cand"))
+      .select(col("query_id"), explode(col("_cand")).as("t"))
+      .select(col("query_id"), col("t.value").as("neighbor_id"))
     // stage 4: exact float re-rank of the survivors only
     survivors
       .join(q.select(col("query_id"), col("_qv")), "query_id")

@@ -41,9 +41,11 @@ class PlanSpec extends AnyFunSuite {
       l.contains("ReadSchema") && l.contains("code:binary")).toSeq
     assert(codeScans.size == 1, s"expected one code scan:\n$p")
     assert(!codeScans.head.contains("embedding"), codeScans.head)
-    // the re-rank cut plans as WindowGroupLimit (partial heap before the
-    // shuffle), not a full per-query sort of the candidate lists
-    assert(p.contains("WindowGroupLimit"), p)
+    // the re-rank cut and the final cut both plan as the reducing
+    // topKBy heap (map-side partial aggregate) — never a full sort of
+    // the candidate lists (the probe-selection window over k centroids
+    // is the only window, and it is centroid-bounded)
+    assert(p.linesIterator.count(_.contains("partial_graft_topk_by")) >= 2, p)
     // the float assignment scan prunes to (vec_id, embedding) — the
     // cluster column belongs to the approx stage, not the re-rank join
     val rerankScan = p.linesIterator.find(l =>

@@ -57,6 +57,7 @@ object ScaleStress {
     // round-8: incremental MVs, quantized re-rank (oracled exact modes)
     "x111_incremental_mv", "x112_ivf_pq_rerank",
     "x113_incremental_mv_distinct", "x114_nb_lang_classify",
+    "x115_incremental_mv_sample",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

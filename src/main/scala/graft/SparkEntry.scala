@@ -1605,6 +1605,32 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x115_incremental_mv_sample" -> ((s, d) => {
+      // Incrementally-maintained deterministic weighted sample (A-Res
+      // top-5 event_ids per (day, type), weight ∝ integer cents) — the
+      // per-stratum training-sample-that-stays-fresh verb: three deltas
+      // merge top-k states (top-k of a union of top-k's IS top-k of the
+      // union, so the law is exact), and the oracle recomputes the
+      // sample from scratch with x97's portable priority arithmetic.
+      import graft.stream.{IncrementalMv, MvAgg}
+      val agg = MvAgg.prioritySample(5)
+      val path = cachePath(d, "x115") + "/mv_ares"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, d, "events")
+      val v = struct(col("event_id").as("id"),
+        round(col("value") * 100).as("w"))
+      (0 until 3).foreach(m => IncrementalMv.applyAggDelta(
+        ev.filter(pmod(col("event_id"), lit(3)) === m), m, path,
+        "ts", "event_type", v, agg))
+      IncrementalMv.readAgg(s, path, agg)
+        .select(col("day"), col("key"),
+          posexplode(col("value")).as(Seq("r0", "t")))
+        .select(col("day"), col("key"),
+          (col("r0") + 1).cast("bigint").as("rank"),
+          col("t.id").as("event_id"), (-col("t.np")).as("priority"))
+        .orderBy(col("day"), col("key"), col("rank"))
+    }),
     "x114_nb_lang_classify" -> ((s, d) => {
       // Learned language/domain routing (the fastText-style filter
       // stage of a curation pipeline) as portable arithmetic: train
@@ -4543,6 +4569,25 @@ object SparkEntry {
         |  x.n_exact
         |FROM est JOIN x USING (event_type)
         |ORDER BY est.event_type""".stripMargin,
+    // from-scratch A-Res replay (x97's portable priority arithmetic)
+    // == the incrementally maintained top-k sample state
+    "x115_incremental_mv_sample" ->
+      """WITH p AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS key, event_id,
+        |    round(ln((CAST(concat('0x', substr(sha256('mv-ares:' ||
+        |        CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+        |        / 281474976710656.0)
+        |      / CAST(round(value * 100) AS DOUBLE), 9) AS priority
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND round(value * 100) > 0),
+        |r AS (SELECT day, key, event_id, priority,
+        |        row_number() OVER (PARTITION BY day, key
+        |                           ORDER BY priority DESC, event_id) AS rn
+        |      FROM p)
+        |SELECT day, key, CAST(rn AS BIGINT) AS rank, event_id, priority
+        |FROM r WHERE rn <= 5
+        |ORDER BY day, key, rank""".stripMargin,
     // full NB replay: token x label counts -> smoothed grid -> ordered
     // per-(doc, label) fold -> explicit argmax (score DESC, label DESC)
     "x114_nb_lang_classify" ->

@@ -73,6 +73,36 @@ object MvAgg {
       s => slice(sort_array(array_distinct(flatten(collect_list(s)))), 1, k),
       s => graft.ext.Sketches.kmvEstimateCol(s, k))
   }
+
+  /** Incrementally-maintained deterministic weighted sample per group —
+    * A-Res (x97's `Sampling.prioritySample`) as an MV state: the value
+    * column must be `struct(id, w)`; each row's priority is the x97
+    * arithmetic (round(ln(u(id)) / w, 9), u from the salted sha256 of
+    * the id — portable, RNG-free), and the state is the top-k
+    * `(np = -priority, id)` pairs ascending (= priority DESC, id ASC
+    * ties). Top-k of a union of top-k's IS top-k of the union, so the
+    * merge law is exact and incremental == recompute bit-for-bit — a
+    * per-stratum training sample that stays fresh under streaming
+    * ingest without ever rescanning history. Null ids and null/≤0
+    * weights drop (the x97 contract). */
+  def prioritySample(k: Int, salt: String = "mv-ares"): MvAgg = {
+    require(k > 0, s"k must be positive, got $k")
+    val space = 281474976710656.0 // 2^48, the x97 hash space
+    def item(v: Column): Column = {
+      val id = v.getField("id")
+      val w = v.getField("w").cast("double")
+      val h = conv(substring(sha2(
+        concat_ws(":", lit(salt), id.cast("string")), 256), 1, 12),
+        16, 10).cast("long")
+      val pr = round(log((h + 1).cast("double") / lit(space)) / w, 9)
+      when(id.isNotNull && w.isNotNull && w > 0,
+        struct((-pr).as("np"), id.as("id")))
+    }
+    MvAgg(s"ares$k",
+      v => slice(sort_array(collect_list(item(v))), 1, k),
+      s => slice(sort_array(flatten(collect_list(s))), 1, k),
+      identity)
+  }
 }
 
 /** Incrementally-maintained aggregate table (materialized view) over a

@@ -186,6 +186,28 @@ class MaintenanceSpec extends AnyFunSuite {
       .agg(agg.delta(cents).as("state"))
       .select(col("day"), col("key"), agg.finish(col("state")).as("value"))
 
+    // prioritySample needs a struct(id, w) value — run it through the
+    // same harness with its own value column (merge law is exact:
+    // top-k of a union of top-k's is top-k of the union)
+    val aresAgg = MvAgg.prioritySample(4)
+    val aresVal = struct(col("event_id").as("id"), cents.as("w"))
+    val aresDir = Files.createTempDirectory("graft-mv-ares").toString + "/mv"
+    (0 until 3).foreach(m => IncrementalMv.applyAggDelta(
+      chunk(m), m, aresDir, "ts", "event_type", aresVal, aresAgg))
+    IncrementalMv.applyAggDelta( // replay no-op
+      chunk(2), 2, aresDir, "ts", "event_type", aresVal, aresAgg)
+    val aresGot = IncrementalMv.readAgg(spark, aresDir, aresAgg)
+    val aresWant = ev
+      .groupBy(to_date(col("ts")).as("day"),
+        col("event_type").cast("string").as("key"))
+      .agg(aresAgg.delta(aresVal).as("state"))
+      .select(col("day"), col("key"),
+        aresAgg.finish(col("state")).as("value"))
+    assert(aresGot.count() > 0 && aresGot.count() == aresWant.count())
+    assert(aresGot.exceptAll(aresWant).isEmpty &&
+      aresWant.exceptAll(aresGot).isEmpty,
+      "incrementally maintained A-Res sample must equal recompute")
+
     for (agg <- Seq(MvAgg.sumOf, MvAgg.minOf,
         MvAgg.kll(spark, k = 4096, qs = Seq(0.25, 0.5, 0.9)),
         MvAgg.kmvDistinct(1024))) {

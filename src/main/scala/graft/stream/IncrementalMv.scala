@@ -41,6 +41,18 @@ object MvAgg {
   val maxOf: MvAgg =
     MvAgg("max", v => max(v.cast("double")), s => max(s), identity)
 
+  /** AVG(value) per group — the canonical "average is NOT mergeable,
+    * its (sum, n) STATE is" example: the stored state is
+    * `struct(sum, n)`, merge adds componentwise, `finish` divides at
+    * read time. */
+  val avgOf: MvAgg = MvAgg("avg",
+    v => struct(sum(v.cast("double")).as("sum"),
+      count(v.cast("double")).as("n")),
+    s => struct(sum(s.getField("sum")).as("sum"),
+      sum(s.getField("n")).as("n")),
+    s => when(s.getField("n") > 0,
+      s.getField("sum") / s.getField("n").cast("double")))
+
   /** KLL quantile sketch per group: the state is the SERIALIZED sketch
     * (binary), merged distributedly by `graft_kll_merge`; `finish`
     * resolves the requested quantiles at read time. The ClickHouse

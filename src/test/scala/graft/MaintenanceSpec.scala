@@ -208,7 +208,7 @@ class MaintenanceSpec extends AnyFunSuite {
       aresWant.exceptAll(aresGot).isEmpty,
       "incrementally maintained A-Res sample must equal recompute")
 
-    for (agg <- Seq(MvAgg.sumOf, MvAgg.minOf,
+    for (agg <- Seq(MvAgg.sumOf, MvAgg.minOf, MvAgg.avgOf,
         MvAgg.kll(spark, k = 4096, qs = Seq(0.25, 0.5, 0.9)),
         MvAgg.kmvDistinct(1024))) {
       val got = IncrementalMv.readAgg(spark, maintain(agg), agg)

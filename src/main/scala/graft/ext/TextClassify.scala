@@ -44,7 +44,8 @@ object TextClassify {
   def trainNaiveBayes(df: DataFrame, textCol: String, labelCol: String,
                       alpha: Double = 1.0): NbModel = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val rows = df.filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+    val rows = df.filter(col(labelCol).isNotNull &&
+        trim(col(labelCol)) =!= "" && col(textCol).isNotNull)
       .select(col(labelCol).as("label"), col(textCol).as("_text"))
     val tok = rows.select(col("label"),
       explode(TextDedup.tokens(col("_text"))).as("tok"))

@@ -370,12 +370,15 @@ class CurationSpec extends AnyFunSuite {
   test("naive Bayes: hand-computed posteriors, unknown-token drop, " +
     "prior-only tie rule, and high accuracy on the fixture languages") {
     import graft.ext.TextClassify
-    // train: label x = "aa aa bb" (N=3), label y = "bb cc" (N=2); V=3
-    val train = Seq(("x", "aa aa bb"), ("y", "bb cc")).toDF("lab", "txt")
+    // train: label x = "aa aa bb" (N=3), label y = "bb cc" (N=2); V=3;
+    // blank/whitespace labels are excluded per the documented contract
+    val train = Seq(("x", "aa aa bb"), ("y", "bb cc"),
+      ("", "junk"), ("   ", "junk2")).toDF("lab", "txt")
     val model = TextClassify.trainNaiveBayes(train, "txt", "lab", alpha = 1.0)
     val grid = model.grid.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    assert(grid.size == 6) // complete 3x2 grid
+    assert(grid.size == 6) // complete 3x2 grid — no blank-label class
+    assert(grid.keys.map(_._2).toSet == Set("x", "y"))
     assert(math.abs(grid(("aa", "x")) - math.log(3.0 / 6)) < 1e-12)
     assert(math.abs(grid(("cc", "x")) - math.log(1.0 / 6)) < 1e-12)
     assert(math.abs(grid(("bb", "y")) - math.log(2.0 / 5)) < 1e-12)

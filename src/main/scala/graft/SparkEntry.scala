@@ -1605,6 +1605,67 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("group_id"))
         .orderBy(col("vec_id"))
     }),
+    "x116_containment_pairs" -> ((s, d) => {
+      // Containment-scored near-dup pairs (Broder containment; the LSH
+      // Ensemble motivation): corpus = documents ∪ excerpt copies (the
+      // first ⌊tokens/3⌋ tokens, id+1000000) — each excerpt scores
+      // c_ab ≈ 1 against its base while the pair's Jaccard is ≈ 1/3,
+      // i.e. exactly the quote/subset duplicates a Jaccard-tuned
+      // MinHash-LSH pass structurally misses. Candidates come from
+      // rare-shingle blocking (df ∈ [2, maxDf] postings — the bucket-cap
+      // discipline applied to an inverted index); all three scores are
+      // integer-ratio doubles, so DuckDB replays the whole pipeline.
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("id"), TextDedup.normalize(col("text")).as("t"))
+      val exc = base
+        .select((col("id") + 1000000).as("id"), split(col("t"), " ").as("_toks"))
+        .select(col("id"), array_join(
+          slice(col("_toks"), lit(1),
+            greatest(floor(size(col("_toks")) / 3).cast("int"), lit(1))),
+          " ").as("t"))
+      // stagingPath: the shingle table spills to parquet (re-read by the
+      // three consumer branches) instead of a session persist — no cached
+      // frame survives the query (the x114 leak lesson), and it is the
+      // documented beyond-memory shape anyway
+      TextDedup.containmentPairs(base.unionByName(exc), "t", "id",
+          shingleK = 3, maxDf = 4, minContainment = 0.5,
+          stagingPath = Some(cachePath(d, "x116") + "/sh"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "x117_threshold_sweep" -> ((s, d) => {
+      // Filter-calibration sweep (the PR curve of "keep iff score >= t"
+      // for every attained threshold): integer score = n_chars, label =
+      // English — the step between training a quality/language
+      // classifier (x114) and applying it as a corpus gate (x40). All
+      // counts exact; precision/recall integer-ratio doubles; F1 one
+      // identical IEEE mul/div chain on both engines.
+      Quality.thresholdSweep(
+        t(s, d, "documents").select(col("n_chars"), col("lang")),
+        "n_chars", col("lang") === "en")
+    }),
+    "x118_snapshot_ann" -> ((s, d) => {
+      // O(delta) ANN index maintenance on a versioned table: embeddings
+      // arrive as three commits; the coarse quantizer is fit once and
+      // each commit dir is assigned to its fixed centroids once, cached
+      // under _stats (the x88/x110 maintenance discipline applied to
+      // vector search — new commits never re-touch indexed data).
+      // Probe-ALL batch top-k over the incrementally-built index is
+      // exact by construction, so the entire maintenance loop sits
+      // under x99's brute-force oracle. In-query table build per the
+      // x52 convention; the serving probe is the cheap tail.
+      import graft.warehouse.Snapshots
+      val path = cachePath(d, "x118") + "/tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val emb = t(s, d, "embeddings")
+      (0 until 3).foreach(m => Snapshots.append(s, path,
+        emb.filter(pmod(col("vec_id"), lit(3)) === m)))
+      val model = Snapshots.annIndex(s, path, "embedding", "vec_id", k = 8)
+      val queries = emb.filter(col("vec_id") % 101 === 0)
+      graft.ext.IvfIndex.batchTopK(model, queries, "embedding", "vec_id",
+          k = 5, nProbes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -4577,6 +4638,90 @@ object SparkEntry {
         |ORDER BY est.event_type""".stripMargin,
     // from-scratch A-Res replay (x97's portable priority arithmetic)
     // == the incrementally maintained top-k sample state
+    // full containment-pipeline replay: excerpt corpus -> distinct
+    // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
+    // pairs -> exact containment/Jaccard (integer-ratio doubles)
+    "x116_containment_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |exc AS (
+        |  SELECT id + 1000000 AS id,
+        |    array_to_string(toks[1:greatest(len(toks)//3, 1)], ' ') AS t
+        |  FROM (SELECT id, string_split(t, ' ') AS toks FROM base)),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+        |tk AS (SELECT id, string_split(t, ' ') AS toks FROM corpus),
+        |s AS (SELECT id, list_distinct(
+        |        CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(0, len(toks) - 3 + 1),
+        |                    i -> array_to_string(toks[i+1:i+3], ' '))
+        |        END) AS sh
+        |      FROM tk),
+        |inv AS (SELECT id, unnest(sh) AS g FROM s),
+        |dfreq AS (SELECT g, count(*) AS dfc FROM inv GROUP BY g),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM inv a
+        |         JOIN inv b ON a.g = b.g AND a.id < b.id
+        |         JOIN dfreq ON dfreq.g = a.g
+        |         WHERE dfreq.dfc BETWEEN 2 AND 4),
+        |v AS (SELECT id_a, id_b,
+        |        len(list_intersect(sa.sh, sb.sh)) AS i,
+        |        len(sa.sh) AS na, len(sb.sh) AS nb
+        |      FROM cand
+        |      JOIN s sa ON sa.id = id_a
+        |      JOIN s sb ON sb.id = id_b)
+        |SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / na AS c_ab,
+        |  CAST(i AS DOUBLE) / nb AS c_ba,
+        |  CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+        |FROM v
+        |WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // cumulative confusion counts over the per-score table; the window
+    // runs on |distinct n_chars| rows on both engines
+    "x117_threshold_sweep" ->
+      """WITH g AS (
+        |  SELECT n_chars AS threshold, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |             CAST(sum(np) AS BIGINT) AS pos FROM g),
+        |c AS (SELECT threshold,
+        |        CAST(sum(np) OVER (ORDER BY threshold DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |        CAST(sum(n) OVER (ORDER BY threshold DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |      FROM g)
+        |SELECT threshold, tp, pp - tp AS fp, t.pos - tp AS fn,
+        |  t.tot - pp - (t.pos - tp) AS tn,
+        |  CAST(tp AS DOUBLE) / pp AS precision,
+        |  CAST(tp AS DOUBLE) / t.pos AS recall,
+        |  CASE WHEN CAST(tp AS DOUBLE) / pp + CAST(tp AS DOUBLE) / t.pos > 0
+        |    THEN 2 * (CAST(tp AS DOUBLE) / pp) * (CAST(tp AS DOUBLE) / t.pos)
+        |         / ((CAST(tp AS DOUBLE) / pp) + (CAST(tp AS DOUBLE) / t.pos))
+        |    ELSE 0.0 END AS f1
+        |FROM c, t
+        |ORDER BY threshold DESC""".stripMargin,
+    // probe-all over the incrementally-assigned index = exact: the x99
+    // brute-force replay at the x118 query batch (vec_id % 101)
+    "x118_snapshot_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id % 101 = 0),
+        |sims AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id, CAST(ROUND(
+        |    list_sum(list_transform(list_zip(q.qe, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sim
+        |  FROM q, embeddings b),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM sims WHERE sim IS NOT NULL)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "x115_incremental_mv_sample" ->
       """WITH p AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type AS key, event_id,

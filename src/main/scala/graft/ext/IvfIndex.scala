@@ -63,6 +63,37 @@ object IvfIndex {
     Model(model.clusterCenters.map(_.toArray), assigned, fitRows)
   }
 
+  /** Assignment against FIXED centroids as one narrow expression — the
+    * incremental-index path ([[graft.warehouse.Snapshots.annIndex]]):
+    * newly-arrived rows are assigned without re-fitting the quantizer
+    * and without touching already-indexed data. cluster = argmin of
+    * squared Euclidean distance (the k-means criterion); the fold keeps
+    * the FIRST minimum, so ties break to the lowest cluster index —
+    * deterministic under any partitioning and engine. Rows whose vector
+    * is null or yields a null distance (e.g. dimension mismatch against
+    * the centroids) are dropped — they could never be probed anyway.
+    * Output schema matches [[fit]]'s `assigned`: (id, emb, cluster). */
+  def assign(centroids: Array[Array[Double]], df: DataFrame, embCol: String,
+             idCol: String): DataFrame = {
+    require(centroids.nonEmpty, "assign needs at least one centroid")
+    val centLit = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("i"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+    val best = aggregate(centLit,
+      struct(lit(-1).as("i"), lit(Double.PositiveInfinity).as("d")),
+      (st, e) => {
+        val dist = aggregate(
+          zip_with(col(embCol), e.getField("c"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)
+        when(dist < st.getField("d"),
+          struct(e.getField("i").as("i"), dist.as("d"))).otherwise(st)
+      },
+      st => st.getField("i"))
+    df.select(col(idCol), col(embCol), best.as("cluster"))
+      .filter(col("cluster") >= 0)
+  }
+
   /** Probe the `nProbes` centroids nearest to the query (cosine), then
     * exact-rank within those clusters only. */
   def topK(model: Model, embCol: String, idCol: String, query: Seq[Double],

@@ -203,6 +203,67 @@ object TextDedup {
     size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB))
 
+  /** Containment-scored near-dup pairs — the ASYMMETRIC complement of
+    * the Jaccard pipelines: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| over
+    * distinct k-token shingles (Broder's containment). A short excerpt
+    * quoted inside a long document scores C ≈ 1 in the excerpt→document
+    * direction while its Jaccard is ≈ |A|/|B| — so a MinHash-LSH pass
+    * tuned for Jaccard ≥ 0.7 structurally MISSES quote/subset
+    * duplicates (the LSH Ensemble motivation, Zhu et al. VLDB'16); this
+    * operator is the dedup tier that catches them.
+    *
+    * Candidate generation inverts the corpus on the shingle itself: a
+    * pair is a candidate iff the two docs share at least one shingle
+    * whose corpus document frequency lies in [2, maxDf] —
+    * rare-shingle blocking. The df cap is the scale control (the
+    * [[bucketCandidates]] bucket-size discipline applied to postings):
+    * boilerplate shingles shared by everything never generate pairs, so
+    * pair volume is bounded by Σ_rare-shingles df² ≤ maxDf · postings,
+    * never corpus². Verification computes exact containment on the
+    * candidate pairs only, via one join per side back to the (distinct-
+    * shingle-array) table. Like every blocking scheme this trades
+    * recall at the cap: a pair sharing ONLY ubiquitous shingles is
+    * unseen — tune maxDf against corpus redundancy.
+    *
+    * Returns `(id_a, id_b, c_ab, c_ba, jaccard)` with id_a < id_b and
+    * max(c_ab, c_ba) >= minContainment; all three scores are
+    * integer-ratio doubles (bit-stable cross-engine). `stagingPath`
+    * spills the shingle table to parquet for beyond-memory corpora
+    * (the [[minhashDupPairs]] discipline); default is a
+    * MEMORY_AND_DISK persist whose lifecycle the caller owns. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int = 3, maxDf: Int = 4,
+                       minContainment: Double = 0.8,
+                       stagingPath: Option[String] = None): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (df-1 docs pair per shingle), got $maxDf")
+    // distinct shingle ARRAY per doc, computed once and consumed by three
+    // branches (the inverted index + both verify sides)
+    val sh = materialize(
+      spreadCompute(df)
+        .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+        .select(col("id"),
+          array_distinct(shinglesOfTokens(col("_toks"), shingleK)).as("sh")),
+      stagingPath)
+    // postings: (shingle, id); shingles are distinct per doc, so bucket
+    // size == document frequency, and bucketCandidates' [2, maxBucket]
+    // filter IS the df band
+    val inv = sh.select(lit(0).as("band"), explode(col("sh")).as("bh"),
+      col("id"))
+    val candidates = bucketCandidates(inv, maxBucket = maxDf)
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("_i"),
+        size(col("sh_a")).as("_na"), size(col("sh_b")).as("_nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("_i").cast("double") / col("_na")).as("c_ab"),
+        (col("_i").cast("double") / col("_nb")).as("c_ba"),
+        (col("_i").cast("double") / (col("_na") + col("_nb") - col("_i")))
+          .as("jaccard"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+  }
+
   /** Candidate pairs from a (band, bh, id) bucket table — the quadratic
     * step of every LSH pipeline, shaped for minimum shuffle count: ONE
     * exchange (the groupBy on the bucket key; map-side partial

@@ -1,6 +1,6 @@
 package graft.olap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,5 +226,49 @@ object Quality {
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", col("bin") * width)
       .orderBy((groupCols.map(col) :+ col("bin")): _*)
+  }
+
+  /** Classifier/filter threshold sweep — the calibration verb for a
+    * curation pipeline: for every DISTINCT score value t (read as the
+    * rule "keep iff score >= t"), the confusion counts against a binary
+    * label plus precision/recall/F1 — i.e. the full PR curve in one
+    * pass, from which a filter threshold is picked (the step between
+    * training a quality/language classifier and applying it as a gate).
+    *
+    * Scale shape: one hash aggregate collapses the input to the
+    * per-score table (|distinct scores| rows — for the integer-valued
+    * scores this is meant for, orders of magnitude below the row
+    * count), and the cumulative tp/pp window runs over THAT table, so
+    * its single-partition sort holds score cardinality, never rows.
+    * Null scores are excluded (no threshold to represent them); a null
+    * label counts as negative.
+    *
+    * precision/recall are integer-ratio doubles and F1 is one
+    * mul/div chain over them — bit-stable cross-engine. pp (predicted
+    * positive) is never 0: each threshold IS an attained score, so at
+    * least one row clears it. */
+  def thresholdSweep(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+    graft.Guards.reserved(df, "thresholdSweep",
+      Seq("threshold", "tp", "fp", "fn", "tn", "precision", "recall", "f1"))
+    val g = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).as("threshold"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g.agg(sum(col("_n")).as("_tot"), sum(col("_np")).as("_pos"))
+    val p = col("tp").cast("double") / col("pp")
+    val r = col("tp").cast("double") / col("_pos")
+    g.withColumn("tp", sum(col("_np")).over(w))
+      .withColumn("pp", sum(col("_n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("_pos") - col("tp")).as("fn"),
+        (col("_tot") - col("pp") - (col("_pos") - col("tp"))).as("tn"),
+        p.as("precision"), r.as("recall"),
+        when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)).as("f1"))
+      .orderBy(col("threshold").desc)
   }
 }

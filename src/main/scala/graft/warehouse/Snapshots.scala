@@ -225,11 +225,22 @@ object Snapshots {
       }
     } else f.rename(tmp, target)
 
+  /** Fresh name for an UNTAGGED data dir. The `c-x` prefix ('x' is not
+    * a hex digit) keeps the random suffix out of [[BatchTagRe]]'s
+    * namespace BY CONSTRUCTION: a bare `c-<uuid>` beginning
+    * `b<7 digits>-` (~0.2% of UUID draws) would otherwise read as a
+    * `c-b<batchId>-` idempotence tag, and once a long-lived streaming
+    * writer's batch ids reach that 7-digit value, [[appendBatch]]'s
+    * legacy tag check would suppress the REAL micro-batch — silent data
+    * loss seeded by an unlucky dir name. */
+  private def untaggedName(take: Int): String =
+    s"$DataDir/c-x${UUID.randomUUID().toString.take(take)}"
+
   private def writeCommitDir(spark: SparkSession, dir: String,
                              df: DataFrame): String = {
     // The data dir name is unique per attempt, not per version: a
     // manifest race must never reuse a dir another committer claimed.
-    val name = s"$DataDir/c-${UUID.randomUUID().toString.take(18)}"
+    val name = untaggedName(18)
     df.write.mode("errorifexists").parquet(new Path(dir, name).toString)
     name
   }
@@ -341,7 +352,7 @@ object Snapshots {
       }
       else if (targetPartitions > 0) merged0.coalesce(targetPartitions)
       else merged0
-    val name = s"$DataDir/c-${UUID.randomUUID().toString.take(18)}"
+    val name = untaggedName(18)
     merged.write.mode("errorifexists").parquet(new Path(dir, name).toString)
     val absorbed = dirs.toSet
     def fold(ls: Seq[String]): Seq[String] = {
@@ -558,8 +569,10 @@ object Snapshots {
     * full batch — duplicating rows and resurrecting deleted ones. */
   private[graft] def rewrittenName(source: String): String = {
     val base = source.stripPrefix(s"$DataDir/")
-    val tag = BatchTagRe.findFirstIn(base).getOrElse("c-")
-    s"$DataDir/$tag${UUID.randomUUID().toString.take(12)}"
+    BatchTagRe.findFirstIn(base) match {
+      case Some(tag) => s"$DataDir/$tag${UUID.randomUUID().toString.take(12)}"
+      case None      => untaggedName(12)
+    }
   }
   private val BatchTagRe = "^c-b\\d+-".r
 
@@ -825,6 +838,75 @@ object Snapshots {
       val vals = merged.quantiles(qs)
       qs.indices.map(i => (i.toLong, vals(i))).toDF("qi", "value")
     }
+  }
+
+  /** Incrementally-maintained IVF ANN index over the table's live
+    * commit dirs — the [[distinctSketch]] discipline applied to vector
+    * search. The coarse quantizer is fit ONCE (bounded-sample
+    * [[graft.ext.IvfIndex.fit]], centroids cached under `_ann/` — a
+    * sibling of `_stats` that [[vacuum]]'s stats reclamation cannot
+    * eat), and each commit dir's rows are assigned to those fixed
+    * centroids once, ever (`_stats/<dir>.ann-<tag>.parquet`, via the
+    * narrow [[graft.ext.IvfIndex.assign]] argmin) — so k new commits
+    * cost k bounded assignment jobs and the already-indexed data is
+    * never re-read, where a from-scratch refresh re-assigns the whole
+    * table. Returns an [[graft.ext.IvfIndex.Model]] whose `assigned`
+    * unions the per-dir caches: every IvfIndex probe (topK / batchTopK
+    * / batchTopKQuantized) runs against it unchanged, and with
+    * probe-all the result is EXACT regardless of the quantizer — the
+    * x118 oracle bridge.
+    *
+    * The per-dir cache tag embeds a content hash of the centroids: if
+    * the cached quantizer is ever removed or re-fit, stale assignments
+    * can never be silently reused (they re-key). Assignment caches of
+    * vacuumed dirs are reclaimed by [[vacuum]] like any other stats
+    * file. At 100 TB the caches ARE the index layout (the embedding
+    * bytes relaid by cluster); production would additionally
+    * `partitionBy(cluster)` each cache so probes prune partitions —
+    * kept flat here because multi-root partition-discovery reads
+    * require a shared basePath. */
+  def annIndex(spark: SparkSession, dir: String, embCol: String,
+               idCol: String, k: Int = 16, seed: Long = 42L,
+               version: Option[Int] = None): graft.ext.IvfIndex.Model = {
+    import graft.ext.IvfIndex
+    val v = version.getOrElse(latestVersion(spark, dir))
+    require(v > 0, s"table at $dir has no commits")
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir, StatsDir))
+    val annRoot = new Path(dir, "_ann")
+    f.mkdirs(annRoot)
+    val centPath = new Path(annRoot, s"centroids-$embCol-$k-$seed.parquet")
+    val (centroids, fitRows) =
+      if (!f.exists(centPath)) {
+        val m = IvfIndex.fit(read(spark, dir, Some(v)), embCol, idCol, k, seed)
+        import spark.implicits._
+        m.centroids.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq, m.fitRows) }
+          .toDF("i", "c", "fit_rows")
+          .write.mode("overwrite").parquet(centPath.toString)
+        (m.centroids, m.fitRows)
+      } else {
+        val rows = spark.read.parquet(centPath.toString).orderBy("i").collect()
+        (rows.map(_.getAs[scala.collection.Seq[Double]]("c").toArray),
+          rows.head.getAs[Long]("fit_rows"))
+      }
+    val centHash = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val bytes = md.digest(
+        centroids.map(_.mkString(",")).mkString(";").getBytes("UTF-8"))
+      bytes.take(4).map("%02x".format(_)).mkString
+    }
+    val tag = s"ann-$embCol-$k-$centHash"
+    val paths = liveDirs(spark, dir, v).map { d =>
+      val name = d.stripPrefix(s"$DataDir/")
+      val sp = new Path(dir, s"$StatsDir/$name.$tag.parquet")
+      if (!f.exists(sp))
+        IvfIndex.assign(centroids,
+            spark.read.parquet(new Path(dir, d).toString), embCol, idCol)
+          .write.mode("overwrite").parquet(sp.toString)
+      sp.toString
+    }
+    IvfIndex.Model(centroids, spark.read.parquet(paths: _*), fitRows)
   }
 
   /** Per-file bloom membership index over the table's live files, with

@@ -1002,6 +1002,65 @@ class ExtSpec extends AnyFunSuite {
     assert(counts == counts.sorted.reverse)
   }
 
+  test("containmentPairs: an excerpt scores containment 1 at low Jaccard; " +
+    "ubiquitous-shingle-only pairs are blocked; orientation and determinism") {
+    // doc 1: 12 distinct tokens; doc 2: its first 4 tokens (a quote) —
+    // every shingle of the excerpt appears in the base, so containment
+    // (excerpt side) is exactly 1 while Jaccard is 2/10 = 0.2, UNDER a
+    // typical near-dup threshold: the pair Jaccard pipelines miss.
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d"),
+      // docs 3-9 all share ONLY the shingle set of "x y z" (df 7 > maxDf
+      // 4) — blocked from candidates entirely
+      (3L, "x y z"), (4L, "x y z"), (5L, "x y z"), (6L, "x y z"),
+      (7L, "x y z"), (8L, "x y z"), (9L, "x y z")).toDF("id", "t")
+    val pairs = TextDedup.containmentPairs(corpus, "t", "id",
+      shingleK = 3, maxDf = 4, minContainment = 0.5)
+    val rows = pairs.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    // base has 10 shingles, excerpt has 2 ("a b c", "b c d"), both shared
+    assert(r.getAs[Double]("c_ba") == 1.0)
+    assert(r.getAs[Double]("c_ab") == 0.2)
+    assert(r.getAs[Double]("jaccard") == 0.2)
+    // determinism
+    val again = TextDedup.containmentPairs(corpus, "t", "id",
+      shingleK = 3, maxDf = 4, minContainment = 0.5).collect()
+    assert(again.toSeq == rows.toSeq)
+    // minContainment filters: at 1.0 the (1,2) pair still passes (c_ba
+    // == 1.0 >= 1.0); a disjoint pair can never appear
+    val strict = TextDedup.containmentPairs(corpus, "t", "id",
+      shingleK = 3, maxDf = 4, minContainment = 1.0).collect()
+    assert(strict.length == 1)
+    spark.catalog.clearCache() // release the internal shingle persist
+  }
+
+  test("containmentPairs agrees with a brute-force recount on fixture docs") {
+    // brute force over a small slice: every pair sharing a rare shingle,
+    // recomputed with plain DataFrame ops
+    val slice = docs.filter(col("doc_id") < 60)
+      .select(col("doc_id").as("id"), TextDedup.normalize(col("text")).as("t"))
+    val out = TextDedup.containmentPairs(slice, "t", "id",
+      shingleK = 3, maxDf = 10, minContainment = 0.0)
+      .orderBy("id_a", "id_b").collect()
+    val sh = slice.select(col("id"),
+        array_distinct(TextDedup.shingles(col("t"), 3)).as("sh"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[String](1).toSet).toMap
+    val dfreq = sh.values.toSeq.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val ids = sh.keys.toSeq.sorted
+    val expected = for {
+      a <- ids; b <- ids if a < b
+      shared = sh(a).intersect(sh(b))
+      if shared.exists(g => dfreq(g) >= 2 && dfreq(g) <= 10)
+    } yield (a, b, shared.size.toDouble / sh(a).size,
+      shared.size.toDouble / sh(b).size)
+    assert(out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Double]("c_ab"), r.getAs[Double]("c_ba"))).toSeq == expected)
+    spark.catalog.clearCache()
+  }
+
   test("multimodal: features detach from bytes with stable values") {
     val ds = Seq(
       Multimodal.MediaRow(1L, "image", "a.img", header(1, 1), 12L),

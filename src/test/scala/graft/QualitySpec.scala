@@ -118,4 +118,36 @@ class QualitySpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n")).sum == 4) // null row excluded
     intercept[IllegalArgumentException](Quality.histogram(df, "v", 0.0))
   }
+
+  test("thresholdSweep: hand-computed confusion counts, PR and F1 per threshold") {
+    import spark.implicits._
+    // scores [3,3,2,1], labels [T,F,T,F]; a null score drops, a null
+    // label counts negative
+    val df = Seq((Some(3L), Some(true)), (Some(3L), Some(false)),
+      (Some(2L), Some(true)), (Some(1L), None),
+      (None, Some(true))).toDF("s", "y")
+    val out = Quality.thresholdSweep(df, "s", $"y" === true).collect()
+    assert(out.map(_.getAs[Long]("threshold")).toSeq == Seq(3L, 2L, 1L))
+    def row(t: Long) = out.find(_.getAs[Long]("threshold") == t).get
+    // t=3: pp=2 (both 3s), tp=1; pos=2, tot=4
+    assert(row(3).getAs[Long]("tp") == 1 && row(3).getAs[Long]("fp") == 1)
+    assert(row(3).getAs[Long]("fn") == 1 && row(3).getAs[Long]("tn") == 1)
+    assert(row(3).getAs[Double]("precision") == 0.5)
+    assert(row(3).getAs[Double]("recall") == 0.5)
+    assert(row(3).getAs[Double]("f1") == 0.5)
+    // t=2: pp=3, tp=2 -> p=2/3, r=1, f1=0.8
+    assert(row(2).getAs[Long]("tp") == 2 && row(2).getAs[Long]("fp") == 1)
+    assert(row(2).getAs[Long]("fn") == 0 && row(2).getAs[Long]("tn") == 1)
+    assert(row(2).getAs[Double]("f1") == 0.8)
+    // t=1 (lowest attained score): everything predicted positive
+    assert(row(1).getAs[Long]("tp") == 2 && row(1).getAs[Long]("fp") == 2)
+    assert(row(1).getAs[Long]("tn") == 0 && row(1).getAs[Long]("fn") == 0)
+    assert(row(1).getAs[Double]("recall") == 1.0)
+    // confusion identity at every threshold: tp+fp+fn+tn == non-null-score rows
+    assert(out.forall(r => r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn") == 4))
+    // recall is monotone non-decreasing as the threshold lowers
+    val recalls = out.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+  }
 }

@@ -218,10 +218,18 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(idSet(Snapshots.read(spark, dir)) === Set(1))
   }
 
-  test("rewrittenName keeps batch tags and defaults to c- otherwise") {
+  test("rewrittenName keeps batch tags; untagged names can NEVER enter " +
+    "the tag namespace") {
+    val tagRe = "^c-b\\d+-".r
     assert(Snapshots.rewrittenName("data/c-b42-abcdef").startsWith("data/c-b42-"))
-    assert(Snapshots.rewrittenName("data/c-deadbeef").startsWith("data/c-"))
-    assert(!Snapshots.rewrittenName("data/c-deadbeef").contains("c-b"))
+    // structural, not probabilistic: the untagged prefix is c-x ('x' not
+    // a hex digit), so no random suffix can ever parse as c-b<id>- — a
+    // bare c-<uuid> starting b<7 digits>- (~0.2% of draws) would, and a
+    // long-lived stream reaching that batch id would silently drop it
+    (1 to 50).foreach { _ =>
+      val un = Snapshots.rewrittenName("data/c-deadbeef").stripPrefix("data/")
+      assert(un.startsWith("c-x") && tagRe.findFirstIn(un).isEmpty)
+    }
   }
 
   test("swapStrict fails loudly when a concurrent commit replaced an affected dir") {
@@ -605,6 +613,58 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(f.listStatus(statsPath).count(s =>
       mtimes1.contains(s.getPath.getName)) === mtimes1.size)
     assert(est2 > est1, "more distinct ids must raise the estimate")
+  }
+
+  test("annIndex: fixed-centroid assignment caches per commit dir " +
+    "(new commits only), equals a from-scratch re-assign, and probes " +
+    "serve identical results") {
+    import graft.ext.IvfIndex
+    val emb = Tables(spark, TestSpark.sf, "embeddings")
+    val dir = freshDir()
+    Snapshots.append(spark, dir, emb.filter(col("vec_id") % 3 === 0))
+    Snapshots.append(spark, dir, emb.filter(col("vec_id") % 3 === 1))
+    val m1 = Snapshots.annIndex(spark, dir, "embedding", "vec_id", k = 4)
+    assert(m1.assigned.count() === Snapshots.read(spark, dir).count())
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // incremental union == assigning the whole table at the same centroids
+    assert(pairs(m1.assigned) === pairs(
+      IvfIndex.assign(m1.centroids, Snapshots.read(spark, dir),
+        "embedding", "vec_id")))
+    // cache discipline: a new commit assigns ONLY the new dir
+    val statsPath = new Path(dir, "_stats")
+    val f = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtimes1 = f.listStatus(statsPath).map(s =>
+      s.getPath.getName -> s.getModificationTime).toMap
+    Snapshots.append(spark, dir, emb.filter(col("vec_id") % 3 === 2))
+    val m2 = Snapshots.annIndex(spark, dir, "embedding", "vec_id", k = 4)
+    assert(f.listStatus(statsPath).count(s =>
+      mtimes1.contains(s.getPath.getName)) === mtimes1.size)
+    assert(f.listStatus(statsPath).map(s =>
+        s.getPath.getName -> s.getModificationTime).toMap
+      .view.filterKeys(mtimes1.contains).toMap === mtimes1,
+      "existing assignment caches must not be recomputed")
+    assert(m2.assigned.count() === emb.count())
+    // same centroids across calls (the cached quantizer is reused)
+    assert(m2.centroids.map(_.toSeq).toSeq === m1.centroids.map(_.toSeq).toSeq)
+    // probe equality: the incremental index serves exactly what a
+    // from-scratch assignment of the full table serves
+    val queries = emb.filter(col("vec_id") % 101 === 0)
+    def served(m: IvfIndex.Model) =
+      IvfIndex.batchTopK(m, queries, "embedding", "vec_id", k = 3, nProbes = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val direct = IvfIndex.Model(m2.centroids,
+      IvfIndex.assign(m2.centroids, Snapshots.read(spark, dir),
+        "embedding", "vec_id"), m2.fitRows)
+    assert(served(m2) === served(direct))
+    // quantizer re-key: removing the cached centroids forces a re-fit
+    // under a NEW content-hash tag — stale assignment caches re-key
+    // rather than being silently reused, and the index stays complete
+    f.delete(new Path(dir, "_ann"), true)
+    val m3 = Snapshots.annIndex(spark, dir, "embedding", "vec_id", k = 4)
+    assert(m3.assigned.count() === emb.count())
   }
 
   test("shallowClone: metadata-only, independent writes, compaction " +

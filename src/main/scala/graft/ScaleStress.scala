@@ -58,6 +58,12 @@ object ScaleStress {
     "x111_incremental_mv", "x112_ivf_pq_rerank",
     "x113_incremental_mv_distinct", "x114_nb_lang_classify",
     "x115_incremental_mv_sample",
+    // round-8 late: containment blocking (10x duplication drives every
+    // rare shingle past maxDf — the df cap must BOUND pair work, pairs
+    // legitimately drop), snapshot ANN build + probe-all serve (the
+    // x99-contract quadratic oracle mode; the staged probes below are
+    // the production shape)
+    "x116_containment_pairs", "x118_snapshot_ann",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

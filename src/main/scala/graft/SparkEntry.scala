@@ -1666,6 +1666,30 @@ object SparkEntry {
           k = 5, nProbes = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "x119_cohen_kappa" -> ((s, d) => {
+      // Labeling-QA verb: chance-corrected agreement (Cohen's κ)
+      // between two rule labelers over the same documents — here a
+      // char-length rater vs a token-count rater (correlated, so κ is
+      // well above chance). One contingency aggregate; po and pe are
+      // integer ratios (the cross-marginal product sums as a bigint
+      // before the divide), κ one IEEE chain — all replayed in DuckDB.
+      val docs = t(s, d, "documents")
+      val toks = size(split(regexp_replace(lower(trim(col("text"))),
+        "\\s+", " "), " "))
+      Quality.cohenKappa(docs,
+        when(col("n_chars") >= 500, "long").otherwise("short"),
+        when(toks >= 80, "long").otherwise("short"))
+    }),
+    "x120_token_entropy" -> ((s, d) =>
+      // Token-distribution entropy per document (low = templated/spam
+      // mass concentration — the quality axis the repetition gates
+      // (x21) miss when no single n-gram repeats enough). Sorted-
+      // distinct fold keeps the double accumulation order a pure
+      // function of the row (x62 discipline) — DuckDB replays it
+      // term-for-term.
+      TextAnalysis.tokenEntropy(t(s, d, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -4638,6 +4662,54 @@ object SparkEntry {
         |ORDER BY est.event_type""".stripMargin,
     // from-scratch A-Res replay (x97's portable priority arithmetic)
     // == the incrementally maintained top-k sample state
+    // contingency counts -> integer-ratio po/pe -> one IEEE kappa chain
+    "x119_cohen_kappa" ->
+      """WITH r AS (SELECT
+        |  CASE WHEN n_chars >= 500 THEN 'long' ELSE 'short' END AS r1,
+        |  CASE WHEN len(string_split(regexp_replace(lower(trim(text)),
+        |         '\s+', ' ', 'g'), ' ')) >= 80
+        |       THEN 'long' ELSE 'short' END AS r2
+        |  FROM documents),
+        |c AS (SELECT r1, r2, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM r GROUP BY 1, 2),
+        |m1 AS (SELECT r1 AS k, CAST(SUM(cnt) AS BIGINT) AS a FROM c GROUP BY 1),
+        |m2 AS (SELECT r2 AS k, CAST(SUM(cnt) AS BIGINT) AS b FROM c GROUP BY 1),
+        |x AS (SELECT CAST(COALESCE(SUM(a * b), 0) AS BIGINT) AS ab
+        |      FROM m1 JOIN m2 USING (k)),
+        |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN r1 = r2 THEN cnt ELSE 0 END) AS BIGINT) AS diag
+        |       FROM c)
+        |SELECT n,
+        |  CAST(diag AS DOUBLE) / n AS po,
+        |  CAST(ab AS DOUBLE) / (n * n) AS pe,
+        |  CASE WHEN CAST(ab AS DOUBLE) / (n * n) < CAST(1 AS DOUBLE)
+        |    THEN (CAST(diag AS DOUBLE) / n - CAST(ab AS DOUBLE) / (n * n))
+        |         / (CAST(1 AS DOUBLE) - CAST(ab AS DOUBLE) / (n * n))
+        |  END AS kappa
+        |FROM tt, x""".stripMargin,
+    // sorted-distinct entropy fold, replayed term-for-term (list_sum
+    // is the same left fold; a - p·ln(p) == a + (-(p·ln(p))) in IEEE)
+    "x120_token_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks,
+        |        list_sort(list_distinct(toks)) AS dt FROM tk)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(dt) AS BIGINT) AS n_distinct,
+        |  ROUND(list_sum(list_transform(dt, t ->
+        |    -(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks))
+        |     * ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks)))), 6) AS entropy,
+        |  CASE WHEN len(dt) > 1
+        |    THEN ROUND(ROUND(list_sum(list_transform(dt, t ->
+        |      -(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks))
+        |       * ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks)))), 6)
+        |      / ln(CAST(len(dt) AS DOUBLE)), 6)
+        |  END AS norm_entropy
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

@@ -56,6 +56,40 @@ object TextAnalysis {
     round((lenScore + stopScore + punctScore) / 3.0, 4)
   }
 
+  /** Per-document token-distribution Shannon entropy (nats) — the
+    * quality axis COMPLEMENTARY to [[repetitionProfile]]: template/spam
+    * text concentrates probability mass on few tokens (low entropy)
+    * even when no single token or n-gram repeats often enough to trip
+    * the duplicate-fraction gates. Narrow per-row HOFs over the
+    * [[graft.ext.TextDedup.tokens]] normalized tokenizer (the
+    * cross-engine parity spelling); the entropy fold runs over the
+    * LEXICOGRAPHICALLY SORTED distinct tokens, so the double
+    * accumulation order is a pure function of the row — x62's
+    * determinism discipline, bit-reproducible across partitionings and
+    * engines. Cost is O(tokens × distinct) per row, bounded by document
+    * length; corpus-wide it runs at scan speed with no shuffle.
+    *
+    * Returns (id, n_tokens, n_distinct, entropy, norm_entropy) with
+    * `norm_entropy` = entropy / ln(n_distinct) ∈ [0,1] and null when
+    * n_distinct <= 1 (a constant document has no measurable spread). */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val p = (t: Column) =>
+      size(filter(col("_toks"), x => x === t)).cast("double") /
+        size(col("_toks"))
+    df.select(col(idCol).as("id"),
+        graft.ext.TextDedup.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), col("_toks"),
+        array_sort(array_distinct(col("_toks"))).as("_d"))
+      .select(col("id"),
+        size(col("_toks")).cast("bigint").as("n_tokens"),
+        size(col("_d")).cast("bigint").as("n_distinct"),
+        round(aggregate(col("_d"), lit(0.0),
+          (acc, t) => acc - p(t) * log(p(t))), 6).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          round(col("entropy") / log(col("n_distinct").cast("double")), 6)))
+  }
+
   /** Marker-token language scores. The marker lists are tiny and the scan
     * is one pass over the token array per language. */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -247,6 +247,41 @@ object Quality {
     * mul/div chain over them — bit-stable cross-engine. pp (predicted
     * positive) is never 0: each threshold IS an attained score, so at
     * least one row clears it. */
+  /** Cohen's kappa — chance-corrected agreement between two labelers
+    * over the same items (the labeling-QA verb: human vs human, model
+    * vs human, or rule vs rule; κ=1 perfect, 0 chance-level, <0 worse
+    * than chance). Null labels on either side drop (un-rated items).
+    *
+    * Exactness: one contingency aggregate (|labels|² cells); observed
+    * agreement po = diag/n and expected pe = Σ_k rowsum_k·colsum_k / n²
+    * both reduce to INTEGER ratios (the cross-marginal product sums as
+    * a bigint before the one divide), so po/pe are bit-stable
+    * cross-engine and κ = (po−pe)/(1−pe) is one IEEE chain on them.
+    * Returns one row (n, po, pe, kappa); κ is null for the degenerate
+    * single-category case (pe=1 — agreement is unmeasurable, not 1). */
+  def cohenKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
+    val cells = df.select(rater1.as("_r1"), rater2.as("_r2"))
+      .filter(col("_r1").isNotNull && col("_r2").isNotNull)
+      .groupBy(col("_r1"), col("_r2")).agg(count(lit(1)).as("_c"))
+    val m1 = cells.groupBy(col("_r1").as("_k")).agg(sum(col("_c")).as("_a"))
+    val m2 = cells.groupBy(col("_r2").as("_k")).agg(sum(col("_c")).as("_b"))
+    // labels used by only one rater have a zero opposite marginal and
+    // contribute nothing to pe — the inner join drops exactly those;
+    // disjoint label sets leave an empty sum → pe = 0, not null
+    val cross = m1.join(m2, "_k")
+      .agg(coalesce(sum(col("_a") * col("_b")), lit(0L)).as("_ab"))
+    cells.agg(
+        sum(col("_c")).as("n"),
+        sum(when(col("_r1") === col("_r2"), col("_c")).otherwise(0L)).as("_diag"))
+      .crossJoin(broadcast(cross))
+      .select(col("n"),
+        (col("_diag").cast("double") / col("n")).as("po"),
+        (col("_ab").cast("double") / (col("n") * col("n"))).as("pe"))
+      .select(col("n"), col("po"), col("pe"),
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .as("kappa"))
+  }
+
   def thresholdSweep(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
     graft.Guards.reserved(df, "thresholdSweep",
       Seq("threshold", "tp", "fp", "fn", "tn", "precision", "recall", "f1"))

@@ -89,6 +89,33 @@ class CurationSpec extends AnyFunSuite {
     assert(dup.getLong(4) == 2L) // 3 docs, 1 distinct normalized hash
   }
 
+  test("tokenEntropy: hand-computed entropies, uniform/constant/skewed docs, " +
+    "normalization bounds") {
+    val df = Seq(
+      (1L, "a b a b"),        // uniform over 2 -> ln 2
+      (2L, "hello"),          // single token -> 0, norm null
+      (3L, "a b c d"),        // uniform over 4 -> ln 4
+      (4L, "a a a b")         // skewed 3:1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def round6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Double]("entropy") == round6(math.log(2)))
+    assert(out(1L).getAs[Double]("norm_entropy") == 1.0)
+    assert(out(2L).getAs[Double]("entropy") == 0.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("norm_entropy")))
+    assert(out(3L).getAs[Double]("entropy") == round6(math.log(4)))
+    assert(out(3L).getAs[Long]("n_tokens") == 4 &&
+      out(3L).getAs[Long]("n_distinct") == 4)
+    assert(out(4L).getAs[Double]("entropy") ==
+      round6(-(0.75 * math.log(0.75) + 0.25 * math.log(0.25))))
+    // skewed < uniform at the same support size; norm in (0, 1]
+    assert(out(4L).getAs[Double]("entropy") < out(1L).getAs[Double]("entropy"))
+    assert(out(4L).getAs[Double]("norm_entropy") > 0.0 &&
+      out(4L).getAs[Double]("norm_entropy") <= 1.0)
+  }
+
   test("salientTerms: doc-unique term outranks corpus-wide boilerplate") {
     val top = TextAnalysis.salientTerms(docs, "text", "doc_id", 2)
     val d1 = top.filter($"doc_id" === 1).orderBy($"term_rank")

@@ -119,6 +119,33 @@ class QualitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Quality.histogram(df, "v", 0.0))
   }
 
+  test("cohenKappa: hand-computed kappa, perfect/chance/degenerate cases, " +
+    "null labels drop") {
+    import spark.implicits._
+    // r1: A A A B B / r2: A A B B B -> po=4/5, pe=(3*2+2*3)/25=0.48,
+    // kappa = 0.32/0.52 = 8/13
+    val df = Seq(("A", "A"), ("A", "A"), ("A", "B"), ("B", "B"), ("B", "B"))
+      .toDF("r1", "r2")
+    val r = Quality.cohenKappa(df, $"r1", $"r2").head
+    assert(r.getAs[Long]("n") == 5)
+    assert(r.getAs[Double]("po") == 0.8)
+    assert(r.getAs[Double]("pe") == 0.48)
+    assert(math.abs(r.getAs[Double]("kappa") - 8.0 / 13.0) < 1e-15)
+    // perfect agreement over 2 categories -> kappa exactly 1
+    val perfect = Seq(("A", "A"), ("B", "B")).toDF("r1", "r2")
+    assert(Quality.cohenKappa(perfect, $"r1", $"r2").head.getAs[Double]("kappa") == 1.0)
+    // single shared category: pe=1 -> kappa is null (unmeasurable), not 1
+    val degen = Seq(("A", "A"), ("A", "A")).toDF("r1", "r2")
+    assert(Quality.cohenKappa(degen, $"r1", $"r2").head.isNullAt(3))
+    // disjoint label sets: po=0, pe=0 -> kappa 0
+    val disj = Seq(("X", "Y"), ("X", "Y")).toDF("r1", "r2")
+    assert(Quality.cohenKappa(disj, $"r1", $"r2").head.getAs[Double]("kappa") == 0.0)
+    // null labels drop before counting
+    val withNull = Seq((Some("A"), Some("A")), (None, Some("B")),
+      (Some("B"), None), (Some("B"), Some("B"))).toDF("r1", "r2")
+    assert(Quality.cohenKappa(withNull, $"r1", $"r2").head.getAs[Long]("n") == 2)
+  }
+
   test("thresholdSweep: hand-computed confusion counts, PR and F1 per threshold") {
     import spark.implicits._
     // scores [3,3,2,1], labels [T,F,T,F]; a null score drops, a null

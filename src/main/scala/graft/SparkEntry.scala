@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Embeddings, Similarity, TextAnalysis, TextDedup, TimeSeries}
+import graft.ext.{Embeddings, Retrieval, Similarity, TextAnalysis, TextDedup, TimeSeries}
 import graft.ingest.ValidateRoute
 import graft.olap.Quality
 import graft.schema.TopicSpec
@@ -1690,6 +1690,33 @@ object SparkEntry {
       TextAnalysis.tokenEntropy(t(s, d, "documents"), "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
+    "x121_rrf_fusion" -> ((s, d) => {
+      // Hybrid-retrieval fusion: two independent lexical retrievers —
+      // distinct-token overlap and 3-shingle Jaccard — rank the corpus
+      // for 5 probe documents; reciprocal-rank fusion (k0=60) combines
+      // the rankings without score calibration. The probe side is 5
+      // rows (broadcast); every downstream exchange is bounded by
+      // perSourceK·|queries|·|sources|, never the corpus.
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        TextDedup.tokens(col("text")).as("toks"))
+      val q = toks.filter(col("doc_id") <= 5)
+        .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
+      val overlap = q.join(toks, col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(array_distinct(col("qtoks")),
+            array_distinct(col("toks")))).cast("double").as("score"))
+      val sh = docs.select(col("doc_id"), graft.functions.GraftFunctions
+        .shingles(s, TextDedup.tokens(col("text")), 3).as("sh"))
+      val qsh = sh.filter(col("doc_id") <= 5)
+        .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
+      val jac = qsh.join(sh, col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          TextDedup.ngramJaccard(col("qsh"), col("sh")).as("score"))
+      Retrieval.rrfFuse(Seq(overlap, jac), "query_id", "doc_id", "score",
+          k0 = 60, perSourceK = 20, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -4710,6 +4737,49 @@ object SparkEntry {
         |  END AS norm_entropy
         |FROM d
         |ORDER BY doc_id""".stripMargin,
+    // full RRF replay: both retrievers re-scored, per-source ranks via
+    // the same (score DESC, doc ASC) tie rule, the fused sum folded in
+    // source order (list ORDER BY src == the sorted-struct fold)
+    "x121_rrf_fusion" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 3 + 1),
+        |                i -> array_to_string(toks[i+1:i+3], ' '))
+        |    END AS sh
+        |  FROM tk),
+        |s0 AS (
+        |  SELECT q.doc_id AS query_id, t.doc_id,
+        |    CAST(len(list_distinct(list_intersect(q.toks, t.toks))) AS DOUBLE) AS score
+        |  FROM tk q JOIN tk t ON q.doc_id <= 5 AND t.doc_id <> q.doc_id),
+        |s1 AS (
+        |  SELECT a.doc_id AS query_id, b.doc_id,
+        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+        |      / len(list_distinct(a.sh || b.sh)) AS score
+        |  FROM sh a JOIN sh b ON a.doc_id <= 5 AND b.doc_id <> a.doc_id),
+        |u AS (SELECT 0 AS src, * FROM s0 UNION ALL SELECT 1 AS src, * FROM s1),
+        |rk AS (
+        |  SELECT src, query_id, doc_id,
+        |    row_number() OVER (PARTITION BY src, query_id
+        |                       ORDER BY score DESC, doc_id) AS rnk
+        |  FROM u WHERE score IS NOT NULL),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |    ROUND(list_sum(list(CAST(1 AS DOUBLE) / (60 + rnk) ORDER BY src)), 6) AS rrf,
+        |    CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM rk WHERE rnk <= 20 GROUP BY query_id, doc_id),
+        |fin AS (
+        |  SELECT query_id, doc_id, rrf, n_sources,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_sources
+        |FROM fin WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval verbs: fusing independently-produced rankings of
+  * the same corpus (lexical BM25, dense ANN, recency, ...) into one
+  * list per query. This is the serving-side counterpart of the ANN and
+  * BM25 operators in [[Similarity]] / [[TextAnalysis]] — a RAG or
+  * hard-negative-mining pipeline rarely ships a single retriever's
+  * ranking; it fuses several and trains on the fused order.
+  *
+  * Scale design: every stage is a REDUCING aggregate over keys the
+  * upstream retrievers already bounded. Inputs are per-query candidate
+  * lists (top hundreds per query per source, never the corpus), so the
+  * three exchanges — (source, query) for ranking, (query, doc) for
+  * fusion, (query) for the final cut — each carry at most
+  * `perSourceK · |queries| · |sources|` rows, independent of corpus
+  * size. Per-source ranking and the final cut both use the native
+  * reducing top-k heap ([[graft.functions.TopKByDouble]]), not a
+  * window: map tasks ship at most k pairs per group, and no rewrite
+  * rule needs to be loaded for the plan to avoid a full sort.
+  */
+object Retrieval {
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): each source
+    * ranks candidates per query; a candidate's fused score is
+    * `Σ_sources 1 / (k0 + rank_source)`. Rank-based fusion needs no
+    * score calibration between sources — the reason RRF is the default
+    * hybrid-retrieval combiner.
+    *
+    * `sources` are scored frames `(queryCol, docCol, scoreCol)` — raw
+    * retriever scores, NOT ranks; ranking happens here so every source
+    * gets the same deterministic tie rule (score DESC, doc ASC). Each
+    * source is cut to its `perSourceK` best candidates per query before
+    * fusion (the standard RRF contract: a source only contributes ranks
+    * it would actually serve). NULL scores are incomparable and
+    * dropped, like NULL sims in the ANN path.
+    *
+    * Determinism: the fused sum folds source contributions in source
+    * order (`aggregate` over the (source, rank)-sorted struct list), so
+    * the double accumulation order is a pure function of the row, then
+    * rounds to `roundTo` before the final ranking; remaining ties break
+    * on doc id. Bit-identical cross-engine by the house fold rule.
+    *
+    * Output: `(queryCol, rank, docCol, rrf, n_sources)` — `rank` is the
+    * fused 1-based position (≤ `topK`), `n_sources` how many sources
+    * ranked the doc.
+    */
+  def rrfFuse(sources: Seq[DataFrame], queryCol: String, docCol: String,
+              scoreCol: String, k0: Int = 60, perSourceK: Int = 100,
+              topK: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(sources.nonEmpty, "rrfFuse needs at least one source")
+    require(k0 > 0 && perSourceK > 0 && topK > 0,
+      "k0, perSourceK and topK must be positive")
+    val spark = sources.head.sparkSession
+    import graft.functions.GraftFunctions.topKBy
+
+    val tagged = sources.zipWithIndex.map { case (df, i) =>
+      df.select(lit(i).as("_src"), col(queryCol).as("_q"),
+        col(docCol).cast("long").as("_doc"),
+        col(scoreCol).cast("double").as("_score"))
+    }.reduce(_ unionByName _).filter(col("_score").isNotNull)
+
+    // per-(source, query) rank via the reducing heap: ties score DESC,
+    // doc ASC — the heap's native order, same as every ANN ranking here
+    val ranked = tagged.groupBy(col("_src"), col("_q"))
+      .agg(topKBy(spark, col("_score"), col("_doc"), perSourceK).as("_top"))
+      .select(col("_src"), col("_q"),
+        posexplode(col("_top")).as(Seq("_r0", "_t")))
+      .select(col("_src"), col("_q"), col("_t.value").as("_doc"),
+        (col("_r0") + 1).cast("long").as("_rank"))
+
+    // fuse: fold 1/(k0 + rank) in source order (≤ 1 rank per source per
+    // (query, doc), so the (source, rank) sort IS the source order)
+    val fused = ranked.groupBy(col("_q"), col("_doc"))
+      .agg(collect_list(struct(col("_src"), col("_rank"))).as("_rs"))
+      .select(col("_q"), col("_doc"),
+        round(aggregate(array_sort(col("_rs")), lit(0.0),
+          (acc, r) => acc + lit(1.0) /
+            (lit(k0.toDouble) + r.getField("_rank").cast("double"))),
+          roundTo).as("_rrf"),
+        size(col("_rs")).cast("long").as("_n_sources"))
+
+    // final cut: same heap; n_sources rides along by re-joining the
+    // (tiny) kept set back to the fused frame on (query, doc)
+    val kept = fused.groupBy(col("_q"))
+      .agg(topKBy(spark, col("_rrf"), col("_doc"), topK).as("_top"))
+      .select(col("_q"), posexplode(col("_top")).as(Seq("_r0", "_t")))
+      .select(col("_q"), (col("_r0") + 1).cast("long").as("rank"),
+        col("_t.value").as("_doc"), col("_t.key").as("rrf"))
+    kept.join(fused.select(col("_q"), col("_doc"), col("_n_sources")),
+        Seq("_q", "_doc"))
+      .select(col("_q").as(queryCol), col("rank"), col("_doc").as(docCol),
+        col("rrf"), col("_n_sources").as("n_sources"))
+  }
+}

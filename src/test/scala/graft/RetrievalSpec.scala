@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Retrieval
+
+/** Reciprocal-rank fusion against hand-computed expectations. */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // two sources ranking docs for one query:
+  //   lex:   d1 (s=3.0, rank 1), d2 (s=2.0, rank 2), d3 (s=1.0, rank 3)
+  //   dense: d3 (s=0.9, rank 1), d1 (s=0.5, rank 2)  [no d2]
+  private lazy val lex = Seq((7L, 1L, 3.0), (7L, 2L, 2.0), (7L, 3L, 1.0))
+    .toDF("q", "doc", "score")
+  private lazy val dense = Seq((7L, 3L, 0.9), (7L, 1L, 0.5))
+    .toDF("q", "doc", "score")
+
+  test("rrfFuse matches the hand-computed fused order and scores") {
+    val out = Retrieval.rrfFuse(Seq(lex, dense), "q", "doc", "score",
+        k0 = 60, perSourceK = 10, topK = 10)
+      .orderBy("rank").collect()
+    // d1: 1/61 + 1/62, d3: 1/63 + 1/61, d2: 1/62 (HALF_UP like Spark's round)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6(1.0 / 61 + 1.0 / 62)
+    val d3 = r6(1.0 / 63 + 1.0 / 61)
+    val d2 = r6(1.0 / 62)
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getLong(4))).toSeq ===
+      Seq((1L, 1L, d1, 2L), (2L, 3L, d3, 2L), (3L, 2L, d2, 1L)))
+    assert(d1 > d3 && d3 > d2) // the fixture really exercises ordering
+  }
+
+  test("rrfFuse ties break on doc id and respect perSourceK") {
+    // equal scores everywhere: ranks follow doc id; perSourceK=2 drops
+    // doc 3 from both sources entirely
+    val src = Seq((1L, 3L, 1.0), (1L, 1L, 1.0), (1L, 2L, 1.0))
+      .toDF("q", "doc", "score")
+    val out = Retrieval.rrfFuse(Seq(src, src), "q", "doc", "score",
+        k0 = 60, perSourceK = 2, topK = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L)) // ranks 1,2
+  }
+
+  test("rrfFuse drops null scores and single-source docs still fuse") {
+    val src = Seq((1L, Some(1L), Some(2.0)), (1L, Some(2L), None))
+      .toDF("q", "doc", "score")
+    val out = Retrieval.rrfFuse(Seq(src), "q", "doc", "score",
+      k0 = 60, perSourceK = 10, topK = 10).collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L))
+  }
+}

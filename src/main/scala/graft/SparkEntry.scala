@@ -1717,6 +1717,20 @@ object SparkEntry {
           k0 = 60, perSourceK = 20, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "x122_rouge_bigram" -> ((s, d) => {
+      // Generation-eval scorer: clipped bigram overlap (ROUGE-2 shape)
+      // between consecutive documents as candidate/reference pairs.
+      // precision/recall/F1 are integer ratios — bit-exact cross-engine;
+      // the whole operator is narrow (no shuffle beyond the id join).
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("cand"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("ref"))
+      TextAnalysis.rougeN(
+          a.join(b, col("id_b") === col("id_a") + 1), "cand", "ref", 2)
+        .select(col("id_a"), col("id_b"), col("n_cand"), col("n_ref"),
+          col("clipped"), col("precision"), col("recall"), col("f1"))
+        .orderBy(col("id_a"))
+    }),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -4780,6 +4794,36 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_sources
         |FROM fin WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // clipped-count replay: per distinct candidate bigram, min of the
+    // two multiplicities; the three metrics are integer ratios
+    "x122_rouge_bigram" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 2 + 1),
+        |                i -> array_to_string(toks[i+1:i+2], ' '))
+        |    END AS gr
+        |  FROM tk),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gr AS cg, b.gr AS rg
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1),
+        |m AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(cg) AS BIGINT) AS n_cand,
+        |    CAST(len(rg) AS BIGINT) AS n_ref,
+        |    CAST(list_sum(list_transform(list_distinct(cg), t ->
+        |      least(len(list_filter(cg, x -> x = t)),
+        |            len(list_filter(rg, x -> x = t))))) AS BIGINT) AS clipped
+        |  FROM p)
+        |SELECT id_a, id_b, n_cand, n_ref, clipped,
+        |  CAST(clipped AS DOUBLE) / n_cand AS "precision",
+        |  CAST(clipped AS DOUBLE) / n_ref AS recall,
+        |  CAST(2 AS DOUBLE) * clipped / (n_cand + n_ref) AS f1
+        |FROM m ORDER BY id_a""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

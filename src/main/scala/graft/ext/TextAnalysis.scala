@@ -90,6 +90,47 @@ object TextAnalysis {
           round(col("entropy") / log(col("n_distinct").cast("double")), 6)))
   }
 
+  /** ROUGE-N style clipped n-gram overlap between a candidate and a
+    * reference text column — the eval-side scorer for summarization /
+    * generation datasets (and a diagnostic for near-dup borderline
+    * pairs): `clipped = Σ_{g ∈ distinct(cand)} min(count_cand(g),
+    * count_ref(g))`, precision = clipped/|cand|, recall = clipped/|ref|,
+    * F1 = 2·clipped/(|cand|+|ref|). All three are INTEGER ratios, so
+    * values are bit-identical cross-engine with no fold-order caveat.
+    *
+    * Entirely narrow (no shuffle, no join): the per-row cost is
+    * O(distinct(cand)·(|cand|+|ref|)) like [[tokenEntropy]]'s fold —
+    * quadratic in DOCUMENT length only, bounded upstream by chunking /
+    * truncation, never by corpus size. N-grams come from the native
+    * shingle kernel, so short texts (< n tokens) degrade to one
+    * whole-text shingle, same as the dedup family.
+    *
+    * Appends `n_cand, n_ref, clipped, precision, recall, f1` to the
+    * input row.
+    */
+  def rougeN(pairs: DataFrame, candCol: String, refCol: String,
+             n: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    def grams(c: Column): Column = graft.functions.GraftFunctions
+      .shingles(spark, graft.ext.TextDedup.tokens(c), n)
+    val clip = (g: Column) =>
+      least(size(filter(col("_cg"), x => x === g)),
+        size(filter(col("_rg"), x => x === g))).cast("long")
+    pairs
+      .withColumn("_cg", grams(col(candCol)))
+      .withColumn("_rg", grams(col(refCol)))
+      .withColumn("n_cand", size(col("_cg")).cast("long"))
+      .withColumn("n_ref", size(col("_rg")).cast("long"))
+      .withColumn("clipped", aggregate(array_distinct(col("_cg")),
+        lit(0L), (acc, g) => acc + clip(g)))
+      .withColumn("precision",
+        col("clipped").cast("double") / col("n_cand"))
+      .withColumn("recall", col("clipped").cast("double") / col("n_ref"))
+      .withColumn("f1", lit(2.0) * col("clipped").cast("double") /
+        (col("n_cand") + col("n_ref")))
+      .drop("_cg", "_rg")
+  }
+
   /** Marker-token language scores. The marker lists are tiny and the scan
     * is one pass over the token array per language. */
   val langMarkers: Map[String, Seq[String]] = Map(

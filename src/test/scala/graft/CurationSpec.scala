@@ -116,6 +116,29 @@ class CurationSpec extends AnyFunSuite {
       out(4L).getAs[Double]("norm_entropy") <= 1.0)
   }
 
+  test("rougeN: hand-computed clipped bigram overlap, short-text degrade") {
+    // cand "a b a b c" bigrams: [a b, b a, a b, b c] (4)
+    // ref  "a b c a"   bigrams: [a b, b c, c a] (3)
+    // clipped: min counts of distinct cand grams = a b:1 + b a:0 + b c:1 = 2
+    val df = Seq(
+      (1L, "a b a b c", "a b c a"),
+      (2L, "x", "x"),        // < n tokens -> whole-text shingle, exact hit
+      (3L, "p q", "r s")     // no overlap at all
+    ).toDF("id", "cand", "ref")
+    val out = TextAnalysis.rougeN(df, "cand", "ref", 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_cand") == 4 &&
+      out(1L).getAs[Long]("n_ref") == 3 &&
+      out(1L).getAs[Long]("clipped") == 2)
+    assert(out(1L).getAs[Double]("precision") == 0.5 &&
+      out(1L).getAs[Double]("recall") == 2.0 / 3 &&
+      out(1L).getAs[Double]("f1") == 4.0 / 7)
+    assert(out(2L).getAs[Long]("clipped") == 1 &&
+      out(2L).getAs[Double]("f1") == 1.0)
+    assert(out(3L).getAs[Long]("clipped") == 0 &&
+      out(3L).getAs[Double]("f1") == 0.0)
+  }
+
   test("salientTerms: doc-unique term outranks corpus-wide boilerplate") {
     val top = TextAnalysis.salientTerms(docs, "text", "doc_id", 2)
     val d1 = top.filter($"doc_id" === 1).orderBy($"term_rank")

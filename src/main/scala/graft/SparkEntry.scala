@@ -1731,6 +1731,26 @@ object SparkEntry {
           col("clipped"), col("precision"), col("recall"), col("f1"))
         .orderBy(col("id_a"))
     }),
+    "x123_mmr_diversify" -> ((s, d) => {
+      // Diversity re-rank: per probe vector (vec_id < 3) the label
+      // bucket is ranked by cosine relevance, then MMR (λ=0.7, k=5)
+      // greedily picks mutually-dissimilar high-relevance results. The
+      // whole greedy loop is ONE narrow higher-order fold per query row
+      // — no UDF, no per-step shuffle; DuckDB replays it step by step.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qemb"), col("label"))
+      val cand = q.join(emb, "label")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.GraftFunctions.cosineSim(s,
+            col("qemb"), col("embedding")), 6).as("rel"),
+          col("embedding"))
+      Retrieval.mmrSelect(cand, "query_id", "vec_id", "embedding", "rel",
+          lambdaWeight = 0.7, k = 5)
+        .orderBy(col("query_id"), col("step"))
+    }),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -4824,6 +4844,50 @@ object SparkEntry {
         |  CAST(clipped AS DOUBLE) / n_ref AS recall,
         |  CAST(2 AS DOUBLE) * clipped / (n_cand + n_ref) AS f1
         |FROM m ORDER BY id_a""".stripMargin,
+    // step-by-step greedy replay: the list_reduce fold carries the
+    // selected set; each step scores the remainder (sims rounded to 6
+    // like the Spark fold), sorts (score DESC, -id DESC) and appends
+    // the winner — the same total order as the Spark (score, nid)
+    // struct max. (1 - 0.7) is computed, not written 0.3: the IEEE
+    // result of 1.0 - 0.7 differs from the 0.3 literal in the last bit.
+    "x123_mmr_diversify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb, label
+        |  FROM embeddings WHERE vec_id < 3),
+        |cand AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    round(list_sum(list_transform(list_zip(q.qemb, e.embedding), p ->
+        |        CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / sqrt(list_sum(list_transform(q.qemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS rel,
+        |    CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.query_id),
+        |g AS (
+        |  SELECT query_id, list({'score': CAST(0 AS DOUBLE), 'nid': -id,
+        |                         'id': id, 'rel': rel, 'emb': emb} ORDER BY id) AS scands
+        |  FROM cand WHERE rel IS NOT NULL GROUP BY query_id),
+        |sel AS (
+        |  SELECT query_id, list_reduce(
+        |    [CAST([] AS STRUCT(score DOUBLE, nid BIGINT, id BIGINT, rel DOUBLE, emb DOUBLE[])[])] ||
+        |      list_transform(range(1, 5 + 1), i -> scands),
+        |    (sel, cs) -> sel || (list_sort(
+        |      list_transform(
+        |        list_filter(cs, c -> NOT list_contains(list_transform(sel, s -> s.id), c.id)),
+        |        c -> {'score': CAST(0.7 AS DOUBLE) * c.rel
+        |                - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * COALESCE(list_max(
+        |                    list_transform(sel, s -> round(
+        |                      list_sum(list_transform(list_zip(c.emb, s.emb), p -> p[1] * p[2]))
+        |                      / sqrt(list_sum(list_transform(c.emb, x -> x * x))
+        |                           * list_sum(list_transform(s.emb, x -> x * x))), 6))), CAST(0 AS DOUBLE)),
+        |              'nid': c.nid, 'id': c.id, 'rel': c.rel, 'emb': c.emb}),
+        |      'DESC'))[1:1]) AS picks
+        |  FROM g),
+        |ex AS (
+        |  SELECT query_id, unnest(list_transform(range(1, len(picks) + 1), i ->
+        |    {'step': i, 'id': picks[i].id, 'mmr': round(picks[i].score, 6)})) AS u
+        |  FROM sel)
+        |SELECT query_id, CAST(u.step AS BIGINT) AS step, u.id AS vec_id, u.mmr AS mmr
+        |FROM ex ORDER BY query_id, step""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

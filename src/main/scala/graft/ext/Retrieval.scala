@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hybrid-retrieval verbs: fusing independently-produced rankings of
@@ -93,5 +93,73 @@ object Retrieval {
         Seq("_q", "_doc"))
       .select(col("_q").as(queryCol), col("rank"), col("_doc").as(docCol),
         col("rrf"), col("_n_sources").as("n_sources"))
+  }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998): per query, greedily pick `k` candidates maximizing
+    * `λ·rel − (1−λ)·max_{s ∈ selected} cos(cand, s)` — the diversity
+    * re-rank between retrieval and serving (and the diverse-subset
+    * sampler for training data: high-relevance, mutually-dissimilar
+    * examples).
+    *
+    * Greedy selection is inherently sequential PER QUERY, but queries
+    * are independent — so the operator groups each query's (bounded,
+    * upstream-ANN-cut) candidate list into one row and runs the whole
+    * greedy fold as a NARROW higher-order expression over that row: no
+    * UDF, no driver loop, no per-step shuffle; one exchange total (the
+    * groupBy), O(k·n·(k·d)) compute per query with n, k, d all bounded
+    * by the serving contract, never by corpus size.
+    *
+    * Determinism: pairwise sims round to `roundTo` before the max, and
+    * argmax ties break on SMALLEST id via the (score, -id) struct max —
+    * the same total order the DuckDB replay's sorted fold uses, so
+    * selection is bit-identical cross-engine. NULL rel or emb rows are
+    * dropped up front (incomparable); NULL sims (zero-norm vectors)
+    * fall out of the max like the ANN family.
+    *
+    * Output: `(queryCol, step, idCol, mmr)` — `step` is the 1-based
+    * selection order, `mmr` the (rounded) score the pick won with.
+    */
+  def mmrSelect(candidates: DataFrame, queryCol: String, idCol: String,
+                embCol: String, relCol: String, lambdaWeight: Double = 0.5,
+                k: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambdaWeight >= 0.0 && lambdaWeight <= 1.0,
+      "lambdaWeight must be in [0, 1]")
+    val spark = candidates.sparkSession
+    def cos(a: Column, b: Column): Column =
+      round(graft.functions.GraftFunctions.cosineSim(spark, a, b), roundTo)
+    def f(c: Column, name: String): Column = c.getField(name)
+
+    val grouped = candidates
+      .filter(col(relCol).isNotNull && col(embCol).isNotNull)
+      .groupBy(col(queryCol).as("_q"))
+      .agg(collect_list(struct(
+        lit(0.0).as("score"), (-col(idCol)).cast("long").as("nid"),
+        col(idCol).cast("long").as("id"), col(relCol).cast("double").as("rel"),
+        col(embCol).as("emb"))).as("_cands"))
+
+    val sel = aggregate(
+      sequence(lit(1), lit(k)),
+      // correctly-typed empty selection: filter-all-out of the candidate
+      // array (array().cast(...) would need the struct DDL spelled twice)
+      filter(col("_cands"), _ => lit(false)),
+      (sel, _) => {
+        val remaining = filter(col("_cands"), c =>
+          !array_contains(transform(sel, s => f(s, "id")), f(c, "id")))
+        val scored = transform(remaining, c => struct(
+          (lit(lambdaWeight) * f(c, "rel") - lit(1.0 - lambdaWeight) *
+            coalesce(array_max(transform(sel,
+              s => cos(f(c, "emb"), f(s, "emb")))), lit(0.0))).as("score"),
+          f(c, "nid").as("nid"), f(c, "id").as("id"),
+          f(c, "rel").as("rel"), f(c, "emb").as("emb")))
+        when(size(remaining) > 0,
+          concat(sel, array(array_max(scored)))).otherwise(sel)
+      })
+
+    grouped.select(col("_q"), posexplode(sel).as(Seq("_s0", "_t")))
+      .select(col("_q").as(queryCol),
+        (col("_s0") + 1).cast("long").as("step"),
+        col("_t.id").as(idCol), round(col("_t.score"), roundTo).as("mmr"))
   }
 }

@@ -46,6 +46,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L)) // ranks 1,2
   }
 
+  test("mmrSelect: hand-computed greedy picks — relevance first, then " +
+    "diversity beats the higher-relevance near-duplicate") {
+    // q=7: d1 rel .9 emb (1,0); d2 rel .8 emb (.9,.1) ~ d1's near-dup;
+    // d3 rel .7 emb (0,1) orthogonal. λ=.5: step1 d1 (.45); step2 d3
+    // (.35 — d2 scores .5·.8 − .5·cos(d2,d1)=−.096942); step3 d2.
+    val cands = Seq(
+      (7L, 1L, 0.9, Seq(1.0f, 0.0f)),
+      (7L, 2L, 0.8, Seq(0.9f, 0.1f)),
+      (7L, 3L, 0.7, Seq(0.0f, 1.0f))
+    ).toDF("q", "id", "rel", "emb")
+    val out = Retrieval.mmrSelect(cands, "q", "id", "emb", "rel",
+      lambdaWeight = 0.5, k = 3).orderBy("step").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    assert(out(0).getDouble(3) == 0.45 && out(1).getDouble(3) == 0.35)
+    assert(out(2).getDouble(3) == -0.096942) // .5·.8 − .5·round(cos, 6)
+  }
+
+  test("mmrSelect: k beyond the candidate count stops clean; ties pick " +
+    "the smallest id; null rel rows are dropped") {
+    val cands = Seq(
+      (1L, Some(5L), Some(1.0), Some(Seq(1.0f, 0.0f))),
+      (1L, Some(4L), Some(1.0), Some(Seq(1.0f, 0.0f))), // tie -> id 4 first
+      (1L, Some(9L), None, Some(Seq(0.0f, 1.0f)))       // null rel dropped
+    ).toDF("q", "id", "rel", "emb")
+    val out = Retrieval.mmrSelect(cands, "q", "id", "emb", "rel",
+      lambdaWeight = 0.5, k = 10).orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(4L, 5L))
+  }
+
   test("rrfFuse drops null scores and single-source docs still fuse") {
     val src = Seq((1L, Some(1L), Some(2.0)), (1L, Some(2L), None))
       .toDF("q", "doc", "score")

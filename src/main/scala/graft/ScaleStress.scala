@@ -64,6 +64,11 @@ object ScaleStress {
     // x99-contract quadratic oracle mode; the staged probes below are
     // the production shape)
     "x116_containment_pairs", "x118_snapshot_ann",
+    // round-8 retrieval-eval additions: RRF's probe side stays 6 rows
+    // while per-source candidate work grows with the corpus; MMR's
+    // per-query fold grows with the label-bucket size (candidate lists
+    // are upstream-bounded in production — this measures the fold)
+    "x121_rrf_fusion", "x122_rouge_bigram", "x123_mmr_diversify",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

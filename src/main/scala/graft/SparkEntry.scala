@@ -1751,6 +1751,31 @@ object SparkEntry {
           lambdaWeight = 0.7, k = 5)
         .orderBy(col("query_id"), col("step"))
     }),
+    "x124_split_leakage" -> ((s, d) => {
+      // Split-hygiene audit: the x116 excerpt corpus (each doc plus a
+      // first-third excerpt copy) hash-splits 75/12.5/12.5, then the
+      // containment near-dup pairs are cross-tabulated against the
+      // assignment — cross_split=true rows are eval contamination a
+      // deterministic per-doc split cannot prevent. Contingency-sized
+      // output; everything upstream is the already-oracled machinery.
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("id"), TextDedup.normalize(col("text")).as("t"))
+      val exc = base
+        .select((col("id") + 1000000).as("id"), split(col("t"), " ").as("_toks"))
+        .select(col("id"), array_join(
+          slice(col("_toks"), lit(1),
+            greatest(floor(size(col("_toks")) / 3).cast("int"), lit(1))),
+          " ").as("t"))
+      val corpus = base.unionByName(exc)
+      val pairs = TextDedup.containmentPairs(corpus, "t", "id",
+        shingleK = 3, maxDf = 4, minContainment = 0.5,
+        stagingPath = Some(cachePath(d, "x124") + "/sh"))
+      val assign = graft.ext.Sampling.hashSplit(
+        corpus.select(col("id")), "id", "split", 0.75, 0.125)
+      graft.ext.Sampling.splitLeakage(pairs, "id_a", "id_b",
+          assign, "id", "split")
+        .orderBy(col("split_lo"), col("split_hi"))
+    }),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -4888,6 +4913,58 @@ object SparkEntry {
         |  FROM sel)
         |SELECT query_id, CAST(u.step AS BIGINT) AS step, u.id AS vec_id, u.mmr AS mmr
         |FROM ex ORDER BY query_id, step""".stripMargin,
+    // x116's containment replay + x14's split replay, cross-tabulated
+    "x124_split_leakage" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |exc AS (
+        |  SELECT id + 1000000 AS id,
+        |    array_to_string(toks[1:greatest(len(toks)//3, 1)], ' ') AS t
+        |  FROM (SELECT id, string_split(t, ' ') AS toks FROM base)),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+        |tk AS (SELECT id, string_split(t, ' ') AS toks FROM corpus),
+        |s AS (SELECT id, list_distinct(
+        |        CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(0, len(toks) - 3 + 1),
+        |                    i -> array_to_string(toks[i+1:i+3], ' '))
+        |        END) AS sh
+        |      FROM tk),
+        |inv AS (SELECT id, unnest(sh) AS g FROM s),
+        |dfreq AS (SELECT g, count(*) AS dfc FROM inv GROUP BY g),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM inv a
+        |         JOIN inv b ON a.g = b.g AND a.id < b.id
+        |         JOIN dfreq ON dfreq.g = a.g
+        |         WHERE dfreq.dfc BETWEEN 2 AND 4),
+        |v AS (SELECT id_a, id_b,
+        |        len(list_intersect(sa.sh, sb.sh)) AS i,
+        |        len(sa.sh) AS na, len(sb.sh) AS nb
+        |      FROM cand
+        |      JOIN s sa ON sa.id = id_a
+        |      JOIN s sb ON sb.id = id_b),
+        |pr AS (SELECT id_a, id_b FROM v
+        |       WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5),
+        |asn AS (
+        |  SELECT id,
+        |    CASE WHEN substr(sha256('split:' || id), 1, 4) < 'c000' THEN 'train'
+        |         WHEN substr(sha256('split:' || id), 1, 4) < 'e000' THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM corpus),
+        |j AS (
+        |  SELECT least(a.split, b.split) AS split_lo,
+        |         greatest(a.split, b.split) AS split_hi, p.id_a, p.id_b
+        |  FROM pr p JOIN asn a ON a.id = p.id_a JOIN asn b ON b.id = p.id_b),
+        |np AS (SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM j GROUP BY 1, 2),
+        |nd AS (SELECT split_lo, split_hi, CAST(count(DISTINCT u) AS BIGINT) AS n_docs
+        |       FROM (SELECT split_lo, split_hi, unnest([id_a, id_b]) AS u FROM j) t
+        |       GROUP BY 1, 2)
+        |SELECT np.split_lo, np.split_hi, n_pairs, n_docs,
+        |  np.split_lo <> np.split_hi AS cross_split
+        |FROM np JOIN nd USING (split_lo, split_hi)
+        |ORDER BY split_lo, split_hi""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

@@ -288,6 +288,48 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Split-leakage audit: cross-tabulate near-duplicate pairs against a
+    * train/valid/test assignment — the hygiene check that a
+    * deterministic split is NOT leakage-safe when the corpus contains
+    * near-duplicates (an excerpt of a train document hashing into test
+    * is eval contamination the split itself cannot see; group-holdout
+    * or dedup-before-split is the fix this report motivates).
+    *
+    * `pairs` is any near-dup pair frame (LSH, containment, SimHash —
+    * `(idACol, idBCol, ...)`); `assign` maps `idCol` to `splitCol`.
+    * Output: one row per unordered split combination with `n_pairs`
+    * (pairs whose endpoints land in those splits) and `n_docs`
+    * (distinct documents involved), plus a `cross_split` flag —
+    * `true` rows are the leakage.
+    *
+    * Scale: two linear shuffle joins on the id (the pair table is the
+    * near-dup output, orders of magnitude below the corpus; the
+    * assignment side is corpus-sized but the join is 1:1), then two
+    * contingency-sized aggregations (≤ |splits|² rows). Nothing
+    * quadratic beyond what the pair generator already bounded. */
+  def splitLeakage(pairs: DataFrame, idACol: String, idBCol: String,
+                   assign: DataFrame, idCol: String,
+                   splitCol: String): DataFrame = {
+    val a = assign.select(col(idCol).as("_sl_ida"), col(splitCol).as("_sl_sa"))
+    val b = assign.select(col(idCol).as("_sl_idb"), col(splitCol).as("_sl_sb"))
+    val j = pairs
+      .join(a, col(idACol) === col("_sl_ida"))
+      .join(b, col(idBCol) === col("_sl_idb"))
+      .select(least(col("_sl_sa"), col("_sl_sb")).as("split_lo"),
+        greatest(col("_sl_sa"), col("_sl_sb")).as("split_hi"),
+        col(idACol).cast("long").as("_sl_a"),
+        col(idBCol).cast("long").as("_sl_b"))
+    val nPairs = j.groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = j
+      .select(col("split_lo"), col("split_hi"),
+        explode(array(col("_sl_a"), col("_sl_b"))).as("_sl_id"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(countDistinct(col("_sl_id")).as("n_docs"))
+    nPairs.join(nDocs, Seq("split_lo", "split_hi"))
+      .withColumn("cross_split", col("split_lo") =!= col("split_hi"))
+  }
+
   /** Deterministic per-group cap: keep at most `k` rows per group,
     * chosen by salted-hash order (a uniform, reproducible subsample —
     * not "first k seen", which would bias toward ingestion order). The

@@ -817,6 +817,24 @@ class ExtSpec extends AnyFunSuite {
 
   // ---- sampling / vocab ----
 
+  test("splitLeakage cross-tabulates near-dup pairs against a split " +
+    "assignment (hand fixture)") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "valid"), (5L, "test")).toDF("id", "split")
+    val out = graft.ext.Sampling
+      .splitLeakage(pairs, "id_a", "id_b", assign, "id", "split")
+      .orderBy("split_lo", "split_hi").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // least/greatest are lexicographic: test < train < valid
+    assert(out.toSeq === Seq(
+      ("test", "train", 1L, 2L, true),   // (1,2)
+      ("test", "valid", 1L, 2L, true),   // (4,5)
+      ("train", "train", 1L, 2L, false)) // (1,3)
+    )
+  }
+
   test("hash split is deterministic, exhaustive, and ≈ fractions") {
     val split = graft.ext.Sampling.hashSplit(docs, "doc_id", "split", 0.75, 0.125)
     val counts = split.groupBy("split").count().collect()

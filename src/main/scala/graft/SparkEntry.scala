@@ -1776,6 +1776,13 @@ object SparkEntry {
           assign, "id", "split")
         .orderBy(col("split_lo"), col("split_hi"))
     }),
+    "x125_mutual_info" -> ((s, d) => {
+      // Dataset-audit dependence: MI(lang; source) with marginal
+      // entropies and normalized MI — is the language mix confounded
+      // with the crawl source? One contingency pass; every double sum
+      // folds in sorted category order (x119/x120 discipline).
+      Quality.mutualInfo(t(s, d, "documents"), col("lang"), col("source"))
+    }),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -4965,6 +4972,37 @@ object SparkEntry {
         |  np.split_lo <> np.split_hi AS cross_split
         |FROM np JOIN nd USING (split_lo, split_hi)
         |ORDER BY split_lo, split_hi""".stripMargin,
+    // contingency MI: counts multiply as doubles, each entropy/MI sum
+    // folds in sorted category order (list_sum == the sorted-struct fold)
+    "x125_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |          CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        |mi AS (
+        |  SELECT ROUND(list_sum(list(
+        |    (CAST(c AS DOUBLE) / n) *
+        |      ln((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy))
+        |    ORDER BY x, y)), 6) AS mi
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+        |hx AS (
+        |  SELECT ROUND(list_sum(list(
+        |    -(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n)
+        |    ORDER BY x)), 6) AS hx
+        |  FROM mx CROSS JOIN tot),
+        |hy AS (
+        |  SELECT ROUND(list_sum(list(
+        |    -(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n)
+        |    ORDER BY y)), 6) AS hy
+        |  FROM my CROSS JOIN tot)
+        |SELECT n, n_cells, mi, hx, hy,
+        |  CASE WHEN hx > 0 AND hy > 0
+        |    THEN ROUND(mi / sqrt(hx * hy), 6) END AS nmi
+        |FROM tot, mi, hx, hy""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

@@ -282,6 +282,54 @@ object Quality {
           .as("kappa"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * dataset-audit dependence measure (is `lang` confounded with
+    * `source`? does a quality label leak the domain?), reported with
+    * both marginal entropies and the normalized MI
+    * `mi / sqrt(hx·hy)` ∈ [0, 1].
+    *
+    * Scale/exactness: one contingency aggregate (|X|·|Y| cells — the
+    * ONLY corpus-sized pass), marginals derived from the cells, and
+    * every double sum folds in sorted category order over the
+    * contingency-sized list (the x119/x120 discipline), so the IEEE
+    * accumulation order is a pure function of the data and DuckDB
+    * replays it term for term. Counts multiply as DOUBLES (c·n and
+    * cx·cy overflow bigint at warehouse row counts). Null categories
+    * drop. Returns one row
+    * `(n, n_cells, mi, hx, hy, nmi)`; `nmi` is null when either
+    * marginal entropy is 0 (a constant column — dependence is
+    * unmeasurable, not 0). */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.select(xCol.as("_x"), yCol.as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_c"))
+    val mx = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_cx"))
+    val my = cells.groupBy(col("_y")).agg(sum(col("_c")).as("_cy"))
+    val tot = cells.agg(sum(col("_c")).as("n"), count(lit(1)).as("n_cells"))
+    val mi = cells.join(mx, "_x").join(my, "_y")
+      .crossJoin(broadcast(tot.select(col("n"))))
+      .select(col("_x"), col("_y"),
+        ((col("_c").cast("double") / col("n")) *
+          log((col("_c").cast("double") * col("n")) /
+            (col("_cx").cast("double") * col("_cy")))).as("_t"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("_x"), col("_y"), col("_t")))),
+        lit(0.0), (acc, e) => acc + e.getField("_t")), 6).as("mi"))
+    def marginalEntropy(m: DataFrame, k: String, c: String, out: String) =
+      m.crossJoin(broadcast(tot.select(col("n"))))
+        .select(col(k), (-(col(c).cast("double") / col("n")) *
+          log(col(c).cast("double") / col("n"))).as("_t"))
+        .agg(round(aggregate(
+          array_sort(collect_list(struct(col(k), col("_t")))),
+          lit(0.0), (acc, e) => acc + e.getField("_t")), 6).as(out))
+    tot.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(marginalEntropy(mx, "_x", "_cx", "hx")))
+      .crossJoin(broadcast(marginalEntropy(my, "_y", "_cy", "hy")))
+      .select(col("n"), col("n_cells"), col("mi"), col("hx"), col("hy"),
+        when(col("hx") > 0.0 && col("hy") > 0.0,
+          round(col("mi") / sqrt(col("hx") * col("hy")), 6)).as("nmi"))
+  }
+
   def thresholdSweep(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
     graft.Guards.reserved(df, "thresholdSweep",
       Seq("threshold", "tp", "fp", "fn", "tn", "precision", "recall", "f1"))

@@ -177,4 +177,31 @@ class QualitySpec extends AnyFunSuite {
     val recalls = out.map(_.getAs[Double]("recall"))
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
   }
+
+  test("mutualInfo: independence -> 0, identity -> nmi 1, constant " +
+    "column -> null nmi, nulls drop") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // perfectly independent 2x2 (uniform product measure)
+    val ind = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+      .toDF("x", "y")
+    val ri = Quality.mutualInfo(ind, $"x", $"y").head
+    assert(ri.getAs[Long]("n") == 4 && ri.getAs[Long]("n_cells") == 4)
+    assert(ri.getAs[Double]("mi") == 0.0 && ri.getAs[Double]("nmi") == 0.0)
+    assert(ri.getAs[Double]("hx") == r6(math.log(2)))
+    // x determines y exactly: mi == hx == hy, nmi == 1
+    val dep = Seq(("a", "p"), ("a", "p"), ("b", "q")).toDF("x", "y")
+    val rd = Quality.mutualInfo(dep, $"x", $"y").head
+    val h = r6(-(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3))
+    assert(rd.getAs[Double]("mi") == h && rd.getAs[Double]("hx") == h &&
+      rd.getAs[Double]("hy") == h)
+    assert(rd.getAs[Double]("nmi") == 1.0)
+    // constant x: hx = 0 -> nmi unmeasurable; a null row drops from n
+    val const = Seq((Some("a"), Some("p")), (Some("a"), Some("q")),
+      (None, Some("p"))).toDF("x", "y")
+    val rc = Quality.mutualInfo(const, $"x", $"y").head
+    assert(rc.getAs[Long]("n") == 2 && rc.getAs[Double]("mi") == 0.0)
+    assert(rc.isNullAt(rc.fieldIndex("nmi")))
+  }
 }

@@ -1783,6 +1783,22 @@ object SparkEntry {
       // folds in sorted category order (x119/x120 discipline).
       Quality.mutualInfo(t(s, d, "documents"), col("lang"), col("source"))
     }),
+    "x126_group_split_leakage" -> ((s, d) => {
+      // The FIX x124 motivates: split by dup-CLUSTER instead of by doc.
+      // Both endpoints of every near-dup pair share a connected
+      // component, so the leakage matrix comes back with zero
+      // cross_split rows — verified value-for-value by the oracle's
+      // recursive-component + sha256 replay, and structurally by spec.
+      val corpus = perturbedCorpus(t(s, d, "documents"))
+      val pairs = portablePairs(s, d)
+      val groups = TextDedup.duplicateGroups(pairs)
+      val assign = graft.ext.Sampling.groupHoldoutSplit(
+        corpus.select(col("id")), "id", groups, "id", "comp",
+        "gsplit", 0.75, 0.125)
+      graft.ext.Sampling.splitLeakage(pairs, "id_a", "id_b",
+          assign.select(col("id"), col("split")), "id", "split")
+        .orderBy(col("split_lo"), col("split_hi"))
+    }),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -5003,6 +5019,31 @@ object SparkEntry {
         |  CASE WHEN hx > 0 AND hy > 0
         |    THEN ROUND(mi / sqrt(hx * hy), 6) END AS nmi
         |FROM tot, mi, hx, hy""".stripMargin,
+    // component labeling + cluster-keyed sha256 split + leakage matrix:
+    // every pair's endpoints share a component, so cross_split is
+    // all-false — the value check proves the machinery end to end
+    "x126_group_split_leakage" ->
+      s"""$duckRecursivePairCtes,
+         |$duckComponentCtes,
+         |asn AS (
+         |  SELECT c.id,
+         |    CASE WHEN substr(sha256('gsplit:' || COALESCE(g.group_id, c.id)), 1, 4) < 'c000' THEN 'train'
+         |         WHEN substr(sha256('gsplit:' || COALESCE(g.group_id, c.id)), 1, 4) < 'e000' THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM corpus c LEFT JOIN comp g ON g.id = c.id),
+         |j AS (
+         |  SELECT least(a.split, b.split) AS split_lo,
+         |         greatest(a.split, b.split) AS split_hi, p.id_a, p.id_b
+         |  FROM pairs p JOIN asn a ON a.id = p.id_a JOIN asn b ON b.id = p.id_b),
+         |np AS (SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM j GROUP BY 1, 2),
+         |nd AS (SELECT split_lo, split_hi, CAST(count(DISTINCT u) AS BIGINT) AS n_docs
+         |       FROM (SELECT split_lo, split_hi, unnest([id_a, id_b]) AS u FROM j) t
+         |       GROUP BY 1, 2)
+         |SELECT np.split_lo, np.split_hi, n_pairs, n_docs,
+         |  np.split_lo <> np.split_hi AS cross_split
+         |FROM np JOIN nd USING (split_lo, split_hi)
+         |ORDER BY split_lo, split_hi""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

@@ -288,6 +288,38 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Group-holdout split: train/valid/test assignment keyed by a GROUP
+    * (dup cluster, source domain, author) instead of the row id, so
+    * every member of a group lands in the same split — the fix for the
+    * near-dup eval leakage [[splitLeakage]] quantifies (an excerpt and
+    * its base document can no longer straddle train/test, because they
+    * hash by their shared cluster id).
+    *
+    * `groups` maps `groupIdCol` → `groupKeyCol` (e.g. the connected-
+    * component labeling from `TextDedup.duplicateGroups`); rows absent
+    * from it are singletons and group to their own id. One linear left
+    * join plus the same sha256 bucket arithmetic as [[hashSplit]] —
+    * deterministic, engine-reproducible, no RNG. Appends `group_key`,
+    * `bucket`, `split`. */
+  def groupHoldoutSplit(df: DataFrame, idCol: String, groups: DataFrame,
+                        groupIdCol: String, groupKeyCol: String,
+                        salt: String, trainFrac: Double,
+                        validFrac: Double): DataFrame = {
+    reserveColumns(df, Seq("group_key", "bucket", "split"),
+      "groupHoldoutSplit")
+    val g = groups.select(col(groupIdCol).as("_gh_id"),
+      col(groupKeyCol).as("_gh_key"))
+    val b = hashBucket(col("group_key"), salt)
+    df.join(g, col(idCol) === col("_gh_id"), "left")
+      .withColumn("group_key", coalesce(col("_gh_key"), col(idCol)))
+      .drop("_gh_id", "_gh_key")
+      .withColumn("bucket", b)
+      .withColumn("split",
+        when(b < lit(hexThreshold(trainFrac)), "train")
+          .when(b < lit(hexThreshold(trainFrac + validFrac)), "valid")
+          .otherwise("test"))
+  }
+
   /** Split-leakage audit: cross-tabulate near-duplicate pairs against a
     * train/valid/test assignment — the hygiene check that a
     * deterministic split is NOT leakage-safe when the corpus contains

@@ -835,6 +835,27 @@ class ExtSpec extends AnyFunSuite {
     )
   }
 
+  test("groupHoldoutSplit keeps whole groups together — zero cross-split " +
+    "leakage by construction") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id") // 99: no group row
+    val assign = graft.ext.Sampling.groupHoldoutSplit(
+      ids, "id", groups, "id", "comp", "s", 0.5, 0.25)
+    // every group resolves to exactly one split
+    assert(assign.join(groups, "id").groupBy("comp")
+      .agg(countDistinct(col("split")).as("k")).collect()
+      .forall(_.getAs[Long]("k") == 1))
+    // and therefore the leakage matrix has no cross-split rows
+    val leak = graft.ext.Sampling.splitLeakage(pairs, "id_a", "id_b",
+      assign.select(col("id"), col("split")), "id", "split")
+    assert(leak.filter(col("cross_split")).count() == 0 && leak.count() > 0)
+    // ungrouped rows are singletons keyed by their own id
+    assert(assign.filter(col("id") === 99L).head
+      .getAs[Long]("group_key") == 99L)
+  }
+
   test("hash split is deterministic, exhaustive, and ≈ fractions") {
     val split = graft.ext.Sampling.hashSplit(docs, "doc_id", "split", 0.75, 0.125)
     val counts = split.groupBy("split").count().collect()

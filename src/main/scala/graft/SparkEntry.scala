@@ -1799,6 +1799,27 @@ object SparkEntry {
           assign.select(col("id"), col("split")), "id", "split")
         .orderBy(col("split_lo"), col("split_hi"))
     }),
+    "x127_cluster_weighted_sample" -> ((s, d) => {
+      // Dedup-WEIGHTED sampling: instead of dropping near-duplicates,
+      // weight each doc 1/|its dup cluster| so every cluster gets equal
+      // expected representation — boilerplate mass stops dominating the
+      // mix while unique docs keep full odds. Composes the component
+      // labeling with the A-Res priority cut (both already oracled);
+      // the weight division happens BEFORE the priority divide, so the
+      // IEEE chain replays exactly.
+      val corpus = perturbedCorpus(t(s, d, "documents"))
+      val groups = TextDedup.duplicateGroups(portablePairs(s, d))
+      val sized = corpus.select(col("id"))
+        .join(groups, Seq("id"), "left")
+        .withColumn("group_key", coalesce(col("comp"), col("id")))
+      val cs = sized.groupBy(col("group_key"))
+        .agg(count(lit(1)).as("cluster_size"))
+      graft.ext.Sampling.prioritySample(sized.join(cs, "group_key"),
+          "id", "cw", lit(1.0) / col("cluster_size"), k = 100)
+        .select(col("id"), col("group_key"), col("cluster_size"),
+          col("priority"))
+        .orderBy(col("id"))
+    }),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -5044,6 +5065,26 @@ object SparkEntry {
          |  np.split_lo <> np.split_hi AS cross_split
          |FROM np JOIN nd USING (split_lo, split_hi)
          |ORDER BY split_lo, split_hi""".stripMargin,
+    // component sizes -> 1/size weights -> x97's A-Res priority replay
+    "x127_cluster_weighted_sample" ->
+      s"""$duckRecursivePairCtes,
+         |$duckComponentCtes,
+         |sized AS (
+         |  SELECT c.id, COALESCE(g.group_id, c.id) AS group_key
+         |  FROM corpus c LEFT JOIN comp g ON g.id = c.id),
+         |cs AS (SELECT group_key, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM sized GROUP BY 1),
+         |p AS (
+         |  SELECT id, s.group_key, cluster_size,
+         |    round(ln((CAST(concat('0x', substr(sha256('cw:' ||
+         |        CAST(id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+         |        / 281474976710656.0)
+         |      / (CAST(1 AS DOUBLE) / cluster_size), 9) AS priority
+         |  FROM sized s JOIN cs USING (group_key))
+         |SELECT id, group_key, cluster_size, priority
+         |FROM p
+         |ORDER BY priority DESC, id
+         |LIMIT 100""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

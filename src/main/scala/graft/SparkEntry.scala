@@ -1820,6 +1820,14 @@ object SparkEntry {
           col("priority"))
         .orderBy(col("id"))
     }),
+    "x128_nearest_centroid" -> ((s, d) =>
+      // Embedding-quality probe: nearest-centroid confusion matrix
+      // over the integer-lattice label centroids. The centroid set
+      // broadcasts as ONE row; per-vector argmax is a narrow HOF over
+      // the scan — the only exchange is the contingency-sized matrix.
+      Embeddings.nearestCentroidConfusion(
+          t(s, d, "embeddings"), "embedding", "label")
+        .orderBy(col("label"), col("pred"))),
     "x115_incremental_mv_sample" -> ((s, d) => {
       // Incrementally-maintained deterministic weighted sample (A-Res
       // top-5 event_ids per (day, type), weight ∝ integer cents) — the
@@ -5085,6 +5093,41 @@ object SparkEntry {
          |FROM p
          |ORDER BY priority DESC, id
          |LIMIT 100""".stripMargin,
+    // x33's quantize+centroid CTEs, then per-vector cosine argmax
+    // (rounded sims, ties to the greatest label) and the confusion agg
+    "x128_nearest_centroid" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, e,
+        |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(e, x ->
+        |      CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS INT)) AS qv
+        |  FROM n),
+        |x AS (
+        |  SELECT label, unnest(qv) AS qe, unnest(range(len(qv))) AS dim FROM q),
+        |cent AS (
+        |  SELECT label AS clabel, dim, CAST(sum(qe) AS DOUBLE) / count(*) AS q_mean
+        |  FROM x GROUP BY 1, 2),
+        |carr AS (SELECT clabel, list(q_mean ORDER BY dim) AS c FROM cent GROUP BY 1),
+        |sims AS (
+        |  SELECT v.vec_id, v.label, a.clabel,
+        |    round(list_sum(list_transform(list_zip(v.e, a.c), p -> p[1] * p[2]))
+        |      / sqrt(list_sum(list_transform(v.e, z -> z * z))
+        |           * list_sum(list_transform(a.c, z -> z * z))), 6) AS sim
+        |  FROM v CROSS JOIN carr a),
+        |pred AS (
+        |  SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY sim DESC, clabel DESC) AS rn
+        |  FROM sims WHERE sim IS NOT NULL)
+        |SELECT label, clabel AS pred, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

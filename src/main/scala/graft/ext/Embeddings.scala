@@ -127,6 +127,49 @@ object Embeddings {
       .withColumn("q_mean", col("q_sum").cast("double") / col("n_vecs"))
   }
 
+  /** Nearest-centroid confusion matrix — the cheap embedding-quality
+    * probe: quantize, build the integer-lattice per-label centroids
+    * ([[groupCentroids]] — order-independent, so the "model" is
+    * deterministic under any partitioning), assign every vector to its
+    * max-cosine centroid, and cross-tabulate predicted vs true label.
+    * A separable embedding space concentrates the matrix on the
+    * diagonal; a collapsed one doesn't — run it after every embedding
+    * or quantization change.
+    *
+    * Scale: the whole centroid set (|labels|·dims doubles) broadcasts
+    * as ONE row, so the per-vector argmax is a NARROW higher-order
+    * expression over the corpus scan — no per-vector shuffle, no
+    * |labels|× row inflation surviving past the map stage; the only
+    * exchange is the contingency-sized confusion aggregate. Cosine
+    * rounds to `roundTo` and argmax ties break on the GREATEST label
+    * (max over (sim, label) structs — the house argmax rule), so the
+    * matrix hash-verifies cross-engine. Vectors with no comparable
+    * centroid (zero norm) drop. */
+  def nearestCentroidConfusion(df: DataFrame, embCol: String,
+                               labelCol: String,
+                               roundTo: Int = 6): DataFrame = {
+    val q = quantizeInt8(df, embCol, "_ncq")
+    val cents = groupCentroids(q, "_ncq", labelCol)
+      .groupBy(col(labelCol).as("_nc_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("q_mean")))),
+        e => e.getField("q_mean")).as("_nc_c"))
+      .agg(collect_list(struct(col("_nc_label"), col("_nc_c"))).as("_cents"))
+    df
+      .select(col(labelCol).as("label"), Similarity.asDouble(col(embCol)).as("_e"))
+      .crossJoin(broadcast(cents))
+      .select(col("label"), array_max(filter(
+        transform(col("_cents"), c => struct(
+          round(Similarity.cosine(col("_e"), c.getField("_nc_c")), roundTo)
+            .as("_sim"),
+          c.getField("_nc_label").as("_l"))),
+        x => x.getField("_sim").isNotNull)).as("_m"))
+      .filter(col("_m").isNotNull)
+      .select(col("label"), col("_m").getField("_l").as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Quantized dot product (integer arithmetic, exact): dot(qa, qb) *
     * scale_a * scale_b approximates the float dot — the cheap re-rank
     * primitive over int8-compressed embeddings. */

@@ -21,6 +21,20 @@ class EmbeddingsSpec extends AnyFunSuite {
     (4L, "b", Array(-127.0f, 0.25f, 4.0f))
   ).toDF("vec_id", "label", "embedding")
 
+  test("nearestCentroidConfusion: separable clusters land on the " +
+    "diagonal; zero vectors drop") {
+    val rows = (Seq.tabulate(10)(i =>
+        (i.toLong, 0, Array(1.0f, 0.01f * i))) ++
+      Seq.tabulate(10)(i =>
+        (100L + i, 1, Array(0.01f * i, 1.0f))) ++
+      Seq((999L, 0, Array(0.0f, 0.0f))) // zero norm: no comparable centroid
+    ).toDF("vec_id", "label", "embedding")
+    val out = Embeddings.nearestCentroidConfusion(rows, "embedding", "label")
+      .collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)), out.mkString(","))
+    assert(out.map(_.getAs[Long]("n")).sum == 20) // 999 dropped
+  }
+
   test("randomProject: deterministic, linear, equals the manual dot (x60)") {
     val planes = graft.ext.Similarity.hyperplanes(4, 3, seed = 42L)
     val df = Seq((1L, Array(1.0f, 2.0f, -2.0f)), (2L, Array(2.0f, 4.0f, -4.0f)))

@@ -69,6 +69,11 @@ object ScaleStress {
     // per-query fold grows with the label-bucket size (candidate lists
     // are upstream-bounded in production — this measures the fold)
     "x121_rrf_fusion", "x122_rouge_bigram", "x123_mmr_diversify",
+    // the leakage/centroid compositions: x124 rides the containment
+    // machinery, x127 the component+priority cut, x128 the broadcast
+    // centroid argmax (pure map-side — should be near-linear)
+    "x124_split_leakage", "x127_cluster_weighted_sample",
+    "x128_nearest_centroid",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

@@ -1820,6 +1820,31 @@ object SparkEntry {
           col("priority"))
         .orderBy(col("id"))
     }),
+    "x129_split_repair" -> ((s, d) => {
+      // The trilogy closer (audit x124 → prevent x126 → REPAIR): the
+      // published hash split over the excerpt corpus is rewritten so no
+      // containment pair crosses splits, train frozen. Components make
+      // the closure exact in one pass — a direct-link demotion would
+      // miss eval↔eval↔train chains. Output: the move summary.
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("id"), TextDedup.normalize(col("text")).as("t"))
+      val exc = base
+        .select((col("id") + 1000000).as("id"), split(col("t"), " ").as("_toks"))
+        .select(col("id"), array_join(
+          slice(col("_toks"), lit(1),
+            greatest(floor(size(col("_toks")) / 3).cast("int"), lit(1))),
+          " ").as("t"))
+      val corpus = base.unionByName(exc)
+      val pairs = TextDedup.containmentPairs(corpus, "t", "id",
+        shingleK = 3, maxDf = 4, minContainment = 0.5,
+        stagingPath = Some(cachePath(d, "x129") + "/sh"))
+      val assign = graft.ext.Sampling.hashSplit(
+        corpus.select(col("id")), "id", "split", 0.75, 0.125)
+      graft.ext.Sampling.repairSplitLeakage(assign, "id", "split", pairs)
+        .groupBy(col("split_orig"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split_orig"), col("split"))
+    }),
     "x128_nearest_centroid" -> ((s, d) =>
       // Embedding-quality probe: nearest-centroid confusion matrix
       // over the integer-lattice label centroids. The centroid set
@@ -5128,6 +5153,65 @@ object SparkEntry {
         |  FROM sims WHERE sim IS NOT NULL)
         |SELECT label, clabel AS pred, CAST(count(*) AS BIGINT) AS n
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x124's pair pipeline -> recursive components -> train-frozen
+    // component retarget (train wins; else lexicographic min) -> moves
+    "x129_split_repair" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |exc AS (
+        |  SELECT id + 1000000 AS id,
+        |    array_to_string(toks[1:greatest(len(toks)//3, 1)], ' ') AS t
+        |  FROM (SELECT id, string_split(t, ' ') AS toks FROM base)),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+        |tk AS (SELECT id, string_split(t, ' ') AS toks FROM corpus),
+        |s AS (SELECT id, list_distinct(
+        |        CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(0, len(toks) - 3 + 1),
+        |                    i -> array_to_string(toks[i+1:i+3], ' '))
+        |        END) AS sh
+        |      FROM tk),
+        |inv AS (SELECT id, unnest(sh) AS g FROM s),
+        |dfreq AS (SELECT g, count(*) AS dfc FROM inv GROUP BY g),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM inv a
+        |         JOIN inv b ON a.g = b.g AND a.id < b.id
+        |         JOIN dfreq ON dfreq.g = a.g
+        |         WHERE dfreq.dfc BETWEEN 2 AND 4),
+        |v AS (SELECT id_a, id_b,
+        |        len(list_intersect(sa.sh, sb.sh)) AS i,
+        |        len(sa.sh) AS na, len(sb.sh) AS nb
+        |      FROM cand
+        |      JOIN s sa ON sa.id = id_a
+        |      JOIN s sb ON sb.id = id_b),
+        |pairs AS (SELECT id_a, id_b FROM v
+        |          WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |comp AS (SELECT src AS id, MIN(dst) AS group_id FROM reach GROUP BY src),
+        |asn AS (
+        |  SELECT id,
+        |    CASE WHEN substr(sha256('split:' || id), 1, 4) < 'c000' THEN 'train'
+        |         WHEN substr(sha256('split:' || id), 1, 4) < 'e000' THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM corpus),
+        |wc AS (SELECT a.id, a.split, COALESCE(g.group_id, a.id) AS key
+        |       FROM asn a LEFT JOIN comp g ON g.id = a.id),
+        |tgt AS (SELECT key,
+        |          CASE WHEN max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+        |            THEN 'train' ELSE min(split) END AS nsplit
+        |        FROM wc GROUP BY key),
+        |rep AS (SELECT wc.id, wc.split AS split_orig, t.nsplit AS split
+        |        FROM wc JOIN tgt t ON t.key = wc.key)
+        |SELECT split_orig, split, CAST(count(*) AS BIGINT) AS n
+        |FROM rep GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)

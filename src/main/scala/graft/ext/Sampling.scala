@@ -362,6 +362,43 @@ object Sampling {
       .withColumn("cross_split", col("split_lo") =!= col("split_hi"))
   }
 
+  /** Split-leakage REPAIR: rewrite a published assignment so that no
+    * near-duplicate pair crosses splits, with train FROZEN — the
+    * surgical alternative to re-splitting by group
+    * ([[groupHoldoutSplit]]) once a split is out in the world. Per
+    * connected component of the pair graph: any component touching
+    * train goes wholly to train (train only grows — nothing a model may
+    * have seen leaves it); a component with no train member unifies
+    * onto its lexicographically least member split (deterministic, no
+    * preference between eval splits). A naive "demote direct
+    * train-linked eval docs" pass would NOT close transitive chains
+    * (eval↔eval↔train); the component labeling is the closure, in one
+    * pass, no fixpoint loop.
+    *
+    * One component labeling over the (near-dup-sized, not corpus-sized)
+    * pair table plus two linear joins against the assignment. Returns
+    * the assignment with `split` rewritten and the original kept as
+    * `split_orig`; rows absent from the pair graph keep their split. */
+  def repairSplitLeakage(assign: DataFrame, idCol: String,
+                         splitCol: String, pairs: DataFrame): DataFrame = {
+    reserveColumns(assign, Seq("split_orig"), "repairSplitLeakage")
+    val comp = graft.ext.TextDedup.duplicateGroups(pairs)
+      .select(col("id").as("_rp_id"), col("comp").as("_rp_comp"))
+    val withComp = assign
+      .join(comp, col(idCol) === col("_rp_id"), "left")
+      .withColumn("_rp_key", coalesce(col("_rp_comp"), col(idCol)))
+    val target = withComp.groupBy(col("_rp_key").as("_rt_key"))
+      .agg(max((col(splitCol) === "train").cast("int")).as("_has_train"),
+        min(col(splitCol)).as("_min_split"))
+      .select(col("_rt_key"),
+        when(col("_has_train") === 1, "train")
+          .otherwise(col("_min_split")).as("_rt_split"))
+    withComp.join(target, col("_rp_key") === col("_rt_key"))
+      .withColumn("split_orig", col(splitCol))
+      .withColumn(splitCol, col("_rt_split"))
+      .drop("_rp_id", "_rp_comp", "_rp_key", "_rt_key", "_rt_split")
+  }
+
   /** Deterministic per-group cap: keep at most `k` rows per group,
     * chosen by salted-hash order (a uniform, reproducible subsample —
     * not "first k seen", which would bias toward ingestion order). The

@@ -856,6 +856,33 @@ class ExtSpec extends AnyFunSuite {
       .getAs[Long]("group_key") == 99L)
   }
 
+  test("repairSplitLeakage closes transitive chains, freezes train, " +
+    "unifies train-free components deterministically") {
+    // chain 1-2-3 touches train via 1 -> ALL become train (a direct-link
+    // demotion would leave the 2-3 eval pair crossing after one pass);
+    // 10-11 has no train member -> both to min('valid','test')='test';
+    // 99 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val assign = Seq((1L, "train"), (2L, "valid"), (3L, "test"),
+      (10L, "valid"), (11L, "test"), (99L, "valid")).toDF("id", "split")
+    val out = graft.ext.Sampling
+      .repairSplitLeakage(assign, "id", "split", pairs)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("split_orig"), r.getAs[String]("split"))).toMap
+    assert(out(1L) == ("train", "train") && out(2L) == ("valid", "train") &&
+      out(3L) == ("test", "train"))
+    assert(out(10L) == ("valid", "test") && out(11L) == ("test", "test"))
+    assert(out(99L) == ("valid", "valid"))
+    // post-condition: the leakage matrix over the repaired split is
+    // all same-split
+    val repaired = graft.ext.Sampling
+      .repairSplitLeakage(assign, "id", "split", pairs)
+      .select(col("id"), col("split"))
+    val leak = graft.ext.Sampling.splitLeakage(pairs, "id_a", "id_b",
+      repaired, "id", "split")
+    assert(leak.filter(col("cross_split")).count() == 0)
+  }
+
   test("hash split is deterministic, exhaustive, and ≈ fractions") {
     val split = graft.ext.Sampling.hashSplit(docs, "doc_id", "split", 0.75, 0.125)
     val counts = split.groupBy("split").count().collect()

@@ -102,6 +102,32 @@ object SparkEntry {
     base.unionByName(pert)
   }
 
+  /** documents ∪ first-⌊tokens/3⌋ excerpt copies at id+1000000 — the
+    * quote/subset duplication fixture shared by the containment family
+    * (x116/x124/x129). MUST stay in lockstep with the `corpus` CTE in
+    * [[duckContainmentCtes]]. */
+  private def excerptCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id").as("id"),
+      TextDedup.normalize(col("text")).as("t"))
+    val exc = base
+      .select((col("id") + 1000000).as("id"), split(col("t"), " ").as("_toks"))
+      .select(col("id"), array_join(
+        slice(col("_toks"), lit(1),
+          greatest(floor(size(col("_toks")) / 3).cast("int"), lit(1))),
+        " ").as("t"))
+    base.unionByName(exc)
+  }
+
+  /** The containment pair set over an [[excerptCorpus]] with the family
+    * parameters (3-shingles, df ∈ [2,4], containment ≥ 0.5) — one
+    * spelling for every containment-family query; `tag` keeps each
+    * query's staging spill (and therefore its measured build cost)
+    * its own. */
+  private def containmentPairsOf(corpus: DataFrame, d: String,
+                                 tag: String): DataFrame =
+    TextDedup.containmentPairs(corpus, "t", "id", shingleK = 3, maxDf = 4,
+      minContainment = 0.5, stagingPath = Some(cachePath(d, tag) + "/sh"))
+
   /** The portable sha256 pair set over [[perturbedCorpus]] — consumed
     * by the whole audit family (x13/x22/x23/x47/x50/x57). The 16-perm
     * sha256 pipeline is ~10× the kernel path's hashing cost BY DESIGN
@@ -1615,21 +1641,12 @@ object SparkEntry {
       // rare-shingle blocking (df ∈ [2, maxDf] postings — the bucket-cap
       // discipline applied to an inverted index); all three scores are
       // integer-ratio doubles, so DuckDB replays the whole pipeline.
-      val base = t(s, d, "documents")
-        .select(col("doc_id").as("id"), TextDedup.normalize(col("text")).as("t"))
-      val exc = base
-        .select((col("id") + 1000000).as("id"), split(col("t"), " ").as("_toks"))
-        .select(col("id"), array_join(
-          slice(col("_toks"), lit(1),
-            greatest(floor(size(col("_toks")) / 3).cast("int"), lit(1))),
-          " ").as("t"))
-      // stagingPath: the shingle table spills to parquet (re-read by the
-      // three consumer branches) instead of a session persist — no cached
-      // frame survives the query (the x114 leak lesson), and it is the
-      // documented beyond-memory shape anyway
-      TextDedup.containmentPairs(base.unionByName(exc), "t", "id",
-          shingleK = 3, maxDf = 4, minContainment = 0.5,
-          stagingPath = Some(cachePath(d, "x116") + "/sh"))
+      // stagingPath (inside containmentPairsOf): the shingle table
+      // spills to parquet (re-read by the three consumer branches)
+      // instead of a session persist — no cached frame survives the
+      // query (the x114 leak lesson), and it is the documented
+      // beyond-memory shape anyway
+      containmentPairsOf(excerptCorpus(t(s, d, "documents")), d, "x116")
         .orderBy(col("id_a"), col("id_b"))
     }),
     "x117_threshold_sweep" -> ((s, d) => {
@@ -1693,10 +1710,10 @@ object SparkEntry {
     "x121_rrf_fusion" -> ((s, d) => {
       // Hybrid-retrieval fusion: two independent lexical retrievers —
       // distinct-token overlap and 3-shingle Jaccard — rank the corpus
-      // for 5 probe documents; reciprocal-rank fusion (k0=60) combines
-      // the rankings without score calibration. The probe side is 5
-      // rows (broadcast); every downstream exchange is bounded by
-      // perSourceK·|queries|·|sources|, never the corpus.
+      // for 6 probe documents (doc_id 0-5); reciprocal-rank fusion
+      // (k0=60) combines the rankings without score calibration. The
+      // probe side is 6 rows (broadcast); every downstream exchange is
+      // bounded by perSourceK·|queries|·|sources|, never the corpus.
       val docs = t(s, d, "documents")
       val toks = docs.select(col("doc_id"),
         TextDedup.tokens(col("text")).as("toks"))
@@ -1758,18 +1775,8 @@ object SparkEntry {
       // assignment — cross_split=true rows are eval contamination a
       // deterministic per-doc split cannot prevent. Contingency-sized
       // output; everything upstream is the already-oracled machinery.
-      val base = t(s, d, "documents")
-        .select(col("doc_id").as("id"), TextDedup.normalize(col("text")).as("t"))
-      val exc = base
-        .select((col("id") + 1000000).as("id"), split(col("t"), " ").as("_toks"))
-        .select(col("id"), array_join(
-          slice(col("_toks"), lit(1),
-            greatest(floor(size(col("_toks")) / 3).cast("int"), lit(1))),
-          " ").as("t"))
-      val corpus = base.unionByName(exc)
-      val pairs = TextDedup.containmentPairs(corpus, "t", "id",
-        shingleK = 3, maxDf = 4, minContainment = 0.5,
-        stagingPath = Some(cachePath(d, "x124") + "/sh"))
+      val corpus = excerptCorpus(t(s, d, "documents"))
+      val pairs = containmentPairsOf(corpus, d, "x124")
       val assign = graft.ext.Sampling.hashSplit(
         corpus.select(col("id")), "id", "split", 0.75, 0.125)
       graft.ext.Sampling.splitLeakage(pairs, "id_a", "id_b",
@@ -1826,18 +1833,8 @@ object SparkEntry {
       // containment pair crosses splits, train frozen. Components make
       // the closure exact in one pass — a direct-link demotion would
       // miss eval↔eval↔train chains. Output: the move summary.
-      val base = t(s, d, "documents")
-        .select(col("doc_id").as("id"), TextDedup.normalize(col("text")).as("t"))
-      val exc = base
-        .select((col("id") + 1000000).as("id"), split(col("t"), " ").as("_toks"))
-        .select(col("id"), array_join(
-          slice(col("_toks"), lit(1),
-            greatest(floor(size(col("_toks")) / 3).cast("int"), lit(1))),
-          " ").as("t"))
-      val corpus = base.unionByName(exc)
-      val pairs = TextDedup.containmentPairs(corpus, "t", "id",
-        shingleK = 3, maxDf = 4, minContainment = 0.5,
-        stagingPath = Some(cachePath(d, "x129") + "/sh"))
+      val corpus = excerptCorpus(t(s, d, "documents"))
+      val pairs = containmentPairsOf(corpus, d, "x129")
       val assign = graft.ext.Sampling.hashSplit(
         corpus.select(col("id")), "id", "split", 0.75, 0.125)
       graft.ext.Sampling.repairSplitLeakage(assign, "id", "split", pairs)
@@ -3210,6 +3207,50 @@ object SparkEntry {
       |  UNION
       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
       |comp AS (SELECT src AS id, MIN(dst) AS group_id FROM reach GROUP BY src)""".stripMargin
+
+  /** base→…→v: the containment pipeline (excerpt corpus, distinct
+    * 3-shingles, df ∈ [2, 4] postings, candidate pairs, intersection
+    * sizes) — ONE spelling shared by the x116/x124/x129 oracles. Ends
+    * at `v(id_a, id_b, i, na, nb)`; consumers append
+    * [[duckContainmentPairCte]] or their own score tail. MUST stay in
+    * lockstep with [[excerptCorpus]] / [[containmentPairsOf]]. */
+  private val duckContainmentCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id AS id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents),
+      |exc AS (
+      |  SELECT id + 1000000 AS id,
+      |    array_to_string(toks[1:greatest(len(toks)//3, 1)], ' ') AS t
+      |  FROM (SELECT id, string_split(t, ' ') AS toks FROM base)),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+      |tk AS (SELECT id, string_split(t, ' ') AS toks FROM corpus),
+      |s AS (SELECT id, list_distinct(
+      |        CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_transform(range(0, len(toks) - 3 + 1),
+      |                    i -> array_to_string(toks[i+1:i+3], ' '))
+      |        END) AS sh
+      |      FROM tk),
+      |inv AS (SELECT id, unnest(sh) AS g FROM s),
+      |dfreq AS (SELECT g, count(*) AS dfc FROM inv GROUP BY g),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |         FROM inv a
+      |         JOIN inv b ON a.g = b.g AND a.id < b.id
+      |         JOIN dfreq ON dfreq.g = a.g
+      |         WHERE dfreq.dfc BETWEEN 2 AND 4),
+      |v AS (SELECT id_a, id_b,
+      |        len(list_intersect(sa.sh, sb.sh)) AS i,
+      |        len(sa.sh) AS na, len(sb.sh) AS nb
+      |      FROM cand
+      |      JOIN s sa ON sa.id = id_a
+      |      JOIN s sb ON sb.id = id_b)""".stripMargin
+
+  /** The family's kept-pair set (`pairs(id_a, id_b)` at containment ≥
+    * 0.5) over [[duckContainmentCtes]]' `v` — the name
+    * [[duckComponentCtes]] consumes. */
+  private val duckContainmentPairCte: String =
+    """pairs AS (SELECT id_a, id_b FROM v
+      |          WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -4992,56 +5033,27 @@ object SparkEntry {
         |FROM ex ORDER BY query_id, step""".stripMargin,
     // x116's containment replay + x14's split replay, cross-tabulated
     "x124_split_leakage" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        |  FROM documents),
-        |exc AS (
-        |  SELECT id + 1000000 AS id,
-        |    array_to_string(toks[1:greatest(len(toks)//3, 1)], ' ') AS t
-        |  FROM (SELECT id, string_split(t, ' ') AS toks FROM base)),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
-        |tk AS (SELECT id, string_split(t, ' ') AS toks FROM corpus),
-        |s AS (SELECT id, list_distinct(
-        |        CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-        |             ELSE list_transform(range(0, len(toks) - 3 + 1),
-        |                    i -> array_to_string(toks[i+1:i+3], ' '))
-        |        END) AS sh
-        |      FROM tk),
-        |inv AS (SELECT id, unnest(sh) AS g FROM s),
-        |dfreq AS (SELECT g, count(*) AS dfc FROM inv GROUP BY g),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |         FROM inv a
-        |         JOIN inv b ON a.g = b.g AND a.id < b.id
-        |         JOIN dfreq ON dfreq.g = a.g
-        |         WHERE dfreq.dfc BETWEEN 2 AND 4),
-        |v AS (SELECT id_a, id_b,
-        |        len(list_intersect(sa.sh, sb.sh)) AS i,
-        |        len(sa.sh) AS na, len(sb.sh) AS nb
-        |      FROM cand
-        |      JOIN s sa ON sa.id = id_a
-        |      JOIN s sb ON sb.id = id_b),
-        |pr AS (SELECT id_a, id_b FROM v
-        |       WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5),
-        |asn AS (
-        |  SELECT id,
-        |    CASE WHEN substr(sha256('split:' || id), 1, 4) < 'c000' THEN 'train'
-        |         WHEN substr(sha256('split:' || id), 1, 4) < 'e000' THEN 'valid'
-        |         ELSE 'test' END AS split
-        |  FROM corpus),
-        |j AS (
-        |  SELECT least(a.split, b.split) AS split_lo,
-        |         greatest(a.split, b.split) AS split_hi, p.id_a, p.id_b
-        |  FROM pr p JOIN asn a ON a.id = p.id_a JOIN asn b ON b.id = p.id_b),
-        |np AS (SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
-        |       FROM j GROUP BY 1, 2),
-        |nd AS (SELECT split_lo, split_hi, CAST(count(DISTINCT u) AS BIGINT) AS n_docs
-        |       FROM (SELECT split_lo, split_hi, unnest([id_a, id_b]) AS u FROM j) t
-        |       GROUP BY 1, 2)
-        |SELECT np.split_lo, np.split_hi, n_pairs, n_docs,
-        |  np.split_lo <> np.split_hi AS cross_split
-        |FROM np JOIN nd USING (split_lo, split_hi)
-        |ORDER BY split_lo, split_hi""".stripMargin,
+      s"""$duckContainmentCtes,
+         |$duckContainmentPairCte,
+         |asn AS (
+         |  SELECT id,
+         |    CASE WHEN substr(sha256('split:' || id), 1, 4) < 'c000' THEN 'train'
+         |         WHEN substr(sha256('split:' || id), 1, 4) < 'e000' THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM corpus),
+         |j AS (
+         |  SELECT least(a.split, b.split) AS split_lo,
+         |         greatest(a.split, b.split) AS split_hi, p.id_a, p.id_b
+         |  FROM pairs p JOIN asn a ON a.id = p.id_a JOIN asn b ON b.id = p.id_b),
+         |np AS (SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM j GROUP BY 1, 2),
+         |nd AS (SELECT split_lo, split_hi, CAST(count(DISTINCT u) AS BIGINT) AS n_docs
+         |       FROM (SELECT split_lo, split_hi, unnest([id_a, id_b]) AS u FROM j) t
+         |       GROUP BY 1, 2)
+         |SELECT np.split_lo, np.split_hi, n_pairs, n_docs,
+         |  np.split_lo <> np.split_hi AS cross_split
+         |FROM np JOIN nd USING (split_lo, split_hi)
+         |ORDER BY split_lo, split_hi""".stripMargin,
     // contingency MI: counts multiply as doubles, each entropy/MI sum
     // folds in sorted category order (list_sum == the sorted-struct fold)
     "x125_mutual_info" ->
@@ -5156,102 +5168,37 @@ object SparkEntry {
     // x124's pair pipeline -> recursive components -> train-frozen
     // component retarget (train wins; else lexicographic min) -> moves
     "x129_split_repair" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id AS id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        |  FROM documents),
-        |exc AS (
-        |  SELECT id + 1000000 AS id,
-        |    array_to_string(toks[1:greatest(len(toks)//3, 1)], ' ') AS t
-        |  FROM (SELECT id, string_split(t, ' ') AS toks FROM base)),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
-        |tk AS (SELECT id, string_split(t, ' ') AS toks FROM corpus),
-        |s AS (SELECT id, list_distinct(
-        |        CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-        |             ELSE list_transform(range(0, len(toks) - 3 + 1),
-        |                    i -> array_to_string(toks[i+1:i+3], ' '))
-        |        END) AS sh
-        |      FROM tk),
-        |inv AS (SELECT id, unnest(sh) AS g FROM s),
-        |dfreq AS (SELECT g, count(*) AS dfc FROM inv GROUP BY g),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |         FROM inv a
-        |         JOIN inv b ON a.g = b.g AND a.id < b.id
-        |         JOIN dfreq ON dfreq.g = a.g
-        |         WHERE dfreq.dfc BETWEEN 2 AND 4),
-        |v AS (SELECT id_a, id_b,
-        |        len(list_intersect(sa.sh, sb.sh)) AS i,
-        |        len(sa.sh) AS na, len(sb.sh) AS nb
-        |      FROM cand
-        |      JOIN s sa ON sa.id = id_a
-        |      JOIN s sb ON sb.id = id_b),
-        |pairs AS (SELECT id_a, id_b FROM v
-        |          WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL
-        |  SELECT id_b AS a, id_a AS b FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
-        |comp AS (SELECT src AS id, MIN(dst) AS group_id FROM reach GROUP BY src),
-        |asn AS (
-        |  SELECT id,
-        |    CASE WHEN substr(sha256('split:' || id), 1, 4) < 'c000' THEN 'train'
-        |         WHEN substr(sha256('split:' || id), 1, 4) < 'e000' THEN 'valid'
-        |         ELSE 'test' END AS split
-        |  FROM corpus),
-        |wc AS (SELECT a.id, a.split, COALESCE(g.group_id, a.id) AS key
-        |       FROM asn a LEFT JOIN comp g ON g.id = a.id),
-        |tgt AS (SELECT key,
-        |          CASE WHEN max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
-        |            THEN 'train' ELSE min(split) END AS nsplit
-        |        FROM wc GROUP BY key),
-        |rep AS (SELECT wc.id, wc.split AS split_orig, t.nsplit AS split
-        |        FROM wc JOIN tgt t ON t.key = wc.key)
-        |SELECT split_orig, split, CAST(count(*) AS BIGINT) AS n
-        |FROM rep GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""${duckContainmentCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$duckContainmentPairCte,
+         |$duckComponentCtes,
+         |asn AS (
+         |  SELECT id,
+         |    CASE WHEN substr(sha256('split:' || id), 1, 4) < 'c000' THEN 'train'
+         |         WHEN substr(sha256('split:' || id), 1, 4) < 'e000' THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM corpus),
+         |wc AS (SELECT a.id, a.split, COALESCE(g.group_id, a.id) AS key
+         |       FROM asn a LEFT JOIN comp g ON g.id = a.id),
+         |tgt AS (SELECT key,
+         |          CASE WHEN max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+         |            THEN 'train' ELSE min(split) END AS nsplit
+         |        FROM wc GROUP BY key),
+         |rep AS (SELECT wc.id, wc.split AS split_orig, t.nsplit AS split
+         |        FROM wc JOIN tgt t ON t.key = wc.key)
+         |SELECT split_orig, split, CAST(count(*) AS BIGINT) AS n
+         |FROM rep GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // full containment-pipeline replay: excerpt corpus -> distinct
     // 3-shingles -> rare-shingle postings (df in [2,4]) -> candidate
     // pairs -> exact containment/Jaccard (integer-ratio doubles)
     "x116_containment_pairs" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        |  FROM documents),
-        |exc AS (
-        |  SELECT id + 1000000 AS id,
-        |    array_to_string(toks[1:greatest(len(toks)//3, 1)], ' ') AS t
-        |  FROM (SELECT id, string_split(t, ' ') AS toks FROM base)),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
-        |tk AS (SELECT id, string_split(t, ' ') AS toks FROM corpus),
-        |s AS (SELECT id, list_distinct(
-        |        CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-        |             ELSE list_transform(range(0, len(toks) - 3 + 1),
-        |                    i -> array_to_string(toks[i+1:i+3], ' '))
-        |        END) AS sh
-        |      FROM tk),
-        |inv AS (SELECT id, unnest(sh) AS g FROM s),
-        |dfreq AS (SELECT g, count(*) AS dfc FROM inv GROUP BY g),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |         FROM inv a
-        |         JOIN inv b ON a.g = b.g AND a.id < b.id
-        |         JOIN dfreq ON dfreq.g = a.g
-        |         WHERE dfreq.dfc BETWEEN 2 AND 4),
-        |v AS (SELECT id_a, id_b,
-        |        len(list_intersect(sa.sh, sb.sh)) AS i,
-        |        len(sa.sh) AS na, len(sb.sh) AS nb
-        |      FROM cand
-        |      JOIN s sa ON sa.id = id_a
-        |      JOIN s sb ON sb.id = id_b)
-        |SELECT id_a, id_b,
-        |  CAST(i AS DOUBLE) / na AS c_ab,
-        |  CAST(i AS DOUBLE) / nb AS c_ba,
-        |  CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
-        |FROM v
-        |WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""$duckContainmentCtes
+         |SELECT id_a, id_b,
+         |  CAST(i AS DOUBLE) / na AS c_ab,
+         |  CAST(i AS DOUBLE) / nb AS c_ba,
+         |  CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+         |FROM v
+         |WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     // cumulative confusion counts over the per-score table; the window
     // runs on |distinct n_chars| rows on both engines
     "x117_threshold_sweep" ->

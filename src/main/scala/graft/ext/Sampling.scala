@@ -438,11 +438,11 @@ object Sampling {
                      salt: String, trainFrac: Double,
                      validFrac: Double): DataFrame = {
     reserveColumns(df, Seq("group_id", "bucket", "split"), "groupSafeSplit")
-    val groups = TextDedup.duplicateGroups(pairs)
-      .select(col("id").as(idCol), col("comp").as("group_id"))
-    val labeled = df.join(groups, Seq(idCol), "left")
-      .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
-    hashSplit(labeled, "group_id", salt, trainFrac, validFrac)
+    // one split-arithmetic implementation: the pair-edge form is the
+    // dup-cluster instance of the general group-holdout split
+    groupHoldoutSplit(df, idCol, TextDedup.duplicateGroups(pairs),
+        "id", "comp", salt, trainFrac, validFrac)
+      .withColumnRenamed("group_key", "group_id")
   }
 
   /** Sequence packing for training batches: assign documents to

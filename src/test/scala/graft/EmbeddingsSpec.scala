@@ -35,6 +35,16 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n")).sum == 20) // 999 dropped
   }
 
+  test("nearestCentroidConfusion plan: one-row centroid broadcast, " +
+    "narrow argmax (no window, no per-vector exchange)") {
+    val rows = Seq((1L, 0, Array(1.0f, 0.0f)), (2L, 1, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val p = Embeddings.nearestCentroidConfusion(rows, "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row centroid set
+    assert(!p.contains("Window"), p)                 // argmax is array_max
+  }
+
   test("randomProject: deterministic, linear, equals the manual dot (x60)") {
     val planes = graft.ext.Similarity.hyperplanes(4, 3, seed = 42L)
     val df = Seq((1L, Array(1.0f, 2.0f, -2.0f)), (2L, Array(2.0f, 4.0f, -4.0f)))

@@ -76,6 +76,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).toSeq === Seq(4L, 5L))
   }
 
+  test("plan gates: rrfFuse ranks with reducing heaps (no Window, no " +
+    "rank Sort); mmrSelect is exactly one exchange") {
+    val fusedPlan = Retrieval.rrfFuse(Seq(lex, dense), "q", "doc", "score",
+      k0 = 60, perSourceK = 10, topK = 10)
+      .queryExecution.executedPlan.toString
+    // ranking via TopKByDouble partials (ObjectHashAggregate), never a
+    // window — the rewrite-rule-free guarantee the scale notes promise
+    assert(!fusedPlan.contains("Window"), fusedPlan)
+    assert(fusedPlan.contains("ObjectHashAggregate"), fusedPlan)
+
+    val cands = Seq((7L, 1L, 0.9, Seq(1.0f, 0.0f)), (7L, 2L, 0.8, Seq(0.9f, 0.1f)))
+      .toDF("q", "id", "rel", "emb")
+    val mmrPlan = Retrieval.mmrSelect(cands, "q", "id", "emb", "rel",
+      lambdaWeight = 0.5, k = 2).queryExecution.executedPlan.toString
+    // the whole greedy loop is narrow: the candidate groupBy is the ONLY
+    // exchange; no UDF, no per-step shuffle
+    assert("Exchange".r.findAllIn(mmrPlan).size == 1, mmrPlan)
+    assert(!mmrPlan.contains("Window") && !mmrPlan.contains("BatchEval"),
+      mmrPlan)
+  }
+
   test("rrfFuse drops null scores and single-source docs still fuse") {
     val src = Seq((1L, Some(1L), Some(2.0)), (1L, Some(2L), None))
       .toDF("q", "doc", "score")

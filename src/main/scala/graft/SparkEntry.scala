@@ -1842,6 +1842,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split_orig"), col("split"))
     }),
+    "x130_mixture_reweight" -> ((s, d) =>
+      // Data-mixing plan: rebalance the corpus language mix to a
+      // uniform 0.2 target WITHOUT upsampling — per-lang keep_prob,
+      // normalized so the most under-target group keeps everything.
+      // One corpus aggregate; everything downstream |groups|-sized.
+      graft.ext.Sampling.mixtureWeights(t(s, d, "documents"), "lang",
+          Map("en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.2,
+            "zh" -> 0.2))
+        .orderBy(col("group"))),
+    "x131_source_percentile" -> ((s, d) =>
+      // Per-source percentile calibration: the within-source
+      // percent_rank of n_chars — the rank normalization that makes
+      // scores comparable across domains before mixing. The window
+      // partitions by source, so each sort holds one source's rows.
+      Quality.percentileNormalize(t(s, d, "documents"), "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("pct"))
+        .orderBy(col("doc_id"))),
     "x128_nearest_centroid" -> ((s, d) =>
       // Embedding-quality probe: nearest-centroid confusion matrix
       // over the integer-lattice label centroids. The centroid set
@@ -5165,6 +5182,31 @@ object SparkEntry {
         |  FROM sims WHERE sim IS NOT NULL)
         |SELECT label, clabel AS pred, CAST(count(*) AS BIGINT) AS n
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // group counts -> integer-ratio fracs -> ratio-to-target -> shared
+    // max normalizer (one IEEE chain per group, no fold ordering)
+    "x130_mixture_reweight" ->
+      """WITH cnt AS (SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n
+        |             FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt),
+        |tgt("group", target_frac) AS (VALUES
+        |  ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.2 AS DOUBLE)),
+        |  ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+        |  ('zh', CAST(0.2 AS DOUBLE))),
+        |r AS (SELECT c."group", c.n,
+        |        CAST(c.n AS DOUBLE) / t.t AS frac,
+        |        COALESCE(g.target_frac, CAST(0 AS DOUBLE)) AS target_frac
+        |      FROM cnt c LEFT JOIN tgt g USING ("group") CROSS JOIN tot t),
+        |r2 AS (SELECT *, target_frac / frac AS ratio FROM r),
+        |mx AS (SELECT max(ratio) AS m FROM r2)
+        |SELECT r2."group", n, frac, target_frac, ratio,
+        |  CASE WHEN m > 0 THEN ratio / m END AS keep_prob
+        |FROM r2 CROSS JOIN mx
+        |ORDER BY r2."group"""".stripMargin,
+    "x131_source_percentile" ->
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct
+        |FROM documents WHERE n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // x124's pair pipeline -> recursive components -> train-frozen
     // component retarget (train wins; else lexicographic min) -> moves
     "x129_split_repair" ->

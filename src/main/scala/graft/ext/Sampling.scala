@@ -288,6 +288,50 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Mixture reweighting toward a target group distribution — the
+    * data-mixing verb (rebalance a crawl's language/domain mix to a
+    * training spec without upsampling): per group, `ratio =
+    * target_frac / observed_frac` and `keep_prob = ratio / max(ratio)`,
+    * so Bernoulli-keeping each group at its `keep_prob` yields the
+    * target proportions while the best-represented-relative-to-target
+    * group keeps everything (no duplication, maximal retained data).
+    * Apply with [[bernoulliSample]] per group at `keep_prob` — the
+    * summary here is the auditable plan, deliberately separate from
+    * the (hash-quantized) application.
+    *
+    * Groups absent from `target` get target_frac 0 (dropped by any
+    * application); target entries absent from the corpus are ignored.
+    * One group-count aggregate over the corpus; everything downstream
+    * is |groups|-sized. All values are integer ratios and one shared
+    * max — deterministic with no fold-order caveat. */
+  def mixtureWeights(df: DataFrame, groupCol: String,
+                     target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty, "target mixture must not be empty")
+    val spark = df.sparkSession
+    val tdf = spark.createDataFrame(target.toSeq.map {
+      case (g, f) => (g, f)
+    }).toDF("group", "target_frac")
+    val cnt = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("_tot"))
+    val ratios = cnt
+      .join(broadcast(tdf), Seq("group"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("group"), col("n"),
+        (col("n").cast("double") / col("_tot")).as("frac"),
+        coalesce(col("target_frac"), lit(0.0)).as("target_frac"))
+      .withColumn("ratio",
+        col("target_frac") / col("frac"))
+    val mx = ratios.agg(max(col("ratio")).as("_mx"))
+    ratios.crossJoin(broadcast(mx))
+      // guarded: if no corpus group has positive target mass the
+      // normalizer is 0 and keep_prob is undefined (null), not NaN
+      .withColumn("keep_prob",
+        when(col("_mx") > 0.0, col("ratio") / col("_mx")))
+      .drop("_mx")
+  }
+
   /** Group-holdout split: train/valid/test assignment keyed by a GROUP
     * (dup cluster, source domain, author) instead of the row id, so
     * every member of a group lands in the same split — the fix for the

@@ -282,6 +282,25 @@ object Quality {
           .as("kappa"))
   }
 
+  /** Per-group percentile normalization: the percent_rank of a score
+    * WITHIN its group — the calibration step before mixing scored data
+    * across sources/domains (a quality classifier's raw scores are not
+    * comparable between domains; their within-domain ranks are).
+    * Rank-based, so it is invariant to any monotone per-group score
+    * transform; ties share a rank, so the output is deterministic
+    * under any row order. Appends `pct` ∈ [0, 1] (integer-ratio
+    * (rank−1)/(n−1); a single-row group normalizes to 0).
+    *
+    * Scale: one window partitioned by the group — each sort holds one
+    * group, never the corpus. */
+  def percentileNormalize(df: DataFrame, groupCol: String,
+                          scoreCol: String): DataFrame = {
+    graft.Guards.reserved(df, "percentileNormalize", Seq("pct"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("pct", percent_rank().over(w))
+  }
+
   /** Mutual information between two categorical columns — the
     * dataset-audit dependence measure (is `lang` confounded with
     * `source`? does a quality label leak the domain?), reported with

@@ -835,6 +835,25 @@ class ExtSpec extends AnyFunSuite {
     )
   }
 
+  test("mixtureWeights: hand-computed keep probabilities, untargeted " +
+    "group drops, missing target group ignored") {
+    val df = Seq("a", "a", "a", "b", "c").toDF("g") // a:3 b:1 c:1, n=5
+    val out = graft.ext.Sampling
+      .mixtureWeights(df, "g", Map("a" -> 0.5, "b" -> 0.5, "z" -> 0.1))
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    assert(out.keySet == Set("a", "b", "c")) // 'z' not in corpus: ignored
+    assert(out("a").getAs[Long]("n") == 3 &&
+      out("a").getAs[Double]("frac") == 0.6)
+    val ra = 0.5 / 0.6
+    val rb = 0.5 / 0.2
+    assert(out("a").getAs[Double]("ratio") == ra &&
+      out("b").getAs[Double]("ratio") == rb)
+    assert(out("a").getAs[Double]("keep_prob") == ra / rb) // b keeps all
+    assert(out("b").getAs[Double]("keep_prob") == 1.0)
+    assert(out("c").getAs[Double]("target_frac") == 0.0 &&
+      out("c").getAs[Double]("keep_prob") == 0.0) // untargeted: dropped
+  }
+
   test("groupHoldoutSplit keeps whole groups together — zero cross-split " +
     "leakage by construction") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

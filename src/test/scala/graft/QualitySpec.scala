@@ -178,6 +178,21 @@ class QualitySpec extends AnyFunSuite {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
   }
 
+  test("percentileNormalize: within-group percent ranks, tie sharing, " +
+    "single-row group -> 0, null scores drop") {
+    import spark.implicits._
+    val df = Seq(("g", Some(10L)), ("g", Some(20L)), ("g", Some(20L)),
+      ("g", Some(40L)), ("h", Some(7L)), ("g", None)).toDF("src", "s")
+    val out = Quality.percentileNormalize(df, "src", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("g", 10L)) == 0.0)
+    assert(out(("g", 20L)) == 1.0 / 3) // rank 2 of 4 -> (2-1)/(4-1)
+    assert(out(("g", 40L)) == 1.0)
+    assert(out(("h", 7L)) == 0.0)      // single-row group
+    assert(out.size == 4)              // the null-score row dropped
+  }
+
   test("mutualInfo: independence -> 0, identity -> nmi 1, constant " +
     "column -> null nmi, nulls drop") {
     import spark.implicits._

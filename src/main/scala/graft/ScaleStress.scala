@@ -73,7 +73,8 @@ object ScaleStress {
     // machinery, x127 the component+priority cut, x128 the broadcast
     // centroid argmax (pure map-side — should be near-linear)
     "x124_split_leakage", "x127_cluster_weighted_sample",
-    "x128_nearest_centroid",
+    "x128_nearest_centroid", "x129_split_repair",
+    "x130_mixture_reweight", "x131_source_percentile",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

@@ -1842,6 +1842,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split_orig"), col("split"))
     }),
+    "x132_principal_axis" -> ((s, d) =>
+      // PCA top-axis projection: integer-lattice covariance (exact,
+      // partition-order-free), 20 unnormalized power-iteration steps on
+      // the driver's d×d matrix, narrow centered projection — every
+      // arithmetic step replayed in DuckDB. The fixture embeddings are
+      // near-isotropic, so the oracle pins engine determinism; the
+      // spec's anisotropic fixture pins convergence semantics.
+      Embeddings.principalAxis(t(s, d, "embeddings"), "embedding", "vec_id")
+        .orderBy(col("vec_id"))),
     "x130_mixture_reweight" -> ((s, d) =>
       // Data-mixing plan: rebalance the corpus language mix to a
       // uniform 0.2 target WITHOUT upsampling — per-lang keep_prob,
@@ -5207,6 +5216,43 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct
         |FROM documents WHERE n_chars IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // full PCA replay: lattice quantize (floor(x·4096+0.5) — the
+    // portable rounding), exact integer sums / outer-product cells,
+    // covariance chain, 20 unnormalized matvec folds, one final
+    // normalization + canonical sign, centered projection — every
+    // accumulation a left fold matching the Scala while-loops
+    "x132_principal_axis" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (SELECT vec_id, e, list_transform(e, x -> CAST(floor(x * 4096 + 0.5) AS BIGINT)) AS q FROM e),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |su AS (SELECT i, CAST(SUM(qe) AS BIGINT) AS s
+        |       FROM (SELECT unnest(q) AS qe, unnest(range(64)) AS i FROM q) GROUP BY i),
+        |ce AS (SELECT ti.i AS i, tj.j AS j, CAST(SUM(q[ti.i + 1] * q[tj.j + 1]) AS BIGINT) AS o
+        |       FROM q, range(64) ti(i), range(64) tj(j) GROUP BY 1, 2),
+        |cv AS (SELECT ce.i, ce.j,
+        |         CAST(ce.o AS DOUBLE) / n.n
+        |           - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n) AS c
+        |       FROM ce JOIN su si ON si.i = ce.i JOIN su sj ON sj.i = ce.j CROSS JOIN n),
+        |mat AS (SELECT list(c ORDER BY i, j) AS m FROM cv),
+        |it AS (SELECT list_reduce(
+        |         [list_transform(range(64), i -> CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)))]
+        |           || list_transform(range(20), k -> CAST([] AS DOUBLE[])),
+        |         (acc, z) -> list_transform(range(64), i ->
+        |           list_sum(list_transform(range(64), j -> m[i * 64 + j + 1] * acc[j + 1])))) AS w
+        |       FROM mat),
+        |nv AS (SELECT list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v FROM it),
+        |sg AS (SELECT CASE WHEN v[-(list_sort(list_transform(range(64), i ->
+        |                {'a': abs(v[i + 1]), 'ni': -i}), 'DESC')[1].ni) + 1] < 0
+        |              THEN list_transform(v, x -> -x) ELSE v END AS pc
+        |       FROM nv),
+        |mu AS (SELECT list(m ORDER BY i) AS mu
+        |       FROM (SELECT i, (CAST(s AS DOUBLE) / n.n) / 4096 AS m FROM su CROSS JOIN n))
+        |SELECT e.vec_id,
+        |  round(list_sum(list_transform(range(64), i ->
+        |    (e.e[i + 1] - mu.mu[i + 1]) * sg.pc[i + 1])), 6) AS proj
+        |FROM e CROSS JOIN mu CROSS JOIN sg
+        |ORDER BY vec_id""".stripMargin,
     // x124's pair pipeline -> recursive components -> train-frozen
     // component retarget (train wins; else lexicographic min) -> moves
     "x129_split_repair" ->

@@ -170,6 +170,98 @@ object Embeddings {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Principal-axis projection — PCA's top component over an embedding
+    * column, engine-exact end to end:
+    *
+    *  1. embeddings quantize to an integer lattice
+    *     (`floor(x·2^latticeBits + 0.5)` — the portable-rounding
+    *     spelling, never `round()`, whose half-tie rule differs across
+    *     engines), so the covariance inputs — per-dim sums and the
+    *     flattened d² outer-product sums via the native `graft_vecsum`
+    *     reducer — are EXACT integers, independent of row and
+    *     partition order. The one corpus pass reduces map-side to
+    *     d + d² longs (≈33 KB at d=64).
+    *  2. the d×d covariance and `iters` UNNORMALIZED power-iteration
+    *     steps run on the driver (bounded state, like the BPE merge
+    *     table): per-step normalization is skipped so the whole
+    *     iteration is plain fused multiply-adds a SQL replay can fold
+    *     1:1 (λ^iters must stay inside double range — 20 steps at
+    *     λ≈5e5 is ~1e113, far under 1e308); one normalization at the
+    *     end, then a canonical sign (max-|loading| component positive,
+    *     smallest index on ties).
+    *  3. each row projects onto the axis with a narrow centered dot
+    *     (μ from the exact integer sums) — no shuffle.
+    *
+    * On spectra with a real top component (the usual case for learned
+    * embeddings) 20 iterations converge; on near-isotropic corpora the
+    * result is a deterministic mixture of the top eigenvectors — there
+    * is no meaningful principal axis to find there, and determinism is
+    * what the cross-engine oracle pins.
+    *
+    * Returns `(idCol, proj)`; `axis(df, ...)` exposes the loadings. */
+  def principalAxis(df: DataFrame, embCol: String, idCol: String,
+                    latticeBits: Int = 12, iters: Int = 20,
+                    roundTo: Int = 6): DataFrame = {
+    val (v, mu) = principalAxisVectors(df, embCol, latticeBits, iters)
+    val pcLit = array(v.map(lit).toIndexedSeq: _*)
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    df.filter(col(embCol).isNotNull)
+      .select(col(idCol),
+        round(aggregate(
+          zip_with(zip_with(Similarity.asDouble(col(embCol)), muLit, _ - _),
+            pcLit, _ * _),
+          lit(0.0), _ + _), roundTo).as("proj"))
+  }
+
+  /** The (loadings, mean) pair behind [[principalAxis]]. */
+  def principalAxisVectors(df: DataFrame, embCol: String,
+                           latticeBits: Int = 12,
+                           iters: Int = 20): (Array[Double], Array[Double]) = {
+    require(latticeBits >= 1 && latticeBits <= 20, "latticeBits in [1,20]")
+    require(iters >= 1 && iters <= 120,
+      "iters capped: unnormalized power iteration must stay in double range")
+    val spark = df.sparkSession
+    val scale = (1L << latticeBits).toDouble
+    val q = transform(Similarity.asDouble(col(embCol)),
+      x => floor(x * scale + lit(0.5)).cast("long"))
+    val agg = df.filter(col(embCol).isNotNull)
+      .select(q.as("_q"))
+      .agg(
+        graft.functions.GraftFunctions.vecSumLong(spark, col("_q")).as("_s"),
+        graft.functions.GraftFunctions.vecSumLong(spark,
+          flatten(transform(col("_q"),
+            x => transform(col("_q"), y => x * y)))).as("_o"),
+        count(lit(1)).as("_n"))
+      .head()
+    val s = agg.getSeq[Long](0).toArray
+    val o = agg.getSeq[Long](1).toArray
+    val n = agg.getLong(2).toDouble
+    val d = s.length
+    val c = Array.tabulate(d, d)((i, j) =>
+      o(i * d + j).toDouble / n - (s(i).toDouble / n) * (s(j).toDouble / n))
+    // left-to-right accumulation everywhere: the replay is a left fold
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var k = 0
+    while (k < iters) {
+      v = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      k += 1
+    }
+    var nrm2 = 0.0
+    var i = 0
+    while (i < d) { nrm2 += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(nrm2)
+    v = v.map(_ / nrm)
+    var bi = 0
+    var t = 1
+    while (t < d) { if (math.abs(v(t)) > math.abs(v(bi))) bi = t; t += 1 }
+    if (v(bi) < 0) v = v.map(x => -x)
+    (v, Array.tabulate(d)(i2 => s(i2) / n / scale))
+  }
+
   /** Quantized dot product (integer arithmetic, exact): dot(qa, qb) *
     * scale_a * scale_b approximates the float dot — the cheap re-rank
     * primitive over int8-compressed embeddings. */

@@ -45,6 +45,31 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)                 // argmax is array_max
   }
 
+  test("principalAxis: anisotropic data recovers the dominant axis with " +
+    "canonical sign; bit-identical under repartition") {
+    // variance ~100:1 along dim 0 of 4
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array(((i % 20) - 9.5f) / 10f, ((i % 3) - 1f) / 100f,
+        0.0f, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (v, mu) = Embeddings.principalAxisVectors(df, "embedding")
+    assert(math.abs(v(0)) > 0.99, v.mkString(","))
+    assert(v(0) > 0) // canonical sign: dominant loading positive
+    assert(math.abs(mu(0)) < 0.01 && math.abs(mu(2)) < 1e-9)
+    // projections follow the dim-0 coordinate (centered, within the
+    // lattice + minor-axis tolerance)
+    val proj = Embeddings.principalAxis(df, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, e) =>
+      assert(math.abs(proj(id) - (e(0) - mu(0)) * v(0)) < 0.02) }
+    // the integer-lattice covariance makes the whole operator
+    // partition-order independent — EXACT equality, not tolerance
+    val proj2 = Embeddings.principalAxis(df.repartition(7), "embedding",
+      "vec_id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj == proj2)
+  }
+
   test("randomProject: deterministic, linear, equals the manual dot (x60)") {
     val planes = graft.ext.Similarity.hyperplanes(4, 3, seed = 42L)
     val df = Seq((1L, Array(1.0f, 2.0f, -2.0f)), (2L, Array(2.0f, 4.0f, -4.0f)))

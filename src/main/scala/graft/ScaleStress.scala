@@ -75,6 +75,8 @@ object ScaleStress {
     "x124_split_leakage", "x127_cluster_weighted_sample",
     "x128_nearest_centroid", "x129_split_repair",
     "x130_mixture_reweight", "x131_source_percentile",
+    // d² multiply-adds per row in one reduce pass — should be linear
+    "x132_principal_axis",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

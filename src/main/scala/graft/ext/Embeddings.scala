@@ -185,10 +185,12 @@ object Embeddings {
     *     steps run on the driver (bounded state, like the BPE merge
     *     table): per-step normalization is skipped so the whole
     *     iteration is plain fused multiply-adds a SQL replay can fold
-    *     1:1 (λ^iters must stay inside double range — 20 steps at
-    *     λ≈5e5 is ~1e113, far under 1e308); one normalization at the
-    *     end, then a canonical sign (max-|loading| component positive,
-    *     smallest index on ties).
+    *     1:1. λ^iters must stay inside double range — 20 steps at
+    *     λ≈5e5 is ~1e113, far under 1e308; since λ is data-dependent,
+    *     overflow/underflow is DETECTED at runtime (loud require, no
+    *     silent NaN axis). One normalization at the end, then a
+    *     canonical sign (max-|loading| component positive, smallest
+    *     index on ties).
     *  3. each row projects onto the axis with a narrow centered dot
     *     (μ from the exact integer sums) — no shuffle.
     *
@@ -218,8 +220,7 @@ object Embeddings {
                            latticeBits: Int = 12,
                            iters: Int = 20): (Array[Double], Array[Double]) = {
     require(latticeBits >= 1 && latticeBits <= 20, "latticeBits in [1,20]")
-    require(iters >= 1 && iters <= 120,
-      "iters capped: unnormalized power iteration must stay in double range")
+    require(iters >= 1 && iters <= 120, "iters in [1,120]")
     val spark = df.sparkSession
     val scale = (1L << latticeBits).toDouble
     val q = transform(Similarity.asDouble(col(embCol)),
@@ -233,10 +234,13 @@ object Embeddings {
             x => transform(col("_q"), y => x * y)))).as("_o"),
         count(lit(1)).as("_n"))
       .head()
+    require(agg.getLong(2) > 0,
+      "principalAxis needs at least one row with a non-null embedding")
     val s = agg.getSeq[Long](0).toArray
     val o = agg.getSeq[Long](1).toArray
     val n = agg.getLong(2).toDouble
     val d = s.length
+    require(d > 0, "principalAxis: embedding arrays are empty")
     val c = Array.tabulate(d, d)((i, j) =>
       o(i * d + j).toDouble / n - (s(i).toDouble / n) * (s(j).toDouble / n))
     // left-to-right accumulation everywhere: the replay is a left fold
@@ -250,10 +254,20 @@ object Embeddings {
       }
       k += 1
     }
+    // once an overflow produces Inf it persists to the end — one check
+    // here catches any iters/spectrum combination that left double
+    // range (the static cap alone cannot know λ)
+    require(v.forall(java.lang.Double.isFinite),
+      s"principalAxis: $iters unnormalized power-iteration steps " +
+        "overflowed double range for this spectrum — lower iters " +
+        "(λ^iters must stay finite)")
     var nrm2 = 0.0
     var i = 0
     while (i < d) { nrm2 += v(i) * v(i); i += 1 }
     val nrm = math.sqrt(nrm2)
+    require(nrm > 0.0,
+      "principalAxis: iterate underflowed to zero (degenerate or " +
+        "near-zero covariance) — no axis to normalize")
     v = v.map(_ / nrm)
     var bi = 0
     var t = 1

@@ -308,9 +308,8 @@ object Sampling {
                      target: Map[String, Double]): DataFrame = {
     require(target.nonEmpty, "target mixture must not be empty")
     val spark = df.sparkSession
-    val tdf = spark.createDataFrame(target.toSeq.map {
-      case (g, f) => (g, f)
-    }).toDF("group", "target_frac")
+    val tdf = spark.createDataFrame(target.toSeq)
+      .toDF("group", "target_frac")
     val cnt = df.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol).cast("string").as("group"))
       .agg(count(lit(1)).as("n"))

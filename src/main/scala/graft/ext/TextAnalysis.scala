@@ -111,7 +111,8 @@ object TextAnalysis {
   def rougeN(pairs: DataFrame, candCol: String, refCol: String,
              n: Int): DataFrame = {
     graft.Guards.reserved(pairs, "rougeN",
-      Seq("n_cand", "n_ref", "clipped", "precision", "recall", "f1"))
+      Seq("_cg", "_rg", "n_cand", "n_ref", "clipped", "precision",
+        "recall", "f1"))
     val spark = pairs.sparkSession
     def grams(c: Column): Column = graft.functions.GraftFunctions
       .shingles(spark, graft.ext.TextDedup.tokens(c), n)

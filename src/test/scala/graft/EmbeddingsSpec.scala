@@ -68,6 +68,17 @@ class EmbeddingsSpec extends AnyFunSuite {
     val proj2 = Embeddings.principalAxis(df.repartition(7), "embedding",
       "vec_id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(proj == proj2)
+    // the static cap cannot know λ: overflow of the unnormalized
+    // iterate is detected at runtime, loudly — never a silent NaN axis
+    val boom = intercept[IllegalArgumentException] {
+      Embeddings.principalAxisVectors(df, "embedding", iters = 120)
+    }
+    assert(boom.getMessage.contains("overflowed"))
+    // empty input fails with a message, not an index error
+    val empty = intercept[IllegalArgumentException] {
+      Embeddings.principalAxisVectors(df.filter(lit(false)), "embedding")
+    }
+    assert(empty.getMessage.contains("at least one row"))
   }
 
   test("randomProject: deterministic, linear, equals the manual dot (x60)") {

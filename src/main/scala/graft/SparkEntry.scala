@@ -1851,6 +1851,14 @@ object SparkEntry {
       // spec's anisotropic fixture pins convergence semantics.
       Embeddings.principalAxis(t(s, d, "embeddings"), "embedding", "vec_id")
         .orderBy(col("vec_id"))),
+    "x133_pca_plane" -> ((s, d) =>
+      // Top-2 PCA map view: x132's engine-exact machinery plus ONE
+      // Hotelling deflation (C ← C − λ·v·vᵀ, λ = vᵀCv with the same
+      // left folds) — both axes and both projections replayed in
+      // DuckDB. The 2-D embedding map every corpus audit wants.
+      Embeddings.principalComponents(
+          t(s, d, "embeddings"), "embedding", "vec_id", k = 2)
+        .orderBy(col("vec_id"))),
     "x130_mixture_reweight" -> ((s, d) =>
       // Data-mixing plan: rebalance the corpus language mix to a
       // uniform 0.2 target WITHOUT upsampling — per-lang keep_prob,
@@ -5252,6 +5260,62 @@ object SparkEntry {
         |  round(list_sum(list_transform(range(64), i ->
         |    (e.e[i + 1] - mu.mu[i + 1]) * sg.pc[i + 1])), 6) AS proj
         |FROM e CROSS JOIN mu CROSS JOIN sg
+        |ORDER BY vec_id""".stripMargin,
+    // x132's chain + ONE Hotelling deflation (λ = vᵀCv with the same
+    // ascending folds; C ← C − λ·v·vᵀ with left-assoc products), then
+    // the identical extract chain on the deflated matrix
+    "x133_pca_plane" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (SELECT vec_id, e, list_transform(e, x -> CAST(floor(x * 4096 + 0.5) AS BIGINT)) AS q FROM e),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |su AS (SELECT i, CAST(SUM(qe) AS BIGINT) AS s
+        |       FROM (SELECT unnest(q) AS qe, unnest(range(64)) AS i FROM q) GROUP BY i),
+        |ce AS (SELECT ti.i AS i, tj.j AS j, CAST(SUM(q[ti.i + 1] * q[tj.j + 1]) AS BIGINT) AS o
+        |       FROM q, range(64) ti(i), range(64) tj(j) GROUP BY 1, 2),
+        |cv AS (SELECT ce.i, ce.j,
+        |         CAST(ce.o AS DOUBLE) / n.n
+        |           - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n) AS c
+        |       FROM ce JOIN su si ON si.i = ce.i JOIN su sj ON sj.i = ce.j CROSS JOIN n),
+        |mat AS (SELECT list(c ORDER BY i, j) AS m FROM cv),
+        |it AS (SELECT list_reduce(
+        |         [list_transform(range(64), i -> CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)))]
+        |           || list_transform(range(20), k -> CAST([] AS DOUBLE[])),
+        |         (acc, z) -> list_transform(range(64), i ->
+        |           list_sum(list_transform(range(64), j -> m[i * 64 + j + 1] * acc[j + 1])))) AS w
+        |       FROM mat),
+        |nv AS (SELECT list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v FROM it),
+        |sg AS (SELECT CASE WHEN v[-(list_sort(list_transform(range(64), i ->
+        |                {'a': abs(v[i + 1]), 'ni': -i}), 'DESC')[1].ni) + 1] < 0
+        |              THEN list_transform(v, x -> -x) ELSE v END AS pc
+        |       FROM nv),
+        |cv1 AS (SELECT list_transform(range(64), i ->
+        |          list_sum(list_transform(range(64), j -> m[i * 64 + j + 1] * pc[j + 1]))) AS cv
+        |        FROM mat CROSS JOIN sg),
+        |lam AS (SELECT list_sum(list_transform(range(64), i -> pc[i + 1] * cv[i + 1])) AS l
+        |        FROM sg CROSS JOIN cv1),
+        |m2 AS (SELECT list_transform(range(4096), t ->
+        |         m[t + 1] - l * pc[t // 64 + 1] * pc[t % 64 + 1]) AS m2
+        |       FROM mat CROSS JOIN sg CROSS JOIN lam),
+        |it2 AS (SELECT list_reduce(
+        |         [list_transform(range(64), i -> CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)))]
+        |           || list_transform(range(20), k -> CAST([] AS DOUBLE[])),
+        |         (acc, z) -> list_transform(range(64), i ->
+        |           list_sum(list_transform(range(64), j -> m2[i * 64 + j + 1] * acc[j + 1])))) AS w2
+        |       FROM m2),
+        |nv2 AS (SELECT list_transform(w2, x -> x / sqrt(list_sum(list_transform(w2, y -> y * y)))) AS v2 FROM it2),
+        |sg2 AS (SELECT CASE WHEN v2[-(list_sort(list_transform(range(64), i ->
+        |                {'a': abs(v2[i + 1]), 'ni': -i}), 'DESC')[1].ni) + 1] < 0
+        |              THEN list_transform(v2, x -> -x) ELSE v2 END AS pc2
+        |       FROM nv2),
+        |mu AS (SELECT list(m ORDER BY i) AS mu
+        |       FROM (SELECT i, (CAST(s AS DOUBLE) / n.n) / 4096 AS m FROM su CROSS JOIN n))
+        |SELECT e.vec_id,
+        |  round(list_sum(list_transform(range(64), i ->
+        |    (e.e[i + 1] - mu.mu[i + 1]) * sg.pc[i + 1])), 6) AS proj_1,
+        |  round(list_sum(list_transform(range(64), i ->
+        |    (e.e[i + 1] - mu.mu[i + 1]) * sg2.pc2[i + 1])), 6) AS proj_2
+        |FROM e CROSS JOIN mu CROSS JOIN sg CROSS JOIN sg2
         |ORDER BY vec_id""".stripMargin,
     // x124's pair pipeline -> recursive components -> train-frozen
     // component retarget (train wins; else lexicographic min) -> moves

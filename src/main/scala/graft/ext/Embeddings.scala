@@ -219,6 +219,19 @@ object Embeddings {
   def principalAxisVectors(df: DataFrame, embCol: String,
                            latticeBits: Int = 12,
                            iters: Int = 20): (Array[Double], Array[Double]) = {
+    val (pcs, mu) = principalComponentVectors(df, embCol, 1, latticeBits, iters)
+    (pcs.head, mu)
+  }
+
+  /** Top-`k` principal components by power iteration + Hotelling
+    * deflation (`C ← C − λ·v·vᵀ` after each extracted axis, λ = vᵀCv
+    * with the same left-fold order the SQL replay uses). Every step
+    * inherits [[principalAxis]]'s determinism contract. Returns
+    * (loadings per component, mean). */
+  def principalComponentVectors(df: DataFrame, embCol: String, k: Int,
+                                latticeBits: Int = 12,
+                                iters: Int = 20): (Seq[Array[Double]], Array[Double]) = {
+    require(k >= 1 && k <= 8, "k in [1,8]")
     require(latticeBits >= 1 && latticeBits <= 20, "latticeBits in [1,20]")
     require(iters >= 1 && iters <= 120, "iters in [1,120]")
     val spark = df.sparkSession
@@ -241,39 +254,79 @@ object Embeddings {
     val n = agg.getLong(2).toDouble
     val d = s.length
     require(d > 0, "principalAxis: embedding arrays are empty")
-    val c = Array.tabulate(d, d)((i, j) =>
+    var c = Array.tabulate(d, d)((i, j) =>
       o(i * d + j).toDouble / n - (s(i).toDouble / n) * (s(j).toDouble / n))
+
     // left-to-right accumulation everywhere: the replay is a left fold
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var k = 0
-    while (k < iters) {
-      v = Array.tabulate(d) { i =>
+    def matvec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
         var acc = 0.0; var j = 0
-        while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+        while (j < d) { acc += m(i)(j) * x(j); j += 1 }
         acc
       }
-      k += 1
+    def extract(m: Array[Array[Double]]): Array[Double] = {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var it = 0
+      while (it < iters) { v = matvec(m, v); it += 1 }
+      // once an overflow produces Inf it persists to the end — one
+      // check here catches any iters/spectrum combination that left
+      // double range (the static cap alone cannot know λ)
+      require(v.forall(java.lang.Double.isFinite),
+        s"principalAxis: $iters unnormalized power-iteration steps " +
+          "overflowed double range for this spectrum — lower iters " +
+          "(λ^iters must stay finite)")
+      var nrm2 = 0.0
+      var i = 0
+      while (i < d) { nrm2 += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(nrm2)
+      require(nrm > 0.0,
+        "principalAxis: iterate underflowed to zero (degenerate or " +
+          "near-zero covariance) — no axis to normalize")
+      v = v.map(_ / nrm)
+      var bi = 0
+      var t = 1
+      while (t < d) { if (math.abs(v(t)) > math.abs(v(bi))) bi = t; t += 1 }
+      if (v(bi) < 0) v.map(x => -x) else v
     }
-    // once an overflow produces Inf it persists to the end — one check
-    // here catches any iters/spectrum combination that left double
-    // range (the static cap alone cannot know λ)
-    require(v.forall(java.lang.Double.isFinite),
-      s"principalAxis: $iters unnormalized power-iteration steps " +
-        "overflowed double range for this spectrum — lower iters " +
-        "(λ^iters must stay finite)")
-    var nrm2 = 0.0
-    var i = 0
-    while (i < d) { nrm2 += v(i) * v(i); i += 1 }
-    val nrm = math.sqrt(nrm2)
-    require(nrm > 0.0,
-      "principalAxis: iterate underflowed to zero (degenerate or " +
-        "near-zero covariance) — no axis to normalize")
-    v = v.map(_ / nrm)
-    var bi = 0
-    var t = 1
-    while (t < d) { if (math.abs(v(t)) > math.abs(v(bi))) bi = t; t += 1 }
-    if (v(bi) < 0) v = v.map(x => -x)
-    (v, Array.tabulate(d)(i2 => s(i2) / n / scale))
+
+    val pcs = Seq.newBuilder[Array[Double]]
+    var comp = 0
+    while (comp < k) {
+      val v = extract(c)
+      pcs += v
+      if (comp < k - 1) {
+        // Hotelling deflation: λ = vᵀ C v, C ← C − λ·v·vᵀ — the same
+        // ascending folds and left-assoc products the replay spells
+        val cv = matvec(c, v)
+        var lam = 0.0
+        var i = 0
+        while (i < d) { lam += v(i) * cv(i); i += 1 }
+        val prev = c
+        c = Array.tabulate(d, d)((i2, j2) =>
+          prev(i2)(j2) - lam * v(i2) * v(j2))
+      }
+      comp += 1
+    }
+    (pcs.result(), Array.tabulate(d)(i2 => s(i2) / n / scale))
+  }
+
+  /** Top-`k` PCA projections per row: `(idCol, proj_1 … proj_k)` —
+    * the 2-D/low-D embedding map view. Same narrow centered dots as
+    * [[principalAxis]]; one corpus pass for the model, one for the
+    * projections. */
+  def principalComponents(df: DataFrame, embCol: String, idCol: String,
+                          k: Int = 2, latticeBits: Int = 12,
+                          iters: Int = 20, roundTo: Int = 6): DataFrame = {
+    val (pcs, mu) = principalComponentVectors(df, embCol, k, latticeBits, iters)
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    val centered = zip_with(Similarity.asDouble(col(embCol)), muLit, _ - _)
+    val projCols = pcs.zipWithIndex.map { case (v, i) =>
+      round(aggregate(
+        zip_with(centered, array(v.map(lit).toIndexedSeq: _*), _ * _),
+        lit(0.0), _ + _), roundTo).as(s"proj_${i + 1}")
+    }
+    df.filter(col(embCol).isNotNull)
+      .select(col(idCol) +: projCols: _*)
   }
 
   /** Quantized dot product (integer arithmetic, exact): dot(qa, qb) *

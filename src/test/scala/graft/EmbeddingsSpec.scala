@@ -68,6 +68,14 @@ class EmbeddingsSpec extends AnyFunSuite {
     val proj2 = Embeddings.principalAxis(df.repartition(7), "embedding",
       "vec_id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(proj == proj2)
+    // k=2 with one Hotelling deflation: the second axis is the
+    // second-variance dimension, orthogonal to the first
+    val (pcs, _) = Embeddings.principalComponentVectors(df, "embedding", 2)
+    assert(math.abs(pcs(1)(1)) > 0.99 && pcs(1)(1) > 0, pcs(1).mkString(","))
+    assert(math.abs(pcs.head.zip(pcs(1)).map { case (a, b) => a * b }.sum)
+      < 1e-6)
+    assert(Embeddings.principalComponents(df, "embedding", "vec_id", 2)
+      .columns.toSeq == Seq("vec_id", "proj_1", "proj_2"))
     // the static cap cannot know λ: overflow of the unnormalized
     // iterate is detected at runtime, loudly — never a silent NaN axis
     val boom = intercept[IllegalArgumentException] {

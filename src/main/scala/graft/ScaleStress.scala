@@ -76,7 +76,7 @@ object ScaleStress {
     "x128_nearest_centroid", "x129_split_repair",
     "x130_mixture_reweight", "x131_source_percentile",
     // d² multiply-adds per row in one reduce pass — should be linear
-    "x132_principal_axis",
+    "x132_principal_axis", "x133_pca_plane",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Embeddings, Retrieval, Similarity, TextAnalysis, TextDedup, TimeSeries}
+import graft.ext.{Embeddings, Retrieval, Similarity, Stats, TextAnalysis, TextDedup, TimeSeries}
 import graft.ingest.ValidateRoute
 import graft.olap.Quality
 import graft.schema.TopicSpec
@@ -3109,6 +3109,70 @@ object SparkEntry {
           "metric", "val")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
     }),
+    "x134_ols_quality_fit" -> ((s, d) => {
+      // Closed-form OLS inside the plan: vocabulary richness (distinct
+      // tokens) modeled from token count + char count — the cheap
+      // linear quality scorer a curation pipeline fits per corpus
+      // snapshot. ONE pass reduces to ten exact DECIMAL(38,0)
+      // sufficient statistics; Cramer's rule solves the 3×3 normal
+      // equations as a scalar expression tree (no driver collect), and
+      // DuckDB replays the identical sums + solve chain.
+      val docs = t(s, d, "documents")
+      val toks = TextDedup.tokens(col("text"))
+      Stats.linearFit(docs,
+        size(array_distinct(toks)).cast("long"),
+        size(toks).cast("long"),
+        col("n_chars"))
+    }),
+    "x135_source_auc" -> ((s, d) =>
+      // Ranking-power audit: per-source ROC AUC of the n_chars score
+      // against the (fixture-random) lang=='en' label — Mann–Whitney
+      // with average-rank ties, 2·ranksum kept integral so the per-
+      // group statistic is ONE exact division. The corpus collapses to
+      // per-(source, score) counts; the rank window sorts distinct
+      // scores per source, never rows.
+      Stats.groupAuc(t(s, d, "documents"), "source", col("n_chars"),
+          col("lang") === "en")
+        .orderBy(col("group"))),
+    "x136_calibration" -> ((s, d) => {
+      // Reliability diagram + ECE for a length-based "long doc" scorer
+      // (p = clipped n_chars/560) against the ≥55-token label: per-bin
+      // confidence sums land on an exact 1e-6 lattice, accuracy is an
+      // integer ratio, and the ECE folds over the 10 bins in bin
+      // order — the whole report replayed value-for-value in DuckDB.
+      val docs = t(s, d, "documents")
+      Stats.calibrationReport(docs,
+          least(col("n_chars"), lit(560)).cast("double") / lit(560),
+          size(TextDedup.tokens(col("text"))) >= 55, bins = 10)
+        .orderBy(col("bin"))
+    }),
+    "x137_remove_top_components" -> ((s, d) =>
+      // "All-but-the-top" embedding post-processing: mean-center and
+      // subtract the top-2 principal directions (x133's engine-exact
+      // axes) — the standard isotropy fix before cosine thresholds.
+      // Per row: the removed magnitudes and the norm before/after, all
+      // narrow arithmetic on broadcast-literal axes; the oracle
+      // replays the full PCA chain plus the correction.
+      Embeddings.removeTopComponents(
+          t(s, d, "embeddings"), "embedding", "vec_id", k = 2)
+        .orderBy(col("vec_id"))),
+    "x138_weighted_median" -> ((s, d) =>
+      // Token-WEIGHTED median document length per source: the smallest
+      // n_chars whose cumulative token weight reaches half the
+      // source's total — where the middle token lives, not the middle
+      // row. Integer comparison 2·cum ≥ total, so the pick is exact;
+      // the window sorts distinct lengths per source only.
+      Quality.weightedMedian(t(s, d, "documents"), "source", "n_chars",
+          size(TextDedup.tokens(col("text"))).cast("long"))
+        .orderBy(col("group"))),
+    "x139_pmi_collocations" -> ((s, d) =>
+      // Collocation mining: top-50 adjacent token pairs by PMI
+      // (min pair count 5) — the phrase detector feeding tokenizer
+      // vocab and boilerplate screens. Bigram/unigram counts reduce
+      // map-side; the PMI join runs on the thresholded pair table; the
+      // ln() chain and the (rounded pmi, terms) cut replay in DuckDB.
+      TextAnalysis.pmiCollocations(t(s, d, "documents"), "text",
+        minCount = 5, topK = 50)),
   )
 
   /** DuckDB fragment: dot(embExpr, plane) with the same float→double
@@ -3285,6 +3349,68 @@ object SparkEntry {
   private val duckContainmentPairCte: String =
     """pairs AS (SELECT id_a, id_b FROM v
       |          WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5)""".stripMargin
+
+  /** Full top-axis PCA replay (the x132 chain): lattice quantize
+    * (`floor(x·4096+0.5)` — the portable rounding), exact integer
+    * sums / outer-product cells, covariance, 20 UNNORMALIZED matvec
+    * folds, one final normalization + canonical sign — every
+    * accumulation a left fold matching the Scala while-loops in
+    * [[graft.ext.Embeddings.principalComponentVectors]]. Ends at
+    * `sg(pc)` + `mu(mu)`; ONE spelling shared by the x132/x133/x137
+    * oracles (three in-lockstep copies desynchronize silently). */
+  private val duckPca1Ctes: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings WHERE embedding IS NOT NULL),
+      |q AS (SELECT vec_id, e, list_transform(e, x -> CAST(floor(x * 4096 + 0.5) AS BIGINT)) AS q FROM e),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+      |su AS (SELECT i, CAST(SUM(qe) AS BIGINT) AS s
+      |       FROM (SELECT unnest(q) AS qe, unnest(range(64)) AS i FROM q) GROUP BY i),
+      |ce AS (SELECT ti.i AS i, tj.j AS j, CAST(SUM(q[ti.i + 1] * q[tj.j + 1]) AS BIGINT) AS o
+      |       FROM q, range(64) ti(i), range(64) tj(j) GROUP BY 1, 2),
+      |cv AS (SELECT ce.i, ce.j,
+      |         CAST(ce.o AS DOUBLE) / n.n
+      |           - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n) AS c
+      |       FROM ce JOIN su si ON si.i = ce.i JOIN su sj ON sj.i = ce.j CROSS JOIN n),
+      |mat AS (SELECT list(c ORDER BY i, j) AS m FROM cv),
+      |it AS (SELECT list_reduce(
+      |         [list_transform(range(64), i -> CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)))]
+      |           || list_transform(range(20), k -> CAST([] AS DOUBLE[])),
+      |         (acc, z) -> list_transform(range(64), i ->
+      |           list_sum(list_transform(range(64), j -> m[i * 64 + j + 1] * acc[j + 1])))) AS w
+      |       FROM mat),
+      |nv AS (SELECT list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v FROM it),
+      |sg AS (SELECT CASE WHEN v[-(list_sort(list_transform(range(64), i ->
+      |                {'a': abs(v[i + 1]), 'ni': -i}), 'DESC')[1].ni) + 1] < 0
+      |              THEN list_transform(v, x -> -x) ELSE v END AS pc
+      |       FROM nv),
+      |mu AS (SELECT list(m ORDER BY i) AS mu
+      |       FROM (SELECT i, (CAST(s AS DOUBLE) / n.n) / 4096 AS m FROM su CROSS JOIN n))""".stripMargin
+
+  /** [[duckPca1Ctes]] + ONE Hotelling deflation (λ = vᵀCv with the
+    * same ascending folds; C ← C − λ·v·vᵀ with left-assoc products)
+    * and the identical extract chain on the deflated matrix — ends at
+    * `sg2(pc2)`, the second principal axis. */
+  private val duckPca2Ctes: String =
+    duckPca1Ctes + ",\n" +
+    """cv1 AS (SELECT list_transform(range(64), i ->
+      |          list_sum(list_transform(range(64), j -> m[i * 64 + j + 1] * pc[j + 1]))) AS cv
+      |        FROM mat CROSS JOIN sg),
+      |lam AS (SELECT list_sum(list_transform(range(64), i -> pc[i + 1] * cv[i + 1])) AS l
+      |        FROM sg CROSS JOIN cv1),
+      |m2 AS (SELECT list_transform(range(4096), t ->
+      |         m[t + 1] - l * pc[t // 64 + 1] * pc[t % 64 + 1]) AS m2
+      |       FROM mat CROSS JOIN sg CROSS JOIN lam),
+      |it2 AS (SELECT list_reduce(
+      |         [list_transform(range(64), i -> CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)))]
+      |           || list_transform(range(20), k -> CAST([] AS DOUBLE[])),
+      |         (acc, z) -> list_transform(range(64), i ->
+      |           list_sum(list_transform(range(64), j -> m2[i * 64 + j + 1] * acc[j + 1])))) AS w2
+      |       FROM m2),
+      |nv2 AS (SELECT list_transform(w2, x -> x / sqrt(list_sum(list_transform(w2, y -> y * y)))) AS v2 FROM it2),
+      |sg2 AS (SELECT CASE WHEN v2[-(list_sort(list_transform(range(64), i ->
+      |                {'a': abs(v2[i + 1]), 'ni': -i}), 'DESC')[1].ni) + 1] < 0
+      |              THEN list_transform(v2, x -> -x) ELSE v2 END AS pc2
+      |       FROM nv2)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -5224,99 +5350,29 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct
         |FROM documents WHERE n_chars IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
-    // full PCA replay: lattice quantize (floor(x·4096+0.5) — the
-    // portable rounding), exact integer sums / outer-product cells,
-    // covariance chain, 20 unnormalized matvec folds, one final
-    // normalization + canonical sign, centered projection — every
-    // accumulation a left fold matching the Scala while-loops
+    // full PCA replay via the shared duckPca1Ctes chain, then the
+    // centered projection
+    // NB: concatenation, not s-interpolation — an outer stripMargin
+    // would re-strip the chain's `||` list-concat lines into `|`
     "x132_principal_axis" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |           FROM embeddings WHERE embedding IS NOT NULL),
-        |q AS (SELECT vec_id, e, list_transform(e, x -> CAST(floor(x * 4096 + 0.5) AS BIGINT)) AS q FROM e),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
-        |su AS (SELECT i, CAST(SUM(qe) AS BIGINT) AS s
-        |       FROM (SELECT unnest(q) AS qe, unnest(range(64)) AS i FROM q) GROUP BY i),
-        |ce AS (SELECT ti.i AS i, tj.j AS j, CAST(SUM(q[ti.i + 1] * q[tj.j + 1]) AS BIGINT) AS o
-        |       FROM q, range(64) ti(i), range(64) tj(j) GROUP BY 1, 2),
-        |cv AS (SELECT ce.i, ce.j,
-        |         CAST(ce.o AS DOUBLE) / n.n
-        |           - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n) AS c
-        |       FROM ce JOIN su si ON si.i = ce.i JOIN su sj ON sj.i = ce.j CROSS JOIN n),
-        |mat AS (SELECT list(c ORDER BY i, j) AS m FROM cv),
-        |it AS (SELECT list_reduce(
-        |         [list_transform(range(64), i -> CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)))]
-        |           || list_transform(range(20), k -> CAST([] AS DOUBLE[])),
-        |         (acc, z) -> list_transform(range(64), i ->
-        |           list_sum(list_transform(range(64), j -> m[i * 64 + j + 1] * acc[j + 1])))) AS w
-        |       FROM mat),
-        |nv AS (SELECT list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v FROM it),
-        |sg AS (SELECT CASE WHEN v[-(list_sort(list_transform(range(64), i ->
-        |                {'a': abs(v[i + 1]), 'ni': -i}), 'DESC')[1].ni) + 1] < 0
-        |              THEN list_transform(v, x -> -x) ELSE v END AS pc
-        |       FROM nv),
-        |mu AS (SELECT list(m ORDER BY i) AS mu
-        |       FROM (SELECT i, (CAST(s AS DOUBLE) / n.n) / 4096 AS m FROM su CROSS JOIN n))
-        |SELECT e.vec_id,
-        |  round(list_sum(list_transform(range(64), i ->
-        |    (e.e[i + 1] - mu.mu[i + 1]) * sg.pc[i + 1])), 6) AS proj
-        |FROM e CROSS JOIN mu CROSS JOIN sg
-        |ORDER BY vec_id""".stripMargin,
+      (duckPca1Ctes + "\n" +
+        """SELECT e.vec_id,
+          |  round(list_sum(list_transform(range(64), i ->
+          |    (e.e[i + 1] - mu.mu[i + 1]) * sg.pc[i + 1])), 6) AS proj
+          |FROM e CROSS JOIN mu CROSS JOIN sg
+          |ORDER BY vec_id""".stripMargin),
     // x132's chain + ONE Hotelling deflation (λ = vᵀCv with the same
     // ascending folds; C ← C − λ·v·vᵀ with left-assoc products), then
     // the identical extract chain on the deflated matrix
     "x133_pca_plane" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |           FROM embeddings WHERE embedding IS NOT NULL),
-        |q AS (SELECT vec_id, e, list_transform(e, x -> CAST(floor(x * 4096 + 0.5) AS BIGINT)) AS q FROM e),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
-        |su AS (SELECT i, CAST(SUM(qe) AS BIGINT) AS s
-        |       FROM (SELECT unnest(q) AS qe, unnest(range(64)) AS i FROM q) GROUP BY i),
-        |ce AS (SELECT ti.i AS i, tj.j AS j, CAST(SUM(q[ti.i + 1] * q[tj.j + 1]) AS BIGINT) AS o
-        |       FROM q, range(64) ti(i), range(64) tj(j) GROUP BY 1, 2),
-        |cv AS (SELECT ce.i, ce.j,
-        |         CAST(ce.o AS DOUBLE) / n.n
-        |           - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n) AS c
-        |       FROM ce JOIN su si ON si.i = ce.i JOIN su sj ON sj.i = ce.j CROSS JOIN n),
-        |mat AS (SELECT list(c ORDER BY i, j) AS m FROM cv),
-        |it AS (SELECT list_reduce(
-        |         [list_transform(range(64), i -> CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)))]
-        |           || list_transform(range(20), k -> CAST([] AS DOUBLE[])),
-        |         (acc, z) -> list_transform(range(64), i ->
-        |           list_sum(list_transform(range(64), j -> m[i * 64 + j + 1] * acc[j + 1])))) AS w
-        |       FROM mat),
-        |nv AS (SELECT list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v FROM it),
-        |sg AS (SELECT CASE WHEN v[-(list_sort(list_transform(range(64), i ->
-        |                {'a': abs(v[i + 1]), 'ni': -i}), 'DESC')[1].ni) + 1] < 0
-        |              THEN list_transform(v, x -> -x) ELSE v END AS pc
-        |       FROM nv),
-        |cv1 AS (SELECT list_transform(range(64), i ->
-        |          list_sum(list_transform(range(64), j -> m[i * 64 + j + 1] * pc[j + 1]))) AS cv
-        |        FROM mat CROSS JOIN sg),
-        |lam AS (SELECT list_sum(list_transform(range(64), i -> pc[i + 1] * cv[i + 1])) AS l
-        |        FROM sg CROSS JOIN cv1),
-        |m2 AS (SELECT list_transform(range(4096), t ->
-        |         m[t + 1] - l * pc[t // 64 + 1] * pc[t % 64 + 1]) AS m2
-        |       FROM mat CROSS JOIN sg CROSS JOIN lam),
-        |it2 AS (SELECT list_reduce(
-        |         [list_transform(range(64), i -> CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)))]
-        |           || list_transform(range(20), k -> CAST([] AS DOUBLE[])),
-        |         (acc, z) -> list_transform(range(64), i ->
-        |           list_sum(list_transform(range(64), j -> m2[i * 64 + j + 1] * acc[j + 1])))) AS w2
-        |       FROM m2),
-        |nv2 AS (SELECT list_transform(w2, x -> x / sqrt(list_sum(list_transform(w2, y -> y * y)))) AS v2 FROM it2),
-        |sg2 AS (SELECT CASE WHEN v2[-(list_sort(list_transform(range(64), i ->
-        |                {'a': abs(v2[i + 1]), 'ni': -i}), 'DESC')[1].ni) + 1] < 0
-        |              THEN list_transform(v2, x -> -x) ELSE v2 END AS pc2
-        |       FROM nv2),
-        |mu AS (SELECT list(m ORDER BY i) AS mu
-        |       FROM (SELECT i, (CAST(s AS DOUBLE) / n.n) / 4096 AS m FROM su CROSS JOIN n))
-        |SELECT e.vec_id,
-        |  round(list_sum(list_transform(range(64), i ->
-        |    (e.e[i + 1] - mu.mu[i + 1]) * sg.pc[i + 1])), 6) AS proj_1,
-        |  round(list_sum(list_transform(range(64), i ->
-        |    (e.e[i + 1] - mu.mu[i + 1]) * sg2.pc2[i + 1])), 6) AS proj_2
-        |FROM e CROSS JOIN mu CROSS JOIN sg CROSS JOIN sg2
-        |ORDER BY vec_id""".stripMargin,
+      (duckPca2Ctes + "\n" +
+        """SELECT e.vec_id,
+          |  round(list_sum(list_transform(range(64), i ->
+          |    (e.e[i + 1] - mu.mu[i + 1]) * sg.pc[i + 1])), 6) AS proj_1,
+          |  round(list_sum(list_transform(range(64), i ->
+          |    (e.e[i + 1] - mu.mu[i + 1]) * sg2.pc2[i + 1])), 6) AS proj_2
+          |FROM e CROSS JOIN mu CROSS JOIN sg CROSS JOIN sg2
+          |ORDER BY vec_id""".stripMargin),
     // x124's pair pipeline -> recursive components -> train-frozen
     // component retarget (train wins; else lexicographic min) -> moves
     "x129_split_repair" ->
@@ -6608,5 +6664,147 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, 'tax',
         |  CAST(l_tax AS DOUBLE) FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    // exact HUGEINT sufficient statistics (the DECIMAL(38,0) twin),
+    // then the identical Cramer parenthesization — b via det ratios,
+    // r2 via the normal-equations SSE identity
+    "x134_ols_quality_fit" ->
+      """WITH f AS (
+        |  SELECT len(list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS y,
+        |         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS x1,
+        |         n_chars AS x2
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x1 AS BIGINT)) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x2 AS BIGINT)) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x1 AS BIGINT) * x1) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(x1 AS BIGINT) * x2) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(x2 AS BIGINT) * x2) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(x1 AS BIGINT) * y) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(x2 AS BIGINT) * y) AS DOUBLE) AS s2y,
+        |    CAST(SUM(CAST(y AS BIGINT) * y) AS DOUBLE) AS syy
+        |  FROM f),
+        |sv AS (
+        |  SELECT *, CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+        |    - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det
+        |  FROM st),
+        |b AS (
+        |  SELECT n, sy, s1y, s2y, syy,
+        |    CASE WHEN det <> 0 THEN (sy * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det END AS b0,
+        |    CASE WHEN det <> 0 THEN (CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+        |      - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / det END AS b1,
+        |    CASE WHEN det <> 0 THEN (CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+        |      - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / det END AS b2,
+        |    syy - sy * sy / n AS sst
+        |  FROM sv)
+        |SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        |  CASE WHEN sst > 0
+        |    THEN round(1 - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) / sst, 6) END AS r2
+        |FROM b""".stripMargin,
+    // per-(group, score) counts -> cumulative-below window over
+    // distinct scores -> integral 2·ranksum -> one exact division
+    "x135_source_auc" ->
+      """WITH base AS (
+        |  SELECT source AS "group", n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |ps AS (SELECT "group", s, CAST(count(*) AS BIGINT) AS t,
+        |         CAST(sum(p) AS BIGINT) AS pp
+        |       FROM base GROUP BY 1, 2),
+        |cum AS (SELECT *, COALESCE(CAST(sum(t) OVER (PARTITION BY "group" ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |        FROM ps),
+        |g AS (SELECT "group",
+        |        CAST(sum(CAST(pp AS HUGEINT) * (cb * 2 + t + 1)) AS DOUBLE) AS rs2,
+        |        CAST(sum(pp) AS BIGINT) AS n_pos,
+        |        CAST(sum(t - pp) AS BIGINT) AS n_neg
+        |      FROM cum GROUP BY 1)
+        |SELECT "group", n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round((rs2 - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+        |      / (2 * CAST(n_pos AS DOUBLE) * n_neg), 6) END AS auc
+        |FROM g ORDER BY "group"""".stripMargin,
+    // 1e-6 confidence lattice -> exact per-bin sums -> bin-ordered ECE
+    // fold (list_sum == the sorted-struct fold)
+    "x136_calibration" ->
+      """WITH base AS (
+        |  SELECT CAST(least(n_chars, 560) AS DOUBLE) / 560 AS pr,
+        |    CASE WHEN len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 55
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |lat AS (SELECT CAST(least(floor(pr * 10), 9) AS INT) AS bin,
+        |               CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS l, y FROM base),
+        |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |              CAST(sum(l) AS BIGINT) AS slat FROM lat GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM pb),
+        |sc AS (SELECT bin, n, n_pos,
+        |         CAST(slat AS DOUBLE) / n / 1000000 AS conf,
+        |         CAST(n_pos AS DOUBLE) / n AS acc
+        |       FROM pb),
+        |e AS (SELECT round(list_sum(list(abs(acc - conf) * CAST(n AS DOUBLE) / tn
+        |        ORDER BY bin)), 6) AS ece
+        |      FROM sc CROSS JOIN tot)
+        |SELECT bin, n, n_pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
+        |  round(abs(acc - conf), 6) AS gap, ece
+        |FROM sc CROSS JOIN e ORDER BY bin""".stripMargin,
+    // the shared 2-component PCA chain, then the all-but-the-top
+    // correction: centered vector, RAW projections, corrected element
+    // = ce − p1·pc − p2·pc2 (left-assoc), positional norm folds
+    "x137_remove_top_components" ->
+      (duckPca2Ctes + ",\n" +
+        """cr AS (SELECT e.vec_id,
+          |         list_transform(range(64), i -> e.e[i + 1] - mu.mu[i + 1]) AS ce,
+          |         pc, pc2
+          |       FROM e CROSS JOIN mu CROSS JOIN sg CROSS JOIN sg2),
+          |pj AS (SELECT vec_id, ce, pc, pc2,
+          |         list_sum(list_transform(range(64), i -> ce[i + 1] * pc[i + 1])) AS p1,
+          |         list_sum(list_transform(range(64), i -> ce[i + 1] * pc2[i + 1])) AS p2
+          |       FROM cr)
+          |SELECT vec_id, round(p1, 6) AS proj_1, round(p2, 6) AS proj_2,
+          |  round(sqrt(list_sum(list_transform(ce, x -> x * x))), 6) AS norm_before,
+          |  round(sqrt(list_sum(list_transform(
+          |    list_transform(range(64), i -> ce[i + 1] - p1 * pc[i + 1] - p2 * pc2[i + 1]),
+          |    x -> x * x))), 6) AS norm_after
+          |FROM pj ORDER BY vec_id""".stripMargin),
+    // per-(group, value) weight sums -> cumulative window -> first
+    // value reaching half the total (2·cum >= tot, exact integers)
+    "x138_weighted_median" ->
+      """WITH base AS (
+        |  SELECT source AS "group", n_chars AS v,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT "group", v, CAST(sum(w) AS BIGINT) AS gw
+        |      FROM base WHERE w > 0 GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(sum(gw) OVER (PARTITION BY "group" ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(gw) OVER (PARTITION BY "group") AS BIGINT) AS tot FROM g)
+        |SELECT "group", max(tot) AS total_w, min(v) AS w_median
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin,
+    // unigram + adjacent-pair counts over the house tokenizer, the
+    // identical ln() chain, and the (rounded pmi, terms) total-order cut
+    "x139_pmi_collocations" ->
+      """WITH tk AS (
+        |  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |uni AS (SELECT unnest(toks) AS term FROM tk),
+        |ucnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n_term FROM uni GROUP BY 1),
+        |nu AS (SELECT CAST(sum(n_term) AS BIGINT) AS nu FROM ucnt),
+        |bi0 AS (SELECT unnest(list_transform(range(len(toks) - 1),
+        |          i -> {'a': toks[i + 1], 'b': toks[i + 2]})) AS p
+        |        FROM tk WHERE len(toks) >= 2),
+        |bcnt AS (SELECT p.a AS term_a, p.b AS term_b,
+        |           CAST(count(*) AS BIGINT) AS n_pair
+        |         FROM bi0 GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS nb FROM bcnt)
+        |SELECT term_a, term_b, n_pair,
+        |  round(ln((CAST(n_pair AS DOUBLE) * nu * nu)
+        |    / (CAST(nb AS DOUBLE) * na.n_term * b2.n_term)), 6) AS pmi
+        |FROM bcnt JOIN ucnt na ON na.term = term_a JOIN ucnt b2 ON b2.term = term_b
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE n_pair >= 5
+        |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin,
   )
 }

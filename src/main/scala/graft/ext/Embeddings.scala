@@ -329,6 +329,56 @@ object Embeddings {
       .select(col(idCol) +: projCols: _*)
   }
 
+  /** "All-but-the-top" embedding post-processing (Mu & Viswanath,
+    * ICLR 2018): mean-center, then subtract the projections onto the
+    * top-`k` principal components — removing the dominant common
+    * directions that inflate all pairwise cosines and mask genuine
+    * similarity structure. The standard cheap isotropy fix before
+    * near-dup thresholds or ANN over learned embeddings.
+    *
+    * Engine-exact by construction: the model (μ + top-k axes) comes
+    * from [[principalComponentVectors]]'s integer-lattice covariance +
+    * unnormalized power iteration, and the per-row correction is a
+    * narrow expression — centered = e − μ, pᵢ = ⟨centered, vᵢ⟩ (RAW,
+    * kept as a materialized column so the HOF lambdas don't re-derive
+    * it per element), corrected = centered − p₁v₁ − … − p_kv_k with
+    * left-assoc subtraction. No shuffle; model state is k·d + d
+    * doubles as literals in the plan.
+    *
+    * Output per row: `(idCol, proj_1…proj_k, norm_before,
+    * norm_after)` — the projections are the removed magnitudes and
+    * the norm pair quantifies how much common-direction mass each
+    * vector carried (all rounded to `roundTo`). */
+  def removeTopComponents(df: DataFrame, embCol: String, idCol: String,
+                          k: Int = 2, latticeBits: Int = 12,
+                          iters: Int = 20, roundTo: Int = 6): DataFrame = {
+    val (pcs, mu) = principalComponentVectors(df, embCol, k, latticeBits, iters)
+    val reserved = (1 to k).map(i => s"_rt_p$i") ++ Seq("_rt_ce")
+    guard(df, reserved ++ (1 to k).map(i => s"proj_$i") ++
+      Seq("norm_before", "norm_after"))
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    val sq = (v: Column) => aggregate(transform(v, x => x * x), lit(0.0), _ + _)
+    val withProj = pcs.zipWithIndex.foldLeft(
+      df.filter(col(embCol).isNotNull)
+        .withColumn("_rt_ce",
+          zip_with(Similarity.asDouble(col(embCol)), muLit, _ - _))) {
+      case (acc, (v, i)) =>
+        acc.withColumn(s"_rt_p${i + 1}",
+          aggregate(zip_with(col("_rt_ce"),
+            array(v.map(lit).toIndexedSeq: _*), _ * _), lit(0.0), _ + _))
+    }
+    val corrected = pcs.zipWithIndex.foldLeft(col("_rt_ce")) {
+      case (acc, (v, i)) =>
+        zip_with(acc, array(v.map(lit).toIndexedSeq: _*),
+          (c, w) => c - col(s"_rt_p${i + 1}") * w)
+    }
+    withProj.select(
+      col(idCol) +:
+        (1 to k).map(i => round(col(s"_rt_p$i"), roundTo).as(s"proj_$i")) :+
+        round(sqrt(sq(col("_rt_ce"))), roundTo).as("norm_before") :+
+        round(sqrt(sq(corrected)), roundTo).as("norm_after"): _*)
+  }
+
   /** Quantized dot product (integer arithmetic, exact): dot(qa, qb) *
     * scale_a * scale_b approximates the float dot — the cheap re-rank
     * primitive over int8-compressed embeddings. */

@@ -928,6 +928,49 @@ object TextAnalysis {
         coalesce(col("_s").isNotNull, lit(false)).as("fits"))
   }
 
+  /** Corpus-level collocation mining by pointwise mutual information
+    * over ADJACENT token pairs — the phrase/multi-word-expression
+    * detector that feeds tokenizer vocab decisions ("new york" worth a
+    * merge?) and template detection (suspiciously strong collocations
+    * = boilerplate). Convention: unigram probabilities over all corpus
+    * tokens (N_u), pair probability over all adjacent pairs (N_b), so
+    * `pmi = ln(n_ab · N_u · N_u / (N_b · n_a · n_b))`; pairs below
+    * `minCount` are noise-suppressed (the standard PMI low-count
+    * pathology), output is the `topK` by (rounded pmi, term_a,
+    * term_b) — a total order, so the cut is deterministic.
+    *
+    * Scale: the bigram explode is the inverted-index shape (corpus
+    * tokens × 1 row each) and both counts reduce map-side; the PMI
+    * join runs on the ≥minCount pair table against the vocabulary
+    * (both sub-corpus-sized), and only topK rows survive the final
+    * TakeOrdered cut. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Int = 5,
+                      topK: Int = 50): DataFrame = {
+    require(minCount >= 1, "minCount >= 1")
+    require(topK >= 1, "topK >= 1")
+    val toks = df.select(graft.ext.TextDedup.tokens(col(textCol)).as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_term"))
+    val bi = toks.filter(size(col("_toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+    val nu = uni.agg(sum(col("n_term")).as("_nu"))
+    val nb = bi.agg(sum(col("n_pair")).as("_nb"))
+    bi.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("term").as("term_a"), col("n_term").as("_na")), "term_a")
+      .join(uni.select(col("term").as("term_b"), col("n_term").as("_nb2")), "term_b")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("term_a"), col("term_b"), col("n_pair"),
+        round(log((col("n_pair").cast("double") * col("_nu") * col("_nu")) /
+          (col("_nb").cast("double") * col("_na") * col("_nb2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(topK)
+  }
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -349,6 +349,35 @@ object Quality {
           round(col("mi") / sqrt(col("hx") * col("hy")), 6)).as("nmi"))
   }
 
+  /** Per-group WEIGHTED (lower) median: the smallest value whose
+    * cumulative weight reaches half the group's total. With integer
+    * weights (token counts, byte sizes) the comparison `2·cum ≥ total`
+    * is exact integer arithmetic — no halves, no ties, deterministic
+    * under any row order. The token-weighted median answers "what
+    * document length does the MIDDLE TOKEN of this source live in?" —
+    * the mixing-relevant center a row-weighted median misrepresents
+    * whenever length and count diverge.
+    *
+    * Scale: one corpus aggregate collapses to per-(group, value)
+    * weight sums; the cumulative window sorts DISTINCT values within
+    * one group, never rows. Output `(group, total_w, w_median)`. */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+                     weight: Column): DataFrame = {
+    val g = df.select(col(groupCol).as("group"), col(valCol).as("_v"),
+        weight.cast("long").as("_w"))
+      .filter(col("_v").isNotNull && col("_w").isNotNull && col("_w") > 0L)
+      .groupBy(col("group"), col("_v"))
+      .agg(sum(col("_w")).as("_gw"))
+    val w = Window.partitionBy(col("group")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("_cum", sum(col("_gw")).over(w))
+      .withColumn("_tot", sum(col("_gw")).over(Window.partitionBy(col("group"))))
+      .filter(col("_cum") * 2L >= col("_tot"))
+      .groupBy(col("group"))
+      .agg(min(col("_v")).as("w_median"), max(col("_tot")).as("total_w"))
+      .select(col("group"), col("total_w"), col("w_median"))
+  }
+
   def thresholdSweep(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
     graft.Guards.reserved(df, "thresholdSweep",
       Seq("threshold", "tp", "fp", "fn", "tn", "precision", "recall", "f1"))

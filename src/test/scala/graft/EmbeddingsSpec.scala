@@ -89,6 +89,43 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(empty.getMessage.contains("at least one row"))
   }
 
+  test("removeTopComponents: Pythagoras over orthonormal axes, k=1 " +
+    "projection parity, corrected mass off the removed axes") {
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array(((i % 20) - 9.5f) / 10f, ((i % 3) - 1f) / 100f,
+        ((i % 5) - 2f) / 1000f, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Embeddings.removeTopComponents(df, "embedding", "vec_id", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.size == 40)
+    out.values.foreach { case (p1, p2, nb, na) =>
+      // axes are orthonormal, so removed mass obeys Pythagoras:
+      // na² + p1² + p2² == nb² (rounding tolerance only)
+      assert(math.abs(na * na + p1 * p1 + p2 * p2 - nb * nb) < 1e-4,
+        s"$p1 $p2 $nb $na")
+      assert(na <= nb + 1e-9)
+    }
+    // dominant-axis mass is GONE: dim 0 has ~100:1 variance, so the
+    // corrected norms collapse far below the originals on average
+    val shrink = out.values.map { case (_, _, nb, na) => na / math.max(nb, 1e-12) }
+    assert(shrink.sum / shrink.size < 0.25, shrink.sum / shrink.size)
+    // k=1 projections == principalAxis's (same machinery, same rounding)
+    val p1s = Embeddings.removeTopComponents(df, "embedding", "vec_id", k = 1)
+      .select($"vec_id", $"proj_1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ax = Embeddings.principalAxis(df, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p1s == ax)
+    // reserved-column guard
+    intercept[IllegalArgumentException] {
+      Embeddings.removeTopComponents(
+        df.withColumn("norm_after", lit(1)), "embedding", "vec_id")
+    }
+  }
+
   test("randomProject: deterministic, linear, equals the manual dot (x60)") {
     val planes = graft.ext.Similarity.hyperplanes(4, 3, seed = 42L)
     val df = Seq((1L, Array(1.0f, 2.0f, -2.0f)), (2L, Array(2.0f, 4.0f, -4.0f)))

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Stats, TextAnalysis}
+import graft.olap.Quality
+
+/** Model-eval / feature-statistics verbs: closed-form OLS recovery and
+  * degeneracy, Mann–Whitney AUC with average-rank ties, calibration
+  * report arithmetic, weighted medians, and PMI collocations — all
+  * against hand-computed fixtures. */
+class StatsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("linearFit: exact linear data recovers (b0, b1, b2) with r2 = 1") {
+    // y = 2 + 3·x1 − x2 exactly, x1/x2 non-collinear
+    val xs = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 5L), (5L, 3L), (6L, 8L))
+    val df = xs.map { case (x1, x2) => (2 + 3 * x1 - x2, x1, x2) }
+      .toDF("y", "x1", "x2")
+    val r = Stats.linearFit(df, col("y"), col("x1"), col("x2")).head()
+    assert(r.getAs[Long]("n") == 6)
+    assert(math.abs(r.getAs[Double]("b0") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b2") + 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
+  }
+
+  test("linearFit: matches a reference solve on noisy integer data and " +
+    "is partition-order independent") {
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 37).toLong; val x2 = (i % 11).toLong
+      (5 + 2 * x1 + 7 * x2 + (i % 5) - 2, x1, x2) // integer "noise"
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val r = Stats.linearFit(df, col("y"), col("x1"), col("x2")).head()
+    // reference: solve the normal equations with plain Doubles
+    val n = rows.size.toDouble
+    val (s1, s2, sy) = (rows.map(_._2.toDouble).sum, rows.map(_._3.toDouble).sum,
+      rows.map(_._1.toDouble).sum)
+    val s11 = rows.map(r0 => r0._2.toDouble * r0._2).sum
+    val s12 = rows.map(r0 => r0._2.toDouble * r0._3).sum
+    val s22 = rows.map(r0 => r0._3.toDouble * r0._3).sum
+    val s1y = rows.map(r0 => r0._2.toDouble * r0._1).sum
+    val s2y = rows.map(r0 => r0._3.toDouble * r0._1).sum
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    assert(math.abs(r.getAs[Double]("b1") - b1) < 1e-6)
+    assert(r.getAs[Double]("r2") > 0.99) // noise is tiny vs signal
+    val r2 = Stats.linearFit(df.repartition(7), col("y"), col("x1"),
+      col("x2")).head()
+    assert(r == r2) // exact decimal sums: bit-identical under any layout
+  }
+
+  test("linearFit: collinear and constant designs yield null " +
+    "coefficients, not garbage") {
+    val col2 = (1L to 8L).map(i => (i, i, 2 * i)).toDF("y", "x1", "x2")
+    val r = Stats.linearFit(col2, col("y"), col("x1"), col("x2")).head()
+    assert(r.isNullAt(r.fieldIndex("b0")) && r.isNullAt(r.fieldIndex("r2")))
+    val const = (1L to 8L).map(i => (i, i, 5L)).toDF("y", "x1", "x2")
+    val rc = Stats.linearFit(const, col("y"), col("x1"), col("x2")).head()
+    assert(rc.isNullAt(rc.fieldIndex("b1")))
+  }
+
+  test("groupAuc: perfect / inverse / tied / single-class groups") {
+    val df = Seq(
+      // g: positives strictly above negatives -> AUC 1
+      ("g", 1L, false), ("g", 2L, false), ("g", 3L, true), ("g", 4L, true),
+      // h: ranks 1, 2.5, 2.5, 4; positives at one tie + top ->
+      // ranksum 6.5, AUC (6.5-3)/4 = 0.875
+      ("h", 1L, false), ("h", 2L, true), ("h", 2L, false), ("h", 3L, true),
+      // i: inverse ordering -> AUC 0
+      ("i", 5L, true), ("i", 9L, false),
+      // j: single class -> null
+      ("j", 1L, true), ("j", 2L, true)
+    ).toDF("src", "score", "lab")
+    val out = Stats.groupAuc(df, "src", col("score"), col("lab"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out("g") == ((2L, 2L, Some(1.0))))
+    assert(out("h") == ((2L, 2L, Some(0.875))))
+    assert(out("i") == ((1L, 1L, Some(0.0))))
+    assert(out("j") == ((2L, 0L, None)))
+  }
+
+  test("groupAuc matches the O(n²) pair definition on random-ish data") {
+    val rows = (0 until 60).map(i => ("s", (i * 7 % 23).toLong, i % 3 == 0))
+    val df = rows.toDF("src", "score", "lab")
+    val auc = Stats.groupAuc(df, "src", col("score"), col("lab"))
+      .head().getAs[Double]("auc")
+    val pos = rows.filter(_._3).map(_._2); val neg = rows.filterNot(_._3).map(_._2)
+    val pairs = for { p <- pos; q <- neg } yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0
+    val brute = pairs.sum / (pos.size.toDouble * neg.size)
+    assert(math.abs(auc - brute) < 1e-9, s"$auc vs $brute")
+  }
+
+  test("calibrationReport: perfectly calibrated bins give ECE 0; " +
+    "p = 1 clamps into the last bin") {
+    val df = (Seq.fill(1)(0.25 -> true) ++ Seq.fill(3)(0.25 -> false) ++
+      Seq.fill(3)(0.75 -> true) ++ Seq.fill(1)(0.75 -> false) ++
+      Seq.fill(2)(1.0 -> true))
+      .toDF("p", "lab")
+    val out = Stats.calibrationReport(df, col("p"), col("lab"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(out.keySet == Set(2, 7, 9))
+    assert(out(2) == ((4L, 1L, 0.25, 0.25, 0.0, 0.0)))
+    assert(out(7) == ((4L, 3L, 0.75, 0.75, 0.0, 0.0)))
+    assert(out(9) == ((2L, 2L, 1.0, 1.0, 0.0, 0.0))) // clamped, calibrated
+  }
+
+  test("calibrationReport: miscalibrated fixture's ECE is the " +
+    "hand-computed weighted gap") {
+    // bin 0: conf 0.05, acc 1.0 (gap .95, 2 rows); bin 9: conf 0.95,
+    // acc 0.0 (gap .95, 2 rows) -> ECE = .95
+    val df = (Seq.fill(2)(0.05 -> true) ++ Seq.fill(2)(0.95 -> false))
+      .toDF("p", "lab")
+    val out = Stats.calibrationReport(df, col("p"), col("lab")).collect()
+    assert(out.forall(r => math.abs(r.getAs[Double]("ece") - 0.95) < 1e-9))
+  }
+
+  test("weightedMedian: cumulative-weight pick, lower-median ties, " +
+    "nonpositive weights dropped") {
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 1L), // tot 4, cum(2)=3 -> 2
+      ("b", 1L, 1L), ("b", 2L, 1L),                // tot 2, 2*1>=2 -> 1
+      ("c", 5L, 3L), ("c", 9L, 0L), ("c", 7L, -2L) // only w>0 kept -> 5
+    ).toDF("src", "v", "w")
+    val out = Quality.weightedMedian(df, "src", "v", col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a" -> ((4L, 2L)), "b" -> ((2L, 1L)), "c" -> ((3L, 5L))))
+  }
+
+  test("weightedMedian vs row median: heavy tail weights move the pick") {
+    val df = Seq(("s", 1L, 1L), ("s", 2L, 1L), ("s", 100L, 10L))
+      .toDF("src", "v", "w")
+    val out = Quality.weightedMedian(df, "src", "v", col("w")).head()
+    assert(out.getAs[Long]("w_median") == 100L) // weight mass lives there
+  }
+
+  test("pmiCollocations: hand-computed PMI, threshold, total-order cut") {
+    val df = Seq("a b", "a b", "a c").toDF("text")
+    // uni: a=3 b=2 c=1, Nu=6; bi: (a,b)=2 (a,c)=1, Nb=3
+    // pmi(a,b) = ln(2·36/(3·3·2)) = ln 4; pmi(a,c) = ln(1·36/(3·3·1)) = ln 4
+    val out = TextAnalysis.pmiCollocations(df, "text", minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length == 2)
+    assert(out.forall(t => math.abs(t._4 - math.log(4.0)) < 1e-6))
+    assert(out.head._1 == "a" && out.head._2 == "b") // tie -> lexicographic
+    // minCount suppresses the singleton pair; topK cuts on the total order
+    val cut = TextAnalysis.pmiCollocations(df, "text", minCount = 2, topK = 10)
+      .collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSeq == Seq("a" -> "b"))
+    val top1 = TextAnalysis.pmiCollocations(df, "text", minCount = 1, topK = 1)
+      .collect()
+    assert(top1.map(r => (r.getString(0), r.getString(1))).toSeq == Seq("a" -> "b"))
+  }
+
+  test("pmiCollocations: normalization makes case/whitespace variants " +
+    "one pair; single-token docs add unigrams only") {
+    val df = Seq("New  York", "new york", "solo").toDF("text")
+    val out = TextAnalysis.pmiCollocations(df, "text", minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("new", "york", 2L)))
+  }
+}

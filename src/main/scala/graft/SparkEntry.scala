@@ -3173,6 +3173,42 @@ object SparkEntry {
       // ln() chain and the (rounded pmi, terms) cut replay in DuckDB.
       TextAnalysis.pmiCollocations(t(s, d, "documents"), "text",
         minCount = 5, topK = 50)),
+    "x140_token_jsd" -> ((s, d) => {
+      // Symmetric bounded drift: Jensen–Shannon divergence of each
+      // source's token distribution vs the pooled corpus — x78's KL
+      // family without the smoothing caveat (the mixture is positive
+      // wherever either side is). Grid cells replay cell-for-cell;
+      // both double sums fold in sorted vocab order.
+      val toks = t(s, d, "documents").select(col("source"),
+        explode(TextDedup.tokens(col("text"))).as("term"))
+      graft.ext.Drift.jensenShannon(toks, "source", "term")
+        .orderBy(col("source"))
+    }),
+    "x141_token_gini" -> ((s, d) =>
+      // Vocabulary-collapse detector: per-source Gini + top-10 token
+      // share over the unigram distribution. Rank·count sums are exact
+      // DECIMAL(38,0); both outputs are one-division values with no
+      // fold-order caveat; the rank windows sort each source's
+      // DISTINCT terms only.
+      TextAnalysis.giniConcentration(t(s, d, "documents"), "source",
+          "text", topK = 10)
+        .orderBy(col("group"))),
+    "x142_ks_drift" -> ((s, d) =>
+      // Binning-free numeric drift: per-source two-sample KS distance
+      // of n_chars vs the pooled corpus, evaluated at every pooled
+      // distinct value (the discrete sup is exact — the pool dominates
+      // each group). ECDFs are integer ratios; |p−q| and the max are
+      // single IEEE ops — deterministic with NO fold-order caveat.
+      graft.ext.Drift.ksDistance(t(s, d, "documents"), "source", "n_chars")
+        .orderBy(col("source"))),
+    "x143_boilerplate_fraction" -> ((s, d) =>
+      // Cross-document duplication-mass profile: the share of each
+      // doc's distinct 3-shingles occurring in ≥2 documents — template
+      // text per-pair tiers never score and intra-doc repetition gates
+      // cannot see. Inverted index → vocab-sized df counts → join back
+      // → integer-ratio rollup.
+      TextDedup.boilerplateFraction(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("id"))),
   )
 
   /** DuckDB fragment: dot(embExpr, plane) with the same float→double
@@ -6806,5 +6842,100 @@ object SparkEntry {
         |CROSS JOIN nu CROSS JOIN nb
         |WHERE n_pair >= 5
         |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin,
+    // full (source × vocab) grid -> per-cell JSD terms (p = 0 cells
+    // keep only their q·ln 2 half) -> vocab-ordered fold
+    "x140_token_jsd" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |cells AS (SELECT source, term, CAST(count(*) AS BIGINT) AS o
+        |          FROM tok WHERE term IS NOT NULL GROUP BY 1, 2),
+        |pooled AS (SELECT term, CAST(sum(o) AS BIGINT) AS pool FROM cells GROUP BY 1),
+        |totals AS (SELECT source, CAST(sum(o) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |grand AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+        |grid AS (SELECT totals.source, totals.n, pooled.term, pooled.pool,
+        |                COALESCE(c.o, 0) AS o, grand.t
+        |         FROM totals CROSS JOIN pooled
+        |         LEFT JOIN cells c ON c.source = totals.source AND c.term = pooled.term
+        |         CROSS JOIN grand),
+        |terms AS (SELECT source, n, term,
+        |    CASE WHEN o > 0 THEN (CAST(o AS DOUBLE) / n)
+        |      * ln((CAST(o AS DOUBLE) / n)
+        |          / ((CAST(o AS DOUBLE) / n + CAST(pool AS DOUBLE) / t) / 2))
+        |      ELSE 0 END / 2
+        |    + (CAST(pool AS DOUBLE) / t)
+        |      * ln((CAST(pool AS DOUBLE) / t)
+        |          / ((CAST(o AS DOUBLE) / n + CAST(pool AS DOUBLE) / t) / 2)) / 2 AS trm
+        |  FROM grid)
+        |SELECT source, n, round(list_sum(list(trm ORDER BY term)), 6) AS jsd
+        |FROM terms GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    // per-(source, term) counts -> ascending/descending rank windows ->
+    // exact HUGEINT rank·count sum -> the one-division Gini chain
+    "x141_token_gini" ->
+      """WITH cnt AS (
+        |  SELECT source AS "group", term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY "group" ORDER BY c, term) AS i,
+        |        row_number() OVER (PARTITION BY "group" ORDER BY c DESC, term) AS rd
+        |      FROM cnt),
+        |g AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_terms,
+        |        CAST(sum(c) AS BIGINT) AS total_tokens,
+        |        CAST(sum(CAST(i AS HUGEINT) * c) AS DOUBLE) AS ic,
+        |        CAST(sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) AS BIGINT) AS top
+        |      FROM r GROUP BY 1)
+        |SELECT "group", n_terms, total_tokens,
+        |  round((2 * ic - (CAST(n_terms AS DOUBLE) + 1) * total_tokens)
+        |    / (CAST(n_terms AS DOUBLE) * total_tokens), 6) AS gini,
+        |  round(CAST(top AS DOUBLE) / total_tokens, 6) AS topk_share
+        |FROM g ORDER BY "group"""".stripMargin,
+    // full (source × distinct-value) grid -> cumulative ECDFs -> the
+    // exact discrete sup of |p − q|
+    "x142_ks_drift" ->
+      """WITH cells AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |pooled AS (SELECT v, CAST(sum(o) AS BIGINT) AS pool FROM cells GROUP BY 1),
+        |totals AS (SELECT source, CAST(sum(o) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |grand AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+        |grid AS (SELECT totals.source, totals.n, pooled.v, pooled.pool,
+        |                COALESCE(c.o, 0) AS o, grand.t
+        |         FROM totals CROSS JOIN pooled
+        |         LEFT JOIN cells c ON c.source = totals.source AND c.v = pooled.v
+        |         CROSS JOIN grand),
+        |cum AS (SELECT *,
+        |          CAST(sum(o) OVER (PARTITION BY source ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cg,
+        |          CAST(sum(pool) OVER (PARTITION BY source ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |        FROM grid)
+        |SELECT source, n,
+        |  max(abs(CAST(cg AS DOUBLE) / n - CAST(cp AS DOUBLE) / t)) AS ks
+        |FROM cum GROUP BY 1, 2 ORDER BY source""".stripMargin,
+    // distinct 3-shingles per doc (the x116 spelling) -> document
+    // frequencies -> per-doc shared-shingle rollup
+    "x143_boilerplate_fraction" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |tk AS (SELECT id, string_split(t, ' ') AS toks FROM base),
+        |s AS (SELECT id, list_distinct(
+        |        CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(0, len(toks) - 3 + 1),
+        |                    i -> array_to_string(toks[i+1:i+3], ' '))
+        |        END) AS sh
+        |      FROM tk),
+        |inv AS (SELECT id, unnest(sh) AS g FROM s),
+        |dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS dfc FROM inv GROUP BY g)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+        |  round(CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS boilerplate_frac
+        |FROM inv JOIN dfreq USING (g) GROUP BY id ORDER BY id""".stripMargin,
   )
 }

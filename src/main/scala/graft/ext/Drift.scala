@@ -121,4 +121,93 @@ object Drift {
       .select(col(groupCol), col("_drift_n").cast("bigint").as("n"),
         col("psi"))
   }
+
+  /** Jensen–Shannon divergence per group vs the pooled distribution of
+    * `valueCol` — the SYMMETRIC, bounded (≤ ln 2) companion to
+    * [[categoricalDrift]]'s KL: no smoothing needed (the mixture
+    * m = (p+q)/2 is positive wherever either side is), safe on
+    * disjoint-ish supports where KL explodes, and comparable across
+    * groups because of the fixed ceiling.
+    *
+    * `jsd = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)` over the full
+    * (group × category) grid; p = 0 cells contribute only their
+    * q-term (the p·ln p → 0 convention). Both double sums fold in
+    * sorted category order over the contingency-sized list (x125
+    * discipline), so the accumulation order is a pure function of the
+    * data and the oracle replays it term for term.
+    *
+    * Scale shape: identical to [[categoricalDrift]] — one (group,
+    * value) aggregate, broadcast pooled counts, group-keyed fold.
+    * Output `(groupCol, n, jsd)` rounded to 6 dp. */
+  def jensenShannon(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_drift_o"))
+    val pooled = cells.groupBy(col(valueCol))
+      .agg(sum(col("_drift_o")).as("_drift_pool"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("_drift_o")).as("_drift_n"))
+    val grand = cells.agg(sum(col("_drift_o")).as("_drift_t"))
+    val p = col("_drift_o").cast("double") / col("_drift_n")
+    val q = col("_drift_pool").cast("double") / col("_drift_t")
+    val m = (p + q) / lit(2.0)
+    totals.crossJoin(broadcast(pooled))
+      .join(cells, Seq(groupCol, valueCol), "left")
+      .withColumn("_drift_o", coalesce(col("_drift_o"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("_drift_term",
+        when(col("_drift_o") > 0, p * log(p / m)).otherwise(lit(0.0)) / 2.0 +
+          q * log(q / m) / 2.0)
+      .groupBy(col(groupCol), col("_drift_n"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col(valueCol), col("_drift_term")))),
+        lit(0.0), (acc, e) => acc + e.getField("_drift_term")), 6).as("jsd"))
+      .select(col(groupCol), col("_drift_n").cast("bigint").as("n"),
+        col("jsd"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance per group vs the pooled
+    * distribution of a DISCRETE (bounded-cardinality) numeric column:
+    * `ks = max_v |ECDF_group(v) − ECDF_pool(v)|` evaluated at every
+    * pooled distinct value — which is every jump point of either ECDF
+    * (the pool dominates each group), so the discrete sup is exact.
+    * Complements PSI: binning-free, in [0, 1], and sensitive to
+    * location shifts PSI's fixed equi-width bins can blur.
+    *
+    * Exactness: both ECDFs are integer ratios, |p − q| and the max are
+    * single IEEE operations — no accumulation anywhere, so the result
+    * is deterministic under any partitioning with NO fold-order
+    * caveat.
+    *
+    * Scale shape: the (group, value) aggregate is the only
+    * corpus-sized pass; the grid is |groups| × |distinct values|
+    * (contingency-sized for discrete features — the documented
+    * contract), and the cumulative window sorts distinct values
+    * within one group. Output `(groupCol, n, ks)`. */
+  def ksDistance(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_drift_o"))
+    val pooled = cells.groupBy(col(valueCol))
+      .agg(sum(col("_drift_o")).as("_drift_pool"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("_drift_o")).as("_drift_n"))
+    val grand = cells.agg(sum(col("_drift_o")).as("_drift_t"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    totals.crossJoin(broadcast(pooled))
+      .join(cells, Seq(groupCol, valueCol), "left")
+      .withColumn("_drift_o", coalesce(col("_drift_o"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("_drift_cg", sum(col("_drift_o")).over(w))
+      .withColumn("_drift_cp", sum(col("_drift_pool")).over(w))
+      .groupBy(col(groupCol), col("_drift_n"))
+      .agg(max(abs(col("_drift_cg").cast("double") / col("_drift_n") -
+        col("_drift_cp").cast("double") / col("_drift_t"))).as("ks"))
+      .select(col(groupCol), col("_drift_n").cast("bigint").as("n"),
+        col("ks"))
+  }
 }

@@ -928,6 +928,53 @@ object TextAnalysis {
         coalesce(col("_s").isNotNull, lit(false)).as("fits"))
   }
 
+  /** Per-group token-frequency concentration: Gini coefficient plus
+    * the top-`topK` token share over each group's unigram
+    * distribution — the vocabulary-collapse detector (a source whose
+    * token mass concentrates into few types is templated/boilerplate
+    * even when per-document repetition gates pass). Gini over counts
+    * c₁ ≤ … ≤ c_n at ranks i: `G = (2·Σ i·cᵢ − (n+1)·Σc) / (n·Σc)` —
+    * every sum EXACT integers (rank ties on equal counts cannot change
+    * Σ i·cᵢ: permuting equal values within a rank block preserves the
+    * sum), so both outputs are one-division IEEE values with no
+    * fold-order caveat.
+    *
+    * Scale: the token explode is the inverted-index pass; everything
+    * after is vocabulary-sized per group, and the two rank windows
+    * sort each group's DISTINCT terms only. Output
+    * `(group, n_terms, total_tokens, gini, topk_share)`. */
+  def giniConcentration(df: DataFrame, groupCol: String, textCol: String,
+                        topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK >= 1")
+    val counts = df.select(col(groupCol).as("group"),
+        explode(graft.ext.TextDedup.tokens(col(textCol))).as("_term"))
+      .groupBy(col("group"), col("_term"))
+      .agg(count(lit(1)).as("_c"))
+    val wAsc = Window.partitionBy(col("group"))
+      .orderBy(col("_c"), col("_term"))
+    val wDesc = Window.partitionBy(col("group"))
+      .orderBy(col("_c").desc, col("_term"))
+    counts
+      .withColumn("_i", row_number().over(wAsc))
+      .withColumn("_rd", row_number().over(wDesc))
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("_c")).as("total_tokens"),
+        // rank·count products as DECIMAL(38,0): exact at any vocabulary
+        // × corpus size (the Stats sufficient-statistic discipline)
+        sum(col("_i").cast("decimal(18,0)") *
+          col("_c").cast("decimal(18,0)")).as("_ic"),
+        sum(when(col("_rd") <= topK, col("_c")).otherwise(0L)).as("_top"))
+      .select(col("group"), col("n_terms"), col("total_tokens"),
+        round((lit(2.0) * col("_ic").cast("double") -
+          (col("n_terms").cast("double") + 1.0) * col("total_tokens")) /
+          (col("n_terms").cast("double") * col("total_tokens")), 6).as("gini"),
+        round(col("_top").cast("double") / col("total_tokens"), 6)
+          .as("topk_share"))
+  }
+
   /** Corpus-level collocation mining by pointwise mutual information
     * over ADJACENT token pairs — the phrase/multi-word-expression
     * detector that feeds tokenizer vocab decisions ("new york" worth a

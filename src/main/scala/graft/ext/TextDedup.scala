@@ -98,6 +98,46 @@ object TextDedup {
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
+  /** Per-document boilerplate fraction: the share of a document's
+    * DISTINCT `shingleK`-shingles that occur in at least `minDf`
+    * documents corpus-wide — the cross-document duplication-mass
+    * profile (header/footer/template text) that per-pair dedup tiers
+    * never surface as a score and per-doc repetition gates (intra-doc
+    * only) cannot see. High-fraction docs are assembly-of-boilerplate
+    * even when no single pair crosses a near-dup threshold.
+    *
+    * Scale shape: the inverted index (doc × distinct shingles) is the
+    * one corpus-sized surface, built full-width via [[spreadCompute]]
+    * (CPU-bound shingling must not follow byte-granular parquet
+    * splits); document frequencies reduce map-side to vocabulary size
+    * and are FILTERED to df ≥ minDf before the join back, so only
+    * boilerplate occurrences — not the whole index — cross the join;
+    * per-doc denominators come narrowly from the distinct-shingle
+    * array size (no second corpus-wide rollup). Integer counts + one
+    * ratio — deterministic, no fold-order caveat. Output
+    * `(id, n_shingles, shared, boilerplate_frac)`. */
+  def boilerplateFraction(df: DataFrame, textCol: String, idCol: String,
+                          shingleK: Int = 3, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val sh = spreadCompute(df.select(col(idCol).as("id"),
+        col(textCol).as("_text")))
+      .select(col("id"), tokens(col("_text")).as("_toks"))
+      .select(col("id"),
+        array_distinct(shinglesOfTokens(col("_toks"), shingleK)).as("_sh"))
+    val perDoc = sh.select(col("id"),
+      size(col("_sh")).cast("long").as("n_shingles"))
+    val inv = sh.select(col("id"), explode(col("_sh")).as("_g"))
+    val shared = inv.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .join(inv, "_g")
+      .groupBy(col("id")).agg(count(lit(1)).as("shared"))
+    perDoc.join(shared, Seq("id"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .select(col("id"), col("n_shingles"), col("shared"),
+        round(col("shared").cast("double") / col("n_shingles"), 6)
+          .as("boilerplate_frac"))
+  }
+
   /** Corpus-frequency span excision — the distributed approximation of
     * exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": substrings repeated

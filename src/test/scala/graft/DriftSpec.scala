@@ -157,4 +157,37 @@ class DriftSpec extends AnyFunSuite {
         s"stream PSI diverged from batch: stream=$got batch=$expected")
     }
   }
+  test("jensenShannon: hand-computed disjoint-support fixture, zero on " +
+    "identical mixes, ln 2 ceiling") {
+    // A = {a,a}, B = {b,b}; pooled q = (.5, .5)
+    // jsd(A) = .5·1·ln(1/.75) + .5·.5·ln(.5/.75) + .5·.5·ln(.5/.25)
+    val df = Seq(("A", "a"), ("A", "a"), ("B", "b"), ("B", "b")).toDF("g", "v")
+    val out = Drift.jensenShannon(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("A") == ((2L, 0.215762)) && out("B") == ((2L, 0.215762)))
+    out.values.foreach { case (_, j) => assert(j >= 0 && j <= math.log(2.0) + 1e-9) }
+    // identical per-group mixes: every group == pooled -> exactly 0,
+    // no smoothing artifact (the KL/PSI eps caveat does not exist here)
+    val same = (Seq.tabulate(30)(i => ("a", s"v${i % 3}")) ++
+      Seq.tabulate(60)(i => ("b", s"v${i % 3}"))).toDF("g", "v")
+    Drift.jensenShannon(same, "g", "v").collect()
+      .foreach(r => assert(r.getDouble(2) == 0.0))
+  }
+
+  test("ksDistance: exact discrete sup vs pooled; zero for the pool " +
+    "itself; deterministic under repartition") {
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("g", "v")
+    val out = Drift.ksDistance(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // pooled ECDF: 1->.4, 2->.8, 3->1; A: 2/3, 1, 1 -> sup 4/15; B: 0, .5, 1 -> .4
+    assert(out("A")._1 == 3L && math.abs(out("A")._2 - 4.0 / 15) < 1e-15)
+    assert(out("B")._1 == 2L && math.abs(out("B")._2 - 0.4) < 1e-15)
+    val solo = Seq(("only", 1L), ("only", 5L), ("only", 9L)).toDF("g", "v")
+    Drift.ksDistance(solo, "g", "v").collect()
+      .foreach(r => assert(r.getDouble(2) == 0.0))
+    val rep = Drift.ksDistance(df.repartition(5), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rep == out.map { case (k, (_, v)) => k -> v })
+  }
 }

@@ -171,4 +171,49 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq == Seq(("new", "york", 2L)))
   }
+
+  test("giniConcentration: uniform vocabulary reads 0, skew reads the " +
+    "hand value, topK share cuts on (count desc, term)") {
+    val uni = Seq(("s", "a b c")).toDF("src", "text")
+    val r0 = TextAnalysis.giniConcentration(uni, "src", "text").head()
+    assert(r0.getAs[Long]("n_terms") == 3 && r0.getAs[Long]("total_tokens") == 3)
+    assert(r0.getAs[Double]("gini") == 0.0)
+    assert(r0.getAs[Double]("topk_share") == 1.0) // k=10 covers all
+    // a:3 b:1 -> asc ranks b=1, a=2; G = (2·7 − 3·4)/(2·4) = 0.25
+    val skew = Seq(("s", "a a a b")).toDF("src", "text")
+    val r1 = TextAnalysis.giniConcentration(skew, "src", "text").head()
+    assert(r1.getAs[Double]("gini") == 0.25)
+    val top1 = TextAnalysis.giniConcentration(skew, "src", "text", topK = 1)
+      .head()
+    assert(top1.getAs[Double]("topk_share") == 0.75) // a's 3 of 4
+    // equal-count rank ties cannot move Σ i·cᵢ: permuted duplicates
+    // land on the same gini
+    val tie = Seq(("s", "a a b b c c")).toDF("src", "text")
+    assert(TextAnalysis.giniConcentration(tie, "src", "text")
+      .head().getAs[Double]("gini") == 0.0)
+  }
+
+  test("boilerplateFraction: shared shingles score, unique docs read 0, " +
+    "short docs degrade to the whole-string shingle") {
+    import graft.ext.TextDedup
+    val df = Seq(
+      (1L, "x y z w"),  // shingles {x y z, y z w} — first shared with doc 2
+      (2L, "x y z q"),  // shingles {x y z, y z q}
+      (3L, "totally unique content here")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.boilerplateFraction(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)) && out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    // ≤ k tokens: ONE whole-string shingle; exact copies share it fully
+    val short = Seq((1L, "a b"), (2L, "a b"), (3L, "c d")).toDF("doc_id", "text")
+    val o2 = TextDedup.boilerplateFraction(short, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(o2 == Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
+    // minDf raises the bar: df-2 shingles stop counting at minDf = 3
+    val o3 = TextDedup.boilerplateFraction(df, "text", "doc_id", minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(o3.values.forall(_ == 0.0))
+  }
 }

@@ -3209,6 +3209,32 @@ object SparkEntry {
       // → integer-ratio rollup.
       TextDedup.boilerplateFraction(t(s, d, "documents"), "text", "doc_id")
         .orderBy(col("id"))),
+    "x144_retrieval_eval" -> ((s, d) => {
+      // trec_eval battery over a lexical retriever: 6 probe docs rank
+      // the corpus by distinct-token overlap (x121's first source);
+      // qrels grade same-lang docs 1 and same-lang-same-source docs 2.
+      // nDCG@10 / MRR / AP@10 / P@10 / R@10 per query — ranking via
+      // the reducing heap (score DESC, doc ASC), every eval fold in
+      // rank order, judged side one per-query aggregate.
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        TextDedup.tokens(col("text")).as("toks"), col("lang"), col("source"))
+      val q = toks.filter(col("doc_id") <= 5)
+        .select(col("doc_id").as("query_id"), col("toks").as("qtoks"),
+          col("lang").as("qlang"), col("source").as("qsource"))
+      val run = q.join(toks, col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(array_distinct(col("qtoks")),
+            array_distinct(col("toks")))).cast("double").as("score"))
+      val qrels = q.join(toks, col("doc_id") =!= col("query_id"))
+        .filter(col("lang") === col("qlang"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("source") === col("qsource"), 2L).otherwise(1L)
+            .as("grade"))
+      Retrieval.evalMetrics(run, qrels, "query_id", "doc_id", "score",
+          "grade", k = 10)
+        .orderBy(col("query_id"))
+    }),
   )
 
   /** DuckDB fragment: dot(embExpr, plane) with the same float→double
@@ -6937,5 +6963,70 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS boilerplate_frac
         |FROM inv JOIN dfreq USING (g) GROUP BY id ORDER BY id""".stripMargin,
+    // rank (score DESC, doc ASC) -> graded top-10 -> rank-ordered DCG /
+    // AP folds; ideal side from the qrels' k best grades; identical ln
+    // chain and tie rules
+    "x144_retrieval_eval" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, source,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id AS query_id, toks AS qtoks, lang AS qlang,
+        |             source AS qsource
+        |      FROM tk WHERE doc_id <= 5),
+        |ranked AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY
+        |      CAST(len(list_intersect(list_distinct(qtoks),
+        |        list_distinct(toks))) AS DOUBLE) DESC, doc_id) AS rank
+        |  FROM q JOIN tk ON doc_id <> query_id),
+        |qrels AS (
+        |  SELECT query_id, doc_id,
+        |    CASE WHEN source = qsource THEN 2 ELSE 1 END AS grade
+        |  FROM q JOIN tk ON doc_id <> query_id WHERE lang = qlang),
+        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |         FROM qrels GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id, list_sum(list(
+        |      (pow(2, CAST(grade AS DOUBLE)) - 1)
+        |        / (ln(CAST(i AS DOUBLE) + 1) / ln(2)) ORDER BY i)) AS idcg
+        |  FROM (SELECT query_id, grade, row_number() OVER (
+        |          PARTITION BY query_id ORDER BY grade DESC) AS i
+        |        FROM qrels)
+        |  WHERE i <= 10 GROUP BY query_id),
+        |graded AS (
+        |  SELECT t.query_id, t.rank,
+        |    COALESCE(CAST(r.grade AS DOUBLE), 0) AS grade
+        |  FROM ranked t LEFT JOIN qrels r
+        |    ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        |  WHERE t.rank <= 10),
+        |cumed AS (SELECT *, CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY query_id ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumhits
+        |  FROM graded),
+        |perq AS (
+        |  SELECT query_id,
+        |    CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    list_sum(list((pow(2, grade) - 1)
+        |      / (ln(CAST(rank AS DOUBLE) + 1) / ln(2)) ORDER BY rank)) AS dcg,
+        |    min(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+        |    list_sum(list(CASE WHEN grade > 0
+        |      THEN CAST(cumhits AS DOUBLE) / rank
+        |      ELSE CAST(0 AS DOUBLE) END ORDER BY rank)) AS apnum
+        |  FROM cumed GROUP BY query_id)
+        |SELECT p.query_id, COALESCE(n.n_rel, 0) AS n_rel, p.hits,
+        |  round(CAST(p.hits AS DOUBLE) / 10, 6) AS precision_at_k,
+        |  round(CASE WHEN n.n_rel > 0
+        |    THEN CAST(p.hits AS DOUBLE) / n.n_rel END, 6) AS recall_at_k,
+        |  round(COALESCE(CAST(1 AS DOUBLE) / first_rel,
+        |    CAST(0 AS DOUBLE)), 6) AS mrr,
+        |  round(CASE WHEN n.n_rel > 0 THEN apnum
+        |    / least(CAST(n.n_rel AS DOUBLE), CAST(10 AS DOUBLE)) END, 6) AS ap,
+        |  round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg END, 6) AS ndcg
+        |FROM perq p
+        |LEFT JOIN nrel n USING (query_id)
+        |LEFT JOIN ideal i USING (query_id)
+        |ORDER BY query_id""".stripMargin,
   )
 }

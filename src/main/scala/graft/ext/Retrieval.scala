@@ -162,4 +162,106 @@ object Retrieval {
         (col("_s0") + 1).cast("long").as("step"),
         col("_t.id").as(idCol), round(col("_t.score"), roundTo).as("mmr"))
   }
+
+  /** Ranked-retrieval evaluation against graded judgments (qrels):
+    * per query, nDCG@k, MRR, AP@k, precision@k, recall@k — the
+    * trec_eval battery that closes the retrieval loop (BM25 / ANN /
+    * RRF produce rankings; this scores them, and the scores gate which
+    * retriever's output feeds hard-negative mining or RAG serving).
+    *
+    * `run` is a scored candidate frame `(queryCol, docCol, scoreCol)`
+    * — bounded per query by the upstream retriever's cut, never the
+    * corpus; ranking happens here with the house tie rule (score DESC,
+    * doc ASC) via the reducing top-k heap, so map tasks ship at most
+    * `k` rows per query and the plan needs no window sort. `qrels` is
+    * `(queryCol, docCol, gradeCol)` with grade > 0 = relevant (graded
+    * gains `2^g − 1`); human judgment sets are bounded by contract.
+    *
+    * Conventions: MRR is 0 when no relevant doc is ranked (not null —
+    * the query WAS served); AP@k divides by min(n_rel, k) so a perfect
+    * head is 1.0; recall/AP/nDCG are null for queries with no judged
+    * relevant docs (undefined, flagged by n_rel = 0 rather than
+    * scored). Ranks from the heap are dense 1..n, so rank == position
+    * in the collected array and the running-precision scan is a
+    * bounded `slice`/`filter` per element (O(k²) narrow work).
+    *
+    * Determinism: DCG / ideal-DCG / AP terms each involve one ln and
+    * one divide per element (correctly rounded, x62 precedent) and
+    * fold in rank order (position-ordered house rule), then round to
+    * `roundTo`. Output `(queryCol, n_rel, hits, precision_at_k,
+    * recall_at_k, mrr, ap, ndcg)`. */
+  def evalMetrics(run: DataFrame, qrels: DataFrame, queryCol: String,
+                  docCol: String, scoreCol: String, gradeCol: String,
+                  k: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = run.sparkSession
+    import graft.functions.GraftFunctions.topKBy
+    def gain(g: Column): Column = pow(lit(2.0), g) - lit(1.0)
+    def log2(x: Column): Column = log(x) / log(lit(2.0))
+
+    val ranked = run.filter(col(scoreCol).isNotNull)
+      .select(col(queryCol).as("_q"), col(docCol).cast("long").as("_doc"),
+        col(scoreCol).cast("double").as("_score"))
+      .groupBy(col("_q"))
+      .agg(topKBy(spark, col("_score"), col("_doc"), k).as("_top"))
+      .select(col("_q"), posexplode(col("_top")).as(Seq("_r0", "_t")))
+      .select(col("_q"), (col("_r0") + 1).cast("long").as("_rank"),
+        col("_t.value").as("_doc"))
+
+    val rels = qrels.filter(col(gradeCol).isNotNull && col(gradeCol) > 0)
+      .select(col(queryCol).as("_q"), col(docCol).cast("long").as("_doc"),
+        col(gradeCol).cast("double").as("_grade"))
+
+    // judged totals + ideal DCG over each query's k best grades; the
+    // group exists only with ≥ 1 relevant row, so the grade list is
+    // never empty (no descending-sequence pitfall)
+    val ideal = rels.groupBy(col("_q"))
+      .agg(count(lit(1)).as("_n_rel"),
+        slice(reverse(array_sort(collect_list(col("_grade")))), 1, k)
+          .as("_gs"))
+      .select(col("_q"), col("_n_rel"),
+        aggregate(zip_with(col("_gs"),
+            sequence(lit(1), size(col("_gs"))),
+            (g, i) => gain(g) / log2(i.cast("double") + lit(1.0))),
+          lit(0.0), (acc, x) => acc + x).as("_idcg"))
+
+    val perq = ranked.join(rels, Seq("_q", "_doc"), "left")
+      .withColumn("_grade", coalesce(col("_grade"), lit(0.0)))
+      .groupBy(col("_q"))
+      .agg(sort_array(collect_list(struct(col("_rank"), col("_grade"))))
+        .as("_a"))
+      .select(col("_q"),
+        size(filter(col("_a"), e => e.getField("_grade") > 0))
+          .cast("long").as("_hits"),
+        aggregate(col("_a"), lit(0.0), (acc, e) =>
+          acc + gain(e.getField("_grade")) /
+            log2(e.getField("_rank").cast("double") + lit(1.0))).as("_dcg"),
+        array_min(transform(filter(col("_a"), e => e.getField("_grade") > 0),
+          e => e.getField("_rank"))).as("_first"),
+        // AP numerator: Σ over relevant positions of precision@rank,
+        // folded in rank order (rank == array position — dense heap)
+        aggregate(transform(col("_a"), e =>
+            when(e.getField("_grade") > 0,
+              size(filter(slice(col("_a"), lit(1),
+                  e.getField("_rank").cast("int")),
+                x => x.getField("_grade") > 0)).cast("double") /
+                e.getField("_rank").cast("double")).otherwise(lit(0.0))),
+          lit(0.0), (acc, x) => acc + x).as("_apnum"))
+
+    perq.join(ideal, Seq("_q"), "left")
+      .select(col("_q").as(queryCol),
+        coalesce(col("_n_rel"), lit(0L)).as("n_rel"),
+        col("_hits").as("hits"),
+        round(col("_hits").cast("double") / k, roundTo).as("precision_at_k"),
+        round(when(col("_n_rel") > 0,
+          col("_hits").cast("double") / col("_n_rel")), roundTo)
+          .as("recall_at_k"),
+        round(when(col("_first").isNotNull, lit(1.0) / col("_first"))
+          .otherwise(lit(0.0)), roundTo).as("mrr"),
+        round(when(col("_n_rel") > 0, col("_apnum") /
+          least(col("_n_rel").cast("double"), lit(k.toDouble))), roundTo)
+          .as("ap"),
+        round(when(col("_idcg") > 0, col("_dcg") / col("_idcg")), roundTo)
+          .as("ndcg"))
+  }
 }

@@ -104,4 +104,49 @@ class RetrievalSpec extends AnyFunSuite {
       k0 = 60, perSourceK = 10, topK = 10).collect()
     assert(out.map(_.getLong(2)).toSeq === Seq(1L))
   }
+
+  test("evalMetrics: hand-computed nDCG / MRR / AP / P / R at k=3") {
+    // ranking d1 > d2 > d3 (d4 cut by k); qrels: d1 g1, d3 g2, d9 g1
+    val run = Seq((7L, 1L, 3.0), (7L, 2L, 2.0), (7L, 3L, 1.0),
+      (7L, 4L, 0.5)).toDF("q", "doc", "score")
+    val qrels = Seq((7L, 1L, 1L), (7L, 3L, 2L), (7L, 9L, 1L))
+      .toDF("q", "doc", "grade")
+    val r = Retrieval.evalMetrics(run, qrels, "q", "doc", "score", "grade",
+      k = 3).head()
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    assert(r.getAs[Long]("n_rel") == 3 && r.getAs[Long]("hits") == 2)
+    assert(r.getAs[Double]("precision_at_k") == r6(2.0 / 3))
+    assert(r.getAs[Double]("recall_at_k") == r6(2.0 / 3))
+    assert(r.getAs[Double]("mrr") == 1.0) // first relevant at rank 1
+    // AP: rel at r1 (P=1/1) and r3 (P=2/3), / min(n_rel, k) = 3
+    assert(r.getAs[Double]("ap") == r6((1.0 + 2.0 / 3) / 3))
+    // DCG = 1/log2(2) + 0 + 3/log2(4); IDCG folds grades [2,1,1]
+    val dcg = 1.0 / log2(2) + 3.0 / log2(4)
+    val idcg = 3.0 / log2(2) + 1.0 / log2(3) + 1.0 / log2(4)
+    assert(r.getAs[Double]("ndcg") == r6(dcg / idcg))
+  }
+
+  test("evalMetrics: unjudged query scores null metrics not zeros; " +
+    "relevant-below-k reads mrr 0; ties rank doc ASC") {
+    val run = Seq((1L, 5L, 1.0), (1L, 3L, 1.0), (2L, 8L, 9.0))
+      .toDF("q", "doc", "score")
+    val qrels = Seq((1L, 5L, 1L)).toDF("q", "doc", "grade")
+    // k=1: tie at score 1.0 ranks doc 3 first, so query 1's only
+    // relevant doc (5) falls below the cut
+    val out = Retrieval.evalMetrics(run, qrels, "q", "doc", "score",
+        "grade", k = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("hits") == 0 && q1.getAs[Double]("mrr") == 0.0)
+    assert(q1.getAs[Double]("recall_at_k") == 0.0 &&
+      q1.getAs[Double]("ap") == 0.0)
+    // query 2 has NO judged docs: flagged by n_rel=0, undefined metrics
+    // are null (not a fake 0 that would drag a macro average)
+    val q2 = out(2L)
+    assert(q2.getAs[Long]("n_rel") == 0 && q2.isNullAt(q2.fieldIndex("recall_at_k")))
+    assert(q2.isNullAt(q2.fieldIndex("ap")) && q2.isNullAt(q2.fieldIndex("ndcg")))
+    assert(q2.getAs[Double]("mrr") == 0.0)
+  }
 }

@@ -3235,6 +3235,32 @@ object SparkEntry {
           "grade", k = 10)
         .orderBy(col("query_id"))
     }),
+    "x145_ewma_smoothing" -> ((s, d) => {
+      // Alerting baseline: exponentially-weighted moving average of
+      // daily event counts per type (α = 0.3). The recurrence runs as
+      // one narrow per-key fold in bin order — (1−α) computed IEEE,
+      // fold unrounded, presentation rounded — so the whole smoothed
+      // series hash-verifies cross-engine.
+      val ev = t(s, d, "events").select(col("event_type"), col("ts"))
+      val res = TimeSeries.resampleCounts(ev, "event_type", "ts", 86400L)
+      TimeSeries.ewma(res, "event_type", "bin", "n", alpha = 0.3)
+        .orderBy(col("event_type"), col("bin"))
+    }),
+    "x146_cusum_changepoint" -> ((s, d) => {
+      // Sequential change-point detection: two-sided CUSUM of daily
+      // event counts per type against each type's own mean level
+      // (exact integer ratio), dead-band 2 events/day, alarm at a
+      // cumulative excursion of 20. Complements the distributional
+      // drift family: PSI/KS/JSD say the population moved, CUSUM says
+      // WHEN the series left its level.
+      val ev = t(s, d, "events").select(col("event_type"), col("ts"))
+      val res = TimeSeries.resampleCounts(ev, "event_type", "ts", 86400L)
+      val tgt = res.groupBy(col("event_type"))
+        .agg((sum(col("n")) / count(lit(1))).as("target"))
+      TimeSeries.cusum(res.join(tgt, "event_type"), "event_type", "bin",
+          "n", "target", slack = 2.0, threshold = 20.0)
+        .orderBy(col("event_type"), col("bin"))
+    }),
   )
 
   /** DuckDB fragment: dot(embExpr, plane) with the same float→double
@@ -7028,5 +7054,66 @@ object SparkEntry {
         |LEFT JOIN nrel n USING (query_id)
         |LEFT JOIN ideal i USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    // per-type daily counts -> bin-ordered list -> the EWMA recurrence
+    // as a list_reduce fold (init = first value, (1-α) computed IEEE)
+    "x145_ewma_smoothing" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      / 86400) AS BIGINT) AS bin,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |ser AS (SELECT event_type,
+        |          list(struct_pack(bin := bin, n := n) ORDER BY bin) AS s
+        |        FROM r GROUP BY 1),
+        |folded AS (SELECT event_type, s,
+        |    list_reduce([[s[1].n]] || list_transform(s[2:], e -> [e.n]),
+        |      (acc, e) -> acc || [CAST(0.3 AS DOUBLE) * e[1]
+        |        + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc[len(acc)]])
+        |      AS f
+        |  FROM ser),
+        |ex AS (SELECT event_type, unnest(list_transform(range(1, len(s) + 1),
+        |    i -> {'bin': s[i].bin, 'n': s[i].n, 'ewma': round(f[i], 6)})) AS u
+        |  FROM folded)
+        |SELECT event_type, u.bin AS bin, u.n AS n, u.ewma AS ewma
+        |FROM ex ORDER BY event_type, bin""".stripMargin,
+    // same series; two-sided CUSUM recurrence vs the per-type mean,
+    // sentinel-seeded fold (real entries at f[i + 1]), alarm compares
+    // the UNROUNDED excursions like the engine
+    "x146_cusum_changepoint" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      / 86400) AS BIGINT) AS bin,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |tgt AS (SELECT event_type, sum(n) / count(*) AS target
+        |        FROM r GROUP BY 1),
+        |ser AS (SELECT r.event_type,
+        |          list(struct_pack(bin := bin, v := n, t := target)
+        |            ORDER BY bin) AS s
+        |        FROM r JOIN tgt USING (event_type) GROUP BY 1),
+        |folded AS (SELECT event_type, s,
+        |    list_reduce(
+        |      [[{'sp': CAST(0 AS DOUBLE), 'sn': CAST(0 AS DOUBLE),
+        |         'v': CAST(0 AS DOUBLE), 't': CAST(0 AS DOUBLE)}]]
+        |        || list_transform(s, e -> [{'sp': CAST(0 AS DOUBLE),
+        |             'sn': CAST(0 AS DOUBLE), 'v': e.v, 't': e.t}]),
+        |      (acc, e) -> acc || [{
+        |        'sp': greatest(CAST(0 AS DOUBLE),
+        |          acc[len(acc)].sp + (e[1].v - e[1].t - CAST(2 AS DOUBLE))),
+        |        'sn': greatest(CAST(0 AS DOUBLE),
+        |          acc[len(acc)].sn + (e[1].t - e[1].v - CAST(2 AS DOUBLE))),
+        |        'v': e[1].v, 't': e[1].t}]) AS f
+        |  FROM ser),
+        |ex AS (SELECT event_type, unnest(list_transform(range(1, len(s) + 1),
+        |    i -> {'bin': s[i].bin, 'n': s[i].v,
+        |          'hi': round(f[i + 1].sp, 6), 'lo': round(f[i + 1].sn, 6),
+        |          'alarm': f[i + 1].sp > CAST(20 AS DOUBLE)
+        |            OR f[i + 1].sn > CAST(20 AS DOUBLE)})) AS u
+        |  FROM folded)
+        |SELECT event_type, u.bin AS bin, u.n AS n, u.hi AS cusum_hi,
+        |  u.lo AS cusum_lo, u.alarm AS alarm
+        |FROM ex ORDER BY event_type, bin""".stripMargin,
   )
 }

@@ -160,4 +160,106 @@ object TimeSeries {
     df.select(k, b, v, z.as("z"),
       (coalesce(abs(z) > threshold, lit(false)) || constDev).as("is_anomaly"))
   }
+
+  /** Exponentially-weighted moving average per key:
+    * `s₁ = x₁; sᵢ = α·xᵢ + (1−α)·sᵢ₋₁` in bin order — the smoother
+    * behind alerting baselines and trend panels ([[rollingFeatures]]'
+    * flat windows weight old and new equally; EWMA discounts
+    * geometrically, which is what a drifting metric needs).
+    *
+    * The recurrence is inherently sequential per key, so — like the
+    * MMR/BPE family — each key's (bounded, documented-contract) series
+    * is grouped into ONE row and the whole chain runs as a narrow
+    * higher-order fold: no UDF, no per-step shuffle, one exchange.
+    * Keys are independent and distribute. (1−α) is computed IEEE, not
+    * a second literal, so the chain replays bit-identically
+    * cross-engine; presentation rounds to `roundTo`, the fold itself
+    * is unrounded. `(keyCol, binCol)` must be unique per row (sorted
+    * structs totalize on value otherwise). Null values are dropped
+    * before the fold (a null would poison every later sᵢ).
+    *
+    * Output: `(keyCol, binCol, valueCol, ewma)`. */
+  def ewma(df: DataFrame, keyCol: String, binCol: String, valueCol: String,
+           alpha: Double, roundTo: Int = 6): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    Sampling.reserveColumns(df, Seq("ewma"), "ewma")
+    val a = lit(alpha)
+    val b = lit(1.0) - lit(alpha)
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(binCol).as("bin"),
+        col(valueCol).cast("double").as("v")))).as("_s"))
+    val folded = aggregate(
+      slice(col("_s"), lit(2), greatest(size(col("_s")) - 1, lit(0))),
+      array(element_at(col("_s"), 1).getField("v")),
+      (acc, e) => concat(acc,
+        array(a * e.getField("v") + b * element_at(acc, -1))))
+    grouped
+      .select(col(keyCol),
+        posexplode(zip_with(col("_s"), folded,
+          (s, f) => struct(s.getField("bin").as("bin"),
+            s.getField("v").as("v"), f.as("e")))).as(Seq("_p", "_t")))
+      .select(col(keyCol), col("_t.bin").as(binCol),
+        col("_t.v").as(valueCol), round(col("_t.e"), roundTo).as("ewma"))
+  }
+
+  /** Two-sided CUSUM change-point detection per key (Page 1954): in
+    * bin order,
+    * `s⁺ᵢ = max(0, s⁺ᵢ₋₁ + (xᵢ − tᵢ − slack))` and
+    * `s⁻ᵢ = max(0, s⁻ᵢ₋₁ + (tᵢ − xᵢ − slack))`, alarming when either
+    * side exceeds `threshold` — the SEQUENTIAL drift detector that
+    * complements the distributional family ([[Drift]]'s PSI/KS/JSD
+    * compare populations; CUSUM localizes WHEN a monitored series
+    * left its in-control level, and small persistent shifts
+    * accumulate where per-bin z-scores stay under any threshold).
+    *
+    * `targetCol` is the in-control level per row — usually a per-key
+    * constant joined upstream (historical mean); `slack` is the
+    * half-dead-band k (shifts smaller than `slack` per bin never
+    * accumulate). Same narrow per-key fold shape as [[ewma]]; the
+    * recurrence is adds and max(0, ·) only, folded in bin order —
+    * deterministic cross-engine with no rounding caveat before the
+    * presentation round.
+    *
+    * Output: `(keyCol, binCol, valueCol, cusum_hi, cusum_lo, alarm)`. */
+  def cusum(df: DataFrame, keyCol: String, binCol: String, valueCol: String,
+            targetCol: String, slack: Double, threshold: Double,
+            roundTo: Int = 6): DataFrame = {
+    require(slack >= 0.0, s"slack must be >= 0: $slack")
+    require(threshold > 0.0, s"threshold must be positive: $threshold")
+    Sampling.reserveColumns(df, Seq("cusum_hi", "cusum_lo", "alarm"),
+      "cusum")
+    val grouped = df.filter(col(valueCol).isNotNull && col(targetCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(binCol).as("bin"),
+        col(valueCol).cast("double").as("v"),
+        col(targetCol).cast("double").as("t")))).as("_s"))
+    def f(c: Column, name: String): Column = c.getField(name)
+    val folded = aggregate(
+      col("_s"),
+      // correctly-typed empty accumulator (mmrSelect's filter-all trick)
+      filter(transform(col("_s"), _ =>
+        struct(lit(0.0).as("sp"), lit(0.0).as("sn"))), _ => lit(false)),
+      (acc, e) => {
+        // try_element_at: the first step reads an EMPTY accumulator
+        // (ANSI element_at throws on it), null-coalesced to the 0 init
+        val pp = coalesce(f(try_element_at(acc, lit(-1)), "sp"), lit(0.0))
+        val pn = coalesce(f(try_element_at(acc, lit(-1)), "sn"), lit(0.0))
+        concat(acc, array(struct(
+          greatest(lit(0.0), pp + (f(e, "v") - f(e, "t") - lit(slack)))
+            .as("sp"),
+          greatest(lit(0.0), pn + (f(e, "t") - f(e, "v") - lit(slack)))
+            .as("sn"))))
+      })
+    grouped
+      .select(col(keyCol),
+        posexplode(zip_with(col("_s"), folded,
+          (s, c) => struct(f(s, "bin").as("bin"), f(s, "v").as("v"),
+            f(c, "sp").as("sp"), f(c, "sn").as("sn")))).as(Seq("_p", "_t")))
+      .select(col(keyCol), col("_t.bin").as(binCol),
+        col("_t.v").as(valueCol),
+        round(col("_t.sp"), roundTo).as("cusum_hi"),
+        round(col("_t.sn"), roundTo).as("cusum_lo"),
+        (col("_t.sp") > threshold || col("_t.sn") > threshold).as("alarm"))
+  }
 }

@@ -157,4 +157,43 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.binIndex(lit("2024-01-01").cast("timestamp"), 0L)
     }
   }
+
+  test("ewma: hand-computed chain, key isolation, single point, " +
+    "null dropped, deterministic under repartition") {
+    // α = 0.5: 10 → 15 → 27.5; key b independent; nulls never enter
+    val df = Seq(("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)),
+      ("a", 3L, Some(40.0)), ("a", 4L, None), ("b", 1L, Some(100.0)))
+      .toDF("k", "bin", "n")
+    val out = TimeSeries.ewma(df, "k", "bin", "n", alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(out === Map(("a", 1L) -> 10.0, ("a", 2L) -> 15.0,
+      ("a", 3L) -> 27.5, ("b", 1L) -> 100.0))
+    val rep = TimeSeries.ewma(df.repartition(7), "k", "bin", "n", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(rep === out)
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(df, "k", "bin", "n", alpha = 0.0)
+    }
+  }
+
+  test("cusum: hand-computed two-sided excursions, floor at zero, " +
+    "alarm threshold, reserved-column guard") {
+    // target 10, slack 1, threshold 5:
+    //   hi: 0, 3, 6(alarm), 0;  lo: 0, 0, 0, 6(alarm)
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 14.0), ("a", 3L, 14.0),
+      ("a", 4L, 3.0)).toDF("k", "bin", "n").withColumn("tgt", lit(10.0))
+    val out = TimeSeries.cusum(df, "k", "bin", "n", "tgt",
+        slack = 1.0, threshold = 5.0)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    assert(out.toSeq === Seq((1L, 0.0, 0.0, false), (2L, 3.0, 0.0, false),
+      (3L, 6.0, 0.0, true), (4L, 0.0, 6.0, true)))
+    val clash = df.withColumnRenamed("tgt", "alarm")
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusum(clash, "k", "bin", "n", "alarm", 1.0, 5.0)
+    }
+  }
 }

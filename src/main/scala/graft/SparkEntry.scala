@@ -3261,7 +3261,68 @@ object SparkEntry {
           "n", "target", slack = 2.0, threshold = 20.0)
         .orderBy(col("event_type"), col("bin"))
     }),
+    "x147_bh_drift_alerts" -> ((s, d) => {
+      // Drift ALERTING with controlled false discovery: 3 features ×
+      // |sources| KS tests vs the pooled corpus, DKW-style p bound
+      // p = min(1, 2·exp(−2·ks²·(n·t/(n+t)))), then Benjamini–Hochberg
+      // step-up at α = 0.1 across the whole family — per-test
+      // thresholds at this family size would drown real drift in
+      // false alarms. Exact-zero p underflows tie on id; everything
+      // else in the chain is deterministic IEEE.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val feats = Seq(
+        ("n_chars", docs.select(col("source"), col("n_chars").as("v"))),
+        ("n_tokens", docs.select(col("source"),
+          size(TextDedup.tokens(col("text"))).cast("long").as("v"))),
+        ("n_distinct", docs.select(col("source"),
+          size(array_distinct(TextDedup.tokens(col("text"))))
+            .cast("long").as("v"))))
+      val tests = feats.map { case (nm, f) =>
+        graft.ext.Drift.ksDistance(f, "source", "v")
+          .select(lit(nm).as("feature"), col("source"), col("n"), col("ks"))
+      }.reduce(_ unionByName _)
+      val withP = tests
+        .withColumn("t",
+          sum(col("n")).over(Window.partitionBy(col("feature"))))
+        .select(concat(col("feature"), lit(":"), col("source")).as("id"),
+          least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("ks") * col("ks") *
+            (col("n").cast("double") * col("t") / (col("n") + col("t")))))
+            .as("p"))
+      graft.ext.Drift.bhCorrect(withP, "id", "p", alpha = 0.1)
+        .orderBy(col("rank"))
+    }),
   )
+
+  /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
+    * suffixed CTE names) over a doc-level frame `f` exposing the
+    * feature column — lets x147 run the identical grid → ECDF → sup
+    * machinery for several features in one statement. */
+  private def duckKsCtes(sfx: String, valueCol: String): String =
+    s"""cells_$sfx AS (
+       |  SELECT source, $valueCol AS v, CAST(count(*) AS BIGINT) AS o
+       |  FROM f WHERE $valueCol IS NOT NULL GROUP BY 1, 2),
+       |pooled_$sfx AS (SELECT v, CAST(sum(o) AS BIGINT) AS pool
+       |                FROM cells_$sfx GROUP BY 1),
+       |totals_$sfx AS (SELECT source, CAST(sum(o) AS BIGINT) AS n
+       |                FROM cells_$sfx GROUP BY 1),
+       |grand_$sfx AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells_$sfx),
+       |grid_$sfx AS (SELECT totals_$sfx.source, totals_$sfx.n,
+       |                pooled_$sfx.v, pooled_$sfx.pool,
+       |                COALESCE(c.o, 0) AS o, grand_$sfx.t
+       |              FROM totals_$sfx CROSS JOIN pooled_$sfx
+       |              LEFT JOIN cells_$sfx c ON c.source = totals_$sfx.source
+       |                AND c.v = pooled_$sfx.v
+       |              CROSS JOIN grand_$sfx),
+       |cum_$sfx AS (SELECT *,
+       |    CAST(sum(o) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cg,
+       |    CAST(sum(pool) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+       |  FROM grid_$sfx),
+       |ks_$sfx AS (SELECT '$valueCol' AS feature, source, n,
+       |    max(abs(CAST(cg AS DOUBLE) / n - CAST(cp AS DOUBLE) / t)) AS ks
+       |  FROM cum_$sfx GROUP BY 2, 3)""".stripMargin
 
   /** DuckDB fragment: dot(embExpr, plane) with the same float→double
     * element cast and left-to-right summation as [[Similarity.dot]].
@@ -7115,5 +7176,42 @@ object SparkEntry {
         |SELECT event_type, u.bin AS bin, u.n AS n, u.hi AS cusum_hi,
         |  u.lo AS cusum_lo, u.alarm AS alarm
         |FROM ex ORDER BY event_type, bin""".stripMargin,
+    // three suffixed KS chains over one doc-level feature frame ->
+    // DKW p bound -> rank / m / tail-running-min windows -> the q <= α
+    // step-up rule on the UNROUNDED q
+    "x147_bh_drift_alerts" ->
+      s"""WITH f AS (
+         |  SELECT source, n_chars,
+         |    CAST(len(string_split(regexp_replace(lower(trim(text)),
+         |      '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(regexp_replace(
+         |      lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT)
+         |      AS n_distinct
+         |  FROM documents),
+         |${duckKsCtes("nc", "n_chars")},
+         |${duckKsCtes("nt", "n_tokens")},
+         |${duckKsCtes("nd", "n_distinct")},
+         |tests AS (SELECT * FROM ks_nc UNION ALL SELECT * FROM ks_nt
+         |          UNION ALL SELECT * FROM ks_nd),
+         |wp AS (SELECT feature, source, n, ks,
+         |    CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS t
+         |  FROM tests),
+         |pv AS (SELECT feature || ':' || source AS id,
+         |    least(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE)
+         |      * exp(CAST(-2 AS DOUBLE) * ks * ks
+         |        * (CAST(n AS DOUBLE) * t / (n + t)))) AS p
+         |  FROM wp),
+         |ranked AS (SELECT id, p,
+         |    CAST(row_number() OVER (ORDER BY p, id) AS BIGINT) AS rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM pv),
+         |q AS (SELECT *, min(CAST(m AS DOUBLE) * p / rank)
+         |    OVER (ORDER BY rank DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qraw
+         |  FROM ranked)
+         |SELECT id, p, rank, m,
+         |  round(least(qraw, CAST(1 AS DOUBLE)), 6) AS q_value,
+         |  qraw <= CAST(0.1 AS DOUBLE) AS rejected
+         |FROM q ORDER BY rank""".stripMargin,
   )
 }

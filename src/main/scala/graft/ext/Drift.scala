@@ -185,6 +185,55 @@ object Drift {
     * (contingency-sized for discrete features — the documented
     * contract), and the cumulative window sorts distinct values
     * within one group. Output `(groupCol, n, ks)`. */
+  /** Benjamini–Hochberg step-up FDR correction over a family of
+    * hypothesis tests — the alerting layer above the drift metrics:
+    * monitoring thousands of (source × feature) tests at a fixed
+    * per-test threshold drowns real drift in false alarms; BH keeps
+    * the EXPECTED false-discovery fraction at `alpha` regardless of
+    * family size.
+    *
+    * Input is one row per hypothesis `(idCol, pCol)`; the frame is a
+    * test-RESULT table (post-aggregation, |hypotheses|-sized by
+    * contract), so the unpartitioned rank/running-min windows are a
+    * deliberate single-partition pass over a bounded frame — the same
+    * contract as every model-eval operator here.
+    *
+    * Mechanics: rank p ascending (ties on id), q-value =
+    * `min_{j ≥ i} m·p_j / j` capped at 1 (the monotone adjusted p),
+    * reject iff the UNROUNDED q ≤ alpha — equivalent to the classic
+    * step-up rule "reject ranks ≤ max{i : p_i ≤ i·α/m}". All
+    * arithmetic is one multiply + one divide per row plus an exact
+    * running min: no fold-order caveat. Rows with a null p are
+    * dropped up front (an untested hypothesis is not in the family —
+    * it must not inflate m).
+    *
+    * Output: `(idCol, pCol, rank, m, q_value, rejected)` with q
+    * rounded to 6 dp for presentation (the rejection compares
+    * unrounded). */
+  def bhCorrect(df: DataFrame, idCol: String, pCol: String,
+                alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1): $alpha")
+    Sampling.reserveColumns(df, Seq("rank", "m", "q_value", "rejected"),
+      "bhCorrect")
+    val asc = Window.orderBy(col(pCol), col(idCol))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df
+      .select(col(idCol), col(pCol).cast("double").as(pCol))
+      .filter(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(asc).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+    val tail = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked
+      .withColumn("_q", min(col("m").cast("double") * col(pCol) /
+        col("rank")).over(tail))
+      .select(col(idCol), col(pCol), col("rank"), col("m"),
+        round(least(col("_q"), lit(1.0)), 6).as("q_value"),
+        (col("_q") <= alpha).as("rejected"))
+  }
+
   def ksDistance(df: DataFrame, groupCol: String,
                  valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

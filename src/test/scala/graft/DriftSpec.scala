@@ -174,6 +174,37 @@ class DriftSpec extends AnyFunSuite {
       .foreach(r => assert(r.getDouble(2) == 0.0))
   }
 
+  test("bhCorrect: textbook step-up rejection set, running-min q, " +
+    "cap at 1, null p excluded from the family") {
+    // α = 0.1, m = 5: critical values i·α/m = .02 .04 .06 .08 .10;
+    // step-up k = 3 (p₃ = .04 ≤ .06, p₄ = .20 > .08)
+    val df = Seq(("a", Some(0.01)), ("b", Some(0.02)), ("c", Some(0.04)),
+      ("d", Some(0.20)), ("e", Some(0.90)), ("skip", None))
+      .toDF("id", "p")
+    val out = Drift.bhCorrect(df, "id", "p", alpha = 0.1)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out.map(_._1).toSeq === Seq("a", "b", "c", "d", "e"))
+    assert(out.forall(_._3 == 5L)) // null row never inflates m
+    // q = running min from the tail of m·p/i: .05 .05 .066667 .25 .9
+    assert(out.map(_._4).toSeq === Seq(0.05, 0.05, 0.066667, 0.25, 0.9))
+    assert(out.map(_._5).toSeq ===
+      Seq(true, true, true, false, false))
+    // the running min makes q monotone when raw adjusted p is not:
+    // raw = .03 .06 .041 -> q = .03 .041 .041, all ≤ α = .05
+    val nm = Seq(("a", 0.01), ("b", 0.04), ("c", 0.041)).toDF("id", "p")
+    val o2 = Drift.bhCorrect(nm, "id", "p", alpha = 0.05)
+      .orderBy("rank").collect().map(r => (r.getDouble(4), r.getBoolean(5)))
+    assert(o2.toSeq === Seq((0.03, true), (0.041, true), (0.041, true)))
+    // q caps at 1; equal p ties rank deterministically on id
+    val cap = Seq(("z", 0.9), ("y", 0.9)).toDF("id", "p")
+    val o3 = Drift.bhCorrect(cap, "id", "p", alpha = 0.1)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getDouble(4)))
+    assert(o3.toSeq === Seq(("y", 0.9), ("z", 0.9))) // q2 = .9, q1 = min(1.8→.9)
+  }
+
   test("ksDistance: exact discrete sup vs pooled; zero for the pool " +
     "itself; deterministic under repartition") {
     val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))

@@ -3292,6 +3292,17 @@ object SparkEntry {
       graft.ext.Drift.bhCorrect(withP, "id", "p", alpha = 0.1)
         .orderBy(col("rank"))
     }),
+    "x148_attribution" -> ((s, d) =>
+      // Multi-touch conversion attribution: click/view/signup touches
+      // credit the user's NEXT purchase under all four standard models
+      // at once (first/last/linear/position 40-20-40). Fractional
+      // credits are never summed unordered — touches reduce to exact
+      // (channel, path-length, role) counts and each model folds over
+      // the sorted grid cells.
+      graft.olap.Funnel.attribution(t(s, d, "events"), "user_id", "ts",
+          "event_id", "event_type", Seq("click", "view", "signup"),
+          "purchase")
+        .orderBy(col("channel"))),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7213,5 +7224,57 @@ object SparkEntry {
          |  round(least(qraw, CAST(1 AS DOUBLE)), 6) AS q_value,
          |  qraw <= CAST(0.1 AS DOUBLE) AS rejected
          |FROM q ORDER BY rank""".stripMargin,
+    // segment touches to their next conversion (strictly-preceding
+    // running conversion count), role them by path position, reduce to
+    // the exact (channel, n, role) grid, fold each model sorted
+    "x148_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, ts, event_id AS id, event_type AS ch
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click', 'view', 'signup')),
+        |segd AS (
+        |  SELECT *,
+        |    COALESCE(CAST(sum(CASE WHEN ch = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY u ORDER BY ts, id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS seg,
+        |    CAST(sum(CASE WHEN ch = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY u ORDER BY ts, id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cidx
+        |  FROM ev),
+        |convs AS (SELECT u AS cu, cidx AS conv FROM segd
+        |          WHERE ch = 'purchase'),
+        |touches AS (
+        |  SELECT s.u, s.seg, s.ts, s.id, s.ch
+        |  FROM segd s JOIN convs c ON s.u = c.cu AND s.seg + 1 = c.conv
+        |  WHERE s.ch <> 'purchase'),
+        |roled AS (
+        |  SELECT u, seg, ch,
+        |    CAST(row_number() OVER (PARTITION BY u, seg ORDER BY ts, id)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY u, seg) AS BIGINT) AS n
+        |  FROM touches),
+        |cells AS (
+        |  SELECT ch, n,
+        |    CASE WHEN n = 1 THEN 'only' WHEN i = 1 THEN 'first'
+        |         WHEN i = n THEN 'last' ELSE 'mid' END AS role,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM roled GROUP BY 1, 2, 3)
+        |SELECT ch AS channel,
+        |  CAST(sum(cnt) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE WHEN role IN ('only', 'first') THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS first_touch,
+        |  CAST(sum(CASE WHEN role IN ('only', 'last') THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS last_touch,
+        |  round(list_sum(list(CAST(cnt AS DOUBLE) / n ORDER BY n, role)), 6)
+        |    AS linear,
+        |  round(list_sum(list(CASE
+        |    WHEN n = 1 THEN CAST(1 AS DOUBLE) * cnt
+        |    WHEN n = 2 THEN CAST(0.5 AS DOUBLE) * cnt
+        |    WHEN role = 'mid' THEN CAST(0.2 AS DOUBLE) / (n - 2) * cnt
+        |    ELSE CAST(0.4 AS DOUBLE) * cnt END ORDER BY n, role)), 6)
+        |    AS position
+        |FROM cells GROUP BY 1 ORDER BY channel""".stripMargin,
   )
 }

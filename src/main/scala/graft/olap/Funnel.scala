@@ -1,6 +1,6 @@
 package graft.olap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Funnel and cohort-retention analytics — the ClickHouse
@@ -106,5 +106,98 @@ object Funnel {
         col("cohort_size"),
         round(col("n_active").cast("double") / col("cohort_size") * 100, 4)
           .as("pct"))
+  }
+
+  /** Multi-touch conversion attribution: distribute each conversion's
+    * unit of credit over the touch events that preceded it, under the
+    * four standard models at once — first-touch, last-touch, linear
+    * (1/n each) and position-based (the 40/20/40 "U": 0.4 to the
+    * first and last touch, 0.2 split over the middles; a 2-touch path
+    * splits 0.5/0.5, a single touch takes 1.0).
+    *
+    * Windowing: a user's touches attach to their NEXT conversion and
+    * each conversion RESETS the window (the standard rule — credit
+    * never leaks across conversions). Touches after the final
+    * conversion, and conversions with no preceding touch ("direct"),
+    * earn/receive nothing and drop out; Σ linear over channels = the
+    * number of touched conversions, a spec'd invariant.
+    *
+    * Determinism at scale: per-touch fractional credits are NEVER
+    * summed directly (an unordered double sum). Instead touches
+    * reduce to exact integer counts per (channel, path-length n,
+    * role ∈ only/first/mid/last) — path length is bounded by the
+    * session contract, so this grid is tiny — and each model's credit
+    * folds over the channel's sorted (n, role) cells: weight·count
+    * products on exact integers, accumulated in a pure-function-of-
+    * the-data order. Two window sorts over the same (user → user,seg)
+    * partitioning and one grid aggregate; nothing wider than the
+    * event table shuffles.
+    *
+    * Output: `(channel, n_touches, first_touch, last_touch, linear,
+    * position)` — the count columns exact longs, the fractional
+    * models rounded to `roundTo`. */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, channelCol: String,
+                  touchChannels: Seq[String], conversionType: String,
+                  roundTo: Int = 6): DataFrame = {
+    require(touchChannels.nonEmpty, "touchChannels must be non-empty")
+    require(!touchChannels.contains(conversionType),
+      "the conversion type cannot also be a touch channel")
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"), col(channelCol).as("_ch"))
+      .filter(col("_ch").isin(conversionType +: touchChannels: _*))
+    val w = Window.partitionBy(col("_u")).orderBy(col("_ts"), col("_id"))
+    val isConv = (col("_ch") === conversionType).cast("long")
+    // segment = conversions strictly before the row: touches in
+    // segment k belong to conversion k+1; conversion rows carry their
+    // own 1-based index on the same sort
+    val segged = ev
+      .withColumn("_seg", coalesce(sum(isConv)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_cidx", sum(isConv)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val convs = segged.filter(col("_ch") === conversionType)
+      .select(col("_u").as("_cu"), col("_cidx").as("_conv"))
+    val touches = segged.filter(col("_ch") =!= conversionType)
+      .join(convs, col("_u") === col("_cu") &&
+        col("_seg") + 1 === col("_conv"))
+      .select(col("_u"), col("_seg"), col("_ts"), col("_id"), col("_ch"))
+    val ws = Window.partitionBy(col("_u"), col("_seg"))
+      .orderBy(col("_ts"), col("_id"))
+    val roled = touches
+      .withColumn("_i", row_number().over(ws).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_u"),
+        col("_seg")).rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)).cast("long"))
+      .withColumn("_role",
+        when(col("_n") === 1, "only")
+          .when(col("_i") === 1, "first")
+          .when(col("_i") === col("_n"), "last")
+          .otherwise("mid"))
+    val cells = roled.groupBy(col("_ch"), col("_n"), col("_role"))
+      .agg(count(lit(1)).as("_cnt"))
+    def fld(weight: Column => Column): Column = {
+      val sorted = array_sort(collect_list(struct(col("_n").as("n"),
+        col("_role").as("role"), col("_cnt").as("cnt"))))
+      aggregate(sorted, lit(0.0), (acc, e) => acc + weight(e))
+    }
+    def f(e: Column, n: String): Column = e.getField(n)
+    cells.groupBy(col("_ch").as("channel"))
+      .agg(
+        sum(col("_cnt")).as("n_touches"),
+        sum(when(col("_role").isin("only", "first"), col("_cnt"))
+          .otherwise(0L)).as("first_touch"),
+        sum(when(col("_role").isin("only", "last"), col("_cnt"))
+          .otherwise(0L)).as("last_touch"),
+        round(fld(e => f(e, "cnt").cast("double") / f(e, "n")), roundTo)
+          .as("linear"),
+        round(fld(e =>
+          when(f(e, "n") === 1, lit(1.0) * f(e, "cnt"))
+            .when(f(e, "n") === 2, lit(0.5) * f(e, "cnt"))
+            .when(f(e, "role") === "mid",
+              lit(0.2) / (f(e, "n") - 2).cast("double") * f(e, "cnt"))
+            .otherwise(lit(0.4) * f(e, "cnt"))), roundTo)
+          .as("position"))
   }
 }

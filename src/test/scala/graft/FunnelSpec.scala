@@ -80,4 +80,40 @@ class FunnelSpec extends AnyFunSuite {
     assert(offs1(0L) == ((1L, 100.0)) && offs1(2L) == ((1L, 100.0)))
     assert(!offs1.contains(1L), "inactive offsets must be absent, not zero")
   }
+
+  test("attribution: hand-computed four-model credits, conversion " +
+    "reset, trailing/direct drops, linear mass == touched conversions") {
+    // user 1: [click view click] purchase [view] purchase signup(drop)
+    // user 2: purchase with no touches (direct — contributes nothing)
+    // user 3: [click view] purchase
+    val rows = Seq(
+      (1L, 1L, "click"), (1L, 2L, "view"), (1L, 3L, "click"),
+      (1L, 4L, "purchase"), (1L, 5L, "view"), (1L, 6L, "purchase"),
+      (1L, 7L, "signup"),
+      (2L, 1L, "purchase"),
+      (3L, 1L, "click"), (3L, 2L, "view"), (3L, 3L, "purchase"))
+      .zipWithIndex.map { case ((u, t, e), i) => (u, t, i.toLong, e) }
+      .toDF("user_id", "t", "event_id", "event_type")
+    val out = Funnel.attribution(rows, "user_id", "t", "event_id",
+        "event_type", Seq("click", "view", "signup"), "purchase")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // click: (3,first) (3,last) (2,first): linear 1/3+1/3+1/2,
+    // position .4+.4+.5
+    assert(out("click") == ((3L, 2L, 1L, r6(1.0 / 3 + 1.0 / 3 + 0.5), 1.3)))
+    // view: (3,mid) (1,only) (2,last): linear 1/3+1+1/2,
+    // position .2+1+.5
+    assert(out("view") == ((3L, 1L, 2L, r6(1.0 / 3 + 1.0 + 0.5), 1.7)))
+    // trailing signup earns nothing; direct purchase credits nobody
+    assert(!out.contains("signup"))
+    // invariant: linear credit mass == touched conversions (3)
+    assert(math.abs(out.values.map(_._4).sum - 3.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Funnel.attribution(rows, "user_id", "t", "event_id", "event_type",
+        Seq("purchase"), "purchase")
+    }
+  }
 }

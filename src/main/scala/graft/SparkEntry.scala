@@ -3303,6 +3303,19 @@ object SparkEntry {
           "event_id", "event_type", Seq("click", "view", "signup"),
           "purchase")
         .orderBy(col("channel"))),
+    "x149_association_rules" -> ((s, d) => {
+      // Market-basket rules over order → brand baskets: directed a → b
+      // with support / confidence / lift, every metric one division of
+      // exact integer counts. The within-basket pairing is the one
+      // quadratic surface, bounded by the basket contract and the
+      // maxBasket hard cap; the dimension join broadcasts.
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      val baskets = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      graft.olap.Affinity.associationRules(baskets, "basket", "item",
+        minCount = 10, minConfidence = 0.05, topK = 50)
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7276,5 +7289,29 @@ object SparkEntry {
         |    ELSE CAST(0.4 AS DOUBLE) * cnt END ORDER BY n, role)), 6)
         |    AS position
         |FROM cells GROUP BY 1 ORDER BY channel""".stripMargin,
+    // distinct (order, brand) -> capped baskets -> within-basket pairs
+    // -> integer-ratio metrics, rounded-lift total-order cut
+    "x149_association_rules" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand IS NOT NULL AND l_orderkey IS NOT NULL),
+        |sz AS (SELECT bk FROM raw GROUP BY bk HAVING count(*) <= 1000),
+        |items AS (SELECT raw.* FROM raw JOIN sz USING (bk)),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets
+        |       FROM items),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+        |       FROM items GROUP BY 1),
+        |pr AS (SELECT l.i AS a, r.i AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM items l JOIN items r ON l.bk = r.bk AND l.i <> r.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT a, b, n_ab, x.ni AS n_a, y.ni AS n_b, n_baskets,
+        |  round(CAST(n_ab AS DOUBLE) / n_baskets, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / x.ni, 6) AS confidence,
+        |  round(CAST(n_baskets * n_ab AS DOUBLE) / (x.ni * y.ni), 6) AS lift
+        |FROM pr JOIN ic x ON pr.a = x.i JOIN ic y ON pr.b = y.i
+        |CROSS JOIN nb
+        |WHERE CAST(n_ab AS DOUBLE) / x.ni >= 0.05
+        |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin,
   )
 }

@@ -1,0 +1,72 @@
+package graft.olap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket affinity mining: association rules over co-occurring
+  * items — the "customers who bought A also bought B" primitive behind
+  * cross-sell panels and substitution analysis. The co-purchase PAIR
+  * machinery exists elsewhere for dedup demos; this adds the rule
+  * semantics (directed antecedent → consequent with support /
+  * confidence / lift) as a first-class operator.
+  */
+object Affinity {
+
+  /** Pairwise association rules `a → b` with
+    * `support = n_ab / n_baskets`, `confidence = n_ab / n_a`,
+    * `lift = n_baskets·n_ab / (n_a·n_b)` — every metric a single
+    * division of exact integer counts, so the whole report is
+    * deterministic with no fold-order caveat.
+    *
+    * Scale shape: items dedup to (basket, item); the within-basket
+    * self-join is the one quadratic surface, O(Σ basket²) by the
+    * market-basket contract (retail baskets are small) and HARD-capped
+    * by `maxBasket` — oversized baskets (a wholesale order, a bot
+    * cart) are dropped entirely before pairing, the same bounding
+    * discipline as the LSH bucket cap. Counts reduce map-side;
+    * the basket total rides in as one broadcast row; the final cut is
+    * a deterministic total order (rounded lift DESC, a, b) → `topK`.
+    *
+    * Output: `(a, b, n_ab, n_a, n_b, n_baskets, support, confidence,
+    * lift)`, fractions rounded to `roundTo`. */
+  def associationRules(baskets: DataFrame, basketCol: String,
+                       itemCol: String, minCount: Long = 2,
+                       minConfidence: Double = 0.0, topK: Int = 100,
+                       maxBasket: Int = 1000,
+                       roundTo: Int = 6): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(minConfidence >= 0.0 && minConfidence <= 1.0,
+      "minConfidence must be in [0, 1]")
+    require(topK >= 1 && maxBasket >= 2, "topK >= 1 and maxBasket >= 2")
+    val raw = baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .filter(col("_i").isNotNull && col("_b").isNotNull)
+      .distinct()
+    val sizes = raw.groupBy(col("_b")).agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") <= maxBasket)
+      .select(col("_b"))
+    val items = raw.join(sizes, "_b")
+    val nBaskets = items.agg(count_distinct(col("_b")).as("n_baskets"))
+    val itemCnt = items.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
+    val pairs = items.as("l")
+      .join(items.as("r"),
+        col("l._b") === col("r._b") && col("l._i") =!= col("r._i"))
+      .groupBy(col("l._i").as("a"), col("r._i").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(itemCnt.select(col("_i").as("a"), col("_ni").as("n_a")), "a")
+      .join(itemCnt.select(col("_i").as("b"), col("_ni").as("n_b")), "b")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("confidence", col("n_ab").cast("double") / col("n_a"))
+      .filter(col("confidence") >= minConfidence)
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_baskets"),
+        round(col("n_ab").cast("double") / col("n_baskets"), roundTo)
+          .as("support"),
+        round(col("confidence"), roundTo).as("confidence"),
+        round((col("n_baskets") * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), roundTo).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+}

@@ -3316,6 +3316,24 @@ object SparkEntry {
       graft.olap.Affinity.associationRules(baskets, "basket", "item",
         minCount = 10, minConfidence = 0.05, topK = 50)
     }),
+    "x150_rfm_segments" -> ((s, d) =>
+      // Lifecycle segmentation: recency/frequency/monetary scored
+      // 1..5 against EXACT percentile cutpoints (one aggregate + a
+      // broadcast row + a narrow array scan — deliberately NOT a
+      // global ntile sort), folded into champion/loyal/at_risk/...
+      // segments. Money in exact cents; scores are integer
+      // comparisons against bit-identical interpolated cutpoints.
+      graft.olap.CustomerValue.rfm(t(s, d, "orders"), "o_custkey",
+          "o_orderdate", "o_totalprice")
+        .orderBy(col("o_custkey"))),
+    "x151_pareto_abc" -> ((s, d) =>
+      // Revenue concentration: customers ranked by exact-cents
+      // contribution, cumulative share, ABC classes at 70/90% — the
+      // global order runs over the POST-AGGREGATION per-customer
+      // frame (report contract), never the transaction log.
+      graft.olap.CustomerValue.paretoAbc(t(s, d, "orders"), "o_custkey",
+          "o_totalprice")
+        .orderBy(col("rank"))),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7313,5 +7331,69 @@ object SparkEntry {
         |CROSS JOIN nb
         |WHERE CAST(n_ab AS DOUBLE) / x.ni >= 0.05
         |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin,
+    // per-customer last/count/cents -> exact quantile_cont cutpoints
+    // (x28 bit-parity) -> narrow list_filter scoring -> segment CASE
+    "x150_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS monetary_cents
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |rd AS (SELECT max(last_d) AS ref FROM pc),
+        |base AS (SELECT pc.*,
+        |    CAST(date_diff('day', last_d, ref) AS BIGINT) AS recency_days
+        |  FROM pc CROSS JOIN rd),
+        |cuts AS (SELECT
+        |    quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |    quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+        |  FROM base),
+        |sc AS (SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |    CAST(1 + len(list_filter(rc,
+        |      q -> CAST(recency_days AS DOUBLE) < q)) AS BIGINT) AS r_score,
+        |    CAST(1 + len(list_filter(fc,
+        |      q -> CAST(frequency AS DOUBLE) > q)) AS BIGINT) AS f_score,
+        |    CAST(1 + len(list_filter(mc,
+        |      q -> CAST(monetary_cents AS DOUBLE) > q)) AS BIGINT) AS m_score
+        |  FROM base CROSS JOIN cuts)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |         THEN 'champion'
+        |       WHEN f_score >= 4 THEN 'loyal'
+        |       WHEN m_score >= 4 THEN 'big_spender'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+    // per-customer exact cents -> (cents DESC, key) rank + running and
+    // grand sums -> exact-ratio shares and 70/90 class boundaries
+    "x151_pareto_abc" ->
+      """WITH pk AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS amount_cents
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY amount_cents DESC, o_custkey)
+        |      AS BIGINT) AS rank,
+        |    CAST(sum(amount_cents) OVER (ORDER BY amount_cents DESC,
+        |      o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(amount_cents) OVER () AS BIGINT) AS tot
+        |  FROM pk)
+        |SELECT o_custkey, amount_cents, rank,
+        |  round(CAST(amount_cents AS DOUBLE) / tot, 6) AS share,
+        |  round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share,
+        |  CASE WHEN CAST(cum AS DOUBLE) / tot <= 0.7 THEN 'A'
+        |       WHEN CAST(cum AS DOUBLE) / tot <= 0.9 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM r ORDER BY rank""".stripMargin,
   )
 }

@@ -1,0 +1,129 @@
+package graft.olap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Customer-value analytics over a transaction log: RFM segmentation
+  * and Pareto/ABC concentration — the two classic "who matters"
+  * reports a warehouse serves to lifecycle-marketing and inventory
+  * dashboards.
+  */
+object CustomerValue {
+
+  /** Exact cents from a 2-decimal monetary double: `floor(x·100 + .5)`
+    * (the house quantization — never `round()`, whose half-tie rule
+    * differs across engines). Exact-integer money makes every sum
+    * below partition-order independent. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + lit(0.5)).cast("long")
+
+  /** RFM segmentation: per customer, recency (days since their last
+    * transaction, measured from the corpus' latest date), frequency
+    * (transaction count) and monetary value (exact cents), each scored
+    * 1..`buckets` against EXACT percentile cutpoints of the customer
+    * population, then folded into a lifecycle segment.
+    *
+    * Scale design: scoring deliberately avoids the textbook
+    * `ntile()` — a global equal-count tiling needs one total sort of
+    * all customers. Instead ONE aggregate computes the
+    * `buckets−1` exact percentile cutpoints per metric (integer
+    * inputs interpolate bit-identically cross-engine, the x28
+    * precedent), the single cutpoint row broadcasts back, and each
+    * customer scores with a narrow array scan:
+    * `1 + #{cut : value > cut}` for higher-is-better metrics and
+    * `1 + #{cut : value < cut}` for recency. Boundary values (== a
+    * cutpoint, common on integer metrics) deterministically take the
+    * lower score; heavy ties lump into one score rather than being
+    * split arbitrarily, which is the honest answer ntile fakes.
+    *
+    * Segments (hi = buckets−1, lo = 2): champion (r,f,m all ≥ hi),
+    * loyal (f ≥ hi), big_spender (m ≥ hi), at_risk (r ≤ lo, f ≥ 3),
+    * hibernating (r ≤ lo), else regular — first match wins.
+    *
+    * Output: `(custCol, recency_days, frequency, monetary_cents,
+    * r_score, f_score, m_score, segment)`. */
+  def rfm(tx: DataFrame, custCol: String, dateCol: String,
+          amountCol: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 3, s"buckets must be >= 3: $buckets")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val perCust = tx
+      .filter(col(custCol).isNotNull && col(dateCol).isNotNull &&
+        col(amountCol).isNotNull)
+      .groupBy(col(custCol))
+      .agg(max(col(dateCol).cast("date")).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(cents(col(amountCol))).as("monetary_cents"))
+    val refd = perCust.agg(max(col("_last")).as("_ref"))
+    val base = perCust.crossJoin(broadcast(refd))
+      .withColumn("recency_days",
+        datediff(col("_ref"), col("_last")).cast("long"))
+    val cuts = base.agg(
+      percentile(col("recency_days"), typedLit(qs)).as("_rc"),
+      percentile(col("frequency"), typedLit(qs)).as("_fc"),
+      percentile(col("monetary_cents"), typedLit(qs)).as("_mc"))
+    def above(v: org.apache.spark.sql.Column, cut: String) =
+      (lit(1) + size(filter(col(cut), q => v.cast("double") > q)))
+        .cast("long")
+    def below(v: org.apache.spark.sql.Column, cut: String) =
+      (lit(1) + size(filter(col(cut), q => v.cast("double") < q)))
+        .cast("long")
+    val hi = buckets - 1
+    val scored = base.crossJoin(broadcast(cuts))
+      .withColumn("r_score", below(col("recency_days"), "_rc"))
+      .withColumn("f_score", above(col("frequency"), "_fc"))
+      .withColumn("m_score", above(col("monetary_cents"), "_mc"))
+    scored.select(col(custCol), col("recency_days"), col("frequency"),
+      col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= hi && col("f_score") >= hi &&
+        col("m_score") >= hi, "champion")
+        .when(col("f_score") >= hi, "loyal")
+        .when(col("m_score") >= hi, "big_spender")
+        .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+        .when(col("r_score") <= 2, "hibernating")
+        .otherwise("regular").as("segment"))
+  }
+
+  /** Pareto / ABC analysis: rank keys by exact-cents contribution,
+    * accumulate the revenue share, and class them A (the head up to
+    * `aCut` of total), B (up to `bCut`), C (tail) — "which 20% of
+    * customers carry 80% of revenue" as a table.
+    *
+    * The cumulative share needs ONE global order — this is a REPORT
+    * over the post-aggregation |keys|-sized frame (the bhCorrect
+    * contract), not a corpus-wide sort: the transaction log reduces to
+    * per-key cents first. Cumulative and grand totals are exact
+    * integer sums; each share is one divide; class boundaries compare
+    * the exact ratio against the cut literals, so ties and boundaries
+    * are deterministic cross-engine. A key lands in A while the
+    * RUNNING share is still ≤ `aCut` (head-inclusive convention).
+    *
+    * Output: `(keyCol, amount_cents, rank, share, cum_share,
+    * abc_class)`, shares rounded to 6. */
+  def paretoAbc(tx: DataFrame, keyCol: String, amountCol: String,
+                aCut: Double = 0.7, bCut: Double = 0.9): DataFrame = {
+    require(aCut > 0 && aCut < bCut && bCut < 1,
+      s"need 0 < aCut < bCut < 1: $aCut, $bCut")
+    import org.apache.spark.sql.expressions.Window
+    val perKey = tx
+      .filter(col(keyCol).isNotNull && col(amountCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(cents(col(amountCol))).as("amount_cents"))
+    val w = Window.orderBy(col("amount_cents").desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perKey
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("amount_cents").desc, col(keyCol)))
+        .cast("long"))
+      .withColumn("_cum", sum(col("amount_cents")).over(w))
+      .withColumn("_tot", sum(col("amount_cents")).over(all))
+      .select(col(keyCol), col("amount_cents"), col("rank"),
+        round(col("amount_cents").cast("double") / col("_tot"), 6)
+          .as("share"),
+        round(col("_cum").cast("double") / col("_tot"), 6).as("cum_share"),
+        when(col("_cum").cast("double") / col("_tot") <= aCut, "A")
+          .when(col("_cum").cast("double") / col("_tot") <= bCut, "B")
+          .otherwise("C").as("abc_class"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Date
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.olap.CustomerValue
+
+/** RFM segmentation and Pareto/ABC against hand-computed expectations. */
+class CustomerValueSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def d(day: Int) = Date.valueOf(f"2024-01-$day%02d")
+
+  test("rfm: hand-computed scores against exact percentile cutpoints, " +
+    "tie lumping, segment fold") {
+    // one tx each: recency 4..0, freq all 1, cents 1000..5000
+    val tx = Seq((1L, d(1), 10.0), (2L, d(2), 20.0), (3L, d(3), 30.0),
+      (4L, d(4), 40.0), (5L, d(5), 50.0)).toDF("cust", "dt", "amt")
+    val out = CustomerValue.rfm(tx, "cust", "dt", "amt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    // recency cuts of {0..4} = [.8 1.6 2.4 3.2]; cents cuts
+    // [1800 2600 3400 4200]; all-tied frequency lumps at score 1
+    assert(out(1L) == ((4L, 1L, 1000L, 1L, 1L, 1L, "hibernating")))
+    assert(out(2L) == ((3L, 1L, 2000L, 2L, 1L, 2L, "hibernating")))
+    assert(out(3L) == ((2L, 1L, 3000L, 3L, 1L, 3L, "regular")))
+    assert(out(4L) == ((1L, 1L, 4000L, 4L, 1L, 4L, "big_spender")))
+    assert(out(5L) == ((0L, 1L, 5000L, 5L, 1L, 5L, "big_spender")))
+  }
+
+  test("rfm: multiple transactions aggregate before scoring") {
+    val tx = Seq((1L, d(1), 10.0), (1L, d(9), 15.5), (2L, d(5), 99.99),
+      (3L, d(2), 1.0), (4L, d(3), 2.0), (5L, d(4), 3.0))
+      .toDF("cust", "dt", "amt")
+    val r1 = CustomerValue.rfm(tx, "cust", "dt", "amt")
+      .filter($"cust" === 1L).head()
+    assert(r1.getLong(1) == 0L)    // last tx Jan 9 == corpus ref
+    assert(r1.getLong(2) == 2L)    // two transactions
+    assert(r1.getLong(3) == 2550L) // 10.00 + 15.50 in exact cents
+  }
+
+  test("paretoAbc: hand-computed shares, head-inclusive class " +
+    "boundaries, amount ties rank by key") {
+    val tx = Seq(("a", 500.0), ("b", 300.0), ("c", 150.0), ("d", 50.0))
+      .toDF("k", "amt")
+    val out = CustomerValue.paretoAbc(tx, "k", "amt")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5)))
+    assert(out.toSeq === Seq(
+      ("a", 50000L, 1L, 0.5, 0.5, "A"),
+      ("b", 30000L, 2L, 0.3, 0.8, "B"),
+      ("c", 15000L, 3L, 0.15, 0.95, "C"),
+      ("d", 5000L, 4L, 0.05, 1.0, "C")))
+    // equal contributions rank deterministically by key
+    val tie = Seq(("z", 1.0), ("y", 1.0)).toDF("k", "amt")
+    val t2 = CustomerValue.paretoAbc(tie, "k", "amt")
+      .orderBy("rank").collect().map(_.getString(0))
+    assert(t2.toSeq === Seq("y", "z"))
+    intercept[IllegalArgumentException] {
+      CustomerValue.paretoAbc(tx, "k", "amt", aCut = 0.9, bCut = 0.7)
+    }
+  }
+}

@@ -3334,6 +3334,20 @@ object SparkEntry {
       graft.olap.CustomerValue.paretoAbc(t(s, d, "orders"), "o_custkey",
           "o_totalprice")
         .orderBy(col("rank"))),
+    "x152_target_encoding" -> ((s, d) => {
+      // Categorical featurizer with leakage control: encode order
+      // priority by smoothed mean order value (10 pseudo-counts toward
+      // the global prior) and by the leave-one-out mean (the row's own
+      // target never leaks into its feature). Exact integer cents
+      // sums; every encode a fixed per-row chain.
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("price_cents"))
+      Stats.targetEncode(o, "o_orderpriority", "price_cents",
+          smoothing = 10.0)
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7395,5 +7409,34 @@ object SparkEntry {
         |       WHEN CAST(cum AS DOUBLE) / tot <= 0.9 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM r ORDER BY rank""".stripMargin,
+    // exact cents category sums + global prior -> the same smoothed
+    // and leave-one-out per-row chains (m·prior multiply first)
+    "x152_target_encoding" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |cs AS (SELECT o_orderpriority,
+        |    CAST(sum(price_cents) AS BIGINT) AS csum,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM o WHERE o_orderpriority IS NOT NULL
+        |    AND price_cents IS NOT NULL GROUP BY 1),
+        |pr AS (SELECT CAST(sum(price_cents) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM o WHERE o_orderpriority IS NOT NULL
+        |    AND price_cents IS NOT NULL)
+        |SELECT o_orderkey, o_orderpriority, price_cents,
+        |  CASE WHEN o_orderpriority IS NULL OR price_cents IS NULL
+        |    THEN NULL
+        |    ELSE (CAST(csum AS DOUBLE)
+        |      + CAST(10 AS DOUBLE) * (CAST(s AS DOUBLE) / n))
+        |      / (cn + CAST(10 AS DOUBLE)) END AS te,
+        |  CASE WHEN o_orderpriority IS NULL OR price_cents IS NULL
+        |    THEN NULL
+        |    WHEN cn = 1 THEN CAST(s AS DOUBLE) / n
+        |    ELSE CAST(csum - price_cents AS DOUBLE) / (cn - 1)
+        |    END AS te_loo
+        |FROM o LEFT JOIN cs USING (o_orderpriority) CROSS JOIN pr
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -182,4 +182,58 @@ object Stats {
         round(col("_gap"), 6).as("gap"),
         col("ece"))
   }
+
+  /** Target encoding of a categorical column — replace each category
+    * with (a smoothed, optionally leave-one-out) mean of an
+    * INTEGER-VALUED target (quantize money to cents upstream; the
+    * exactness contract needs integer sums). The standard
+    * high-cardinality categorical featurizer, with the two classic
+    * leakage controls built in:
+    *
+    *  - `te`: smoothed category mean `(Σ_c + m·prior) / (n_c + m)`
+    *    with prior = global mean and m = `smoothing` pseudo-counts
+    *    (m = 0 → plain mean). Rare categories shrink toward the
+    *    prior instead of memorizing noise.
+    *  - `te_loo`: leave-one-out mean `(Σ_c − y_row) / (n_c − 1)` — the
+    *    row's own target never leaks into its feature; singleton
+    *    categories (n_c = 1) fall back to the prior.
+    *
+    * Determinism: category sums/counts are exact integers; prior is
+    * one integer ratio; each encode is a fixed per-row chain (one
+    * multiply-add and one divide — `m·prior` first, then the add), so
+    * results are partition-order independent AND bit-identical
+    * cross-engine — which is why the encodes ship UNROUNDED: at the
+    * magnitudes sums of cents reach, a presentation `round(·, 6)`
+    * itself is the first cross-engine divergence (exact-decimal
+    * HALF_UP vs multiply-based rounding disagree on representation
+    * boundaries), while the raw doubles agree exactly. Category stats
+    * join back by key (low-cardinality by the categorical contract;
+    * Spark broadcasts under the threshold, AQE handles the rest).
+    * Null categories or targets pass through with null encodes.
+    *
+    * Output: the input frame plus `te` and `te_loo`. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   smoothing: Double = 0.0): DataFrame = {
+    require(smoothing >= 0.0, s"smoothing must be >= 0: $smoothing")
+    Sampling.reserveColumns(df, Seq("te", "te_loo"), "targetEncode")
+    val valid = col(catCol).isNotNull && col(targetCol).isNotNull
+    val catStats = df.filter(valid)
+      .groupBy(col(catCol))
+      .agg(sum(col(targetCol).cast("long")).as("_csum"),
+        count(lit(1)).as("_cn"))
+    val prior = df.filter(valid)
+      .agg((sum(col(targetCol).cast("long")).cast("double") /
+        count(lit(1))).as("_prior"))
+    df.join(catStats, Seq(catCol), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("te",
+        when(valid, (col("_csum").cast("double") +
+          lit(smoothing) * col("_prior")) / (col("_cn") + lit(smoothing))))
+      .withColumn("te_loo",
+        when(!valid, lit(null).cast("double"))
+          .when(col("_cn") === 1, col("_prior"))
+          .otherwise((col("_csum") - col(targetCol).cast("long"))
+            .cast("double") / (col("_cn") - 1)))
+      .drop("_csum", "_cn", "_prior")
+  }
 }

@@ -193,6 +193,31 @@ class StatsSpec extends AnyFunSuite {
       .head().getAs[Double]("gini") == 0.0)
   }
 
+  test("targetEncode: plain/smoothed means, leave-one-out excludes the " +
+    "row, singleton falls back to the prior, nulls pass through") {
+    // A: 10 20 30 (sum 60), B: 40 singleton; prior = 100/4 = 25
+    val df = Seq((Some("A"), Some(10L)), (Some("A"), Some(20L)),
+      (Some("A"), Some(30L)), (Some("B"), Some(40L)),
+      (None: Option[String], Some(99L))).toDF("cat", "y")
+    val plain = Stats.targetEncode(df, "cat", "y")
+      .collect().map(r => (Option(r.getString(0)), Option(r.get(1))) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(plain((Some("A"), Some(10L))) == ((Some(20.0), Some(25.0))))
+    assert(plain((Some("A"), Some(20L))) == ((Some(20.0), Some(20.0))))
+    assert(plain((Some("A"), Some(30L))) == ((Some(20.0), Some(15.0))))
+    // singleton: te is its own mean, te_loo the prior
+    assert(plain((Some("B"), Some(40L))) == ((Some(40.0), Some(25.0))))
+    assert(plain((None, Some(99L))) == ((None, None)))
+    // m = 2 pseudo-counts: A -> (60+50)/5 = 22, B -> (40+50)/3 = 30
+    val sm = Stats.targetEncode(df, "cat", "y", smoothing = 2.0)
+      .filter(col("cat").isNotNull).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(sm("A") == 22.0 && sm("B") == 30.0)
+    intercept[IllegalArgumentException] {
+      Stats.targetEncode(df.withColumnRenamed("y", "te"), "cat", "te")
+    }
+  }
+
   test("boilerplateFraction: shared shingles score, unique docs read 0, " +
     "short docs degrade to the whole-string shingle") {
     import graft.ext.TextDedup

@@ -3348,6 +3348,20 @@ object SparkEntry {
           smoothing = 10.0)
         .orderBy(col("o_orderkey"))
     }),
+    "x153_active_users" -> ((s, d) =>
+      // Growth accounting: exact rolling DAU/WAU/MAU + stickiness.
+      // The log dedups to (user, day) FIRST; each deduped row expands
+      // to the ≤28 report days it covers (bounded blowup of the
+      // deduped frame — the exact-sliding-distinct trade; the 100 TB
+      // approximate path is per-day HLL states merged over the same
+      // windows).
+      graft.olap.Growth.activeUsers(t(s, d, "events"), "user_id", "ts")),
+    "x154_new_vs_returning" -> ((s, d) =>
+      // Per-day new/returning split + cumulative user base: one
+      // (user, day) dedup, per-user first day, day rollup, and a
+      // |days|-sized running sum.
+      graft.olap.Growth.newVsReturning(t(s, d, "events"), "user_id",
+        "ts")),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7438,5 +7452,52 @@ object SparkEntry {
         |    END AS te_loo
         |FROM o LEFT JOIN cs USING (o_orderpriority) CROSS JOIN pr
         |ORDER BY o_orderkey""".stripMargin,
+    // (user, day) dedup -> per-window coverage expansion kept to the
+    // observed day spine -> distinct counts -> zero-filled spine join
+    "x153_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |spine AS (SELECT DISTINCT d AS day FROM ud),
+        |a1 AS (SELECT d AS day, CAST(count(DISTINCT u) AS BIGINT) AS au_1
+        |       FROM ud GROUP BY 1),
+        |c7 AS (SELECT DISTINCT u, day FROM (
+        |    SELECT u, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |      CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |      AS DATE) AS day
+        |    FROM ud) t JOIN spine USING (day)),
+        |a7 AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS au_7
+        |       FROM c7 GROUP BY 1),
+        |c28 AS (SELECT DISTINCT u, day FROM (
+        |    SELECT u, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |      CAST(d AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY))
+        |      AS DATE) AS day
+        |    FROM ud) t JOIN spine USING (day)),
+        |a28 AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS au_28
+        |        FROM c28 GROUP BY 1)
+        |SELECT s.day, COALESCE(au_1, 0) AS au_1, COALESCE(au_7, 0) AS au_7,
+        |  COALESCE(au_28, 0) AS au_28,
+        |  round(CAST(COALESCE(au_1, 0) AS DOUBLE) / COALESCE(au_28, 0), 6)
+        |    AS stickiness
+        |FROM spine s LEFT JOIN a1 USING (day) LEFT JOIN a7 USING (day)
+        |LEFT JOIN a28 USING (day)
+        |ORDER BY day""".stripMargin,
+    // (user, day) dedup -> per-user first day -> day rollup -> running
+    // cumulative over the day spine
+    "x154_new_vs_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, min(day) AS fd FROM ud GROUP BY 1),
+        |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS active,
+        |    CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users
+        |  FROM ud JOIN f USING (u) GROUP BY 1)
+        |SELECT day, active, new_users, active - new_users AS returning,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative_users,
+        |  round(CAST(new_users AS DOUBLE) / active, 6) AS new_share
+        |FROM daily ORDER BY day""".stripMargin,
   )
 }

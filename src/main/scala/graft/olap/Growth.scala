@@ -1,0 +1,99 @@
+package graft.olap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Growth accounting over an event log: rolling active-user counts
+  * (DAU/WAU/MAU + stickiness) and the new-vs-returning split — the
+  * top-of-dashboard metrics every product warehouse serves daily.
+  */
+object Growth {
+
+  /** Rolling distinct-active-user counts per day for each window in
+    * `windows` (days), plus stickiness = shortest/longest window ratio
+    * (DAU/MAU under the 1/28 default).
+    *
+    * EXACT counts by design (this is the oracled report; the sketch
+    * path for 100 TB is the existing mergeable HLL in
+    * [[graft.ext.Sketches]] — swap the distinct for per-day HLL states
+    * merged over the same trailing windows when approximate is
+    * acceptable). Scale shape: the log dedups to (user, day) FIRST —
+    * the only corpus-sized pass; each deduped row then expands to the
+    * ≤ `max(windows)` report days it covers (a bounded ×W blowup of
+    * the already-deduped frame, the standard exact-sliding-distinct
+    * trade), and one (day, window) aggregate counts distinct users.
+    * Days with no activity in a window simply have no row
+    * contributing; the report contains every day observed in the log,
+    * zero-filling windows via the left join from the day spine.
+    *
+    * Output: `(day, au_<w> for each w, stickiness)` — stickiness only
+    * when ≥ 2 windows, `au_min/au_max` as one exact integer ratio. */
+  def activeUsers(events: DataFrame, userCol: String, tsCol: String,
+                  windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      "windows must be non-empty positive day counts")
+    require(windows.distinct.size == windows.size, "duplicate windows")
+    val userDay = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), col(tsCol).cast("date").as("_d"))
+      .distinct()
+    val spine = userDay.select(col("_d").as("day")).distinct()
+    val perWindow = windows.map { w =>
+      // a (user, d) activity covers report days d .. d+w-1; the spine
+      // join keeps only days that exist in the log
+      val covered =
+        if (w == 1) userDay.select(col("_u"), col("_d").as("day"))
+        else userDay
+          .select(col("_u"), explode(sequence(col("_d"),
+            date_add(col("_d"), w - 1))).as("day"))
+          .join(spine, "day")
+          .select(col("_u"), col("day")).distinct()
+      covered.groupBy(col("day"))
+        .agg(count_distinct(col("_u")).as(s"au_$w"))
+    }
+    val joined = perWindow.foldLeft(spine)((acc, f) =>
+      acc.join(f, Seq("day"), "left"))
+      .select(col("day") +: windows.map(w =>
+        coalesce(col(s"au_$w"), lit(0L)).as(s"au_$w")): _*)
+    if (windows.size < 2) joined.orderBy(col("day"))
+    else {
+      val lo = s"au_${windows.min}"
+      val hi = s"au_${windows.max}"
+      joined.withColumn("stickiness",
+        round(col(lo).cast("double") / col(hi), 6))
+        .orderBy(col("day"))
+    }
+  }
+
+  /** Per-day split of active users into new (first-ever day) and
+    * returning, plus the cumulative user base — the growth-accounting
+    * companion to [[activeUsers]]. One (user, day) dedup, one per-user
+    * min, one day aggregate, and a running sum over the day spine
+    * (|days|-sized). All integer counts; the new-share is one divide.
+    *
+    * Output: `(day, active, new_users, returning, cumulative_users,
+    * new_share)`. */
+  def newVsReturning(events: DataFrame, userCol: String,
+                     tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val userDay = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), col(tsCol).cast("date").as("day"))
+      .distinct()
+    val first = userDay.groupBy(col("_u")).agg(min(col("day")).as("_first"))
+    val daily = userDay.join(first, "_u")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("day") === col("_first"), 1L).otherwise(0L))
+          .as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .select(col("day"), col("active"), col("new_users"),
+        (col("active") - col("new_users")).as("returning"),
+        sum(col("new_users")).over(w).as("cumulative_users"),
+        round(col("new_users").cast("double") / col("active"), 6)
+          .as("new_share"))
+      .orderBy(col("day"))
+  }
+}

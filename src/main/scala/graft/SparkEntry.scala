@@ -3362,6 +3362,14 @@ object SparkEntry {
       // |days|-sized running sum.
       graft.olap.Growth.newVsReturning(t(s, d, "events"), "user_id",
         "ts")),
+    "x155_top_paths" -> ((s, d) =>
+      // "How do users start": top-20 first-5-event sequences. The
+      // first-k selection is the row_number≤k idiom RewriteLatestPerKey
+      // upgrades to the bounded heap under the loaded extensions; path
+      // assembly folds steps in rank order; deterministic
+      // (n_users DESC, path) cut.
+      graft.olap.Funnel.topPaths(t(s, d, "events"), "user_id", "ts",
+        "event_id", "event_type", maxSteps = 5, topK = 20)),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7499,5 +7507,19 @@ object SparkEntry {
         |    AS cumulative_users,
         |  round(CAST(new_users AS DOUBLE) / active, 6) AS new_share
         |FROM daily ORDER BY day""".stripMargin,
+    // (ts, id)-totalized first-5 per user -> rank-ordered path string
+    // -> (n_users DESC, path) top-20
+    "x155_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, ts, event_id AS id, event_type AS t
+        |  FROM events WHERE event_type IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY u
+        |    ORDER BY ts, id) AS rn FROM e),
+        |p AS (SELECT u, array_to_string(list(t ORDER BY rn), '>') AS path
+        |      FROM r WHERE rn <= 5 GROUP BY u)
+        |SELECT path,
+        |  CAST(len(string_split(path, '>')) AS BIGINT) AS n_steps,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
   )
 }

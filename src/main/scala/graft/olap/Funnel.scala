@@ -108,6 +108,45 @@ object Funnel {
           .as("pct"))
   }
 
+  /** Top user paths: the most common first-`maxSteps` event sequences
+    * (the sankey/"how do users start" report next to [[windowFunnel]]'s
+    * fixed funnel and the transition matrix's one-step view).
+    *
+    * The per-user first-k selection is the `row_number() ≤ k` idiom on
+    * the (ts, id)-totalized order — exactly what `RewriteLatestPerKey`
+    * upgrades to the bounded TopKRows heap when the graft extensions
+    * are loaded (map tasks then ship ≤ k rows per user); in a plain
+    * session it falls back to the same per-user window sort the
+    * transition matrix already pays. Path assembly folds the ≤ k
+    * steps in rank order; the final cut is a deterministic
+    * (n_users DESC, path) top-K.
+    *
+    * Output: `(path, n_steps, n_users)`. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String, maxSteps: Int = 5,
+               topK: Int = 20): DataFrame = {
+    require(maxSteps >= 1 && topK >= 1, "maxSteps and topK must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_u")).orderBy(col("_ts"), col("_id"))
+    val firstK = events
+      .select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"), col(typeCol).as("_t"))
+      .filter(col("_t").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxSteps)
+    val paths = firstK.groupBy(col("_u"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("_rn"), col("_t")))),
+        e => e.getField("_t"))).as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("path"),
+        size(split(col("path"), ">")).cast("long").as("n_steps"),
+        col("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Multi-touch conversion attribution: distribute each conversion's
     * unit of credit over the touch events that preceded it, under the
     * four standard models at once — first-touch, last-touch, linear

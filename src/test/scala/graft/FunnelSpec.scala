@@ -81,6 +81,24 @@ class FunnelSpec extends AnyFunSuite {
     assert(!offs1.contains(1L), "inactive offsets must be absent, not zero")
   }
 
+  test("topPaths: rank-ordered assembly, maxSteps cut, tie-on-path " +
+    "ordering") {
+    val rows = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (3L, 1L, "b"))
+      .zipWithIndex.map { case ((u, t, e), i) => (u, t, i.toLong, e) }
+      .toDF("user_id", "t", "event_id", "event_type")
+    val out = Funnel.topPaths(rows, "user_id", "t", "event_id",
+        "event_type", maxSteps = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // u1's third event is cut by maxSteps; u1 and u2 share "a>b"
+    assert(out.toSeq === Seq(("a>b", 2L, 2L), ("b", 1L, 1L)))
+    val top1 = Funnel.topPaths(rows, "user_id", "t", "event_id",
+      "event_type", maxSteps = 1, topK = 1).collect()
+    // "a" (2 users) beats "b" (1); ties would break lexicographically
+    assert(top1.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("a", 2L)))
+  }
+
   test("attribution: hand-computed four-model credits, conversion " +
     "reset, trailing/direct drops, linear mass == touched conversions") {
     // user 1: [click view click] purchase [view] purchase signup(drop)

@@ -3370,6 +3370,17 @@ object SparkEntry {
       // (n_users DESC, path) cut.
       graft.olap.Funnel.topPaths(t(s, d, "events"), "user_id", "ts",
         "event_id", "event_type", maxSteps = 5, topK = 20)),
+    "x156_centroid_shift" -> ((s, d) => {
+      // Embedding drift: per-label cosine between the integer-lattice
+      // centroids of two corpus versions (here: the even-id half vs
+      // the full table — a deterministic version pair). Both "models"
+      // are order-independent integer sums; the comparison is a fixed
+      // per-row chain over two |dims| arrays.
+      val emb = t(s, d, "embeddings")
+      Embeddings.centroidShift(emb.filter(col("vec_id") % 2 === 0), emb,
+          "embedding", "label")
+        .orderBy(col("label"))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7521,5 +7532,59 @@ object SparkEntry {
         |  CAST(len(string_split(path, '>')) AS BIGINT) AS n_steps,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    // two x128-spelling quantize->lattice-centroid chains (even half /
+    // full), full join on label, the house cosine with a 0-denominator
+    // null guard
+    "x156_centroid_shift" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |qo AS (
+        |  SELECT vec_id, label, list_transform(e, x ->
+        |      CAST(greatest(-127, least(127, floor(x / scale + 0.5)))
+        |        AS INT)) AS qv
+        |  FROM (SELECT vec_id, label, e,
+        |          greatest(list_max(list_transform(e, x -> abs(x))), 1e-30)
+        |            / 127.0 AS scale
+        |        FROM v WHERE vec_id % 2 = 0)),
+        |no_ AS (SELECT label, CAST(count(*) AS BIGINT) AS n_old
+        |        FROM qo GROUP BY 1),
+        |xo AS (SELECT label, unnest(qv) AS qe, unnest(range(len(qv))) AS dim
+        |       FROM qo),
+        |co AS (SELECT label, dim, CAST(sum(qe) AS DOUBLE) / count(*) AS m
+        |       FROM xo GROUP BY 1, 2),
+        |ao AS (SELECT label, list(m ORDER BY dim) AS c FROM co GROUP BY 1),
+        |qn AS (
+        |  SELECT vec_id, label, list_transform(e, x ->
+        |      CAST(greatest(-127, least(127, floor(x / scale + 0.5)))
+        |        AS INT)) AS qv
+        |  FROM (SELECT vec_id, label, e,
+        |          greatest(list_max(list_transform(e, x -> abs(x))), 1e-30)
+        |            / 127.0 AS scale
+        |        FROM v)),
+        |nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM qn GROUP BY 1),
+        |xn AS (SELECT label, unnest(qv) AS qe, unnest(range(len(qv))) AS dim
+        |       FROM qn),
+        |cn AS (SELECT label, dim, CAST(sum(qe) AS DOUBLE) / count(*) AS m
+        |       FROM xn GROUP BY 1, 2),
+        |an AS (SELECT label, list(m ORDER BY dim) AS c FROM cn GROUP BY 1),
+        |j AS (
+        |  SELECT label, COALESCE(n_old, 0) AS n_old,
+        |    COALESCE(n_new, 0) AS n_new,
+        |    list_sum(list_transform(list_zip(ao.c, an.c),
+        |      p -> p[1] * p[2])) AS ab,
+        |    list_sum(list_transform(ao.c, z -> z * z)) AS aa,
+        |    list_sum(list_transform(an.c, z -> z * z)) AS bb
+        |  FROM ao FULL JOIN an USING (label)
+        |  LEFT JOIN no_ USING (label) LEFT JOIN nn USING (label)),
+        |cs AS (SELECT label, n_old, n_new,
+        |    round(CASE WHEN sqrt(aa * bb) = 0 THEN NULL
+        |      ELSE ab / sqrt(aa * bb) END, 6) AS cos_sim
+        |  FROM j)
+        |SELECT label, n_old, n_new, cos_sim,
+        |  round(CAST(1 AS DOUBLE) - cos_sim, 6) AS shift
+        |FROM cs ORDER BY label""".stripMargin,
   )
 }

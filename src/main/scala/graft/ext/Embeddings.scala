@@ -385,4 +385,42 @@ object Embeddings {
   def quantizedDot(qa: Column, sa: Column, qb: Column, sb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")), lit(0L), _ + _)
       .cast("double") * sa * sb
+
+  /** Embedding drift between two corpus versions: per label, the
+    * cosine between the OLD and NEW integer-lattice centroids — the
+    * embedding-space companion to the tabular drift family (PSI/KS say
+    * a numeric column moved; this says the embedding REGION backing a
+    * label rotated, after a re-embed, an encoder upgrade, or a data
+    * mix change — the signal that invalidates stored ANN thresholds).
+    *
+    * Both centroid sets come from [[groupCentroids]]' order-independent
+    * integer sums, so the "model" on each side is deterministic under
+    * any partitioning, and the cosine is one fixed per-row chain over
+    * two |dims|-sized arrays. Labels present on only one side report
+    * null cosine (undefined — flagged by the zero count, never a fake
+    * 0). Two aggregates, a |labels|-sized join; nothing corpus-sized
+    * survives the map stage.
+    *
+    * Output: `(label, n_old, n_new, cos_sim, shift)` with
+    * `shift = 1 − cos_sim`, both rounded to `roundTo`. */
+  def centroidShift(oldDf: DataFrame, newDf: DataFrame, embCol: String,
+                    labelCol: String, roundTo: Int = 6): DataFrame = {
+    def cents(df: DataFrame, tag: String): DataFrame = {
+      val q = quantizeInt8(df.filter(col(labelCol).isNotNull &&
+        col(embCol).isNotNull), embCol, "_csq")
+      groupCentroids(q, "_csq", labelCol)
+        .groupBy(col(labelCol).as("label"))
+        .agg(max(col("n_vecs")).as(s"n_$tag"),
+          transform(
+            array_sort(collect_list(struct(col("dim"), col("q_mean")))),
+            e => e.getField("q_mean")).as(s"_c_$tag"))
+    }
+    cents(oldDf, "old").join(cents(newDf, "new"), Seq("label"), "full")
+      .select(col("label"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(Similarity.cosine(col("_c_old"), col("_c_new")), roundTo)
+          .as("cos_sim"))
+      .withColumn("shift", round(lit(1.0) - col("cos_sim"), roundTo))
+  }
 }

@@ -255,4 +255,25 @@ class EmbeddingsSpec extends AnyFunSuite {
       Embeddings.l2Normalize(vecs.withColumn("nv_norm", lit(1.0)), "embedding", "nv")
     }
   }
+
+  test("centroidShift: identical sides read shift 0, a rotated label " +
+    "reads shift 1, one-sided labels flag null with zero count") {
+    val oldV = Seq(
+      (1L, "keep", Array(127.0f, 0.0f)), (2L, "keep", Array(127.0f, 2.0f)),
+      (3L, "rot", Array(127.0f, 0.0f)),
+      (4L, "gone", Array(1.0f, 127.0f))).toDF("vec_id", "label", "embedding")
+    val newV = Seq(
+      (1L, "keep", Array(127.0f, 0.0f)), (2L, "keep", Array(127.0f, 2.0f)),
+      (3L, "rot", Array(0.0f, 127.0f)), // orthogonal re-embed
+      (5L, "born", Array(5.0f, 127.0f))).toDF("vec_id", "label", "embedding")
+    val out = Embeddings.centroidShift(oldV, newV, "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(out("keep") == ((2L, 2L, Some(1.0), Some(0.0))))
+    assert(out("rot") == ((1L, 1L, Some(0.0), Some(1.0))))
+    // labels on one side only: undefined shift is NULL, never a fake 0
+    assert(out("gone") == ((1L, 0L, None, None)))
+    assert(out("born") == ((0L, 1L, None, None)))
+  }
 }

@@ -3381,6 +3381,15 @@ object SparkEntry {
           "embedding", "label")
         .orderBy(col("label"))
     }),
+    "x157_benford_audit" -> ((s, d) =>
+      // Fabricated-data / broken-feed screen: first-digit distribution
+      // of order values (exact cents) vs Benford's law, with chi² and
+      // Nigrini's MAD. Digit from the BIGINT's decimal string — never
+      // log10, whose power-of-ten boundaries are engine-dependent.
+      Quality.benford(t(s, d, "orders").select(
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents")), "cents")
+        .orderBy(col("digit"))),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7586,5 +7595,31 @@ object SparkEntry {
         |SELECT label, n_old, n_new, cos_sim,
         |  round(CAST(1 AS DOUBLE) - cos_sim, 6) AS shift
         |FROM cs ORDER BY label""".stripMargin,
+    // first digit from the BIGINT string -> zero-filled 1..9 grid ->
+    // ln-ratio expected fracs -> digit-ordered chi2 / MAD folds
+    "x157_benford_audit" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |dg AS (SELECT CAST(substr(CAST(abs(c) AS VARCHAR), 1, 1) AS INT)
+        |    AS digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM v WHERE c <> 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM dg),
+        |grid AS (SELECT d.digit, COALESCE(n, 0) AS n, total,
+        |    CAST(COALESCE(n, 0) AS DOUBLE) / total AS obs_frac,
+        |    ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / d.digit)
+        |      / ln(CAST(10 AS DOUBLE)) AS exp_frac
+        |  FROM (SELECT unnest(range(1, 10)) AS digit) d
+        |  CROSS JOIN tot LEFT JOIN dg USING (digit)),
+        |s AS (SELECT
+        |    round(list_sum(list((n - exp_frac * total) * (n - exp_frac * total)
+        |      / (exp_frac * total) ORDER BY digit)), 6) AS chi2,
+        |    round(list_sum(list(abs(obs_frac - exp_frac) ORDER BY digit))
+        |      / CAST(9 AS DOUBLE), 6) AS mad
+        |  FROM grid)
+        |SELECT CAST(digit AS BIGINT) AS digit, n, total,
+        |  round(obs_frac, 6) AS obs_frac, round(exp_frac, 6) AS exp_frac,
+        |  chi2, mad
+        |FROM grid CROSS JOIN s ORDER BY digit""".stripMargin,
   )
 }

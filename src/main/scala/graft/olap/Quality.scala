@@ -402,4 +402,58 @@ object Quality {
         when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)).as("f1"))
       .orderBy(col("threshold").desc)
   }
+
+  /** Benford's-law first-digit audit over an INTEGER-VALUED column
+    * (quantize money to cents upstream) — the classic fabricated-data
+    * / broken-feed screen: naturally-grown magnitudes follow
+    * `P(d) = log10(1 + 1/d)`; duplicated rows, capped fields, or
+    * synthetic fills visibly don't. Reports the full 1–9 digit grid
+    * (absent digits appear with n = 0 — a missing row would hide the
+    * strongest signal) plus the chi-square statistic and the mean
+    * absolute deviation (Nigrini's MAD), both repeated per row as
+    * report constants.
+    *
+    * Exactness: the first digit comes from the BIGINT's decimal string
+    * (never from `log10`, whose boundary behavior at powers of ten is
+    * engine-dependent); counts are exact; expected fractions are one
+    * ln-ratio each; the two summary folds run over the 9-row grid in
+    * digit order. Zero and null values are excluded (no first
+    * significant digit). One corpus aggregate; everything after is
+    * 9 rows.
+    *
+    * Output: `(digit, n, total, obs_frac, exp_frac, chi2, mad)`. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
+      .select(substring(abs(col(valueCol).cast("long")).cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    val grid = tot
+      .select(explode(sequence(lit(1), lit(9))).as("digit"), col("total"))
+      .join(digits, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("obs_frac", col("n").cast("double") / col("total"))
+      .withColumn("exp_frac",
+        log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+    val summary = grid
+      .select(col("digit"),
+        (col("exp_frac") * col("total")).as("_e"),
+        col("n"), col("obs_frac"), col("exp_frac"))
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("digit"),
+          ((col("n") - col("_e")) * (col("n") - col("_e")) / col("_e"))
+            .as("_t")))),
+          lit(0.0), (acc, e) => acc + e.getField("_t")).as("_chi2"),
+        aggregate(array_sort(collect_list(struct(col("digit"),
+          abs(col("obs_frac") - col("exp_frac")).as("_t")))),
+          lit(0.0), (acc, e) => acc + e.getField("_t")).as("_madsum"))
+      .select(round(col("_chi2"), 6).as("chi2"),
+        round(col("_madsum") / 9.0, 6).as("mad"))
+    grid.crossJoin(broadcast(summary))
+      .select(col("digit").cast("long").as("digit"), col("n"), col("total"),
+        round(col("obs_frac"), 6).as("obs_frac"),
+        round(col("exp_frac"), 6).as("exp_frac"),
+        col("chi2"), col("mad"))
+  }
 }

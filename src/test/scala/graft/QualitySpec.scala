@@ -219,4 +219,29 @@ class QualitySpec extends AnyFunSuite {
     assert(rc.getAs[Long]("n") == 2 && rc.getAs[Double]("mi") == 0.0)
     assert(rc.isNullAt(rc.fieldIndex("nmi")))
   }
+
+  test("benford: string-derived first digits, zero-filled grid, " +
+    "hand-checked fractions, zero/null exclusion") {
+    import spark.implicits._
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // digits: 1 (from 123 and -19), 2 (from 25), plus excluded 0/null
+    val df = Seq(Some(123L), Some(-19L), Some(25L), Some(0L), None)
+      .map(v => (v, 0)).toDF("v", "ignored")
+    val out = Quality.benford(df, "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.size == 9) // absent digits still report
+    assert(out(1L)._1 == 2L && out(1L)._2 == 3L)
+    assert(out(2L)._1 == 1L && out(9L)._1 == 0L)
+    assert(out(1L)._3 == r6(2.0 / 3))
+    assert(out(1L)._4 == r6(math.log(2.0) / math.log(10.0)))
+    assert(out(9L)._4 == r6(math.log(1.0 + 1.0 / 9) / math.log(10.0)))
+    // a perfectly Benford-weighted sample reads MAD ~ 0 (counts can't
+    // hit the exact fractions, so just bound it)
+    val row = Quality.benford(df, "v").head()
+    assert(row.getAs[Double]("mad") > 0.0 &&
+      row.getAs[Double]("chi2") > 0.0)
+  }
 }

@@ -3390,6 +3390,43 @@ object SparkEntry {
           floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
             .as("cents")), "cents")
         .orderBy(col("digit"))),
+    "x158_weight_diagnostics" -> ((s, d) =>
+      // QA gate on weighted corpora: Kish effective sample size,
+      // max-weight share and weight CV per language for an
+      // n_chars-weighted sampling scheme. Exact integer Σw/Σw² under
+      // any partitioning; the summary chain is fixed per group.
+      graft.ext.Sampling.weightDiagnostics(t(s, d, "documents"), "lang",
+          "n_chars", microScale = 1L)
+        .orderBy(col("group"))),
+    "x159_ab_test" -> ((s, d) => {
+      // Experiment readout: users split into arms by id parity
+      // (deterministic assignment), conversion = any purchase;
+      // two-proportion z vs the control arm. Exact counts, one divide
+      // per rate, fixed z chain.
+      val users = t(s, d, "events").groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") > 150)
+          .cast("long")).as("converted"))
+        .withColumn("arm", when(col("user_id") % 2 === 0, "control")
+          .otherwise("treatment"))
+      Stats.twoProportionTest(users, "arm", "control", "converted")
+        .orderBy(col("arm"))
+    }),
+    "x160_cuped" -> ((s, d) => {
+      // CUPED variance reduction: per-user purchase spend (exact
+      // cents) adjusted by view count as the pre-experiment covariate;
+      // θ estimated pooled so the adjustment cannot bias the effect.
+      // Everything reduces to exact decimal sufficient statistics;
+      // variances ship unrounded (x152 magnitude rule).
+      val users = t(s, d, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .otherwise(0L)).as("spend_cents"),
+          sum((col("event_type") === "view").cast("long")).as("n_views"))
+        .withColumn("arm", when(col("user_id") % 2 === 0, "control")
+          .otherwise("treatment"))
+      Stats.cuped(users, "arm", "spend_cents", "n_views")
+        .orderBy(col("arm"))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7621,5 +7658,91 @@ object SparkEntry {
         |  round(obs_frac, 6) AS obs_frac, round(exp_frac, 6) AS exp_frac,
         |  chi2, mad
         |FROM grid CROSS JOIN s ORDER BY digit""".stripMargin,
+    // exact HUGEINT weight sums -> one fixed double chain per group
+    "x158_weight_diagnostics" ->
+      """WITH w AS (
+        |  SELECT lang AS "group",
+        |    CAST(floor(n_chars * 1 + 0.5) AS BIGINT) AS wv
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |a AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(wv AS HUGEINT)) AS DOUBLE) AS sw,
+        |    CAST(sum(CAST(wv AS HUGEINT) * wv) AS DOUBLE) AS sw2,
+        |    max(wv) AS mx
+        |  FROM w WHERE wv > 0 GROUP BY 1)
+        |SELECT "group", n,
+        |  round(sw * sw / sw2, 6) AS ess,
+        |  round(sw * sw / sw2 / n, 6) AS ess_ratio,
+        |  round(CAST(mx AS DOUBLE) / sw, 6) AS max_share,
+        |  round(sqrt(n * sw2 - sw * sw) / sw, 6) AS cv
+        |FROM a ORDER BY "group"""".stripMargin,
+    // per-user conversion -> per-arm exact counts -> pooled z chain
+    "x159_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+        |      AS arm
+        |  FROM events GROUP BY user_id),
+        |per AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS x
+        |  FROM u WHERE arm IS NOT NULL AND converted IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT n AS n_c, x AS x_c FROM per WHERE arm = 'control')
+        |SELECT arm, n_c, x_c, n AS n_t, x AS x_t,
+        |  round(CAST(x_c AS DOUBLE) / n_c, 6) AS rate_c,
+        |  round(CAST(x AS DOUBLE) / n, 6) AS rate_t,
+        |  round(CAST(x AS DOUBLE) / n - CAST(x_c AS DOUBLE) / n_c, 6)
+        |    AS lift,
+        |  round(CASE WHEN CAST(x_c + x AS DOUBLE) / (n_c + n) > 0
+        |      AND CAST(x_c + x AS DOUBLE) / (n_c + n) < 1
+        |    THEN (CAST(x AS DOUBLE) / n - CAST(x_c AS DOUBLE) / n_c)
+        |    / sqrt((CAST(x_c + x AS DOUBLE) / (n_c + n))
+        |      * (CAST(1 AS DOUBLE) - CAST(x_c + x AS DOUBLE) / (n_c + n))
+        |      * (CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n))
+        |    END, 6) AS z
+        |FROM per CROSS JOIN c WHERE arm <> 'control' ORDER BY arm""".stripMargin,
+    // exact HUGEINT sufficient statistics per arm + pooled -> the same
+    // theta / mean / variance chains, variances unrounded
+    "x160_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+        |      AS arm
+        |  FROM events GROUP BY user_id),
+        |pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        |  FROM u GROUP BY 1),
+        |po AS (SELECT CAST(count(*) AS BIGINT) AS pn,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS psx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS psy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS psxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS psxx
+        |  FROM u),
+        |t AS (SELECT pa.arm, pa.n, pa.sx, pa.sy, pa.sxy, pa.sxx, pa.syy,
+        |    (pn * psxy - psx * psy) / (pn * psxx - psx * psx) AS theta,
+        |    psx / pn AS xbar
+        |  FROM pa CROSS JOIN po)
+        |SELECT arm, n, theta,
+        |  sy / n AS mean_y,
+        |  sy / n - theta * (sx / n - xbar) AS mean_y_adj,
+        |  (n * syy - sy * sy) / (n * n) AS var_y,
+        |  (n * syy - sy * sy) / (n * n)
+        |    - CAST(2 AS DOUBLE) * theta * ((n * sxy - sx * sy) / (n * n))
+        |    + theta * theta * ((n * sxx - sx * sx) / (n * n)) AS var_y_adj,
+        |  round(CAST(1 AS DOUBLE) - ((n * syy - sy * sy) / (n * n)
+        |      - CAST(2 AS DOUBLE) * theta * ((n * sxy - sx * sy) / (n * n))
+        |      + theta * theta * ((n * sxx - sx * sx) / (n * n)))
+        |    / ((n * syy - sy * sy) / (n * n)), 6) AS var_reduction
+        |FROM t ORDER BY arm""".stripMargin,
   )
 }

@@ -596,4 +596,52 @@ object Sampling {
       .filter(col("negative") =!= col("anchor"))
       .select(col("anchor"), col("j").cast("bigint").as("j"), col("negative"))
   }
+
+  /** Importance-weight diagnostics per group — the QA gate on any
+    * weighted corpus (mixture reweighting, temperature sampling,
+    * inverse-propensity estimates): a weight distribution with a tiny
+    * effective sample size or one dominant weight means downstream
+    * estimates ride on a handful of rows no matter how large the
+    * corpus looks.
+    *
+    *  - `ess` — Kish effective sample size `(Σw)²/Σw²`
+    *  - `ess_ratio` — ess/n (1 = uniform weights, → 0 = degenerate)
+    *  - `max_share` — largest single weight's share of the mass
+    *  - `cv` — weight coefficient of variation
+    *    `√(n·Σw² − (Σw)²) / Σw`
+    *
+    * Weights quantize to integer micro-units
+    * (`floor(w·microScale + .5)`, the house quantization; pass
+    * `microScale = 1` for already-integer weights) so Σw and Σw² are
+    * EXACT decimal sums under any partitioning; the summary arithmetic
+    * downstream is a fixed per-group chain on those sums (cast to
+    * double once — correctly rounded, engine-identical). Rows with
+    * null or non-positive weights drop (the A-Res convention). One
+    * aggregate; output is |groups|-sized.
+    *
+    * Output: `(group, n, ess, ess_ratio, max_share, cv)`. */
+  def weightDiagnostics(df: DataFrame, groupCol: String, weightCol: String,
+                        microScale: Long = 1000000L): DataFrame = {
+    require(microScale >= 1, s"microScale must be >= 1: $microScale")
+    reserveColumns(df, Seq("n", "ess", "ess_ratio", "max_share", "cv"),
+      "weightDiagnostics")
+    val wq = floor(col(weightCol) * microScale + lit(0.5)).cast("long")
+    val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    val agg = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol).as("group"), wq.as("_w"))
+      .filter(col("_w") > 0)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_w").cast("decimal(38,0)")).as("_sw"),
+        sum(d18(col("_w")) * d18(col("_w"))).as("_sw2"),
+        max(col("_w")).as("_mx"))
+    val sw = col("_sw").cast("double")
+    val sw2 = col("_sw2").cast("double")
+    agg.select(col("group"), col("n"),
+      round(sw * sw / sw2, 6).as("ess"),
+      round(sw * sw / sw2 / col("n"), 6).as("ess_ratio"),
+      round(col("_mx").cast("double") / sw, 6).as("max_share"),
+      round(sqrt(col("n") * sw2 - sw * sw) / sw, 6).as("cv"))
+  }
 }

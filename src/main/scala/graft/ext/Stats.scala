@@ -183,6 +183,105 @@ object Stats {
         col("ece"))
   }
 
+  /** Two-proportion experiment readout: each treatment arm vs the
+    * named control — conversion counts, rates, absolute lift, and the
+    * pooled two-proportion z statistic
+    * `z = (p_t − p_c) / √(p̄(1−p̄)(1/n_c + 1/n_t))` — the standard
+    * A/B-test table a warehouse serves to an experimentation UI.
+    *
+    * One aggregate over the assignment log; the control row broadcasts
+    * to every treatment row. Counts are exact integers; every rate is
+    * one divide; z is a fixed chain — deterministic cross-engine.
+    * Null arms/conversions drop. A degenerate pooled rate (everyone or
+    * no one converted — p̄ ∈ {0, 1}) leaves z undefined: reported NULL,
+    * never ±∞ (and never an ANSI divide-by-zero).
+    *
+    * Output per treatment arm: `(arm, n_c, x_c, n_t, x_t, rate_c,
+    * rate_t, lift, z)`, rates/lift/z rounded to 6. */
+  def twoProportionTest(df: DataFrame, armCol: String, controlArm: String,
+                        convCol: String): DataFrame = {
+    val per = df
+      .filter(col(armCol).isNotNull && col(convCol).isNotNull)
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(convCol).cast("long")).as("_x"))
+    val ctrl = per.filter(col("arm") === controlArm)
+      .select(col("_n").as("n_c"), col("_x").as("x_c"))
+    val pc = col("x_c").cast("double") / col("n_c")
+    val pt = col("_x").cast("double") / col("_n")
+    val pp = (col("x_c") + col("_x")).cast("double") /
+      (col("n_c") + col("_n"))
+    per.filter(col("arm") =!= controlArm)
+      .crossJoin(broadcast(ctrl))
+      .select(col("arm"), col("n_c"), col("x_c"),
+        col("_n").as("n_t"), col("_x").as("x_t"),
+        round(pc, 6).as("rate_c"), round(pt, 6).as("rate_t"),
+        round(pt - pc, 6).as("lift"),
+        round(when(pp > 0 && pp < 1,
+          (pt - pc) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_c") + lit(1.0) / col("_n")))), 6).as("z"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013): adjust an
+    * experiment metric with a pre-experiment covariate,
+    * `ŷ = y − θ(x − x̄)` with `θ = cov(x, y)/var(x)` estimated POOLED
+    * (arm-agnostic, so the adjustment cannot bias the treatment
+    * effect), and report per-arm means and variances before/after —
+    * the standard way an experimentation platform doubles its
+    * effective traffic.
+    *
+    * Exactness: everything reduces to per-arm integer sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy² — exact DECIMAL(38,0) sums
+    * of integer-valued inputs, quantize money to cents upstream);
+    * θ, means and variances are fixed chains on those sums, computed
+    * identically per arm. Outputs ship UNROUNDED except the bounded
+    * `var_reduction` ratio (the x152 magnitude rule).
+    *
+    * Output per arm: `(arm, n, theta, mean_y, mean_y_adj, var_y,
+    * var_y_adj, var_reduction)` — population variances. */
+  def cuped(df: DataFrame, armCol: String, metricCol: String,
+            covariateCol: String): DataFrame = {
+    val y = col(metricCol).cast("long")
+    val x = col(covariateCol).cast("long")
+    val valid = col(armCol).isNotNull && col(metricCol).isNotNull &&
+      col(covariateCol).isNotNull
+    def stats(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped.agg(count(lit(1)).as("_n"),
+        dsum(x).as("_sx"), dsum(y).as("_sy"),
+        sum(d18(x) * d18(y)).as("_sxy"),
+        sum(d18(x) * d18(x)).as("_sxx"),
+        sum(d18(y) * d18(y)).as("_syy"))
+    val perArm = stats(df.filter(valid).groupBy(col(armCol).as("arm")))
+    val pooled = stats(df.filter(valid).groupBy())
+      .select(col("_n").as("_pn"), col("_sx").cast("double").as("_psx"),
+        col("_sy").cast("double").as("_psy"),
+        col("_sxy").cast("double").as("_psxy"),
+        col("_sxx").cast("double").as("_psxx"))
+    // a constant covariate has no variance to exploit: theta (and the
+    // adjusted outputs) report NULL rather than an ANSI divide-by-zero
+    val thDen = col("_pn") * col("_psxx") - col("_psx") * col("_psx")
+    val theta = when(thDen =!= 0,
+      (col("_pn") * col("_psxy") - col("_psx") * col("_psy")) / thDen)
+    val xbar = col("_psx") / col("_pn")
+    def dbl(n: String) = col(n).cast("double")
+    val n = col("_n")
+    val varY = (n * dbl("_syy") - dbl("_sy") * dbl("_sy")) / (n * n)
+    val varX = (n * dbl("_sxx") - dbl("_sx") * dbl("_sx")) / (n * n)
+    val covXY = (n * dbl("_sxy") - dbl("_sx") * dbl("_sy")) / (n * n)
+    val varAdj = varY - lit(2.0) * col("theta") * covXY +
+      col("theta") * col("theta") * varX
+    perArm.crossJoin(broadcast(pooled))
+      .withColumn("theta", theta)
+      .withColumn("_vy", varY)
+      .withColumn("_va", varAdj)
+      .select(col("arm"), col("_n").as("n"), col("theta"),
+        (dbl("_sy") / n).as("mean_y"),
+        (dbl("_sy") / n - col("theta") * (dbl("_sx") / n - xbar))
+          .as("mean_y_adj"),
+        col("_vy").as("var_y"), col("_va").as("var_y_adj"),
+        round(lit(1.0) - col("_va") / col("_vy"), 6).as("var_reduction"))
+  }
+
   /** Target encoding of a categorical column — replace each category
     * with (a smoothed, optionally leave-one-out) mean of an
     * INTEGER-VALUED target (quantize money to cents upstream; the

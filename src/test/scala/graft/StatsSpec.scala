@@ -193,6 +193,64 @@ class StatsSpec extends AnyFunSuite {
       .head().getAs[Double]("gini") == 0.0)
   }
 
+  test("twoProportionTest: hand-computed z, degenerate pooled rate " +
+    "reads null z") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // control 2/10, treatment 5/10
+    val df = (Seq.tabulate(10)(i => ("c", if (i < 2) 1L else 0L)) ++
+      Seq.tabulate(10)(i => ("t", if (i < 5) 1L else 0L)))
+      .toDF("arm", "conv")
+    val r = Stats.twoProportionTest(df, "arm", "c", "conv").head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 2L &&
+      r.getLong(3) == 10L && r.getLong(4) == 5L)
+    assert(r.getAs[Double]("rate_c") == 0.2 &&
+      r.getAs[Double]("rate_t") == 0.5 && r.getAs[Double]("lift") == 0.3)
+    val pp = 7.0 / 20
+    val z = (0.5 - 0.2) / math.sqrt(pp * (1.0 - pp) * (1.0 / 10 + 1.0 / 10))
+    assert(r.getAs[Double]("z") == r6(z))
+    // everyone converts: z undefined -> null, not infinity or an error
+    val all = Seq(("c", 1L), ("t", 1L)).toDF("arm", "conv")
+    val r2 = Stats.twoProportionTest(all, "arm", "c", "conv").head()
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+  }
+
+  test("cuped: perfectly linear covariate removes all variance; " +
+    "constant covariate reads null theta") {
+    // y = 10x in both arms -> theta = 10, var_y_adj = 0, reduction 1
+    val df = Seq(("c", 10L, 1L), ("c", 20L, 2L), ("c", 30L, 3L),
+      ("t", 20L, 2L), ("t", 40L, 4L)).toDF("arm", "y", "x")
+    val out = Stats.cuped(df, "arm", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("c").getAs[Double]("theta") == 10.0)
+    // exact-zero up to IEEE cancellation of the (identical) chains
+    assert(math.abs(out("c").getAs[Double]("var_y_adj")) < 1e-9 &&
+      math.abs(out("t").getAs[Double]("var_y_adj")) < 1e-9)
+    assert(out("c").getAs[Double]("var_reduction") == 1.0)
+    // adjusted means align the arms onto the pooled line
+    assert(out("c").getAs[Double]("mean_y_adj") ==
+      out("t").getAs[Double]("mean_y_adj"))
+    val const = Seq(("c", 10L, 7L), ("t", 20L, 7L)).toDF("arm", "y", "x")
+    val rc = Stats.cuped(const, "arm", "y", "x").head()
+    assert(rc.isNullAt(rc.fieldIndex("theta")) &&
+      rc.isNullAt(rc.fieldIndex("var_y_adj")))
+  }
+
+  test("weightDiagnostics: uniform weights read ess_ratio 1 and cv 0; " +
+    "a skew fixture hand-checks; nonpositive weights drop") {
+    import graft.ext.Sampling
+    val df = Seq(("u", 1.0), ("u", 1.0), ("u", 1.0), ("u", 1.0),
+      ("s", 3.0), ("s", 1.0), ("s", -2.0), ("s", 0.0))
+      .toDF("g", "w")
+    val out = Sampling.weightDiagnostics(df, "g", "w", microScale = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out("u") == ((4L, 4.0, 1.0, 0.25, 0.0)))
+    // s: w = {3, 1}: ess = 16/10 = 1.6, max 3/4, cv = sqrt(20-16)/4
+    assert(out("s") == ((2L, 1.6, 0.8, 0.75, 0.5)))
+  }
+
   test("targetEncode: plain/smoothed means, leave-one-out excludes the " +
     "row, singleton falls back to the prior, nulls pass through") {
     // A: 10 20 30 (sum 60), B: 40 singleton; prior = 100/4 = 25

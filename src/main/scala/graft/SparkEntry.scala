@@ -3427,6 +3427,35 @@ object SparkEntry {
       Stats.cuped(users, "arm", "spend_cents", "n_views")
         .orderBy(col("arm"))
     }),
+    "x161_conversion_latency" -> ((s, d) => {
+      // Time-to-convert profile: first click → first subsequent
+      // purchase per user, exact quartile/p90 interpolation over
+      // integer seconds (x28 bit-parity) + an exact-ratio mean,
+      // unrounded (x152 magnitude rule). Two filtered aggregates and
+      // one user-keyed join.
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("first_click"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("buy_t"))
+      val lat = clicks.join(buys, "user_id")
+        .filter(col("buy_t") >= col("first_click"))
+        .groupBy(col("user_id"), col("first_click"))
+        .agg(min(col("buy_t")).as("first_buy"))
+        .select((col("first_buy") - col("first_click")).as("latency_s"))
+      lat.agg(count(lit(1)).as("n_converted"),
+          percentile(col("latency_s"),
+            typedLit(Seq(0.25, 0.5, 0.75, 0.9))).as("_qs"),
+          (sum(col("latency_s")).cast("double") / count(lit(1)))
+            .as("avg_s"))
+        .select(col("n_converted"),
+          element_at(col("_qs"), 1).as("p25"),
+          element_at(col("_qs"), 2).as("p50"),
+          element_at(col("_qs"), 3).as("p75"),
+          element_at(col("_qs"), 4).as("p90"),
+          col("avg_s"))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7744,5 +7773,25 @@ object SparkEntry {
         |      + theta * theta * ((n * sxx - sx * sx) / (n * n)))
         |    / ((n * syy - sy * sy) / (n * n)), 6) AS var_reduction
         |FROM t ORDER BY arm""".stripMargin,
+    // first click -> first subsequent purchase -> exact quantile_cont
+    // profile over integer seconds + exact-ratio mean, unrounded
+    "x161_conversion_latency" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS fc
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS bt
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (SELECT c.user_id, min(bt) - fc AS latency_s
+        |      FROM c JOIN b USING (user_id) WHERE bt >= fc
+        |      GROUP BY c.user_id, fc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(latency_s, 0.25) AS p25,
+        |  quantile_cont(latency_s, 0.5) AS p50,
+        |  quantile_cont(latency_s, 0.75) AS p75,
+        |  quantile_cont(latency_s, 0.9) AS p90,
+        |  CAST(sum(latency_s) AS DOUBLE) / count(*) AS avg_s
+        |FROM l""".stripMargin,
   )
 }

@@ -3400,7 +3400,8 @@ object SparkEntry {
         .orderBy(col("group"))),
     "x159_ab_test" -> ((s, d) => {
       // Experiment readout: users split into arms by id parity
-      // (deterministic assignment), conversion = any purchase;
+      // (deterministic assignment), conversion = a purchase above the
+      // 150 value threshold (any-purchase saturates the fixture);
       // two-proportion z vs the control arm. Exact counts, one divide
       // per rate, fixed z chain.
       val users = t(s, d, "events").groupBy(col("user_id"))
@@ -7266,17 +7267,21 @@ object SparkEntry {
         |      THEN CAST(cumhits AS DOUBLE) / rank
         |      ELSE CAST(0 AS DOUBLE) END ORDER BY rank)) AS apnum
         |  FROM cumed GROUP BY query_id)
-        |SELECT p.query_id, COALESCE(n.n_rel, 0) AS n_rel, p.hits,
-        |  round(CAST(p.hits AS DOUBLE) / 10, 6) AS precision_at_k,
+        |SELECT query_id, COALESCE(n.n_rel, 0) AS n_rel,
+        |  COALESCE(p.hits, 0) AS hits,
+        |  round(CAST(COALESCE(p.hits, 0) AS DOUBLE) / 10, 6)
+        |    AS precision_at_k,
         |  round(CASE WHEN n.n_rel > 0
-        |    THEN CAST(p.hits AS DOUBLE) / n.n_rel END, 6) AS recall_at_k,
+        |    THEN CAST(COALESCE(p.hits, 0) AS DOUBLE) / n.n_rel END, 6)
+        |    AS recall_at_k,
         |  round(COALESCE(CAST(1 AS DOUBLE) / first_rel,
         |    CAST(0 AS DOUBLE)), 6) AS mrr,
-        |  round(CASE WHEN n.n_rel > 0 THEN apnum
+        |  round(CASE WHEN n.n_rel > 0 THEN COALESCE(apnum, CAST(0 AS DOUBLE))
         |    / least(CAST(n.n_rel AS DOUBLE), CAST(10 AS DOUBLE)) END, 6) AS ap,
-        |  round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg END, 6) AS ndcg
+        |  round(CASE WHEN i.idcg > 0
+        |    THEN COALESCE(p.dcg, CAST(0 AS DOUBLE)) / i.idcg END, 6) AS ndcg
         |FROM perq p
-        |LEFT JOIN nrel n USING (query_id)
+        |FULL JOIN nrel n USING (query_id)
         |LEFT JOIN ideal i USING (query_id)
         |ORDER BY query_id""".stripMargin,
     // per-type daily counts -> bin-ordered list -> the EWMA recurrence
@@ -7448,7 +7453,8 @@ object SparkEntry {
         |SELECT a, b, n_ab, x.ni AS n_a, y.ni AS n_b, n_baskets,
         |  round(CAST(n_ab AS DOUBLE) / n_baskets, 6) AS support,
         |  round(CAST(n_ab AS DOUBLE) / x.ni, 6) AS confidence,
-        |  round(CAST(n_baskets * n_ab AS DOUBLE) / (x.ni * y.ni), 6) AS lift
+        |  round(CAST(n_baskets AS DOUBLE) * n_ab
+        |    / (CAST(x.ni AS DOUBLE) * y.ni), 6) AS lift
         |FROM pr JOIN ic x ON pr.a = x.i JOIN ic y ON pr.b = y.i
         |CROSS JOIN nb
         |WHERE CAST(n_ab AS DOUBLE) / x.ni >= 0.05
@@ -7702,7 +7708,8 @@ object SparkEntry {
         |  round(sw * sw / sw2, 6) AS ess,
         |  round(sw * sw / sw2 / n, 6) AS ess_ratio,
         |  round(CAST(mx AS DOUBLE) / sw, 6) AS max_share,
-        |  round(sqrt(n * sw2 - sw * sw) / sw, 6) AS cv
+        |  round(sqrt(greatest(CAST(0 AS DOUBLE), n * sw2 - sw * sw))
+        |    / sw, 6) AS cv
         |FROM a ORDER BY "group"""".stripMargin,
     // per-user conversion -> per-arm exact counts -> pooled z chain
     "x159_ab_test" ->

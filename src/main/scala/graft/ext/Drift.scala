@@ -167,24 +167,6 @@ object Drift {
         col("jsd"))
   }
 
-  /** Two-sample Kolmogorov–Smirnov distance per group vs the pooled
-    * distribution of a DISCRETE (bounded-cardinality) numeric column:
-    * `ks = max_v |ECDF_group(v) − ECDF_pool(v)|` evaluated at every
-    * pooled distinct value — which is every jump point of either ECDF
-    * (the pool dominates each group), so the discrete sup is exact.
-    * Complements PSI: binning-free, in [0, 1], and sensitive to
-    * location shifts PSI's fixed equi-width bins can blur.
-    *
-    * Exactness: both ECDFs are integer ratios, |p − q| and the max are
-    * single IEEE operations — no accumulation anywhere, so the result
-    * is deterministic under any partitioning with NO fold-order
-    * caveat.
-    *
-    * Scale shape: the (group, value) aggregate is the only
-    * corpus-sized pass; the grid is |groups| × |distinct values|
-    * (contingency-sized for discrete features — the documented
-    * contract), and the cumulative window sorts distinct values
-    * within one group. Output `(groupCol, n, ks)`. */
   /** Benjamini–Hochberg step-up FDR correction over a family of
     * hypothesis tests — the alerting layer above the drift metrics:
     * monitoring thousands of (source × feature) tests at a fixed
@@ -234,6 +216,24 @@ object Drift {
         (col("_q") <= alpha).as("rejected"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance per group vs the pooled
+    * distribution of a DISCRETE (bounded-cardinality) numeric column:
+    * `ks = max_v |ECDF_group(v) − ECDF_pool(v)|` evaluated at every
+    * pooled distinct value — which is every jump point of either ECDF
+    * (the pool dominates each group), so the discrete sup is exact.
+    * Complements PSI: binning-free, in [0, 1], and sensitive to
+    * location shifts PSI's fixed equi-width bins can blur.
+    *
+    * Exactness: both ECDFs are integer ratios, |p − q| and the max are
+    * single IEEE operations — no accumulation anywhere, so the result
+    * is deterministic under any partitioning with NO fold-order
+    * caveat.
+    *
+    * Scale shape: the (group, value) aggregate is the only
+    * corpus-sized pass; the grid is |groups| × |distinct values|
+    * (contingency-sized for discrete features — the documented
+    * contract), and the cumulative window sorts distinct values
+    * within one group. Output `(groupCol, n, ks)`. */
   def ksDistance(df: DataFrame, groupCol: String,
                  valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -181,7 +181,10 @@ object Retrieval {
     * the query WAS served); AP@k divides by min(n_rel, k) so a perfect
     * head is 1.0; recall/AP/nDCG are null for queries with no judged
     * relevant docs (undefined, flagged by n_rel = 0 rather than
-    * scored). Ranks from the heap are dense 1..n, so rank == position
+    * scored). Judged queries the retriever returned NOTHING for score
+    * zeros rather than vanishing (the trec_eval -c rule — dropping
+    * them would inflate macro-averages exactly on the worst
+    * failures). Ranks from the heap are dense 1..n, so rank == position
     * in the collected array and the running-precision scan is a
     * bounded `slice`/`filter` per element (O(k²) narrow work).
     *
@@ -248,20 +251,26 @@ object Retrieval {
                 e.getField("_rank").cast("double")).otherwise(lit(0.0))),
           lit(0.0), (acc, x) => acc + x).as("_apnum"))
 
-    perq.join(ideal, Seq("_q"), "left")
+    // FULL join: a query with judged relevant docs but NO scored run
+    // rows must score zeros, not vanish — dropping it would inflate any
+    // macro-average exactly on the retriever's worst failures (the
+    // trec_eval -c rule)
+    val hits = coalesce(col("_hits"), lit(0L))
+    perq.join(ideal, Seq("_q"), "full")
       .select(col("_q").as(queryCol),
         coalesce(col("_n_rel"), lit(0L)).as("n_rel"),
-        col("_hits").as("hits"),
-        round(col("_hits").cast("double") / k, roundTo).as("precision_at_k"),
+        hits.as("hits"),
+        round(hits.cast("double") / k, roundTo).as("precision_at_k"),
         round(when(col("_n_rel") > 0,
-          col("_hits").cast("double") / col("_n_rel")), roundTo)
+          hits.cast("double") / col("_n_rel")), roundTo)
           .as("recall_at_k"),
         round(when(col("_first").isNotNull, lit(1.0) / col("_first"))
           .otherwise(lit(0.0)), roundTo).as("mrr"),
-        round(when(col("_n_rel") > 0, col("_apnum") /
+        round(when(col("_n_rel") > 0, coalesce(col("_apnum"), lit(0.0)) /
           least(col("_n_rel").cast("double"), lit(k.toDouble))), roundTo)
           .as("ap"),
-        round(when(col("_idcg") > 0, col("_dcg") / col("_idcg")), roundTo)
+        round(when(col("_idcg") > 0,
+          coalesce(col("_dcg"), lit(0.0)) / col("_idcg")), roundTo)
           .as("ndcg"))
   }
 }

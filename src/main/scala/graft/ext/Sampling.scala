@@ -642,6 +642,11 @@ object Sampling {
       round(sw * sw / sw2, 6).as("ess"),
       round(sw * sw / sw2 / col("n"), 6).as("ess_ratio"),
       round(col("_mx").cast("double") / sw, 6).as("max_share"),
-      round(sqrt(col("n") * sw2 - sw * sw) / sw, 6).as("cv"))
+      // clamp: the exact decimal n·Σw² − (Σw)² is ≥ 0, but the two
+      // independently-rounded doubles can differ by an ulp and go
+      // fractionally negative for uniform weights past 2^53 — NaN here,
+      // a sqrt range error in the oracle
+      round(sqrt(greatest(lit(0.0), col("n") * sw2 - sw * sw)) / sw, 6)
+        .as("cv"))
   }
 }

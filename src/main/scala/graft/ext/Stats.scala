@@ -207,6 +207,11 @@ object Stats {
         sum(col(convCol).cast("long")).as("_x"))
     val ctrl = per.filter(col("arm") === controlArm)
       .select(col("_n").as("n_c"), col("_x").as("x_c"))
+    // fail loudly on a typo'd control label — the crossJoin would
+    // otherwise return a silently EMPTY readout (the upsert-guard
+    // precedent: one bounded eager probe before misleading output)
+    require(!ctrl.isEmpty,
+      s"control arm '$controlArm' has no rows — check the arm labels")
     val pc = col("x_c").cast("double") / col("n_c")
     val pt = col("_x").cast("double") / col("_n")
     val pp = (col("x_c") + col("_x")).cast("double") /

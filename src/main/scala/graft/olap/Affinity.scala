@@ -64,8 +64,11 @@ object Affinity {
         round(col("n_ab").cast("double") / col("n_baskets"), roundTo)
           .as("support"),
         round(col("confidence"), roundTo).as("confidence"),
-        round((col("n_baskets") * col("n_ab")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), roundTo).as("lift"))
+        // cast BEFORE multiplying: long*long products overflow silently
+        // at warehouse counts (and diverge from the HUGEINT oracle);
+        // double products are exact below 2^53 and deterministic above
+        round(col("n_baskets").cast("double") * col("n_ab") /
+          (col("n_a").cast("double") * col("n_b")), roundTo).as("lift"))
       .orderBy(col("lift").desc, col("a"), col("b"))
       .limit(topK)
   }

@@ -47,7 +47,10 @@ object Growth {
           .select(col("_u"), explode(sequence(col("_d"),
             date_add(col("_d"), w - 1))).as("day"))
           .join(spine, "day")
-          .select(col("_u"), col("day")).distinct()
+          .select(col("_u"), col("day"))
+        // no distinct here: count_distinct below dedups (user, day)
+        // in its own aggregate — a pre-dedup would shuffle the blown-up
+        // frame a second time for an identical result
       covered.groupBy(col("day"))
         .agg(count_distinct(col("_u")).as(s"au_$w"))
     }

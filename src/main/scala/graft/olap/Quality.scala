@@ -423,8 +423,12 @@ object Quality {
     *
     * Output: `(digit, n, total, obs_frac, exp_frac, chi2, mad)`. */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
+    // filter on the CASTED long: a fractional 0 < |v| < 1 would pass a
+    // raw =!= 0 check, truncate to digit '0', and silently inflate the
+    // total without ever appearing in the 1-9 grid
     val digits = df
-      .filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
+      .filter(col(valueCol).isNotNull &&
+        abs(col(valueCol).cast("long")) >= 1)
       .select(substring(abs(col(valueCol).cast("long")).cast("string"),
         1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))

@@ -149,4 +149,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(q2.isNullAt(q2.fieldIndex("ap")) && q2.isNullAt(q2.fieldIndex("ndcg")))
     assert(q2.getAs[Double]("mrr") == 0.0)
   }
+
+  test("evalMetrics: a judged query the retriever returned NOTHING for " +
+    "scores zeros instead of vanishing (trec_eval -c)") {
+    val run = Seq((1L, 5L, 1.0)).toDF("q", "doc", "score")
+    val qrels = Seq((1L, 5L, 1L), (9L, 7L, 2L)).toDF("q", "doc", "grade")
+    val out = Retrieval.evalMetrics(run, qrels, "q", "doc", "score",
+        "grade", k = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.contains(9L), "unserved judged query must still report")
+    val q9 = out(9L)
+    assert(q9.getAs[Long]("n_rel") == 1 && q9.getAs[Long]("hits") == 0)
+    assert(q9.getAs[Double]("recall_at_k") == 0.0 &&
+      q9.getAs[Double]("ap") == 0.0 && q9.getAs[Double]("ndcg") == 0.0)
+    assert(q9.getAs[Double]("mrr") == 0.0)
+    // the served query is unaffected
+    assert(out(1L).getAs[Double]("recall_at_k") == 1.0)
+  }
 }

@@ -3457,6 +3457,18 @@ object SparkEntry {
           element_at(col("_qs"), 4).as("p90"),
           col("avg_s"))
     }),
+    "x162_length_match_weights" -> ((s, d) => {
+      // Distribution-matching downsample weights: reweight the whole
+      // corpus so its n_chars profile matches the English subset's
+      // (the length-profile matching step of a pretraining mix). Fixed
+      // 20-bin grid on [0, 600), integer-ratio fracs, max-ratio
+      // normalization — most under-represented bin keeps everything.
+      val docs = t(s, d, "documents")
+      graft.ext.Sampling.distributionMatchWeights(docs,
+          docs.filter(col("lang") === "en"), "n_chars",
+          nBins = 20, lo = 0.0, hi = 600.0)
+        .orderBy(col("bin"))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7800,5 +7812,30 @@ object SparkEntry {
         |  quantile_cont(latency_s, 0.9) AS p90,
         |  CAST(sum(latency_s) AS DOUBLE) / count(*) AS avg_s
         |FROM l""".stripMargin,
+    // x104's fixed binning on both frames -> integer-ratio fracs ->
+    // x130's max-ratio normalization
+    "x162_length_match_weights" ->
+      """WITH ob AS (
+        |  SELECT least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - 0)
+        |      / ((600 - 0) / 20)) AS INT), 0), 19) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |rb AS (
+        |  SELECT least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - 0)
+        |      / ((600 - 0) / 20)) AS INT), 0), 19) AS bin,
+        |    CAST(count(*) AS BIGINT) AS rn
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang = 'en'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ob),
+        |rtot AS (SELECT CAST(sum(rn) AS BIGINT) AS rt FROM rb),
+        |r AS (SELECT CAST(ob.bin AS BIGINT) AS bin, n,
+        |    CAST(n AS DOUBLE) / t AS obs_frac,
+        |    CAST(COALESCE(rn, 0) AS DOUBLE) / rt AS ref_frac
+        |  FROM ob LEFT JOIN rb USING (bin) CROSS JOIN tot CROSS JOIN rtot),
+        |r2 AS (SELECT *, ref_frac / obs_frac AS ratio FROM r),
+        |mx AS (SELECT max(ratio) AS m FROM r2)
+        |SELECT bin, n, obs_frac, ref_frac, ratio,
+        |  CASE WHEN m > 0 THEN ratio / m END AS keep_prob
+        |FROM r2 CROSS JOIN mx ORDER BY bin""".stripMargin,
   )
 }

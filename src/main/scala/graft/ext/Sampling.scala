@@ -331,6 +331,60 @@ object Sampling {
       .drop("_mx")
   }
 
+  /** Distribution-matching keep probabilities over a NUMERIC column:
+    * reweight the corpus so `valueCol`'s distribution matches a
+    * REFERENCE frame's — the length/score-profile matching step of a
+    * pretraining mix ("make the crawl's document-length profile look
+    * like the curated set's") that [[mixtureWeights]]' categorical
+    * form can't express.
+    *
+    * Same fixed equi-width binning as the PSI monitor (caller-fixed
+    * edges on [lo, hi), out-of-range clamps into the edge bins — a
+    * pure per-row function, deterministic and incremental) and the
+    * same maximal-retention normalization as [[mixtureWeights]]:
+    * `ratio = ref_frac / obs_frac` per bin, divided by the max ratio
+    * over bins the corpus occupies, so the most under-represented bin
+    * keeps everything and nothing upsamples. Corpus bins absent from
+    * the reference get keep_prob 0; reference bins absent from the
+    * corpus can't be manufactured and simply don't appear (they are
+    * the residual mismatch — visible as ref_mass_missing in the
+    * frame's complement, not silently hidden).
+    *
+    * Apply per row with [[weightedSample]] keyed on the same binning.
+    * Two aggregates (corpus bins, reference bins); everything after is
+    * |bins|-sized. Output:
+    * `(bin, n, obs_frac, ref_frac, ratio, keep_prob)`. */
+  def distributionMatchWeights(df: DataFrame, ref: DataFrame,
+                               valueCol: String, nBins: Int, lo: Double,
+                               hi: Double): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    require(lo < hi, s"empty bin range [$lo, $hi)")
+    def bins(frame: DataFrame, cnt: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      val raw = floor((v - lo) / ((hi - lo) / nBins)).cast("int")
+      frame.filter(v.isNotNull)
+        .select(least(greatest(raw, lit(0)), lit(nBins - 1)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    }
+    val obs = bins(df, "n")
+    val refb = bins(ref, "_rn")
+    val tot = obs.agg(sum(col("n")).as("_tot"))
+    val rtot = refb.agg(sum(col("_rn")).as("_rtot"))
+    val ratios = obs
+      .join(refb, Seq("bin"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(rtot))
+      .select(col("bin").cast("long").as("bin"), col("n"),
+        (col("n").cast("double") / col("_tot")).as("obs_frac"),
+        (coalesce(col("_rn"), lit(0L)).cast("double") / col("_rtot"))
+          .as("ref_frac"))
+      .withColumn("ratio", col("ref_frac") / col("obs_frac"))
+    val mx = ratios.agg(max(col("ratio")).as("_mx"))
+    ratios.crossJoin(broadcast(mx))
+      .withColumn("keep_prob",
+        when(col("_mx") > 0.0, col("ratio") / col("_mx")))
+      .drop("_mx")
+  }
+
   /** Group-holdout split: train/valid/test assignment keyed by a GROUP
     * (dup cluster, source domain, author) instead of the row id, so
     * every member of a group lands in the same split — the fix for the

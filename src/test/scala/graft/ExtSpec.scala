@@ -854,6 +854,31 @@ class ExtSpec extends AnyFunSuite {
       out("c").getAs[Double]("keep_prob") == 0.0) // untargeted: dropped
   }
 
+  test("distributionMatchWeights: hand-computed bin ratios, edge " +
+    "clamping, ref-absent corpus bin drops to zero") {
+    // corpus: bin0 x4 (incl. a clamped -10), bin1 x4 (incl. clamped 999)
+    // reference: bin0 x1, bin1 x3
+    val corpus = Seq(-10L, 5L, 5L, 5L, 35L, 35L, 35L, 999L).toDF("v")
+    val ref = Seq(5L, 35L, 35L, 35L).toDF("v")
+    val out = graft.ext.Sampling
+      .distributionMatchWeights(corpus, ref, "v", nBins = 2, lo = 0.0,
+        hi = 60.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L).getAs[Long]("n") == 4 && out(1L).getAs[Long]("n") == 4)
+    assert(out(0L).getAs[Double]("ratio") == 0.25 / 0.5 &&
+      out(1L).getAs[Double]("ratio") == 0.75 / 0.5)
+    assert(out(1L).getAs[Double]("keep_prob") == 1.0)
+    assert(out(0L).getAs[Double]("keep_prob") == (0.25 / 0.5) / (0.75 / 0.5))
+    // a corpus bin the reference never occupies keeps nothing
+    val ref2 = Seq(35L).toDF("v")
+    val o2 = graft.ext.Sampling
+      .distributionMatchWeights(corpus, ref2, "v", 2, 0.0, 60.0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("keep_prob"))
+      .toMap
+    assert(o2(0L) == 0.0 && o2(1L) == 1.0)
+  }
+
   test("groupHoldoutSplit keeps whole groups together — zero cross-split " +
     "leakage by construction") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -3469,6 +3469,27 @@ object SparkEntry {
           nBins = 20, lo = 0.0, hi = 600.0)
         .orderBy(col("bin"))
     }),
+    "x163_version_mix_drift" -> ((s, d) => {
+      // Table-format × drift integration: two snapshot commits of the
+      // documents table, then Jensen–Shannon divergence of each
+      // VERSION's language mix vs the pooled rows — the "did this
+      // ingest batch shift the corpus mix" check a curation pipeline
+      // runs on every commit, value-checked end to end through the
+      // manifest log, time travel, and the drift kernel.
+      import graft.warehouse.Snapshots
+      val path = cachePath(d, "x163") + "/docs_snap"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val v1 = Snapshots.append(s, path, docs.filter(col("doc_id") % 3 =!= 2))
+      Snapshots.append(s, path, docs.filter(col("doc_id") % 3 === 2))
+      val tagged = Snapshots.read(s, path, Some(v1))
+        .withColumn("version", lit("v1"))
+        .unionByName(Snapshots.read(s, path)
+          .withColumn("version", lit("v2")))
+      graft.ext.Drift.jensenShannon(tagged, "version", "lang")
+        .orderBy(col("version"))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7837,5 +7858,39 @@ object SparkEntry {
         |SELECT bin, n, obs_frac, ref_frac, ratio,
         |  CASE WHEN m > 0 THEN ratio / m END AS keep_prob
         |FROM r2 CROSS JOIN mx ORDER BY bin""".stripMargin,
+    // recompute both versions from the fixture slices (v1 = mod-3
+    // partial, v2 = full table), then the x140 JSD chain on the tagged
+    // union — manifest/time-travel semantics are value-checked by the
+    // version row counts flowing through n
+    "x163_version_mix_drift" ->
+      """WITH tagged AS (
+        |  SELECT 'v1' AS version, lang FROM documents WHERE doc_id % 3 <> 2
+        |  UNION ALL
+        |  SELECT 'v2' AS version, lang FROM documents),
+        |cells AS (SELECT version, lang, CAST(count(*) AS BIGINT) AS o
+        |          FROM tagged WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |pooled AS (SELECT lang, CAST(sum(o) AS BIGINT) AS pool
+        |           FROM cells GROUP BY 1),
+        |totals AS (SELECT version, CAST(sum(o) AS BIGINT) AS n
+        |           FROM cells GROUP BY 1),
+        |grand AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+        |grid AS (SELECT totals.version, totals.n, pooled.lang, pooled.pool,
+        |                COALESCE(c.o, 0) AS o, grand.t
+        |         FROM totals CROSS JOIN pooled
+        |         LEFT JOIN cells c ON c.version = totals.version
+        |           AND c.lang = pooled.lang
+        |         CROSS JOIN grand),
+        |terms AS (SELECT version, n, lang,
+        |    CASE WHEN o > 0 THEN (CAST(o AS DOUBLE) / n)
+        |      * ln((CAST(o AS DOUBLE) / n)
+        |          / ((CAST(o AS DOUBLE) / n + CAST(pool AS DOUBLE) / t) / 2))
+        |      ELSE 0 END / 2
+        |    + (CAST(pool AS DOUBLE) / t)
+        |      * ln((CAST(pool AS DOUBLE) / t)
+        |          / ((CAST(o AS DOUBLE) / n + CAST(pool AS DOUBLE) / t) / 2)) / 2
+        |      AS trm
+        |  FROM grid)
+        |SELECT version, n, round(list_sum(list(trm ORDER BY lang)), 6) AS jsd
+        |FROM terms GROUP BY 1, 2 ORDER BY version""".stripMargin,
   )
 }

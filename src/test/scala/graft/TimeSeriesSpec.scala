@@ -178,6 +178,67 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch CUSUM monitor: accumulated-series recompute per " +
+    "micro-batch, final state == batch run exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    // in-control first half (≈10), sustained +4 shift in the second —
+    // each per-bin z would stay unremarkable; CUSUM accumulates it
+    val half1 = Seq(("m", 1L, 10.0), ("m", 2L, 11.0), ("m", 3L, 9.0),
+      ("m", 4L, 10.0))
+    val half2 = Seq(("m", 5L, 14.0), ("m", 6L, 14.0), ("m", 7L, 15.0),
+      ("m", 8L, 14.0))
+    val full = (half1 ++ half2).toDF("k", "bin", "n")
+      .withColumn("tgt", lit(10.0))
+    val src = java.nio.file.Files.createTempDirectory("cusum-src")
+    def stage(rows: Seq[(String, Long, Double)], name: String): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("cusum-stage")
+      rows.toDF("k", "bin", "n").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        src.resolve(name))
+    }
+    stage(half1, "b0.parquet")
+    stage(half2, "b1.parquet")
+    // the monitor pattern: micro-batches extend a tiny accumulated
+    // per-bin series; each trigger re-runs the (bounded) fold over it
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    val alarmsPerBatch = scala.collection.mutable.Map.empty[Long, Long]
+    val schema = half1.toDF("k", "bin", "n").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        acc.synchronized { acc ++= rows }
+        val sofar = acc.synchronized { acc.toSeq }.toDF("k", "bin", "n")
+          .withColumn("tgt", lit(10.0))
+        val alarms = TimeSeries.cusum(sofar, "k", "bin", "n", "tgt",
+            slack = 1.0, threshold = 5.0)
+          .filter(col("alarm")).count()
+        alarmsPerBatch.synchronized { alarmsPerBatch(id) = alarms }
+      }
+      .start()
+    q.awaitTermination()
+    assert(alarmsPerBatch.size == 2)
+    assert(alarmsPerBatch.values.min == 0L, "in-control half must not alarm")
+    assert(alarmsPerBatch.values.max > 0L, "the sustained shift must alarm")
+    // stream == batch parity: the final accumulated-series run equals
+    // the one-shot batch run row for row (the fold is deterministic —
+    // exact equality, no tolerance)
+    val streamed = TimeSeries.cusum(acc.toSeq.toDF("k", "bin", "n")
+        .withColumn("tgt", lit(10.0)), "k", "bin", "n", "tgt", 1.0, 5.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5))).toSet
+    val batchRun = TimeSeries.cusum(full, "k", "bin", "n", "tgt", 1.0, 5.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5))).toSet
+    assert(streamed == batchRun)
+  }
+
   test("cusum: hand-computed two-sided excursions, floor at zero, " +
     "alarm threshold, reserved-column guard") {
     // target 10, slack 1, threshold 5:

@@ -42,6 +42,21 @@ class CustomerValueSpec extends AnyFunSuite {
     assert(r1.getLong(3) == 2550L) // 10.00 + 15.50 in exact cents
   }
 
+  test("plan gates: rfm scores WITHOUT any window sort (the whole " +
+    "point vs ntile); paretoAbc's single window is the report contract") {
+    val tx = Seq((1L, d(1), 10.0), (2L, d(2), 20.0), (3L, d(3), 30.0),
+      (4L, d(4), 40.0), (5L, d(5), 50.0)).toDF("cust", "dt", "amt")
+    val rfmPlan = CustomerValue.rfm(tx, "cust", "dt", "amt")
+      .queryExecution.executedPlan.toString
+    // percentile cutpoints broadcast back; no customer ever sorts
+    assert(!rfmPlan.contains("Window"), rfmPlan)
+    assert(rfmPlan.contains("BroadcastNestedLoopJoin") ||
+      rfmPlan.contains("BroadcastExchange"), rfmPlan)
+    val pPlan = CustomerValue.paretoAbc(tx, "cust", "amt")
+      .queryExecution.executedPlan.toString
+    assert(pPlan.contains("Window")) // documented |keys|-frame report
+  }
+
   test("paretoAbc: hand-computed shares, head-inclusive class " +
     "boundaries, amount ties rank by key") {
     val tx = Seq(("a", 500.0), ("b", 300.0), ("c", 150.0), ("d", 50.0))

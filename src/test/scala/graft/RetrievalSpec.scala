@@ -150,6 +150,15 @@ class RetrievalSpec extends AnyFunSuite {
     assert(q2.getAs[Double]("mrr") == 0.0)
   }
 
+  test("plan gate: evalMetrics ranks with the reducing heap — no Window " +
+    "operator anywhere in the plan") {
+    val run = Seq((1L, 5L, 1.0), (1L, 3L, 0.5)).toDF("q", "doc", "score")
+    val qrels = Seq((1L, 5L, 1L)).toDF("q", "doc", "grade")
+    val plan = Retrieval.evalMetrics(run, qrels, "q", "doc", "score",
+      "grade", k = 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("evalMetrics: a judged query the retriever returned NOTHING for " +
     "scores zeros instead of vanishing (trec_eval -c)") {
     val run = Seq((1L, 5L, 1.0)).toDF("q", "doc", "score")

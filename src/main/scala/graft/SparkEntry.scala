@@ -3490,6 +3490,16 @@ object SparkEntry {
       graft.ext.Drift.jensenShannon(tagged, "version", "lang")
         .orderBy(col("version"))
     }),
+    "x164_churn_training_frame" -> ((s, d) =>
+      // Leakage-safe churn training table: per-type activity counts
+      // and days-silent STRICTLY before the Jan-20 cutoff; label = any
+      // activity in the 7-day outcome window after it. The two windows
+      // are disjoint filters on one scan — features structurally
+      // cannot peek past the cutoff.
+      graft.olap.Growth.trainingFrame(t(s, d, "events"), "user_id", "ts",
+          "event_type", "2024-01-20 00:00:00", horizonDays = 7,
+          eventTypes = Seq("click", "view", "purchase", "error", "signup"))
+        .orderBy(col("user_id"))),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7892,5 +7902,30 @@ object SparkEntry {
         |  FROM grid)
         |SELECT version, n, round(list_sum(list(trm ORDER BY lang)), 6) AS jsd
         |FROM terms GROUP BY 1, 2 ORDER BY version""".stripMargin,
+    // disjoint observation/outcome filters on one scan; exact counts +
+    // one datediff; left-join label
+    "x164_churn_training_frame" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_error,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_signup,
+        |    CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-20')
+        |      AS BIGINT) AS days_silent
+        |  FROM ev WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1),
+        |o AS (SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS l FROM ev
+        |      WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+        |        AND ts <= TIMESTAMP '2024-01-27 00:00:00')
+        |SELECT f.*, COALESCE(l, 0) AS label
+        |FROM f LEFT JOIN o USING (user_id) ORDER BY user_id""".stripMargin,
   )
 }

@@ -68,6 +68,52 @@ object Growth {
     }
   }
 
+  /** Temporally leakage-safe training frame for an activity-prediction
+    * model (churn/retention): per user, behavioural features computed
+    * STRICTLY BEFORE a cutoff timestamp and a binary label from the
+    * `(cutoff, cutoff + horizonDays]` outcome window — the
+    * observation/outcome split whose violation (features peeking past
+    * the cutoff) is the classic silent ML bug this operator makes
+    * structurally impossible: the two windows come from disjoint
+    * filters on the same scan, never from a joined future row.
+    *
+    * Features: one count column per entry in `eventTypes` (events of
+    * other types count only toward `n_total`), total event count, and
+    * `days_silent` (full days between the user's last pre-cutoff event
+    * and the cutoff — the strongest churn predictor). Users with no
+    * pre-cutoff activity are excluded (no observation → no row);
+    * users with no outcome-window activity label 0.
+    *
+    * Everything is exact integer counts plus one datediff; two
+    * filtered aggregates and one left join, nothing wider than the
+    * event log shuffles. Output:
+    * `(userCol, n_<type>..., n_total, days_silent, label)`. */
+  def trainingFrame(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, cutoff: String,
+                    horizonDays: Int, eventTypes: Seq[String]): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays must be >= 1: $horizonDays")
+    require(eventTypes.nonEmpty, "eventTypes must be non-empty")
+    val cut = lit(cutoff).cast("timestamp")
+    val ev = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val aggs = (count(lit(1)).as("n_total") +:
+      eventTypes.map(t => sum(when(col(typeCol) === t, 1L)
+        .otherwise(0L)).as(s"n_$t"))) :+ max(col(tsCol)).as("_last")
+    val feats = ev.filter(col(tsCol) < cut)
+      .groupBy(col(userCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("days_silent",
+        datediff(cut.cast("date"), col("_last").cast("date")).cast("long"))
+      .drop("_last")
+    val outcome = ev
+      .filter(col(tsCol) > cut &&
+        col(tsCol) <= date_add(cut.cast("date"), horizonDays)
+          .cast("timestamp"))
+      .select(col(userCol)).distinct()
+      .withColumn("label", lit(1L))
+    feats.join(outcome, Seq(userCol), "left")
+      .withColumn("label", coalesce(col("label"), lit(0L)))
+  }
+
   /** Per-day split of active users into new (first-ever day) and
     * returning, plus the cumulative user base — the growth-accounting
     * companion to [[activeUsers]]. One (user, day) dedup, one per-user

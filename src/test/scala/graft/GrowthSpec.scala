@@ -33,6 +33,37 @@ class GrowthSpec extends AnyFunSuite {
     }
   }
 
+  test("trainingFrame: observation/outcome windows are disjoint and " +
+    "boundary-exact; no pre-cutoff activity means no row") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-05 10:00:00"), "click"),
+      (1L, t("2024-01-08 10:00:00"), "view"),
+      (1L, t("2024-01-12 10:00:00"), "purchase"), // outcome -> label 1
+      (2L, t("2024-01-09 10:00:00"), "click"),    // silent after
+      (3L, t("2024-01-11 10:00:00"), "click"),    // outcome only: NO row
+      (4L, t("2024-01-02 10:00:00"), "click"),
+      (4L, t("2024-01-15 00:00:00"), "view"),     // horizon edge: inclusive
+      (5L, t("2024-01-10 00:00:00"), "click"),    // exactly AT cutoff:
+                                                  // neither window
+      (6L, t("2024-01-03 10:00:00"), "click"),
+      (6L, t("2024-01-15 00:00:01"), "view"))     // past horizon: label 0
+      .toDF("user_id", "ts", "event_type")
+    val out = Growth.trainingFrame(ev, "user_id", "ts", "event_type",
+        "2024-01-10 00:00:00", horizonDays = 5, eventTypes = Seq("click", "view"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // (n_total, n_click, n_view, days_silent, label)
+    assert(out(1L) == ((2L, 1L, 1L, 2L, 1L)))
+    assert(out(2L) == ((1L, 1L, 0L, 1L, 0L)))
+    assert(!out.contains(3L), "outcome-only user must not appear")
+    assert(!out.contains(5L), "an event exactly at the cutoff is in " +
+      "neither window")
+    assert(out(4L)._5 == 1L, "the horizon boundary is inclusive")
+    assert(out(6L)._5 == 0L, "one second past the horizon is outside")
+  }
+
   test("newVsReturning: first day is new, later days returning, " +
     "cumulative base and share") {
     val ev = Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(2)))

@@ -3500,6 +3500,19 @@ object SparkEntry {
           "event_type", "2024-01-20 00:00:00", horizonDays = 7,
           eventTypes = Seq("click", "view", "purchase", "error", "signup"))
         .orderBy(col("user_id"))),
+    "x165_holt_forecast" -> ((s, d) => {
+      // Trend-aware smoothing: Holt level+trend over daily counts per
+      // type (α=.5, β=.3) with one-step-ahead forecasts and the
+      // residual stream an alerting rule thresholds. Same narrow
+      // per-key fold as EWMA; the oracle replays the double recurrence
+      // (the repeated l-expression is the identical IEEE chain, so
+      // recomputing it inside the t-term is exact).
+      val ev = t(s, d, "events").select(col("event_type"), col("ts"))
+      val res = TimeSeries.resampleCounts(ev, "event_type", "ts", 86400L)
+      TimeSeries.holt(res, "event_type", "bin", "n",
+          alpha = 0.5, beta = 0.3)
+        .orderBy(col("event_type"), col("bin"))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7927,5 +7940,50 @@ object SparkEntry {
         |        AND ts <= TIMESTAMP '2024-01-27 00:00:00')
         |SELECT f.*, COALESCE(l, 0) AS label
         |FROM f LEFT JOIN o USING (user_id) ORDER BY user_id""".stripMargin,
+    // x145's series -> Holt recurrence as a struct fold (init l=x1,
+    // t=x2-x1); forecast reads the PREVIOUS fold state; residual
+    // subtracts the unrounded forecast
+    "x165_holt_forecast" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      / 86400) AS BIGINT) AS bin,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |ser AS (SELECT event_type,
+        |          list(struct_pack(bin := bin, n := n) ORDER BY bin) AS s
+        |        FROM r GROUP BY 1),
+        |folded AS (SELECT event_type, s,
+        |    list_reduce(
+        |      [[{'l': s[1].n,
+        |         't': CASE WHEN len(s) >= 2 THEN s[2].n - s[1].n
+        |              ELSE CAST(0 AS DOUBLE) END,
+        |         'v': CAST(0 AS DOUBLE)}]]
+        |      || list_transform(s[2:], e -> [{'l': CAST(0 AS DOUBLE),
+        |           't': CAST(0 AS DOUBLE), 'v': e.n}]),
+        |      (acc, e) -> acc || [{
+        |        'l': CAST(0.5 AS DOUBLE) * e[1].v
+        |          + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+        |            * (acc[len(acc)].l + acc[len(acc)].t),
+        |        't': CAST(0.3 AS DOUBLE)
+        |            * ((CAST(0.5 AS DOUBLE) * e[1].v
+        |              + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+        |                * (acc[len(acc)].l + acc[len(acc)].t))
+        |              - acc[len(acc)].l)
+        |          + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+        |            * acc[len(acc)].t,
+        |        'v': e[1].v}]) AS f
+        |  FROM ser),
+        |ex AS (SELECT event_type, unnest(list_transform(range(1, len(s) + 1),
+        |    i -> {'bin': s[i].bin, 'n': s[i].n,
+        |          'level': round(f[i].l, 6), 'trend': round(f[i].t, 6),
+        |          'forecast': CASE WHEN i >= 2
+        |            THEN round(f[i-1].l + f[i-1].t, 6) END,
+        |          'residual': CASE WHEN i >= 2
+        |            THEN round(s[i].n - (f[i-1].l + f[i-1].t), 6) END})) AS u
+        |  FROM folded)
+        |SELECT event_type, u.bin AS bin, u.n AS n, u.level AS level,
+        |  u.trend AS trend, u.forecast AS forecast, u.residual AS residual
+        |FROM ex ORDER BY event_type, bin""".stripMargin,
   )
 }

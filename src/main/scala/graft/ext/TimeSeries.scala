@@ -203,6 +203,69 @@ object TimeSeries {
         col("_t.v").as(valueCol), round(col("_t.e"), roundTo).as("ewma"))
   }
 
+  /** Holt linear (double-exponential) smoothing per key: level +
+    * trend state with one-step-ahead forecasts and residuals — what
+    * [[ewma]] cannot express on a trending series (a single-state
+    * smoother lags a ramp forever; Holt's trend term absorbs it, and
+    * the residual column is the forecast-error stream an alerting rule
+    * thresholds).
+    *
+    * Standard init and recurrence, pinned: `l₁ = x₁`,
+    * `b₁ = x₂ − x₁` (0 for a single-point series); for i ≥ 2
+    * `lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁)` and
+    * `bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁`. `forecast_i = lᵢ₋₁ + bᵢ₋₁`
+    * (null at i = 1 — nothing to forecast from), residual =
+    * value − forecast. Same narrow per-key fold shape as [[ewma]];
+    * (1−α)/(1−β) computed IEEE; the fold runs unrounded and
+    * presentation rounds to `roundTo`.
+    *
+    * Output: `(keyCol, binCol, valueCol, level, trend, forecast,
+    * residual)`. */
+  def holt(df: DataFrame, keyCol: String, binCol: String, valueCol: String,
+           alpha: Double, beta: Double, roundTo: Int = 6): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1]: $beta")
+    Sampling.reserveColumns(df,
+      Seq("level", "trend", "forecast", "residual"), "holt")
+    val a = lit(alpha); val a1 = lit(1.0) - lit(alpha)
+    val b = lit(beta); val b1 = lit(1.0) - lit(beta)
+    def f(c: Column, n: String): Column = c.getField(n)
+    val grouped = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(binCol).as("bin"),
+        col(valueCol).cast("double").as("v")))).as("_s"))
+    val init = struct(
+      element_at(col("_s"), 1).getField("v").as("l"),
+      coalesce(try_element_at(col("_s"), lit(2)).getField("v") -
+        element_at(col("_s"), 1).getField("v"), lit(0.0)).as("t"))
+    val folded = aggregate(
+      slice(col("_s"), lit(2), greatest(size(col("_s")) - 1, lit(0))),
+      array(init),
+      (acc, e) => {
+        val prev = element_at(acc, -1)
+        val lNew = a * f(e, "v") + a1 * (f(prev, "l") + f(prev, "t"))
+        concat(acc, array(struct(lNew.as("l"),
+          (b * (lNew - f(prev, "l")) + b1 * f(prev, "t")).as("t"))))
+      })
+    grouped
+      .select(col(keyCol),
+        posexplode(zip_with(col("_s"),
+          zip_with(folded, concat(array(lit(null)
+              .cast("struct<l:double,t:double>")), slice(folded, lit(1),
+              greatest(size(folded) - 1, lit(0)))),
+            (cur, prev) => struct(cur.as("st"), prev.as("pv"))),
+          (s, sp) => struct(f(s, "bin").as("bin"), f(s, "v").as("v"),
+            f(f(sp, "st"), "l").as("l"), f(f(sp, "st"), "t").as("t"),
+            (f(f(sp, "pv"), "l") + f(f(sp, "pv"), "t")).as("fc"))))
+          .as(Seq("_p", "_t")))
+      .select(col(keyCol), col("_t.bin").as(binCol),
+        col("_t.v").as(valueCol),
+        round(col("_t.l"), roundTo).as("level"),
+        round(col("_t.t"), roundTo).as("trend"),
+        round(col("_t.fc"), roundTo).as("forecast"),
+        round(col("_t.v") - col("_t.fc"), roundTo).as("residual"))
+  }
+
   /** Two-sided CUSUM change-point detection per key (Page 1954): in
     * bin order,
     * `s⁺ᵢ = max(0, s⁺ᵢ₋₁ + (xᵢ − tᵢ − slack))` and

@@ -239,6 +239,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(streamed == batchRun)
   }
 
+  test("holt: a pure ramp is tracked exactly (zero residuals), " +
+    "single-point series degrades clean, hand-computed state") {
+    // 10, 12, 14 with α=β=0.5: l=(10,12,14), b=2 throughout — the
+    // standard init makes Holt exact on a linear ramp
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 14.0),
+      ("solo", 1L, 5.0)).toDF("k", "bin", "n")
+    val out = TimeSeries.holt(df, "k", "bin", "n", alpha = 0.5, beta = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val a2 = out(("a", 2L))
+    assert(a2.getAs[Double]("level") == 12.0 &&
+      a2.getAs[Double]("trend") == 2.0)
+    assert(a2.getAs[Double]("forecast") == 12.0 &&
+      a2.getAs[Double]("residual") == 0.0)
+    val a3 = out(("a", 3L))
+    assert(a3.getAs[Double]("level") == 14.0 &&
+      a3.getAs[Double]("forecast") == 14.0 &&
+      a3.getAs[Double]("residual") == 0.0)
+    // first row: init state, nothing to forecast from
+    val a1 = out(("a", 1L))
+    assert(a1.getAs[Double]("level") == 10.0 &&
+      a1.getAs[Double]("trend") == 2.0)
+    assert(a1.isNullAt(a1.fieldIndex("forecast")))
+    // single point: trend 0, no forecast
+    val s1 = out(("solo", 1L))
+    assert(s1.getAs[Double]("level") == 5.0 &&
+      s1.getAs[Double]("trend") == 0.0 &&
+      s1.isNullAt(s1.fieldIndex("forecast")))
+  }
+
   test("cusum: hand-computed two-sided excursions, floor at zero, " +
     "alarm threshold, reserved-column guard") {
     // target 10, slack 1, threshold 5:

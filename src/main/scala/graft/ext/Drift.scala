@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   * scores). */
 object Drift {
 
+  /** THE clamped equi-width bin expression — one definition shared by
+    * the PSI monitor and the distribution-matching sampler, because
+    * the spelling is a cross-engine parity contract (their DuckDB
+    * oracles pin this exact floor/clamp chain): edits desynchronize
+    * silently if each operator carries its own copy. */
+  private[ext] def clampedBin(v: org.apache.spark.sql.Column, nBins: Int,
+                              lo: Double, hi: Double): org.apache.spark.sql.Column = {
+    val raw = floor((v - lo) / ((hi - lo) / nBins)).cast("int")
+    least(greatest(raw, lit(0)), lit(nBins - 1))
+  }
+
   /** Per-group drift vs the pooled distribution of `valueCol`
     * (NULL values excluded on both sides). Output:
     * `(groupCol, n, kl, chi2)` — raw doubles; callers round for
@@ -94,8 +105,7 @@ object Drift {
     require(lo < hi, s"empty bin range [$lo, $hi)")
     require(eps > 0, "eps must be positive")
     val v = col(valueCol).cast("double")
-    val rawBin = floor((v - lo) / ((hi - lo) / nBins)).cast("int")
-    val bin = least(greatest(rawBin, lit(0)), lit(nBins - 1))
+    val bin = Drift.clampedBin(v, nBins, lo, hi)
     val cells = df.filter(v.isNotNull)
       .select(col(groupCol), bin.as("_drift_bin"))
       .groupBy(col(groupCol), col("_drift_bin"))

@@ -322,10 +322,18 @@ object Sampling {
         coalesce(col("target_frac"), lit(0.0)).as("target_frac"))
       .withColumn("ratio",
         col("target_frac") / col("frac"))
+    normalizeByMaxRatio(ratios)
+  }
+
+  /** Maximal-retention normalization shared by [[mixtureWeights]] and
+    * [[distributionMatchWeights]]: keep_prob = ratio / max(ratio), so
+    * the most under-represented group keeps everything and nothing
+    * upsamples. Guarded: if no group has positive target mass the
+    * normalizer is 0 and keep_prob is undefined (null), not NaN. One
+    * definition — the DuckDB oracles pin this exact chain. */
+  private def normalizeByMaxRatio(ratios: DataFrame): DataFrame = {
     val mx = ratios.agg(max(col("ratio")).as("_mx"))
     ratios.crossJoin(broadcast(mx))
-      // guarded: if no corpus group has positive target mass the
-      // normalizer is 0 and keep_prob is undefined (null), not NaN
       .withColumn("keep_prob",
         when(col("_mx") > 0.0, col("ratio") / col("_mx")))
       .drop("_mx")
@@ -361,9 +369,8 @@ object Sampling {
     require(lo < hi, s"empty bin range [$lo, $hi)")
     def bins(frame: DataFrame, cnt: String): DataFrame = {
       val v = col(valueCol).cast("double")
-      val raw = floor((v - lo) / ((hi - lo) / nBins)).cast("int")
       frame.filter(v.isNotNull)
-        .select(least(greatest(raw, lit(0)), lit(nBins - 1)).as("bin"))
+        .select(Drift.clampedBin(v, nBins, lo, hi).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
     }
     val obs = bins(df, "n")
@@ -378,11 +385,7 @@ object Sampling {
         (coalesce(col("_rn"), lit(0L)).cast("double") / col("_rtot"))
           .as("ref_frac"))
       .withColumn("ratio", col("ref_frac") / col("obs_frac"))
-    val mx = ratios.agg(max(col("ratio")).as("_mx"))
-    ratios.crossJoin(broadcast(mx))
-      .withColumn("keep_prob",
-        when(col("_mx") > 0.0, col("ratio") / col("_mx")))
-      .drop("_mx")
+    normalizeByMaxRatio(ratios)
   }
 
   /** Group-holdout split: train/valid/test assignment keyed by a GROUP

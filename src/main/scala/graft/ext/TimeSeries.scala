@@ -248,11 +248,15 @@ object TimeSeries {
           (b * (lNew - f(prev, "l")) + b1 * f(prev, "t")).as("t"))))
       })
     grouped
+      // materialize the fold ONCE: HOFs are CodegenFallback and bypass
+      // subexpression elimination, so the three references below would
+      // otherwise re-run the whole per-key recurrence three times
+      .select(col(keyCol), col("_s"), folded.as("_f"))
       .select(col(keyCol),
         posexplode(zip_with(col("_s"),
-          zip_with(folded, concat(array(lit(null)
-              .cast("struct<l:double,t:double>")), slice(folded, lit(1),
-              greatest(size(folded) - 1, lit(0)))),
+          zip_with(col("_f"), concat(array(lit(null)
+              .cast("struct<l:double,t:double>")), slice(col("_f"), lit(1),
+              greatest(size(col("_f")) - 1, lit(0)))),
             (cur, prev) => struct(cur.as("st"), prev.as("pv"))),
           (s, sp) => struct(f(s, "bin").as("bin"), f(s, "v").as("v"),
             f(f(sp, "st"), "l").as("l"), f(f(sp, "st"), "t").as("t"),

@@ -93,6 +93,14 @@ object Growth {
                     horizonDays: Int, eventTypes: Seq[String]): DataFrame = {
     require(horizonDays >= 1, s"horizonDays must be >= 1: $horizonDays")
     require(eventTypes.nonEmpty, "eventTypes must be non-empty")
+    require(eventTypes.distinct.size == eventTypes.size,
+      "duplicate eventTypes would mint duplicate feature columns")
+    require(!eventTypes.contains("total"),
+      "eventType 'total' collides with the built-in n_total column")
+    // fail loudly on an unparseable cutoff: a silent NULL cast would
+    // filter EVERY row and return an empty training set
+    require(scala.util.Try(java.sql.Timestamp.valueOf(cutoff)).isSuccess,
+      s"cutoff '$cutoff' is not a 'yyyy-MM-dd HH:mm:ss' timestamp")
     val cut = lit(cutoff).cast("timestamp")
     val ev = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
     val aggs = (count(lit(1)).as("n_total") +:
@@ -104,10 +112,12 @@ object Growth {
       .withColumn("days_silent",
         datediff(cut.cast("date"), col("_last").cast("date")).cast("long"))
       .drop("_last")
+    // timestamp arithmetic, NOT date_add on the date-truncated cutoff:
+    // truncation would shrink the documented (cutoff, cutoff+horizon]
+    // window for any non-midnight cutoff
     val outcome = ev
       .filter(col(tsCol) > cut &&
-        col(tsCol) <= date_add(cut.cast("date"), horizonDays)
-          .cast("timestamp"))
+        col(tsCol) <= cut + expr(s"INTERVAL $horizonDays DAY"))
       .select(col(userCol)).distinct()
       .withColumn("label", lit(1L))
     feats.join(outcome, Seq(userCol), "left")

@@ -64,6 +64,33 @@ class GrowthSpec extends AnyFunSuite {
     assert(out(6L)._5 == 0L, "one second past the horizon is outside")
   }
 
+  test("trainingFrame: a NON-midnight cutoff keeps the full " +
+    "(cutoff, cutoff+horizon] window; bad inputs fail loudly") {
+    def t(s: String) = Timestamp.valueOf(s)
+    // cutoff 12:00 + 2 days -> boundary Jan 12 12:00, NOT Jan 12 00:00
+    val ev = Seq(
+      (1L, t("2024-01-09 10:00:00"), "click"),
+      (1L, t("2024-01-12 06:00:00"), "view")) // inside only if untruncated
+      .toDF("user_id", "ts", "event_type")
+    val out = Growth.trainingFrame(ev, "user_id", "ts", "event_type",
+        "2024-01-10 12:00:00", horizonDays = 2, eventTypes = Seq("click"))
+      .head()
+    assert(out.getAs[Long]("label") == 1L,
+      "outcome window must extend to cutoff+2d 12:00, not midnight")
+    intercept[IllegalArgumentException] {
+      Growth.trainingFrame(ev, "user_id", "ts", "event_type",
+        "not-a-timestamp", 2, Seq("click"))
+    }
+    intercept[IllegalArgumentException] {
+      Growth.trainingFrame(ev, "user_id", "ts", "event_type",
+        "2024-01-10 12:00:00", 2, Seq("click", "click"))
+    }
+    intercept[IllegalArgumentException] {
+      Growth.trainingFrame(ev, "user_id", "ts", "event_type",
+        "2024-01-10 12:00:00", 2, Seq("total"))
+    }
+  }
+
   test("newVsReturning: first day is new, later days returning, " +
     "cumulative base and share") {
     val ev = Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(2)))

@@ -201,6 +201,12 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
     stage(half1, "b0.parquet")
     stage(half2, "b1.parquet")
+    // pin processing order: the file source orders by mtime, and two
+    // copies can land in the same millisecond on a fast local FS
+    java.nio.file.Files.setLastModifiedTime(src.resolve("b0.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+    java.nio.file.Files.setLastModifiedTime(src.resolve("b1.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1700000001000L))
     // the monitor pattern: micro-batches extend a tiny accumulated
     // per-bin series; each trigger re-runs the (bounded) fold over it
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]

@@ -661,4 +661,83 @@ object PipelineProperties extends Properties("graft") {
         got == expect
       }
     }
+  // --- sequential-fold family: the Spark fold must equal a plain
+  // Scala loop on ANY series (the hand fixtures pin a few points;
+  // these pin the recurrence itself) ---
+
+  private val genSeries: Gen[List[Double]] =
+    Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50, 50).map(_.toDouble)))
+
+  property("ewma fold == reference loop on random series") =
+    forAll(genSeries) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "bin", "n")
+      val got = graft.ext.TimeSeries.ewma(df, "k", "bin", "n", alpha = 0.3)
+        .orderBy("bin").collect().map(_.getDouble(3)).toSeq
+      val expect = xs.tail.scanLeft(xs.head)((s, x) => 0.3 * x + (1.0 - 0.3) * s)
+        .map(v => BigDecimal(v).setScale(6,
+          scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      got == expect
+    }
+
+  property("cusum fold == reference loop on random series") =
+    forAll(genSeries) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "bin", "n").withColumn("tgt", lit(5.0))
+      val got = graft.ext.TimeSeries.cusum(df, "k", "bin", "n", "tgt",
+          slack = 1.0, threshold = 10.0)
+        .orderBy("bin").collect()
+        .map(r => (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+      def r6(v: Double) = BigDecimal(v).setScale(6,
+        scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expect = xs.scanLeft((0.0, 0.0)) { case ((sp, sn), x) =>
+        (math.max(0.0, sp + (x - 5.0 - 1.0)), math.max(0.0, sn + (5.0 - x - 1.0)))
+      }.tail.map { case (sp, sn) => (r6(sp), r6(sn), sp > 10.0 || sn > 10.0) }
+      got == expect
+    }
+
+  property("holt fold == reference loop on random series") =
+    forAll(genSeries) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "bin", "n")
+      val got = graft.ext.TimeSeries.holt(df, "k", "bin", "n",
+          alpha = 0.5, beta = 0.3)
+        .orderBy("bin").collect()
+        .map(r => (r.getDouble(3), r.getDouble(4))).toSeq
+      def r6(v: Double) = BigDecimal(v).setScale(6,
+        scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      val init = (xs.head, if (xs.size >= 2) xs(1) - xs.head else 0.0)
+      val expect = xs.tail.scanLeft(init) { case ((l, t), x) =>
+        val lNew = 0.5 * x + (1.0 - 0.5) * (l + t)
+        (lNew, 0.3 * (lNew - l) + (1.0 - 0.3) * t)
+      }.map { case (l, t) => (r6(l), r6(t)) }
+      got == expect
+    }
+
+  property("attribution: linear credit mass == touched conversions on " +
+    "random event logs") =
+    forAll(Gen.choose(1, 4).flatMap(nu => Gen.listOfN(nu * 6,
+      Gen.zip(Gen.choose(1L, nu.toLong),
+        Gen.oneOf("click", "view", "buy", "noise"))))) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, e), i) =>
+        (u, i.toLong, i.toLong, e) }
+      val df = rows.toDF("u", "t", "id", "e")
+      val out = graft.olap.Funnel.attribution(df, "u", "t", "id", "e",
+        Seq("click", "view"), "buy").collect()
+      // touched conversions: per user, conversions with >= 1 touch in
+      // their segment
+      val touched = rows.groupBy(_._1).values.map { userRows =>
+        val sorted = userRows.sortBy(_._2)
+        var seen = 0; var conv = 0
+        sorted.foreach {
+          case (_, _, _, "buy") => if (seen > 0) conv += 1; seen = 0
+          case (_, _, _, e) if e == "click" || e == "view" => seen += 1
+          case _ => ()
+        }
+        conv
+      }.sum
+      val mass = out.map(_.getDouble(4)).sum
+      math.abs(mass - touched) < 1e-6
+    }
 }

@@ -3513,6 +3513,29 @@ object SparkEntry {
           alpha = 0.5, beta = 0.3)
         .orderBy(col("event_type"), col("bin"))
     }),
+    "x166_dow_seasonality" -> ((s, d) => {
+      // Day-of-week seasonality profile per event type: average daily
+      // volume within each weekday over the overall daily average —
+      // the classic retail/traffic calendar index. Exact integer
+      // (type, day) counts; two divides per row. (DuckDB's dayofweek
+      // is 0-based Sunday; Spark's is 1-based — the oracle shifts.)
+      val daily = t(s, d, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+      val byDow = daily.groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("n")).as("events"), count(lit(1)).as("days"))
+      val overall = daily.groupBy(col("event_type"))
+        .agg((sum(col("n")).cast("double") / count(lit(1)))
+          .as("_overall"))
+      byDow.join(overall, "event_type")
+        .select(col("event_type"), col("dow"), col("events"), col("days"),
+          round(col("events").cast("double") / col("days"), 6)
+            .as("avg_daily"),
+          round(col("events").cast("double") / col("days") / col("_overall"),
+            6).as("seasonality_index"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7985,5 +8008,25 @@ object SparkEntry {
         |SELECT event_type, u.bin AS bin, u.n AS n, u.level AS level,
         |  u.trend AS trend, u.forecast AS forecast, u.residual AS residual
         |FROM ex ORDER BY event_type, bin""".stripMargin,
+    // exact (type, day) counts -> weekday rollup (+1 shifts DuckDB's
+    // 0-based Sunday onto Spark's 1-based) -> two divides per row
+    "x166_dow_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |bd AS (SELECT event_type,
+        |    CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+        |    CAST(sum(n) AS BIGINT) AS events,
+        |    CAST(count(*) AS BIGINT) AS days
+        |  FROM daily GROUP BY 1, 2),
+        |ov AS (SELECT event_type, CAST(sum(n) AS DOUBLE) / count(*)
+        |    AS overall FROM daily GROUP BY 1)
+        |SELECT event_type, dow, events, days,
+        |  round(CAST(events AS DOUBLE) / days, 6) AS avg_daily,
+        |  round(CAST(events AS DOUBLE) / days / overall, 6)
+        |    AS seasonality_index
+        |FROM bd JOIN ov USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
   )
 }

@@ -5431,17 +5431,21 @@ object SparkEntry {
         |      FROM r GROUP BY 1, 2),
         |m1 AS (SELECT r1 AS k, CAST(SUM(cnt) AS BIGINT) AS a FROM c GROUP BY 1),
         |m2 AS (SELECT r2 AS k, CAST(SUM(cnt) AS BIGINT) AS b FROM c GROUP BY 1),
-        |x AS (SELECT CAST(COALESCE(SUM(a * b), 0) AS BIGINT) AS ab
+        |x AS (SELECT COALESCE(SUM(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)),
+        |               CAST(0 AS HUGEINT)) AS ab
         |      FROM m1 JOIN m2 USING (k)),
         |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
         |         CAST(SUM(CASE WHEN r1 = r2 THEN cnt ELSE 0 END) AS BIGINT) AS diag
         |       FROM c)
         |SELECT n,
         |  CAST(diag AS DOUBLE) / n AS po,
-        |  CAST(ab AS DOUBLE) / (n * n) AS pe,
-        |  CASE WHEN CAST(ab AS DOUBLE) / (n * n) < CAST(1 AS DOUBLE)
-        |    THEN (CAST(diag AS DOUBLE) / n - CAST(ab AS DOUBLE) / (n * n))
-        |         / (CAST(1 AS DOUBLE) - CAST(ab AS DOUBLE) / (n * n))
+        |  CAST(ab AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS pe,
+        |  CASE WHEN CAST(ab AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+        |         < CAST(1 AS DOUBLE)
+        |    THEN (CAST(diag AS DOUBLE) / n
+        |           - CAST(ab AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+        |         / (CAST(1 AS DOUBLE)
+        |           - CAST(ab AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
         |  END AS kappa
         |FROM tt, x""".stripMargin,
     // sorted-distinct entropy fold, replayed term-for-term (list_sum

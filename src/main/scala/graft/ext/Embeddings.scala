@@ -144,18 +144,24 @@ object Embeddings {
     * rounds to `roundTo` and argmax ties break on the GREATEST label
     * (max over (sim, label) structs — the house argmax rule), so the
     * matrix hash-verifies cross-engine. Vectors with no comparable
-    * centroid (zero norm) drop. */
+    * centroid (zero norm) drop; rows with a null label or null
+    * embedding drop up front (an unlabeled row must not become a
+    * null-keyed centroid — the centroidShift contract). */
   def nearestCentroidConfusion(df: DataFrame, embCol: String,
                                labelCol: String,
                                roundTo: Int = 6): DataFrame = {
-    val q = quantizeInt8(df, embCol, "_ncq")
+    // null labels or embeddings drop up front (same guard as
+    // centroidShift): an unlabeled row must not mint a null-keyed
+    // centroid group, and a null embedding row has nothing to assign
+    val in = df.filter(col(labelCol).isNotNull && col(embCol).isNotNull)
+    val q = quantizeInt8(in, embCol, "_ncq")
     val cents = groupCentroids(q, "_ncq", labelCol)
       .groupBy(col(labelCol).as("_nc_label"))
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("q_mean")))),
         e => e.getField("q_mean")).as("_nc_c"))
       .agg(collect_list(struct(col("_nc_label"), col("_nc_c"))).as("_cents"))
-    df
+    in
       .select(col(labelCol).as("label"), Similarity.asDouble(col(embCol)).as("_e"))
       .crossJoin(broadcast(cents))
       .select(col("label"), array_max(filter(

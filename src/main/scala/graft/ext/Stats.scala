@@ -112,11 +112,15 @@ object Stats {
     * DECIMAL(38,0) so warehouse-scale n² terms cannot overflow.
     *
     * Output: `(group, n_pos, n_neg, auc)`; auc null when either class
-    * is absent. */
+    * is absent. NULL labels DROP (an un-labeled row is neither class;
+    * the label mapping keeps null null — `when(label, 1).when(!label,
+    * 0)` — so the isNotNull filter is the one that excludes them;
+    * `otherwise(0)` would silently count them as negatives and skew
+    * the statistic). NULL scores drop for the same reason. */
   def groupAuc(df: DataFrame, groupCol: String, score: Column,
                label: Column): DataFrame = {
     val base = df.select(col(groupCol).as("group"), score.as("_s"),
-        when(label, 1L).otherwise(0L).as("_p"))
+        when(label, 1L).when(!label, 0L).as("_p"))
       .filter(col("_s").isNotNull && col("_p").isNotNull)
     val perScore = base.groupBy(col("group"), col("_s"))
       .agg(count(lit(1)).as("_t"), sum(col("_p")).as("_pp"))
@@ -149,11 +153,16 @@ object Stats {
     * confidence sums are exact integers under any partitioning; the
     * ECE fold runs over the ≤`bins` per-bin rows in bin order (the
     * x125 sorted-fold discipline). Scale: one corpus pass → `bins`
-    * rows; everything downstream is bin-sized. */
+    * rows; everything downstream is bin-sized.
+    *
+    * NULL labels/probs DROP (same contract as [[groupAuc]]): the label
+    * mapping keeps null null so the isNotNull filter excludes
+    * un-labeled rows instead of silently scoring them as negatives. */
   def calibrationReport(df: DataFrame, prob: Column, label: Column,
                         bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 1000, "bins in [2,1000]")
-    val base = df.select(prob.as("_pr"), when(label, 1L).otherwise(0L).as("_y"))
+    val base = df.select(prob.as("_pr"),
+        when(label, 1L).when(!label, 0L).as("_y"))
       .filter(col("_pr").isNotNull && col("_y").isNotNull)
       .select(
         least(floor(col("_pr") * bins), lit(bins - 1)).cast("int").as("bin"),

@@ -228,25 +228,6 @@ object Quality {
       .orderBy((groupCols.map(col) :+ col("bin")): _*)
   }
 
-  /** Classifier/filter threshold sweep — the calibration verb for a
-    * curation pipeline: for every DISTINCT score value t (read as the
-    * rule "keep iff score >= t"), the confusion counts against a binary
-    * label plus precision/recall/F1 — i.e. the full PR curve in one
-    * pass, from which a filter threshold is picked (the step between
-    * training a quality/language classifier and applying it as a gate).
-    *
-    * Scale shape: one hash aggregate collapses the input to the
-    * per-score table (|distinct scores| rows — for the integer-valued
-    * scores this is meant for, orders of magnitude below the row
-    * count), and the cumulative tp/pp window runs over THAT table, so
-    * its single-partition sort holds score cardinality, never rows.
-    * Null scores are excluded (no threshold to represent them); a null
-    * label counts as negative.
-    *
-    * precision/recall are integer-ratio doubles and F1 is one
-    * mul/div chain over them — bit-stable cross-engine. pp (predicted
-    * positive) is never 0: each threshold IS an attained score, so at
-    * least one row clears it. */
   /** Cohen's kappa — chance-corrected agreement between two labelers
     * over the same items (the labeling-QA verb: human vs human, model
     * vs human, or rule vs rule; κ=1 perfect, 0 chance-level, <0 worse
@@ -254,9 +235,14 @@ object Quality {
     *
     * Exactness: one contingency aggregate (|labels|² cells); observed
     * agreement po = diag/n and expected pe = Σ_k rowsum_k·colsum_k / n²
-    * both reduce to INTEGER ratios (the cross-marginal product sums as
-    * a bigint before the one divide), so po/pe are bit-stable
-    * cross-engine and κ = (po−pe)/(1−pe) is one IEEE chain on them.
+    * both reduce to INTEGER ratios. The cross-marginal product sums as
+    * DECIMAL(38,0) — per-label marginals pass ~3e9 rows long before
+    * 100 TB, so a BIGINT×BIGINT product would wrap silently (the same
+    * reason mutualInfo multiplies as doubles) — and pe divides by n
+    * twice (never by the n² product, which wraps at the same scale).
+    * po/pe are bit-stable cross-engine (exact sums above 2^53 convert
+    * to double round-to-nearest on both engines) and κ = (po−pe)/(1−pe)
+    * is one IEEE chain on them.
     * Returns one row (n, po, pe, kappa); κ is null for the degenerate
     * single-category case (pe=1 — agreement is unmeasurable, not 1). */
   def cohenKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
@@ -269,14 +255,17 @@ object Quality {
     // contribute nothing to pe — the inner join drops exactly those;
     // disjoint label sets leave an empty sum → pe = 0, not null
     val cross = m1.join(m2, "_k")
-      .agg(coalesce(sum(col("_a") * col("_b")), lit(0L)).as("_ab"))
+      .agg(coalesce(
+        sum(col("_a").cast("decimal(19,0)") * col("_b").cast("decimal(19,0)")),
+        lit(0L).cast("decimal(38,0)")).as("_ab"))
     cells.agg(
         sum(col("_c")).as("n"),
         sum(when(col("_r1") === col("_r2"), col("_c")).otherwise(0L)).as("_diag"))
       .crossJoin(broadcast(cross))
       .select(col("n"),
         (col("_diag").cast("double") / col("n")).as("po"),
-        (col("_ab").cast("double") / (col("n") * col("n"))).as("pe"))
+        (col("_ab").cast("double") / col("n").cast("double") /
+          col("n").cast("double")).as("pe"))
       .select(col("n"), col("po"), col("pe"),
         when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
           .as("kappa"))
@@ -378,7 +367,34 @@ object Quality {
       .select(col("group"), col("total_w"), col("w_median"))
   }
 
-  def thresholdSweep(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+  /** Classifier/filter threshold sweep — the calibration verb for a
+    * curation pipeline: for every DISTINCT score value t (read as the
+    * rule "keep iff score >= t"), the confusion counts against a binary
+    * label plus precision/recall/F1 — i.e. the full PR curve in one
+    * pass, from which a filter threshold is picked (the step between
+    * training a quality/language classifier and applying it as a gate).
+    *
+    * Scale shape: one hash aggregate collapses the input to the
+    * per-score table (|distinct scores| rows — for the INTEGER-VALUED
+    * scores this exact variant is meant for, orders of magnitude below
+    * the row count), and the cumulative tp/pp window runs over THAT
+    * table, so its single-partition sort holds score cardinality,
+    * never rows. For CONTINUOUS classifier scores — where distinct
+    * count ≈ row count and that sort becomes a corpus-sized
+    * single-partition scale-killer — use [[thresholdSweepBinned]],
+    * which quantizes to a bounded lattice first; this variant guards
+    * loudly (`maxDistinct`) rather than degrade silently.
+    * Null scores are excluded (no threshold to represent them); a null
+    * label counts as negative.
+    *
+    * precision/recall are integer-ratio doubles and F1 is one
+    * mul/div chain over them — bit-stable cross-engine. pp (predicted
+    * positive) is never 0: each threshold IS an attained score, so at
+    * least one row clears it. recall and f1 are NULL on a
+    * positive-free input (0/0 is undefined — the null-for-undefined
+    * convention kappa/NMI use — never NaN or a silent 0.0). */
+  def thresholdSweep(df: DataFrame, scoreCol: String, label: Column,
+                     maxDistinct: Long = 1000000L): DataFrame = {
     graft.Guards.reserved(df, "thresholdSweep",
       Seq("threshold", "tp", "fp", "fn", "tn", "precision", "recall", "f1"))
     val g = df.filter(col(scoreCol).isNotNull)
@@ -386,12 +402,30 @@ object Quality {
         when(label, 1L).otherwise(0L).as("_y"))
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    sweepFromPerScore(g, maxDistinct)
+  }
+
+  /** The shared cumulative-confusion tail of the threshold sweeps: from
+    * the per-score `(threshold, _n, _np)` table, the PR curve. The
+    * global window is bounded by `maxDistinct` — a LOUD in-plan guard
+    * (not a driver count: that would be a second job) that fails the
+    * query instead of silently sorting a corpus-sized table on one
+    * partition when a continuous score sneaks into the exact variant. */
+  private def sweepFromPerScore(g: DataFrame, maxDistinct: Long): DataFrame = {
+    val guarded = g.crossJoin(broadcast(g.agg(count(lit(1)).as("_nd"))))
+      .withColumn("_gd",
+        when(col("_nd") <= maxDistinct, col("_nd"))
+          .otherwise(raise_error(concat(
+            lit("thresholdSweep: distinct score count "), col("_nd"),
+            lit(s" exceeds maxDistinct=$maxDistinct — continuous scores" +
+              " belong in thresholdSweepBinned")))))
+      .filter(col("_gd") >= 0).drop("_nd", "_gd")
     val w = Window.orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = g.agg(sum(col("_n")).as("_tot"), sum(col("_np")).as("_pos"))
+    val tot = guarded.agg(sum(col("_n")).as("_tot"), sum(col("_np")).as("_pos"))
     val p = col("tp").cast("double") / col("pp")
-    val r = col("tp").cast("double") / col("_pos")
-    g.withColumn("tp", sum(col("_np")).over(w))
+    val r = when(col("_pos") > 0L, col("tp").cast("double") / col("_pos"))
+    guarded.withColumn("tp", sum(col("_np")).over(w))
       .withColumn("pp", sum(col("_n")).over(w))
       .crossJoin(broadcast(tot))
       .select(col("threshold"), col("tp"),
@@ -399,8 +433,40 @@ object Quality {
         (col("_pos") - col("tp")).as("fn"),
         (col("_tot") - col("pp") - (col("_pos") - col("tp"))).as("tn"),
         p.as("precision"), r.as("recall"),
-        when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)).as("f1"))
+        when(r.isNull, lit(null).cast("double"))
+          .when(p + r > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0)).as("f1"))
       .orderBy(col("threshold").desc)
+  }
+
+  /** [[thresholdSweep]] for CONTINUOUS classifier scores (NB log-odds,
+    * probabilities, perplexities) — the regime where distinct values ≈
+    * rows and the exact variant's per-score table would be
+    * corpus-sized. Scores quantize to a fixed lattice FIRST
+    * (`floor(score·scale + 0.5) / scale` — the portable rounding, the
+    * same spelling the calibration report uses; never `round()`, whose
+    * half-tie rule differs across engines), so the per-threshold table
+    * is bounded by the score range × scale (e.g. scores in [-20, 20]
+    * at scale 1e3 → ≤ 40k thresholds) regardless of corpus size, and
+    * the cumulative window sorts THAT. Each reported threshold is a
+    * lattice point; "keep iff score >= t" over lattice points is the
+    * same gate as over raw scores up to half a lattice step — the
+    * resolution the caller chose. Confusion counts stay EXACT (rows
+    * bin by quantized score; nothing is sampled). */
+  def thresholdSweepBinned(df: DataFrame, scoreCol: String, label: Column,
+                           scale: Double = 1000.0,
+                           maxDistinct: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    graft.Guards.reserved(df, "thresholdSweepBinned",
+      Seq("threshold", "tp", "fp", "fn", "tn", "precision", "recall", "f1"))
+    val g = df.filter(col(scoreCol).isNotNull)
+      .select(
+        (floor(col(scoreCol).cast("double") * scale + 0.5) / scale)
+          .as("threshold"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    sweepFromPerScore(g, maxDistinct)
   }
 
   /** Benford's-law first-digit audit over an INTEGER-VALUED column

@@ -77,6 +77,10 @@ object ScaleStress {
     "x130_mixture_reweight", "x131_source_percentile",
     // d² multiply-adds per row in one reduce pass — should be linear
     "x132_principal_axis", "x133_pca_plane",
+    // round-11: the range-bucketed rank/cum-share report — each window
+    // partition holds ~|keys|/256 rows, so the ×10 ratio should stay
+    // near-linear (the pre-r11 unpartitioned window would not)
+    "x151_pareto_abc",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

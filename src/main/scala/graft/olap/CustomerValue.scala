@@ -88,42 +88,92 @@ object CustomerValue {
     * `aCut` of total), B (up to `bCut`), C (tail) — "which 20% of
     * customers carry 80% of revenue" as a table.
     *
-    * The cumulative share needs ONE global order — this is a REPORT
-    * over the post-aggregation |keys|-sized frame (the bhCorrect
-    * contract), not a corpus-wide sort: the transaction log reduces to
-    * per-key cents first. Cumulative and grand totals are exact
-    * integer sums; each share is one divide; class boundaries compare
-    * the exact ratio against the cut literals, so ties and boundaries
-    * are deterministic cross-engine. A key lands in A while the
-    * RUNNING share is still ≤ `aCut` (head-inclusive convention).
+    * The cumulative share needs ONE global order — but never a global
+    * SORT PARTITION: the transaction log reduces to per-key cents
+    * first (the |keys|-sized report frame), and the rank + running sum
+    * over that frame decompose by AMOUNT-RANGE bucket, the
+    * `Sampling.globalPositions` prefix-offset pattern adapted to a
+    * value order. `approxQuantile` picks ≤ `buckets−1` range
+    * boundaries over `amount_cents` (boundary PLACEMENT only balances
+    * work — rank/cum_share are global properties, identical under any
+    * monotone bucketing); each key buckets with one narrow
+    * array-filter over the boundary literals (equal amounts always
+    * co-bucket, so bucket order concatenates to exactly the global
+    * `(amount DESC, key)` order); per-bucket counts and cents sums
+    * (≤ `buckets` rows) come back to the driver once, turn into
+    * rank/cumulative offsets, and broadcast-join back; the window then
+    * runs PARTITIONED by bucket — each sort holds ~|keys|/buckets
+    * rows, never the key population on one partition. The grand total
+    * falls out of the same offset pass as a literal (no second global
+    * aggregate). Heavy amount TIES are the one skew source (ties must
+    * co-bucket for rank determinism); a single tied value spanning a
+    * quantile boundary concentrates its bucket, which degrades toward
+    * the old single-sort only in the degenerate all-keys-equal case.
+    *
+    * Cumulative and grand totals are exact integer sums; each share is
+    * one divide; class boundaries compare the exact ratio against the
+    * cut literals, so ties and boundaries are deterministic
+    * cross-engine. A key lands in A while the RUNNING share is still
+    * ≤ `aCut` (head-inclusive convention).
     *
     * Output: `(keyCol, amount_cents, rank, share, cum_share,
     * abc_class)`, shares rounded to 6. */
   def paretoAbc(tx: DataFrame, keyCol: String, amountCol: String,
-                aCut: Double = 0.7, bCut: Double = 0.9): DataFrame = {
+                aCut: Double = 0.7, bCut: Double = 0.9,
+                buckets: Int = 256): DataFrame = {
     require(aCut > 0 && aCut < bCut && bCut < 1,
       s"need 0 < aCut < bCut < 1: $aCut, $bCut")
+    require(buckets >= 1, s"buckets must be positive: $buckets")
     import org.apache.spark.sql.expressions.Window
     val perKey = tx
       .filter(col(keyCol).isNotNull && col(amountCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(sum(cents(col(amountCol))).as("amount_cents"))
-    val w = Window.orderBy(col("amount_cents").desc, col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val all = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perKey
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("amount_cents").desc, col(keyCol)))
-        .cast("long"))
-      .withColumn("_cum", sum(col("amount_cents")).over(w))
-      .withColumn("_tot", sum(col("amount_cents")).over(all))
-      .select(col(keyCol), col("amount_cents"), col("rank"),
-        round(col("amount_cents").cast("double") / col("_tot"), 6)
-          .as("share"),
-        round(col("_cum").cast("double") / col("_tot"), 6).as("cum_share"),
-        when(col("_cum").cast("double") / col("_tot") <= aCut, "A")
-          .when(col("_cum").cast("double") / col("_tot") <= bCut, "B")
-          .otherwise("C").as("abc_class"))
+      .persist() // quantile probe + offset pass + final window share it
+    try {
+      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+      val bounds =
+        if (probes.isEmpty) Array.empty[Double]
+        else perKey.stat.approxQuantile("amount_cents", probes, 0.001)
+          .distinct.sorted.reverse // descending: bucket 0 = largest
+      // bucket = #{b : amount <= b} over the descending boundaries — a
+      // monotone non-increasing function of amount, so equal amounts
+      // always share a bucket and bucket asc == amount desc
+      val bucketOf = size(filter(
+        lit(bounds),
+        b => col("amount_cents").cast("double") <= b))
+      val withB = perKey.withColumn("_graft_pb", bucketOf)
+      val perBucket = withB.groupBy(col("_graft_pb"))
+        .agg(count(lit(1)).as("_n"), sum(col("amount_cents")).as("_s"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var rankAcc = 0L
+      var cumAcc = 0L
+      val offsets = perBucket.map { case (b, n, s) =>
+        val row = (b, rankAcc, cumAcc)
+        rankAcc += n; cumAcc += s
+        row
+      }
+      val totalCents = cumAcc
+      val spark = tx.sparkSession
+      val offDf = spark.createDataFrame(offsets.toSeq)
+        .toDF("_graft_pb", "_graft_rko", "_graft_cmo")
+      val w = Window.partitionBy(col("_graft_pb"))
+        .orderBy(col("amount_cents").desc, col(keyCol))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      val tot = lit(totalCents).cast("double")
+      val cum = (sum(col("amount_cents")).over(wRun) + col("_graft_cmo"))
+        .cast("double")
+      withB.join(broadcast(offDf), "_graft_pb")
+        .select(col(keyCol), col("amount_cents"),
+          (row_number().over(w).cast("long") + col("_graft_rko"))
+            .as("rank"),
+          round(col("amount_cents").cast("double") / tot, 6).as("share"),
+          round(cum / tot, 6).as("cum_share"),
+          when(cum / tot <= aCut, "A")
+            .when(cum / tot <= bCut, "B")
+            .otherwise("C").as("abc_class"))
+    } finally { perKey.unpersist(); () }
   }
 }

@@ -43,7 +43,8 @@ class CustomerValueSpec extends AnyFunSuite {
   }
 
   test("plan gates: rfm scores WITHOUT any window sort (the whole " +
-    "point vs ntile); paretoAbc's single window is the report contract") {
+    "point vs ntile); paretoAbc windows are PARTITIONED by range " +
+    "bucket — never an unpartitioned global sort") {
     val tx = Seq((1L, d(1), 10.0), (2L, d(2), 20.0), (3L, d(3), 30.0),
       (4L, d(4), 40.0), (5L, d(5), 50.0)).toDF("cust", "dt", "amt")
     val rfmPlan = CustomerValue.rfm(tx, "cust", "dt", "amt")
@@ -54,7 +55,12 @@ class CustomerValueSpec extends AnyFunSuite {
       rfmPlan.contains("BroadcastExchange"), rfmPlan)
     val pPlan = CustomerValue.paretoAbc(tx, "cust", "amt")
       .queryExecution.executedPlan.toString
-    assert(pPlan.contains("Window")) // documented |keys|-frame report
+    assert(pPlan.contains("Window"), pPlan) // the rank/cum report frame
+    // an unpartitioned Window plans `Exchange SinglePartition` beneath
+    // it — the one-partition key-population sort this operator's
+    // bucket-offset decomposition exists to avoid
+    assert(!pPlan.contains("SinglePartition"),
+      "paretoAbc must never plan an unpartitioned Window:\n" + pPlan)
   }
 
   test("paretoAbc: hand-computed shares, head-inclusive class " +

@@ -5693,7 +5693,8 @@ object SparkEntry {
       """WITH v AS (
         |  SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
         |n AS (
         |  SELECT vec_id, label, e,
         |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
@@ -5810,7 +5811,8 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT n_chars AS threshold, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np
-        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
         |             CAST(sum(np) AS BIGINT) AS pos FROM g),
         |c AS (SELECT threshold,
@@ -7107,7 +7109,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT source AS "group", n_chars AS s,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
-        |  FROM documents WHERE n_chars IS NOT NULL),
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
         |ps AS (SELECT "group", s, CAST(count(*) AS BIGINT) AS t,
         |         CAST(sum(p) AS BIGINT) AS pp
         |       FROM base GROUP BY 1, 2),
@@ -7131,7 +7133,7 @@ object SparkEntry {
         |  SELECT CAST(least(n_chars, 560) AS DOUBLE) / 560 AS pr,
         |    CASE WHEN len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 55
         |      THEN 1 ELSE 0 END AS y
-        |  FROM documents WHERE n_chars IS NOT NULL),
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
         |lat AS (SELECT CAST(least(floor(pr * 10), 9) AS INT) AS bin,
         |               CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS l, y FROM base),
         |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,

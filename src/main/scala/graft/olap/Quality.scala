@@ -240,15 +240,26 @@ object Quality {
     * 100 TB, so a BIGINT×BIGINT product would wrap silently (the same
     * reason mutualInfo multiplies as doubles) — and pe divides by n
     * twice (never by the n² product, which wraps at the same scale).
-    * po/pe are bit-stable cross-engine (exact sums above 2^53 convert
-    * to double round-to-nearest on both engines) and κ = (po−pe)/(1−pe)
-    * is one IEEE chain on them.
+    * po/pe agree cross-engine to well within the driver's 1e-12
+    * compare tolerance: below 2^53 the decimal→double conversions are
+    * exact on both engines; above it Spark's Decimal.toDouble is
+    * correctly rounded while DuckDB's HUGEINT→DOUBLE may compose two
+    * conversions, so the last ulp can differ at extreme magnitudes —
+    * which is why po/pe/κ ship UNROUNDED (the round(x,6)
+    * large-magnitude footgun) and lean on the tolerance band.
     * Returns one row (n, po, pe, kappa); κ is null for the degenerate
     * single-category case (pe=1 — agreement is unmeasurable, not 1). */
-  def cohenKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
-    val cells = df.select(rater1.as("_r1"), rater2.as("_r2"))
+  def cohenKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame =
+    kappaFromCells(df.select(rater1.as("_r1"), rater2.as("_r2"))
       .filter(col("_r1").isNotNull && col("_r2").isNotNull)
-      .groupBy(col("_r1"), col("_r2")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_r1"), col("_r2")).agg(count(lit(1)).as("_c")))
+
+  /** [[cohenKappa]]'s arithmetic tail over a pre-aggregated
+    * contingency table `(_r1, _r2, _c)` — split out so the
+    * decimal-path exactness (pe at >2^31-scale marginals, where a
+    * BIGINT cross-marginal product would wrap) is testable with
+    * synthetic counts no spec could materialize as rows. */
+  private[graft] def kappaFromCells(cells: DataFrame): DataFrame = {
     val m1 = cells.groupBy(col("_r1").as("_k")).agg(sum(col("_c")).as("_a"))
     val m2 = cells.groupBy(col("_r2").as("_k")).agg(sum(col("_c")).as("_b"))
     // labels used by only one rater have a zero opposite marginal and
@@ -384,8 +395,11 @@ object Quality {
     * single-partition scale-killer — use [[thresholdSweepBinned]],
     * which quantizes to a bounded lattice first; this variant guards
     * loudly (`maxDistinct`) rather than degrade silently.
-    * Null scores are excluded (no threshold to represent them); a null
-    * label counts as negative.
+    * Null scores are excluded (no threshold to represent them); null
+    * labels DROP — the [[graft.ext.Stats.groupAuc]] contract (the
+    * label mapping keeps null null, `when(label,1).when(!label,0)`,
+    * so the isNotNull filter excludes un-labeled rows instead of
+    * silently counting them as negatives and skewing every ratio).
     *
     * precision/recall are integer-ratio doubles and F1 is one
     * mul/div chain over them — bit-stable cross-engine. pp (predicted
@@ -399,7 +413,8 @@ object Quality {
       Seq("threshold", "tp", "fp", "fn", "tn", "precision", "recall", "f1"))
     val g = df.filter(col(scoreCol).isNotNull)
       .select(col(scoreCol).as("threshold"),
-        when(label, 1L).otherwise(0L).as("_y"))
+        when(label, 1L).when(!label, 0L).as("_y"))
+      .filter(col("_y").isNotNull)
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
     sweepFromPerScore(g, maxDistinct)
@@ -410,7 +425,13 @@ object Quality {
     * global window is bounded by `maxDistinct` — a LOUD in-plan guard
     * (not a driver count: that would be a second job) that fails the
     * query instead of silently sorting a corpus-sized table on one
-    * partition when a continuous score sneaks into the exact variant. */
+    * partition when a continuous score sneaks into the exact variant.
+    *
+    * `g` is referenced twice (guard-count crossJoin) and feeds `tot` a
+    * third time — all three read the SAME per-score aggregate subtree,
+    * which Spark's ReuseExchange collapses to one shuffle (pinned by
+    * the QualitySpec plan gate); no persist is needed because the
+    * reused exchange IS the sharing mechanism. */
   private def sweepFromPerScore(g: DataFrame, maxDistinct: Long): DataFrame = {
     val guarded = g.crossJoin(broadcast(g.agg(count(lit(1)).as("_nd"))))
       .withColumn("_gd",
@@ -452,7 +473,8 @@ object Quality {
     * lattice point; "keep iff score >= t" over lattice points is the
     * same gate as over raw scores up to half a lattice step — the
     * resolution the caller chose. Confusion counts stay EXACT (rows
-    * bin by quantized score; nothing is sampled). */
+    * bin by quantized score; nothing is sampled). Null contract is
+    * [[thresholdSweep]]'s: null scores excluded, null labels DROP. */
   def thresholdSweepBinned(df: DataFrame, scoreCol: String, label: Column,
                            scale: Double = 1000.0,
                            maxDistinct: Long = 1000000L): DataFrame = {
@@ -463,7 +485,8 @@ object Quality {
       .select(
         (floor(col(scoreCol).cast("double") * scale + 0.5) / scale)
           .as("threshold"),
-        when(label, 1L).otherwise(0L).as("_y"))
+        when(label, 1L).when(!label, 0L).as("_y"))
+      .filter(col("_y").isNotNull)
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
     sweepFromPerScore(g, maxDistinct)

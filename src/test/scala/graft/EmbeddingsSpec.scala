@@ -35,6 +35,27 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n")).sum == 20) // 999 dropped
   }
 
+  test("nearestCentroidConfusion: null-label and null-embedding rows " +
+    "DROP — confusion identical with them present (r10 contract)") {
+    val clean = Seq(
+      (1L, Some(0), Some(Array(1.0f, 0.0f))),
+      (2L, Some(0), Some(Array(1.0f, 0.1f))),
+      (3L, Some(1), Some(Array(0.0f, 1.0f))),
+      (4L, Some(1), Some(Array(0.1f, 1.0f))))
+    // a null label must not mint a null-keyed centroid (which would
+    // both absorb mass and appear as a pred class); a null embedding
+    // has nothing to assign
+    val polluted = clean ++ Seq(
+      (5L, Option.empty[Int], Some(Array(1.0f, 0.0f))),
+      (6L, Some(0), Option.empty[Array[Float]]))
+    def confusion(rows: Seq[(Long, Option[Int], Option[Array[Float]])]) =
+      Embeddings.nearestCentroidConfusion(
+          rows.toDF("vec_id", "label", "embedding"), "embedding", "label")
+        .orderBy("label", "pred").collect().map(_.toSeq).toSeq
+    assert(confusion(clean).map(_.last.asInstanceOf[Long]).sum == 4L)
+    assert(confusion(polluted) == confusion(clean))
+  }
+
   test("nearestCentroidConfusion plan: one-row centroid broadcast, " +
     "narrow argmax (no window, no per-vector exchange)") {
     val rows = Seq((1L, 0, Array(1.0f, 0.0f)), (2L, 1, Array(0.0f, 1.0f)))

@@ -146,36 +146,132 @@ class QualitySpec extends AnyFunSuite {
     assert(Quality.cohenKappa(withNull, $"r1", $"r2").head.getAs[Long]("n") == 2)
   }
 
-  test("thresholdSweep: hand-computed confusion counts, PR and F1 per threshold") {
+  test("thresholdSweep: hand-computed confusion counts, PR and F1 per " +
+    "threshold; null scores AND null labels drop") {
     import spark.implicits._
-    // scores [3,3,2,1], labels [T,F,T,F]; a null score drops, a null
-    // label counts negative
+    // scores [3,3,2], labels [T,F,T]; the null-score row drops (no
+    // threshold to represent it) and the null-LABEL row drops too (the
+    // groupAuc contract — counting it negative would silently skew
+    // precision; this is the r10->r11 convention unification)
     val df = Seq((Some(3L), Some(true)), (Some(3L), Some(false)),
       (Some(2L), Some(true)), (Some(1L), None),
       (None, Some(true))).toDF("s", "y")
-    val out = Quality.thresholdSweep(df, "s", $"y" === true).collect()
-    assert(out.map(_.getAs[Long]("threshold")).toSeq == Seq(3L, 2L, 1L))
+    val out = Quality.thresholdSweep(df, "s",
+      when($"y".isNotNull, $"y" === true)).collect()
+    // the null-label row's score 1 mints NO threshold row
+    assert(out.map(_.getAs[Long]("threshold")).toSeq == Seq(3L, 2L))
     def row(t: Long) = out.find(_.getAs[Long]("threshold") == t).get
-    // t=3: pp=2 (both 3s), tp=1; pos=2, tot=4
+    // t=3: pp=2 (both 3s), tp=1; pos=2, tot=3
     assert(row(3).getAs[Long]("tp") == 1 && row(3).getAs[Long]("fp") == 1)
-    assert(row(3).getAs[Long]("fn") == 1 && row(3).getAs[Long]("tn") == 1)
+    assert(row(3).getAs[Long]("fn") == 1 && row(3).getAs[Long]("tn") == 0)
     assert(row(3).getAs[Double]("precision") == 0.5)
     assert(row(3).getAs[Double]("recall") == 0.5)
     assert(row(3).getAs[Double]("f1") == 0.5)
-    // t=2: pp=3, tp=2 -> p=2/3, r=1, f1=0.8
+    // t=2 (lowest attained labeled score): everything predicted positive
     assert(row(2).getAs[Long]("tp") == 2 && row(2).getAs[Long]("fp") == 1)
-    assert(row(2).getAs[Long]("fn") == 0 && row(2).getAs[Long]("tn") == 1)
+    assert(row(2).getAs[Long]("fn") == 0 && row(2).getAs[Long]("tn") == 0)
     assert(row(2).getAs[Double]("f1") == 0.8)
-    // t=1 (lowest attained score): everything predicted positive
-    assert(row(1).getAs[Long]("tp") == 2 && row(1).getAs[Long]("fp") == 2)
-    assert(row(1).getAs[Long]("tn") == 0 && row(1).getAs[Long]("fn") == 0)
-    assert(row(1).getAs[Double]("recall") == 1.0)
-    // confusion identity at every threshold: tp+fp+fn+tn == non-null-score rows
+    assert(row(2).getAs[Double]("recall") == 1.0)
+    // confusion identity: tp+fp+fn+tn == labeled non-null-score rows
     assert(out.forall(r => r.getAs[Long]("tp") + r.getAs[Long]("fp") +
-      r.getAs[Long]("fn") + r.getAs[Long]("tn") == 4))
+      r.getAs[Long]("fn") + r.getAs[Long]("tn") == 3))
     // recall is monotone non-decreasing as the threshold lowers
     val recalls = out.map(_.getAs[Double]("recall"))
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("thresholdSweep: positive-free input reads NULL recall/f1 " +
+    "(0/0 undefined), never NaN or 0.0; precision stays defined") {
+    import spark.implicits._
+    val df = Seq((3L, false), (2L, false), (2L, false)).toDF("s", "y")
+    val out = Quality.thresholdSweep(df, "s", $"y").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("recall")), r.toString)
+      assert(r.isNullAt(r.fieldIndex("f1")), r.toString)
+      assert(r.getAs[Double]("precision") == 0.0)
+      assert(r.getAs[Long]("tp") == 0L)
+    }
+  }
+
+  test("thresholdSweep: maxDistinct guard raises loudly ABOVE the cap " +
+    "with the binned-variant pointer, and not at it") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 4L).map(s => (s, s % 2 == 0)).toDF("s", "y")
+    // 4 distinct scores at the cap: fine
+    assert(Quality.thresholdSweep(df, "s", $"y", maxDistinct = 4L)
+      .count() == 4)
+    // one above: the in-plan raise_error fires with the advertised text
+    val e = intercept[Exception] {
+      Quality.thresholdSweep(df, "s", $"y", maxDistinct = 3L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val msg = messages(e).mkString("\n")
+    assert(msg.contains("maxDistinct=3"), msg)
+    assert(msg.contains("thresholdSweepBinned"), msg)
+  }
+
+  test("thresholdSweepBinned: equals the exact sweep on integer scores " +
+    "at scale 1; half-up lattice rounding; null labels drop") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => ((i % 7).toLong, i % 3 == 0)).toDF("s", "y")
+    val exact = Quality.thresholdSweep(df, "s", $"y")
+      .collect().map(_.toSeq).toSeq
+    val binned = Quality.thresholdSweepBinned(df, "s", $"y", scale = 1.0)
+      .collect().map(_.toSeq).toSeq
+    // integer scores are lattice points at scale 1: identical output
+    // except the threshold column's type (double lattice vs raw long)
+    assert(binned.map(r => r.head.asInstanceOf[Double].toLong +: r.tail)
+      == exact)
+    // half-up quantization: 0.0005 -> 0.001, 0.00049 -> 0.0, and the
+    // two rows landing on one lattice point merge into one threshold
+    val cont = Seq((0.0005, true), (0.00049, false), (0.0014999, true))
+      .toDF("s", "y")
+    val rows = Quality.thresholdSweepBinned(cont, "s", $"y", scale = 1000.0)
+      .collect()
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq == Seq(0.001, 0.0))
+    assert(rows.find(_.getAs[Double]("threshold") == 0.001)
+      .get.getAs[Long]("tp") == 2L) // 0.0005 and 0.0014999 co-bin
+    // null labels drop: the unlabeled row's score mints no threshold
+    val withNull = Seq((Some(0.25), Some(true)), (Some(0.75), None))
+      .toDF("s", "y")
+    val t2 = Quality.thresholdSweepBinned(withNull, "s",
+      when($"y".isNotNull, $"y" === true), scale = 1000.0).collect()
+    assert(t2.map(_.getAs[Double]("threshold")).toSeq == Seq(0.25))
+  }
+
+  test("thresholdSweep plan: the per-score aggregate is shared across " +
+    "the guard/total/window branches via exchange reuse, not recomputed") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ((i % 11).toLong, i % 3 == 0)).toDF("s", "y")
+    val q = Quality.thresholdSweep(df, "s", $"y")
+    q.collect() // finalize AQE
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("reused"), "per-score exchange must be reused:\n" + p)
+  }
+
+  test("kappaFromCells: pe exact at >2^31-scale marginals where a " +
+    "BIGINT cross-marginal product would wrap") {
+    import spark.implicits._
+    // 2x2 contingency in the billions: marginals r1 = (4e9, 6e9),
+    // r2 = (5e9, 5e9); the cross product sum 4e9*5e9 + 6e9*5e9 = 5e19
+    // overflows Long (max 9.2e18) — the DECIMAL(38,0) path must not
+    // wrap. po = 7e9/1e10 = 0.7, pe = 5e19/1e20 = 0.5, kappa = 0.4.
+    val cells = Seq(
+      ("A", "A", 3000000000L), ("A", "B", 1000000000L),
+      ("B", "A", 2000000000L), ("B", "B", 4000000000L)
+    ).toDF("_r1", "_r2", "_c")
+    val r = Quality.kappaFromCells(cells).head
+    assert(r.getAs[Long]("n") == 10000000000L)
+    assert(math.abs(r.getAs[Double]("po") - 0.7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pe") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-12)
+    // a wrapped product would have driven pe negative or > 1 — pin the
+    // sane range explicitly so a future regression reads loudly
+    assert(r.getAs[Double]("pe") > 0 && r.getAs[Double]("pe") < 1)
   }
 
   test("percentileNormalize: within-group percent ranks, tie sharing, " +

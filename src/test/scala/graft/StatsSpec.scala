@@ -126,6 +126,40 @@ class StatsSpec extends AnyFunSuite {
     assert(out.forall(r => math.abs(r.getAs[Double]("ece") - 0.95) < 1e-9))
   }
 
+  test("groupAuc: null-label rows DROP — the statistic must not shift " +
+    "when unlabeled rows join the frame (r10 contract)") {
+    val labeled = Seq(
+      ("g", Some(1L), Some(false)), ("g", Some(2L), Some(false)),
+      ("g", Some(3L), Some(true)), ("g", Some(4L), Some(true)))
+    // unlabeled rows at scores that WOULD flip the ranks if counted as
+    // negatives (a 5 above every positive, a 3 tied with one)
+    val polluted = labeled ++ Seq(
+      ("g", Some(5L), Option.empty[Boolean]),
+      ("g", Some(3L), Option.empty[Boolean]))
+    def auc(rows: Seq[(String, Option[Long], Option[Boolean])]) = {
+      val r = Stats.groupAuc(rows.toDF("src", "score", "lab"), "src",
+        col("score"), col("lab")).head()
+      (r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    assert(auc(labeled) == ((2L, 2L, 1.0)))
+    assert(auc(polluted) == auc(labeled))
+  }
+
+  test("calibrationReport: null-label (and null-prob) rows DROP — " +
+    "bins and ECE identical with unlabeled rows present (r10 contract)") {
+    val labeled = Seq(
+      (Some(0.25), Some(true)), (Some(0.25), Some(false)),
+      (Some(0.75), Some(true)), (Some(0.75), Some(true)))
+    val polluted = labeled ++ Seq(
+      (Some(0.25), Option.empty[Boolean]), // would dilute bin-2 acc
+      (Option.empty[Double], Some(true)))  // no bin to land in
+    def report(rows: Seq[(Option[Double], Option[Boolean])]) =
+      Stats.calibrationReport(rows.toDF("p", "lab"), col("p"), col("lab"))
+        .collect().map(_.toSeq).toSeq
+    assert(report(labeled).nonEmpty)
+    assert(report(polluted) == report(labeled))
+  }
+
   test("weightedMedian: cumulative-weight pick, lower-median ties, " +
     "nonpositive weights dropped") {
     val df = Seq(

@@ -3536,6 +3536,31 @@ object SparkEntry {
             6).as("seasonality_index"))
         .orderBy(col("event_type"), col("dow"))
     }),
+    "x167_nb_sweep_binned" -> ((s, d) => {
+      // Filter calibration on a CONTINUOUS classifier score — the
+      // regime x117's exact sweep guards against: the x114 NB model's
+      // per-doc 'en' log-posterior has corpus-cardinality distinct
+      // values, so the sweep quantizes to a 1e-2 lattice FIRST
+      // (thresholds bounded by score range × 100, never by rows) and
+      // runs the cumulative confusion over THAT. Scores are
+      // position-ordered ln folds (x114 parity), the lattice is the
+      // portable floor(x·s + .5)/s, counts exact, ratios integer-
+      // derived — DuckDB replays training, scoring, and the sweep.
+      // Null-lang rows would DROP (the unified r11 label contract).
+      import graft.ext.TextClassify
+      val docs = t(s, d, "documents")
+      val model = TextClassify.trainNaiveBayes(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "lang")
+      val applyHalf = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val scored = TextClassify.scoreFor(model, applyHalf, "text",
+          "doc_id", "en")
+        .join(applyHalf.select(col("doc_id").as("id"), col("lang")), "id")
+      val out = Quality.thresholdSweepBinned(
+          scored, "score", col("lang") === "en", scale = 100.0)
+        .orderBy(col("threshold").desc)
+      model.unpersist() // x114 leak discipline: no cached frame survives
+      out
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -3751,6 +3776,42 @@ object SparkEntry {
     * [[graft.ext.Embeddings.principalComponentVectors]]. Ends at
     * `sg(pc)` + `mu(mu)`; ONE spelling shared by the x132/x133/x137
     * oracles (three in-lockstep copies desynchronize silently). */
+  /** DuckDB fragment: the full x114 naive-Bayes replay — train on the
+    * even doc_ids (token×label counts → add-1 smoothed log-prob grid +
+    * priors), score the odd half with position-ordered ln folds —
+    * ending at `fs(doc_id, label, score)` with the UNROUNDED
+    * per-(doc, label) log-posterior. x114 takes the argmax; x167 takes
+    * the 'en' slice as a continuous score for the binned sweep. */
+  private val duckNbCtes: String =
+    """WITH tr AS (SELECT lang AS label, text FROM documents
+      |            WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
+      |ap AS (SELECT doc_id,
+      |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |       FROM documents WHERE doc_id % 2 = 1),
+      |ttok AS (SELECT label,
+      |           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |         FROM tr),
+      |cnt AS (SELECT label, tok, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2),
+      |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_l FROM ttok GROUP BY 1),
+      |dl AS (SELECT label, CAST(count(*) AS BIGINT) AS docs FROM tr GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS all_docs FROM tr),
+      |voc AS (SELECT DISTINCT tok FROM cnt),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM voc),
+      |grid AS (
+      |  SELECT voc.tok, nl.label,
+      |    ln((COALESCE(cnt.c, 0) + 1.0) / (CAST(nl.n_l AS DOUBLE) + 1.0 * CAST(v.vsz AS DOUBLE))) AS lp
+      |  FROM voc CROSS JOIN nl CROSS JOIN v
+      |  LEFT JOIN cnt ON cnt.tok = voc.tok AND cnt.label = nl.label),
+      |pri AS (SELECT dl.label, ln(CAST(dl.docs AS DOUBLE) / CAST(tot.all_docs AS DOUBLE)) AS log_prior
+      |        FROM dl, tot),
+      |atok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM ap),
+      |sc AS (SELECT atok.doc_id, grid.label,
+      |         list_sum(list(grid.lp ORDER BY atok.pos)) AS sum_lp
+      |       FROM atok JOIN grid USING (tok) GROUP BY 1, 2),
+      |fs AS (SELECT a.doc_id, pri.label, pri.log_prior + COALESCE(sc.sum_lp, 0.0) AS score
+      |       FROM (SELECT DISTINCT doc_id FROM ap) a CROSS JOIN pri
+      |       LEFT JOIN sc ON sc.doc_id = a.doc_id AND sc.label = pri.label)""".stripMargin
+
   private val duckPca1Ctes: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |           FROM embeddings WHERE embedding IS NOT NULL),
@@ -5870,40 +5931,13 @@ object SparkEntry {
     // full NB replay: token x label counts -> smoothed grid -> ordered
     // per-(doc, label) fold -> explicit argmax (score DESC, label DESC)
     "x114_nb_lang_classify" ->
-      """WITH tr AS (SELECT lang AS label, text FROM documents
-        |            WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
-        |ap AS (SELECT doc_id,
-        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |       FROM documents WHERE doc_id % 2 = 1),
-        |ttok AS (SELECT label,
-        |           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
-        |         FROM tr),
-        |cnt AS (SELECT label, tok, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2),
-        |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_l FROM ttok GROUP BY 1),
-        |dl AS (SELECT label, CAST(count(*) AS BIGINT) AS docs FROM tr GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS all_docs FROM tr),
-        |voc AS (SELECT DISTINCT tok FROM cnt),
-        |v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM voc),
-        |grid AS (
-        |  SELECT voc.tok, nl.label,
-        |    ln((COALESCE(cnt.c, 0) + 1.0) / (CAST(nl.n_l AS DOUBLE) + 1.0 * CAST(v.vsz AS DOUBLE))) AS lp
-        |  FROM voc CROSS JOIN nl CROSS JOIN v
-        |  LEFT JOIN cnt ON cnt.tok = voc.tok AND cnt.label = nl.label),
-        |pri AS (SELECT dl.label, ln(CAST(dl.docs AS DOUBLE) / CAST(tot.all_docs AS DOUBLE)) AS log_prior
-        |        FROM dl, tot),
-        |atok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS tok FROM ap),
-        |sc AS (SELECT atok.doc_id, grid.label,
-        |         list_sum(list(grid.lp ORDER BY atok.pos)) AS sum_lp
-        |       FROM atok JOIN grid USING (tok) GROUP BY 1, 2),
-        |fs AS (SELECT a.doc_id, pri.label, pri.log_prior + COALESCE(sc.sum_lp, 0.0) AS score
-        |       FROM (SELECT DISTINCT doc_id FROM ap) a CROSS JOIN pri
-        |       LEFT JOIN sc ON sc.doc_id = a.doc_id AND sc.label = pri.label),
-        |r AS (SELECT doc_id, label, score,
-        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn
-        |      FROM fs)
-        |SELECT doc_id, label AS pred, CAST(ROUND(score, 6) AS DOUBLE) AS score
-        |FROM r WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
+      (duckNbCtes + ",\n" +
+        """r AS (SELECT doc_id, label, score,
+          |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn
+          |      FROM fs)
+          |SELECT doc_id, label AS pred, CAST(ROUND(score, 6) AS DOUBLE) AS score
+          |FROM r WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin),
     // below-saturation KMV state == the exact distinct set, so the
     // incrementally maintained MV must serve COUNT(DISTINCT) exactly
     "x113_incremental_mv_distinct" ->
@@ -8034,5 +8068,36 @@ object SparkEntry {
         |    AS seasonality_index
         |FROM bd JOIN ov USING (event_type)
         |ORDER BY event_type, dow""".stripMargin,
+    // the shared NB replay to fs, then the 'en' log-posterior slice
+    // quantized to the 1e-2 lattice (floor(x*100+0.5)/100 — the house
+    // half-up on both engines) and the x117 cumulative-confusion tail
+    "x167_nb_sweep_binned" ->
+      (duckNbCtes + ",\n" +
+        """en AS (SELECT doc_id, score FROM fs WHERE label = 'en'),
+          |lab AS (SELECT doc_id, lang FROM documents
+          |        WHERE doc_id % 2 = 1 AND lang IS NOT NULL),
+          |bq AS (SELECT floor(en.score * 100 + 0.5) / 100 AS threshold,
+          |              CASE WHEN lab.lang = 'en' THEN 1 ELSE 0 END AS yy
+          |       FROM en JOIN lab USING (doc_id)),
+          |g AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n,
+          |        CAST(sum(yy) AS BIGINT) AS np FROM bq GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+          |             CAST(sum(np) AS BIGINT) AS pos FROM g),
+          |c AS (SELECT threshold,
+          |        CAST(sum(np) OVER (ORDER BY threshold DESC
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+          |        CAST(sum(n) OVER (ORDER BY threshold DESC
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+          |      FROM g)
+          |SELECT threshold, tp, pp - tp AS fp, t.pos - tp AS fn,
+          |  t.tot - pp - (t.pos - tp) AS tn,
+          |  CAST(tp AS DOUBLE) / pp AS precision,
+          |  CAST(tp AS DOUBLE) / t.pos AS recall,
+          |  CASE WHEN CAST(tp AS DOUBLE) / pp + CAST(tp AS DOUBLE) / t.pos > 0
+          |    THEN 2 * (CAST(tp AS DOUBLE) / pp) * (CAST(tp AS DOUBLE) / t.pos)
+          |         / ((CAST(tp AS DOUBLE) / pp) + (CAST(tp AS DOUBLE) / t.pos))
+          |    ELSE 0.0 END AS f1
+          |FROM c, t
+          |ORDER BY threshold DESC""".stripMargin),
   )
 }

@@ -87,7 +87,35 @@ object TextClassify {
     * reproducible cross-engine; out-of-vocab tokens drop). Documents
     * with NO in-vocab tokens score on priors alone. */
   def classify(model: NbModel, df: DataFrame, textCol: String,
-               idCol: String): DataFrame = {
+               idCol: String): DataFrame =
+    allScores(model, df, textCol, idCol)
+      .groupBy(col("id"))
+      .agg(max_by(col("label"), struct(col("score"), col("label"))).as("pred"),
+        max(struct(col("score"), col("label"))).getField("score").as("_s"))
+      .select(col("id"), col("pred"), round(col("_s"), 6).as("score"))
+
+  /** Per-document log-posterior for ONE label — the continuous score a
+    * threshold sweep calibrates over (pair with
+    * [[graft.olap.Quality.thresholdSweepBinned]]: NB log-posteriors
+    * are corpus-cardinality continuous, exactly the regime the binned
+    * sweep's lattice bounds). Returns `(id, score)` with the score
+    * UNROUNDED — downstream quantization (the sweep's lattice, a
+    * calibration bin) must see the raw double; the fold itself is
+    * position-ordered, so the value is engine-reproducible anyway.
+    * Every input row gets a score (prior-only when no token is
+    * in-vocab); an unknown label yields an empty frame, not an error
+    * (the label set is data, not schema). */
+  def scoreFor(model: NbModel, df: DataFrame, textCol: String,
+               idCol: String, label: String): DataFrame =
+    allScores(model, df, textCol, idCol)
+      .filter(col("label") === label)
+      .select(col("id"), col("score"))
+
+  /** The shared apply frame: one row per (document, label) with the
+    * full log-posterior `log_prior + Σ_pos lp(token)` as an UNROUNDED
+    * position-ordered fold. */
+  private def allScores(model: NbModel, df: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
     val tok = TextDedup.spreadCompute(
         df.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"),
@@ -100,15 +128,10 @@ object TextClassify {
         .as("sum_lp"))
     // right join keeps prior-only rows for docs with zero in-vocab
     // tokens (every label still gets a row through the cross join)
-    val withPriors = df.select(col(idCol).as("id"))
+    df.select(col(idCol).as("id"))
       .crossJoin(broadcast(model.labels.select(col("label"), col("log_prior"))))
       .join(scored, Seq("id", "label"), "left")
       .select(col("id"), col("label"),
         (col("log_prior") + coalesce(col("sum_lp"), lit(0.0))).as("score"))
-    withPriors
-      .groupBy(col("id"))
-      .agg(max_by(col("label"), struct(col("score"), col("label"))).as("pred"),
-        max(struct(col("score"), col("label"))).getField("score").as("_s"))
-      .select(col("id"), col("pred"), round(col("_s"), 6).as("score"))
   }
 }

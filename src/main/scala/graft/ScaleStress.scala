@@ -81,6 +81,10 @@ object ScaleStress {
     // partition holds ~|keys|/256 rows, so the ×10 ratio should stay
     // near-linear (the pre-r11 unpartitioned window would not)
     "x151_pareto_abc",
+    // round-11: cross-doc span dedup has NO pair table and therefore no
+    // cap to document — per-shingle distinct-doc counts + a semi-join;
+    // 10x duplication multiplies hits linearly, never quadratically
+    "x168_crossdoc_spans",
     // stress-only probes (not oracled queries): see `extraProbes`
     "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 

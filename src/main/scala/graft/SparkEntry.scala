@@ -3561,6 +3561,21 @@ object SparkEntry {
       model.unpersist() // x114 leak discipline: no cached frame survives
       out
     }),
+    "x168_crossdoc_spans" -> ((s, d) =>
+      // Exact-substring training-corpus dedup (the Lee-et-al step x61
+      // removes and x116 approximates at whole-doc granularity): every
+      // maximal run of 8-token windows each shared by >= 2 DISTINCT
+      // documents, with the span text rebuilt from the token array.
+      // No pair table ever materializes (per-shingle distinct-doc
+      // counts + a semi-join), so the pipeline needs no maxBucket cap;
+      // the run-merge window partitions per document. The token frame
+      // stages to parquet (x116 discipline — consumed by the shingle
+      // pass AND the rebuild join; no session persist survives).
+      graft.ext.TextDedup.crossDocRepeatedSpans(
+          t(s, d, "documents"), "text", "doc_id",
+          k = 8, minDocs = 2,
+          stagingPath = Some(cachePath(d, "x168") + "/toks"))
+        .orderBy(col("doc_id"), col("span_start"))),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -8099,5 +8114,34 @@ object SparkEntry {
           |    ELSE 0.0 END AS f1
           |FROM c, t
           |ORDER BY threshold DESC""".stripMargin),
+    // the x61 shingle spelling, distinct-DOC counts, gaps-and-islands
+    // run merge per doc, span text via list slice
+    "x168_crossdoc_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tk AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(0, len(toks) - 8 + 1),
+        |                    i -> array_to_string(toks[i+1:i+8], ' ')) END AS shs
+        |      FROM tk),
+        |e AS (SELECT doc_id, unnest(range(0, len(shs))) AS pos, unnest(shs) AS sh
+        |      FROM s),
+        |r AS (SELECT sh FROM e GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT doc_id, pos FROM e WHERE sh IN (SELECT sh FROM r)),
+        |i AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM h),
+        |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |              CAST(count(*) + 8 - 1 AS BIGINT) AS span_len,
+        |              CAST(count(*) AS BIGINT) AS n_shingles
+        |       FROM i GROUP BY doc_id, grp)
+        |SELECT sp.doc_id, span_start, span_len, n_shingles,
+        |  array_to_string(tk.toks[span_start + 1 : span_start + span_len], ' ')
+        |    AS span_text
+        |FROM sp JOIN tk USING (doc_id)
+        |ORDER BY doc_id, span_start""".stripMargin,
   )
 }

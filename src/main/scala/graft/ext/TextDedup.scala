@@ -186,6 +186,74 @@ object TextDedup {
             flatten(gapSlices(col("toks"), col("ivs"))))).as("clean"))
   }
 
+  /** Maximal cross-document repeated token spans — the exact-substring
+    * training-corpus dedup report (the Lee-et-al "deduplicating
+    * training data" step, shingle-anchored for a distributed engine
+    * instead of a suffix array): every maximal run of ≥ `k`-token
+    * windows that each appear in at least `minDocs` DISTINCT documents.
+    * Distinct from [[removeRepeatedSpans]] (x61), which counts ALL
+    * occurrences (a doc repeating its own phrase qualifies) and
+    * REMOVES coverage; this reports the spans, and a shingle repeated
+    * only within one document does NOT qualify — the cross-document
+    * contract.
+    *
+    * A span is a maximal run of CONSECUTIVE shared window starts, so
+    * every k-window inside it is cross-document-shared (the
+    * every-window-shared definition, not x61's coverage union); two
+    * such spans may overlap by up to k−1 tokens across a non-shared
+    * middle window.
+    *
+    * Scale shape: the shingle table (corpus × tokens rows — the only
+    * corpus-sized frame) aggregates to per-shingle distinct-doc counts
+    * and semi-joins back; NO pair table ever materializes (a shingle
+    * shared by 10⁶ docs costs one count row, not 10¹² pairs), so no
+    * `maxBucket` cap is needed — the exactness is free. The run-merge
+    * window partitions by document (each sort holds one doc's hits);
+    * the span-text rebuild is one doc-keyed join + a narrow slice.
+    * The token frame is consumed by both the shingle pass and the
+    * rebuild join: pass `stagingPath` at scale to spill it to parquet
+    * once instead of re-tokenizing (the x116 staging discipline; no
+    * session persist either way, so nothing outlives the query).
+    *
+    * Docs with fewer than `k` tokens are excluded (a ≥k-token span
+    * cannot exist in them; whole-short-doc duplication is
+    * [[exactDupGroups]]' job). Output: `(doc_id, span_start, span_len,
+    * n_shingles, span_text)` — token-indexed, 0-based start. */
+  def crossDocRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 8, minDocs: Int = 2,
+                            stagingPath: Option[String] = None): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "need k >= 1 and minDocs >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val toksPlain = spreadCompute(df.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= k)
+    val toks = stagingPath match {
+      case Some(p) =>
+        toksPlain.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => toksPlain
+    }
+    val windows = toks.select(col("doc_id"),
+      posexplode(shinglesOfTokens(col("_toks"), k)).as(Seq("pos", "_sh")))
+    val shared = windows.groupBy(col("_sh"))
+      .agg(count_distinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_sh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = windows.join(shared, Seq("_sh"), "left_semi")
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (count(lit(1)) + (k - 1)).as("span_len"),
+        count(lit(1)).as("n_shingles"))
+    spans.join(toks, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_shingles"),
+        concat_ws(" ", slice(col("_toks"),
+          (col("span_start") + 1).cast("int"), col("span_len").cast("int")))
+          .as("span_text"))
+  }
+
   /** Fold sorted [lo,hi] intervals into their merged union (touching
     * intervals coalesce: lo <= prev.hi + 1). Input must be sorted by
     * lo — `sort_array` on the struct gives exactly that order. */

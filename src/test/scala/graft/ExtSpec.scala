@@ -85,6 +85,40 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("crossDocRepeatedSpans: maximal shared runs, cross-document " +
+    "DISTINCT requirement, short docs excluded, span text rebuilt") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),      // windows 0..2 of k=8
+      (2L, "z z a b c d e f g h q"),    // shares the a..h window (start 2)
+      (3L, "m m m m m m m m m m m m"),  // self-repeats ONLY -> no span
+      (4L, "x y"),                      // < k tokens: excluded outright
+      (5L, "x y")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.crossDocRepeatedSpans(corpus, "text", "doc_id",
+        k = 8, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    // doc 1: window at pos 0 = "a..h" shared with doc 2's pos-2 window;
+    // windows 1/2 are unshared -> one maximal run of 1 shingle, 8 tokens
+    assert(got == Set(
+      (1L, 0L, 8L, 1L, "a b c d e f g h"),
+      (2L, 2L, 8L, 1L, "a b c d e f g h")))
+    // a run of CONSECUTIVE shared windows merges into one longer span
+    val run = Seq(
+      (1L, "a b c d e f g h i j"),   // windows at 0,1,2 all shared
+      (2L, "a b c d e f g h i j k")
+    ).toDF("doc_id", "text")
+    val merged = TextDedup.crossDocRepeatedSpans(run, "text", "doc_id",
+        k = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(merged == Set((1L, 0L, 10L, 3L), (2L, 0L, 10L, 3L)))
+    // minDocs = 3: the pairwise share no longer qualifies
+    assert(TextDedup.crossDocRepeatedSpans(run, "text", "doc_id",
+      k = 8, minDocs = 3).count() == 0)
+  }
+
   test("minhashDupPairs finds exact duplicates with jaccard 1.0 (MinHash+LSH)") {
     val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
     val pairs = TextDedup.minhashDupPairs(docs.unionByName(shifted), "text", "doc_id")

@@ -3576,6 +3576,27 @@ object SparkEntry {
           k = 8, minDocs = 2,
           stagingPath = Some(cachePath(d, "x168") + "/toks"))
         .orderBy(col("doc_id"), col("span_start"))),
+    "x169_growth_mv" -> ((s, d) => {
+      // DAU/WAU/MAU served from an incrementally-maintained
+      // distinct-set MV (x113's maintenance loop with the set state):
+      // three deltas merge per-day exact active-user sets — set union
+      // is associative, commutative AND idempotent, so the maintained
+      // table equals the batch recompute exactly and the x153 oracle
+      // value-checks the whole loop. Each delta touches only its days'
+      // partitions (O(delta) maintenance); the serve explodes the
+      // day-sized sets, never rescanning event history.
+      import graft.stream.{IncrementalMv, MvAgg}
+      val path = cachePath(d, "x169") + "/mv_dset"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("_all", lit("all"))
+      (0 until 3).foreach(m => IncrementalMv.applyAggDelta(
+        ev.filter(pmod(col("event_id"), lit(3)) === m), m, path,
+        "ts", "_all", col("user_id"), MvAgg.distinctSet))
+      graft.olap.Growth.activeUsersFromMv(s, path)
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -3826,6 +3847,39 @@ object SparkEntry {
       |fs AS (SELECT a.doc_id, pri.label, pri.log_prior + COALESCE(sc.sum_lp, 0.0) AS score
       |       FROM (SELECT DISTINCT doc_id FROM ap) a CROSS JOIN pri
       |       LEFT JOIN sc ON sc.doc_id = a.doc_id AND sc.label = pri.label)""".stripMargin
+
+  /** DuckDB replay of [[graft.olap.Growth.activeUsers]] over the raw
+    * event log — shared by x153 (the batch operator) and x169 (the
+    * incrementally-maintained distinct-set MV, which must serve the
+    * identical report). */
+  private val duckActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |spine AS (SELECT DISTINCT d AS day FROM ud),
+      |a1 AS (SELECT d AS day, CAST(count(DISTINCT u) AS BIGINT) AS au_1
+      |       FROM ud GROUP BY 1),
+      |c7 AS (SELECT DISTINCT u, day FROM (
+      |    SELECT u, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+      |      CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+      |      AS DATE) AS day
+      |    FROM ud) t JOIN spine USING (day)),
+      |a7 AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS au_7
+      |       FROM c7 GROUP BY 1),
+      |c28 AS (SELECT DISTINCT u, day FROM (
+      |    SELECT u, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+      |      CAST(d AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY))
+      |      AS DATE) AS day
+      |    FROM ud) t JOIN spine USING (day)),
+      |a28 AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS au_28
+      |        FROM c28 GROUP BY 1)
+      |SELECT s.day, COALESCE(au_1, 0) AS au_1, COALESCE(au_7, 0) AS au_7,
+      |  COALESCE(au_28, 0) AS au_28,
+      |  round(CAST(COALESCE(au_1, 0) AS DOUBLE) / COALESCE(au_28, 0), 6)
+      |    AS stickiness
+      |FROM spine s LEFT JOIN a1 USING (day) LEFT JOIN a7 USING (day)
+      |LEFT JOIN a28 USING (day)
+      |ORDER BY day""".stripMargin
 
   private val duckPca1Ctes: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -7688,34 +7742,11 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     // (user, day) dedup -> per-window coverage expansion kept to the
     // observed day spine -> distinct counts -> zero-filled spine join
-    "x153_active_users" ->
-      """WITH ud AS (
-        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |spine AS (SELECT DISTINCT d AS day FROM ud),
-        |a1 AS (SELECT d AS day, CAST(count(DISTINCT u) AS BIGINT) AS au_1
-        |       FROM ud GROUP BY 1),
-        |c7 AS (SELECT DISTINCT u, day FROM (
-        |    SELECT u, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
-        |      CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
-        |      AS DATE) AS day
-        |    FROM ud) t JOIN spine USING (day)),
-        |a7 AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS au_7
-        |       FROM c7 GROUP BY 1),
-        |c28 AS (SELECT DISTINCT u, day FROM (
-        |    SELECT u, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
-        |      CAST(d AS TIMESTAMP) + INTERVAL 27 DAY, INTERVAL 1 DAY))
-        |      AS DATE) AS day
-        |    FROM ud) t JOIN spine USING (day)),
-        |a28 AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS au_28
-        |        FROM c28 GROUP BY 1)
-        |SELECT s.day, COALESCE(au_1, 0) AS au_1, COALESCE(au_7, 0) AS au_7,
-        |  COALESCE(au_28, 0) AS au_28,
-        |  round(CAST(COALESCE(au_1, 0) AS DOUBLE) / COALESCE(au_28, 0), 6)
-        |    AS stickiness
-        |FROM spine s LEFT JOIN a1 USING (day) LEFT JOIN a7 USING (day)
-        |LEFT JOIN a28 USING (day)
-        |ORDER BY day""".stripMargin,
+    "x153_active_users" -> duckActiveUsersSql,
+    // the maintained distinct-set MV equals the batch recompute (set
+    // union is idempotent), so the SAME growth-accounting replay
+    // value-checks the full maintenance loop + serve
+    "x169_growth_mv" -> duckActiveUsersSql,
     // (user, day) dedup -> per-user first day -> day rollup -> running
     // cumulative over the day spine
     "x154_new_vs_returning" ->

@@ -30,13 +30,29 @@ object Growth {
     * when ≥ 2 windows, `au_min/au_max` as one exact integer ratio. */
   def activeUsers(events: DataFrame, userCol: String, tsCol: String,
                   windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
-    require(windows.nonEmpty && windows.forall(_ >= 1),
-      "windows must be non-empty positive day counts")
-    require(windows.distinct.size == windows.size, "duplicate windows")
     val userDay = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("_u"), col(tsCol).cast("date").as("_d"))
       .distinct()
+    activeUsersFromUserDay(userDay, "_u", "_d", windows)
+  }
+
+  /** [[activeUsers]] from an ALREADY-REDUCED (user, day) activity
+    * frame — the serving entry point for an incrementally-maintained
+    * distinct-set MV (see [[activeUsersFromMv]]), split out so the
+    * report math is one code path whether the frame comes from a full
+    * event-log dedup or from exploding day-partitioned MV states.
+    * Duplicate (user, day) rows are tolerated (every counting step is
+    * count_distinct) — they only inflate the expansion cost, so feed
+    * the deduped frame when you have one. */
+  def activeUsersFromUserDay(frame: DataFrame, userCol: String,
+                             dayCol: String,
+                             windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      "windows must be non-empty positive day counts")
+    require(windows.distinct.size == windows.size, "duplicate windows")
+    val userDay = frame.select(col(userCol).as("_u"),
+      col(dayCol).cast("date").as("_d"))
     val spine = userDay.select(col("_d").as("day")).distinct()
     val perWindow = windows.map { w =>
       // a (user, d) activity covers report days d .. d+w-1; the spine
@@ -66,6 +82,24 @@ object Growth {
         round(col(lo).cast("double") / col(hi), 6))
         .orderBy(col("day"))
     }
+  }
+
+  /** [[activeUsers]] served from an incrementally-maintained
+    * distinct-set MV (`IncrementalMv` + `MvAgg.distinctSet`): the MV
+    * holds one exact active-user SET per (day, key); this read
+    * explodes the day-partitioned sets into the (user, day) frame and
+    * runs the one shared report path — so the streaming loop updates
+    * O(delta) per micro-batch (only touched days' sets merge) while
+    * every serve is day-count-sized work, never an event-history
+    * rescan. Multiple MV keys union naturally (count_distinct dedups
+    * a user active under several keys the same day). */
+  def activeUsersFromMv(spark: org.apache.spark.sql.SparkSession,
+                        mvPath: String,
+                        windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
+    val ud = graft.stream.IncrementalMv.readAgg(spark, mvPath,
+        graft.stream.MvAgg.distinctSet)
+      .select(explode(col("value")).as("_u"), col("day").as("_d"))
+    activeUsersFromUserDay(ud, "_u", "_d", windows)
   }
 
   /** Temporally leakage-safe training frame for an activity-prediction

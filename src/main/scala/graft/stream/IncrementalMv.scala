@@ -86,6 +86,26 @@ object MvAgg {
       s => graft.ext.Sketches.kmvEstimateCol(s, k))
   }
 
+  /** Exact distinct-VALUE set per group (sorted-array state) — the
+    * growth-accounting MV state: per (day, key) the exact set of
+    * active users, merged by set union (associative, commutative AND
+    * idempotent, so incremental == recompute bit-for-bit under any
+    * batch arrival order and even under overlapping deltas). `finish`
+    * is the set itself: serving explodes it into the (user, day)
+    * activity frame [[graft.olap.Growth.activeUsersFromUserDay]]
+    * consumes, which is what makes DAU/WAU/MAU an O(delta) update —
+    * a micro-batch touches only its days' sets, and the trailing-
+    * window union happens at read time over the day-sized MV, never
+    * over event history. Null values drop (collect_set semantics —
+    * the activeUsers null-user contract). State size is the group's
+    * TRUE distinct count: the exact regime (per-day per-key user
+    * sets); when that outgrows a state row, [[kmvDistinct]]/HLL
+    * states swap into the same loop, trading exactness for bounds. */
+  val distinctSet: MvAgg = MvAgg("dset",
+    v => sort_array(collect_set(v)),
+    s => sort_array(array_distinct(flatten(collect_list(s)))),
+    identity)
+
   /** Incrementally-maintained deterministic weighted sample per group —
     * A-Res (x97's `Sampling.prioritySample`) as an MV state: the value
     * column must be `struct(id, w)`; each row's priority is the x97

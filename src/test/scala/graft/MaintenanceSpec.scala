@@ -159,6 +159,40 @@ class MaintenanceSpec extends AnyFunSuite {
       "streamed KLL MV must equal the batch recompute (exact regime)")
   }
 
+  test("streaming growth MV: distinct-set states drip in over two " +
+    "AvailableNow batches and serve activeUsers == the batch operator") {
+    import graft.stream.MvAgg
+    import graft.olap.Growth
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("ts"), col("user_id"))
+    val cutSec = ev.agg(percentile_approx(unix_timestamp(col("ts")),
+      lit(0.5), lit(100))).head.getLong(0)
+    val inDir = Files.createTempDirectory("graft-mvd-in").toString
+    val mvDir = Files.createTempDirectory("graft-mvd").toString + "/mv"
+    val chkDir = Files.createTempDirectory("graft-mvd-chk").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+        .withColumn("_all", lit("all"))
+      val q = IncrementalMv.startAgg(stream, "ts", "_all", "user_id",
+        MvAgg.distinctSet, mvDir, chkDir, Trigger.AvailableNow())
+      q.awaitTermination(120000); q.stop()
+    }
+    // the cut splits DAYS across batches (same-day events land in both
+    // drips), so the set-union merge path genuinely exercises
+    ev.filter(unix_timestamp(col("ts")) <= cutSec)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    ev.filter(unix_timestamp(col("ts")) > cutSec)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    val served = Growth.activeUsersFromMv(spark, mvDir).collect().toSeq
+    val batch = Growth.activeUsers(ev, "user_id", "ts").collect().toSeq
+    assert(served.nonEmpty)
+    assert(served == batch,
+      "MV-served DAU/WAU/MAU must equal the batch recompute")
+  }
+
   test("generalized MvAgg MVs: incremental maintenance == recompute for " +
     "sum/min/KLL, and a replayed batch id is a no-op for every agg") {
     import graft.stream.MvAgg

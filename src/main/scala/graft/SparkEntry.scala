@@ -3597,6 +3597,14 @@ object SparkEntry {
         "ts", "_all", col("user_id"), MvAgg.distinctSet))
       graft.olap.Growth.activeUsersFromMv(s, path)
     }),
+    "x170_auc_null_labels" -> ((s, d) =>
+      // x135 with every 7th document deliberately UN-labeled (a null
+      // label injected query-side — the fixtures are null-free): the
+      // groupAuc null-drop contract now rides the oracle gate, not
+      // just its unit spec. The oracle excludes exactly those rows.
+      Stats.groupAuc(t(s, d, "documents"), "source", col("n_chars"),
+          when(pmod(col("doc_id"), lit(7)) =!= 0, col("lang") === "en"))
+        .orderBy(col("group"))),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -3847,6 +3855,33 @@ object SparkEntry {
       |fs AS (SELECT a.doc_id, pri.label, pri.log_prior + COALESCE(sc.sum_lp, 0.0) AS score
       |       FROM (SELECT DISTINCT doc_id FROM ap) a CROSS JOIN pri
       |       LEFT JOIN sc ON sc.doc_id = a.doc_id AND sc.label = pri.label)""".stripMargin
+
+  /** DuckDB replay of [[graft.ext.Stats.groupAuc]] over documents
+    * (per-source Mann–Whitney AUC of n_chars vs lang=='en'),
+    * parameterized on the row filter: x135 runs the plain contract,
+    * x170 additionally excludes the rows its Spark side leaves
+    * UN-LABELED (null label → drop — the contract the filter mirrors). */
+  private def duckGroupAucSql(whereClause: String): String =
+    s"""WITH base AS (
+       |  SELECT source AS "group", n_chars AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+       |  FROM documents WHERE $whereClause),
+       |ps AS (SELECT "group", s, CAST(count(*) AS BIGINT) AS t,
+       |         CAST(sum(p) AS BIGINT) AS pp
+       |       FROM base GROUP BY 1, 2),
+       |cum AS (SELECT *, COALESCE(CAST(sum(t) OVER (PARTITION BY "group" ORDER BY s
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+       |        FROM ps),
+       |g AS (SELECT "group",
+       |        CAST(sum(CAST(pp AS HUGEINT) * (cb * 2 + t + 1)) AS DOUBLE) AS rs2,
+       |        CAST(sum(pp) AS BIGINT) AS n_pos,
+       |        CAST(sum(t - pp) AS BIGINT) AS n_neg
+       |      FROM cum GROUP BY 1)
+       |SELECT "group", n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    round((rs2 - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+       |      / (2 * CAST(n_pos AS DOUBLE) * n_neg), 6) END AS auc
+       |FROM g ORDER BY "group"""".stripMargin
 
   /** DuckDB replay of [[graft.olap.Growth.activeUsers]] over the raw
     * event log — shared by x153 (the batch operator) and x169 (the
@@ -7209,26 +7244,13 @@ object SparkEntry {
     // per-(group, score) counts -> cumulative-below window over
     // distinct scores -> integral 2·ranksum -> one exact division
     "x135_source_auc" ->
-      """WITH base AS (
-        |  SELECT source AS "group", n_chars AS s,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
-        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
-        |ps AS (SELECT "group", s, CAST(count(*) AS BIGINT) AS t,
-        |         CAST(sum(p) AS BIGINT) AS pp
-        |       FROM base GROUP BY 1, 2),
-        |cum AS (SELECT *, COALESCE(CAST(sum(t) OVER (PARTITION BY "group" ORDER BY s
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
-        |        FROM ps),
-        |g AS (SELECT "group",
-        |        CAST(sum(CAST(pp AS HUGEINT) * (cb * 2 + t + 1)) AS DOUBLE) AS rs2,
-        |        CAST(sum(pp) AS BIGINT) AS n_pos,
-        |        CAST(sum(t - pp) AS BIGINT) AS n_neg
-        |      FROM cum GROUP BY 1)
-        |SELECT "group", n_pos, n_neg,
-        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-        |    round((rs2 - CAST(n_pos AS DOUBLE) * (n_pos + 1))
-        |      / (2 * CAST(n_pos AS DOUBLE) * n_neg), 6) END AS auc
-        |FROM g ORDER BY "group"""".stripMargin,
+      duckGroupAucSql("n_chars IS NOT NULL AND lang IS NOT NULL"),
+    // the injected-null variant: every 7th doc is UN-labeled and must
+    // drop — the oracle gate now exercises the null-label contract the
+    // fixtures (null-free) never reach
+    "x170_auc_null_labels" ->
+      duckGroupAucSql(
+        "n_chars IS NOT NULL AND lang IS NOT NULL AND doc_id % 7 <> 0"),
     // 1e-6 confidence lattice -> exact per-bin sums -> bin-ordered ECE
     // fold (list_sum == the sorted-struct fold)
     "x136_calibration" ->

@@ -1,6 +1,6 @@
 package graft.olap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Customer-value analytics over a transaction log: RFM segmentation
@@ -93,22 +93,29 @@ object CustomerValue {
     * first (the |keys|-sized report frame), and the rank + running sum
     * over that frame decompose by AMOUNT-RANGE bucket, the
     * `Sampling.globalPositions` prefix-offset pattern adapted to a
-    * value order. `approxQuantile` picks ≤ `buckets−1` range
-    * boundaries over `amount_cents` (boundary PLACEMENT only balances
-    * work — rank/cum_share are global properties, identical under any
-    * monotone bucketing); each key buckets with one narrow
-    * array-filter over the boundary literals (equal amounts always
-    * co-bucket, so bucket order concatenates to exactly the global
-    * `(amount DESC, key)` order); per-bucket counts and cents sums
-    * (≤ `buckets` rows) come back to the driver once, turn into
-    * rank/cumulative offsets, and broadcast-join back; the window then
-    * runs PARTITIONED by bucket — each sort holds ~|keys|/buckets
-    * rows, never the key population on one partition. The grand total
-    * falls out of the same offset pass as a literal (no second global
-    * aggregate). Heavy amount TIES are the one skew source (ties must
-    * co-bucket for rank determinism); a single tied value spanning a
-    * quantile boundary concentrates its bucket, which degrades toward
-    * the old single-sort only in the degenerate all-keys-equal case.
+    * value order and kept ENTIRELY IN-PLAN (no persist, no driver
+    * collect — the per-key aggregate is computed once, its exchange
+    * reused across every consumer, the sweepFromPerScore discipline):
+    *
+    *  1. `percentile_approx` picks ≤ `buckets−1` range boundaries over
+    *     `amount_cents` as a one-row aggregate, broadcast back
+    *     (boundary PLACEMENT only balances work — rank/cum_share are
+    *     global properties, identical under any monotone bucketing);
+    *  2. each key buckets with one narrow array-filter over the
+    *     broadcast boundaries (equal amounts always co-bucket, so
+    *     bucket order concatenates to exactly the global
+    *     `(amount DESC, key)` order);
+    *  3. per-bucket counts/cents sums (≤ `buckets` rows) fold into
+    *     rank/cumulative offsets + the grand total on the bucket-sized
+    *     frame itself, broadcast-joined back;
+    *  4. the window runs PARTITIONED by bucket — each sort holds
+    *     ~|keys|/buckets rows, never the key population on one
+    *     partition.
+    *
+    * Heavy amount TIES are the one skew source (ties must co-bucket
+    * for rank determinism); a single tied value spanning a quantile
+    * boundary concentrates its bucket, which degrades toward the old
+    * single-sort only in the degenerate all-keys-equal case.
     *
     * Cumulative and grand totals are exact integer sums; each share is
     * one divide; class boundaries compare the exact ratio against the
@@ -129,51 +136,50 @@ object CustomerValue {
       .filter(col(keyCol).isNotNull && col(amountCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(sum(cents(col(amountCol))).as("amount_cents"))
-      .persist() // quantile probe + offset pass + final window share it
-    try {
-      val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-      val bounds =
-        if (probes.isEmpty) Array.empty[Double]
-        else perKey.stat.approxQuantile("amount_cents", probes, 0.001)
-          .distinct.sorted.reverse // descending: bucket 0 = largest
-      // bucket = #{b : amount <= b} over the descending boundaries — a
-      // monotone non-increasing function of amount, so equal amounts
-      // always share a bucket and bucket asc == amount desc
-      val bucketOf = size(filter(
-        lit(bounds),
-        b => col("amount_cents").cast("double") <= b))
-      val withB = perKey.withColumn("_graft_pb", bucketOf)
-      val perBucket = withB.groupBy(col("_graft_pb"))
-        .agg(count(lit(1)).as("_n"), sum(col("amount_cents")).as("_s"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        .sortBy(_._1)
-      var rankAcc = 0L
-      var cumAcc = 0L
-      val offsets = perBucket.map { case (b, n, s) =>
-        val row = (b, rankAcc, cumAcc)
-        rankAcc += n; cumAcc += s
-        row
-      }
-      val totalCents = cumAcc
-      val spark = tx.sparkSession
-      val offDf = spark.createDataFrame(offsets.toSeq)
-        .toDF("_graft_pb", "_graft_rko", "_graft_cmo")
-      val w = Window.partitionBy(col("_graft_pb"))
-        .orderBy(col("amount_cents").desc, col(keyCol))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
-      val tot = lit(totalCents).cast("double")
-      val cum = (sum(col("amount_cents")).over(wRun) + col("_graft_cmo"))
-        .cast("double")
-      withB.join(broadcast(offDf), "_graft_pb")
-        .select(col(keyCol), col("amount_cents"),
-          (row_number().over(w).cast("long") + col("_graft_rko"))
-            .as("rank"),
-          round(col("amount_cents").cast("double") / tot, 6).as("share"),
-          round(cum / tot, 6).as("cum_share"),
-          when(cum / tot <= aCut, "A")
-            .when(cum / tot <= bCut, "B")
-            .otherwise("C").as("abc_class"))
-    } finally { perKey.unpersist(); () }
+    val probes = (1 until buckets).map(_.toDouble / buckets)
+    val bounds =
+      if (probes.isEmpty)
+        perKey.limit(1).select(array().cast("array<double>").as("_bs"))
+      else perKey.agg(percentile_approx(col("amount_cents").cast("double"),
+        lit(probes.toArray), lit(10000)).as("_bs"))
+    // bucket = #{b : amount <= b} over the boundary array — a monotone
+    // non-increasing function of amount (duplicate boundaries merely
+    // leave empty buckets), so equal amounts always share a bucket and
+    // bucket asc == amount desc
+    val withB = perKey.crossJoin(broadcast(bounds))
+      .withColumn("_graft_pb",
+        size(filter(col("_bs"), b => col("amount_cents").cast("double") <= b)))
+      .drop("_bs")
+    val perBucket = withB.groupBy(col("_graft_pb"))
+      .agg(count(lit(1)).as("_n"), sum(col("amount_cents")).as("_s"))
+    // offsets fold on the bucket-sized frame (≤ `buckets` rows), never
+    // per key: every bucket row sees the full packed map once
+    val packed = perBucket
+      .agg(collect_list(struct(col("_graft_pb"), col("_n"), col("_s")))
+        .as("_m"))
+    def before(m: Column, f: Column => Column): Column =
+      aggregate(filter(m, e => e.getField("_graft_pb") < col("_graft_pb")),
+        lit(0L), (acc, e) => acc + f(e))
+    val offs = perBucket.crossJoin(broadcast(packed))
+      .select(col("_graft_pb"),
+        before(col("_m"), _.getField("_n")).as("_graft_rko"),
+        before(col("_m"), _.getField("_s")).as("_graft_cmo"),
+        aggregate(col("_m"), lit(0L),
+          (acc, e) => acc + e.getField("_s")).as("_graft_tot"))
+    val w = Window.partitionBy(col("_graft_pb"))
+      .orderBy(col("amount_cents").desc, col(keyCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val tot = col("_graft_tot").cast("double")
+    val cum = (sum(col("amount_cents")).over(wRun) + col("_graft_cmo"))
+      .cast("double")
+    withB.join(broadcast(offs), "_graft_pb")
+      .select(col(keyCol), col("amount_cents"),
+        (row_number().over(w).cast("long") + col("_graft_rko"))
+          .as("rank"),
+        round(col("amount_cents").cast("double") / tot, 6).as("share"),
+        round(cum / tot, 6).as("cum_share"),
+        when(cum / tot <= aCut, "A")
+          .when(cum / tot <= bCut, "B")
+          .otherwise("C").as("abc_class"))
   }
 }

@@ -53,14 +53,28 @@ class CustomerValueSpec extends AnyFunSuite {
     assert(!rfmPlan.contains("Window"), rfmPlan)
     assert(rfmPlan.contains("BroadcastNestedLoopJoin") ||
       rfmPlan.contains("BroadcastExchange"), rfmPlan)
-    val pPlan = CustomerValue.paretoAbc(tx, "cust", "amt")
-      .queryExecution.executedPlan.toString
-    assert(pPlan.contains("Window"), pPlan) // the rank/cum report frame
-    // an unpartitioned Window plans `Exchange SinglePartition` beneath
-    // it — the one-partition key-population sort this operator's
-    // bucket-offset decomposition exists to avoid
-    assert(!pPlan.contains("SinglePartition"),
-      "paretoAbc must never plan an unpartitioned Window:\n" + pPlan)
+    val pDf = CustomerValue.paretoAbc(tx, "cust", "amt")
+    pDf.collect() // finalize AQE so the walk sees the executed stages
+    // the precise gate: WindowExec nodes must all carry a partition
+    // spec — an empty one is the one-partition key-population sort
+    // this operator's bucket-offset decomposition exists to avoid.
+    // (A plain `SinglePartition`-string check would false-positive on
+    // the legitimate one-row boundary/offset aggregates.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    val nodes = walk(pDf.queryExecution.executedPlan)
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, // the rank/cum report frame is a window
+      pDf.queryExecution.executedPlan.toString)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "paretoAbc must never plan an unpartitioned Window:\n" +
+        pDf.queryExecution.executedPlan.toString)
   }
 
   test("paretoAbc: hand-computed shares, head-inclusive class " +

@@ -5990,7 +5990,10 @@ object SparkEntry {
         |  t.tot - pp - (t.pos - tp) AS tn,
         |  CAST(tp AS DOUBLE) / pp AS precision,
         |  CAST(tp AS DOUBLE) / t.pos AS recall,
-        |  CASE WHEN CAST(tp AS DOUBLE) / pp + CAST(tp AS DOUBLE) / t.pos > 0
+        |  -- pos = 0 -> NULL f1 (the NULL-on-positive-free convention;
+        |  -- without the leading WHEN the NULL comparison falls to ELSE 0.0)
+        |  CASE WHEN t.pos = 0 THEN NULL
+        |    WHEN CAST(tp AS DOUBLE) / pp + CAST(tp AS DOUBLE) / t.pos > 0
         |    THEN 2 * (CAST(tp AS DOUBLE) / pp) * (CAST(tp AS DOUBLE) / t.pos)
         |         / ((CAST(tp AS DOUBLE) / pp) + (CAST(tp AS DOUBLE) / t.pos))
         |    ELSE 0.0 END AS f1
@@ -8161,7 +8164,10 @@ object SparkEntry {
           |  t.tot - pp - (t.pos - tp) AS tn,
           |  CAST(tp AS DOUBLE) / pp AS precision,
           |  CAST(tp AS DOUBLE) / t.pos AS recall,
-          |  CASE WHEN CAST(tp AS DOUBLE) / pp + CAST(tp AS DOUBLE) / t.pos > 0
+          |  -- pos = 0 -> NULL f1 (the NULL-on-positive-free convention;
+          |  -- without the leading WHEN the NULL comparison falls to ELSE 0.0)
+          |  CASE WHEN t.pos = 0 THEN NULL
+          |    WHEN CAST(tp AS DOUBLE) / pp + CAST(tp AS DOUBLE) / t.pos > 0
           |    THEN 2 * (CAST(tp AS DOUBLE) / pp) * (CAST(tp AS DOUBLE) / t.pos)
           |         / ((CAST(tp AS DOUBLE) / pp) + (CAST(tp AS DOUBLE) / t.pos))
           |    ELSE 0.0 END AS f1

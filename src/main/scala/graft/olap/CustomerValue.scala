@@ -145,7 +145,17 @@ object CustomerValue {
     // bucket = #{b : amount <= b} over the boundary array — a monotone
     // non-increasing function of amount (duplicate boundaries merely
     // leave empty buckets), so equal amounts always share a bucket and
-    // bucket asc == amount desc
+    // bucket asc == amount desc.
+    //
+    // REUSE CONTRACT: `withB` (and the bounds broadcast inside it)
+    // feeds both the offset branch and the final join, and
+    // percentile_approx's GK merge is shuffle-fetch-order sensitive —
+    // two INDEPENDENT evaluations could return different boundary
+    // arrays and make the final join's bucket ids miss `offs` rows
+    // (silently dropping keys). Spark's exchange/broadcast reuse
+    // collapses the identical subtrees to one evaluation; the
+    // CustomerValueSpec plan gate pins a ReusedExchange in the
+    // executed plan and a rank-contiguity invariant backstops it.
     val withB = perKey.crossJoin(broadcast(bounds))
       .withColumn("_graft_pb",
         size(filter(col("_bs"), b => col("amount_cents").cast("double") <= b)))

@@ -75,6 +75,31 @@ class CustomerValueSpec extends AnyFunSuite {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "paretoAbc must never plan an unpartitioned Window:\n" +
         pDf.queryExecution.executedPlan.toString)
+    // the per-key aggregate (and the percentile_approx bounds fed by
+    // it) must evaluate ONCE: independent re-evaluations of the
+    // order-sensitive GK sketch could disagree across branches and
+    // silently drop keys at the offset join (see the REUSE CONTRACT
+    // comment in paretoAbc)
+    val pStr = pDf.queryExecution.executedPlan.toString
+    assert(pStr.contains("ReusedExchange") || pStr.contains("ReusedQueryStage")
+      || pStr.contains("reused"),
+      "paretoAbc's per-key exchange must be reused across branches:\n" + pStr)
+  }
+
+  test("paretoAbc invariants on a many-bucket frame: ranks contiguous " +
+    "1..n, cum_share monotone to 1.0, no key dropped or duplicated") {
+    // 10k keys across many amount magnitudes — enough that every
+    // quantile bucket is populated; a bounds-divergence or offset bug
+    // would surface as a gap/duplicate in the global rank sequence
+    val tx = (1 to 10000).map(i =>
+      (i.toLong, ((i * 7919) % 9973 + 1).toDouble / 7)).toDF("k", "amt")
+    val rows = CustomerValue.paretoAbc(tx, "k", "amt")
+      .select("rank", "cum_share").orderBy("rank").collect()
+    assert(rows.length == 10000)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10000L))
+    val shares = rows.map(_.getDouble(1))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
   }
 
   test("paretoAbc: hand-computed shares, head-inclusive class " +

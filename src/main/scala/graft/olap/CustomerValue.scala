@@ -117,6 +117,13 @@ object CustomerValue {
     * boundary concentrates its bucket, which degrades toward the old
     * single-sort only in the degenerate all-keys-equal case.
     *
+    * The decomposition trades a few hundred ms of fixed stage latency
+    * (boundary + offset barriers) for never sorting the key population
+    * on one partition — flat measured cost from 15k to 150k keys (10×
+    * stress ratio 1.0). A caller with a KNOWN-SMALL key population can
+    * pass `buckets = 1` to skip the machinery (one window partition —
+    * the pre-decomposition shape, cheapest at dashboard scale).
+    *
     * Cumulative and grand totals are exact integer sums; each share is
     * one divide; class boundaries compare the exact ratio against the
     * cut literals, so ties and boundaries are deterministic

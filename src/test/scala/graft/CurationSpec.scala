@@ -466,6 +466,36 @@ class CurationSpec extends AnyFunSuite {
     assert(total == 40 && hit == total, s"NB separable accuracy $hit/$total")
   }
 
+  test("scoreFor: per-label log-posteriors are argmax-consistent with " +
+    "classify; unrounded; unknown label yields an empty frame") {
+    import graft.ext.TextClassify
+    val docs = Seq((1L, "aa aa bb", "x"), (2L, "cc cc bb", "y"),
+      (3L, "aa cc", "x"), (4L, "bb bb", "y")).toDF("id", "txt", "lab")
+    val model = TextClassify.trainNaiveBayes(docs, "txt", "lab")
+    val cls = TextClassify.classify(model, docs, "txt", "id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    val scores = Seq("x", "y").map(l =>
+      l -> TextClassify.scoreFor(model, docs, "txt", "id", l)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap).toMap
+    (1L to 4L).foreach { id =>
+      // the argmax over the per-label slices (score, then label — the
+      // house tie rule) must be exactly classify's pred...
+      val (bestLabel, bestScore) = Seq("x", "y")
+        .map(l => (l, scores(l)(id))).maxBy { case (l, s) => (s, l) }
+      assert(cls(id)._1 == bestLabel, s"doc $id")
+      // ...and classify's score is the ROUNDED form of the unrounded
+      // slice value (scoreFor must not pre-round — the sweep's lattice
+      // quantizes the raw double)
+      assert(math.abs(cls(id)._2 - bestScore) <= 5e-7, s"doc $id")
+      assert(cls(id)._2 != bestScore ||
+        bestScore == BigDecimal(bestScore).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(TextClassify.scoreFor(model, docs, "txt", "id", "zz").count() == 0)
+    model.unpersist()
+  }
+
   test("globalPositions: a dense 0..n-1 permutation, partitioning-" +
     "independent, null ids excluded, no single-partition window") {
     import graft.ext.Sampling

@@ -415,6 +415,42 @@ object PipelineProperties extends Properties("graft") {
       cleaned == expect
     }
 
+  property("crossDocRepeatedSpans equals the driver-side reference exactly") =
+    forAll(Gen.choose(2, 4), Gen.listOfN(6, Gen.listOfN(6,
+      Gen.oneOf("aa", "bb", "cc", "dd")))) { (k, docsToks) =>
+      val docs = docsToks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.ext.TextDedup
+        .crossDocRepeatedSpans(docs, "text", "doc_id", k = k, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      // reference: same windows, cross-document DISTINCT counts,
+      // maximal consecutive runs, computed naively
+      def windowsOf(t: Seq[String]): Seq[(Int, String)] =
+        if (t.size <= k) Seq(0 -> t.mkString(" "))
+        else t.sliding(k).zipWithIndex.map { case (w, s) => s -> w.mkString(" ") }.toSeq
+      val eligible = docsToks.zipWithIndex.filter(_._1.size >= k)
+      val docOf = eligible
+        .flatMap { case (t, i) => windowsOf(t).map { case (_, w) => w -> i } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expect = eligible.flatMap { case (t, i) =>
+        val hits = windowsOf(t).collect {
+          case (s, w) if docOf(w).size >= 2 => s }.sorted
+        val runs = hits.foldLeft(List.empty[List[Int]]) { (acc, p) =>
+          acc match {
+            case h :: rest if h.head == p - 1 => (p :: h) :: rest
+            case _ => List(p) :: acc
+          }
+        }
+        runs.map { run =>
+          val start = run.last; val n = run.size
+          (i.toLong, start.toLong, (n + k - 1).toLong, n.toLong,
+            t.slice(start, start + n + k - 1).mkString(" "))
+        }
+      }.toSet
+      got == expect
+    }
+
   property("Misra-Gries bounds hold under ANY split of ANY input: " +
     "est <= true, true - est <= N/(cap+1), heavy hitters survive") =
     forAll(

@@ -95,6 +95,21 @@ object ScaleStress {
     * volume bounded by the probed lists — the ratio that SHOULD stay
     * near-linear as data grows. */
   private val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // KEY-population stress the ×N inflation cannot produce (inflate
+    // bumps o_orderkey, never o_custkey, so x151's stress line only
+    // exercises the transaction reduce): 2M synthetic keys drive the
+    // bucketed rank/cum-share windows at the population the pre-r11
+    // implementation would have sorted on ONE partition. Input is
+    // dir-independent, so base == inflated by construction — read the
+    // absolute wall, not the ratio.
+    "pareto_keys2m" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.olap.CustomerValue.paretoAbc(
+        s.range(2000000L).select(col("id").as("k"),
+          ((pmod(col("id") * 7919, lit(999983)) + 1).cast("double") / 7)
+            .as("amt")),
+        "k", "amt")
+    }),
     "ivf_batch_nprobes2" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 16)

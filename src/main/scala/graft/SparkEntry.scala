@@ -1393,13 +1393,19 @@ object SparkEntry {
       // ps_supplycost has no fixture twin, so cost is proxied as
       // 10% of p_retailprice per unit — same plan shape (fact × two
       // broadcast dims × orders, profit expression inside the agg,
-      // (nation, year) rollup).
+      // (nation, year) rollup). The per-row profit term quantizes to
+      // an exact 1e-4 lattice BEFORE the sum (round-of-a-double-sum at
+      // ~1e7 magnitude flips .xx5 boundaries cross-engine — this query
+      // was the one sf0.1 casualty of the family); the sum is then an
+      // exact BIGINT under any partitioning and ships as one division.
       Seq("lineitem", "orders", "supplier", "nation", "part")
         .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
       s.sql("""
         SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-          ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                    - CAST(0.1 AS DOUBLE) * p.p_retailprice * l.l_quantity), 2) AS profit
+          SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                    - CAST(0.1 AS DOUBLE) * p.p_retailprice * l.l_quantity)
+                   * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            / CAST(10000 AS DOUBLE) AS profit
         FROM g_lineitem l
         JOIN g_part p ON p.p_partkey = l.l_partkey
         JOIN g_supplier s ON s.s_suppkey = l.l_suppkey
@@ -2782,20 +2788,23 @@ object SparkEntry {
     }),
     "x59_kernel_minhash_oracled" -> ((s, d) => {
       // the PRODUCTION xxhash64 MinHash-LSH pipeline made CORRECTNESS-
-      // visible. At production parameters (64 hashes, 16 bands of 4)
-      // per-pair LSH miss probability at the fixture's jaccard spread
-      // (>=0.9) is ~4e-8, so BOTH hash schemes reach full recall and
-      // the verified pair set equals the portable sha256 pipeline's
-      // (x13) exactly — measured: symmetric difference empty and every
-      // jaccard double bit-identical at sf0.001 and sf0.01. The exact
-      // verify stage is an integer-ratio double over distinct shingle
-      // sets, identical whichever 64-bit hash names the shingles. The
-      // oracle is therefore x13's portable SQL: the kernel path
-      // inherits the DuckDB hash check transitively (ids AND values) —
-      // closing the r4 gap where x07/x08 were rows-only.
+      // visible. At 64 hashes / 16 bands of 4 and verify threshold 0.9,
+      // per-pair candidate-miss probability is ~4e-8 for BOTH hash
+      // schemes, so each reaches full recall on the kept (j >= 0.9)
+      // pairs and the verified set equals a 64-lane portable sha256
+      // replay exactly; sub-0.9 candidates are cut by the EXACT
+      // jaccard (an integer-ratio double, identical whichever 64-bit
+      // hash names the shingles), so candidate-set luck below the
+      // threshold cannot leak into the output. The r11 sf0.1
+      // differential run PROVED the old 0.7 form was luck: at j = 0.7
+      // each scheme independently misses ~1% of candidates (6009 vs
+      // 6024 rows) — the equality contract only exists where both
+      // recalls are ~1. The oracle replays the portable pipeline AT
+      // THE KERNEL'S parameters, so the kernel path keeps its
+      // transitive DuckDB hash check (ids AND values).
       val corpus = perturbedCorpus(t(s, d, "documents"))
       TextDedup.minhashDupPairs(corpus, "t", "id",
-          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)
+          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.9)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -3701,9 +3710,22 @@ object SparkEntry {
     * sha256 signatures, 4 bands, capped buckets, exact-Jaccard verify)
     * ending in a `pairs(id_a, id_b, jaccard)` CTE — reused by the x13
     * pair oracle and every component-consuming oracle (x22/x23/x47). */
-  private val duckPortablePairCtes: String =
-    """WITH base AS (
-        |  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  /** [[duckPortablePairCtes]] parameterized on the LSH shape: x13 runs
+    * the portable production shape (16 lanes, 4 bands of 4, 0.7); x59
+    * needs 64 lanes / 16 bands of 4 at threshold 0.9 — the regime where
+    * BOTH hash families' per-pair candidate-miss probability is ~4e-8,
+    * so the kernel pipeline's pair set provably equals this replay.
+    * (At 16/4 the portable side misses ~1.4% of j=0.9 pairs; at
+    * threshold 0.7 either side misses ~1% of j=0.7 pairs — each scheme
+    * missing DIFFERENT pairs, which is exactly what the sf0.1
+    * differential run caught: 6009 vs 6024 rows.) */
+  private def duckPortablePairCtesAt(lanes: Int, bands: Int,
+                                     threshold: Double): String = {
+    require(lanes % bands == 0, "bands must divide lanes")
+    val r = lanes / bands
+    val bandConcat = (1 to r).map(j => s"sig[b*$r+$j]").mkString(" || ")
+    s"""WITH base AS (
+        |  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
         |  FROM documents),
         |corpus AS (
         |  SELECT id, t FROM base
@@ -3723,12 +3745,12 @@ object SparkEntry {
         |shex AS (SELECT id, unnest(ss) AS s FROM sets),
         |lanes AS (
         |  SELECT id, p, min(substr(sha256(p::VARCHAR || ':' || s), 1, 16)) AS lane
-        |  FROM shex, generate_series(0, 15) g(p)
+        |  FROM shex, generate_series(0, ${lanes - 1}) g(p)
         |  GROUP BY id, p),
         |sig AS (SELECT id, list(lane ORDER BY p) AS sig FROM lanes GROUP BY id),
         |bandt AS (
-        |  SELECT id, b, sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4] AS bh
-        |  FROM sig, generate_series(0, 3) t(b)),
+        |  SELECT id, b, $bandConcat AS bh
+        |  FROM sig, generate_series(0, ${bands - 1}) t(b)),
         |bsz AS (SELECT b, bh, count(*) AS n FROM bandt GROUP BY b, bh),
         |cand AS (
         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
@@ -3744,7 +3766,11 @@ object SparkEntry {
         |  JOIN sets sa ON sa.id = cand.id_a
         |  JOIN sets sb ON sb.id = cand.id_b
         |  WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.7)""".stripMargin
+        |      / len(list_distinct(list_concat(sa.ss, sb.ss))) >= $threshold)""".stripMargin
+  }
+
+  private val duckPortablePairCtes: String =
+    duckPortablePairCtesAt(16, 4, 0.7)
 
   /** [[duckPortablePairCtes]] with RECURSIVE enabled — required prefix
     * for any oracle appending [[duckComponentCtes]]. */
@@ -5011,8 +5037,10 @@ object SparkEntry {
         |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
     "s31_nation_profit" ->
       """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-        |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-        |            - CAST(0.1 AS DOUBLE) * p.p_retailprice * l.l_quantity), 2) AS profit
+        |  CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+        |            - CAST(0.1 AS DOUBLE) * p.p_retailprice * l.l_quantity)
+        |           * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |    AS DOUBLE) / CAST(10000 AS DOUBLE) AS profit
         |FROM lineitem l
         |JOIN part p ON p.p_partkey = l.l_partkey
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -6752,8 +6780,8 @@ object SparkEntry {
     // the kernel (xxhash64) pipeline's pair set equals the portable
     // pipeline's at production parameters — same oracle as x13
     "x59_kernel_minhash_oracled" ->
-      s"""$duckPortablePairCtes
-         |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
+      (duckPortablePairCtesAt(64, 16, 0.9) + "\n" +
+        """SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"""),
     // the three feeds recomputed from the same fixture slices the
     // commits were built from: v1 = keys ≡ 0 (mod 3), the change feed
     // = exactly v2's appended slice (≡ 1), latest = both

@@ -174,10 +174,14 @@ class ExtSpec extends AnyFunSuite {
     assert(sim.nonEmpty && sim.groupBy(identity).values.forall(_.length <= 2))
   }
 
-  test("kernel pairs equal portable pairs at production params (x59 transitive oracle)") {
+  test("kernel pairs equal portable pairs at MATCHED params (x59 transitive oracle)") {
     // the invariant x59_kernel_minhash_oracled's DuckDB oracle rests on:
-    // at 64 hashes / 16 bands both hash schemes reach full recall on
-    // the perturbed corpus, so pair set AND exact-jaccard doubles match
+    // at 64 hashes / 16 bands AND verify threshold 0.9 both hash
+    // schemes' candidate-miss probability is ~4e-8, so pair set AND
+    // exact-jaccard doubles match. The comparison must run the portable
+    // side at the SAME 64/16 shape — the r11 sf0.1 differential run
+    // proved that a 16/4 portable side (or threshold 0.7, where each
+    // scheme misses ~1% of candidates independently) diverges at scale.
     val base = docs.select(col("doc_id").as("id"),
       TextDedup.normalize(col("text")).as("t"))
     val pert = base.select((col("id") + 1000000).as("id"),
@@ -188,8 +192,9 @@ class ExtSpec extends AnyFunSuite {
       df.select("id_a", "id_b", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val kernel = pairMap(TextDedup.minhashDupPairs(corpus, "t", "id",
-      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7))
-    val portable = pairMap(TextDedup.portableMinhashDupPairs(corpus, "t", "id"))
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.9))
+    val portable = pairMap(TextDedup.portableMinhashDupPairs(corpus, "t", "id",
+      shingleK = 3, numPerms = 64, bands = 16, threshold = 0.9))
     assert(kernel.keySet == portable.keySet,
       s"kernelOnly=${kernel.keySet -- portable.keySet} " +
         s"portableOnly=${portable.keySet -- kernel.keySet}")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Embeddings, Retrieval, Similarity, Stats, TextAnalysis, TextDedup, TimeSeries}
@@ -88,6 +88,23 @@ object SparkEntry {
     java.nio.file.Files.createDirectories(base)
     base.toString
   }
+
+  /** Exact-lattice money sum, replacing `round(sum(raw doubles), 2)`:
+    * the per-row value quantizes (`floor(x·scale + .5)`, the house
+    * half-up — the per-row double is bit-identical cross-engine, so
+    * the lattice integer is too) → exact BIGINT sum under any
+    * partitioning → one division back to units (integer→double is
+    * correctly rounded identically on both engines). Rounding a RAW
+    * double sum instead flips .xx5 boundaries cross-engine once the
+    * magnitude makes an ulp comparable to the rounding step — the
+    * sf0.1 differential run caught s31 doing exactly that at ~6e7, and
+    * at sf10 magnitudes the per-value flip probability reaches ~1e-2.
+    * scale 100 recovers 2-decimal inputs exactly; 10000 keeps product
+    * terms (price × discount) at 1e-4 resolution. SQL twin (both
+    * dialects): `SUM(CAST(FLOOR(x * CAST(S AS DOUBLE) + CAST(0.5 AS
+    * DOUBLE)) AS BIGINT)) / CAST(S AS DOUBLE)`. */
+  private def latticeSum(x: Column, scale: Int): Column =
+    sum(floor(x * scale + lit(0.5)).cast("long")) / lit(scale.toDouble)
 
   /** documents ∪ first-token-dropped copies at id+1000000 — the shared
     * near-dup corpus of x13/x22/x23/x47 (gives a real Jaccard spread of
@@ -293,9 +310,10 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          latticeSum(col("l_quantity"), 100).as("sum_qty"),
+          latticeSum(col("l_extendedprice"), 100).as("sum_base_price"),
+          latticeSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+            10000).as("sum_disc_price"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -350,7 +368,7 @@ object SparkEntry {
         .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("order_month"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("sum_total"))
+          latticeSum(col("o_totalprice"), 100).as("sum_total"))
         .orderBy(col("order_month"))
     }),
     "s08_distinct_parts" -> ((s, d) => {
@@ -401,7 +419,7 @@ object SparkEntry {
           grouping(col("oy")).cast("bigint").as("g_y"),
           grouping(col("o_orderpriority")).cast("bigint").as("g_p"),
           count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("rev"))
+          latticeSum(col("o_totalprice"), 100).as("rev"))
         .orderBy(col("g_y"), col("g_p"), col("oy"), col("o_orderpriority"))
     }),
     "s13_lapsed_customers" -> ((s, d) => {
@@ -906,8 +924,8 @@ object SparkEntry {
           col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(latticeSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          10000).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
     "s19_grouping_sets" -> ((s, d) =>
@@ -924,7 +942,7 @@ object SparkEntry {
           grouping(col("l_returnflag")).cast("bigint").as("g_r"),
           grouping(col("l_linestatus")).cast("bigint").as("g_l"),
           count(lit(1)).as("n"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"))
+          latticeSum(col("l_quantity"), 100).as("sum_qty"))
         .orderBy(col("g_r"), col("g_l"), col("l_returnflag"),
           col("l_linestatus"))),
     "s20_disjunctive_predicate" -> ((s, d) => {
@@ -942,8 +960,8 @@ object SparkEntry {
             col("l_quantity").between(10, 35)))
         .agg(
           count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          latticeSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+            10000).as("revenue"))
     }),
     "s21_waiting_suppliers" -> ((s, d) => {
       // TPC-H Q21 shape adapted to the fixture (lateness = shipped
@@ -989,21 +1007,22 @@ object SparkEntry {
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy((col("c_nationkey") % 5).cast("bigint").as("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          latticeSum(col("c_acctbal"), 100).as("totacctbal"))
         .orderBy(col("cntrycode"))
     }),
     "s23_top_supplier" -> ((s, d) => {
       // TPC-H Q15 shape: a revenue aggregate reused twice — once as
       // the join input, once reduced to its max for the filter. The
       // 1-row max broadcasts; no self-join of lineitem, no window over
-      // the fact. Revenue equality compares round(2dp) values, which
-      // are bit-stable cross-engine (0.01-quantized sums).
+      // the fact. Revenue equality compares exact-lattice sums —
+      // integer-derived doubles identical cross-engine by construction
+      // (rounded raw-double sums only LOOK bit-stable; see latticeSum).
       val rev = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("total_revenue"))
+        .agg(latticeSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          10000).as("total_revenue"))
       val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
       rev.join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
         .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
@@ -1036,7 +1055,9 @@ object SparkEntry {
       t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
       s.sql("""
         SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
-          ROUND(SUM(l.l_extendedprice), 2) AS small_revenue
+          SUM(CAST(FLOOR(l.l_extendedprice * CAST(100 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            / CAST(100 AS DOUBLE) AS small_revenue
         FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
         WHERE l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
                                     FROM g_lineitem l2
@@ -1105,7 +1126,10 @@ object SparkEntry {
           CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_big,
           CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05) AS BIGINT)
             AS n_supp_disc,
-          ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS rev_untaxed
+          SUM(CAST(FLOOR(l_extendedprice * CAST(100 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              FILTER (WHERE l_tax = 0)
+            / CAST(100 AS DOUBLE) AS rev_untaxed
         FROM g_lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")
@@ -1128,7 +1152,10 @@ object SparkEntry {
           coalesce(rev.r, CAST(0 AS DOUBLE)) AS revenue
         FROM months
         LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-                     count(*) AS n, ROUND(SUM(o_totalprice), 2) AS r
+                     count(*) AS n,
+                     SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                       / CAST(100 AS DOUBLE) AS r
                    FROM g_orders GROUP BY 1) rev
           ON rev.m = months.m
         ORDER BY months.m""")
@@ -1157,18 +1184,25 @@ object SparkEntry {
       // mergeable Aggregator (count/sum/max with an off-heap product
       // buffer) — compile-time field checking at the API edge, the
       // same partial→merge→finish contract as the native aggregates.
-      // Sums round to 2 dp (2-dp-quantized prices, house convention).
+      // Prices enter as exact integer CENTS carried in the double
+      // field (integer-valued double sums are exact to 2^53 — the
+      // latticeSum discipline applied at the typed boundary, where the
+      // aggregator's buffer type is fixed by the case class); the
+      // presentation divides back to units.
       import s.implicits._
       import graft.ext.Typed
       t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("double")
+            .as("o_totalprice"))
         .as[Typed.Order]
         .groupByKey(_.o_custkey)
         .agg(Typed.OrderStats.toColumn.name("s"))
         .map { case (k, v) => (k, v.n, v.total, v.max_price) }
         .toDF("o_custkey", "n", "total", "max_price")
-        .select(col("o_custkey"), col("n"), round(col("total"), 2).as("total"),
-          col("max_price"))
+        .select(col("o_custkey"), col("n"),
+          (col("total") / 100).as("total"),
+          (col("max_price") / 100).as("max_price"))
         .orderBy(col("o_custkey"))
     }),
     "s40_lateral_topn" -> ((s, d) => {
@@ -1276,7 +1310,9 @@ object SparkEntry {
       // both dialects, but the promotion rules differ).
       t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
       s.sql("""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            / CAST(10000 AS DOUBLE) AS revenue,
           CAST(count(*) AS BIGINT) AS n_lines
         FROM g_lineitem
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
@@ -1345,7 +1381,9 @@ object SparkEntry {
       s.sql("""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-          ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+          SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            / CAST(10000 AS DOUBLE) AS revenue
         FROM g_lineitem l
         JOIN g_orders o ON o.o_orderkey = l.l_orderkey
         JOIN g_customer c ON c.c_custkey = o.o_custkey
@@ -1359,18 +1397,21 @@ object SparkEntry {
     }),
     "s30_market_share" -> ((s, d) => {
       // TPC-H Q8 shape: one nation's share of a region's PROMO volume
-      // per year. The share DIVIDES THE ROUNDED SUMS (2-dp-quantized
-      // values identical in both engines), then rounds the quotient —
-      // the only cross-engine-safe way to oracle a ratio of double
-      // aggregates: raw-sum division could flip the last printed digit
-      // on a 1-ulp summation-order difference.
+      // per year. Volumes quantize to an exact 1e-4 lattice per row
+      // (latticeSum discipline), so nation/total are exact BIGINTs and
+      // the 6-dp share divides identical integer-derived comparands on
+      // both engines — stronger than the old divide-the-rounded-sums
+      // form, whose 2-dp comparands themselves flip .xx5 boundaries at
+      // large magnitude.
       Seq("lineitem", "orders", "customer", "supplier", "nation",
         "region", "part")
         .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
       s.sql("""
         WITH vol AS (
           SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-            l.l_extendedprice * (1 - l.l_discount) AS volume,
+            CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                 * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+              AS vq,
             n1.n_name AS supp_nation
           FROM g_lineitem l
           JOIN g_part p ON p.p_partkey = l.l_partkey
@@ -1382,10 +1423,12 @@ object SparkEntry {
           JOIN g_nation n1 ON n1.n_nationkey = s.s_nationkey
           WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
         SELECT o_year,
-          ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 2) AS nation_vol,
-          ROUND(SUM(volume), 2) AS total_vol,
-          ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 2)
-                / ROUND(SUM(volume), 2), 6) AS mkt_share
+          SUM(CASE WHEN supp_nation = 'NATION_7' THEN vq ELSE 0 END)
+            / CAST(10000 AS DOUBLE) AS nation_vol,
+          SUM(vq) / CAST(10000 AS DOUBLE) AS total_vol,
+          ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vq ELSE 0 END)
+                     AS DOUBLE)
+                / CAST(SUM(vq) AS DOUBLE), 6) AS mkt_share
         FROM vol GROUP BY o_year ORDER BY o_year""")
     }),
     "s31_nation_profit" -> ((s, d) => {
@@ -1460,22 +1503,27 @@ object SparkEntry {
     }),
     "s34_promo_share" -> ((s, d) => {
       // TPC-H Q14 shape: monthly PROMO revenue share. Same
-      // rounded-sums-then-divide discipline as s30; part is the only
+      // exact-lattice discipline as s30 (1e-4 per-row quantization →
+      // exact BIGINT sums → one share division); part is the only
       // other input and broadcasts.
       Seq("lineitem", "part")
         .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
       s.sql("""
-        SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT) AS ym,
-          ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                         THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS promo_rev,
-          ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
+        WITH q AS (
+          SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT) AS ym,
+            CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                 * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq,
+            p.p_type AS ptype
+          FROM g_lineitem l
+          JOIN g_part p ON p.p_partkey = l.l_partkey)
+        SELECT ym,
+          SUM(CASE WHEN ptype = 'PROMO' THEN vq ELSE 0 END)
+            / CAST(10000 AS DOUBLE) AS promo_rev,
+          SUM(vq) / CAST(10000 AS DOUBLE) AS total_rev,
           ROUND(CAST(100 AS DOUBLE)
-                * ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
-                / ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2), 6) AS promo_share
-        FROM g_lineitem l
-        JOIN g_part p ON p.p_partkey = l.l_partkey
-        GROUP BY 1 ORDER BY 1""")
+                * CAST(SUM(CASE WHEN ptype = 'PROMO' THEN vq ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(vq) AS DOUBLE), 6) AS promo_share
+        FROM q GROUP BY 1 ORDER BY 1""")
     }),
     "q17_range_frame" -> ((s, d) => {
       // RANGE window frame (value-bounded, vs q10/x45's ROWS frames):
@@ -2235,18 +2283,22 @@ object SparkEntry {
     "x96_share_of_total" -> ((s, d) => {
       // ratio-to-report: each month's revenue as a share of its year's
       // total via an aggregate-then-window two-level plan (the BI
-      // staple). The share divides the ROUNDED month sums by their
-      // window total-of-rounded — both engines see identical 2-dp
-      // comparands, so the 6-dp share is stable.
+      // staple). Month sums are exact-lattice CENTS (integers), so the
+      // window total and the 6-dp share divide identical integer-
+      // derived comparands on both engines; presentation divides back
+      // to units at the end.
       val monthly = t(s, d, "orders")
         .groupBy(year(col("o_orderdate")).cast("bigint").as("y"),
           month(col("o_orderdate")).cast("bigint").as("m"))
-        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("_cents"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("y"))
       monthly
-        .withColumn("year_rev", round(sum(col("rev")).over(w), 2))
-        .select(col("y"), col("m"), col("rev"),
-          round(col("rev") / col("year_rev"), 6).as("share"))
+        .withColumn("_year_cents", sum(col("_cents")).over(w))
+        .select(col("y"), col("m"),
+          (col("_cents") / lit(100.0)).as("rev"),
+          round(col("_cents").cast("double") / col("_year_cents"), 6)
+            .as("share"))
         .orderBy(col("y"), col("m"))
     }),
     "x94_transition_matrix" -> ((s, d) => {
@@ -3034,7 +3086,7 @@ object SparkEntry {
           grouping(col("oy")).cast("bigint").as("g_y"),
           grouping(col("o_orderpriority")).cast("bigint").as("g_p"),
           count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("rev"))
+          latticeSum(col("o_totalprice"), 100).as("rev"))
         .orderBy(col("g_y"), col("g_p"), col("oy"), col("o_orderpriority"))),
     "q14_window_family" -> ((s, d) => {
       // the full ranking/navigation window-function family in one pass:
@@ -4104,18 +4156,28 @@ object SparkEntry {
         |            AND COALESCE(regexp_matches(event_type, '(?i)^(purchase|view|click)$'), false)
         |       THEN 'validated' ELSE 'rejected' END AS route, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact-lattice money sums (the latticeSum discipline): per-row
+    // FLOOR(x·scale + .5) -> exact BIGINT sum -> one division
     "s01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
-        |  CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(FLOOR(l_quantity * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+        |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS sum_disc_price,
         |  CAST(ROUND(AVG(l_quantity), 2) AS DOUBLE) AS avg_qty,
         |  CAST(ROUND(AVG(l_discount), 4) AS DOUBLE) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s02_star_revenue" ->
       """SELECT r_name,
-        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+        |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS revenue,
         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -4154,7 +4216,9 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "s07_monthly_rollup" ->
       """SELECT strftime(o_orderdate, '%Y%m') AS order_month, count(*) AS n_orders,
-        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS sum_total
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS sum_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "s08_distinct_parts" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
@@ -4262,7 +4326,9 @@ object SparkEntry {
         |  CAST(GROUPING(oy) AS BIGINT) AS g_y,
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS rev
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS rev
         |FROM t
         |GROUP BY ROLLUP(oy, o_orderpriority)
         |ORDER BY g_y, g_p, oy, o_orderpriority""".stripMargin,
@@ -4739,8 +4805,9 @@ object SparkEntry {
         |ORDER BY event_type, bin""".stripMargin,
     "s18_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
-        |    AS revenue
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+        |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders   ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -4757,15 +4824,18 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_r,
         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_l,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |  CAST(SUM(CAST(FLOOR(l_quantity * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_linestatus), ())
         |ORDER BY g_r, g_l, l_returnflag, l_linestatus""".stripMargin,
     "s20_disjunctive_predicate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,
-        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
-        |    AS revenue
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+        |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 1 AND 20)
@@ -4789,13 +4859,15 @@ object SparkEntry {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
-    // sum of 2-decimal doubles rounds stably at 2dp (the true total is
-    // a 0.01 multiple, accumulated error << the rounding bucket); the
-    // avg threshold can't tie a 2-decimal balance exactly
+    // exact cents lattice (the avg threshold can't tie a 2-decimal
+    // balance exactly, so the filtered set is stable; the SUM is the
+    // latticeSum discipline)
     "s22_global_sales_opportunity" ->
       """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
         |  CAST(count(*) AS BIGINT) AS numcust,
-        |  CAST(round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS DOUBLE) AS totacctbal
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |                   WHERE c_acctbal > 0)
@@ -4807,8 +4879,9 @@ object SparkEntry {
     "s23_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey,
-        |    CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
-        |      AS total_revenue
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+        |        * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |      / CAST(10000 AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
         |    AND l_shipdate < TIMESTAMP '2000-04-01'
@@ -4825,11 +4898,13 @@ object SparkEntry {
         |                           FROM lineitem l2
         |                           WHERE l2.l_partkey = p.p_partkey)
         |ORDER BY p.p_partkey, l.l_suppkey""".stripMargin,
-    // 2dp-quantized sum rounds stably; the avg-threshold comparison is
-    // strict-< against a quotient that never lands on a quantity value
+    // exact cents lattice; the avg-threshold comparison is strict-<
+    // against a quotient that never lands on a quantity value
     "s25_small_qty_revenue" ->
       """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
-        |  CAST(ROUND(SUM(l.l_extendedprice), 2) AS DOUBLE) AS small_revenue
+        |  CAST(SUM(CAST(FLOOR(l.l_extendedprice * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS small_revenue
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
         |                            FROM lineitem l2
@@ -4866,7 +4941,10 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_big,
         |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_discount > 0.05) AS BIGINT)
         |    AS n_supp_disc,
-        |  ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS rev_untaxed
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |      FILTER (WHERE l_tax = 0) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS rev_untaxed
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
@@ -4881,7 +4959,10 @@ object SparkEntry {
         |  coalesce(rev.r, CAST(0 AS DOUBLE)) AS revenue
         |FROM months
         |LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-        |             count(*) AS n, ROUND(SUM(o_totalprice), 2) AS r
+        |             count(*) AS n,
+        |             CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+        |                   + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |               / CAST(100 AS DOUBLE) AS r
         |           FROM orders GROUP BY 1) rev
         |  ON rev.m = months.m
         |ORDER BY months.m""".stripMargin,
@@ -4902,8 +4983,12 @@ object SparkEntry {
         |ORDER BY hops, node""".stripMargin,
     "s42_typed_agg" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
-        |  ROUND(SUM(o_totalprice), 2) AS total,
-        |  MAX(o_totalprice) AS max_price
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS total,
+        |  CAST(MAX(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS max_price
         |FROM orders GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
     "s40_lateral_topn" ->
@@ -4963,7 +5048,9 @@ object SparkEntry {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "s36_forecast_revenue" ->
-      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount
+        |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
@@ -5004,7 +5091,9 @@ object SparkEntry {
     "s29_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-        |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |  SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+        |        * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |    / CAST(10000 AS DOUBLE) AS revenue
         |FROM lineitem l
         |JOIN orders o ON o.o_orderkey = l.l_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
@@ -5018,7 +5107,8 @@ object SparkEntry {
     "s30_market_share" ->
       """WITH vol AS (
         |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-        |    l.l_extendedprice * (1 - l.l_discount) AS volume,
+        |    CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+        |         * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq,
         |    n1.n_name AS supp_nation
         |  FROM lineitem l
         |  JOIN part p ON p.p_partkey = l.l_partkey
@@ -5030,10 +5120,11 @@ object SparkEntry {
         |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
         |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
         |SELECT o_year,
-        |  ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 2) AS nation_vol,
-        |  ROUND(SUM(volume), 2) AS total_vol,
-        |  ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 2)
-        |        / ROUND(SUM(volume), 2), 6) AS mkt_share
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vq ELSE 0 END) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS nation_vol,
+        |  CAST(SUM(vq) AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_vol,
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vq ELSE 0 END) AS DOUBLE)
+        |        / CAST(SUM(vq) AS DOUBLE), 6) AS mkt_share
         |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
     "s31_nation_profit" ->
       """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
@@ -5074,17 +5165,21 @@ object SparkEntry {
         |WHERE part_value > (SELECT CAST(0.0008 AS DOUBLE) * SUM(part_value) FROM pv)
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
     "s34_promo_share" ->
-      """SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT) AS ym,
-        |  ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-        |                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS promo_rev,
-        |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
+      """WITH q AS (
+        |  SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT) AS ym,
+        |    CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+        |         * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq,
+        |    p.p_type AS ptype
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey)
+        |SELECT ym,
+        |  CAST(SUM(CASE WHEN ptype = 'PROMO' THEN vq ELSE 0 END) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS promo_rev,
+        |  CAST(SUM(vq) AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_rev,
         |  ROUND(CAST(100 AS DOUBLE)
-        |        * ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-        |                         THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
-        |        / ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2), 6) AS promo_share
-        |FROM lineitem l
-        |JOIN part p ON p.p_partkey = l.l_partkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |        * CAST(SUM(CASE WHEN ptype = 'PROMO' THEN vq ELSE 0 END) AS DOUBLE)
+        |        / CAST(SUM(vq) AS DOUBLE), 6) AS promo_share
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     // integer-seconds RANGE bounds (lesson 24 base) make frame
     // membership exact cross-engine; the count is a bigint
     "q17_range_frame" ->
@@ -6480,10 +6575,12 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |    CAST(month(o_orderdate) AS BIGINT) AS m,
-        |    ROUND(SUM(o_totalprice), 2) AS rev
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+        |        + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders GROUP BY 1, 2)
-        |SELECT y, m, rev,
-        |  round(rev / round(sum(rev) OVER (PARTITION BY y), 2), 6) AS share
+        |SELECT y, m, CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS rev,
+        |  round(CAST(cents AS DOUBLE)
+        |        / CAST(sum(cents) OVER (PARTITION BY y) AS DOUBLE), 6) AS share
         |FROM m ORDER BY y, m""".stripMargin,
     "x94_transition_matrix" ->
       """WITH t AS (
@@ -7145,7 +7242,9 @@ object SparkEntry {
         |  CAST(GROUPING(oy) AS BIGINT) AS g_y,
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS rev
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS rev
         |FROM t
         |GROUP BY CUBE(oy, o_orderpriority)
         |ORDER BY g_y, g_p, oy, o_orderpriority""".stripMargin,

@@ -95,8 +95,13 @@ object Star {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
+      // exact-lattice revenue (per-row 1e-4 quantize -> exact BIGINT
+      // sum -> one division): rounding a raw double sum at region-
+      // rollup magnitudes (1e9+ at sf0.1, 1e11+ at sf10) flips .xx5
+      // boundaries cross-engine — the s31 lesson applied at the source
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        (sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000 + lit(0.5)).cast("long")) / lit(10000.0)).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy(col("revenue").desc, col("r_name"))
 }

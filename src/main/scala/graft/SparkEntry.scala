@@ -1483,22 +1483,26 @@ object SparkEntry {
       // TPC-H Q11 shape adapted (no partsupp fixture): per-part traded
       // value within one region's suppliers, kept only above a
       // fraction-of-global-total threshold — the scalar subquery over
-      // the SAME aggregate is the Q11 signature. The threshold compares
-      // against 2-dp-rounded part values so both engines see identical
-      // comparands.
+      // the SAME aggregate is the Q11 signature. Per-part values are
+      // exact 1e-4-lattice integers (latticeSum discipline), so the
+      // GLOBAL threshold sum — the largest-magnitude comparand in the
+      // corpus — is an exact integer on both engines and the filter
+      // comparison cannot flip on summation order.
       Seq("lineitem", "supplier", "nation")
         .foreach(n => t(s, d, n).createOrReplaceTempView(s"g_$n"))
       s.sql("""
         WITH pv AS (
           SELECT l.l_partkey,
-            ROUND(SUM(l.l_extendedprice * l.l_quantity), 2) AS part_value
+            SUM(CAST(FLOOR(l.l_extendedprice * l.l_quantity
+                 * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS pq
           FROM g_lineitem l
           JOIN g_supplier s ON s.s_suppkey = l.l_suppkey
           JOIN g_nation n ON n.n_nationkey = s.s_nationkey
           WHERE n.n_regionkey = 2
           GROUP BY l.l_partkey)
-        SELECT l_partkey, part_value FROM pv
-        WHERE part_value > (SELECT CAST(0.0008 AS DOUBLE) * SUM(part_value) FROM pv)
+        SELECT l_partkey, pq / CAST(10000 AS DOUBLE) AS part_value FROM pv
+        WHERE CAST(pq AS DOUBLE) >
+          (SELECT CAST(0.0008 AS DOUBLE) * CAST(SUM(pq) AS DOUBLE) FROM pv)
         ORDER BY part_value DESC, l_partkey""")
     }),
     "s34_promo_share" -> ((s, d) => {
@@ -5155,14 +5159,17 @@ object SparkEntry {
     "s33_important_parts" ->
       """WITH pv AS (
         |  SELECT l.l_partkey,
-        |    ROUND(SUM(l.l_extendedprice * l.l_quantity), 2) AS part_value
+        |    SUM(CAST(FLOOR(l.l_extendedprice * l.l_quantity
+        |         * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS pq
         |  FROM lineitem l
         |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
         |  JOIN nation n ON n.n_nationkey = s.s_nationkey
         |  WHERE n.n_regionkey = 2
         |  GROUP BY l.l_partkey)
-        |SELECT l_partkey, part_value FROM pv
-        |WHERE part_value > (SELECT CAST(0.0008 AS DOUBLE) * SUM(part_value) FROM pv)
+        |SELECT l_partkey, CAST(pq AS DOUBLE) / CAST(10000 AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE CAST(pq AS DOUBLE) >
+        |  (SELECT CAST(0.0008 AS DOUBLE) * CAST(SUM(pq) AS DOUBLE) FROM pv)
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
     "s34_promo_share" ->
       """WITH q AS (

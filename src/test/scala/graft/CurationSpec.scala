@@ -478,20 +478,27 @@ class CurationSpec extends AnyFunSuite {
     val scores = Seq("x", "y").map(l =>
       l -> TextClassify.scoreFor(model, docs, "txt", "id", l)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     (1L to 4L).foreach { id =>
       // the argmax over the per-label slices (score, then label — the
       // house tie rule) must be exactly classify's pred...
       val (bestLabel, bestScore) = Seq("x", "y")
         .map(l => (l, scores(l)(id))).maxBy { case (l, s) => (s, l) }
       assert(cls(id)._1 == bestLabel, s"doc $id")
-      // ...and classify's score is the ROUNDED form of the unrounded
-      // slice value (scoreFor must not pre-round — the sweep's lattice
-      // quantizes the raw double)
-      assert(math.abs(cls(id)._2 - bestScore) <= 5e-7, s"doc $id")
-      assert(cls(id)._2 != bestScore ||
-        bestScore == BigDecimal(bestScore).setScale(6,
-          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // ...and classify's score must be EXACTLY the 6-dp rounding of
+      // the slice value (not merely close — a pre-rounded scoreFor
+      // would also be 'close')
+      assert(cls(id)._2 == round6(bestScore), s"doc $id")
     }
+    // the unrounded contract itself: at least one slice value must NOT
+    // already sit on the 6-dp lattice, or a scoreFor that pre-rounds
+    // would pass every assertion above vacuously (log-posteriors are
+    // irrational sums — a fixture where all four land on the lattice
+    // would be a miracle worth failing loudly over)
+    assert((1L to 4L).exists { id =>
+      Seq("x", "y").exists(l => scores(l)(id) != round6(scores(l)(id)))
+    }, "fixture produced only 6-dp-lattice scores; unrounded contract untested")
     assert(TextClassify.scoreFor(model, docs, "txt", "id", "zz").count() == 0)
     model.unpersist()
   }

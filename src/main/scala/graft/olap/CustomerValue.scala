@@ -83,6 +83,34 @@ object CustomerValue {
         .otherwise("regular").as("segment"))
   }
 
+  /** Deterministic monotone NON-INCREASING band of a long amount — the
+    * HDR-histogram log-linear lattice: octave (bit length) plus the
+    * next `sub` mantissa bits, flipped so band asc == amount desc, with
+    * zero and negatives ordered after all positives. A pure per-row
+    * expression of the value alone (the octave comes from
+    * `length(bin(x))`, exact for every long — never a float `log2`
+    * whose power-of-two boundaries wobble), so two evaluations of a
+    * banded frame agree bit-for-bit with NO shared-aggregate contract.
+    * Band width is a ×(1 + 2^-sub) amount ratio; equal amounts always
+    * co-band. (`Long.MinValue` would overflow the negation — amounts
+    * are cents of money, 2^63 cents is not a reachable magnitude.) */
+  private def amountBand(x: Column, sub: Int): Column = {
+    val width = 1L << sub
+    def posKey(v: Column): Column = {
+      // e = floor(log2 v); values below 2^(sub+1) are their own key,
+      // larger ones key on (octave, top-`sub` mantissa bits) —
+      // contiguous and monotone across the seam
+      val e = (length(bin(v)) - 1).cast("long")
+      when(e <= sub, v)
+        .otherwise(e * width +
+          (call_function("shiftright", v, (e - sub).cast("int")) - width))
+    }
+    val big = lit(64L * width)
+    when(x > 0, big - posKey(x))
+      .when(x === 0, big + 1)
+      .otherwise(big + 2 + posKey(-x))
+  }
+
   /** Pareto / ABC analysis: rank keys by exact-cents contribution,
     * accumulate the revenue share, and class them A (the head up to
     * `aCut` of total), B (up to `bCut`), C (tail) — "which 20% of
@@ -91,38 +119,39 @@ object CustomerValue {
     * The cumulative share needs ONE global order — but never a global
     * SORT PARTITION: the transaction log reduces to per-key cents
     * first (the |keys|-sized report frame), and the rank + running sum
-    * over that frame decompose by AMOUNT-RANGE bucket, the
+    * over that frame decompose by AMOUNT-RANGE band, the
     * `Sampling.globalPositions` prefix-offset pattern adapted to a
     * value order and kept ENTIRELY IN-PLAN (no persist, no driver
-    * collect — the per-key aggregate is computed once, its exchange
-    * reused across every consumer, the sweepFromPerScore discipline):
+    * collect):
     *
-    *  1. `percentile_approx` picks ≤ `buckets−1` range boundaries over
-    *     `amount_cents` as a one-row aggregate, broadcast back
-    *     (boundary PLACEMENT only balances work — rank/cum_share are
-    *     global properties, identical under any monotone bucketing);
-    *  2. each key buckets with one narrow array-filter over the
-    *     broadcast boundaries (equal amounts always co-bucket, so
-    *     bucket order concatenates to exactly the global
-    *     `(amount DESC, key)` order);
-    *  3. per-bucket counts/cents sums (≤ `buckets` rows) fold into
-    *     rank/cumulative offsets + the grand total on the bucket-sized
-    *     frame itself, broadcast-joined back;
-    *  4. the window runs PARTITIONED by bucket — each sort holds
-    *     ~|keys|/buckets rows, never the key population on one
-    *     partition.
+    *  1. each key bands by a DETERMINISTIC monotone function of its
+    *     own `amount_cents` — the HDR-histogram log-band lattice of
+    *     [[amountBand]] (octave + a few mantissa bits), a pure per-row
+    *     expression: no boundary aggregate exists, so independent
+    *     evaluations of the banded frame are bit-identical BY
+    *     CONSTRUCTION and nothing depends on Spark's exchange/broadcast
+    *     reuse firing (band placement only balances work —
+    *     rank/cum_share are global properties, identical under any
+    *     monotone banding, and equal amounts always co-band, so band
+    *     order concatenates to exactly the global `(amount DESC, key)`
+    *     order);
+    *  2. per-band counts/cents sums (≤ ~`buckets` rows per sign) fold
+    *     into rank/cumulative offsets + the grand total on the
+    *     band-sized frame itself, broadcast-joined back;
+    *  3. the window runs PARTITIONED by band — each sort holds one
+    *     band's keys, never the key population on one partition.
     *
-    * Heavy amount TIES are the one skew source (ties must co-bucket
-    * for rank determinism); a single tied value spanning a quantile
-    * boundary concentrates its bucket, which degrades toward the old
-    * single-sort only in the degenerate all-keys-equal case.
+    * Skew: the lattice is fixed-magnitude, not equal-count — a corpus
+    * concentrated in one octave×mantissa band sorts those keys in one
+    * partition (at the default granularity a band spans a ×1.19 amount
+    * range, so only a near-constant amount distribution degenerates;
+    * heavy exact TIES co-band by necessity — rank determinism). The
+    * trade deletes the old quantile-boundary + offset BARRIERS: no
+    * percentile aggregate, no one-row broadcast before keys can band.
     *
-    * The decomposition trades a few hundred ms of fixed stage latency
-    * (boundary + offset barriers) for never sorting the key population
-    * on one partition — flat measured cost from 15k to 150k keys (10×
-    * stress ratio 1.0). A caller with a KNOWN-SMALL key population can
-    * pass `buckets = 1` to skip the machinery (one window partition —
-    * the pre-decomposition shape, cheapest at dashboard scale).
+    * A caller with a KNOWN-SMALL key population can pass `buckets = 1`
+    * to skip the machinery (one window partition — cheapest at
+    * dashboard scale).
     *
     * Cumulative and grand totals are exact integer sums; each share is
     * one divide; class boundaries compare the exact ratio against the
@@ -143,30 +172,13 @@ object CustomerValue {
       .filter(col(keyCol).isNotNull && col(amountCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(sum(cents(col(amountCol))).as("amount_cents"))
-    val probes = (1 until buckets).map(_.toDouble / buckets)
-    val bounds =
-      if (probes.isEmpty)
-        perKey.limit(1).select(array().cast("array<double>").as("_bs"))
-      else perKey.agg(percentile_approx(col("amount_cents").cast("double"),
-        lit(probes.toArray), lit(10000)).as("_bs"))
-    // bucket = #{b : amount <= b} over the boundary array — a monotone
-    // non-increasing function of amount (duplicate boundaries merely
-    // leave empty buckets), so equal amounts always share a bucket and
-    // bucket asc == amount desc.
-    //
-    // REUSE CONTRACT: `withB` (and the bounds broadcast inside it)
-    // feeds both the offset branch and the final join, and
-    // percentile_approx's GK merge is shuffle-fetch-order sensitive —
-    // two INDEPENDENT evaluations could return different boundary
-    // arrays and make the final join's bucket ids miss `offs` rows
-    // (silently dropping keys). Spark's exchange/broadcast reuse
-    // collapses the identical subtrees to one evaluation; the
-    // CustomerValueSpec plan gate pins a ReusedExchange in the
-    // executed plan and a rank-contiguity invariant backstops it.
-    val withB = perKey.crossJoin(broadcast(bounds))
-      .withColumn("_graft_pb",
-        size(filter(col("_bs"), b => col("amount_cents").cast("double") <= b)))
-      .drop("_bs")
+    // ceil(log2(buckets)) - 6 mantissa bits keeps the positive-amount
+    // band count <= buckets (64 octaves x 2^sub sub-bands)
+    val sub = math.min(16, math.max(0,
+      if (buckets < 2) 0
+      else 32 - Integer.numberOfLeadingZeros(buckets - 1) - 6))
+    val withB = perKey.withColumn("_graft_pb",
+      if (buckets == 1) lit(0L) else amountBand(col("amount_cents"), sub))
     val perBucket = withB.groupBy(col("_graft_pb"))
       .agg(count(lit(1)).as("_n"), sum(col("amount_cents")).as("_s"))
     // offsets fold on the bucket-sized frame (≤ `buckets` rows), never

@@ -75,15 +75,20 @@ class CustomerValueSpec extends AnyFunSuite {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "paretoAbc must never plan an unpartitioned Window:\n" +
         pDf.queryExecution.executedPlan.toString)
-    // the per-key aggregate (and the percentile_approx bounds fed by
-    // it) must evaluate ONCE: independent re-evaluations of the
-    // order-sensitive GK sketch could disagree across branches and
-    // silently drop keys at the offset join (see the REUSE CONTRACT
-    // comment in paretoAbc)
-    val pStr = pDf.queryExecution.executedPlan.toString
-    assert(pStr.contains("ReusedExchange") || pStr.contains("ReusedQueryStage")
-      || pStr.contains("reused"),
-      "paretoAbc's per-key exchange must be reused across branches:\n" + pStr)
+    // the band id is a pure per-row expression of amount_cents — no
+    // shared boundary aggregate exists, so correctness must hold even
+    // with exchange reuse DISABLED (the r11 shape relied on
+    // ReuseExchange collapsing two percentile_approx evaluations; this
+    // pins that the contract is gone, not merely surviving)
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.exchange.reuse", "true")
+    try {
+      conf.set("spark.sql.exchange.reuse", "false")
+      val rows = CustomerValue.paretoAbc(tx, "cust", "amt")
+        .select("rank").orderBy("rank").collect().map(_.getLong(0))
+      assert(rows.toSeq == (1L to 5L),
+        "paretoAbc must not depend on exchange reuse for rank integrity")
+    } finally conf.set("spark.sql.exchange.reuse", prev)
   }
 
   test("paretoAbc invariants on a many-bucket frame: ranks contiguous " +

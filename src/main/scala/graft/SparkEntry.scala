@@ -3670,6 +3670,30 @@ object SparkEntry {
       Stats.groupAuc(t(s, d, "documents"), "source", col("n_chars"),
           when(pmod(col("doc_id"), lit(7)) =!= 0, col("lang") === "en"))
         .orderBy(col("group"))),
+    "x171_growth_mv_kmv" -> ((s, d) => {
+      // x169's 1e9-user escape hatch, EXECUTED: the same maintenance
+      // loop with the BOUNDED KMV state (<= k longs per (day, key))
+      // instead of the exact user set — the reference's maintained
+      // latest-state hub (DDL:447-470) at a cardinality ClickHouse
+      // answers with uniqState. Value-oracled in the exact regime:
+      // k = 4096 >= the fixture's user population, and below
+      // saturation a KMV sketch IS the distinct hash set (bottom-k of
+      // a union == union), so every estimate is the exact count and
+      // the serve replays the SAME batch oracle as x153/x169 — the
+      // estimates just carry DOUBLE type. The saturated-regime error
+      // band is spec-pinned (GrowthSpec).
+      import graft.stream.{IncrementalMv, MvAgg}
+      val path = cachePath(d, "x171") + "/mv_kmv"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("_all", lit("all"))
+      (0 until 3).foreach(m => IncrementalMv.applyAggDelta(
+        ev.filter(pmod(col("event_id"), lit(3)) === m), m, path,
+        "ts", "_all", col("user_id"), MvAgg.kmvDistinct(4096)))
+      graft.olap.Growth.activeUsersFromKmvMv(s, path, 4096)
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -7906,6 +7930,12 @@ object SparkEntry {
     // union is idempotent), so the SAME growth-accounting replay
     // value-checks the full maintenance loop + serve
     "x169_growth_mv" -> duckActiveUsersSql,
+    // the KMV-served variant: same report, but the au_* columns are
+    // estimates (DOUBLE) — exact-regime k makes the VALUES identical
+    "x171_growth_mv_kmv" ->
+      ("SELECT day, CAST(au_1 AS DOUBLE) AS au_1, " +
+        "CAST(au_7 AS DOUBLE) AS au_7, CAST(au_28 AS DOUBLE) AS au_28, " +
+        "stickiness FROM (" + duckActiveUsersSql + ") ORDER BY day"),
     // (user, day) dedup -> per-user first day -> day rollup -> running
     // cumulative over the day spine
     "x154_new_vs_returning" ->

@@ -44,15 +44,20 @@ object Growth {
     * event-log dedup or from exploding day-partitioned MV states.
     * Duplicate (user, day) rows are tolerated (every counting step is
     * count_distinct) — they only inflate the expansion cost, so feed
-    * the deduped frame when you have one. */
+    * the deduped frame when you have one. Null users/days drop (the
+    * [[activeUsers]] contract — without the filter a null day would
+    * mint a null spine row and null users would silently vanish only
+    * from the counts). */
   def activeUsersFromUserDay(frame: DataFrame, userCol: String,
                              dayCol: String,
                              windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
     require(windows.nonEmpty && windows.forall(_ >= 1),
       "windows must be non-empty positive day counts")
     require(windows.distinct.size == windows.size, "duplicate windows")
-    val userDay = frame.select(col(userCol).as("_u"),
-      col(dayCol).cast("date").as("_d"))
+    val userDay = frame
+      .filter(col(userCol).isNotNull && col(dayCol).isNotNull)
+      .select(col(userCol).as("_u"),
+        col(dayCol).cast("date").as("_d"))
     val spine = userDay.select(col("_d").as("day")).distinct()
     val perWindow = windows.map { w =>
       // a (user, d) activity covers report days d .. d+w-1; the spine
@@ -100,6 +105,59 @@ object Growth {
         graft.stream.MvAgg.distinctSet)
       .select(explode(col("value")).as("_u"), col("day").as("_d"))
     activeUsersFromUserDay(ud, "_u", "_d", windows)
+  }
+
+  /** [[activeUsers]] served from a KMV-SKETCH MV
+    * (`MvAgg.kmvDistinct(k)`) — the 1e9-daily-actives regime's answer
+    * to [[activeUsersFromMv]]'s exact distinct-set state: the MV holds
+    * one ≤ k-long bottom-k hash sketch per (day, key) instead of the
+    * true user set, so state is BOUNDED regardless of cardinality.
+    * The serve never explodes users at all: per report day it folds
+    * the covering days' sketches (bottom-k of a union of bottom-k's IS
+    * bottom-k of the union — the exact KMV merge law) and estimates,
+    * so a window count costs `w × k` longs, not `w × DAU` users.
+    *
+    * Accuracy contract: BELOW saturation (window-union distinct < k)
+    * the merged sketch IS the distinct hash set and every `au_w` is
+    * the exact count — an MV in that regime serves value-identical to
+    * [[activeUsers]] (modulo the DOUBLE column type estimates carry).
+    * Saturated sketches estimate with rsd ≈ 1/√(k−2)
+    * [Beyer et al. SIGMOD'07]; stickiness is the estimate ratio.
+    *
+    * Output matches [[activeUsers]]: `(day, au_<w>..., stickiness)`,
+    * `au_*` as DOUBLE (estimates). */
+  def activeUsersFromKmvMv(spark: org.apache.spark.sql.SparkSession,
+                           mvPath: String, k: Int,
+                           windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      "windows must be non-empty positive day counts")
+    require(windows.distinct.size == windows.size, "duplicate windows")
+    val merge = graft.stream.MvAgg.kmvDistinct(k).merge
+    // one sketch per day (keys union first — a user active under
+    // several MV keys the same day dedups by hash identity)
+    val perDay = spark.read.parquet(mvPath)
+      .groupBy(col("day").cast("date").as("_d"))
+      .agg(merge(col("state")).as("_st"))
+    val spine = perDay.select(col("_d").as("day"))
+    val perWindow = windows.map { w =>
+      val covered =
+        if (w == 1) perDay.select(col("_d").as("day"), col("_st"))
+        else perDay
+          .select(explode(sequence(col("_d"), date_add(col("_d"), w - 1)))
+            .as("day"), col("_st"))
+          .join(spine, "day")
+      covered.groupBy(col("day"))
+        .agg(graft.ext.Sketches.kmvEstimateCol(merge(col("_st")), k)
+          .as(s"au_$w"))
+    }
+    val joined = perWindow.foldLeft(spine)((acc, f) =>
+      acc.join(f, Seq("day"), "left"))
+      .select(col("day") +: windows.map(w =>
+        coalesce(col(s"au_$w"), lit(0.0)).as(s"au_$w")): _*)
+    if (windows.size < 2) joined.orderBy(col("day"))
+    else joined.withColumn("stickiness",
+        round(col(s"au_${windows.min}") / col(s"au_${windows.max}"), 6))
+      .orderBy(col("day"))
   }
 
   /** Temporally leakage-safe training frame for an activity-prediction

@@ -102,4 +102,48 @@ class GrowthSpec extends AnyFunSuite {
     assert(out("2024-01-01") == ((1L, 1L, 0L, 1L, 1.0)))
     assert(out("2024-01-02") == ((2L, 1L, 1L, 2L, 0.5)))
   }
+
+  test("activeUsersFromKmvMv: exact (== activeUsers) below saturation, " +
+    "state bounded by k; saturated sketches estimate inside the rsd band") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.stream.{IncrementalMv, MvAgg}
+    // exact regime: 30 users over 3 days, k = 64 >= any window union
+    val ev = (1 to 30).map(u => (u.toLong, ts(1 + u % 3)))
+      .toDF("user_id", "ts")
+    val mvDir = Files.createTempDirectory("graft-kmv-mv").toString + "/mv"
+    Seq(0, 1).foreach(m => IncrementalMv.applyAggDelta(
+      ev.filter(pmod(col("user_id"), lit(2)) === m)
+        .withColumn("_all", lit("all")),
+      m, mvDir, "ts", "_all", col("user_id"), MvAgg.kmvDistinct(64)))
+    val served = Growth.activeUsersFromKmvMv(spark, mvDir, 64)
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val batch = Growth.activeUsers(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble, r.getDouble(4))).toSeq
+    assert(served.nonEmpty && served == batch,
+      "unsaturated KMV serve must equal the exact batch report")
+    // the whole point vs distinctSet: persisted state is <= k longs
+    val maxLen = spark.read.parquet(mvDir)
+      .agg(max(size(col("state")))).head.getInt(0)
+    assert(maxLen <= 64)
+
+    // saturated regime: 2000 users on one day, k = 128 — the state
+    // stays 128 longs and the estimate lands within ~4 rsd of truth
+    // (rsd = 1/sqrt(k-2) ~ 8.9%; hashes are deterministic, so this
+    // pins the actual fixture value, the band states the contract)
+    val big = (1 to 2000).map(u => (u.toLong, ts(1))).toDF("user_id", "ts")
+    val mv2 = Files.createTempDirectory("graft-kmv-mv2").toString + "/mv"
+    IncrementalMv.applyAggDelta(big.withColumn("_all", lit("all")), 0, mv2,
+      "ts", "_all", col("user_id"), MvAgg.kmvDistinct(128))
+    val est = Growth.activeUsersFromKmvMv(spark, mv2, 128, windows = Seq(1))
+      .head.getDouble(1)
+    val len2 = spark.read.parquet(mv2)
+      .agg(max(size(col("state")))).head.getInt(0)
+    assert(len2 == 128, "a saturated sketch must hold exactly k hashes")
+    assert(est != 2000.0, "2000 distinct cannot serve exactly from k=128")
+    assert(math.abs(est / 2000.0 - 1.0) < 0.35,
+      s"KMV estimate $est outside the 4-rsd band around 2000")
+  }
 }

@@ -86,7 +86,7 @@ object ScaleStress {
     // 10x duplication multiplies hits linearly, never quadratically
     "x168_crossdoc_spans",
     // stress-only probes (not oracled queries): see `extraProbes`
-    "ivf_batch_nprobes2", "ivf_pq_nprobes2")
+    "crossdoc_spans_capped", "ivf_batch_nprobes2", "ivf_pq_nprobes2")
 
   /** Stress-only probes with no oracle entry: x99's bench/oracle form
     * runs probe-ALL (exact by construction, O(|queries|·|corpus|) BY
@@ -110,6 +110,16 @@ object ScaleStress {
             .as("amt")),
         "k", "amt")
     }),
+    // x168's degenerate-corpus escape hatch: the ×N inflation is a
+    // 100%-duplicate corpus (every window shared N ways — the 100×
+    // worst case read 18.8× in r11), and the df CEILING is what bounds
+    // it: shingles shared by > maxDocs docs are boilerplate and drop
+    // before the hit frame forms, so the capped line should flatten
+    // where the default line blows up with duplication density.
+    "crossdoc_spans_capped" -> ((s, dir) =>
+      graft.ext.TextDedup.crossDocRepeatedSpans(
+        Tables(s, dir, "documents"), "text", "doc_id",
+        k = 8, minDocs = 2, maxDocs = Some(8L))),
     "ivf_batch_nprobes2" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 16)

@@ -190,7 +190,7 @@ object SparkEntry {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("n_customers"),
-        round(sum(col("o_totalprice")), 2).as("latest_order_value"))
+        latticeSum(col("o_totalprice"), 100).as("latest_order_value"))
       .orderBy(col("r_name"))
   }
 
@@ -384,7 +384,8 @@ object SparkEntry {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
           col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(latticeSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          10000).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -3694,6 +3695,51 @@ object SparkEntry {
         "ts", "_all", col("user_id"), MvAgg.kmvDistinct(4096)))
       graft.olap.Growth.activeUsersFromKmvMv(s, path, 4096)
     }),
+    "x172_calibration_null_labels" -> ((s, d) => {
+      // x136 with every 7th doc UN-labeled query-side: the unified
+      // null-drop label contract (when(l,1).when(!l,0) + isNotNull)
+      // rides the oracle gate for calibrationReport too — dropped rows
+      // must vanish from confidence sums, accuracy AND the ECE weights.
+      val docs = t(s, d, "documents")
+      Stats.calibrationReport(docs,
+          least(col("n_chars"), lit(560)).cast("double") / lit(560),
+          when(pmod(col("doc_id"), lit(7)) =!= 0,
+            size(TextDedup.tokens(col("text"))) >= 55), bins = 10)
+        .orderBy(col("bin"))
+    }),
+    "x173_centroid_null_rows" -> ((s, d) =>
+      // x128 with nulls injected on BOTH input columns (label on every
+      // 7th vec, embedding on every 11th): dropped rows must leave the
+      // centroids themselves, not just the assignment pass — the
+      // oracle recomputes centroids over exactly the surviving rows.
+      Embeddings.nearestCentroidConfusion(
+          t(s, d, "embeddings").select(
+            col("vec_id"),
+            when(pmod(col("vec_id"), lit(11)) =!= 0, col("embedding"))
+              .as("embedding"),
+            when(pmod(col("vec_id"), lit(7)) =!= 0, col("label"))
+              .as("label")),
+          "embedding", "label")
+        .orderBy(col("label"), col("pred"))),
+    "x174_binned_sweep_null_labels" -> ((s, d) => {
+      // x167 with every 7th scored doc UN-labeled: null labels must
+      // drop from the binned sweep's lattice AND confusion counts
+      // (they are rows without ground truth, not negatives).
+      import graft.ext.TextClassify
+      val docs = t(s, d, "documents")
+      val model = TextClassify.trainNaiveBayes(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "lang")
+      val applyHalf = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val scored = TextClassify.scoreFor(model, applyHalf, "text",
+          "doc_id", "en")
+        .join(applyHalf.select(col("doc_id").as("id"), col("lang")), "id")
+      val out = Quality.thresholdSweepBinned(scored, "score",
+          when(pmod(col("id"), lit(7)) =!= 0, col("lang") === "en"),
+          scale = 100.0)
+        .orderBy(col("threshold").desc)
+      model.unpersist()
+      out
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -3961,6 +4007,110 @@ object SparkEntry {
       |fs AS (SELECT a.doc_id, pri.label, pri.log_prior + COALESCE(sc.sum_lp, 0.0) AS score
       |       FROM (SELECT DISTINCT doc_id FROM ap) a CROSS JOIN pri
       |       LEFT JOIN sc ON sc.doc_id = a.doc_id AND sc.label = pri.label)""".stripMargin
+
+  /** DuckDB replay of the x167 train → score → lattice → binned-sweep
+    * chain, parameterized on an extra label-side filter: x167 runs the
+    * plain contract, x174 additionally excludes the scored docs its
+    * Spark side leaves UN-LABELED (null label → drop from lattice and
+    * confusion alike). */
+  private def duckNbSweepSql(labExtra: String): String =
+    duckNbCtes + ",\n" +
+      s"""en AS (SELECT doc_id, score FROM fs WHERE label = 'en'),
+        |lab AS (SELECT doc_id, lang FROM documents
+        |        WHERE doc_id % 2 = 1 AND lang IS NOT NULL$labExtra),
+        |bq AS (SELECT floor(en.score * 100 + 0.5) / 100 AS threshold,
+        |              CASE WHEN lab.lang = 'en' THEN 1 ELSE 0 END AS yy
+        |       FROM en JOIN lab USING (doc_id)),
+        |g AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(yy) AS BIGINT) AS np FROM bq GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |             CAST(sum(np) AS BIGINT) AS pos FROM g),
+        |c AS (SELECT threshold,
+        |        CAST(sum(np) OVER (ORDER BY threshold DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |        CAST(sum(n) OVER (ORDER BY threshold DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |      FROM g)
+        |SELECT threshold, tp, pp - tp AS fp, t.pos - tp AS fn,
+        |  t.tot - pp - (t.pos - tp) AS tn,
+        |  CAST(tp AS DOUBLE) / pp AS precision,
+        |  CAST(tp AS DOUBLE) / t.pos AS recall,
+        |  -- pos = 0 -> NULL f1 (the NULL-on-positive-free convention;
+        |  -- without the leading WHEN the NULL comparison falls to ELSE 0.0)
+        |  CASE WHEN t.pos = 0 THEN NULL
+        |    WHEN CAST(tp AS DOUBLE) / pp + CAST(tp AS DOUBLE) / t.pos > 0
+        |    THEN 2 * (CAST(tp AS DOUBLE) / pp) * (CAST(tp AS DOUBLE) / t.pos)
+        |         / ((CAST(tp AS DOUBLE) / pp) + (CAST(tp AS DOUBLE) / t.pos))
+        |    ELSE 0.0 END AS f1
+        |FROM c, t
+        |ORDER BY threshold DESC""".stripMargin
+
+  /** DuckDB replay of [[graft.ext.Embeddings.nearestCentroidConfusion]]
+    * over embeddings, parameterized on an extra row filter: x128 runs
+    * the plain contract, x173 additionally excludes the rows its Spark
+    * side NULLS query-side (label or embedding → the row must leave
+    * both the centroid fit and the assignment pass). */
+  private def duckNearestCentroidSql(extraWhere: String): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |  WHERE label IS NOT NULL AND embedding IS NOT NULL$extraWhere),
+       |n AS (
+       |  SELECT vec_id, label, e,
+       |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
+       |  FROM v),
+       |q AS (
+       |  SELECT vec_id, label,
+       |    list_transform(e, x ->
+       |      CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS INT)) AS qv
+       |  FROM n),
+       |x AS (
+       |  SELECT label, unnest(qv) AS qe, unnest(range(len(qv))) AS dim FROM q),
+       |cent AS (
+       |  SELECT label AS clabel, dim, CAST(sum(qe) AS DOUBLE) / count(*) AS q_mean
+       |  FROM x GROUP BY 1, 2),
+       |carr AS (SELECT clabel, list(q_mean ORDER BY dim) AS c FROM cent GROUP BY 1),
+       |sims AS (
+       |  SELECT v.vec_id, v.label, a.clabel,
+       |    round(list_sum(list_transform(list_zip(v.e, a.c), p -> p[1] * p[2]))
+       |      / sqrt(list_sum(list_transform(v.e, z -> z * z))
+       |           * list_sum(list_transform(a.c, z -> z * z))), 6) AS sim
+       |  FROM v CROSS JOIN carr a),
+       |pred AS (
+       |  SELECT vec_id, label, clabel,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sim DESC, clabel DESC) AS rn
+       |  FROM sims WHERE sim IS NOT NULL)
+       |SELECT label, clabel AS pred, CAST(count(*) AS BIGINT) AS n
+       |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** DuckDB replay of [[graft.ext.Stats.calibrationReport]] over the
+    * x136 length-scorer setup, parameterized on an extra row filter:
+    * x136 runs the plain contract, x172 additionally excludes the rows
+    * its Spark side leaves UN-LABELED (null label → drop). */
+  private def duckCalibrationSql(extraWhere: String): String =
+    raw"""WITH base AS (
+       |  SELECT CAST(least(n_chars, 560) AS DOUBLE) / 560 AS pr,
+       |    CASE WHEN len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 55
+       |      THEN 1 ELSE 0 END AS y
+       |  FROM documents
+       |  WHERE n_chars IS NOT NULL AND text IS NOT NULL$extraWhere),
+       |lat AS (SELECT CAST(least(floor(pr * 10), 9) AS INT) AS bin,
+       |               CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS l, y FROM base),
+       |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       |              CAST(sum(l) AS BIGINT) AS slat FROM lat GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM pb),
+       |sc AS (SELECT bin, n, n_pos,
+       |         CAST(slat AS DOUBLE) / n / 1000000 AS conf,
+       |         CAST(n_pos AS DOUBLE) / n AS acc
+       |       FROM pb),
+       |e AS (SELECT round(list_sum(list(abs(acc - conf) * CAST(n AS DOUBLE) / tn
+       |        ORDER BY bin)), 6) AS ece
+       |      FROM sc CROSS JOIN tot)
+       |SELECT bin, n, n_pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
+       |  round(abs(acc - conf), 6) AS gap, ece
+       |FROM sc CROSS JOIN e ORDER BY bin""".stripMargin
 
   /** DuckDB replay of [[graft.ext.Stats.groupAuc]] over documents
     * (per-source Mann–Whitney AUC of n_chars vs lang=='en'),
@@ -4254,7 +4404,9 @@ object SparkEntry {
 
     "s09_shipping_priority" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-        |  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+        |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+        |    / CAST(10000 AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
@@ -6008,40 +6160,11 @@ object SparkEntry {
          |LIMIT 100""".stripMargin,
     // x33's quantize+centroid CTEs, then per-vector cosine argmax
     // (rounded sims, ties to the greatest label) and the confusion agg
-    "x128_nearest_centroid" ->
-      """WITH v AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings
-        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
-        |n AS (
-        |  SELECT vec_id, label, e,
-        |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
-        |  FROM v),
-        |q AS (
-        |  SELECT vec_id, label,
-        |    list_transform(e, x ->
-        |      CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS INT)) AS qv
-        |  FROM n),
-        |x AS (
-        |  SELECT label, unnest(qv) AS qe, unnest(range(len(qv))) AS dim FROM q),
-        |cent AS (
-        |  SELECT label AS clabel, dim, CAST(sum(qe) AS DOUBLE) / count(*) AS q_mean
-        |  FROM x GROUP BY 1, 2),
-        |carr AS (SELECT clabel, list(q_mean ORDER BY dim) AS c FROM cent GROUP BY 1),
-        |sims AS (
-        |  SELECT v.vec_id, v.label, a.clabel,
-        |    round(list_sum(list_transform(list_zip(v.e, a.c), p -> p[1] * p[2]))
-        |      / sqrt(list_sum(list_transform(v.e, z -> z * z))
-        |           * list_sum(list_transform(a.c, z -> z * z))), 6) AS sim
-        |  FROM v CROSS JOIN carr a),
-        |pred AS (
-        |  SELECT vec_id, label, clabel,
-        |    row_number() OVER (PARTITION BY vec_id
-        |                       ORDER BY sim DESC, clabel DESC) AS rn
-        |  FROM sims WHERE sim IS NOT NULL)
-        |SELECT label, clabel AS pred, CAST(count(*) AS BIGINT) AS n
-        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x128_nearest_centroid" -> duckNearestCentroidSql(""),
+    // the injected-null variant: label nulled on every 7th vec,
+    // embedding on every 11th — centroids refit over the survivors
+    "x173_centroid_null_rows" ->
+      duckNearestCentroidSql(" AND vec_id % 7 <> 0 AND vec_id % 11 <> 0"),
     // group counts -> integer-ratio fracs -> ratio-to-target -> shared
     // max normalizer (one IEEE chain per group, no fold ordering)
     "x130_mixture_reweight" ->
@@ -7414,27 +7537,11 @@ object SparkEntry {
         "n_chars IS NOT NULL AND lang IS NOT NULL AND doc_id % 7 <> 0"),
     // 1e-6 confidence lattice -> exact per-bin sums -> bin-ordered ECE
     // fold (list_sum == the sorted-struct fold)
-    "x136_calibration" ->
-      """WITH base AS (
-        |  SELECT CAST(least(n_chars, 560) AS DOUBLE) / 560 AS pr,
-        |    CASE WHEN len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 55
-        |      THEN 1 ELSE 0 END AS y
-        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
-        |lat AS (SELECT CAST(least(floor(pr * 10), 9) AS INT) AS bin,
-        |               CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS l, y FROM base),
-        |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
-        |              CAST(sum(l) AS BIGINT) AS slat FROM lat GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM pb),
-        |sc AS (SELECT bin, n, n_pos,
-        |         CAST(slat AS DOUBLE) / n / 1000000 AS conf,
-        |         CAST(n_pos AS DOUBLE) / n AS acc
-        |       FROM pb),
-        |e AS (SELECT round(list_sum(list(abs(acc - conf) * CAST(n AS DOUBLE) / tn
-        |        ORDER BY bin)), 6) AS ece
-        |      FROM sc CROSS JOIN tot)
-        |SELECT bin, n, n_pos, round(conf, 6) AS conf, round(acc, 6) AS acc,
-        |  round(abs(acc - conf), 6) AS gap, ece
-        |FROM sc CROSS JOIN e ORDER BY bin""".stripMargin,
+    "x136_calibration" -> duckCalibrationSql(""),
+    // the injected-null variant: every 7th doc's label is nulled
+    // query-side and must drop from confidence sums AND the ECE weights
+    "x172_calibration_null_labels" ->
+      duckCalibrationSql(" AND doc_id % 7 <> 0"),
     // the shared 2-component PCA chain, then the all-but-the-top
     // correction: centered vector, RAW projections, corrected element
     // = ce − p1·pc − p2·pc2 (left-assoc), positional norm folds
@@ -8306,37 +8413,11 @@ object SparkEntry {
     // the shared NB replay to fs, then the 'en' log-posterior slice
     // quantized to the 1e-2 lattice (floor(x*100+0.5)/100 — the house
     // half-up on both engines) and the x117 cumulative-confusion tail
-    "x167_nb_sweep_binned" ->
-      (duckNbCtes + ",\n" +
-        """en AS (SELECT doc_id, score FROM fs WHERE label = 'en'),
-          |lab AS (SELECT doc_id, lang FROM documents
-          |        WHERE doc_id % 2 = 1 AND lang IS NOT NULL),
-          |bq AS (SELECT floor(en.score * 100 + 0.5) / 100 AS threshold,
-          |              CASE WHEN lab.lang = 'en' THEN 1 ELSE 0 END AS yy
-          |       FROM en JOIN lab USING (doc_id)),
-          |g AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n,
-          |        CAST(sum(yy) AS BIGINT) AS np FROM bq GROUP BY 1),
-          |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
-          |             CAST(sum(np) AS BIGINT) AS pos FROM g),
-          |c AS (SELECT threshold,
-          |        CAST(sum(np) OVER (ORDER BY threshold DESC
-          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
-          |        CAST(sum(n) OVER (ORDER BY threshold DESC
-          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
-          |      FROM g)
-          |SELECT threshold, tp, pp - tp AS fp, t.pos - tp AS fn,
-          |  t.tot - pp - (t.pos - tp) AS tn,
-          |  CAST(tp AS DOUBLE) / pp AS precision,
-          |  CAST(tp AS DOUBLE) / t.pos AS recall,
-          |  -- pos = 0 -> NULL f1 (the NULL-on-positive-free convention;
-          |  -- without the leading WHEN the NULL comparison falls to ELSE 0.0)
-          |  CASE WHEN t.pos = 0 THEN NULL
-          |    WHEN CAST(tp AS DOUBLE) / pp + CAST(tp AS DOUBLE) / t.pos > 0
-          |    THEN 2 * (CAST(tp AS DOUBLE) / pp) * (CAST(tp AS DOUBLE) / t.pos)
-          |         / ((CAST(tp AS DOUBLE) / pp) + (CAST(tp AS DOUBLE) / t.pos))
-          |    ELSE 0.0 END AS f1
-          |FROM c, t
-          |ORDER BY threshold DESC""".stripMargin),
+    "x167_nb_sweep_binned" -> duckNbSweepSql(""),
+    // the injected-null variant: every 7th scored doc's label nulls
+    // and must drop from the lattice and the confusion counts alike
+    "x174_binned_sweep_null_labels" ->
+      duckNbSweepSql(" AND doc_id % 7 <> 0"),
     // the x61 shingle spelling, distinct-DOC counts, gaps-and-islands
     // run merge per doc, span text via list slice
     "x168_crossdoc_spans" ->

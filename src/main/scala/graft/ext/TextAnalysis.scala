@@ -542,6 +542,11 @@ object TextAnalysis {
         col("idf") * (col("tf") * (lit(k1) + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
     scored.groupBy(col(idCol))
+      // round-of-raw-sum is safe HERE by magnitude: per-doc BM25 scores
+      // sum a handful of O(10) idf·tf terms (ulp ~1e-15 vs the 5e-7
+      // rounding step), unlike the money sums the latticeSum discipline
+      // converts — flip probability is negligible at any corpus scale
+      // because the SCORE magnitude is corpus-size-independent
       .agg(round(sum(col("contrib")), 6).as("score"),
         count(lit(1)).cast("bigint").as("n_terms_hit"))
       .orderBy(col("score").desc, col(idCol))

@@ -218,11 +218,24 @@ object TextDedup {
     * Docs with fewer than `k` tokens are excluded (a ≥k-token span
     * cannot exist in them; whole-short-doc duplication is
     * [[exactDupGroups]]' job). Output: `(doc_id, span_start, span_len,
-    * n_shingles, span_text)` — token-indexed, 0-based start. */
+    * n_shingles, span_text)` — token-indexed, 0-based start.
+    *
+    * `maxDocs` is the degenerate-corpus ceiling (the dual of
+    * [[boilerplateSpans]]' `minDf` floor): a shingle shared by MORE
+    * than `maxDocs` documents is boilerplate, not plagiarism, and on a
+    * pathological near-100%-duplicate corpus keeping such shingles
+    * inflates the hit frame toward corpus × tokens (the 100×-stress
+    * worst case). With a ceiling the operator degrades to "spans
+    * shared by 2..maxDocs docs" — the boilerplate report covers the
+    * rest. Default `None` keeps the exact every-shared-window
+    * contract. */
   def crossDocRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 8, minDocs: Int = 2,
-                            stagingPath: Option[String] = None): DataFrame = {
+                            stagingPath: Option[String] = None,
+                            maxDocs: Option[Long] = None): DataFrame = {
     require(k >= 1 && minDocs >= 2, "need k >= 1 and minDocs >= 2")
+    require(maxDocs.forall(_ >= minDocs),
+      s"maxDocs ${maxDocs.get} must be >= minDocs $minDocs")
     import org.apache.spark.sql.expressions.Window
     val toksPlain = spreadCompute(df.filter(col(textCol).isNotNull))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
@@ -237,7 +250,8 @@ object TextDedup {
       posexplode(shinglesOfTokens(col("_toks"), k)).as(Seq("pos", "_sh")))
     val shared = windows.groupBy(col("_sh"))
       .agg(count_distinct(col("doc_id")).as("_nd"))
-      .filter(col("_nd") >= minDocs)
+      .filter(col("_nd") >= minDocs &&
+        maxDocs.map(col("_nd") <= _).getOrElse(lit(true)))
       .select(col("_sh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = windows.join(shared, Seq("_sh"), "left_semi")

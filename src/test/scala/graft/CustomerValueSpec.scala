@@ -129,4 +129,19 @@ class CustomerValueSpec extends AnyFunSuite {
       CustomerValue.paretoAbc(tx, "k", "amt", aCut = 0.9, bCut = 0.7)
     }
   }
+
+  test("paretoAbc: zero and negative amounts band AFTER all positives " +
+    "(refund keys rank last; cum_share overshoots then returns to 1.0)") {
+    val tx = Seq(("a", 3.0), ("b", 1.0), ("c", 0.0), ("d", -1.0))
+      .toDF("k", "amt")
+    val out = CustomerValue.paretoAbc(tx, "k", "amt")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("a", 300L, 1L, 1.0, 1.0),
+      ("b", 100L, 2L, 0.333333, 1.333333),
+      ("c", 0L, 3L, 0.0, 1.333333),
+      ("d", -100L, 4L, -0.333333, 1.0)))
+  }
 }

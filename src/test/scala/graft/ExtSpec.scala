@@ -119,6 +119,34 @@ class ExtSpec extends AnyFunSuite {
       k = 8, minDocs = 3).count() == 0)
   }
 
+  test("crossDocRepeatedSpans maxDocs ceiling: a ubiquitous shingle is " +
+    "boilerplate, not a span; spans within the ceiling survive intact") {
+    // the same 8-token window in ALL 6 docs (df = 6); a second window
+    // shared by exactly 2 docs rides behind it in docs 1-2
+    val ubiq = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val corpus = (
+      Seq((1L, s"$ubiq p q r s t u v w"), (2L, s"$ubiq p q r s t u v w")) ++
+      (3L to 6L).map(i => (i, s"$ubiq tail$i"))
+    ).toDF("doc_id", "text")
+    // no ceiling: the ubiquitous window spans in every doc
+    val plain = TextDedup.crossDocRepeatedSpans(corpus, "text", "doc_id",
+      k = 8, minDocs = 2)
+    assert(plain.filter(col("span_start") === 0).count() == 6)
+    // ceiling at 3: df=6 shingles drop — only the df=2 pair's full
+    // shared run survives, and it no longer fuses with the dropped head
+    val capped = TextDedup.crossDocRepeatedSpans(corpus, "text", "doc_id",
+        k = 8, minDocs = 2, maxDocs = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(capped.forall { case (id, _, _) => id == 1L || id == 2L })
+    assert(capped.nonEmpty && capped.forall { case (_, start, _) => start > 0 },
+      s"capped spans must exclude the ubiquitous head window: $capped")
+    intercept[IllegalArgumentException] {
+      TextDedup.crossDocRepeatedSpans(corpus, "text", "doc_id",
+        k = 8, minDocs = 4, maxDocs = Some(3L))
+    }
+  }
+
   test("minhashDupPairs finds exact duplicates with jaccard 1.0 (MinHash+LSH)") {
     val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000)
     val pairs = TextDedup.minhashDupPairs(docs.unionByName(shifted), "text", "doc_id")

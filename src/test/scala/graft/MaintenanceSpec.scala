@@ -193,6 +193,55 @@ class MaintenanceSpec extends AnyFunSuite {
       "MV-served DAU/WAU/MAU must equal the batch recompute")
   }
 
+  test("growth MV restart soak: the distinct-set maintenance runs under " +
+    "a LIVE ProcessingTime trigger, is killed between deltas and recovers " +
+    "from its checkpoint — incremental == recompute (ST1/ST3 on the set " +
+    "state)") {
+    import graft.stream.MvAgg
+    import graft.olap.Growth
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("ts"), col("user_id"))
+    // the cut splits DAYS across the kill: the post-restart delta must
+    // MERGE into day partitions the pre-kill run already wrote
+    val cutSec = ev.agg(percentile_approx(unix_timestamp(col("ts")),
+      lit(0.5), lit(100))).head.getLong(0)
+    val inDir = Files.createTempDirectory("graft-mvr-in").toString
+    val mvDir = Files.createTempDirectory("graft-mvr").toString + "/mv"
+    val chkDir = Files.createTempDirectory("graft-mvr-chk").toString
+    def start() = {
+      val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+        .withColumn("_all", lit("all"))
+      IncrementalMv.startAgg(stream, "ts", "_all", "user_id",
+        MvAgg.distinctSet, mvDir, chkDir,
+        Trigger.ProcessingTime("500 milliseconds"))
+    }
+    ev.filter(unix_timestamp(col("ts")) <= cutSec)
+      .write.mode("append").parquet(inDir)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill between deltas: the set state lives only in MV+chk
+    assert(spark.read.parquet(mvDir).count() > 0)
+
+    ev.filter(unix_timestamp(col("ts")) > cutSec)
+      .write.mode("append").parquet(inDir) // arrives while DOWN
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val served = Growth.activeUsersFromMv(spark, mvDir).collect().toSeq
+    val batch = Growth.activeUsers(ev, "user_id", "ts").collect().toSeq
+    assert(served.nonEmpty && served == batch,
+      "MV recovered from a mid-day kill must serve the batch recompute")
+
+    // a third restart with NOTHING new must be a no-op (checkpoint is
+    // the progress source of truth; no marker-less re-merge fires)
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(Growth.activeUsersFromMv(spark, mvDir).collect().toSeq == batch)
+  }
+
   test("generalized MvAgg MVs: incremental maintenance == recompute for " +
     "sum/min/KLL, and a replayed batch id is a no-op for every agg") {
     import graft.stream.MvAgg

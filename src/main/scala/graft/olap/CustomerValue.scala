@@ -91,8 +91,8 @@ object CustomerValue {
     * `length(bin(x))`, exact for every long — never a float `log2`
     * whose power-of-two boundaries wobble), so two evaluations of a
     * banded frame agree bit-for-bit with NO shared-aggregate contract.
-    * Band width is a ×(1 + 2^-sub) amount ratio; equal amounts always
-    * co-band. (`Long.MinValue` would overflow the negation — amounts
+    * Band width is at most a ×(1 + 2^-sub) amount ratio; equal amounts
+    * always co-band. (`Long.MinValue` would overflow the negation — amounts
     * are cents of money, 2^63 cents is not a reachable magnitude.) */
   private def amountBand(x: Column, sub: Int): Column = {
     val width = 1L << sub
@@ -143,15 +143,23 @@ object CustomerValue {
     *
     * Skew: the lattice is fixed-magnitude, not equal-count — a corpus
     * concentrated in one octave×mantissa band sorts those keys in one
-    * partition (at the default granularity a band spans a ×1.19 amount
-    * range, so only a near-constant amount distribution degenerates;
-    * heavy exact TIES co-band by necessity — rank determinism). The
-    * trade deletes the old quantile-boundary + offset BARRIERS: no
-    * percentile aggregate, no one-row broadcast before keys can band.
+    * partition (at the default granularity a band spans at most a
+    * ×1.25 amount range, so only a near-constant amount distribution
+    * degenerates; heavy exact TIES co-band by necessity — rank
+    * determinism). The trade deletes the old quantile-boundary +
+    * offset BARRIERS: no percentile aggregate, no one-row broadcast
+    * before keys can band.
     *
-    * A caller with a KNOWN-SMALL key population can pass `buckets = 1`
-    * to skip the machinery (one window partition — cheapest at
-    * dashboard scale).
+    * `buckets` is a band-GRANULARITY target, not an exact partition
+    * count: it maps to `2^ceil(log2(buckets))/64` sub-bands per octave
+    * (so the positive band SPACE is exactly `buckets` for powers of
+    * two ≥ 64, the next power of two otherwise, and never below the
+    * 64-octave floor — octave banding cannot be coarser), negatives
+    * mirror it, and the OCCUPIED count is bounded by the data's
+    * magnitude spread, typically far smaller. A caller with a
+    * KNOWN-SMALL key population can pass `buckets = 1` to skip the
+    * machinery entirely (one window partition — cheapest at dashboard
+    * scale).
     *
     * Cumulative and grand totals are exact integer sums; each share is
     * one divide; class boundaries compare the exact ratio against the
@@ -172,8 +180,9 @@ object CustomerValue {
       .filter(col(keyCol).isNotNull && col(amountCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(sum(cents(col(amountCol))).as("amount_cents"))
-    // ceil(log2(buckets)) - 6 mantissa bits keeps the positive-amount
-    // band count <= buckets (64 octaves x 2^sub sub-bands)
+    // ceil(log2(buckets)) - 6 mantissa bits: the positive band space is
+    // 64 octaves x 2^sub sub-bands — == buckets for powers of two >= 64,
+    // the 64-band octave floor below that (see the scaladoc contract)
     val sub = math.min(16, math.max(0,
       if (buckets < 2) 0
       else 32 - Integer.numberOfLeadingZeros(buckets - 1) - 6))

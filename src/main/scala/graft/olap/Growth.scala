@@ -1,6 +1,6 @@
 package graft.olap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Growth accounting over an event log: rolling active-user counts
@@ -55,38 +55,51 @@ object Growth {
       "windows must be non-empty positive day counts")
     require(windows.distinct.size == windows.size, "duplicate windows")
     val userDay = frame
-      .filter(col(userCol).isNotNull && col(dayCol).isNotNull)
-      .select(col(userCol).as("_u"),
-        col(dayCol).cast("date").as("_d"))
+      .select(col(userCol).as("_u"), col(dayCol).cast("date").as("_d"))
+      // filter AFTER the cast: a malformed day string casts to null
+      // and must drop the same way a null input does
+      .filter(col("_u").isNotNull && col("_d").isNotNull)
     val spine = userDay.select(col("_d").as("day")).distinct()
     val perWindow = windows.map { w =>
-      // a (user, d) activity covers report days d .. d+w-1; the spine
-      // join keeps only days that exist in the log
-      val covered =
-        if (w == 1) userDay.select(col("_u"), col("_d").as("day"))
-        else userDay
-          .select(col("_u"), explode(sequence(col("_d"),
-            date_add(col("_d"), w - 1))).as("day"))
-          .join(spine, "day")
-          .select(col("_u"), col("day"))
-        // no distinct here: count_distinct below dedups (user, day)
-        // in its own aggregate — a pre-dedup would shuffle the blown-up
-        // frame a second time for an identical result
-      covered.groupBy(col("day"))
+      // no distinct after the expansion: count_distinct below dedups
+      // (user, day) in its own aggregate — a pre-dedup would shuffle
+      // the blown-up frame a second time for an identical result
+      expandCoverage(userDay, "_u", w, spine)
+        .groupBy(col("day"))
         .agg(count_distinct(col("_u")).as(s"au_$w"))
     }
+    assembleActiveReport(spine, perWindow, windows, lit(0L))
+  }
+
+  /** Expand a `(_d, payload)` frame so each row covers report days
+    * `_d .. _d+w-1`; the spine join keeps only days that exist in the
+    * log — the shared coverage step of the activeUsers family. */
+  private def expandCoverage(df: DataFrame, payload: String, w: Int,
+                             spine: DataFrame): DataFrame =
+    if (w == 1) df.select(col("_d").as("day"), col(payload))
+    else df
+      .select(explode(sequence(col("_d"), date_add(col("_d"), w - 1)))
+        .as("day"), col(payload))
+      .join(spine, "day")
+
+  /** Shared report-assembly tail of the activeUsers family: left-join
+    * the per-window day counts onto the spine, zero-fill with the
+    * serving type's zero, append stickiness (shortest/longest window
+    * ratio) when >= 2 windows. ONE copy so the exact and sketch-served
+    * reports cannot drift. */
+  private def assembleActiveReport(spine: DataFrame,
+                                   perWindow: Seq[DataFrame],
+                                   windows: Seq[Int],
+                                   zero: Column): DataFrame = {
     val joined = perWindow.foldLeft(spine)((acc, f) =>
       acc.join(f, Seq("day"), "left"))
       .select(col("day") +: windows.map(w =>
-        coalesce(col(s"au_$w"), lit(0L)).as(s"au_$w")): _*)
+        coalesce(col(s"au_$w"), zero).as(s"au_$w")): _*)
     if (windows.size < 2) joined.orderBy(col("day"))
-    else {
-      val lo = s"au_${windows.min}"
-      val hi = s"au_${windows.max}"
-      joined.withColumn("stickiness",
-        round(col(lo).cast("double") / col(hi), 6))
-        .orderBy(col("day"))
-    }
+    else joined.withColumn("stickiness",
+        round(col(s"au_${windows.min}").cast("double") /
+          col(s"au_${windows.max}"), 6))
+      .orderBy(col("day"))
   }
 
   /** [[activeUsers]] served from an incrementally-maintained
@@ -140,24 +153,12 @@ object Growth {
       .agg(merge(col("state")).as("_st"))
     val spine = perDay.select(col("_d").as("day"))
     val perWindow = windows.map { w =>
-      val covered =
-        if (w == 1) perDay.select(col("_d").as("day"), col("_st"))
-        else perDay
-          .select(explode(sequence(col("_d"), date_add(col("_d"), w - 1)))
-            .as("day"), col("_st"))
-          .join(spine, "day")
-      covered.groupBy(col("day"))
+      expandCoverage(perDay, "_st", w, spine)
+        .groupBy(col("day"))
         .agg(graft.ext.Sketches.kmvEstimateCol(merge(col("_st")), k)
           .as(s"au_$w"))
     }
-    val joined = perWindow.foldLeft(spine)((acc, f) =>
-      acc.join(f, Seq("day"), "left"))
-      .select(col("day") +: windows.map(w =>
-        coalesce(col(s"au_$w"), lit(0.0)).as(s"au_$w")): _*)
-    if (windows.size < 2) joined.orderBy(col("day"))
-    else joined.withColumn("stickiness",
-        round(col(s"au_${windows.min}") / col(s"au_${windows.max}"), 6))
-      .orderBy(col("day"))
+    assembleActiveReport(spine, perWindow, windows, lit(0.0))
   }
 
   /** Temporally leakage-safe training frame for an activity-prediction

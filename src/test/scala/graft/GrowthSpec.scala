@@ -103,6 +103,20 @@ class GrowthSpec extends AnyFunSuite {
     assert(out("2024-01-02") == ((2L, 1L, 1L, 2L, 0.5)))
   }
 
+  test("activeUsersFromUserDay: null users and null days drop (the " +
+    "activeUsers contract — no null spine day, no vanishing-user skew)") {
+    val rows = Seq[(String, java.sql.Date)](
+      ("u1", java.sql.Date.valueOf("2024-01-01")),
+      (null, java.sql.Date.valueOf("2024-01-01")), // null user: drop
+      ("u2", null))                                // null day: drop
+    val out = Growth.activeUsersFromUserDay(rows.toDF("u", "d"), "u", "d",
+      windows = Seq(1)).collect()
+    assert(out.length == 1, s"null day must not mint a spine row: " +
+      out.mkString(","))
+    assert(out.head.getDate(0).toString == "2024-01-01" &&
+      out.head.getLong(1) == 1L)
+  }
+
   test("activeUsersFromKmvMv: exact (== activeUsers) below saturation, " +
     "state bounded by k; saturated sketches estimate inside the rsd band") {
     import java.nio.file.Files

@@ -91,8 +91,9 @@ object CustomerValue {
     * `length(bin(x))`, exact for every long — never a float `log2`
     * whose power-of-two boundaries wobble), so two evaluations of a
     * banded frame agree bit-for-bit with NO shared-aggregate contract.
-    * Band width is at most a ×(1 + 2^-sub) amount ratio; equal amounts
-    * always co-band. (`Long.MinValue` would overflow the negation — amounts
+    * Band width is at most a ×(1 + 2^-sub) amount ratio — except the
+    * single seam band at sub = 0, where {1, 2, 3} co-band (×3); equal
+    * amounts always co-band. (`Long.MinValue` would overflow the negation — amounts
     * are cents of money, 2^63 cents is not a reachable magnitude.) */
   private def amountBand(x: Column, sub: Int): Column = {
     val width = 1L << sub
@@ -153,10 +154,11 @@ object CustomerValue {
     * `buckets` is a band-GRANULARITY target, not an exact partition
     * count: it maps to `2^ceil(log2(buckets))/64` sub-bands per octave
     * (so the positive band SPACE is exactly `buckets` for powers of
-    * two ≥ 64, the next power of two otherwise, and never below the
-    * 64-octave floor — octave banding cannot be coarser), negatives
-    * mirror it, and the OCCUPIED count is bounded by the data's
-    * magnitude spread, typically far smaller. A caller with a
+    * two in [2^6, 2^22], the next power of two otherwise, never below
+    * the 64-octave floor — octave banding cannot be coarser — and
+    * capped at 2^22 by the 16-mantissa-bit clamp), negatives mirror
+    * it, and the OCCUPIED count is bounded by the data's magnitude
+    * spread, typically far smaller. A caller with a
     * KNOWN-SMALL key population can pass `buckets = 1` to skip the
     * machinery entirely (one window partition — cheapest at dashboard
     * scale).

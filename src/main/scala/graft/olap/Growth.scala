@@ -142,12 +142,45 @@ object Growth {
   def activeUsersFromKmvMv(spark: org.apache.spark.sql.SparkSession,
                            mvPath: String, k: Int,
                            windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
+    activeUsersFromSketchMv(spark, mvPath,
+      graft.stream.MvAgg.kmvDistinct(k).merge,
+      s => graft.ext.Sketches.kmvEstimateCol(s, k),
+      lit(0.0), windows)
+  }
+
+  /** [[activeUsersFromKmvMv]] for an HLL-sketch MV
+    * (`MvAgg.hllDistinct(lgK)` — DataSketches HLL, the densest state:
+    * constant ~2^lgK bytes per (day, key) once promoted). Serving
+    * folds day sketches with the DataSketches union (slot-wise
+    * register max — a set-function of the inputs, so the served value
+    * is batch-order independent). `au_*` are LONG estimates: exact
+    * below the coupon-promotion threshold, rsd ≈ 1.04/√(2^lgK) above —
+    * spec-gated (the register layout is engine-internal, so unlike the
+    * KMV serve there is no cross-engine oracle). */
+  def activeUsersFromHllMv(spark: org.apache.spark.sql.SparkSession,
+                           mvPath: String,
+                           windows: Seq[Int] = Seq(1, 7, 28)): DataFrame =
+    activeUsersFromSketchMv(spark, mvPath,
+      s => hll_union_agg(s, allowDifferentLgConfigK = false),
+      s => hll_sketch_estimate(s),
+      lit(0L), windows)
+
+  /** The one sketch-serving path: pre-merge each day's key sketches
+    * (a user active under several MV keys the same day dedups inside
+    * the sketch), expand day coverage per window, merge again, and
+    * estimate — `merge` must be the state's aggregate union Column,
+    * `estimate` its scalar read. Shares [[expandCoverage]] and
+    * [[assembleActiveReport]] with the exact serve so no report path
+    * can drift. */
+  private def activeUsersFromSketchMv(spark: org.apache.spark.sql.SparkSession,
+                                      mvPath: String,
+                                      merge: Column => Column,
+                                      estimate: Column => Column,
+                                      zero: Column,
+                                      windows: Seq[Int]): DataFrame = {
     require(windows.nonEmpty && windows.forall(_ >= 1),
       "windows must be non-empty positive day counts")
     require(windows.distinct.size == windows.size, "duplicate windows")
-    val merge = graft.stream.MvAgg.kmvDistinct(k).merge
-    // one sketch per day (keys union first — a user active under
-    // several MV keys the same day dedups by hash identity)
     val perDay = spark.read.parquet(mvPath)
       .groupBy(col("day").cast("date").as("_d"))
       .agg(merge(col("state")).as("_st"))
@@ -155,10 +188,9 @@ object Growth {
     val perWindow = windows.map { w =>
       expandCoverage(perDay, "_st", w, spine)
         .groupBy(col("day"))
-        .agg(graft.ext.Sketches.kmvEstimateCol(merge(col("_st")), k)
-          .as(s"au_$w"))
+        .agg(estimate(merge(col("_st"))).as(s"au_$w"))
     }
-    assembleActiveReport(spine, perWindow, windows, lit(0.0))
+    assembleActiveReport(spine, perWindow, windows, zero)
   }
 
   /** Temporally leakage-safe training frame for an activity-prediction

@@ -86,6 +86,28 @@ object MvAgg {
       s => graft.ext.Sketches.kmvEstimateCol(s, k))
   }
 
+  /** HLL distinct-count sketch per group (Apache DataSketches HLL via
+    * Spark's native `hll_sketch_agg`/`hll_union_agg` — binary state):
+    * the DENSEST of the three distinct states — CONSTANT ~2^lgK bytes
+    * once promoted, vs [[kmvDistinct]]'s k longs and [[distinctSet]]'s
+    * true set. Merge is the DataSketches union — slot-wise register
+    * max, so the merged REGISTERS (and therefore the estimate) are a
+    * set-function of the inputs: incremental == recompute for the
+    * served value under any batch order. Estimates carry the published
+    * rsd ≈ 1.04/√(2^lgK); below the coupon-promotion threshold the
+    * sketch stores values exactly and the estimate is the exact count.
+    * UNLIKE [[kmvDistinct]] the register layout is engine-internal
+    * (not DuckDB-replayable), so this state is spec-gated, never
+    * value-oracled — the cross-engine-deterministic family stays KMV;
+    * this is the production-scale densest option. */
+  def hllDistinct(lgK: Int = 12): MvAgg = {
+    require(lgK >= 4 && lgK <= 21, s"HLL needs 4 <= lgK <= 21, got $lgK")
+    MvAgg(s"hll$lgK",
+      v => hll_sketch_agg(v.cast("string"), lgK),
+      s => hll_union_agg(s, allowDifferentLgConfigK = false),
+      s => hll_sketch_estimate(s))
+  }
+
   /** Exact distinct-VALUE set per group (sorted-array state) — the
     * growth-accounting MV state: per (day, key) the exact set of
     * active users, merged by set union (associative, commutative AND
@@ -99,8 +121,10 @@ object MvAgg {
     * over event history. Null values drop (collect_set semantics —
     * the activeUsers null-user contract). State size is the group's
     * TRUE distinct count: the exact regime (per-day per-key user
-    * sets); when that outgrows a state row, [[kmvDistinct]]/HLL
-    * states swap into the same loop, trading exactness for bounds. */
+    * sets); when that outgrows a state row, [[kmvDistinct]] (≤ k
+    * longs, cross-engine-oracled — x171) or [[hllDistinct]] (constant
+    * ~2^lgK bytes, densest) swap into the same loop, trading exactness
+    * for bounds — both executed and spec-gated. */
   val distinctSet: MvAgg = MvAgg("dset",
     v => sort_array(collect_set(v)),
     s => sort_array(array_distinct(flatten(collect_list(s)))),

@@ -160,4 +160,54 @@ class GrowthSpec extends AnyFunSuite {
     assert(math.abs(est / 2000.0 - 1.0) < 0.35,
       s"KMV estimate $est outside the 4-rsd band around 2000")
   }
+
+  test("activeUsersFromHllMv: exact in the coupon regime, rsd-banded " +
+    "dense, CONSTANT state bytes at 10x the cardinality") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.stream.{IncrementalMv, MvAgg}
+    // coupon regime: 30 users over 3 days at lgK=12 — DataSketches
+    // stores the values exactly below promotion, so the serve equals
+    // the exact batch report value-for-value (LONG estimates)
+    val ev = (1 to 30).map(u => (u.toLong, ts(1 + u % 3)))
+      .toDF("user_id", "ts")
+    val mvDir = Files.createTempDirectory("graft-hll-mv").toString + "/mv"
+    Seq(0, 1).foreach(m => IncrementalMv.applyAggDelta(
+      ev.filter(pmod(col("user_id"), lit(2)) === m)
+        .withColumn("_all", lit("all")),
+      m, mvDir, "ts", "_all", col("user_id"), MvAgg.hllDistinct(12)))
+    val served = Growth.activeUsersFromHllMv(spark, mvDir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val batch = Growth.activeUsers(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(served.nonEmpty && served == batch,
+      "coupon-regime HLL serve must equal the exact batch report")
+
+    // dense regime: 30k users on one day — the estimate lands within
+    // ~4 rsd (1.04/sqrt(4096) ~ 1.6%) and the state stays CONSTANT
+    // bytes: 10x the cardinality may not grow a promoted sketch 2x
+    // (the exact set would grow 10x; KMV stores k longs)
+    def stateBytes(users: Int): (Long, Int) = {
+      val big = (1 to users).map(u => (u.toLong, ts(1)))
+        .toDF("user_id", "ts").withColumn("_all", lit("all"))
+      val dir = Files.createTempDirectory(s"graft-hll-$users").toString + "/mv"
+      IncrementalMv.applyAggDelta(big, 0, dir, "ts", "_all",
+        col("user_id"), MvAgg.hllDistinct(12))
+      val est = Growth.activeUsersFromHllMv(spark, dir, windows = Seq(1))
+        .head.getLong(1)
+      (est, spark.read.parquet(dir)
+        .agg(max(length(col("state")))).head.getInt(0))
+    }
+    val (est3k, bytes3k) = stateBytes(3000)
+    val (est30k, bytes30k) = stateBytes(30000)
+    assert(math.abs(est30k / 30000.0 - 1.0) < 0.065,
+      s"HLL estimate $est30k outside the 4-rsd band around 30000")
+    assert(math.abs(est3k / 3000.0 - 1.0) < 0.065,
+      s"HLL estimate $est3k outside the 4-rsd band around 3000")
+    assert(bytes30k < 2 * bytes3k,
+      s"promoted HLL state must stay ~constant: $bytes3k -> $bytes30k " +
+        "bytes for 10x the cardinality")
+  }
 }

@@ -657,6 +657,27 @@ object PipelineProperties extends Properties("graft") {
       merged == direct && (exact >= 16 || est == exact.toDouble)
     }
 
+  property("paretoAbc rank == the reference global (cents DESC, key) " +
+    "order on random SIGNED amounts — the amountBand monotone-banding " +
+    "invariant end-to-end") =
+    forAll(Gen.choose(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100000L, 100000000L)))) { centsList =>
+      // distinct keys; one guaranteed large positive row keeps the
+      // grand total positive (the revenue-report contract; shares are
+      // meaningless on a non-positive total)
+      val rows = (200000000L +: centsList).zipWithIndex
+        .map { case (c, i) => (i.toLong, c / 100.0) }
+      val got = graft.olap.CustomerValue.paretoAbc(
+          rows.toDF("k", "amt"), "k", "amt")
+        .select("k", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = rows
+        .map { case (k, a) => k -> math.floor(a * 100 + 0.5).toLong }
+        .sortBy { case (k, c) => (-c, k) }
+        .zipWithIndex.map { case ((k, _), i) => k -> (i + 1L) }.toMap
+      got == expected
+    }
+
   property("int8 packed cosine tracks the float cosine within the " +
     "quantization bound on random vectors") =
     forAll(Gen.listOfN(12, Gen.choose(-1000, 1000)),

@@ -13,11 +13,11 @@ object Growth {
     * `windows` (days), plus stickiness = shortest/longest window ratio
     * (DAU/MAU under the 1/28 default).
     *
-    * EXACT counts by design (this is the oracled report; the sketch
-    * path for 100 TB is the existing mergeable HLL in
-    * [[graft.ext.Sketches]] — swap the distinct for per-day HLL states
-    * merged over the same trailing windows when approximate is
-    * acceptable). Scale shape: the log dedups to (user, day) FIRST —
+    * EXACT counts by design (this is the oracled report; the 100 TB
+    * sketch paths are EXECUTED siblings — [[activeUsersFromKmvMv]]
+    * (bounded, oracled) and [[activeUsersFromHllMv]] (constant-size
+    * state) serve the same report from maintained per-day sketch MVs
+    * when approximate is acceptable). Scale shape: the log dedups to (user, day) FIRST —
     * the only corpus-sized pass; each deduped row then expands to the
     * ≤ `max(windows)` report days it covers (a bounded ×W blowup of
     * the already-deduped frame, the standard exact-sliding-distinct

@@ -86,7 +86,10 @@ object ScaleStress {
     // 10x duplication multiplies hits linearly, never quadratically
     "x168_crossdoc_spans",
     // stress-only probes (not oracled queries): see `extraProbes`
-    "crossdoc_spans_capped", "ivf_batch_nprobes2", "ivf_pq_nprobes2")
+    "crossdoc_spans_capped", "ivf_batch_nprobes2", "ivf_pq_nprobes2",
+    // round-13: bounded-state rfm cutpoints + banding degenerate cases
+    "rfm_keys2m", "pareto_oneoctave2m", "pareto_oneoctave2m_b1024",
+    "pareto_ties2m")
 
   /** Stress-only probes with no oracle entry: x99's bench/oracle form
     * runs probe-ALL (exact by construction, O(|queries|·|corpus|) BY
@@ -109,6 +112,51 @@ object ScaleStress {
           ((pmod(col("id") * 7919, lit(999983)) + 1).cast("double") / 7)
             .as("amt")),
         "k", "amt")
+    }),
+    // the banding's documented worst cases, same 2M-key population:
+    // (a) near-constant DISTINCT amounts squeezed into ONE octave —
+    // cents in [2^20, 2^21), so only the mantissa sub-bands spread the
+    // keys (default sub=2 -> 4 occupied bands of ~500k keys; the
+    // buckets=1024 sibling spreads 4x further — record the curve);
+    // (b) EXACT ties — 2M identical amounts co-band by necessity
+    // (deterministic rank: ties order by key inside ONE window
+    // partition), the irreducible case the scaladoc documents
+    "pareto_oneoctave2m" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.olap.CustomerValue.paretoAbc(
+        s.range(2000000L).select(col("id").as("k"),
+          ((pmod(col("id") * 7919, lit(1048576)) + 1048576).cast("double")
+            / 100).as("amt")),
+        "k", "amt")
+    }),
+    "pareto_oneoctave2m_b1024" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.olap.CustomerValue.paretoAbc(
+        s.range(2000000L).select(col("id").as("k"),
+          ((pmod(col("id") * 7919, lit(1048576)) + 1048576).cast("double")
+            / 100).as("amt")),
+        "k", "amt", buckets = 1024)
+    }),
+    "pareto_ties2m" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.olap.CustomerValue.paretoAbc(
+        s.range(2000000L).select(col("id").as("k"), lit(42.0).as("amt")),
+        "k", "amt")
+    }),
+    // rfm on the KEY-population axis (inflate bumps o_orderkey, never
+    // o_custkey): 2M customers, one tx each — the r13 KLL cutpoint
+    // source holds O(k log(n/k)) doubles per metric where the exact
+    // percentile buffer held all 2M x 3 values on one reducer.
+    // Dir-independent input: read the absolute wall, not the ratio.
+    "rfm_keys2m" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.olap.CustomerValue.rfm(
+        s.range(2000000L).select(col("id").as("k"),
+          date_add(lit("2024-01-01").cast("date"),
+            pmod(col("id"), lit(365)).cast("int")).as("dt"),
+          ((pmod(col("id") * 7919, lit(999983)) + 1).cast("double") / 7)
+            .as("amt")),
+        "k", "dt", "amt")
     }),
     // x168's degenerate-corpus escape hatch: the ×N inflation is a
     // 100%-duplicate corpus (every window shared N ways — the 100×

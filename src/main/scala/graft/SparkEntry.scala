@@ -3384,11 +3384,13 @@ object SparkEntry {
     }),
     "x150_rfm_segments" -> ((s, d) =>
       // Lifecycle segmentation: recency/frequency/monetary scored
-      // 1..5 against EXACT percentile cutpoints (one aggregate + a
-      // broadcast row + a narrow array scan — deliberately NOT a
-      // global ntile sort), folded into champion/loyal/at_risk/...
-      // segments. Money in exact cents; scores are integer
-      // comparisons against bit-identical interpolated cutpoints.
+      // 1..5 against percentile cutpoints from the BOUNDED KLL
+      // sketch (one aggregate + a broadcast row + a narrow array
+      // scan — deliberately NOT a global ntile sort), folded into
+      // champion/loyal/at_risk/... segments. Money in exact cents;
+      // the fixture population sits in the sketch's exact regime
+      // (n <= 2^16), where the interpolating read is bit-identical
+      // to exact percentile/quantile_cont — the oracle's spelling.
       graft.olap.CustomerValue.rfm(t(s, d, "orders"), "o_custkey",
           "o_orderdate", "o_totalprice")
         .orderBy(col("o_custkey"))),
@@ -3677,8 +3679,9 @@ object SparkEntry {
       // instead of the exact user set — the reference's maintained
       // latest-state hub (DDL:447-470) at a cardinality ClickHouse
       // answers with uniqState. Value-oracled in the exact regime:
-      // k = 4096 >= the fixture's user population, and below
-      // saturation a KMV sketch IS the distinct hash set (bottom-k of
+      // every 28-day window union must stay STRICTLY below k = 4096
+      // (at size == k the estimator switches to (k−1)·space/h_k), and
+      // below that a KMV sketch IS the distinct hash set (bottom-k of
       // a union == union), so every estimate is the exact count and
       // the serve replays the SAME batch oracle as x153/x169 — the
       // estimates just carry DOUBLE type. The saturated-regime error
@@ -3690,6 +3693,16 @@ object SparkEntry {
       val ev = t(s, d, "events")
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .withColumn("_all", lit("all"))
+      // guard the exact-regime invariant LOUDLY (one cheap 1-row
+      // probe): total distinct users bounds every window union from
+      // above, so fixture growth past k−1 fails here with a message
+      // instead of an opaque oracle hash diff
+      val distinctUsers = ev.agg(count_distinct(col("user_id")))
+        .head.getLong(0)
+      require(distinctUsers < 4096,
+        s"x171 exact-regime guard: $distinctUsers distinct users is not" +
+          " strictly below k=4096 — raise k (and keep it >= every" +
+          " 28-day window union + 1) or re-derive the oracle")
       (0 until 3).foreach(m => IncrementalMv.applyAggDelta(
         ev.filter(pmod(col("event_id"), lit(3)) === m), m, path,
         "ts", "_all", col("user_id"), MvAgg.kmvDistinct(4096)))

@@ -143,6 +143,19 @@ object GraftFunctions {
       "graft_kll_quantiles takes (value double, k int literal, quantiles array<double> literal)")
   }
 
+  val kllQuantilesContBuilder: Seq[Expression] => Expression = {
+    case Seq(child, kE, org.apache.spark.sql.catalyst.expressions.Literal(
+        qs: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _)))
+        if longLiteral(kE).isDefined =>
+      KllQuantiles(child, longLiteral(kE).get.toInt,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(qs.toDoubleArray()),
+        interpolate = true)
+    case _ => throw new IllegalArgumentException(
+      "graft_kll_quantiles_cont takes (value double, k int literal, quantiles array<double> literal)")
+  }
+
   val kllSketchBuilder: Seq[Expression] => Expression = {
     case Seq(child, kE) if longLiteral(kE).isDefined =>
       KllSketch(child, longLiteral(kE).get.toInt)
@@ -221,6 +234,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_quantiles", kllQuantilesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_quantiles_cont", kllQuantilesContBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_sketch", kllSketchBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_int8_pack", int8PackBuilder, "scala_udf")
@@ -239,6 +254,18 @@ object GraftFunctions {
                    qs: Seq[Double]): Column = {
     register(spark)
     call_function("graft_kll_quantiles", value,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.typedlit(qs))
+  }
+
+  /** Column API for the KLL quantile aggregate read with
+    * `percentile`'s CONTINUOUS (interpolating) convention; registers
+    * lazily. Bit-identical to exact `percentile` while n ≤ k — the
+    * bounded-state cutpoint source (rfm). */
+  def kllQuantilesCont(spark: SparkSession, value: Column, k: Int,
+                       qs: Seq[Double]): Column = {
+    register(spark)
+    call_function("graft_kll_quantiles_cont", value,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.typedlit(qs))
   }

@@ -44,6 +44,18 @@ import org.apache.spark.sql.types._
   *  - estimates are always actual input VALUES (never interpolated);
   *  - null inputs are skipped; an empty group yields null.
   *
+  * `interpolate = true` switches the READ (never the sketch) to
+  * `percentile`'s continuous convention — position `(n−1)·q` over the
+  * weighted ranks, tie and integer-position short-circuits returning
+  * the stored value, otherwise the identical IEEE expression
+  * `(higher−position)·lowerVal + (position−lower)·higherVal` — so in
+  * the exact regime the result is BIT-IDENTICAL to Spark's
+  * `percentile` (and DuckDB's `quantile_cont`, the x28 parity), which
+  * is what lets a bounded sketch replace an exact population-sized
+  * percentile buffer without moving a single oracle (the rfm cutpoint
+  * source). Beyond the exact regime it interpolates between two
+  * RETAINED values, each within the rank-error band.
+  *
   * Result: `array<double>`, one entry per requested quantile, in the
   * order the quantiles were given.
   */
@@ -51,6 +63,7 @@ case class KllQuantiles(
     child: Expression,
     k: Int,
     quantiles: Seq[Double],
+    interpolate: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllQuantiles.Buf] {
@@ -85,7 +98,9 @@ case class KllQuantiles(
 
   override def eval(buf: KllQuantiles.Buf): Any =
     if (buf.n == 0) null
-    else new GenericArrayData(buf.quantiles(quantiles).toArray[Any])
+    else new GenericArrayData(
+      (if (interpolate) buf.quantilesCont(quantiles)
+       else buf.quantiles(quantiles)).toArray[Any])
 
   override def serialize(buf: KllQuantiles.Buf): Array[Byte] = buf.serialize()
 
@@ -100,7 +115,8 @@ case class KllQuantiles(
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): KllQuantiles =
     copy(inputAggBufferOffset = offset)
-  override def prettyName: String = "graft_kll_quantiles"
+  override def prettyName: String =
+    if (interpolate) "graft_kll_quantiles_cont" else "graft_kll_quantiles"
 }
 
 /** The sketch-valued sibling of [[KllQuantiles]]: same buffer, same
@@ -302,9 +318,10 @@ object KllQuantiles {
       }
     }
 
-    /** Weighted rank selection: value at cumulative weight ≥ ⌈q·n⌉
-      * (min 1) over the value-sorted (item, 2^level) pairs. */
-    def quantiles(qs: Seq[Double]): Seq[Double] = {
+    /** Value-sorted (item, 2^level) pairs plus their cumulative
+      * weights — the shared read-side frame of both quantile
+      * conventions. */
+    private def weightedSorted(): (Array[(Double, Long)], Array[Long]) = {
       val weighted = mutable.ArrayBuffer.empty[(Double, Long)]
       var l = 0
       while (l < levels.length) {
@@ -317,15 +334,52 @@ object KllQuantiles {
       var acc = 0L
       var i = 0
       while (i < sorted.length) { acc += sorted(i)._2; cum(i) = acc; i += 1 }
+      (sorted, cum)
+    }
+
+    /** First stored value whose cumulative weight reaches `target`
+      * (1-based rank). */
+    private def valueAtRank(sorted: Array[(Double, Long)],
+                            cum: Array[Long], target: Long): Double = {
+      var lo = 0
+      var hi = sorted.length - 1
+      while (lo < hi) { // first index with cum >= target
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) >= target) hi = mid else lo = mid + 1
+      }
+      sorted(lo)._1
+    }
+
+    /** Weighted rank selection: value at cumulative weight ≥ ⌈q·n⌉
+      * (min 1) over the value-sorted (item, 2^level) pairs. */
+    def quantiles(qs: Seq[Double]): Seq[Double] = {
+      val (sorted, cum) = weightedSorted()
       qs.map { q =>
-        val target = math.max(1L, math.ceil(q * n).toLong)
-        var lo = 0
-        var hi = sorted.length - 1
-        while (lo < hi) { // first index with cum >= target
-          val mid = (lo + hi) >>> 1
-          if (cum(mid) >= target) hi = mid else lo = mid + 1
+        valueAtRank(sorted, cum, math.max(1L, math.ceil(q * n).toLong))
+      }
+    }
+
+    /** `percentile`'s continuous convention over the weighted ranks —
+      * the formula is REPLICATED from Spark's Percentile.getPercentile
+      * term for term (position `(n−1)·q` 0-based; tie / integer-rank
+      * short-circuits return the stored value; else
+      * `(higher−position)·lowerVal + (position−lower)·higherVal`), so
+      * in the exact regime (all weights 1, every value retained) the
+      * result is bit-identical to exact `percentile` — SketchSpec pins
+      * the equality on random tied integer populations. */
+    def quantilesCont(qs: Seq[Double]): Seq[Double] = {
+      val (sorted, cum) = weightedSorted()
+      qs.map { q =>
+        val position = (n - 1) * q
+        val lower = math.floor(position).toLong
+        val higher = math.ceil(position).toLong
+        val lowerVal = valueAtRank(sorted, cum, lower + 1)
+        if (higher == lower) lowerVal
+        else {
+          val higherVal = valueAtRank(sorted, cum, higher + 1)
+          if (higherVal == lowerVal) lowerVal
+          else (higher - position) * lowerVal + (position - lower) * higherVal
         }
-        sorted(lo)._1
       }
     }
 

@@ -20,21 +20,39 @@ object CustomerValue {
   /** RFM segmentation: per customer, recency (days since their last
     * transaction, measured from the corpus' latest date), frequency
     * (transaction count) and monetary value (exact cents), each scored
-    * 1..`buckets` against EXACT percentile cutpoints of the customer
+    * 1..`buckets` against percentile cutpoints of the customer
     * population, then folded into a lifecycle segment.
     *
     * Scale design: scoring deliberately avoids the textbook
     * `ntile()` — a global equal-count tiling needs one total sort of
-    * all customers. Instead ONE aggregate computes the
-    * `buckets−1` exact percentile cutpoints per metric (integer
-    * inputs interpolate bit-identically cross-engine, the x28
-    * precedent), the single cutpoint row broadcasts back, and each
-    * customer scores with a narrow array scan:
+    * all customers. Instead ONE aggregate computes the `buckets−1`
+    * cutpoints per metric, the single cutpoint row broadcasts back,
+    * and each customer scores with a narrow array scan:
     * `1 + #{cut : value > cut}` for higher-is-better metrics and
     * `1 + #{cut : value < cut}` for recency. Boundary values (== a
     * cutpoint, common on integer metrics) deterministically take the
     * lower score; heavy ties lump into one score rather than being
     * split arbitrarily, which is the honest answer ntile fakes.
+    *
+    * Cutpoint state is BOUNDED: the default source is graft's
+    * mergeable KLL sketch read with `percentile`'s interpolation
+    * convention (`graft_kll_quantiles_cont`), so the one aggregate
+    * buffer holds O(cutpointK·log(n/cutpointK)) doubles per metric —
+    * never the key population (exact `percentile` at 1e9 customers is
+    * ~8 GB of values on one reducer, the same cardinality-proportional
+    * bound the growth MVs escape via KMV/HLL). While the population
+    * fits the sketch (n ≤ cutpointK — no compaction fires) the
+    * cutpoints are BIT-IDENTICAL to exact `percentile` (integer
+    * inputs interpolate bit-identically cross-engine, the x28
+    * precedent — spec-pinned), which is the regime every fixture
+    * oracle runs in; beyond it they carry KLL's O(n/cutpointK) rank
+    * error — and scores stay robust to cutpoint ulps BY CONSTRUCTION:
+    * an interior cutpoint falls strictly between two ADJACENT
+    * population values, so no customer value can sit on the boundary
+    * (ties and integer ranks short-circuit to the exact stored
+    * value). `cutpointK = 0` forces the exact `percentile` path for
+    * callers who need exact cutpoints beyond the sketch regime and
+    * accept the population-sized buffer.
     *
     * Segments (hi = buckets−1, lo = 2): champion (r,f,m all ≥ hi),
     * loyal (f ≥ hi), big_spender (m ≥ hi), at_risk (r ≤ lo, f ≥ 3),
@@ -43,8 +61,12 @@ object CustomerValue {
     * Output: `(custCol, recency_days, frequency, monetary_cents,
     * r_score, f_score, m_score, segment)`. */
   def rfm(tx: DataFrame, custCol: String, dateCol: String,
-          amountCol: String, buckets: Int = 5): DataFrame = {
+          amountCol: String, buckets: Int = 5,
+          cutpointK: Int = 1 << 16): DataFrame = {
     require(buckets >= 3, s"buckets must be >= 3: $buckets")
+    require(cutpointK == 0 || cutpointK >= math.max(8, buckets),
+      s"cutpointK must be 0 (exact percentile) or >= max(8, buckets): " +
+        s"$cutpointK")
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val perCust = tx
       .filter(col(custCol).isNotNull && col(dateCol).isNotNull &&
@@ -57,10 +79,18 @@ object CustomerValue {
     val base = perCust.crossJoin(broadcast(refd))
       .withColumn("recency_days",
         datediff(col("_ref"), col("_last")).cast("long"))
-    val cuts = base.agg(
-      percentile(col("recency_days"), typedLit(qs)).as("_rc"),
-      percentile(col("frequency"), typedLit(qs)).as("_fc"),
-      percentile(col("monetary_cents"), typedLit(qs)).as("_mc"))
+    val cuts =
+      if (cutpointK == 0) base.agg(
+        percentile(col("recency_days"), typedLit(qs)).as("_rc"),
+        percentile(col("frequency"), typedLit(qs)).as("_fc"),
+        percentile(col("monetary_cents"), typedLit(qs)).as("_mc"))
+      else {
+        def kq(c: Column) = graft.functions.GraftFunctions
+          .kllQuantilesCont(tx.sparkSession, c.cast("double"), cutpointK, qs)
+        base.agg(kq(col("recency_days")).as("_rc"),
+          kq(col("frequency")).as("_fc"),
+          kq(col("monetary_cents")).as("_mc"))
+      }
     def above(v: org.apache.spark.sql.Column, cut: String) =
       (lit(1) + size(filter(col(cut), q => v.cast("double") > q)))
         .cast("long")
@@ -93,9 +123,12 @@ object CustomerValue {
     * banded frame agree bit-for-bit with NO shared-aggregate contract.
     * Band width is at most a ×(1 + 2^-sub) amount ratio — except the
     * single seam band at sub = 0, where {1, 2, 3} co-band (×3); equal
-    * amounts always co-band. (`Long.MinValue` would overflow the negation — amounts
-    * are cents of money, 2^63 cents is not a reachable magnitude.) */
-  private def amountBand(x: Column, sub: Int): Column = {
+    * amounts always co-band. `Long.MinValue` (whose negation would
+    * overflow) gets its own explicit band AFTER every representable
+    * negative — it is the unique value of magnitude 2^63, so it
+    * co-bands with nothing and sorts last, exactly where amount-DESC
+    * order puts it. (Package-visible for the monotonicity spec.) */
+  private[graft] def amountBand(x: Column, sub: Int): Column = {
     val width = 1L << sub
     def posKey(v: Column): Column = {
       // e = floor(log2 v); values below 2^(sub+1) are their own key,
@@ -109,6 +142,9 @@ object CustomerValue {
     val big = lit(64L * width)
     when(x > 0, big - posKey(x))
       .when(x === 0, big + 1)
+      // posKey caps below 64·width, so 2 + 2·big clears every
+      // negate-able negative's band
+      .when(x === Long.MinValue, lit(2L) + big + big)
       .otherwise(big + 2 + posKey(-x))
   }
 
@@ -136,9 +172,10 @@ object CustomerValue {
     *     monotone banding, and equal amounts always co-band, so band
     *     order concatenates to exactly the global `(amount DESC, key)`
     *     order);
-    *  2. per-band counts/cents sums (≤ ~`buckets` rows per sign) fold
-    *     into rank/cumulative offsets + the grand total on the
-    *     band-sized frame itself, broadcast-joined back;
+    *  2. per-band counts/cents sums (≤ ~`buckets` rows per sign)
+    *     prefix-sum into rank/cumulative offsets + the grand total
+    *     with ONE window over the band-sized frame itself (O(B log B)
+    *     in the occupied-band count), broadcast-joined back;
     *  3. the window runs PARTITIONED by band — each sort holds one
     *     band's keys, never the key population on one partition.
     *
@@ -192,20 +229,21 @@ object CustomerValue {
       if (buckets == 1) lit(0L) else amountBand(col("amount_cents"), sub))
     val perBucket = withB.groupBy(col("_graft_pb"))
       .agg(count(lit(1)).as("_n"), sum(col("amount_cents")).as("_s"))
-    // offsets fold on the bucket-sized frame (≤ `buckets` rows), never
-    // per key: every bucket row sees the full packed map once
-    val packed = perBucket
-      .agg(collect_list(struct(col("_graft_pb"), col("_n"), col("_s")))
-        .as("_m"))
-    def before(m: Column, f: Column => Column): Column =
-      aggregate(filter(m, e => e.getField("_graft_pb") < col("_graft_pb")),
-        lit(0L), (acc, e) => acc + f(e))
-    val offs = perBucket.crossJoin(broadcast(packed))
-      .select(col("_graft_pb"),
-        before(col("_m"), _.getField("_n")).as("_graft_rko"),
-        before(col("_m"), _.getField("_s")).as("_graft_cmo"),
-        aggregate(col("_m"), lit(0L),
-          (acc, e) => acc + e.getField("_s")).as("_graft_tot"))
+    // offsets are ONE window prefix-sum over the band frame itself —
+    // O(B log B) for B occupied bands (B ≤ min(|keys|, band space ≤
+    // 2^23), typically a few hundred), never per key and never the
+    // old O(B²) packed-row rescan. The sort is unpartitioned BY
+    // DESIGN: its input is the band frame, not the key population —
+    // the one unpartitioned window the CustomerValueSpec plan gate
+    // whitelists by its `_graft_*` output names.
+    val wOff = Window.orderBy(col("_graft_pb"))
+    val prior = wOff.rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perBucket.select(col("_graft_pb"),
+      coalesce(sum(col("_n")).over(prior), lit(0L)).as("_graft_rko"),
+      coalesce(sum(col("_s")).over(prior), lit(0L)).as("_graft_cmo"),
+      sum(col("_s")).over(wOff.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+        .as("_graft_tot"))
     val w = Window.partitionBy(col("_graft_pb"))
       .orderBy(col("amount_cents").desc, col(keyCol))
     val wRun = w.rowsBetween(Window.unboundedPreceding, 0)

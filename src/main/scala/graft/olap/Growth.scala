@@ -102,6 +102,44 @@ object Growth {
       .orderBy(col("day"))
   }
 
+  /** Validate an optional inclusive report-day range (`yyyy-MM-dd`
+    * pair) — fails loudly on an unparseable date or inverted pair (a
+    * silent null cast would prune EVERY partition and serve an empty
+    * report). */
+  private def requireRange(range: Option[(String, String)]): Unit =
+    range.foreach { case (start, end) =>
+      val s = scala.util.Try(java.sql.Date.valueOf(start))
+      val e = scala.util.Try(java.sql.Date.valueOf(end))
+      require(s.isSuccess && e.isSuccess,
+        s"range ('$start', '$end') must be 'yyyy-MM-dd' dates")
+      require(!s.get.after(e.get), s"range start $start after end $end")
+    }
+
+  /** Prune an MV read to the SOURCE days a ranged report needs: a
+    * report day d's window-w count covers days d−w+1 .. d, so the read
+    * needs `range.start − max(windows) + 1` through `range.end`. The
+    * MV is day-partitioned parquet, so this filter is a partition
+    * prune (PlanSpec gates the PartitionFilters), never a full-MV scan
+    * — the reference's toYYYYMM partition-prune story (DDL:144)
+    * applied to our own MV. */
+  private def pruneSourceDays(mv: DataFrame, range: Option[(String, String)],
+                              maxW: Int): DataFrame =
+    range.fold(mv) { case (start, end) =>
+      mv.filter(col("day") >= date_sub(lit(start).cast("date"), maxW - 1) &&
+        col("day") <= lit(end).cast("date"))
+    }
+
+  /** Clip a served report to the requested day range: the pruned scan
+    * keeps `max(windows) − 1` coverage days BEFORE the range start
+    * (their own windows would be incomplete) — they feed the in-range
+    * counts and then drop here. */
+  private def clipReport(report: DataFrame,
+                         range: Option[(String, String)]): DataFrame =
+    range.fold(report) { case (start, end) =>
+      report.filter(col("day") >= lit(start).cast("date") &&
+        col("day") <= lit(end).cast("date"))
+    }
+
   /** [[activeUsers]] served from an incrementally-maintained
     * distinct-set MV (`IncrementalMv` + `MvAgg.distinctSet`): the MV
     * holds one exact active-user SET per (day, key); this read
@@ -110,14 +148,24 @@ object Growth {
     * O(delta) per micro-batch (only touched days' sets merge) while
     * every serve is day-count-sized work, never an event-history
     * rescan. Multiple MV keys union naturally (count_distinct dedups
-    * a user active under several keys the same day). */
+    * a user active under several keys the same day).
+    *
+    * `range` (inclusive `yyyy-MM-dd` pair) restricts the report to a
+    * trailing slice — the dashboard shape — and partition-PRUNES the
+    * MV scan to the `range.start − max(windows) + 1 .. range.end`
+    * source days it needs (see [[pruneSourceDays]]); the ranged serve
+    * equals the full serve's slice (spec-pinned). */
   def activeUsersFromMv(spark: org.apache.spark.sql.SparkSession,
                         mvPath: String,
-                        windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
-    val ud = graft.stream.IncrementalMv.readAgg(spark, mvPath,
-        graft.stream.MvAgg.distinctSet)
-      .select(explode(col("value")).as("_u"), col("day").as("_d"))
-    activeUsersFromUserDay(ud, "_u", "_d", windows)
+                        windows: Seq[Int] = Seq(1, 7, 28),
+                        range: Option[(String, String)] = None): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1),
+      "windows must be non-empty positive day counts")
+    requireRange(range)
+    val mv = pruneSourceDays(graft.stream.IncrementalMv.readAgg(spark,
+      mvPath, graft.stream.MvAgg.distinctSet), range, windows.max)
+    val ud = mv.select(explode(col("value")).as("_u"), col("day").as("_d"))
+    clipReport(activeUsersFromUserDay(ud, "_u", "_d", windows), range)
   }
 
   /** [[activeUsers]] served from a KMV-SKETCH MV
@@ -138,14 +186,16 @@ object Growth {
     * [Beyer et al. SIGMOD'07]; stickiness is the estimate ratio.
     *
     * Output matches [[activeUsers]]: `(day, au_<w>..., stickiness)`,
-    * `au_*` as DOUBLE (estimates). */
+    * `au_*` as DOUBLE (estimates). `range` as in
+    * [[activeUsersFromMv]]: a partition-pruned trailing slice. */
   def activeUsersFromKmvMv(spark: org.apache.spark.sql.SparkSession,
                            mvPath: String, k: Int,
-                           windows: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
+                           windows: Seq[Int] = Seq(1, 7, 28),
+                           range: Option[(String, String)] = None): DataFrame = {
     activeUsersFromSketchMv(spark, mvPath,
       graft.stream.MvAgg.kmvDistinct(k).merge,
       s => graft.ext.Sketches.kmvEstimateCol(s, k),
-      lit(0.0), windows)
+      lit(0.0), windows, range)
   }
 
   /** [[activeUsersFromKmvMv]] for an HLL-sketch MV
@@ -159,11 +209,12 @@ object Growth {
     * KMV serve there is no cross-engine oracle). */
   def activeUsersFromHllMv(spark: org.apache.spark.sql.SparkSession,
                            mvPath: String,
-                           windows: Seq[Int] = Seq(1, 7, 28)): DataFrame =
+                           windows: Seq[Int] = Seq(1, 7, 28),
+                           range: Option[(String, String)] = None): DataFrame =
     activeUsersFromSketchMv(spark, mvPath,
       s => hll_union_agg(s, allowDifferentLgConfigK = false),
       s => hll_sketch_estimate(s),
-      lit(0L), windows)
+      lit(0L), windows, range)
 
   /** The one sketch-serving path: pre-merge each day's key sketches
     * (a user active under several MV keys the same day dedups inside
@@ -177,11 +228,15 @@ object Growth {
                                       merge: Column => Column,
                                       estimate: Column => Column,
                                       zero: Column,
-                                      windows: Seq[Int]): DataFrame = {
+                                      windows: Seq[Int],
+                                      range: Option[(String, String)] = None)
+      : DataFrame = {
     require(windows.nonEmpty && windows.forall(_ >= 1),
       "windows must be non-empty positive day counts")
     require(windows.distinct.size == windows.size, "duplicate windows")
-    val perDay = spark.read.parquet(mvPath)
+    requireRange(range)
+    val perDay = pruneSourceDays(spark.read.parquet(mvPath), range,
+        windows.max)
       .groupBy(col("day").cast("date").as("_d"))
       .agg(merge(col("state")).as("_st"))
     val spine = perDay.select(col("_d").as("day"))
@@ -190,7 +245,7 @@ object Growth {
         .groupBy(col("day"))
         .agg(estimate(merge(col("_st"))).as(s"au_$w"))
     }
-    assembleActiveReport(spine, perWindow, windows, zero)
+    clipReport(assembleActiveReport(spine, perWindow, windows, zero), range)
   }
 
   /** Temporally leakage-safe training frame for an activity-prediction

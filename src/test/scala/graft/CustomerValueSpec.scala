@@ -72,8 +72,18 @@ class CustomerValueSpec extends AnyFunSuite {
     val windows = nodes.collect { case w: WindowExec => w }
     assert(windows.nonEmpty, // the rank/cum report frame is a window
       pDf.queryExecution.executedPlan.toString)
-    assert(windows.forall(_.partitionSpec.nonEmpty),
-      "paretoAbc must never plan an unpartitioned Window:\n" +
+    // every KEY window must carry a partition spec; the one allowed
+    // unpartitioned window is the band-frame offset prefix-sum, whose
+    // input is the occupied-band frame (never the key population) —
+    // identified by its order spec: it sorts by the band id ALONE,
+    // while any key window orders by (amount, key)
+    assert(windows.forall(w => w.partitionSpec.nonEmpty ||
+      (w.orderSpec.nonEmpty && w.orderSpec.flatMap(_.references.toSeq)
+        .forall(_.name == "_graft_pb"))),
+      "paretoAbc must never plan an unpartitioned Window over keys:\n" +
+        pDf.queryExecution.executedPlan.toString)
+    assert(windows.exists(_.partitionSpec.isEmpty),
+      "expected the band-frame offset prefix-sum window:\n" +
         pDf.queryExecution.executedPlan.toString)
     // the band id is a pure per-row expression of amount_cents — no
     // shared boundary aggregate exists, so correctness must hold even
@@ -128,6 +138,58 @@ class CustomerValueSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CustomerValue.paretoAbc(tx, "k", "amt", aCut = 0.9, bCut = 0.7)
     }
+  }
+
+  test("rfm: KLL cutpoints (default) equal the exact-percentile path " +
+    "(cutpointK = 0) row-for-row on the fixture — the exact regime, " +
+    "where the interpolating sketch read is bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val tx = Tables(spark, TestSpark.sf, "orders")
+    val kll = CustomerValue.rfm(tx, "o_custkey", "o_orderdate",
+      "o_totalprice")
+    val exact = CustomerValue.rfm(tx, "o_custkey", "o_orderdate",
+      "o_totalprice", cutpointK = 0)
+    assert(kll.count() > 0 && kll.count() == exact.count())
+    assert(kll.exceptAll(exact).isEmpty && exact.exceptAll(kll).isEmpty,
+      "bounded-sketch cutpoints must reproduce exact percentile " +
+        "scoring in the exact regime")
+    intercept[IllegalArgumentException] {
+      CustomerValue.rfm(tx, "o_custkey", "o_orderdate", "o_totalprice",
+        cutpointK = 4)
+    }
+  }
+
+  test("amountBand: monotone non-increasing in the amount (band asc == " +
+    "amount desc), equal amounts co-band, Long.MinValue bands LAST") {
+    import org.apache.spark.sql.functions.col
+    // strictly decreasing amounts spanning the extremes; sub = 2 so
+    // small magnitudes are their own key (no co-banding noise except
+    // where documented)
+    val vals = Seq(Long.MaxValue, (1L << 40) + 7, 1L << 40, 12345L, 9L,
+      3L, 2L, 1L, 0L, -1L, -2L, -12345L, -(1L << 40), Long.MinValue + 1,
+      Long.MinValue)
+    val bands = vals.toDF("v")
+      .select(CustomerValue.amountBand(col("v"), 2).as("b"))
+      .collect().map(_.getLong(0))
+    // amounts are listed DESC, so bands must be non-decreasing
+    assert(bands.zip(bands.tail).forall { case (a, b) => a <= b },
+      s"bands not monotone: ${vals.zip(bands).mkString(", ")}")
+    // MinValue strictly after the most negative representable-negation
+    assert(bands.last > bands(bands.length - 2),
+      "Long.MinValue must band strictly after MinValue+1")
+    // equal amounts co-band trivially; near-equal large amounts within
+    // one sub-band co-band (the documented ×(1+2^-sub) width)
+    assert(bands(1) == bands(2), "same (octave, mantissa-bits) co-band")
+  }
+
+  test("paretoAbc: a large buckets target (2^16) completes in bounded " +
+    "time — the band-frame offset fold is a prefix-sum, not an " +
+    "O(bands^2) packed rescan") {
+    val tx = (1 to 10000).map(i =>
+      (i.toLong, ((i * 7919) % 9973 + 1).toDouble / 7)).toDF("k", "amt")
+    val rows = CustomerValue.paretoAbc(tx, "k", "amt", buckets = 1 << 16)
+      .select("rank").orderBy("rank").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10000L))
   }
 
   test("paretoAbc: zero and negative amounts band AFTER all positives " +

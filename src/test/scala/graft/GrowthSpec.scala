@@ -147,6 +147,24 @@ class GrowthSpec extends AnyFunSuite {
     // stays 128 longs and the estimate lands within ~4 rsd of truth
     // (rsd = 1/sqrt(k-2) ~ 8.9%; hashes are deterministic, so this
     // pins the actual fixture value, the band states the contract)
+    // ranged serve == the full serve's day slice (the partition-pruned
+    // dashboard read; coverage days before the range start feed the
+    // in-range windows, then drop)
+    val ranged = Growth.activeUsersFromKmvMv(spark, mvDir, 64,
+        range = Some(("2024-01-02", "2024-01-03")))
+      .collect().toSeq
+    val sliced = served.filter(r => r._1 >= "2024-01-02")
+    assert(ranged.map(r => (r.getDate(0).toString, r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))) == sliced)
+    intercept[IllegalArgumentException] {
+      Growth.activeUsersFromKmvMv(spark, mvDir, 64,
+        range = Some(("2024-01-03", "2024-01-02")))
+    }
+    intercept[IllegalArgumentException] {
+      Growth.activeUsersFromKmvMv(spark, mvDir, 64,
+        range = Some(("not-a-date", "2024-01-03")))
+    }
+
     val big = (1 to 2000).map(u => (u.toLong, ts(1))).toDF("user_id", "ts")
     val mv2 = Files.createTempDirectory("graft-kmv-mv2").toString + "/mv"
     IncrementalMv.applyAggDelta(big.withColumn("_all", lit("all")), 0, mv2,
@@ -159,6 +177,27 @@ class GrowthSpec extends AnyFunSuite {
     assert(est != 2000.0, "2000 distinct cannot serve exactly from k=128")
     assert(math.abs(est / 2000.0 - 1.0) < 0.35,
       s"KMV estimate $est outside the 4-rsd band around 2000")
+  }
+
+  test("activeUsersFromMv: ranged serve equals the full serve's slice " +
+    "on the exact distinct-set state (shared prune/clip path)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.stream.{IncrementalMv, MvAgg}
+    val ev = (1 to 30).map(u => (u.toLong, ts(1 + u % 3)))
+      .toDF("user_id", "ts")
+    val mvDir = Files.createTempDirectory("graft-dset-rng").toString + "/mv"
+    IncrementalMv.applyAggDelta(ev.withColumn("_all", lit("all")), 0,
+      mvDir, "ts", "_all", col("user_id"), MvAgg.distinctSet)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val full = rows(Growth.activeUsersFromMv(spark, mvDir))
+    val ranged = rows(Growth.activeUsersFromMv(spark, mvDir,
+      range = Some(("2024-01-02", "2024-01-03"))))
+    assert(ranged.nonEmpty &&
+      ranged == full.filter(_._1 >= "2024-01-02"),
+      s"ranged=$ranged full=$full")
   }
 
   test("activeUsersFromHllMv: exact in the coupon regime, rsd-banded " +

@@ -193,10 +193,11 @@ class MaintenanceSpec extends AnyFunSuite {
       "MV-served DAU/WAU/MAU must equal the batch recompute")
   }
 
-  test("growth MV restart soak: the distinct-set maintenance runs under " +
-    "a LIVE ProcessingTime trigger, is killed between deltas and recovers " +
-    "from its checkpoint — incremental == recompute (ST1/ST3 on the set " +
-    "state)") {
+  test("growth MV restart soak (GRACEFUL): the distinct-set maintenance " +
+    "runs under a LIVE ProcessingTime trigger, stops between deltas " +
+    "with a committed checkpoint and recovers — incremental == " +
+    "recompute (ST1/ST3 on the set state; the UNCLEAN mid-batch kill " +
+    "is the separate test below)") {
     import graft.stream.MvAgg
     import graft.olap.Growth
     val ev = Tables(spark, TestSpark.sf, "events")
@@ -220,7 +221,9 @@ class MaintenanceSpec extends AnyFunSuite {
       .write.mode("append").parquet(inDir)
     val q1 = start()
     q1.processAllAvailable()
-    q1.stop() // kill between deltas: the set state lives only in MV+chk
+    // graceful stop between deltas (checkpoint fully committed): the
+    // set state lives only in MV+chk across the restart
+    q1.stop()
     assert(spark.read.parquet(mvDir).count() > 0)
 
     ev.filter(unix_timestamp(col("ts")) > cutSec)
@@ -240,6 +243,99 @@ class MaintenanceSpec extends AnyFunSuite {
     q3.processAllAvailable()
     q3.stop()
     assert(Growth.activeUsersFromMv(spark, mvDir).collect().toSeq == batch)
+  }
+
+  test("restart soak parameterized over the SKETCH states (KMV / HLL / " +
+    "A-Res): live trigger, graceful stop between deltas with days split " +
+    "across the cut, recover — incremental == recompute per state") {
+    import graft.stream.MvAgg
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("ts"), col("user_id"))
+    val cutSec = ev.agg(percentile_approx(unix_timestamp(col("ts")),
+      lit(0.5), lit(100))).head.getLong(0)
+    // the A-Res state needs a struct(id, w) value; the others fold the
+    // raw user id — parameterize both the agg and its value column
+    val aresVal = struct(col("user_id").as("id"), lit(1.0).as("w"))
+    val cases: Seq[(MvAgg, String, org.apache.spark.sql.Column)] = Seq(
+      (MvAgg.kmvDistinct(1024), "user_id", col("user_id")),
+      (MvAgg.hllDistinct(12), "user_id", col("user_id")),
+      (MvAgg.prioritySample(4), "_v", aresVal))
+    for ((agg, valName, valCol) <- cases) {
+      val inDir = Files.createTempDirectory(s"graft-soak-${agg.name}-in")
+        .toString
+      val mvDir = Files.createTempDirectory(s"graft-soak-${agg.name}")
+        .toString + "/mv"
+      val chkDir = Files.createTempDirectory(s"graft-soak-${agg.name}-chk")
+        .toString
+      def start() = {
+        val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+          .withColumn("_all", lit("all"))
+          .withColumn("_v", aresVal)
+        IncrementalMv.startAgg(stream, "ts", "_all", valName, agg,
+          mvDir, chkDir, Trigger.ProcessingTime("500 milliseconds"))
+      }
+      ev.filter(unix_timestamp(col("ts")) <= cutSec)
+        .write.mode("append").parquet(inDir)
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+      ev.filter(unix_timestamp(col("ts")) > cutSec)
+        .write.mode("append").parquet(inDir) // arrives while DOWN
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = IncrementalMv.readAgg(spark, mvDir, agg)
+      // compare SERVED values, not raw state bytes: the HLL register
+      // layout is not replay-stable across merge orders in general,
+      // but the served estimate is a set-function of the inputs; KMV
+      // and A-Res merge laws are exact
+      val want = ev
+        .groupBy(to_date(col("ts")).as("day"), lit("all").as("key"))
+        .agg(agg.delta(valCol).as("state"))
+        .select(col("day"), col("key"), agg.finish(col("state")).as("value"))
+      assert(got.count() > 0 && got.count() == want.count(), agg.name)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"${agg.name}: MV recovered across a restart must serve the " +
+          "batch recompute")
+    }
+  }
+
+  test("UNCLEAN restart: the maintenance query is stopped WITHOUT " +
+    "draining (mid-batch kill window) and recovery replays the delta " +
+    "idempotently — the staging/marker ledger's at-least-once claim") {
+    import graft.stream.MvAgg
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("ts"), col("user_id"))
+    val inDir = Files.createTempDirectory("graft-unclean-in").toString
+    val mvDir = Files.createTempDirectory("graft-unclean").toString + "/mv"
+    val chkDir = Files.createTempDirectory("graft-unclean-chk").toString
+    def start(trigger: Trigger) = {
+      val stream = spark.readStream.schema(ev.schema).parquet(inDir)
+        .withColumn("_all", lit("all"))
+      IncrementalMv.startAgg(stream, "ts", "_all", "user_id",
+        MvAgg.distinctSet, mvDir, chkDir, trigger)
+    }
+    ev.write.mode("append").parquet(inDir)
+    // stop WITHOUT processAllAvailable: depending on timing the kill
+    // lands before, inside, or after the first micro-batch's
+    // merge/install/commit phases — every landing must converge after
+    // recovery (an interrupted install replays off the _SUCCESS-
+    // complete staging snapshot; an uncommitted batch id re-applies;
+    // a committed one no-ops on its marker)
+    val q1 = start(Trigger.ProcessingTime("100 milliseconds"))
+    Thread.sleep(400)
+    q1.stop()
+    val q2 = start(Trigger.ProcessingTime("100 milliseconds"))
+    q2.processAllAvailable()
+    q2.stop()
+    val served = graft.olap.Growth.activeUsersFromMv(spark, mvDir)
+      .collect().toSeq
+    val batch = graft.olap.Growth.activeUsers(ev, "user_id", "ts")
+      .collect().toSeq
+    assert(served.nonEmpty && served == batch,
+      "MV recovered from an undrained stop must serve the batch recompute")
   }
 
   test("generalized MvAgg MVs: incremental maintenance == recompute for " +

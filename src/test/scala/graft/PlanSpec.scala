@@ -217,6 +217,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(part_month"), p)
   }
 
+  test("ranged growth-MV serve partition-prunes the day-partitioned MV " +
+    "scan (the dashboard read touches trailing days, never the full MV)") {
+    import graft.stream.{IncrementalMv, MvAgg}
+    import spark.implicits._
+    val ev = (1 to 10).map(u => (u.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-${1 + u % 5}%02d 12:00:00")))
+      .toDF("user_id", "ts")
+    val mvDir = java.nio.file.Files
+      .createTempDirectory("graft-mv-prune").toString + "/mv"
+    IncrementalMv.applyAggDelta(ev.withColumn("_all", lit("all")), 0,
+      mvDir, "ts", "_all", col("user_id"), MvAgg.kmvDistinct(64))
+    val df = graft.olap.Growth.activeUsersFromKmvMv(spark, mvDir, 64,
+      windows = Seq(1, 2), range = Some(("2024-01-03", "2024-01-05")))
+    assert(df.count() > 0)
+    val p = df.queryExecution.executedPlan.toString
+    val pfs = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pfs.nonEmpty, p)
+    // every MV scan must carry the day bounds at scan planning — an
+    // empty PartitionFilters list means some branch reads the full MV
+    assert(pfs.forall(l => l.contains("day") && l.contains(">=") &&
+      l.contains("<=")), p)
+  }
+
   test("as-of join query plans with zero join nodes; type filter pushes to scan (x24)") {
     val p = plan(SparkEntry.queries("x24_asof_join")(spark, sf))
     assert(!p.contains("Join"), "x24 must be the union-window plan:\n" + p)

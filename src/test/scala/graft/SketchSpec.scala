@@ -350,6 +350,34 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_kll_quantiles_cont in the exact regime is BIT-IDENTICAL " +
+    "to exact percentile on random tied integer populations, any " +
+    "partitioning — the rfm cutpoint contract") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val qs = Seq(0.2, 0.25, 0.4, 0.5, 0.6, 0.75, 0.8, 0.9)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(200)
+      // small value range -> heavy ties, the case where the
+      // tie-short-circuit (return the stored value exactly) matters
+      val values = Seq.fill(n)(rnd.nextInt(30).toLong)
+      val df = values.toDF("v").repartition(7)
+      val exact = df.agg(percentile(col("v"), typedLit(qs)))
+        .head.getSeq[Double](0)
+      val cont = df.agg(GraftFunctions.kllQuantilesCont(spark,
+          col("v").cast("double"), k = 1024, qs))
+        .head.getSeq[Double](0)
+      assert(cont == exact,
+        s"trial $trial (n=$n): cont=$cont != percentile=$exact")
+    }
+    // and the non-interpolating read is unchanged by the new field
+    val plain = (1 to 100).map(_.toDouble).toDF("v")
+      .agg(GraftFunctions.kllQuantiles(spark, col("v"), 1024, Seq(0.5)))
+      .head.getSeq[Double](0)
+    assert(plain == Seq(50.0))
+  }
+
   test("KLL merge law: buffer merge == feeding the concatenation, and " +
     "partial aggregation reproduces the single-partition result in the " +
     "exact regime") {

@@ -88,8 +88,8 @@ object ScaleStress {
     // stress-only probes (not oracled queries): see `extraProbes`
     "crossdoc_spans_capped", "ivf_batch_nprobes2", "ivf_pq_nprobes2",
     // round-13: bounded-state rfm cutpoints + banding degenerate cases
-    "rfm_keys2m", "pareto_oneoctave2m", "pareto_oneoctave2m_b1024",
-    "pareto_ties2m")
+    "rfm_keys2m", "rfm_keys2m_exact", "pareto_oneoctave2m",
+    "pareto_oneoctave2m_b1024", "pareto_ties2m")
 
   /** Stress-only probes with no oracle entry: x99's bench/oracle form
     * runs probe-ALL (exact by construction, O(|queries|·|corpus|) BY
@@ -150,13 +150,15 @@ object ScaleStress {
     // Dir-independent input: read the absolute wall, not the ratio.
     "rfm_keys2m" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      graft.olap.CustomerValue.rfm(
-        s.range(2000000L).select(col("id").as("k"),
-          date_add(lit("2024-01-01").cast("date"),
-            pmod(col("id"), lit(365)).cast("int")).as("dt"),
-          ((pmod(col("id") * 7919, lit(999983)) + 1).cast("double") / 7)
-            .as("amt")),
-        "k", "dt", "amt")
+      graft.olap.CustomerValue.rfm(rfmKeys2m(s), "k", "dt", "amt")
+    }),
+    // the exact-percentile sibling (cutpointK = 0): same 2M customers
+    // through the population-sized cutpoint buffer — the wall-clock
+    // AND memory shape the KLL default escapes; compare the pair
+    "rfm_keys2m_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.olap.CustomerValue.rfm(rfmKeys2m(s), "k", "dt", "amt",
+        cutpointK = 0)
     }),
     // x168's degenerate-corpus escape hatch: the ×N inflation is a
     // 100%-duplicate corpus (every window shared N ways — the 100×
@@ -213,6 +215,17 @@ object ScaleStress {
       graft.ext.IvfIndex.batchTopKQuantized(model, codes, queries,
         "embedding", "vec_id", k = 5, nProbes = 2)
     }))
+
+  /** 2M synthetic customers (one tx each) — the rfm key-population
+    * probe input, dir-independent. */
+  private def rfmKeys2m(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.range(2000000L).select(col("id").as("k"),
+      date_add(lit("2024-01-01").cast("date"),
+        pmod(col("id"), lit(365)).cast("int")).as("dt"),
+      ((pmod(col("id") * 7919, lit(999983)) + 1).cast("double") / 7)
+        .as("amt"))
+  }
 
   /** Build-once memo for the staged-index probes: fit, stage assigned +
     * codes to parquet, re-read — per (JVM, data dir). The staging root

@@ -184,9 +184,20 @@ object CustomerValue {
     * partition (at the default granularity a band spans at most a
     * ×1.25 amount range, so only a near-constant amount distribution
     * degenerates; heavy exact TIES co-band by necessity — rank
-    * determinism). The trade deletes the old quantile-boundary +
-    * offset BARRIERS: no percentile aggregate, no one-row broadcast
-    * before keys can band.
+    * determinism). Measured on the degenerate probes (ScaleStress,
+    * 2M keys): near-constant DISTINCT amounts in one octave run ~1.2×
+    * the well-spread wall at the default granularity and recover with
+    * `buckets = 1024` (~1.5× fewer seconds — the knob is the remedy,
+    * raising it only adds empty band space); ALL-TIE amounts (one
+    * band holds every key) run ~1.2× — mild, and IRREDUCIBLE under
+    * deterministic ranking: a tie band's keys must concatenate in key
+    * order, and no type-generic per-row function sub-bands a key
+    * monotonically (a hash would break the rank order), so no
+    * auto-remedy engages. A 1e8+-exact-tie population would need a
+    * caller-provided monotone key prefix as a secondary band — out of
+    * scope until a corpus exhibits it. The banding trade deletes the
+    * old quantile-boundary + offset BARRIERS: no percentile
+    * aggregate, no one-row broadcast before keys can band.
     *
     * `buckets` is a band-GRANULARITY target, not an exact partition
     * count: it maps to `2^ceil(log2(buckets))/64` sub-bands per octave

@@ -3753,6 +3753,26 @@ object SparkEntry {
       model.unpersist()
       out
     }),
+    "x175_growth_mv_ranged" -> ((s, d) => {
+      // the RANGED growth-MV serve (r13): the same distinct-set MV as
+      // x169 but served for the 2024-01-05..20 day slice — the
+      // partition-pruned dashboard read (source days range.start −
+      // max(w) + 1 .. range.end, report clipped; PlanSpec gates the
+      // PartitionFilters). ONE delta builds the MV: the maintenance
+      // loop itself is x169/x171's oracled claim — this query puts
+      // the prune/clip arithmetic on the value gate.
+      import graft.stream.{IncrementalMv, MvAgg}
+      val path = cachePath(d, "x175") + "/mv_dset"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("_all", lit("all"))
+      IncrementalMv.applyAggDelta(ev, 0, path, "ts", "_all",
+        col("user_id"), MvAgg.distinctSet)
+      graft.olap.Growth.activeUsersFromMv(s, path,
+        range = Some(("2024-01-05", "2024-01-20")))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -8431,6 +8451,12 @@ object SparkEntry {
     // and must drop from the lattice and the confusion counts alike
     "x174_binned_sweep_null_labels" ->
       duckNbSweepSql(" AND doc_id % 7 <> 0"),
+    // the ranged serve equals the full report's day slice: replay the
+    // x153/x169 oracle and cut the range — coverage days before the
+    // range start feed the in-range windows on BOTH sides
+    "x175_growth_mv_ranged" ->
+      ("SELECT * FROM (" + duckActiveUsersSql + ") WHERE day BETWEEN " +
+        "DATE '2024-01-05' AND DATE '2024-01-20' ORDER BY day"),
     // the x61 shingle spelling, distinct-DOC counts, gaps-and-islands
     // run merge per doc, span text via list slice
     "x168_crossdoc_spans" ->

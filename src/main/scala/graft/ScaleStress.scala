@@ -87,7 +87,12 @@ object ScaleStress {
     "x168_crossdoc_spans",
     // stress-only probes (not oracled queries): see `extraProbes`
     "crossdoc_spans_capped", "ivf_batch_nprobes2", "ivf_pq_nprobes2",
-    // round-13: bounded-state rfm cutpoints + banding degenerate cases
+    // round-13: bounded-state rfm cutpoints + banding degenerate
+    // cases. These five are DIR-INDEPENDENT (s.range inputs): base ==
+    // inflated by construction, so their two columns are repeat
+    // samples and the ~1.0 ratio documents exactly that — read the
+    // absolute wall and the pair deltas (kll vs exact, default vs
+    // b1024, spread vs one-octave vs ties)
     "rfm_keys2m", "rfm_keys2m_exact", "pareto_oneoctave2m",
     "pareto_oneoctave2m_b1024", "pareto_ties2m")
 

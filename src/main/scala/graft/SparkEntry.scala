@@ -3382,18 +3382,29 @@ object SparkEntry {
       graft.olap.Affinity.associationRules(baskets, "basket", "item",
         minCount = 10, minConfidence = 0.05, topK = 50)
     }),
-    "x150_rfm_segments" -> ((s, d) =>
+    "x150_rfm_segments" -> ((s, d) => {
       // Lifecycle segmentation: recency/frequency/monetary scored
       // 1..5 against percentile cutpoints from the BOUNDED KLL
       // sketch (one aggregate + a broadcast row + a narrow array
       // scan — deliberately NOT a global ntile sort), folded into
       // champion/loyal/at_risk/... segments. Money in exact cents;
       // the fixture population sits in the sketch's exact regime
-      // (n <= 2^16), where the interpolating read is bit-identical
-      // to exact percentile/quantile_cont — the oracle's spelling.
-      graft.olap.CustomerValue.rfm(t(s, d, "orders"), "o_custkey",
+      // (n <= 2^16 — no compaction fires), where the interpolating
+      // read is bit-identical to exact percentile/quantile_cont —
+      // the oracle's spelling.
+      val tx = t(s, d, "orders")
+      // exact-regime guard, the x171 convention: fixture growth past
+      // the sketch capacity fails with a message, not a hash diff
+      val customers = tx.filter(col("o_custkey").isNotNull)
+        .agg(count_distinct(col("o_custkey"))).head.getLong(0)
+      require(customers <= (1 << 16),
+        s"x150 exact-regime guard: $customers distinct customers" +
+          " exceeds cutpointK=65536 — raise rfm's cutpointK past the" +
+          " population or re-derive the oracle")
+      graft.olap.CustomerValue.rfm(tx, "o_custkey",
           "o_orderdate", "o_totalprice")
-        .orderBy(col("o_custkey"))),
+        .orderBy(col("o_custkey"))
+    }),
     "x151_pareto_abc" -> ((s, d) =>
       // Revenue concentration: customers ranked by exact-cents
       // contribution, cumulative share, ABC classes at 70/90% — the
@@ -3693,19 +3704,23 @@ object SparkEntry {
       val ev = t(s, d, "events")
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .withColumn("_all", lit("all"))
-      // guard the exact-regime invariant LOUDLY (one cheap 1-row
-      // probe): total distinct users bounds every window union from
-      // above, so fixture growth past k−1 fails here with a message
-      // instead of an opaque oracle hash diff
-      val distinctUsers = ev.agg(count_distinct(col("user_id")))
-        .head.getLong(0)
-      require(distinctUsers < 4096,
-        s"x171 exact-regime guard: $distinctUsers distinct users is not" +
-          " strictly below k=4096 — raise k (and keep it >= every" +
-          " 28-day window union + 1) or re-derive the oracle")
       (0 until 3).foreach(m => IncrementalMv.applyAggDelta(
         ev.filter(pmod(col("event_id"), lit(3)) === m), m, path,
         "ts", "_all", col("user_id"), MvAgg.kmvDistinct(4096)))
+      // guard the exact-regime invariant LOUDLY, on the DAY-SIZED MV
+      // frame (never a second events scan): no per-day sketch may
+      // truncate (max size < k, else the union undercounts) and the
+      // all-days hash union — an upper bound on every 28-day window
+      // union — must stay strictly below k. Fixture growth past the
+      // regime fails here with a message, not an opaque hash diff.
+      val mv = s.read.parquet(path)
+      val maxLen = mv.agg(max(size(col("state")))).head.getInt(0)
+      val unionDistinct = mv.select(explode(col("state")).as("h"))
+        .distinct().count()
+      require(maxLen < 4096 && unionDistinct < 4096,
+        s"x171 exact-regime guard: per-day max $maxLen / union " +
+          s"$unionDistinct hashes not strictly below k=4096 — raise k" +
+          " (keep every 28-day window union < k) or re-derive the oracle")
       graft.olap.Growth.activeUsersFromKmvMv(s, path, 4096)
     }),
     "x172_calibration_null_labels" -> ((s, d) => {

@@ -131,19 +131,11 @@ object GraftFunctions {
       s"graft_vecsum takes 1 argument, got ${other.size}")
   }
 
-  val kllQuantilesBuilder: Seq[Expression] => Expression = {
-    case Seq(child, kE, org.apache.spark.sql.catalyst.expressions.Literal(
-        qs: org.apache.spark.sql.catalyst.util.ArrayData,
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType, _)))
-        if longLiteral(kE).isDefined =>
-      KllQuantiles(child, longLiteral(kE).get.toInt,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(qs.toDoubleArray()))
-    case _ => throw new IllegalArgumentException(
-      "graft_kll_quantiles takes (value double, k int literal, quantiles array<double> literal)")
-  }
-
-  val kllQuantilesContBuilder: Seq[Expression] => Expression = {
+  /** One builder for both quantile-read conventions — the rank read
+    * (`graft_kll_quantiles`) and the percentile-interpolating read
+    * (`graft_kll_quantiles_cont`) differ only in the eval flag. */
+  private def mkKllQuantilesBuilder(name: String, interp: Boolean)
+      : Seq[Expression] => Expression = {
     case Seq(child, kE, org.apache.spark.sql.catalyst.expressions.Literal(
         qs: org.apache.spark.sql.catalyst.util.ArrayData,
         org.apache.spark.sql.types.ArrayType(
@@ -151,10 +143,16 @@ object GraftFunctions {
         if longLiteral(kE).isDefined =>
       KllQuantiles(child, longLiteral(kE).get.toInt,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(qs.toDoubleArray()),
-        interpolate = true)
+        interpolate = interp)
     case _ => throw new IllegalArgumentException(
-      "graft_kll_quantiles_cont takes (value double, k int literal, quantiles array<double> literal)")
+      s"$name takes (value double, k int literal, quantiles array<double> literal)")
   }
+
+  val kllQuantilesBuilder: Seq[Expression] => Expression =
+    mkKllQuantilesBuilder("graft_kll_quantiles", interp = false)
+
+  val kllQuantilesContBuilder: Seq[Expression] => Expression =
+    mkKllQuantilesBuilder("graft_kll_quantiles_cont", interp = true)
 
   val kllSketchBuilder: Seq[Expression] => Expression = {
     case Seq(child, kE) if longLiteral(kE).isDefined =>

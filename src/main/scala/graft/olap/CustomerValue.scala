@@ -45,14 +45,20 @@ object CustomerValue {
     * cutpoints are BIT-IDENTICAL to exact `percentile` (integer
     * inputs interpolate bit-identically cross-engine, the x28
     * precedent — spec-pinned), which is the regime every fixture
-    * oracle runs in; beyond it they carry KLL's O(n/cutpointK) rank
-    * error — and scores stay robust to cutpoint ulps BY CONSTRUCTION:
-    * an interior cutpoint falls strictly between two ADJACENT
-    * population values, so no customer value can sit on the boundary
-    * (ties and integer ranks short-circuit to the exact stored
-    * value). `cutpointK = 0` forces the exact `percentile` path for
-    * callers who need exact cutpoints beyond the sketch regime and
-    * accept the population-sized buffer.
+    * oracle runs in. Cutpoint ulp noise cannot flip a score in that
+    * regime: an INTERPOLATED cutpoint falls strictly between two
+    * ADJACENT population values (no customer value in the gap), and
+    * the tie / integer-rank cases short-circuit to the exact stored
+    * value on both engines. BEYOND the exact regime
+    * (n > cutpointK) the cutpoints carry KLL's O(n/cutpointK) rank
+    * error AND inherit its documented run-to-run caveat: compaction
+    * parity follows shuffle fetch order, so two runs over identical
+    * input may score boundary-adjacent customers differently — a
+    * contract change vs exact `percentile` that callers needing
+    * reproducible segmentation past the sketch capacity must answer
+    * by raising `cutpointK` above the population or passing
+    * `cutpointK = 0`, the exact `percentile` path (deterministic at
+    * any n, population-sized buffer).
     *
     * Segments (hi = buckets−1, lo = 2): champion (r,f,m all ≥ hi),
     * loyal (f ≥ hi), big_spender (m ≥ hi), at_risk (r ≤ lo, f ≥ 3),

@@ -149,13 +149,16 @@ class GrowthSpec extends AnyFunSuite {
     // pins the actual fixture value, the band states the contract)
     // ranged serve == the full serve's day slice (the partition-pruned
     // dashboard read; coverage days before the range start feed the
-    // in-range windows, then drop)
+    // in-range windows, then drop). Day 3 exists in the MV BEYOND the
+    // range end, so the end clip is exercised, not just the start.
     val ranged = Growth.activeUsersFromKmvMv(spark, mvDir, 64,
-        range = Some(("2024-01-02", "2024-01-03")))
+        range = Some(("2024-01-02", "2024-01-02")))
       .collect().toSeq
-    val sliced = served.filter(r => r._1 >= "2024-01-02")
-    assert(ranged.map(r => (r.getDate(0).toString, r.getDouble(1),
-      r.getDouble(2), r.getDouble(3), r.getDouble(4))) == sliced)
+    val sliced = served.filter(r =>
+      r._1 >= "2024-01-02" && r._1 <= "2024-01-02")
+    assert(sliced.nonEmpty &&
+      ranged.map(r => (r.getDate(0).toString, r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))) == sliced)
     intercept[IllegalArgumentException] {
       Growth.activeUsersFromKmvMv(spark, mvDir, 64,
         range = Some(("2024-01-03", "2024-01-02")))
@@ -184,7 +187,9 @@ class GrowthSpec extends AnyFunSuite {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
     import graft.stream.{IncrementalMv, MvAgg}
-    val ev = (1 to 30).map(u => (u.toLong, ts(1 + u % 3)))
+    // days 1..4 with the range ending at day 3: day 4 exists in the
+    // MV beyond the range end, so BOTH clip bounds are exercised
+    val ev = (1 to 30).map(u => (u.toLong, ts(1 + u % 4)))
       .toDF("user_id", "ts")
     val mvDir = Files.createTempDirectory("graft-dset-rng").toString + "/mv"
     IncrementalMv.applyAggDelta(ev.withColumn("_all", lit("all")), 0,
@@ -196,7 +201,8 @@ class GrowthSpec extends AnyFunSuite {
     val ranged = rows(Growth.activeUsersFromMv(spark, mvDir,
       range = Some(("2024-01-02", "2024-01-03"))))
     assert(ranged.nonEmpty &&
-      ranged == full.filter(_._1 >= "2024-01-02"),
+      ranged == full.filter(r => r._1 >= "2024-01-02" &&
+        r._1 <= "2024-01-03"),
       s"ranged=$ranged full=$full")
   }
 

@@ -286,18 +286,31 @@ class MaintenanceSpec extends AnyFunSuite {
       q2.processAllAvailable()
       q2.stop()
       val got = IncrementalMv.readAgg(spark, mvDir, agg)
-      // compare SERVED values, not raw state bytes: the HLL register
-      // layout is not replay-stable across merge orders in general,
-      // but the served estimate is a set-function of the inputs; KMV
-      // and A-Res merge laws are exact
+      // compare SERVED values, not raw state bytes; KMV and A-Res
+      // merge laws are exact so equality is bitwise. HLL needs a
+      // tolerance: a union-built sketch (composite estimator) and a
+      // direct-built one (HIP) agree exactly only in the coupon
+      // regime — today's fixture sits there, but the restart claim
+      // must not silently depend on it, so HLL compares per-(day,key)
+      // estimates within the 4-rsd band instead of exceptAll
       val want = ev
         .groupBy(to_date(col("ts")).as("day"), lit("all").as("key"))
         .agg(agg.delta(valCol).as("state"))
         .select(col("day"), col("key"), agg.finish(col("state")).as("value"))
       assert(got.count() > 0 && got.count() == want.count(), agg.name)
-      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
-        s"${agg.name}: MV recovered across a restart must serve the " +
-          "batch recompute")
+      if (agg.name.startsWith("hll")) {
+        val pairs = got.as("g").join(want.as("w"), Seq("day", "key"))
+          .select(col("g.value").cast("double"),
+            col("w.value").cast("double")).collect()
+        val rsd4 = 4 * 1.04 / math.sqrt(1 << 12)
+        assert(pairs.nonEmpty && pairs.forall(r =>
+          math.abs(r.getDouble(0) - r.getDouble(1)) <=
+            math.max(1.0, rsd4 * r.getDouble(1))),
+          s"${agg.name}: recovered estimates outside the 4-rsd band")
+      } else
+        assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          s"${agg.name}: MV recovered across a restart must serve the " +
+            "batch recompute")
     }
   }
 

@@ -180,17 +180,27 @@ object GraftFunctions {
       "graft_kll_merge takes (sketch binary, k int literal)")
   }
 
-  val kllValuesBuilder: Seq[Expression] => Expression = {
+  /** One builder for both serialized-sketch read conventions (the
+    * scalar complement of [[mkKllQuantilesBuilder]]). */
+  private def mkKllValuesBuilder(name: String, interp: Boolean)
+      : Seq[Expression] => Expression = {
     case Seq(child, kE, org.apache.spark.sql.catalyst.expressions.Literal(
         qs: org.apache.spark.sql.catalyst.util.ArrayData,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType, _)))
         if longLiteral(kE).isDefined =>
       KllValues(child, longLiteral(kE).get.toInt,
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(qs.toDoubleArray()))
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(qs.toDoubleArray()),
+        interpolate = interp)
     case _ => throw new IllegalArgumentException(
-      "graft_kll_values takes (sketch binary, k int literal, quantiles array<double> literal)")
+      s"$name takes (sketch binary, k int literal, quantiles array<double> literal)")
   }
+
+  val kllValuesBuilder: Seq[Expression] => Expression =
+    mkKllValuesBuilder("graft_kll_values", interp = false)
+
+  val kllValuesContBuilder: Seq[Expression] => Expression =
+    mkKllValuesBuilder("graft_kll_values_cont", interp = true)
 
   val structAtBuilder: Seq[Expression] => Expression = {
     case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _)) =>
@@ -243,6 +253,8 @@ object GraftFunctions {
       "graft_kll_merge", kllMergeBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_values", kllValuesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_values_cont", kllValuesContBuilder, "scala_udf")
   }
 
   /** Column API for the mergeable KLL quantile aggregate; registers
@@ -304,6 +316,18 @@ object GraftFunctions {
                 qs: Seq[Double]): Column = {
     register(spark)
     call_function("graft_kll_values", sketch,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.typedlit(qs))
+  }
+
+  /** [[kllValues]] with `percentile`'s continuous interpolation — a
+    * persisted sketch (MV state, snapshot manifest) serves
+    * percentile-convention quantiles, bit-identical to exact
+    * `percentile` in the sketch's exact regime. */
+  def kllValuesCont(spark: SparkSession, sketch: Column, k: Int,
+                    qs: Seq[Double]): Column = {
+    register(spark)
+    call_function("graft_kll_values_cont", sketch,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.typedlit(qs))
   }

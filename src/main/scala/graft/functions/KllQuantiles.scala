@@ -244,7 +244,8 @@ case class KllMerge(
 case class KllValues(
     child: Expression,
     k: Int,
-    quantiles: Seq[Double])
+    quantiles: Seq[Double],
+    interpolate: Boolean = false)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -255,7 +256,7 @@ case class KllValues(
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_kll_values expects a binary sketch column, got ${child.dataType.simpleString}")
+      s"$prettyName expects a binary sketch column, got ${child.dataType.simpleString}")
 
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -263,13 +264,16 @@ case class KllValues(
   override protected def nullSafeEval(input: Any): Any = {
     val buf = KllQuantiles.Buf.deserialize(k, input.asInstanceOf[Array[Byte]])
     if (buf.n == 0) null
-    else new GenericArrayData(buf.quantiles(quantiles).toArray[Any])
+    else new GenericArrayData(
+      (if (interpolate) buf.quantilesCont(quantiles)
+       else buf.quantiles(quantiles)).toArray[Any])
   }
 
   override protected def withNewChildInternal(newChild: Expression): KllValues =
     copy(child = newChild)
 
-  override def prettyName: String = "graft_kll_values"
+  override def prettyName: String =
+    if (interpolate) "graft_kll_values_cont" else "graft_kll_values"
 }
 
 object KllQuantiles {

@@ -376,6 +376,18 @@ class SketchSpec extends AnyFunSuite {
       .agg(GraftFunctions.kllQuantiles(spark, col("v"), 1024, Seq(0.5)))
       .head.getSeq[Double](0)
     assert(plain == Seq(50.0))
+    // the serialized-sketch read offers the same convention: a
+    // persisted sketch serves percentile-convention quantiles
+    val df99 = (1 to 99).map(_.toDouble).toDF("v")
+    val viaSketch = df99
+      .agg(GraftFunctions.kllSketch(spark, col("v"), 1024).as("sk"))
+      .select(GraftFunctions.kllValuesCont(spark, col("sk"), 1024,
+        Seq(0.25, 0.5)))
+      .head.getSeq[Double](0)
+    val viaPercentile = df99
+      .agg(percentile(col("v"), typedLit(Seq(0.25, 0.5))))
+      .head.getSeq[Double](0)
+    assert(viaSketch == viaPercentile)
   }
 
   test("KLL merge law: buffer merge == feeding the concatenation, and " +

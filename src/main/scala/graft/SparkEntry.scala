@@ -3788,6 +3788,31 @@ object SparkEntry {
       graft.olap.Growth.activeUsersFromMv(s, path,
         range = Some(("2024-01-05", "2024-01-20")))
     }),
+    "x176_snapshot_quantiles_cont" -> ((s, d) => {
+      // x110's versioned-table quantiles read with percentile's
+      // CONTINUOUS convention (r13's graft_kll_values_cont machinery
+      // through Snapshots.quantileSketch): same per-commit sketch
+      // blobs, interpolating read — oracled against DuckDB's
+      // quantile_cont directly, the x28/x150 bit-parity. Exact regime
+      // guarded loudly (total rows ≤ k ⇒ no compaction ⇒ the merged
+      // ladder holds every value).
+      import graft.warehouse.Snapshots
+      val path = cachePath(d, "x176") + "/docs_kll"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val n = docs.filter(col("n_chars").isNotNull).count()
+      require(n <= 8192,
+        s"x176 exact-regime guard: $n rows exceeds k=8192 — raise k or" +
+          " re-derive the oracle")
+      (0 until 3).foreach(m => Snapshots.append(s, path,
+        docs.filter(pmod(col("doc_id"), lit(3)) === m).coalesce(1)))
+      Snapshots.quantileSketch(s, path, "n_chars",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), k = 8192,
+          interpolate = true)
+        .select(col("qi"), col("value"))
+        .orderBy(col("qi"))
+    }),
   )
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
@@ -8472,6 +8497,16 @@ object SparkEntry {
     "x175_growth_mv_ranged" ->
       ("SELECT * FROM (" + duckActiveUsersSql + ") WHERE day BETWEEN " +
         "DATE '2024-01-05' AND DATE '2024-01-20' ORDER BY day"),
+    // the interpolating sketch read against quantile_cont itself — the
+    // x28/x150 integer-input interpolation parity, served from the
+    // per-commit sketch blobs instead of a table rescan
+    "x176_snapshot_quantiles_cont" ->
+      """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |qc AS (SELECT quantile_cont(v,
+        |         [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS a FROM s)
+        |SELECT CAST(t.i AS BIGINT) AS qi, qc.a[CAST(t.i AS INT) + 1] AS value
+        |FROM qc, range(6) t(i) ORDER BY qi""".stripMargin,
     // the x61 shingle spelling, distinct-DOC counts, gaps-and-islands
     // run merge per doc, span text via list slice
     "x168_crossdoc_spans" ->

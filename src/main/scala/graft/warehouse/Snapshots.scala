@@ -809,7 +809,8 @@ object Snapshots {
     * empty frame for an all-null column. */
   def quantileSketch(spark: SparkSession, dir: String, valueCol: String,
                      qs: Seq[Double], k: Int = 8192,
-                     version: Option[Int] = None): DataFrame = {
+                     version: Option[Int] = None,
+                     interpolate: Boolean = false): DataFrame = {
     import spark.implicits._
     require(qs.nonEmpty, "need at least one quantile")
     val v = version.getOrElse(latestVersion(spark, dir))
@@ -835,7 +836,12 @@ object Snapshots {
     if (bufs.isEmpty) Seq.empty[(Long, Double)].toDF("qi", "value")
     else {
       val merged = bufs.reduce { (a, b) => a.mergeIn(b); a }
-      val vals = merged.quantiles(qs)
+      // one sketch, two read conventions: rank-⌈q·n⌉ (the x110 oracle)
+      // or percentile's continuous interpolation (the x176 oracle) —
+      // the cached per-commit blobs are shared because only the READ
+      // differs
+      val vals =
+        if (interpolate) merged.quantilesCont(qs) else merged.quantiles(qs)
       qs.indices.map(i => (i.toLong, vals(i))).toDF("qi", "value")
     }
   }

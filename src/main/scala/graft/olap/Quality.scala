@@ -164,17 +164,30 @@ object Quality {
     * multiple of 0.5 (exact in doubles), absolute deviations stay
     * multiples of 0.5, so the MAD is exact too and the final division is
     * a single correctly-rounded IEEE op — bit-identical cross-engine.
-    */
+    *
+    * State bound: exact `percentile`'s buffer is a per-group
+    * value→count map — distinct-value-proportional, which for a
+    * CONTINUOUS metric is row-proportional (the rfm/x150 bound class).
+    * `approxK > 0` swaps in the bounded KLL read with `percentile`'s
+    * interpolation (`graft_kll_quantiles_cont`): O(approxK·log)
+    * doubles per group, bit-identical to exact while a group's rows
+    * fit the sketch (spec-pinned), the documented rank-error band +
+    * run-to-run caveat beyond. Default 0 keeps exact (the oracled
+    * regime). */
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
-                     threshold: Double = 3.5): DataFrame = {
+                     threshold: Double = 3.5, approxK: Int = 0): DataFrame = {
     graft.Guards.reserved(df, "robustOutliers",
       Seq("med", "mad", "robust_z", "is_outlier"))
     val v = col(valCol).cast("double")
+    def med50(c: org.apache.spark.sql.Column) =
+      if (approxK == 0) percentile(c, lit(0.5))
+      else element_at(graft.functions.GraftFunctions.kllQuantilesCont(
+        df.sparkSession, c, approxK, Seq(0.5)), 1)
     val med = df.groupBy(col(groupCol))
-      .agg(percentile(v, lit(0.5)).as("med"))
+      .agg(med50(v).as("med"))
     val mad = df.join(broadcast(med), Seq(groupCol))
       .groupBy(col(groupCol), col("med"))
-      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+      .agg(med50(abs(v - col("med"))).as("mad"))
     val z = when(col("mad") === 0.0, lit(null).cast("double"))
       .otherwise((v - col("med")) / col("mad"))
     df.join(broadcast(mad), Seq(groupCol))
@@ -191,17 +204,32 @@ object Quality {
     * Exactness contract (lesson: integer inputs only): both engines
     * interpolate percentiles in doubles, which is bit-identical only
     * when the inputs are integers — callers winsorizing decimals should
-    * expect 1-ulp divergence from other engines. */
+    * expect 1-ulp divergence from other engines.
+    *
+    * State bound: as [[robustOutliers]] — `approxK > 0` bounds the
+    * per-group percentile state with the interpolating KLL read
+    * (bit-identical to exact while a group's rows fit the sketch,
+    * spec-pinned); default 0 keeps exact `percentile`, whose buffer
+    * is distinct-value-proportional per group. */
   def winsorize(df: DataFrame, valCol: String, groupCol: String,
-                pLo: Double, pHi: Double): DataFrame = {
+                pLo: Double, pHi: Double, approxK: Int = 0): DataFrame = {
     require(0.0 <= pLo && pLo <= pHi && pHi <= 1.0,
       s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
     graft.Guards.reserved(df, "winsorize", Seq("p_lo", "p_hi", "clipped"))
     val v = col(valCol).cast("double")
-    val stats = df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
-      .groupBy(col(groupCol))
-      .agg(percentile(v, lit(pLo)).as("p_lo"),
-        percentile(v, lit(pHi)).as("p_hi"))
+    val stats =
+      if (approxK == 0)
+        df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+          .groupBy(col(groupCol))
+          .agg(percentile(v, lit(pLo)).as("p_lo"),
+            percentile(v, lit(pHi)).as("p_hi"))
+      else df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+        .groupBy(col(groupCol))
+        // ONE sketch per group answers both quantiles
+        .agg(graft.functions.GraftFunctions.kllQuantilesCont(
+          df.sparkSession, v, approxK, Seq(pLo, pHi)).as("_q"))
+        .select(col(groupCol), element_at(col("_q"), 1).as("p_lo"),
+          element_at(col("_q"), 2).as("p_hi"))
     df.join(broadcast(stats), Seq(groupCol), "left")
       .withColumn("clipped",
         when(col("p_lo").isNull || col(valCol).isNull, v)

@@ -105,6 +105,29 @@ class QualitySpec extends AnyFunSuite {
     // clipped = v = null) — the row survives with a null clipped value
     assert(out.filter($"v".isNull).select("clipped").head.isNullAt(0))
     intercept[IllegalArgumentException](Quality.winsorize(df, "v", "g", 0.9, 0.1))
+    // bounded-state cutpoints (approxK): bit-identical to the exact
+    // path while each group's rows fit the sketch — the x150 machinery
+    // applied to the per-group percentile state
+    val approx = Quality.winsorize(df, "v", "g", 0.05, 0.95,
+      approxK = 1024)
+    assert(approx.exceptAll(out).isEmpty && out.exceptAll(approx).isEmpty,
+      "winsorize(approxK) must equal the exact path in the exact regime")
+  }
+
+  test("robustOutliers(approxK): bounded-state median/MAD equals the " +
+    "exact path in the exact regime") {
+    import spark.implicits._
+    val df = ((1 to 200).map(i => (((i * 37) % 100).toDouble, "a")) ++
+      (1 to 50).map(i => (i.toDouble * 3, "b")) :+ ((9999.0, "a")))
+      .toDF("v", "g")
+    val exact = Quality.robustOutliers(df, "g", "v")
+    val approx = Quality.robustOutliers(df, "g", "v", approxK = 1024)
+    assert(exact.count() == approx.count())
+    assert(approx.exceptAll(exact).isEmpty && exact.exceptAll(approx).isEmpty,
+      "robustOutliers(approxK) must equal the exact path in the exact regime")
+    // and the outlier actually flags in both
+    assert(approx.filter($"v" === 9999.0).head
+      .getAs[Boolean]("is_outlier"))
   }
 
   test("histogram bins by floor(value/width); nulls excluded; counts total") {

@@ -3512,7 +3512,12 @@ object SparkEntry {
       // purchase per user, exact quartile/p90 interpolation over
       // integer seconds (x28 bit-parity) + an exact-ratio mean,
       // unrounded (x152 magnitude rule). Two filtered aggregates and
-      // one user-keyed join.
+      // one user-keyed join. The percentile buffer here is a
+      // value→count map over DISTINCT integer-second latencies —
+      // bounded by the log's time span (≤ seconds-in-span entries),
+      // NOT by user count, so it is not the rfm/x150 bound class;
+      // a sub-second-resolution or unbounded-range metric would be,
+      // and would take the kllQuantilesCont swap.
       val ev = t(s, d, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy(col("user_id"))
@@ -3714,7 +3719,10 @@ object SparkEntry {
       // union — must stay strictly below k. Fixture growth past the
       // regime fails here with a message, not an opaque hash diff.
       val mv = s.read.parquet(path)
-      val maxLen = mv.agg(max(size(col("state")))).head.getInt(0)
+      // max over an EMPTY MV is null — an empty fixture serves an
+      // empty report against an empty oracle, so the guard passes it
+      val maxRow = mv.agg(max(size(col("state")))).head
+      val maxLen = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
       val unionDistinct = mv.select(explode(col("state")).as("h"))
         .distinct().count()
       require(maxLen < 4096 && unionDistinct < 4096,

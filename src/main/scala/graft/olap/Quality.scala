@@ -176,6 +176,8 @@ object Quality {
     * regime). */
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
                      threshold: Double = 3.5, approxK: Int = 0): DataFrame = {
+    require(approxK == 0 || approxK >= 8,
+      s"approxK must be 0 (exact percentile) or >= 8 (KLL): $approxK")
     graft.Guards.reserved(df, "robustOutliers",
       Seq("med", "mad", "robust_z", "is_outlier"))
     val v = col(valCol).cast("double")
@@ -215,16 +217,18 @@ object Quality {
                 pLo: Double, pHi: Double, approxK: Int = 0): DataFrame = {
     require(0.0 <= pLo && pLo <= pHi && pHi <= 1.0,
       s"need 0 <= pLo <= pHi <= 1, got ($pLo, $pHi)")
+    require(approxK == 0 || approxK >= 8,
+      s"approxK must be 0 (exact percentile) or >= 8 (KLL): $approxK")
     graft.Guards.reserved(df, "winsorize", Seq("p_lo", "p_hi", "clipped"))
     val v = col(valCol).cast("double")
+    val grouped = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol))
     val stats =
       if (approxK == 0)
-        df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
-          .groupBy(col(groupCol))
-          .agg(percentile(v, lit(pLo)).as("p_lo"),
-            percentile(v, lit(pHi)).as("p_hi"))
-      else df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
-        .groupBy(col(groupCol))
+        grouped.agg(percentile(v, lit(pLo)).as("p_lo"),
+          percentile(v, lit(pHi)).as("p_hi"))
+      else grouped
         // ONE sketch per group answers both quantiles
         .agg(graft.functions.GraftFunctions.kllQuantilesCont(
           df.sparkSession, v, approxK, Seq(pLo, pHi)).as("_q"))

@@ -257,9 +257,10 @@ class MaintenanceSpec extends AnyFunSuite {
     // the A-Res state needs a struct(id, w) value; the others fold the
     // raw user id — parameterize both the agg and its value column
     val aresVal = struct(col("user_id").as("id"), lit(1.0).as("w"))
+    val hllLgK = 12 // one declaration feeds both the case and its band
     val cases: Seq[(MvAgg, String, org.apache.spark.sql.Column)] = Seq(
       (MvAgg.kmvDistinct(1024), "user_id", col("user_id")),
-      (MvAgg.hllDistinct(12), "user_id", col("user_id")),
+      (MvAgg.hllDistinct(hllLgK), "user_id", col("user_id")),
       (MvAgg.prioritySample(4), "_v", aresVal))
     for ((agg, valName, valCol) <- cases) {
       val inDir = Files.createTempDirectory(s"graft-soak-${agg.name}-in")
@@ -302,7 +303,11 @@ class MaintenanceSpec extends AnyFunSuite {
         val pairs = got.as("g").join(want.as("w"), Seq("day", "key"))
           .select(col("g.value").cast("double"),
             col("w.value").cast("double")).collect()
-        val rsd4 = 4 * 1.04 / math.sqrt(1 << 12)
+        // the inner join must cover EVERY (day, key) — a dropped or
+        // shifted day would otherwise vanish from the comparison
+        assert(pairs.length == want.count(),
+          s"${agg.name}: recovered MV keys do not cover the recompute")
+        val rsd4 = 4 * 1.04 / math.sqrt(1 << hllLgK)
         assert(pairs.nonEmpty && pairs.forall(r =>
           math.abs(r.getDouble(0) - r.getDouble(1)) <=
             math.max(1.0, rsd4 * r.getDouble(1))),

@@ -85,6 +85,11 @@ object ScaleStress {
     // cap to document — per-shingle distinct-doc counts + a semi-join;
     // 10x duplication multiplies hits linearly, never quadratically
     "x168_crossdoc_spans",
+    // round-13: the ranged growth-MV serve — one delta + a
+    // partition-pruned slice read; inflation multiplies event rows
+    // (same days/users), so the delta scales and the serve should not
+    // (100x run of record read 1.2x)
+    "x175_growth_mv_ranged",
     // stress-only probes (not oracled queries): see `extraProbes`
     "crossdoc_spans_capped", "ivf_batch_nprobes2", "ivf_pq_nprobes2",
     // round-13: bounded-state rfm cutpoints + banding degenerate

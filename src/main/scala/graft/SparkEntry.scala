@@ -3821,7 +3821,58 @@ object SparkEntry {
         .select(col("qi"), col("value"))
         .orderBy(col("qi"))
     }),
+    "x177_winsorize_approx" -> ((s, d) => {
+      // x55's winsorization through the BOUNDED percentile source
+      // (approxK, r13): one interpolating KLL sketch per group answers
+      // both quantiles with O(approxK·log) state, where exact
+      // `percentile`'s buffer is distinct-value-proportional. The
+      // fixture sits in the sketch's exact regime (largest lang group
+      // ≤ approxK — guarded, the x150/x176 convention), where the read
+      // is bit-identical to exact percentile/quantile_cont — so this
+      // hash-matches x55's oracle verbatim.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      requireGroupsFitSketch(docs, "lang", "n_chars", 8192, "x177")
+      Quality.winsorize(docs, "n_chars", "lang", 0.05, 0.95,
+          approxK = 8192)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("p_lo"), col("p_hi"), col("clipped"))
+        .orderBy(col("doc_id"))
+    }),
+    "x178_robust_outliers_approx" -> ((s, d) => {
+      // x36's median/MAD robust scan through the bounded interpolating
+      // KLL percentile source (approxK = 8192): exact-regime-guarded
+      // on the largest lang group, so it hash-matches x36's oracle —
+      // the bounded sibling oracled in its exact regime, the x171
+      // house standard.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars").cast("double").as("len"))
+      requireGroupsFitSketch(docs, "lang", "len", 8192, "x178")
+      Quality.robustOutliers(docs, "lang", "len", approxK = 8192)
+        .select(col("doc_id"), col("lang"), col("len"), col("med"),
+          col("mad"), col("robust_z"), col("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** Exact-regime guard for the bounded-percentile (`approxK`) oracle
+    * queries — the x150/x171 convention: fixture growth past the
+    * sketch capacity must fail with a message, never as an opaque
+    * hash diff. The largest per-group NON-NULL value count bounds
+    * every KLL input the operator builds (robustOutliers' second
+    * pass sketches one |group|-sized deviation per surviving row). */
+  private def requireGroupsFitSketch(df: DataFrame, groupCol: String,
+                                     valCol: String, k: Int,
+                                     q: String): Unit = {
+    val maxGroup = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol)).count()
+      .agg(max(col("count"))).head.getLong(0)
+    require(maxGroup <= k,
+      s"$q exact-regime guard: a $groupCol group has $maxGroup rows," +
+        s" above approxK=$k — raise approxK past the largest group or" +
+        " re-derive the oracle")
+  }
 
   /** DuckDB fragment: one per-feature KS chain (the x142 spelling with
     * suffixed CTE names) over a doc-level frame `f` exposing the
@@ -3874,6 +3925,46 @@ object SparkEntry {
   /** Shared text-metric CTE chain (tokenization, ratios, language
     * marker counts) ending in an `m` CTE — reused by the x03 profile
     * oracle and the x30 quality-weighted-sample oracle. */
+  /** x55's winsorization oracle — shared verbatim by x177, whose only
+    * difference is the Spark side's BOUNDED percentile source
+    * (`approxK`): in the guarded exact regime the interpolating KLL
+    * read is bit-identical to exact `percentile`/`quantile_cont`, so
+    * both queries hash against the same SQL. */
+  private val duckWinsorizeCharsSql: String =
+    """WITH stats AS (
+      |  SELECT lang,
+      |    quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p_lo,
+      |    quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p_hi
+      |  FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars, s.p_lo, s.p_hi,
+      |  CASE WHEN s.p_lo IS NULL OR d.n_chars IS NULL
+      |         THEN CAST(d.n_chars AS DOUBLE)
+      |       WHEN CAST(d.n_chars AS DOUBLE) < s.p_lo THEN s.p_lo
+      |       WHEN CAST(d.n_chars AS DOUBLE) > s.p_hi THEN s.p_hi
+      |       ELSE CAST(d.n_chars AS DOUBLE) END AS clipped
+      |FROM documents d LEFT JOIN stats s ON s.lang = d.lang
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** x36's robust-outlier oracle — shared verbatim by x178 (the
+    * `approxK` bounded-percentile sibling) for the same exact-regime
+    * reason as [[duckWinsorizeCharsSql]]. Null robust_z (MAD = 0)
+    * maps to in-lier on both engines; the median/MAD chain stays
+    * exact because integer inputs interpolate to halves (exact
+    * doubles) and the final z is one IEEE division. */
+  private val duckRobustOutliersSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS len FROM documents),
+      |med AS (SELECT lang, quantile_cont(len, 0.5) AS med FROM d GROUP BY lang),
+      |dev AS (SELECT d.doc_id, d.lang, d.len, med.med FROM d JOIN med USING (lang)),
+      |mad AS (SELECT lang, med, quantile_cont(abs(len - med), 0.5) AS mad
+      |        FROM dev GROUP BY lang, med)
+      |SELECT d.doc_id, d.lang, d.len, m.med, m.mad,
+      |  CASE WHEN m.mad = 0 THEN NULL ELSE (d.len - m.med) / m.mad END AS robust_z,
+      |  COALESCE(abs(CASE WHEN m.mad = 0 THEN NULL
+      |                    ELSE (d.len - m.med) / m.mad END) > 3.5, false) AS is_outlier
+      |FROM d JOIN mad m USING (lang)
+      |ORDER BY d.doc_id""".stripMargin
+
   private val duckTextMetricCtes: String =
     """WITH p AS (
       |  SELECT doc_id,
@@ -5512,20 +5603,10 @@ object SparkEntry {
         |HAVING count(*) BETWEEN 5 AND
         |  (SELECT count(*) * 4 // 5 FROM documents)
         |ORDER BY token""".stripMargin,
-    "x55_winsorize_chars" ->
-      """WITH stats AS (
-        |  SELECT lang,
-        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p_lo,
-        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p_hi
-        |  FROM documents GROUP BY lang)
-        |SELECT d.doc_id, d.lang, d.n_chars, s.p_lo, s.p_hi,
-        |  CASE WHEN s.p_lo IS NULL OR d.n_chars IS NULL
-        |         THEN CAST(d.n_chars AS DOUBLE)
-        |       WHEN CAST(d.n_chars AS DOUBLE) < s.p_lo THEN s.p_lo
-        |       WHEN CAST(d.n_chars AS DOUBLE) > s.p_hi THEN s.p_hi
-        |       ELSE CAST(d.n_chars AS DOUBLE) END AS clipped
-        |FROM documents d LEFT JOIN stats s ON s.lang = d.lang
-        |ORDER BY d.doc_id""".stripMargin,
+    "x55_winsorize_chars" -> duckWinsorizeCharsSql,
+    // the SAME oracle: the approxK query is guarded into the sketch's
+    // exact regime, where the bounded read is bit-identical to exact
+    "x177_winsorize_approx" -> duckWinsorizeCharsSql,
     "x56_price_histogram" ->
       """SELECT o_orderstatus,
         |  CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
@@ -7502,22 +7583,10 @@ object SparkEntry {
         |FROM t
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
         |ORDER BY event_id""".stripMargin,
-    // null robust_z (MAD = 0) maps to in-lier on both engines; the
-    // median/MAD chain stays exact because integer inputs interpolate to
-    // halves (exact doubles) and the final z is one IEEE division
-    "x36_robust_outliers" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS len FROM documents),
-        |med AS (SELECT lang, quantile_cont(len, 0.5) AS med FROM d GROUP BY lang),
-        |dev AS (SELECT d.doc_id, d.lang, d.len, med.med FROM d JOIN med USING (lang)),
-        |mad AS (SELECT lang, med, quantile_cont(abs(len - med), 0.5) AS mad
-        |        FROM dev GROUP BY lang, med)
-        |SELECT d.doc_id, d.lang, d.len, m.med, m.mad,
-        |  CASE WHEN m.mad = 0 THEN NULL ELSE (d.len - m.med) / m.mad END AS robust_z,
-        |  COALESCE(abs(CASE WHEN m.mad = 0 THEN NULL
-        |                    ELSE (d.len - m.med) / m.mad END) > 3.5, false) AS is_outlier
-        |FROM d JOIN mad m USING (lang)
-        |ORDER BY d.doc_id""".stripMargin,
+    "x36_robust_outliers" -> duckRobustOutliersSql,
+    // the SAME oracle: the approxK query is guarded into the sketch's
+    // exact regime, where the bounded read is bit-identical to exact
+    "x178_robust_outliers_approx" -> duckRobustOutliersSql,
     // rn=1 OR per-attr IS DISTINCT FROM == Spark's NOT(struct <=> lag):
     // the struct compare is null-safe elementwise and its lag is null
     // only on the first row

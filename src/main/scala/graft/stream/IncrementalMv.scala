@@ -195,6 +195,24 @@ object IncrementalMv {
   private def stagingPath(mvPath: String, batchId: Long) =
     new Path(s"${mvPath.stripSuffix("/")}/_graft_staging/$batchId")
 
+  /** Test-only fault injection for [[applyAggDelta]]'s crash-landing
+    * matrix: the loop calls this at the three landings the
+    * staging/marker ledger defends — `"pre-stage"` (delta computed,
+    * staging snapshot not yet `_SUCCESS`-complete → a replay must
+    * RECOMPUTE the merge), `"post-stage"` (staging `_SUCCESS` written,
+    * MV not yet installed → a replay must SKIP the merge and install
+    * off the staged snapshot; re-merging from a half-installed MV
+    * would double-count), `"post-install"` (partitions installed,
+    * batch marker not yet written → a replay re-installs the same
+    * snapshot idempotently and commits). Default is a no-op;
+    * MaintenanceSpec arms a fail-once hook per landing so every
+    * replay path is exercised DETERMINISTICALLY each run — the
+    * undrained-stop streaming test keeps the probabilistic
+    * integration coverage on top. */
+  private[graft] val faultHook =
+    new java.util.concurrent.atomic.AtomicReference[String => Unit](_ => ())
+  private def fault(point: String): Unit = faultHook.get()(point)
+
   /** Merge one micro-batch of raw events into the MV (schema: day DATE
     * partition, key STRING, state — the [[MvAgg]]'s state type).
     * Idempotent per `batchId` through a write-ahead staging snapshot:
@@ -248,6 +266,7 @@ object IncrementalMv {
             spark.read.parquet(mvPath)
               .filter(col("day").isin(touched.map(d => lit(d)): _*))
           else delta.limit(0)
+        fault("pre-stage")
         existing.select(col("day"), col("key").cast("string").as("key"),
             col(stateCol))
           .unionByName(delta)
@@ -256,6 +275,7 @@ object IncrementalMv {
           .write.mode("overwrite").parquet(staged.toString)
       } finally delta.unpersist()
     }
+    fault("post-stage")
 
     // phase 2 — install the staged snapshot (idempotent re-run).
     // Cluster by day first: without it every shuffle partition writes a
@@ -272,6 +292,7 @@ object IncrementalMv {
       .parquet(mvPath)
 
     // phase 3 — commit + prune (ledger stays O(1), not one file/batch)
+    fault("post-install")
     fs.create(marker, true).close()
     if (fs.exists(commitsDir(mvPath)))
       fs.listStatus(commitsDir(mvPath))

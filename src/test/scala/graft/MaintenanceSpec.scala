@@ -356,6 +356,73 @@ class MaintenanceSpec extends AnyFunSuite {
       "MV recovered from an undrained stop must serve the batch recompute")
   }
 
+  test("deterministic crash landings: a fail-once fault at pre-stage / " +
+    "post-stage / post-install each replays to incremental == recompute " +
+    "— the ledger's at-least-once claim pinned per landing, not by a " +
+    "timing lottery") {
+    import graft.stream.MvAgg
+    import org.apache.hadoop.fs.Path
+    val ev = Tables(spark, TestSpark.sf, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("ts"), col("user_id")).withColumn("_all", lit("all"))
+    def chunk(m: Int) = ev.filter(pmod(col("user_id"), lit(2)) === m)
+    val batch = graft.olap.Growth.activeUsers(ev, "user_id", "ts")
+      .collect().toSeq
+    def apply1(mvDir: String, id: Long, m: Int): Unit =
+      IncrementalMv.applyAggDelta(chunk(m), id, mvDir, "ts", "_all",
+        col("user_id"), MvAgg.distinctSet)
+    def serve(mvDir: String) =
+      graft.olap.Growth.activeUsersFromMv(spark, mvDir).collect().toSeq
+
+    Seq("pre-stage", "post-stage", "post-install").foreach { landing =>
+      val mvDir = Files.createTempDirectory(s"graft-fault").toString + "/mv"
+      apply1(mvDir, 0, 0) // batch 0 applies cleanly
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      IncrementalMv.faultHook.set(p =>
+        if (p == landing && armed.getAndSet(false))
+          throw new RuntimeException(s"injected fault at $landing"))
+      try {
+        val e = intercept[RuntimeException](apply1(mvDir, 1, 1))
+        assert(e.getMessage.contains(landing))
+        // on-disk ledger state each landing must leave behind — what
+        // the replay's branch decisions key on
+        val fs = new Path(mvDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stagedOk = new Path(s"$mvDir/_graft_staging/1/_SUCCESS")
+        val marker = new Path(s"$mvDir/_graft_commits/1")
+        assert(!fs.exists(marker),
+          s"$landing: the batch marker must not exist before commit")
+        if (landing == "pre-stage")
+          assert(!fs.exists(stagedOk),
+            "pre-stage: staging must not be _SUCCESS-complete — the " +
+              "replay has to RECOMPUTE the merge")
+        else
+          assert(fs.exists(stagedOk),
+            s"$landing: staging must be _SUCCESS-complete — the " +
+              "replay has to SKIP the merge and (re)install")
+        // the two staged landings differ by whether the install
+        // already happened: after post-install the serve ALREADY
+        // equals the recompute; after post-stage it must not yet
+        // (batch 1's delta is staged but not visible)
+        if (landing == "post-install")
+          assert(serve(mvDir) == batch,
+            "post-install: the MV is installed before the crash")
+        else
+          assert(serve(mvDir) != batch,
+            s"$landing: batch 1 must not be visible before the replay")
+        // the at-least-once replay: converge to the batch recompute
+        apply1(mvDir, 1, 1)
+        assert(fs.exists(marker), s"$landing: replay must commit")
+        assert(serve(mvDir) == batch,
+          s"$landing: replayed MV must serve the batch recompute")
+        // and a SECOND replay of the committed id is a marker no-op
+        apply1(mvDir, 1, 1)
+        assert(serve(mvDir) == batch,
+          s"$landing: a replay of a committed batch must be a no-op")
+      } finally IncrementalMv.faultHook.set(_ => ())
+    }
+  }
+
   test("generalized MvAgg MVs: incremental maintenance == recompute for " +
     "sum/min/KLL, and a replayed batch id is a no-op for every agg") {
     import graft.stream.MvAgg

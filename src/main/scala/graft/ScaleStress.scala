@@ -157,10 +157,15 @@ object ScaleStress {
     // o_custkey): 2M customers, one tx each — the r13 KLL cutpoint
     // source holds O(k log(n/k)) doubles per metric where the exact
     // percentile buffer held all 2M x 3 values on one reducer.
-    // Dir-independent input: read the absolute wall, not the ratio.
+    // cutpointK is EXPLICIT since r14 (the library default is exact —
+    // the approxK convention); 2M > 2^16 puts this probe deliberately
+    // beyond the exact regime: it measures the bounded state, not a
+    // value contract. Dir-independent input: read the absolute wall,
+    // not the ratio.
     "rfm_keys2m" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      graft.olap.CustomerValue.rfm(rfmKeys2m(s), "k", "dt", "amt")
+      graft.olap.CustomerValue.rfm(rfmKeys2m(s), "k", "dt", "amt",
+        cutpointK = 1 << 16)
     }),
     // the exact-percentile sibling (cutpointK = 0): same 2M customers
     // through the population-sized cutpoint buffer — the wall-clock

@@ -3393,16 +3393,20 @@ object SparkEntry {
       // read is bit-identical to exact percentile/quantile_cont —
       // the oracle's spelling.
       val tx = t(s, d, "orders")
-      // exact-regime guard, the x171 convention: fixture growth past
-      // the sketch capacity fails with a message, not a hash diff
+      // SELF-HEALING exact regime (r14): cutpointK derives from the
+      // exact distinct-customer count (already needed for the guard —
+      // no estimator slack), next power of two past 2× the
+      // population, so fixture growth to sf1 (~100k customers) rides
+      // without a hand edit; the loud guard stays as the backstop —
+      // a derivation bug must fail with a message, not a hash diff
       val customers = tx.filter(col("o_custkey").isNotNull)
         .agg(count_distinct(col("o_custkey"))).head.getLong(0)
-      require(customers <= (1 << 16),
+      val k = graft.olap.CustomerValue.exactRegimeCutpointK(customers)
+      require(customers <= k,
         s"x150 exact-regime guard: $customers distinct customers" +
-          " exceeds cutpointK=65536 — raise rfm's cutpointK past the" +
-          " population or re-derive the oracle")
+          s" exceeds the derived cutpointK=$k — re-derive the oracle")
       graft.olap.CustomerValue.rfm(tx, "o_custkey",
-          "o_orderdate", "o_totalprice")
+          "o_orderdate", "o_totalprice", cutpointK = k)
         .orderBy(col("o_custkey"))
     }),
     "x151_pareto_abc" -> ((s, d) =>

@@ -370,7 +370,19 @@ object KllQuantiles {
       * `(higher−position)·lowerVal + (position−lower)·higherVal`), so
       * in the exact regime (all weights 1, every value retained) the
       * result is bit-identical to exact `percentile` — SketchSpec pins
-      * the equality on random tied integer populations. */
+      * the equality on random tied integer populations.
+      *
+      * One narrow carve-out to that contract: the tie short-circuit
+      * here compares the STORED DOUBLES (`higherVal == lowerVal`)
+      * where Spark's `Percentile` compares the ORIGINAL typed keys.
+      * For integer inputs of magnitude > 2^53, two DISTINCT long keys
+      * can collapse to one double: Spark then interpolates
+      * (`a·x + b·x`, which can differ from `x` by 1 ulp) while this
+      * read returns `x`. Unreachable at cents/day/count magnitudes
+      * (every oracle regime), and NOT fixable by dropping the
+      * short-circuit — on genuinely equal keys Spark returns the
+      * value directly, so always-interpolating would break parity in
+      * the common tie case instead. */
     def quantilesCont(qs: Seq[Double]): Seq[Double] = {
       val (sorted, cum) = weightedSorted()
       qs.map { q =>

@@ -34,31 +34,34 @@ object CustomerValue {
     * lower score; heavy ties lump into one score rather than being
     * split arbitrarily, which is the honest answer ntile fakes.
     *
-    * Cutpoint state is BOUNDED: the default source is graft's
-    * mergeable KLL sketch read with `percentile`'s interpolation
-    * convention (`graft_kll_quantiles_cont`), so the one aggregate
-    * buffer holds O(cutpointK·log(n/cutpointK)) doubles per metric —
-    * never the key population (exact `percentile` at 1e9 customers is
-    * ~8 GB of values on one reducer, the same cardinality-proportional
-    * bound the growth MVs escape via KMV/HLL). While the population
-    * fits the sketch (n ≤ cutpointK — no compaction fires) the
-    * cutpoints are BIT-IDENTICAL to exact `percentile` (integer
-    * inputs interpolate bit-identically cross-engine, the x28
-    * precedent — spec-pinned), which is the regime every fixture
-    * oracle runs in. Cutpoint ulp noise cannot flip a score in that
-    * regime: an INTERPOLATED cutpoint falls strictly between two
-    * ADJACENT population values (no customer value in the gap), and
-    * the tie / integer-rank cases short-circuit to the exact stored
-    * value on both engines. BEYOND the exact regime
-    * (n > cutpointK) the cutpoints carry KLL's O(n/cutpointK) rank
-    * error AND inherit its documented run-to-run caveat: compaction
-    * parity follows shuffle fetch order, so two runs over identical
-    * input may score boundary-adjacent customers differently — a
-    * contract change vs exact `percentile` that callers needing
-    * reproducible segmentation past the sketch capacity must answer
-    * by raising `cutpointK` above the population or passing
-    * `cutpointK = 0`, the exact `percentile` path (deterministic at
-    * any n, population-sized buffer).
+    * Cutpoint state: the DEFAULT (`cutpointK = 0`) is exact
+    * `percentile` — deterministic at any n, but its one aggregate
+    * buffer is population-proportional (1e9 customers is ~8 GB of
+    * values on one reducer, the same cardinality-proportional bound
+    * the growth MVs escape via KMV/HLL). `cutpointK > 0` OPTS IN to
+    * the bounded source — graft's mergeable KLL sketch read with
+    * `percentile`'s interpolation convention
+    * (`graft_kll_quantiles_cont`), O(cutpointK·log(n/cutpointK))
+    * doubles per metric — the same exact-by-default / bounded-opt-in
+    * convention as `Quality.winsorize`/`robustOutliers`' `approxK`,
+    * so no caller crosses into the approximate regime silently.
+    * While the population fits the sketch (n ≤ cutpointK — no
+    * compaction fires) the cutpoints are BIT-IDENTICAL to exact
+    * `percentile` (integer inputs interpolate bit-identically
+    * cross-engine, the x28 precedent — spec-pinned); use
+    * [[exactRegimeCutpointK]] to derive a k with headroom from a
+    * known population bound (the x150 oracle does). Cutpoint ulp
+    * noise cannot flip a score in that regime: an INTERPOLATED
+    * cutpoint falls strictly between two ADJACENT population values
+    * (no customer value in the gap), and the tie / integer-rank
+    * cases short-circuit to the exact stored value on both engines.
+    * BEYOND the exact regime (n > cutpointK) the cutpoints carry
+    * KLL's O(n/cutpointK) rank error AND inherit its documented
+    * run-to-run caveat: compaction parity follows shuffle fetch
+    * order, so two runs over identical input may score
+    * boundary-adjacent customers differently — callers needing
+    * reproducible segmentation past the sketch capacity raise
+    * `cutpointK` above the population or keep the exact default.
     *
     * Segments (hi = buckets−1, lo = 2): champion (r,f,m all ≥ hi),
     * loyal (f ≥ hi), big_spender (m ≥ hi), at_risk (r ≤ lo, f ≥ 3),
@@ -68,7 +71,7 @@ object CustomerValue {
     * r_score, f_score, m_score, segment)`. */
   def rfm(tx: DataFrame, custCol: String, dateCol: String,
           amountCol: String, buckets: Int = 5,
-          cutpointK: Int = 1 << 16): DataFrame = {
+          cutpointK: Int = 0): DataFrame = {
     require(buckets >= 3, s"buckets must be >= 3: $buckets")
     require(cutpointK == 0 || cutpointK >= math.max(8, buckets),
       s"cutpointK must be 0 (exact percentile) or >= max(8, buckets): " +
@@ -117,6 +120,30 @@ object CustomerValue {
         .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
         .when(col("r_score") <= 2, "hibernating")
         .otherwise("regular").as("segment"))
+  }
+
+  /** A `cutpointK` that keeps [[rfm]]'s bounded KLL cutpoints in their
+    * EXACT regime for a known population bound: the next power of two
+    * ≥ 2×`population` (the ×2 headroom absorbs fixture growth and any
+    * estimator slack if the bound came from `approx_count_distinct`),
+    * floored at 2^16. Self-healing for oracled callers — the derived
+    * k grows with the population instead of a hand-edited constant —
+    * while the hard cap (2^22, a 32 MB-of-doubles buffer per metric)
+    * fails LOUDLY when the population outgrows what an exact-regime
+    * sketch should hold: past that, segmentation is either exact
+    * (`cutpointK = 0`, population-sized buffer) or honestly
+    * approximate (an explicit fixed k with the documented rank-error
+    * band) — never an accidental in-between. */
+  def exactRegimeCutpointK(population: Long): Int = {
+    require(population >= 0, s"population must be >= 0: $population")
+    val need = math.max(1L << 16, 2L * population)
+    require(need <= (1L << 22),
+      s"population $population needs a >2^22 exact-regime sketch — " +
+        "use cutpointK = 0 (exact percentile) or accept the KLL " +
+        "rank-error band with an explicit fixed cutpointK")
+    var k = 1 << 16
+    while (k < need) k <<= 1
+    k
   }
 
   /** Deterministic monotone NON-INCREASING band of a long amount — the

@@ -140,15 +140,15 @@ class CustomerValueSpec extends AnyFunSuite {
     }
   }
 
-  test("rfm: KLL cutpoints (default) equal the exact-percentile path " +
-    "(cutpointK = 0) row-for-row on the fixture — the exact regime, " +
+  test("rfm: bounded KLL cutpoints (opt-in cutpointK) equal the exact-" +
+    "percentile DEFAULT row-for-row on the fixture — the exact regime, " +
     "where the interpolating sketch read is bit-identical") {
     import org.apache.spark.sql.functions.col
     val tx = Tables(spark, TestSpark.sf, "orders")
     val kll = CustomerValue.rfm(tx, "o_custkey", "o_orderdate",
-      "o_totalprice")
+      "o_totalprice", cutpointK = 1 << 16)
     val exact = CustomerValue.rfm(tx, "o_custkey", "o_orderdate",
-      "o_totalprice", cutpointK = 0)
+      "o_totalprice")
     assert(kll.count() > 0 && kll.count() == exact.count())
     assert(kll.exceptAll(exact).isEmpty && exact.exceptAll(kll).isEmpty,
       "bounded-sketch cutpoints must reproduce exact percentile " +
@@ -157,6 +157,31 @@ class CustomerValueSpec extends AnyFunSuite {
       CustomerValue.rfm(tx, "o_custkey", "o_orderdate", "o_totalprice",
         cutpointK = 4)
     }
+  }
+
+  test("exactRegimeCutpointK: power of two, >= 2x the population, " +
+    "floored at 2^16, loud past the 2^22 cap — and the derived k " +
+    "clears the fixture's customer population with headroom") {
+    import org.apache.spark.sql.functions.{col, count_distinct}
+    assert(CustomerValue.exactRegimeCutpointK(0L) == (1 << 16))
+    assert(CustomerValue.exactRegimeCutpointK(30000L) == (1 << 16))
+    assert(CustomerValue.exactRegimeCutpointK(40000L) == (1 << 17))
+    assert(CustomerValue.exactRegimeCutpointK(100000L) == (1 << 18))
+    // power-of-two + >= 2n across a sweep
+    Seq(1L, 65536L, 65537L, 1000000L, 2097152L).foreach { n =>
+      val k = CustomerValue.exactRegimeCutpointK(n)
+      assert(Integer.bitCount(k) == 1 && k >= 2L * n && k >= (1 << 16))
+    }
+    intercept[IllegalArgumentException] {
+      CustomerValue.exactRegimeCutpointK((1L << 21) + 1)
+    }
+    // the x150 self-heal claim: the fixture population derives a k
+    // that exceeds it (2x headroom), so the oracle query needs no
+    // hand edit as fixtures grow until the loud 2^22 cap
+    val customers = Tables(spark, TestSpark.sf, "orders")
+      .filter(col("o_custkey").isNotNull)
+      .agg(count_distinct(col("o_custkey"))).head.getLong(0)
+    assert(CustomerValue.exactRegimeCutpointK(customers) >= 2 * customers)
   }
 
   test("amountBand: monotone non-increasing in the amount (band asc == " +

@@ -13,4 +13,18 @@ private[graft] object Guards {
       require(!df.columns.contains(c),
         s"$op writes column '$c'; input already has it — rename or drop")
     }
+
+  /** Validate an optional inclusive day range (`yyyy-MM-dd` pair) —
+    * fails loudly on an unparseable date or inverted pair (a silent
+    * null cast would prune EVERY partition and serve an empty
+    * report). Shared by the ranged MV serves (growth reports, KLL
+    * quantile reads). */
+  def validDayRange(range: Option[(String, String)]): Unit =
+    range.foreach { case (start, end) =>
+      val s = scala.util.Try(java.sql.Date.valueOf(start))
+      val e = scala.util.Try(java.sql.Date.valueOf(end))
+      require(s.isSuccess && e.isSuccess,
+        s"range ('$start', '$end') must be 'yyyy-MM-dd' dates")
+      require(!s.get.after(e.get), s"range start $start after end $end")
+    }
 }

@@ -3857,6 +3857,43 @@ object SparkEntry {
           col("mad"), col("robust_z"), col("is_outlier"))
         .orderBy(col("doc_id"))
     }),
+    "x179_mv_kll_quantiles_ranged" -> ((s, d) => {
+      // the ranged KLL-MV dashboard read (r14): x175's partition-
+      // pruned day-range scan composed with x176's interpolating
+      // sketch read, served from the x115-family maintained KLL MV.
+      // Two deltas build per-day value-cents sketches; the
+      // 2024-01-08..14 serve merges ONLY its day partitions (PlanSpec
+      // gates the PartitionFilters) and resolves quantiles with
+      // percentile's continuous convention — the dashboard read is
+      // O(days × k) at any event volume. Exact regime guarded: the
+      // slice's rows fit the sketch (nothing compacts anywhere — the
+      // per-day states hold fewer rows still), so the read
+      // hash-matches DuckDB quantile_cont over the same day slice
+      // directly. Integer cents keep the interpolation bit-identical
+      // (the x28/x150/x176 parity).
+      import graft.stream.{IncrementalMv, MvAgg}
+      val path = cachePath(d, "x179") + "/mv_kll"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val k = 32768
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val ev = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("_all", lit("all"))
+        .withColumn("cents",
+          floor(col("value") * 100 + lit(0.5)).cast("double"))
+      val sliceRows = ev.filter(col("ts").cast("date").between(
+        lit("2024-01-08"), lit("2024-01-14"))).count()
+      require(sliceRows <= k,
+        s"x179 exact-regime guard: $sliceRows rows in the day slice" +
+          s" exceed k=$k — raise k or re-derive the oracle")
+      (0 until 2).foreach(m => IncrementalMv.applyAggDelta(
+        ev.filter(pmod(col("event_id"), lit(2)) === m), m, path,
+        "ts", "_all", col("cents"), MvAgg.kll(s, k, qs)))
+      IncrementalMv.readKllQuantiles(s, path, k, qs,
+          range = Some(("2024-01-08", "2024-01-14")))
+        .orderBy(col("qi"))
+    }),
   )
 
   /** Exact-regime guard for the bounded-percentile (`approxK`) oracle
@@ -8587,6 +8624,21 @@ object SparkEntry {
         |qc AS (SELECT quantile_cont(v,
         |         [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS a FROM s)
         |SELECT CAST(t.i AS BIGINT) AS qi, qc.a[CAST(t.i AS INT) + 1] AS value
+        |FROM qc, range(6) t(i) ORDER BY qi""".stripMargin,
+    // quantile_cont over the day slice directly — the MV serve's day
+    // prune + sketch merge + interpolating read must land on the same
+    // values in the exact regime (integer cents, x28/x176 parity)
+    "x179_mv_kll_quantiles_ranged" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+        |                             AND DATE '2024-01-14'),
+        |qc AS (SELECT quantile_cont(v,
+        |         [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS a FROM s)
+        |SELECT 'all' AS key, CAST(t.i AS BIGINT) AS qi,
+        |  qc.a[CAST(t.i AS INT) + 1] AS value
         |FROM qc, range(6) t(i) ORDER BY qi""".stripMargin,
     // the x61 shingle spelling, distinct-DOC counts, gaps-and-islands
     // run merge per doc, span text via list slice

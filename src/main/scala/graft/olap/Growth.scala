@@ -107,13 +107,7 @@ object Growth {
     * silent null cast would prune EVERY partition and serve an empty
     * report). */
   private def requireRange(range: Option[(String, String)]): Unit =
-    range.foreach { case (start, end) =>
-      val s = scala.util.Try(java.sql.Date.valueOf(start))
-      val e = scala.util.Try(java.sql.Date.valueOf(end))
-      require(s.isSuccess && e.isSuccess,
-        s"range ('$start', '$end') must be 'yyyy-MM-dd' dates")
-      require(!s.get.after(e.get), s"range start $start after end $end")
-    }
+    graft.Guards.validDayRange(range)
 
   /** Prune an MV read to the SOURCE days a ranged report needs: a
     * report day d's window-w count covers days d−w+1 .. d, so the read

@@ -351,4 +351,45 @@ object IncrementalMv {
   /** Read the daily-count MV (for assertions/serving). */
   def read(spark: SparkSession, mvPath: String): DataFrame =
     spark.read.parquet(mvPath).select(col("day"), col("key"), col("n"))
+
+  /** Day-ranged quantile dashboard read over a maintained KLL MV
+    * ([[MvAgg.kll]] states): the scan partition-PRUNES to the
+    * inclusive `range` days (the MV is day-partitioned parquet, so
+    * the filter lands in PartitionFilters — PlanSpec-gated, the x175
+    * prune applied to the quantile serve), the surviving day sketches
+    * fold per key with `graft_kll_merge` (the mergeable-state law —
+    * quantiles themselves don't slice by day, their SKETCHES do), and
+    * one read resolves every requested quantile: `interpolate = true`
+    * (default) is `percentile`'s continuous convention
+    * (`graft_kll_values_cont`, the x176 oracle's spelling —
+    * bit-identical to exact `percentile`/DuckDB `quantile_cont` while
+    * the range's rows fit the sketch), `false` the rank-⌈q·n⌉ read.
+    * Work is manifest-shaped: |range days × keys| sketch blobs, never
+    * an event-history rescan — the reference keeps this serve as an
+    * engine-side MV over the raw log (DDL:236-439); here the state is
+    * the sketch, so the dashboard read is O(days × k) at ANY event
+    * volume.
+    *
+    * Output: `(key, qi, value)` — `qi` is the 0-based index into
+    * `qs`, one row per (key, quantile). */
+  def readKllQuantiles(spark: SparkSession, mvPath: String, k: Int,
+                       qs: Seq[Double],
+                       range: Option[(String, String)] = None,
+                       interpolate: Boolean = true): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    graft.Guards.validDayRange(range)
+    import graft.functions.GraftFunctions
+    val mv = spark.read.parquet(mvPath)
+    val pruned = range.fold(mv) { case (start, end) =>
+      mv.filter(col("day") >= lit(start).cast("date") &&
+        col("day") <= lit(end).cast("date"))
+    }
+    val read: Column => Column =
+      if (interpolate) st => GraftFunctions.kllValuesCont(spark, st, k, qs)
+      else st => GraftFunctions.kllValues(spark, st, k, qs)
+    pruned.groupBy(col("key"))
+      .agg(GraftFunctions.kllMerge(spark, col("state"), k).as("_st"))
+      .select(col("key"), posexplode(read(col("_st"))).as(Seq("qi", "value")))
+      .select(col("key"), col("qi").cast("bigint").as("qi"), col("value"))
+  }
 }

@@ -356,6 +356,51 @@ class MaintenanceSpec extends AnyFunSuite {
       "MV recovered from an undrained stop must serve the batch recompute")
   }
 
+  test("readKllQuantiles: the ranged read over a maintained KLL MV " +
+    "equals exact percentile / rank-selection over exactly the " +
+    "in-range rows (exact regime), under both read conventions, " +
+    "with days split across deltas") {
+    import graft.stream.MvAgg
+    // 5 days x 20 rows, values chosen so day slices have distinct
+    // quantiles; two deltas split rows across days (merge law live)
+    val rows = for (d <- 1 to 5; i <- 1 to 20)
+      yield (d.toLong * 100 + i, ts(f"2024-01-$d%02d 08:00:00"),
+        (d * 31 + i * 7 % 13).toDouble)
+    val ev = rows.toDF("id", "ts", "v").withColumn("_all", lit("all"))
+    val mvDir = Files.createTempDirectory("graft-kllq").toString + "/mv"
+    val k = 1024
+    val qs = Seq(0.1, 0.5, 0.9)
+    Seq(0, 1).foreach(m => IncrementalMv.applyAggDelta(
+      ev.filter(pmod(col("id"), lit(2)) === m), m, mvDir, "ts", "_all",
+      col("v"), MvAgg.kll(spark, k, qs)))
+    val slice = ev.filter(col("ts").cast("date").between(
+      lit("2024-01-02"), lit("2024-01-04")))
+    // continuous convention == exact percentile over the slice
+    val cont = IncrementalMv.readKllQuantiles(spark, mvDir, k, qs,
+        range = Some(("2024-01-02", "2024-01-04")))
+      .orderBy("qi").collect().map(_.getDouble(2)).toSeq
+    val exactCont = slice.agg(percentile(col("v"),
+        typedLit(qs)).as("p")).head.getSeq[Double](0)
+    assert(cont == exactCont,
+      s"interpolating ranged read $cont != exact percentile $exactCont")
+    // rank convention == the rank-ceil(q*n) order statistic
+    val rank = IncrementalMv.readKllQuantiles(spark, mvDir, k, qs,
+        range = Some(("2024-01-02", "2024-01-04")), interpolate = false)
+      .orderBy("qi").collect().map(_.getDouble(2)).toSeq
+    val vs = slice.select("v").orderBy("v").collect().map(_.getDouble(0))
+    val exactRank = qs.map(q => vs(
+      math.max(1, math.ceil(q * vs.length).toInt) - 1))
+    assert(rank == exactRank,
+      s"rank ranged read $rank != order statistics $exactRank")
+    // an unranged read covers every day; a bad range fails loudly
+    assert(IncrementalMv.readKllQuantiles(spark, mvDir, k, qs)
+      .count() == qs.size)
+    intercept[IllegalArgumentException] {
+      IncrementalMv.readKllQuantiles(spark, mvDir, k, qs,
+        range = Some(("2024-01-04", "2024-01-02")))
+    }
+  }
+
   test("deterministic crash landings: a fail-once fault at pre-stage / " +
     "post-stage / post-install each replays to incremental == recompute " +
     "— the ledger's at-least-once claim pinned per landing, not by a " +

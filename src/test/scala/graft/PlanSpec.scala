@@ -240,6 +240,28 @@ class PlanSpec extends AnyFunSuite {
       l.contains("<=")), p)
   }
 
+  test("ranged KLL-MV quantile read partition-prunes the day-partitioned " +
+    "MV scan (the x179 dashboard read merges only its slice's sketches)") {
+    import graft.stream.{IncrementalMv, MvAgg}
+    import spark.implicits._
+    val ev = (1 to 40).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-${1 + i % 5}%02d 12:00:00"),
+      (i * 7 % 23).toDouble))
+      .toDF("id", "ts", "v").withColumn("_all", lit("all"))
+    val mvDir = java.nio.file.Files
+      .createTempDirectory("graft-kllmv-prune").toString + "/mv"
+    IncrementalMv.applyAggDelta(ev, 0, mvDir, "ts", "_all", col("v"),
+      MvAgg.kll(spark, 1024, Seq(0.5)))
+    val df = IncrementalMv.readKllQuantiles(spark, mvDir, 1024,
+      Seq(0.25, 0.5, 0.75), range = Some(("2024-01-02", "2024-01-04")))
+    assert(df.count() == 3)
+    val p = df.queryExecution.executedPlan.toString
+    val pfs = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pfs.nonEmpty, p)
+    assert(pfs.forall(l => l.contains("day") && l.contains(">=") &&
+      l.contains("<=")), p)
+  }
+
   test("as-of join query plans with zero join nodes; type filter pushes to scan (x24)") {
     val p = plan(SparkEntry.queries("x24_asof_join")(spark, sf))
     assert(!p.contains("Join"), "x24 must be the union-window plan:\n" + p)

@@ -99,7 +99,10 @@ object ScaleStress {
     // absolute wall and the pair deltas (kll vs exact, default vs
     // b1024, spread vs one-octave vs ties)
     "rfm_keys2m", "rfm_keys2m_exact", "pareto_oneoctave2m",
-    "pareto_oneoctave2m_b1024", "pareto_ties2m")
+    "pareto_oneoctave2m_b1024", "pareto_ties2m",
+    // round-14: the tieBand remedy on the all-tie population — read
+    // the pareto_ties2m vs pareto_ties2m_tieband pair deltas
+    "pareto_ties2m_tieband")
 
   /** Stress-only probes with no oracle entry: x99's bench/oracle form
     * runs probe-ALL (exact by construction, O(|queries|·|corpus|) BY
@@ -152,6 +155,18 @@ object ScaleStress {
       graft.olap.CustomerValue.paretoAbc(
         s.range(2000000L).select(col("id").as("k"), lit(42.0).as("amt")),
         "k", "amt")
+    }),
+    // the r14 tieBand remedy on the SAME 2M all-tie population: the
+    // caller-supplied monotone key band (floor(k/8192) -> 245
+    // sub-bands of ~8k keys) splits the one hot tie partition, so the
+    // sort parallelizes where pareto_ties2m serializes — compare the
+    // pair's absolute walls (dir-independent input, ratio ~1.0 by
+    // construction)
+    "pareto_ties2m_tieband" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.olap.CustomerValue.paretoAbc(
+        s.range(2000000L).select(col("id").as("k"), lit(42.0).as("amt")),
+        "k", "amt", tieBand = Some(floor(col("k") / 8192)))
     }),
     // rfm on the KEY-population axis (inflate bumps o_orderkey, never
     // o_custkey): 2M customers, one tx each — the r13 KLL cutpoint

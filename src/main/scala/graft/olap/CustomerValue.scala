@@ -222,15 +222,27 @@ object CustomerValue {
     * the well-spread wall at the default granularity and recover with
     * `buckets = 1024` (~1.5× fewer seconds — the knob is the remedy,
     * raising it only adds empty band space); ALL-TIE amounts (one
-    * band holds every key) run ~1.2× — mild, and IRREDUCIBLE under
-    * deterministic ranking: a tie band's keys must concatenate in key
-    * order, and no type-generic per-row function sub-bands a key
-    * monotonically (a hash would break the rank order), so no
-    * auto-remedy engages. A 1e8+-exact-tie population would need a
-    * caller-provided monotone key prefix as a secondary band — out of
-    * scope until a corpus exhibits it. The banding trade deletes the
-    * old quantile-boundary + offset BARRIERS: no percentile
-    * aggregate, no one-row broadcast before keys can band.
+    * band holds every key) run ~1.2× — mild, and irreducible WITHOUT
+    * caller help: a tie band's keys must concatenate in key order,
+    * and no type-generic per-row function sub-bands a key
+    * monotonically (a hash would break the rank order). The caller
+    * CAN help: `tieBand` takes an expression of the key column that
+    * is monotone NON-DECREASING in key order (nulls lowest) — e.g.
+    * `floor(col("custkey") / 8192)` for numeric keys,
+    * `substring(col("key"), 1, 2)` for strings — applied as a
+    * secondary band INSIDE exact-tie bands ONLY (mixed-amount bands
+    * keep their single partition: a key sub-band there would
+    * interleave amounts across sub-bands and corrupt the rank), so
+    * a 1e8-exact-tie population sorts in |tie values| partitions
+    * instead of one. Keep its cardinality band-like (hundreds, not
+    * the key space): the per-(band, tie value) offset frame
+    * broadcasts. Monotonicity is the caller's contract — the
+    * rank-order property is spec-pinned for a conforming expression,
+    * a non-monotone one silently corrupts ranks exactly as a
+    * non-deterministic score corrupts dedupByPairsKeepBest. The
+    * banding trade deletes the old quantile-boundary + offset
+    * BARRIERS: no percentile aggregate, no one-row broadcast before
+    * keys can band.
     *
     * `buckets` is a band-GRANULARITY target, not an exact partition
     * count: it maps to `2^ceil(log2(buckets))/64` sub-bands per octave
@@ -254,11 +266,12 @@ object CustomerValue {
     * abc_class)`, shares rounded to 6. */
   def paretoAbc(tx: DataFrame, keyCol: String, amountCol: String,
                 aCut: Double = 0.7, bCut: Double = 0.9,
-                buckets: Int = 256): DataFrame = {
+                buckets: Int = 256,
+                tieBand: Option[Column] = None): DataFrame = {
     require(aCut > 0 && aCut < bCut && bCut < 1,
       s"need 0 < aCut < bCut < 1: $aCut, $bCut")
     require(buckets >= 1, s"buckets must be positive: $buckets")
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val perKey = tx
       .filter(col(keyCol).isNotNull && col(amountCol).isNotNull)
       .groupBy(col(keyCol))
@@ -271,31 +284,15 @@ object CustomerValue {
       else 32 - Integer.numberOfLeadingZeros(buckets - 1) - 6))
     val withB = perKey.withColumn("_graft_pb",
       if (buckets == 1) lit(0L) else amountBand(col("amount_cents"), sub))
-    val perBucket = withB.groupBy(col("_graft_pb"))
-      .agg(count(lit(1)).as("_n"), sum(col("amount_cents")).as("_s"))
-    // offsets are ONE window prefix-sum over the band frame itself —
-    // O(B log B) for B occupied bands (B ≤ min(|keys|, band space ≤
-    // 2^23), typically a few hundred), never per key and never the
-    // old O(B²) packed-row rescan. The sort is unpartitioned BY
-    // DESIGN: its input is the band frame, not the key population —
-    // the one unpartitioned window the CustomerValueSpec plan gate
-    // whitelists by its `_graft_*` output names.
-    val wOff = Window.orderBy(col("_graft_pb"))
-    val prior = wOff.rowsBetween(Window.unboundedPreceding, -1)
-    val offs = perBucket.select(col("_graft_pb"),
-      coalesce(sum(col("_n")).over(prior), lit(0L)).as("_graft_rko"),
-      coalesce(sum(col("_s")).over(prior), lit(0L)).as("_graft_cmo"),
-      sum(col("_s")).over(wOff.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing))
-        .as("_graft_tot"))
-    val w = Window.partitionBy(col("_graft_pb"))
-      .orderBy(col("amount_cents").desc, col(keyCol))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
-    val tot = col("_graft_tot").cast("double")
-    val cum = (sum(col("amount_cents")).over(wRun) + col("_graft_cmo"))
-      .cast("double")
-    withB.join(broadcast(offs), "_graft_pb")
-      .select(col(keyCol), col("amount_cents"),
+
+    // shared report tail: rank/shares from a rows frame carrying the
+    // partition offsets, windowed per band (or per tie sub-band)
+    def report(rows: DataFrame, w: WindowSpec): DataFrame = {
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      val tot = col("_graft_tot").cast("double")
+      val cum = (sum(col("amount_cents")).over(wRun) + col("_graft_cmo"))
+        .cast("double")
+      rows.select(col(keyCol), col("amount_cents"),
         (row_number().over(w).cast("long") + col("_graft_rko"))
           .as("rank"),
         round(col("amount_cents").cast("double") / tot, 6).as("share"),
@@ -303,5 +300,78 @@ object CustomerValue {
         when(cum / tot <= aCut, "A")
           .when(cum / tot <= bCut, "B")
           .otherwise("C").as("abc_class"))
+    }
+
+    tieBand match {
+      case None =>
+        val perBucket = withB.groupBy(col("_graft_pb"))
+          .agg(count(lit(1)).as("_n"), sum(col("amount_cents")).as("_s"))
+        // offsets are ONE window prefix-sum over the band frame itself —
+        // O(B log B) for B occupied bands (B ≤ min(|keys|, band space ≤
+        // 2^23), typically a few hundred), never per key and never the
+        // old O(B²) packed-row rescan. The sort is unpartitioned BY
+        // DESIGN: its input is the band frame, not the key population —
+        // the one unpartitioned window the CustomerValueSpec plan gate
+        // whitelists by its `_graft_*` output names.
+        val wOff = Window.orderBy(col("_graft_pb"))
+        val prior = wOff.rowsBetween(Window.unboundedPreceding, -1)
+        val offs = perBucket.select(col("_graft_pb"),
+          coalesce(sum(col("_n")).over(prior), lit(0L)).as("_graft_rko"),
+          coalesce(sum(col("_s")).over(prior), lit(0L)).as("_graft_cmo"),
+          sum(col("_s")).over(wOff.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("_graft_tot"))
+        report(withB.join(broadcast(offs), "_graft_pb"),
+          Window.partitionBy(col("_graft_pb"))
+            .orderBy(col("amount_cents").desc, col(keyCol)))
+
+      case Some(tb) =>
+        // the ALL-TIE remedy: sub-band by the caller's key expression
+        // INSIDE exact-tie bands only. A band whose amounts are all
+        // equal orders purely by key, so any monotone-non-decreasing-
+        // in-key band concatenates to the same order while splitting
+        // the one hot window partition; a mixed-amount band keeps its
+        // single partition (sub-banding it by a key expression would
+        // interleave amounts across sub-bands and corrupt the rank).
+        // The struct wrapper keeps a null tie value groupable/joinable
+        // (structs never null out the key) and orders null-first —
+        // consistent with asc-nulls-first key order.
+        val withT = withB.withColumn("_graft_tb", struct(tb.as("t")))
+        val levels = withT.groupBy(col("_graft_pb"), col("_graft_tb"))
+          .agg(count(lit(1)).as("_n"), sum(col("amount_cents")).as("_s"),
+            min(col("amount_cents")).as("_mn"),
+            max(col("amount_cents")).as("_mx"))
+        val bandTie = levels.groupBy(col("_graft_pb"))
+          .agg((min(col("_mn")) === max(col("_mx"))).as("_tie"))
+        // effective sub-band: the tie value inside an exact-tie band,
+        // one struct(null) group otherwise (no collision: a band is
+        // either all-tie or not, never mixed within one _graft_pb)
+        val leveled = levels.join(broadcast(bandTie), "_graft_pb")
+          .withColumn("_graft_tbe", struct(
+            when(col("_tie"), col("_graft_tb").getField("t")).as("t")))
+        val perPart = leveled.groupBy(col("_graft_pb"), col("_graft_tbe"))
+          .agg(sum(col("_n")).as("_n"), sum(col("_s")).as("_s"))
+        // same band-frame prefix-sum as the default path, ordered by
+        // (band, tie sub-band) — still the one whitelisted
+        // unpartitioned window over a band-count-sized frame
+        val wOff = Window.orderBy(col("_graft_pb"), col("_graft_tbe"))
+        val prior = wOff.rowsBetween(Window.unboundedPreceding, -1)
+        val offs = perPart.select(col("_graft_pb"), col("_graft_tbe"),
+          coalesce(sum(col("_n")).over(prior), lit(0L)).as("_graft_rko"),
+          coalesce(sum(col("_s")).over(prior), lit(0L)).as("_graft_cmo"),
+          sum(col("_s")).over(wOff.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("_graft_tot"))
+        // map each (band, tie value) level to its window partition's
+        // offsets, then attach to the key rows — both joins broadcast
+        // the band-frame side
+        val levelOffs = leveled
+          .select(col("_graft_pb"), col("_graft_tb"), col("_graft_tbe"))
+          .join(offs, Seq("_graft_pb", "_graft_tbe"))
+        report(withT.join(broadcast(levelOffs),
+            Seq("_graft_pb", "_graft_tb")),
+          Window.partitionBy(col("_graft_pb"), col("_graft_tbe"))
+            .orderBy(col("amount_cents").desc, col(keyCol)))
+    }
   }
 }

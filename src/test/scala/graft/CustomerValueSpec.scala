@@ -79,7 +79,7 @@ class CustomerValueSpec extends AnyFunSuite {
     // while any key window orders by (amount, key)
     assert(windows.forall(w => w.partitionSpec.nonEmpty ||
       (w.orderSpec.nonEmpty && w.orderSpec.flatMap(_.references.toSeq)
-        .forall(_.name == "_graft_pb"))),
+        .forall(a => a.name == "_graft_pb" || a.name == "_graft_tbe"))),
       "paretoAbc must never plan an unpartitioned Window over keys:\n" +
         pDf.queryExecution.executedPlan.toString)
     assert(windows.exists(_.partitionSpec.isEmpty),
@@ -205,6 +205,55 @@ class CustomerValueSpec extends AnyFunSuite {
     // equal amounts co-band trivially; near-equal large amounts within
     // one sub-band co-band (the documented ×(1+2^-sub) width)
     assert(bands(1) == bands(2), "same (octave, mantissa-bits) co-band")
+  }
+
+  test("paretoAbc tieBand: a conforming (monotone-non-decreasing-in-" +
+    "key) secondary band leaves every output row identical — on a " +
+    "mixed corpus (ties + spread + negatives + zero) AND on an " +
+    "all-tie corpus, where it splits the hot partition") {
+    import org.apache.spark.sql.functions.{col, floor}
+    // heavy exact ties (43 keys share one amount), spread magnitudes,
+    // a zero and a negative — every banding regime in one corpus
+    val tx = ((1 to 200).map(i => (i.toLong,
+        if (i % 3 == 0) 42.0 else ((i * 7919) % 997 + 1).toDouble)) ++
+      Seq((201L, 0.0), (202L, -5.0), (203L, 42.0), (204L, 42.0)))
+      .toDF("k", "amt")
+    def rows(tb: Option[org.apache.spark.sql.Column]) =
+      CustomerValue.paretoAbc(tx, "k", "amt", tieBand = tb)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getString(5))).toSeq
+    val base = rows(None)
+    val banded = rows(Some(floor(col("k") / 16)))
+    assert(banded == base,
+      "a conforming tieBand must not change any rank/share/class")
+    // all-tie corpus: the one band every key shares sub-bands into
+    // |tie values| window partitions, rank order still global key asc
+    val ties = (1 to 5000).map(i => (i.toLong, 7.0)).toDF("k", "amt")
+    val t0 = CustomerValue.paretoAbc(ties, "k", "amt")
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    val t1 = CustomerValue.paretoAbc(ties, "k", "amt",
+        tieBand = Some(floor(col("k") / 512)))
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(t0 == (1L to 5000L) && t1 == t0)
+    // and the sub-banding is live: the key window really partitions
+    // by (band, tie value) — ≥ 2 partitions on the all-tie corpus
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val pDf = CustomerValue.paretoAbc(ties, "k", "amt",
+      tieBand = Some(floor(col("k") / 512)))
+    pDf.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    val keyWindows = walk(pDf.queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }
+    assert(keyWindows.exists(_.partitionSpec.exists(
+      _.references.exists(_.name == "_graft_tbe"))),
+      "the key window must partition by the tie sub-band")
   }
 
   test("paretoAbc: a large buckets target (2^16) completes in bounded " +

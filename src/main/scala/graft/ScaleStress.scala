@@ -101,8 +101,10 @@ object ScaleStress {
     "rfm_keys2m", "rfm_keys2m_exact", "pareto_oneoctave2m",
     "pareto_oneoctave2m_b1024", "pareto_ties2m",
     // round-14: the tieBand remedy on the all-tie population — read
-    // the pareto_ties2m vs pareto_ties2m_tieband pair deltas
-    "pareto_ties2m_tieband")
+    // the pareto_ties2m vs pareto_ties2m_tieband pair deltas — and
+    // the HLL MV constant-state gate at 100x cardinality (an entry
+    // that FAILS on a violated bound, not a timing line)
+    "pareto_ties2m_tieband", "hll_state_bytes_flat")
 
   /** Stress-only probes with no oracle entry: x99's bench/oracle form
     * runs probe-ALL (exact by construction, O(|queries|·|corpus|) BY
@@ -231,6 +233,46 @@ object ScaleStress {
     // costs what the flat path's full float pass does — the quantized
     // trade only pays when survivors ≪ corpus, which is what real ANN
     // serving looks like.
+    // the 1e9-actives state claim promoted to the stress set (r14,
+    // GrowthSpec pins the 10x point in unit tests): the HLL growth-MV
+    // state must stay ~CONSTANT bytes across 1x/10x/100x the
+    // daily-active cardinality — 30k/300k/3M synthetic users each
+    // build an hllDistinct(12) MV, the served estimate must sit in
+    // the 4-rsd band and max state bytes must not grow 1.5x from the
+    // 1x point. Dir-independent: read the recorded bytes (the query
+    // FAILS on a violated bound), not the timing ratio.
+    "hll_state_bytes_flat" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.stream.{IncrementalMv, MvAgg}
+      val rows = Seq(1, 10, 100).map { m =>
+        val users = 30000L * m
+        val ev = s.range(users).select(
+            lit(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")).as("ts"),
+            col("id").as("user_id"))
+          .withColumn("_all", lit("all"))
+        val mvDir = java.nio.file.Files
+          .createTempDirectory(s"graft-hllbytes-$m").toString + "/mv"
+        IncrementalMv.applyAggDelta(ev, 0, mvDir, "ts", "_all",
+          col("user_id"), MvAgg.hllDistinct(12))
+        val est = graft.olap.Growth
+          .activeUsersFromHllMv(s, mvDir, windows = Seq(1))
+          .head.getLong(1)
+        val bytes = s.read.parquet(mvDir)
+          .agg(max(length(col("state")))).head.getInt(0)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(mvDir).getParentFile)
+        require(math.abs(est.toDouble / users - 1.0) < 0.065,
+          s"HLL estimate $est outside the 4-rsd band around $users")
+        (m, users, est, bytes)
+      }
+      val b1 = rows.head._4
+      rows.tail.foreach { case (m, _, _, b) =>
+        require(b < 1.5 * b1,
+          s"HLL state must stay ~constant: $b1 -> $b bytes at ${m}x" +
+            " the cardinality") }
+      import s.implicits._
+      rows.toDF("scale", "users", "estimate", "max_state_bytes")
+    }),
     "ivf_flat_staged2" -> ((s, dir) => {
       val (model, _) = stagedIvf(s, dir)
       val queries = Tables(s, dir, "embeddings")

@@ -21,10 +21,13 @@ private[graft] object Guards {
     * quantile reads). */
   def validDayRange(range: Option[(String, String)]): Unit =
     range.foreach { case (start, end) =>
-      val s = scala.util.Try(java.sql.Date.valueOf(start))
-      val e = scala.util.Try(java.sql.Date.valueOf(end))
+      // strict ISO parse — java.sql.Date.valueOf would leniently
+      // normalize a calendar-invalid day (2024-02-31 -> Mar 2) and
+      // let it through to the very cast this guard exists to front-run
+      val s = scala.util.Try(java.time.LocalDate.parse(start))
+      val e = scala.util.Try(java.time.LocalDate.parse(end))
       require(s.isSuccess && e.isSuccess,
-        s"range ('$start', '$end') must be 'yyyy-MM-dd' dates")
-      require(!s.get.after(e.get), s"range start $start after end $end")
+        s"range ('$start', '$end') must be valid 'yyyy-MM-dd' dates")
+      require(!s.get.isAfter(e.get), s"range start $start after end $end")
     }
 }

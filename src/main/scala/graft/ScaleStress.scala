@@ -92,12 +92,12 @@ object ScaleStress {
     "x175_growth_mv_ranged",
     // stress-only probes (not oracled queries): see `extraProbes`
     "crossdoc_spans_capped", "ivf_batch_nprobes2", "ivf_pq_nprobes2",
-    // round-13: bounded-state rfm cutpoints + banding degenerate
-    // cases. These five are DIR-INDEPENDENT (s.range inputs): base ==
+    // round-13+: bounded-state rfm cutpoints + banding degenerate
+    // cases. These probes are DIR-INDEPENDENT (s.range inputs): base ==
     // inflated by construction, so their two columns are repeat
     // samples and the ~1.0 ratio documents exactly that — read the
     // absolute wall and the pair deltas (kll vs exact, default vs
-    // b1024, spread vs one-octave vs ties)
+    // b1024, spread vs one-octave vs ties vs tieband)
     "rfm_keys2m", "rfm_keys2m_exact", "pareto_oneoctave2m",
     "pareto_oneoctave2m_b1024", "pareto_ties2m",
     // round-14: the tieBand remedy on the all-tie population — read
@@ -184,9 +184,10 @@ object ScaleStress {
       graft.olap.CustomerValue.rfm(rfmKeys2m(s), "k", "dt", "amt",
         cutpointK = 1 << 16)
     }),
-    // the exact-percentile sibling (cutpointK = 0): same 2M customers
-    // through the population-sized cutpoint buffer — the wall-clock
-    // AND memory shape the KLL default escapes; compare the pair
+    // the exact-percentile sibling (cutpointK = 0, the r14 library
+    // DEFAULT): same 2M customers through the population-sized
+    // cutpoint buffer — the wall-clock AND memory shape the opt-in
+    // KLL path above escapes; compare the pair
     "rfm_keys2m_exact" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       graft.olap.CustomerValue.rfm(rfmKeys2m(s), "k", "dt", "amt",

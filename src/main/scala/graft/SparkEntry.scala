@@ -3884,9 +3884,10 @@ object SparkEntry {
           floor(col("value") * 100 + lit(0.5)).cast("double"))
       val sliceRows = ev.filter(col("ts").cast("date").between(
         lit("2024-01-08"), lit("2024-01-14"))).count()
-      require(sliceRows <= k,
+      require(sliceRows > 0 && sliceRows <= k,
         s"x179 exact-regime guard: $sliceRows rows in the day slice" +
-          s" exceed k=$k — raise k or re-derive the oracle")
+          s" (need 1..$k) — raise k / re-derive the oracle, or the" +
+          " fixture lost the 2024-01-08..14 days")
       (0 until 2).foreach(m => IncrementalMv.applyAggDelta(
         ev.filter(pmod(col("event_id"), lit(2)) === m), m, path,
         "ts", "_all", col("cents"), MvAgg.kll(s, k, qs)))
@@ -3963,9 +3964,6 @@ object SparkEntry {
       s"(CASE WHEN ${duckDot(embExpr, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", "\n   + ", ")")
 
-  /** Shared text-metric CTE chain (tokenization, ratios, language
-    * marker counts) ending in an `m` CTE — reused by the x03 profile
-    * oracle and the x30 quality-weighted-sample oracle. */
   /** x55's winsorization oracle — shared verbatim by x177, whose only
     * difference is the Spark side's BOUNDED percentile source
     * (`approxK`): in the guarded exact regime the interpolating KLL
@@ -4006,6 +4004,9 @@ object SparkEntry {
       |FROM d JOIN mad m USING (lang)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared text-metric CTE chain (tokenization, ratios, language
+    * marker counts) ending in an `m` CTE — reused by the x03 profile
+    * oracle and the x30 quality-weighted-sample oracle. */
   private val duckTextMetricCtes: String =
     """WITH p AS (
       |  SELECT doc_id,

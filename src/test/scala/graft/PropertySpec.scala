@@ -678,6 +678,27 @@ object PipelineProperties extends Properties("graft") {
       got == expected
     }
 
+  property("paretoAbc tieBand: a conforming monotone-in-key band " +
+    "leaves the rank assignment identical on random signed amounts " +
+    "WITH injected exact-tie runs — mixed-amount bands must ignore " +
+    "it, tie bands must split under it") =
+    forAll(Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100000L, 100000000L))),
+      Gen.choose(2, 9)) { (centsList, tieEvery) =>
+      // every tieEvery-th key collapses onto one shared amount, so
+      // random corpora carry genuine exact-tie bands alongside the
+      // spread ones; floor(k / 4) is monotone non-decreasing in k
+      val rows = (200000000L +: centsList).zipWithIndex
+        .map { case (c, i) =>
+          (i.toLong, if (i % tieEvery == 1) 777.77 else c / 100.0) }
+      val df = rows.toDF("k", "amt")
+      def ranks(tb: Option[org.apache.spark.sql.Column]) =
+        graft.olap.CustomerValue.paretoAbc(df, "k", "amt", tieBand = tb)
+          .select("k", "rank").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ranks(Some(floor(col("k") / 4))) == ranks(None)
+    }
+
   property("int8 packed cosine tracks the float cosine within the " +
     "quantization bound on random vectors") =
     forAll(Gen.listOfN(12, Gen.choose(-1000, 1000)),

@@ -17,8 +17,11 @@ private[graft] object Guards {
   /** Validate an optional inclusive day range (`yyyy-MM-dd` pair) —
     * fails loudly on an unparseable date or inverted pair (a silent
     * null cast would prune EVERY partition and serve an empty
-    * report). Shared by the ranged MV serves (growth reports, KLL
-    * quantile reads). */
+    * report). STRICT zero-padded ISO by contract: `2024-1-5` is
+    * rejected even though Spark's cast would take it — the guard
+    * enforces the documented format rather than tracking every
+    * leniency of the downstream parser. Shared by the ranged MV
+    * serves (growth reports, KLL quantile reads). */
   def validDayRange(range: Option[(String, String)]): Unit =
     range.foreach { case (start, end) =>
       // strict ISO parse — java.sql.Date.valueOf would leniently

@@ -136,11 +136,13 @@ object CustomerValue {
     * band) — never an accidental in-between. */
   def exactRegimeCutpointK(population: Long): Int = {
     require(population >= 0, s"population must be >= 0: $population")
-    val need = math.max(1L << 16, 2L * population)
-    require(need <= (1L << 22),
+    // cap BEFORE the multiply: 2L*population overflows past 2^62 and
+    // would silently satisfy a post-multiply cap instead of tripping
+    require(population <= (1L << 21),
       s"population $population needs a >2^22 exact-regime sketch — " +
         "use cutpointK = 0 (exact percentile) or accept the KLL " +
         "rank-error band with an explicit fixed cutpointK")
+    val need = math.max(1L << 16, 2L * population)
     var k = 1 << 16
     while (k < need) k <<= 1
     k
@@ -302,25 +304,33 @@ object CustomerValue {
           .otherwise("C").as("abc_class"))
     }
 
+    // ONE window prefix-sum over the partition-key frame (`_n` rows,
+    // `_s` cents per window partition) computes every partition's rank
+    // and cents offsets + the grand total — O(B log B) for B occupied
+    // partitions (≤ min(|keys|, band space ≤ 2^23), typically a few
+    // hundred), never per key and never the old O(B²) packed-row
+    // rescan. The sort is unpartitioned BY DESIGN: its input is the
+    // band frame, not the key population — the one unpartitioned
+    // window the CustomerValueSpec plan gate whitelists by its
+    // `_graft_*` order-spec names. Shared by both paths so a fix to
+    // the fold cannot diverge them.
+    def offsets(perPart: DataFrame, keyNames: Seq[String]): DataFrame = {
+      val keys = keyNames.map(col)
+      val wOff = Window.orderBy(keys: _*)
+      val prior = wOff.rowsBetween(Window.unboundedPreceding, -1)
+      perPart.select(keys ++ Seq(
+        coalesce(sum(col("_n")).over(prior), lit(0L)).as("_graft_rko"),
+        coalesce(sum(col("_s")).over(prior), lit(0L)).as("_graft_cmo"),
+        sum(col("_s")).over(wOff.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("_graft_tot")): _*)
+    }
+
     tieBand match {
       case None =>
         val perBucket = withB.groupBy(col("_graft_pb"))
           .agg(count(lit(1)).as("_n"), sum(col("amount_cents")).as("_s"))
-        // offsets are ONE window prefix-sum over the band frame itself —
-        // O(B log B) for B occupied bands (B ≤ min(|keys|, band space ≤
-        // 2^23), typically a few hundred), never per key and never the
-        // old O(B²) packed-row rescan. The sort is unpartitioned BY
-        // DESIGN: its input is the band frame, not the key population —
-        // the one unpartitioned window the CustomerValueSpec plan gate
-        // whitelists by its `_graft_*` output names.
-        val wOff = Window.orderBy(col("_graft_pb"))
-        val prior = wOff.rowsBetween(Window.unboundedPreceding, -1)
-        val offs = perBucket.select(col("_graft_pb"),
-          coalesce(sum(col("_n")).over(prior), lit(0L)).as("_graft_rko"),
-          coalesce(sum(col("_s")).over(prior), lit(0L)).as("_graft_cmo"),
-          sum(col("_s")).over(wOff.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing))
-            .as("_graft_tot"))
+        val offs = offsets(perBucket, Seq("_graft_pb"))
         report(withB.join(broadcast(offs), "_graft_pb"),
           Window.partitionBy(col("_graft_pb"))
             .orderBy(col("amount_cents").desc, col(keyCol)))
@@ -351,17 +361,10 @@ object CustomerValue {
             when(col("_tie"), col("_graft_tb").getField("t")).as("t")))
         val perPart = leveled.groupBy(col("_graft_pb"), col("_graft_tbe"))
           .agg(sum(col("_n")).as("_n"), sum(col("_s")).as("_s"))
-        // same band-frame prefix-sum as the default path, ordered by
-        // (band, tie sub-band) — still the one whitelisted
-        // unpartitioned window over a band-count-sized frame
-        val wOff = Window.orderBy(col("_graft_pb"), col("_graft_tbe"))
-        val prior = wOff.rowsBetween(Window.unboundedPreceding, -1)
-        val offs = perPart.select(col("_graft_pb"), col("_graft_tbe"),
-          coalesce(sum(col("_n")).over(prior), lit(0L)).as("_graft_rko"),
-          coalesce(sum(col("_s")).over(prior), lit(0L)).as("_graft_cmo"),
-          sum(col("_s")).over(wOff.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing))
-            .as("_graft_tot"))
+        // the shared band-frame prefix-sum, ordered (band, tie
+        // sub-band) — still one whitelisted unpartitioned window over
+        // a band-count-sized frame
+        val offs = offsets(perPart, Seq("_graft_pb", "_graft_tbe"))
         // map each (band, tie value) level to its window partition's
         // offsets, then attach to the key rows — both joins broadcast
         // the band-frame side

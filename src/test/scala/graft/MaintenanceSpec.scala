@@ -246,8 +246,8 @@ class MaintenanceSpec extends AnyFunSuite {
   }
 
   test("restart soak parameterized over the SKETCH states (KMV / HLL / " +
-    "A-Res): live trigger, graceful stop between deltas with days split " +
-    "across the cut, recover — incremental == recompute per state") {
+    "A-Res / KLL): live trigger, graceful stop between deltas with days " +
+    "split across the cut, recover — incremental == recompute per state") {
     import graft.stream.MvAgg
     val ev = Tables(spark, TestSpark.sf, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
@@ -261,7 +261,13 @@ class MaintenanceSpec extends AnyFunSuite {
     val cases: Seq[(MvAgg, String, org.apache.spark.sql.Column)] = Seq(
       (MvAgg.kmvDistinct(1024), "user_id", col("user_id")),
       (MvAgg.hllDistinct(hllLgK), "user_id", col("user_id")),
-      (MvAgg.prioritySample(4), "_v", aresVal))
+      (MvAgg.prioritySample(4), "_v", aresVal),
+      // KLL in its exact regime (k far above any day's rows): the
+      // quantile read of the recovered sketch must equal the
+      // recompute bitwise — closes the one sketch state the r13 soak
+      // left to the non-restart law battery
+      (MvAgg.kll(spark, 8192, Seq(0.25, 0.5, 0.75)), "user_id",
+        col("user_id")))
     for ((agg, valName, valCol) <- cases) {
       val inDir = Files.createTempDirectory(s"graft-soak-${agg.name}-in")
         .toString

@@ -107,7 +107,11 @@ object ScaleStress {
     // KLL-MV ranged serve (the x179 dashboard read isolated from its
     // MV build — should stay near-flat: fixed day count, pruned scan)
     "pareto_ties2m_tieband", "hll_state_bytes_flat",
-    "mv_kll_ranged_serve")
+    "mv_kll_ranged_serve",
+    // round-14: concat-and-chunk sequence packing — the band-frame
+    // cumsum decomposition should hold a linear curve (pieces scale
+    // with the corpus, the offset window with the band count)
+    "x180_pack_sequences")
 
   /** Stress-only probes with no oracle entry: x99's bench/oracle form
     * runs probe-ALL (exact by construction, O(|queries|·|corpus|) BY

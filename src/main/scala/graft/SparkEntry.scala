@@ -3895,6 +3895,21 @@ object SparkEntry {
           range = Some(("2024-01-08", "2024-01-14")))
         .orderBy(col("qi"))
     }),
+    "x180_pack_sequences" -> ((s, d) =>
+      // the pretraining concat-and-chunk layout: documents
+      // concatenate in id order and the stream chunks into
+      // 2048-token sequences (n_chars as the count column — the
+      // packing math is count-agnostic), docs splitting across
+      // boundaries; output is the (doc, sequence) slice plan a
+      // writer executes. The global cumsum never sorts the corpus on
+      // one partition: ids band by the log lattice and offsets come
+      // from one band-frame prefix-sum (the paretoAbc decomposition
+      // on id order). Pure integer arithmetic — bit-identical
+      // cross-engine.
+      TextAnalysis.packSequences(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", 2048L)
+        .orderBy(col("seq_id"), col("seq_offset"))),
   )
 
   /** Exact-regime guard for the bounded-percentile (`approxK`) oracle
@@ -8626,6 +8641,30 @@ object SparkEntry {
         |         [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS a FROM s)
         |SELECT CAST(t.i AS BIGINT) AS qi, qc.a[CAST(t.i AS INT) + 1] AS value
         |FROM qc, range(6) t(i) ORDER BY qi""".stripMargin,
+    // one ordered cumsum + integer chunk arithmetic replays the
+    // band-decomposed packing exactly (pure function of the
+    // (id, tokens) set)
+    "x180_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS tk FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |    AND n_chars > 0),
+        |o AS (
+        |  SELECT doc_id, tk,
+        |    CAST(COALESCE(SUM(tk) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS st
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, tk, st,
+        |    unnest(range(st // 2048, (st + tk - 1) // 2048 + 1)) AS seq_id
+        |  FROM o)
+        |SELECT doc_id, seq_id,
+        |  GREATEST(seq_id * 2048 - st, 0) AS doc_offset,
+        |  GREATEST(st - seq_id * 2048, 0) AS seq_offset,
+        |  LEAST(st + tk, (seq_id + 1) * 2048)
+        |    - GREATEST(st, seq_id * 2048) AS piece_len
+        |FROM p ORDER BY seq_id, seq_offset""".stripMargin,
     // quantile_cont over the day slice directly — the MV serve's day
     // prune + sketch merge + interpolating read must land on the same
     // values in the exact regime (integer cents, x28/x176 parity)

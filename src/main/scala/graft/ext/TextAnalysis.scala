@@ -1023,6 +1023,86 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Pack token-counted documents into fixed-length training
+    * sequences — the standard pretraining concat-and-chunk layout:
+    * documents concatenate in ascending id order and the stream
+    * chunks into `seqLen`-token sequences, docs splitting across
+    * chunk boundaries. Output: one row per (document, sequence)
+    * piece — `(idCol, seq_id, doc_offset, seq_offset, piece_len)`
+    * (`doc_offset` = the piece's start within the doc, `seq_offset` =
+    * its start within the sequence) — the slice plan a writer
+    * executes; every sequence except the last is exactly full by
+    * construction.
+    *
+    * Scale design: the global token cumsum NEVER sorts the corpus on
+    * one partition — ids band by the [[graft.olap.CustomerValue
+    * .amountBand]] log-lattice (negated: band asc == id asc), a ONE-
+    * window prefix-sum over the band-count-sized frame yields each
+    * band's token offset, and per-band windows (each holding one
+    * band's docs) finish the per-doc offsets — the paretoAbc
+    * decomposition applied to an id order. The chunk explode emits
+    * ≤ ceil(tokens/seqLen)+1 rows per doc — the inherent output
+    * size. Deterministic: a pure function of the (id, tokens) set,
+    * so it replays bit-identically across engines (oracled).
+    *
+    * Contract: ids are LONG (the banding lattice orders numbers; a
+    * non-numeric key needs a numeric surrogate first — e.g. the x66
+    * shard pattern); null ids and null/non-positive token counts
+    * drop (a 0-token doc occupies no space in the stream); ids must
+    * not be `Long.MinValue` (its negation is unrepresentable — the
+    * one id the band lattice cannot order; raises at runtime). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive: $seqLen")
+    graft.Guards.reserved(df, "packSequences",
+      Seq("seq_id", "doc_offset", "seq_offset", "piece_len"))
+    import org.apache.spark.sql.expressions.Window
+    val docs = df
+      .filter(col(idCol).isNotNull && col(tokensCol).isNotNull &&
+        col(tokensCol) > 0)
+      .select(col(idCol),
+        // the MinValue raise rides the ALWAYS-USED tokens column so
+        // column pruning can never delete the check
+        when(col(idCol).cast("long") === Long.MinValue, raise_error(
+            lit("packSequences: id Long.MinValue is outside the band" +
+              " lattice — remap it")))
+          .otherwise(col(tokensCol).cast("long")).as("_graft_tk"),
+        // amountBand is monotone NON-INCREASING in its argument, so
+        // band(−id) is monotone non-decreasing in id — ascending id
+        // bands with no boundary aggregate. −Long.MinValue overflows,
+        // so that one id is rejected loudly above the lattice.
+        graft.olap.CustomerValue.amountBand(-col(idCol).cast("long"), 2)
+          .as("_graft_sb"))
+    val perBand = docs.groupBy(col("_graft_sb"))
+      .agg(sum(col("_graft_tk")).as("_s"))
+    val wOff = Window.orderBy(col("_graft_sb"))
+    val offs = perBand.select(col("_graft_sb"),
+      coalesce(sum(col("_s")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("_graft_bo"))
+    val wRun = Window.partitionBy(col("_graft_sb")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val placed = docs.join(broadcast(offs), "_graft_sb")
+      .withColumn("_graft_start",
+        col("_graft_bo") + sum(col("_graft_tk")).over(wRun) -
+          col("_graft_tk"))
+    placed
+      .select(col(idCol), col("_graft_tk"), col("_graft_start"),
+        explode(sequence(
+          floor(col("_graft_start") / seqLen).cast("long"),
+          floor((col("_graft_start") + col("_graft_tk") - 1) / seqLen)
+            .cast("long"))).as("seq_id"))
+      .select(col(idCol), col("seq_id"),
+        greatest(col("seq_id") * seqLen - col("_graft_start"), lit(0L))
+          .as("doc_offset"),
+        greatest(col("_graft_start") - col("seq_id") * seqLen, lit(0L))
+          .as("seq_offset"),
+        (least(col("_graft_start") + col("_graft_tk"),
+            (col("seq_id") + 1) * seqLen) -
+          greatest(col("_graft_start"), col("seq_id") * seqLen))
+          .as("piece_len"))
+  }
+
   /** Per-document profile frame: one narrow projection with all metrics. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

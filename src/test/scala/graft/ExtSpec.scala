@@ -1247,4 +1247,59 @@ class ExtSpec extends AnyFunSuite {
     assert(f1.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
     assert(f1.head.getSeq[Float](1).length == 16)
   }
+
+  test("packSequences: pieces tile the concat-and-chunk stream exactly " +
+    "— per-doc mass conserved, every sequence but the last exactly " +
+    "full, equality with the driver-computed reference on signed ids; " +
+    "drops and the MinValue raise") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val L = 10L
+    // signed ids (the band lattice must order negatives before
+    // positives), token counts straddling the chunk length, plus a
+    // null id, a null count and a zero count that must all drop
+    val docs = Seq((-7L, 25L), (-2L, 3L), (1L, 10L), (4L, 1L),
+      (5L, 18L), (9L, 7L)).toDF("doc_id", "tk")
+      .unionByName(Seq((Option.empty[Long], Option(4L)),
+        (Option(11L), Option.empty[Long]), (Option(12L), Option(0L)))
+        .toDF("doc_id", "tk"))
+    val out = TextAnalysis.packSequences(docs, "doc_id", "tk", L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // driver reference: concat in id order, chunk at L
+    val ref = {
+      var st = 0L
+      Seq((-7L, 25L), (-2L, 3L), (1L, 10L), (4L, 1L), (5L, 18L),
+        (9L, 7L)).flatMap { case (id, tk) =>
+        val pieces = (st / L to (st + tk - 1) / L).map { s =>
+          (id, s, math.max(s * L - st, 0L), math.max(st - s * L, 0L),
+            math.min(st + tk, (s + 1) * L) - math.max(st, s * L))
+        }
+        st += tk; pieces
+      }
+    }
+    assert(out.sortBy(p => (p._2, p._4)) == ref.sortBy(p => (p._2, p._4)))
+    // invariants: mass conservation per doc; full sequences
+    val total = 25L + 3 + 10 + 1 + 18 + 7
+    assert(out.groupBy(_._1).map { case (id, ps) => id -> ps.map(_._5).sum }
+      == Map(-7L -> 25L, -2L -> 3L, 1L -> 10L, 4L -> 1L, 5L -> 18L,
+        9L -> 7L))
+    val bySeq = out.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = (total - 1) / L
+    assert(bySeq.keySet == (0L to lastSeq).toSet)
+    bySeq.foreach { case (s, m) =>
+      assert(m == (if (s == lastSeq && total % L != 0) total % L else L),
+        s"sequence $s holds $m tokens")
+    }
+    // the one id the lattice cannot order raises, never mis-sorts
+    val err = intercept[Exception] {
+      TextAnalysis.packSequences(
+        Seq((Long.MinValue, 5L), (1L, 5L)).toDF("doc_id", "tk"),
+        "doc_id", "tk", L).collect()
+    }
+    assert(err.getMessage.contains("band lattice") ||
+      Option(err.getCause).exists(_.getMessage.contains("band lattice")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packSequences(docs, "doc_id", "tk", 0L)
+    }
+  }
 }

@@ -262,6 +262,32 @@ class PlanSpec extends AnyFunSuite {
       l.contains("<=")), p)
   }
 
+  test("packSequences windows are PARTITIONED by the id band — never a " +
+    "corpus-wide single-partition cumsum (the x180 scale contract)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val pDf = SparkEntry.queries("x180_pack_sequences")(spark, sf)
+    pDf.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    val windows = walk(pDf.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // the one allowed unpartitioned window is the band-frame offset
+    // prefix-sum, identified by ordering on the band id alone
+    assert(windows.forall(w => w.partitionSpec.nonEmpty ||
+      (w.orderSpec.nonEmpty && w.orderSpec.flatMap(_.references.toSeq)
+        .forall(_.name == "_graft_sb"))),
+      "packSequences must never window the corpus unpartitioned:\n" +
+        pDf.queryExecution.executedPlan.toString)
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected the per-band running-sum window")
+  }
+
   test("as-of join query plans with zero join nodes; type filter pushes to scan (x24)") {
     val p = plan(SparkEntry.queries("x24_asof_join")(spark, sf))
     assert(!p.contains("Join"), "x24 must be the union-window plan:\n" + p)

@@ -3910,6 +3910,17 @@ object SparkEntry {
           t(s, d, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", 2048L)
         .orderBy(col("seq_id"), col("seq_offset"))),
+    "x181_pack_by_source" -> ((s, d) =>
+      // x180 in the multi-source training shape: each lang packs as
+      // its OWN stream (sequences never mix sources; sequence ids
+      // restart per lang) — the band-offset fold is a lang-
+      // PARTITIONED window here, so the grouped variant is strictly
+      // more parallel than the global one.
+      TextAnalysis.packSequences(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "doc_id", "n_chars", 2048L, groupCols = Seq("lang"))
+        .orderBy(col("lang"), col("seq_id"), col("seq_offset"))),
   )
 
   /** Exact-regime guard for the bounded-percentile (`approxK`) oracle
@@ -8665,6 +8676,31 @@ object SparkEntry {
         |  LEAST(st + tk, (seq_id + 1) * 2048)
         |    - GREATEST(st, seq_id * 2048) AS piece_len
         |FROM p ORDER BY seq_id, seq_offset""".stripMargin,
+    // the per-source replay: PARTITION BY lang on the cumsum, chunk
+    // arithmetic unchanged — sequence ids restart per stream
+    "x181_pack_by_source" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS tk
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND n_chars > 0),
+        |o AS (
+        |  SELECT doc_id, lang, tk,
+        |    CAST(COALESCE(SUM(tk) OVER (PARTITION BY lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS st
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, lang, tk, st,
+        |    unnest(range(st // 2048, (st + tk - 1) // 2048 + 1)) AS seq_id
+        |  FROM o)
+        |SELECT lang, doc_id, seq_id,
+        |  GREATEST(seq_id * 2048 - st, 0) AS doc_offset,
+        |  GREATEST(st - seq_id * 2048, 0) AS seq_offset,
+        |  LEAST(st + tk, (seq_id + 1) * 2048)
+        |    - GREATEST(st, seq_id * 2048) AS piece_len
+        |FROM p ORDER BY lang, seq_id, seq_offset""".stripMargin,
     // quantile_cont over the day slice directly — the MV serve's day
     // prune + sketch merge + interpolating read must land on the same
     // values in the exact regime (integer cents, x28/x176 parity)

@@ -1045,6 +1045,13 @@ object TextAnalysis {
     * size. Deterministic: a pure function of the (id, tokens) set,
     * so it replays bit-identically across engines (oracled).
     *
+    * `groupCols` packs each group as its OWN stream (the multi-source
+    * training shape: sequences never mix sources; sequence ids and
+    * the cumsum restart per group) — the band-offset fold is then a
+    * group-PARTITIONED window. Null group values DROP with the other
+    * null drops (a piece must belong to a named stream; re-key nulls
+    * upstream to keep them).
+    *
     * Contract: ids are LONG (the banding lattice orders numbers; a
     * non-numeric key needs a numeric surrogate first — e.g. the x66
     * shard pattern); null ids and null/non-positive token counts
@@ -1052,15 +1059,19 @@ object TextAnalysis {
     * not be `Long.MinValue` (its negation is unrepresentable — the
     * one id the band lattice cannot order; raises at runtime). */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-                    seqLen: Long): DataFrame = {
+                    seqLen: Long,
+                    groupCols: Seq[String] = Seq.empty): DataFrame = {
     require(seqLen >= 1, s"seqLen must be positive: $seqLen")
+    require(!groupCols.contains(idCol),
+      s"idCol '$idCol' cannot also be a group column")
     graft.Guards.reserved(df, "packSequences",
       Seq("seq_id", "doc_offset", "seq_offset", "piece_len"))
     import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
     val docs = df
-      .filter(col(idCol).isNotNull && col(tokensCol).isNotNull &&
-        col(tokensCol) > 0)
-      .select(col(idCol),
+      .filter(g.foldLeft(col(idCol).isNotNull && col(tokensCol).isNotNull &&
+        col(tokensCol) > 0)(_ && _.isNotNull))
+      .select(g ++ Seq(col(idCol),
         // the MinValue raise rides the ALWAYS-USED tokens column so
         // column pruning can never delete the check
         when(col(idCol).cast("long") === Long.MinValue, raise_error(
@@ -1072,27 +1083,34 @@ object TextAnalysis {
         // bands with no boundary aggregate. −Long.MinValue overflows,
         // so that one id is rejected loudly above the lattice.
         graft.olap.CustomerValue.amountBand(-col(idCol).cast("long"), 2)
-          .as("_graft_sb"))
-    val perBand = docs.groupBy(col("_graft_sb"))
+          .as("_graft_sb")): _*)
+    val perBand = docs.groupBy((g :+ col("_graft_sb")): _*)
       .agg(sum(col("_graft_tk")).as("_s"))
-    val wOff = Window.orderBy(col("_graft_sb"))
-    val offs = perBand.select(col("_graft_sb"),
+    // ungrouped: the one unpartitioned window, over the band-count-
+    // sized frame (plan-gated); grouped: partitioned by the group —
+    // each group's band frame prefix-sums independently
+    val wOff =
+      if (g.isEmpty) Window.orderBy(col("_graft_sb"))
+      else Window.partitionBy(g: _*).orderBy(col("_graft_sb"))
+    val offs = perBand.select((g ++ Seq(col("_graft_sb"),
       coalesce(sum(col("_s")).over(
         wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-        .as("_graft_bo"))
-    val wRun = Window.partitionBy(col("_graft_sb")).orderBy(col(idCol))
+        .as("_graft_bo"))): _*)
+    val wRun = Window
+      .partitionBy((g :+ col("_graft_sb")): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val placed = docs.join(broadcast(offs), "_graft_sb")
+    val placed = docs.join(broadcast(offs),
+        groupCols :+ "_graft_sb", "inner")
       .withColumn("_graft_start",
         col("_graft_bo") + sum(col("_graft_tk")).over(wRun) -
           col("_graft_tk"))
     placed
-      .select(col(idCol), col("_graft_tk"), col("_graft_start"),
+      .select(g ++ Seq(col(idCol), col("_graft_tk"), col("_graft_start"),
         explode(sequence(
           floor(col("_graft_start") / seqLen).cast("long"),
           floor((col("_graft_start") + col("_graft_tk") - 1) / seqLen)
-            .cast("long"))).as("seq_id"))
-      .select(col(idCol), col("seq_id"),
+            .cast("long"))).as("seq_id")): _*)
+      .select(g ++ Seq(col(idCol), col("seq_id"),
         greatest(col("seq_id") * seqLen - col("_graft_start"), lit(0L))
           .as("doc_offset"),
         greatest(col("_graft_start") - col("seq_id") * seqLen, lit(0L))
@@ -1100,7 +1118,7 @@ object TextAnalysis {
         (least(col("_graft_start") + col("_graft_tk"),
             (col("seq_id") + 1) * seqLen) -
           greatest(col("_graft_start"), col("seq_id") * seqLen))
-          .as("piece_len"))
+          .as("piece_len")): _*)
   }
 
   /** Per-document profile frame: one narrow projection with all metrics. */

@@ -1301,5 +1301,32 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.packSequences(docs, "doc_id", "tk", 0L)
     }
+
+    // grouped variant: each group packs as its OWN stream — per-group
+    // output equals running the ungrouped pack on that group's rows
+    // alone; null group values drop; idCol cannot be a group col
+    val grouped = Seq((-7L, 25L, "a"), (-2L, 3L, "b"), (1L, 10L, "a"),
+        (4L, 1L, "b"), (5L, 18L, "a"), (9L, 7L, "b"))
+      .toDF("doc_id", "tk", "src")
+      .unionByName(Seq((Option(20L), Option(5L), Option.empty[String]))
+        .toDF("doc_id", "tk", "src"))
+    val gOut = TextAnalysis.packSequences(grouped, "doc_id", "tk", L,
+        groupCols = Seq("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(!gOut.exists(_._1 == null), "null group values must drop")
+    Seq("a", "b").foreach { src =>
+      val alone = TextAnalysis.packSequences(
+          grouped.filter(col("src") === src), "doc_id", "tk", L)
+        .collect().map(r => (src, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(gOut.filter(_._1 == src).sortBy(p => (p._3, p._5)) ==
+        alone.sortBy(p => (p._3, p._5)),
+        s"group '$src' must pack as its own stream")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packSequences(grouped, "doc_id", "tk", L,
+        groupCols = Seq("doc_id"))
+    }
   }
 }

@@ -286,6 +286,15 @@ class PlanSpec extends AnyFunSuite {
         pDf.queryExecution.executedPlan.toString)
     assert(windows.exists(_.partitionSpec.nonEmpty),
       "expected the per-band running-sum window")
+    // the grouped variant is stricter: EVERY window is partitioned
+    // (the band-offset fold partitions by the group)
+    val gDf = SparkEntry.queries("x181_pack_by_source")(spark, sf)
+    gDf.collect()
+    val gWindows = walk(gDf.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(gWindows.nonEmpty && gWindows.forall(_.partitionSpec.nonEmpty),
+      "grouped packSequences must partition every window:\n" +
+        gDf.queryExecution.executedPlan.toString)
   }
 
   test("as-of join query plans with zero join nodes; type filter pushes to scan (x24)") {

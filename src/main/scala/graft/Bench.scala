@@ -76,13 +76,24 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) t else -1.0
     }
-    val firstPass = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map(_ => timeOnce(name, fn))
+    val allTimes = selected.map { case (name, fn) =>
+      name -> (1 to repeat).map(_ => timeOnce(name, fn))
+    }
+    val firstPass = allTimes.map { case (name, times) =>
       // A query that threw on ANY repeat is reported as the -1.0 sentinel
       // (never its elapsed wall time) — a failure must not read as a fast
       // run in BENCH json, and min-of-repeats must not mask a flaky throw.
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    // Single-pass accounting: the sum of FIRST-repeat times over the
+    // queries that reported clean. The headline total stays the
+    // min-of-repeats composite (every prior round's total is that, so
+    // history compares like-for-like); this companion number records
+    // what one unmitigated pass cost, so a record reader can see how
+    // much of the sweep was load spike vs steady state.
+    val singlePassTotal = allTimes
+      .filter { case (_, ts) => ts.forall(_ >= 0) }
+      .map(_._2.head).sum
     // Regression-attribution guard: a per-query time >1.25x its previous
     // round AND >0.25s absolute over it is re-timed ONCE more and the min
     // reported, so round-over-round verdicts can separate machine-load
@@ -147,19 +158,25 @@ object Bench {
     // failed queries (-1.0 sentinel) are excluded from the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$retimedJson,"sf":"$sfDir"}""")
+    val spt = f"$singlePassTotal%.3f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$retimedJson,"repeat":$repeat,"single_pass_total":$spt,"sf":"$sfDir"}""")
     // short headline line LAST: the driver tails a bounded buffer, and
     // with ~100 per-query entries the full line above can overflow it
     // (BENCH_r04 parsed as null that way). A consumer should use the
     // final parseable line; both carry the same total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"n_retimed":${retimed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"n_retimed":${retimed.size},"repeat":$repeat,"single_pass_total":$spt,"sf":"$sfDir"}""")
     // persist the FULL per-query map next round's retime guard falls
     // back on (see baseline resolution above). Only full-surface runs
     // qualify: a SPARK_GRAFT_ONLY subset or an off-default sf dir would
     // poison the baseline with partial/mismatched-scale times.
+    // `repeat` and `single_pass_total` make the record's accounting
+    // explicit (the committed convention: min-of-2 per-query numbers
+    // PLUS what one unmitigated pass cost). The baseline regex only
+    // matches `"<letter><digits>_...":t` keys, so the envelope fields
+    // can never poison next round's retime guard.
     if (only.isEmpty && sfDir.endsWith("sf0.1"))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(FullBaselineFile),
-        s"""{"queries":$qs,"sf":"$sfDir"}""" + "\n")
+        s"""{"queries":$qs,"repeat":$repeat,"single_pass_total":$spt,"sf":"$sfDir"}""" + "\n")
     spark.stop()
   }
 

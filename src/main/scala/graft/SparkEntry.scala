@@ -3878,7 +3878,11 @@ object SparkEntry {
       val k = 32768
       val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
       val ev = t(s, d, "events")
-        .filter(col("ts").isNotNull && col("value").isNotNull)
+        // event_id is the delta-split key below — a null would vanish
+        // from BOTH deltas while the oracle slice keeps it, so filter
+        // it here and mirror the predicate in the oracle SQL
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          col("event_id").isNotNull)
         .withColumn("_all", lit("all"))
         .withColumn("cents",
           floor(col("value") * 100 + lit(0.5)).cast("double"))
@@ -3921,6 +3925,29 @@ object SparkEntry {
             col("n_chars")),
           "doc_id", "n_chars", 2048L, groupCols = Seq("lang"))
         .orderBy(col("lang"), col("seq_id"), col("seq_offset"))),
+    "x182_corpus_pipeline" -> ((s, d) => {
+      // FLAGSHIP COMPOSITION (r15): the five LLM-curation stages as
+      // ONE pipeline over the perturbed crawl corpus — curate (the
+      // x40 verdict) → near-dup keep-best (x57, pairs restricted to
+      // curation survivors) → decontaminate (x20's every-10th-doc
+      // benchmark) → mixture reweight on the DETECTED language +
+      // deterministic sha256 apply (x130 × weightedSample) →
+      // packSequences (x180). Each stage is the already-oracled
+      // operator; the value checked here is that they COMPOSE — no
+      // column/contract collisions end to end — with the final
+      // (doc, sequence) slice plan hash-matched against a full DuckDB
+      // replay of the composed rule.
+      val corpus = perturbedCorpus(t(s, d, "documents"))
+      val bench = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      graft.ext.CorpusPipeline.run(corpus, "t", "id",
+          portablePairs(s, d), bench, "text",
+          Map("en" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.25),
+          salt = "x182", seqLen = 2048L)
+        .packed
+        .select(col("id").as("doc_id"), col("seq_id"), col("doc_offset"),
+          col("seq_offset"), col("piece_len"))
+        .orderBy(col("seq_id"), col("seq_offset"))
+    }),
   )
 
   /** Exact-regime guard for the bounded-percentile (`approxK`) oracle
@@ -4143,22 +4170,26 @@ object SparkEntry {
   private val duckRecursivePairCtes: String =
     duckPortablePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
 
-  /** Symmetrized edges + recursive reachability over the `pairs` CTE,
-    * ending in `comp(id, group_id)` — group id = min reachable id. The
-    * ONE component labeling shared by the x22/x23/x47 oracles (three
-    * in-lockstep copies desynchronize silently). Components are tiny
-    * (doc + its perturbed copy + occasional genuine near-dups), so the
-    * recursion closes in a few rounds. */
-  private val duckComponentCtes: String =
-    """edges AS (
-      |  SELECT id_a AS a, id_b AS b FROM pairs
+  /** Symmetrized edges + recursive reachability over a
+    * `(id_a, id_b)` pair CTE, ending in `comp(id, group_id)` — group
+    * id = min reachable id. The ONE component labeling shared by the
+    * x22/x23/x47 oracles (in-lockstep copies desynchronize silently);
+    * parameterized on the pair relation so x182 can run it over the
+    * curation-survivor pair graph. Components are tiny (doc + its
+    * perturbed copy + occasional genuine near-dups), so the recursion
+    * closes in a few rounds. */
+  private def duckComponentCtesOver(pairsRel: String): String =
+    s"""edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM $pairsRel
       |  UNION ALL
-      |  SELECT id_b AS a, id_a AS b FROM pairs),
+      |  SELECT id_b AS a, id_a AS b FROM $pairsRel),
       |reach(src, dst) AS (
       |  SELECT DISTINCT a, a FROM edges
       |  UNION
       |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
       |comp AS (SELECT src AS id, MIN(dst) AS group_id FROM reach GROUP BY src)""".stripMargin
+
+  private val duckComponentCtes: String = duckComponentCtesOver("pairs")
 
   /** base→…→v: the containment pipeline (excerpt corpus, distinct
     * 3-shingles, df ∈ [2, 4] postings, candidate pairs, intersection
@@ -8709,6 +8740,7 @@ object SparkEntry {
         |  SELECT CAST(floor(value * 100 + 0.5) AS DOUBLE) AS v
         |  FROM events
         |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL
         |    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
         |                             AND DATE '2024-01-14'),
         |qc AS (SELECT quantile_cont(v,
@@ -8745,5 +8777,126 @@ object SparkEntry {
         |    AS span_text
         |FROM sp JOIN tk USING (doc_id)
         |ORDER BY doc_id, span_start""".stripMargin,
+    // the x182 FLAGSHIP replay: the portable pair chain (corpus +
+    // pairs), then curate (x40's metric/verdict spelling over the
+    // normalized corpus text — toks == ltoks there) → survivor-
+    // restricted pair components + keep-best (x57) → shingle-overlap
+    // decontamination (x20, benchmark = original docs with
+    // doc_id % 10 = 0, shingle sets reused from the pair chain) →
+    // mixture weights on the detected language + the 48-bit sha256
+    // threshold apply → the x180 cumsum-and-chunk packing. Built by
+    // concatenation (an outer stripMargin would re-strip the chain's
+    // `||` lane-concat lines).
+    "x182_corpus_pipeline" -> (duckRecursivePairCtes + ",\n" +
+      s"""cm0 AS (
+         |  SELECT id, t, LENGTH(t) AS n_chars,
+         |    string_split(t, ' ') AS ltoks,
+         |    len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS n_punct
+         |  FROM corpus),
+         |cm AS (
+         |  SELECT id, n_chars, len(ltoks) AS n_tokens,
+         |    CAST(list_sum(list_transform(ltoks, tk -> length(tk))) AS DOUBLE)
+         |      / greatest(len(ltoks), 1) AS avg_tok,
+         |    CAST(len(list_filter(ltoks, tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as'], tk))) AS DOUBLE)
+         |      / greatest(len(ltoks), 1) AS stop_r,
+         |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_r,
+         |    CAST(len(list_filter(ltoks, tk -> list_contains(['the','and','of','is','with'], tk))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(ltoks, tk -> list_contains(['el','la','de','que','y'], tk))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(ltoks, tk -> list_contains(['le','la','et','les','des'], tk))) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter(ltoks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS BIGINT) AS s_de
+         |  FROM cm0),
+         |lq AS (
+         |  SELECT id, $duckQualityExpr AS quality,
+         |    $duckLangExpr AS lang_guess
+         |  FROM cm),
+         |grams AS (
+         |  SELECT id,
+         |    CASE WHEN len(ltoks) <= 3 THEN [array_to_string(ltoks, ' ')]
+         |         ELSE list_transform(range(0, len(ltoks) - 3 + 1),
+         |                i -> array_to_string(ltoks[i+1:i+3], ' '))
+         |    END AS g
+         |  FROM cm0),
+         |rep AS (
+         |  SELECT id,
+         |    CAST(1 AS DOUBLE) - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+         |      AS dup_ngram_frac
+         |  FROM grams),
+         |tok AS (SELECT id, unnest(ltoks) AS tok FROM cm0),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT tok AS token, count(*) AS cnt FROM tok
+         |    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30)),
+         |oov AS (
+         |  SELECT id,
+         |    CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*) AS oov_rate
+         |  FROM tok tt LEFT JOIN vocab v ON tt.tok = v.token
+         |  GROUP BY id),
+         |keep AS (
+         |  SELECT lq.id FROM lq JOIN rep USING (id) JOIN oov USING (id)
+         |  WHERE quality >= 0.5 AND dup_ngram_frac <= 0.3
+         |    AND lang_guess <> 'und' AND oov_rate <= 0.6),
+         |spairs AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  WHERE id_a IN (SELECT id FROM keep)
+         |    AND id_b IN (SELECT id FROM keep)),
+         |""".stripMargin +
+      duckComponentCtesOver("spairs") + ",\n" +
+      """scored AS (
+        |  SELECT g.id, g.group_id, len(c.t) AS score
+        |  FROM comp g JOIN corpus c ON c.id = g.id),
+        |best AS (
+        |  SELECT id FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY group_id
+        |                             ORDER BY score DESC, id ASC) = 1),
+        |dd AS (
+        |  SELECT k.id FROM keep k LEFT JOIN comp g ON g.id = k.id
+        |  WHERE g.id IS NULL OR k.id IN (SELECT id FROM best)),
+        |bench AS (
+        |  SELECT DISTINCT unnest(ss) AS bsh FROM sets
+        |  WHERE id < 1000000 AND id % 10 = 0),
+        |ds AS (SELECT s2.id, unnest(s2.ss) AS sh FROM sets s2 JOIN dd USING (id)),
+        |cont AS (
+        |  SELECT ds.id, CAST(count(b.bsh) AS DOUBLE) / count(*) AS contamination
+        |  FROM ds LEFT JOIN bench b ON ds.sh = b.bsh GROUP BY ds.id),
+        |cln AS (SELECT id FROM cont WHERE contamination <= 0.2),
+        |langs AS (SELECT c2.id, lq.lang_guess FROM cln c2 JOIN lq USING (id)),
+        |cnt AS (SELECT lang_guess AS grp, CAST(count(*) AS BIGINT) AS n
+        |        FROM langs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM cnt),
+        |tgt(grp, target_frac) AS (VALUES
+        |  ('de', CAST(0.25 AS DOUBLE)), ('en', CAST(0.25 AS DOUBLE)),
+        |  ('es', CAST(0.25 AS DOUBLE)), ('fr', CAST(0.25 AS DOUBLE))),
+        |r AS (SELECT c.grp, CAST(c.n AS DOUBLE) / t2.tt AS frac,
+        |        COALESCE(g.target_frac, CAST(0 AS DOUBLE)) AS target_frac
+        |      FROM cnt c LEFT JOIN tgt g USING (grp) CROSS JOIN tot t2),
+        |r2 AS (SELECT grp, target_frac / frac AS ratio FROM r),
+        |mx AS (SELECT max(ratio) AS m FROM r2),
+        |w AS (SELECT grp, CASE WHEN m > 0 THEN ratio / m END AS keep_prob
+        |      FROM r2 CROSS JOIN mx),
+        |smp AS (
+        |  SELECT l.id FROM langs l JOIN w ON w.grp = l.lang_guess
+        |  WHERE w.keep_prob IS NOT NULL
+        |    AND substr(sha256('x182:' || l.id), 1, 12) <
+        |      CASE WHEN w.keep_prob >= 1.0 THEN 'g'
+        |           ELSE printf('%012x',
+        |                  CAST(greatest(0, floor(w.keep_prob * 281474976710656.0)) AS BIGINT))
+        |      END),
+        |pd AS (SELECT c3.id, CAST(len(string_split(c3.t, ' ')) AS BIGINT) AS tk
+        |       FROM corpus c3 JOIN smp USING (id)),
+        |po AS (SELECT id, tk,
+        |         CAST(COALESCE(SUM(tk) OVER (ORDER BY id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS st
+        |       FROM pd),
+        |pp AS (SELECT id, tk, st,
+        |         unnest(range(st // 2048, (st + tk - 1) // 2048 + 1)) AS seq_id
+        |       FROM po)
+        |SELECT id AS doc_id, seq_id,
+        |  GREATEST(seq_id * 2048 - st, 0) AS doc_offset,
+        |  GREATEST(st - seq_id * 2048, 0) AS seq_offset,
+        |  LEAST(st + tk, (seq_id + 1) * 2048)
+        |    - GREATEST(st, seq_id * 2048) AS piece_len
+        |FROM pp ORDER BY seq_id, seq_offset""".stripMargin),
   )
 }

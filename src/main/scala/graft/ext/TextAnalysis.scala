@@ -1054,10 +1054,14 @@ object TextAnalysis {
     *
     * Contract: ids are LONG (the banding lattice orders numbers; a
     * non-numeric key needs a numeric surrogate first — e.g. the x66
-    * shard pattern); null ids and null/non-positive token counts
-    * drop (a 0-token doc occupies no space in the stream); ids must
-    * not be `Long.MinValue` (its negation is unrepresentable — the
-    * one id the band lattice cannot order; raises at runtime). */
+    * shard pattern) and UNIQUE per group (the running-sum window
+    * orders by id alone, so duplicates would tie and place
+    * non-deterministically; a per-band count-vs-distinct guard
+    * raises loudly at runtime); null ids and null/non-positive token
+    * counts drop (a 0-token doc occupies no space in the stream);
+    * ids must not be `Long.MinValue` (its negation is
+    * unrepresentable — the one id the band lattice cannot order;
+    * raises at runtime). */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     seqLen: Long,
                     groupCols: Seq[String] = Seq.empty): DataFrame = {
@@ -1085,7 +1089,15 @@ object TextAnalysis {
         graft.olap.CustomerValue.amountBand(-col(idCol).cast("long"), 2)
           .as("_graft_sb")): _*)
     val perBand = docs.groupBy((g :+ col("_graft_sb")): _*)
-      .agg(sum(col("_graft_tk")).as("_s"))
+      .agg(sum(col("_graft_tk")).as("_s"),
+        // duplicate-id guard: the running-sum window below orders by
+        // id alone, so duplicate ids would tie and place
+        // non-deterministically. The band is a pure function of the
+        // id, so dupes always collide within a band — an exact
+        // count-vs-distinct check here rides the existing shuffle and
+        // catches every dupe.
+        count(lit(1)).as("_n"),
+        count_distinct(col(idCol)).as("_nd"))
     // ungrouped: the one unpartitioned window, over the band-count-
     // sized frame (plan-gated); grouped: partitioned by the group —
     // each group's band frame prefix-sums independently
@@ -1093,8 +1105,14 @@ object TextAnalysis {
       if (g.isEmpty) Window.orderBy(col("_graft_sb"))
       else Window.partitionBy(g: _*).orderBy(col("_graft_sb"))
     val offs = perBand.select((g ++ Seq(col("_graft_sb"),
-      coalesce(sum(col("_s")).over(
-        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      // the dupe raise rides the ALWAYS-USED band offset so column
+      // pruning can never delete the check (the MinValue pattern)
+      when(col("_n") =!= col("_nd"), raise_error(lit(
+          "packSequences: duplicate ids — placement ties in the" +
+            " running-sum window and replays non-deterministically;" +
+            " dedupe or re-key upstream")))
+        .otherwise(coalesce(sum(col("_s")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .as("_graft_bo"))): _*)
     val wRun = Window
       .partitionBy((g :+ col("_graft_sb")): _*).orderBy(col(idCol))

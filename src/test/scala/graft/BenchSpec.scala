@@ -10,7 +10,7 @@ class BenchSpec extends AnyFunSuite {
   test("parseBaseline reads Bench stdout and the driver wrapper, skipping " +
     "envelope keys") {
     val stdout =
-      """{"metric":"total","value":66.0,"unit":"sec","queries":{"q01_count_by_type":0.18,"x111_incremental_mv":3.7},"retimed":[],"sf":"/d"}"""
+      """{"metric":"total","value":66.0,"unit":"sec","queries":{"q01_count_by_type":0.18,"x111_incremental_mv":3.7},"retimed":[],"repeat":2,"single_pass_total":68.125,"sf":"/d"}"""
     assert(Bench.parseBaseline(stdout) ==
       Map("q01_count_by_type" -> 0.18, "x111_incremental_mv" -> 3.7))
     // the driver wrapper: numeric envelope keys + an ESCAPED tail

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.CorpusPipeline
+
+/** The flagship composition (x182): stage-boundary schemas and the
+  * per-stage keep/cut decisions pinned on an engineered corpus where
+  * every stage has exactly one designated victim — so a contract
+  * drift in ANY stage (a renamed column, a flipped threshold, a
+  * changed tie rule) fails here with the stage's name on it, not as
+  * an opaque hash diff in the oracle gate. */
+class CorpusPipelineSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("corpus pipeline: stage-boundary schemas, per-stage survivors, " +
+    "and packed mass conservation (x182)") {
+    // an English sentence with stopword mass and ≥10 tokens: quality
+    // (0.5 + 1 + 1)/3 ≈ 0.83 and lang_guess = 'en'
+    val enA = "the cat and the dog walk of the town is big with joy today"
+    val enB = "the sun and the moon of this sky is bright with light all day"
+    val contaminated =
+      "the quiz and the exam of this bench is secret with answers here"
+    val corpus = Seq(
+      1L -> enA,
+      2L -> enA.split(" ").drop(1).mkString(" "), // near-dup of 1 (shorter)
+      3L -> enB,
+      4L -> "zzz", // one junk token: quality (0+0.3+1)/3 < 0.5 → curation cuts
+      5L -> contaminated // == the benchmark text → decontamination cuts
+    ).toDF("id", "t")
+    val bench = Seq(contaminated).toDF("text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+
+    val st = CorpusPipeline.run(corpus, "t", "id", pairs, bench, "text",
+      targets = Map("en" -> 1.0), salt = "spec", seqLen = 8L)
+
+    // stage-boundary schemas (the composition's column contract)
+    assert(st.curated.columns.toSeq == Seq("id", "t", "lang_guess"))
+    assert(st.deduped.columns.toSeq == Seq("id", "t", "lang_guess"))
+    assert(st.clean.columns.toSeq == Seq("id", "t", "lang_guess"))
+    assert(st.weights.columns.toSeq == Seq("group", "keep_prob"))
+    assert(st.sampled.columns.toSeq == Seq("id", "t", "lang_guess"))
+    assert(st.packed.columns.toSeq ==
+      Seq("id", "seq_id", "doc_offset", "seq_offset", "piece_len"))
+    assert(st.packed.schema.fields.forall(_.dataType == LongType))
+
+    // per-stage keep/cut: each stage removes exactly its victim
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids(st.curated) == Set(1L, 2L, 3L, 5L), "curation cuts the junk doc")
+    assert(ids(st.deduped) == Set(1L, 3L, 5L),
+      "keep-best keeps the LONGER near-dup variant (id 1)")
+    assert(ids(st.clean) == Set(1L, 3L),
+      "decontamination cuts the benchmark-overlapping doc")
+    assert(ids(st.sampled) == Set(1L, 3L),
+      "keep_prob 1.0 keeps every clean doc")
+    val w = st.weights.collect()
+    assert(w.length == 1 && w.head.getString(0) == "en" &&
+      w.head.getDouble(1) == 1.0)
+
+    // packed output: mass conservation + the full-sequence invariant
+    val packed = st.packed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    val totalTokens = enA.split(" ").length + enB.split(" ").length
+    assert(packed.map(_._3).sum == totalTokens,
+      "every token of every sampled doc lands in exactly one piece")
+    val bySeq = packed.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val lastSeq = (totalTokens - 1) / 8
+    assert(bySeq.keySet == (0L to lastSeq).toSet)
+    bySeq.foreach { case (s, m) =>
+      assert(m == (if (s == lastSeq && totalTokens % 8 != 0)
+        totalTokens % 8 else 8L), s"sequence $s holds $m tokens")
+    }
+  }
+}

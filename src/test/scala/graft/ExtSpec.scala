@@ -1301,6 +1301,15 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.packSequences(docs, "doc_id", "tk", 0L)
     }
+    // duplicate ids tie in the running-sum window and would place
+    // non-deterministically — the per-band guard raises loudly
+    val dupErr = intercept[Exception] {
+      TextAnalysis.packSequences(
+        Seq((1L, 5L), (1L, 7L), (2L, 3L)).toDF("doc_id", "tk"),
+        "doc_id", "tk", L).collect()
+    }
+    assert(dupErr.getMessage.contains("duplicate ids") ||
+      Option(dupErr.getCause).exists(_.getMessage.contains("duplicate ids")))
 
     // grouped variant: each group packs as its OWN stream — per-group
     // output equals running the ungrouped pack on that group's rows

@@ -68,15 +68,18 @@ class StreamingSpec extends AnyFunSuite with StreamingFixtures {
     val (qv, qr) = Streaming.startRoutes(routed, out, chk,
       Trigger.ProcessingTime("500 milliseconds"))
     try {
+      // progress-derived budgets (not fixed wall-clock): the wait
+      // rides observed micro-batch progress and fails only on a dead
+      // query, a stalled trigger loop, or the generous absolute cap
       // batch 1: the initial file
-      eventually(10000) {
+      eventuallyWithProgress(Seq(qv, qr)) {
         spark.read.parquet(s"$out/validated-all").count() == 1
       }
       // batch 2: a file that arrives while the query is live
       val json = s"""{"topic":"soccer.league","value":${ujsonEscape(
         validLeague.replace("4328", "4999"))},"timestamp":"2024-05-01T12:01:00.000Z"}"""
       Files.writeString(java.nio.file.Paths.get(s"$dir/batch1.json"), json)
-      eventually(15000) {
+      eventuallyWithProgress(Seq(qv, qr)) {
         spark.read.parquet(s"$out/validated-all").count() == 2
       }
     } finally { qv.stop(); qr.stop() }

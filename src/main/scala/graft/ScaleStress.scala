@@ -81,24 +81,30 @@ object ScaleStress {
     // partition holds ~|keys|/256 rows, so the ×10 ratio should stay
     // near-linear (the pre-r11 unpartitioned window would not)
     "x151_pareto_abc",
-    // round-11: cross-doc span dedup has NO pair table and therefore no
-    // cap to document — per-shingle distinct-doc counts + a semi-join;
-    // 10x duplication multiplies hits linearly, never quadratically
+    // round-11 (r15: now the DEFAULT-ceiling path, 64): cross-doc span
+    // dedup — per-shingle distinct-doc counts + a semi-join; at high
+    // duplication density the default df ceiling drops the degenerate
+    // mass before the hit frame forms, so this line should track the
+    // capped probe, not the uncapped one
     "x168_crossdoc_spans",
     // round-13: the ranged growth-MV serve — one delta + a
     // partition-pruned slice read; inflation multiplies event rows
     // (same days/users), so the delta scales and the serve should not
     // (100x run of record read 1.2x)
     "x175_growth_mv_ranged",
-    // stress-only probes (not oracled queries): see `extraProbes`
-    "crossdoc_spans_capped", "ivf_batch_nprobes2", "ivf_pq_nprobes2",
+    // stress-only probes (not oracled queries): see `extraProbes`.
+    // crossdoc_spans_uncapped is the documented-irreducible opt-in
+    // line (df-count scan at pathological density); the default x168
+    // entry above should read at-or-below crossdoc_spans_capped now
+    "crossdoc_spans_capped", "crossdoc_spans_uncapped",
+    "ivf_batch_nprobes2", "ivf_pq_nprobes2",
     // round-13+: bounded-state rfm cutpoints + banding degenerate
     // cases. These probes are DIR-INDEPENDENT (s.range inputs): base ==
     // inflated by construction, so their two columns are repeat
     // samples and the ~1.0 ratio documents exactly that — read the
     // absolute wall and the pair deltas (kll vs exact, default vs
     // b1024, spread vs one-octave vs ties vs tieband)
-    "rfm_keys2m", "rfm_keys2m_exact", "pareto_oneoctave2m",
+    "rfm_keys2m", "rfm_keys2m_exact", "rfm_cap4m", "pareto_oneoctave2m",
     "pareto_oneoctave2m_b1024", "pareto_ties2m",
     // round-14: the tieBand remedy on the all-tie population — read
     // the pareto_ties2m vs pareto_ties2m_tieband pair deltas — the
@@ -111,7 +117,12 @@ object ScaleStress {
     // round-14: concat-and-chunk sequence packing — the band-frame
     // cumsum decomposition should hold a linear curve (pieces scale
     // with the corpus, the offset window with the band count)
-    "x180_pack_sequences")
+    "x180_pack_sequences",
+    // round-15: the grouped (multi-source) packing shape with the
+    // per-group full-sequence invariant ASSERTED in-probe (an entry
+    // that fails on a violated bound, not just a timing line) — the
+    // production training-mix layout at scale
+    "pack_by_source_full")
 
   /** Stress-only probes with no oracle entry: x99's bench/oracle form
     * runs probe-ALL (exact by construction, O(|queries|·|corpus|) BY
@@ -210,6 +221,13 @@ object ScaleStress {
       graft.ext.TextDedup.crossDocRepeatedSpans(
         Tables(s, dir, "documents"), "text", "doc_id",
         k = 8, minDocs = 2, maxDocs = Some(8L))),
+    // the opt-in UNCAPPED contract (maxDocs = None) — the documented-
+    // irreducible worst case on the 100%-duplicate inflation; kept as
+    // a probe so the default path's win stays measured, not asserted
+    "crossdoc_spans_uncapped" -> ((s, dir) =>
+      graft.ext.TextDedup.crossDocRepeatedSpans(
+        Tables(s, dir, "documents"), "text", "doc_id",
+        k = 8, minDocs = 2, maxDocs = None)),
     "ivf_batch_nprobes2" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val model = graft.ext.IvfIndex.fit(emb, "embedding", "vec_id", k = 16)
@@ -307,7 +325,71 @@ object ScaleStress {
     "mv_kll_ranged_serve" -> ((s, dir) =>
       graft.stream.IncrementalMv.readKllQuantiles(s, stagedKllMv(s, dir),
         32768, Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
-        range = Some(("2024-01-08", "2024-01-14")))))
+        range = Some(("2024-01-08", "2024-01-14")))),
+    // the exact-regime cap boundary, MEASURED (the r14 watch item's
+    // resolution): a 2^22-customer synthetic population — the raised
+    // exactRegimeCutpointK cap — runs rfm with the derived k (2^23, a
+    // ~64 MB-of-doubles exact-regime buffer per metric) and must score
+    // EVERY customer identically to the exact-percentile path
+    // (exceptAll both ways == empty), in-probe, or the run fails.
+    // Dir-independent: read the absolute wall, not the ratio.
+    "rfm_cap4m" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val n = 1L << 22
+      val tx = s.range(n).select(col("id").as("k"),
+        date_add(lit("2024-01-01").cast("date"),
+          pmod(col("id"), lit(365)).cast("int")).as("dt"),
+        ((pmod(col("id") * 7919, lit(999983)) + 1).cast("double") / 7)
+          .as("amt"))
+      val k = graft.olap.CustomerValue.exactRegimeCutpointK(n)
+      val approx = graft.olap.CustomerValue.rfm(tx, "k", "dt", "amt",
+        cutpointK = k)
+      val exact = graft.olap.CustomerValue.rfm(tx, "k", "dt", "amt")
+      val drift = approx.exceptAll(exact).count() +
+        exact.exceptAll(approx).count()
+      require(drift == 0,
+        s"rfm_cap4m: $drift rows differ between derived-k ($k) and " +
+          "exact cutpoints at the 2^22 cap boundary")
+      approx.groupBy(col("segment")).agg(count(lit(1)).as("n"))
+    }),
+    // x181's grouped packing with its invariants ASSERTED at scale:
+    // (a) per-group full-sequence — within each lang stream every
+    // sequence but the group's last holds exactly seqLen tokens and
+    // none exceeds it; (b) per-group mass conservation — the packed
+    // piece lengths sum back to the group's input token mass. Both
+    // checks are |langs|- or |sequences|-sized aggregates, never a
+    // row-scale collect; a violation raises and fails the run.
+    "pack_by_source_full" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val seqLen = 2048L
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val packed = graft.ext.TextAnalysis.packSequences(
+        docs, "doc_id", "n_chars", seqLen, groupCols = Seq("lang"))
+      val perSeq = packed.groupBy(col("lang"), col("seq_id"))
+        .agg(sum(col("piece_len")).as("m"))
+      val lastSeq = perSeq.groupBy(col("lang"))
+        .agg(max(col("seq_id")).as("_last"))
+      val nBad = perSeq.join(lastSeq, Seq("lang"))
+        .filter(col("m") > seqLen ||
+          (col("seq_id") =!= col("_last") && col("m") =!= seqLen))
+        .count()
+      require(nBad == 0,
+        s"pack_by_source: $nBad non-full interior (or overfull) sequences")
+      val got = perSeq.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("m")).as("packed_tokens"))
+      val want = docs
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull && col("n_chars") > 0)
+        .groupBy(col("lang")).agg(sum(col("n_chars")).as("in_tokens"))
+      val lost = got.join(want, Seq("lang"), "full")
+        .filter(col("packed_tokens").isNull || col("in_tokens").isNull ||
+          col("packed_tokens") =!= col("in_tokens"))
+        .count()
+      require(lost == 0,
+        s"pack_by_source: $lost langs lost/gained token mass in packing")
+      got
+    }))
 
   /** Build-once memo for the KLL-MV serve probe: one maintenance
     * delta folds the dir's events into a day-partitioned KLL MV under

@@ -3659,6 +3659,11 @@ object SparkEntry {
       // the run-merge window partitions per document. The token frame
       // stages to parquet (x116 discipline — consumed by the shingle
       // pass AND the rebuild join; no session persist survives).
+      // Runs the DEFAULT boilerplate ceiling (64) in its exact regime:
+      // the fixture's max shingle df is 4, so the capped default
+      // equals the uncapped contract and the oracle SQL (no upper
+      // bound) is unchanged — the ceiling exists for degenerate
+      // density, which the oracle fixture does not have.
       graft.ext.TextDedup.crossDocRepeatedSpans(
           t(s, d, "documents"), "text", "doc_id",
           k = 8, minDocs = 2,

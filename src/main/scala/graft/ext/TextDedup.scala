@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Default df ceiling for [[crossDocRepeatedSpans]]: a verbatim
+    * k-token window shared by more than this many documents is
+    * template boilerplate, not a duplication family — natural sharing
+    * is family-sized (the sf0.1 fixture peaks at df 4 over 5 000
+    * docs), so 64 sits two orders of magnitude above benign density
+    * while still cutting degenerate mass long before the hit frame
+    * reaches corpus × tokens. An ABSOLUTE ceiling on purpose: df
+    * quantiles scale with uniform duplication and would keep exactly
+    * the mass this drops. */
+  val DefaultBoilerplateDf = 64L
+
   /** Canonical text form: lower, trim, collapse whitespace. */
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
@@ -227,12 +238,20 @@ object TextDedup {
     * inflates the hit frame toward corpus × tokens (the 100×-stress
     * worst case). With a ceiling the operator degrades to "spans
     * shared by 2..maxDocs docs" — the boilerplate report covers the
-    * rest. Default `None` keeps the exact every-shared-window
-    * contract. */
+    * rest. The DEFAULT is [[DefaultBoilerplateDf]] (the capped posture
+    * is the scale default); pass `None` to opt IN to the uncapped
+    * exact every-shared-window contract. On benign corpora the two are
+    * equal (spec'd) — natural verbatim 8-token sharing is near-dup-
+    * family-sized (the sf0.1 fixture's max df is 4 across 5 000 docs),
+    * two orders of magnitude under the ceiling. NOTE a corpus-relative
+    * ceiling (a df quantile) cannot replace the absolute one: uniform
+    * duplication shifts every quantile with it, so a scale-free rule
+    * keeps exactly the degenerate mass the ceiling exists to drop. */
   def crossDocRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 8, minDocs: Int = 2,
                             stagingPath: Option[String] = None,
-                            maxDocs: Option[Long] = None): DataFrame = {
+                            maxDocs: Option[Long] = Some(DefaultBoilerplateDf)
+                           ): DataFrame = {
     require(k >= 1 && minDocs >= 2, "need k >= 1 and minDocs >= 2")
     require(maxDocs.forall(_ >= minDocs),
       s"maxDocs ${maxDocs.get} must be >= minDocs $minDocs")

@@ -128,18 +128,21 @@ object CustomerValue {
     * estimator slack if the bound came from `approx_count_distinct`),
     * floored at 2^16. Self-healing for oracled callers — the derived
     * k grows with the population instead of a hand-edited constant —
-    * while the hard cap (2^22, a 32 MB-of-doubles buffer per metric)
-    * fails LOUDLY when the population outgrows what an exact-regime
-    * sketch should hold: past that, segmentation is either exact
-    * (`cutpointK = 0`, population-sized buffer) or honestly
-    * approximate (an explicit fixed k with the documented rank-error
-    * band) — never an accidental in-between. */
+    * while the hard cap (2^23, a 64 MB-of-doubles buffer per metric —
+    * measured at the boundary by ScaleStress's `rfm_cap4m` probe,
+    * which proves score-for-score equality with the exact-percentile
+    * path at a 2^22-customer population) fails LOUDLY when the
+    * population outgrows what an exact-regime sketch should hold:
+    * past that, segmentation is either exact (`cutpointK = 0`,
+    * population-sized buffer) or honestly approximate (an explicit
+    * fixed k with the documented rank-error band) — never an
+    * accidental in-between. */
   def exactRegimeCutpointK(population: Long): Int = {
     require(population >= 0, s"population must be >= 0: $population")
     // cap BEFORE the multiply: 2L*population overflows past 2^62 and
     // would silently satisfy a post-multiply cap instead of tripping
-    require(population <= (1L << 21),
-      s"population $population needs a >2^22 exact-regime sketch — " +
+    require(population <= (1L << 22),
+      s"population $population needs a >2^23 exact-regime sketch — " +
         "use cutpointK = 0 (exact percentile) or accept the KLL " +
         "rank-error band with an explicit fixed cutpointK")
     val need = math.max(1L << 16, 2L * population)

@@ -160,20 +160,20 @@ class CustomerValueSpec extends AnyFunSuite {
   }
 
   test("exactRegimeCutpointK: power of two, >= 2x the population, " +
-    "floored at 2^16, loud past the 2^22 cap — and the derived k " +
+    "floored at 2^16, loud past the 2^23 cap — and the derived k " +
     "clears the fixture's customer population with headroom") {
     import org.apache.spark.sql.functions.{col, count_distinct}
     assert(CustomerValue.exactRegimeCutpointK(0L) == (1 << 16))
     assert(CustomerValue.exactRegimeCutpointK(30000L) == (1 << 16))
     assert(CustomerValue.exactRegimeCutpointK(40000L) == (1 << 17))
     assert(CustomerValue.exactRegimeCutpointK(100000L) == (1 << 18))
-    // power-of-two + >= 2n across a sweep
-    Seq(1L, 65536L, 65537L, 1000000L, 2097152L).foreach { n =>
+    // power-of-two + >= 2n across a sweep, up to the cap boundary
+    Seq(1L, 65536L, 65537L, 1000000L, 2097152L, 1L << 22).foreach { n =>
       val k = CustomerValue.exactRegimeCutpointK(n)
       assert(Integer.bitCount(k) == 1 && k >= 2L * n && k >= (1 << 16))
     }
     intercept[IllegalArgumentException] {
-      CustomerValue.exactRegimeCutpointK((1L << 21) + 1)
+      CustomerValue.exactRegimeCutpointK((1L << 22) + 1)
     }
     // the x150 self-heal claim: the fixture population derives a k
     // that exceeds it (2x headroom), so the oracle query needs no

@@ -128,10 +128,18 @@ class ExtSpec extends AnyFunSuite {
       Seq((1L, s"$ubiq p q r s t u v w"), (2L, s"$ubiq p q r s t u v w")) ++
       (3L to 6L).map(i => (i, s"$ubiq tail$i"))
     ).toDF("doc_id", "text")
-    // no ceiling: the ubiquitous window spans in every doc
+    // DEFAULT ceiling (64) does not bind at df=6 — the ubiquitous
+    // window still spans in every doc, and the default output equals
+    // the explicit uncapped opt-in exactly (the benign-corpus
+    // equality contract behind flipping the default to capped)
     val plain = TextDedup.crossDocRepeatedSpans(corpus, "text", "doc_id",
       k = 8, minDocs = 2)
     assert(plain.filter(col("span_start") === 0).count() == 6)
+    val uncapped = TextDedup.crossDocRepeatedSpans(corpus, "text", "doc_id",
+      k = 8, minDocs = 2, maxDocs = None)
+    assert(plain.exceptAll(uncapped).count() == 0 &&
+      uncapped.exceptAll(plain).count() == 0,
+      "default ceiling must be a no-op on benign density")
     // ceiling at 3: df=6 shingles drop — only the df=2 pair's full
     // shared run survives, and it no longer fuses with the dropped head
     val capped = TextDedup.crossDocRepeatedSpans(corpus, "text", "doc_id",

@@ -3935,25 +3935,57 @@ object SparkEntry {
       // ONE pipeline over the perturbed crawl corpus — curate (the
       // x40 verdict) → near-dup keep-best (x57, pairs restricted to
       // curation survivors) → decontaminate (x20's every-10th-doc
-      // benchmark) → mixture reweight on the DETECTED language +
-      // deterministic sha256 apply (x130 × weightedSample) →
+      // benchmark, at the 8-shingle contamination grain) → mixture
+      // reweight on the crawl SOURCE + deterministic sha256 apply
+      // (x130 × weightedSample; non-uniform targets so keep_prob < 1
+      // for most sources and the threshold genuinely drops rows) →
       // packSequences (x180). Each stage is the already-oracled
       // operator; the value checked here is that they COMPOSE — no
       // column/contract collisions end to end — with the final
       // (doc, sequence) slice plan hash-matched against a full DuckDB
       // replay of the composed rule.
-      val corpus = perturbedCorpus(t(s, d, "documents"))
-      val bench = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
-      graft.ext.CorpusPipeline.run(corpus, "t", "id",
-          portablePairs(s, d), bench, "text",
-          Map("en" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.25),
-          salt = "x182", seqLen = 2048L)
+      graft.ext.CorpusPipeline.run(x182Corpus(s, d), "t", "id",
+          portablePairs(s, d),
+          t(s, d, "documents").filter(col("doc_id") % 10 === 0), "text",
+          x182Targets, salt = "x182", seqLen = 2048L, mixCol = "source")
         .packed
         .select(col("id").as("doc_id"), col("seq_id"), col("doc_offset"),
           col("seq_offset"), col("piece_len"))
         .orderBy(col("seq_id"), col("seq_offset"))
     }),
+    "x183_corpus_funnel" -> ((s, d) => {
+      // the x182 pipeline's RETENTION FUNNEL — the number a curation
+      // run publishes: surviving doc count + token mass after each
+      // stage (curate → dedup → decontaminate → mix). |stages|-sized
+      // output; the oracle reads the same shared replay chain at each
+      // stage boundary, so a drift in ANY stage's keep/cut rule shows
+      // up here as a count diff with the stage's name on it.
+      graft.ext.CorpusPipeline.retentionReport(
+        graft.ext.CorpusPipeline.run(x182Corpus(s, d), "t", "id",
+          portablePairs(s, d),
+          t(s, d, "documents").filter(col("doc_id") % 10 === 0), "text",
+          x182Targets, salt = "x182", seqLen = 2048L, mixCol = "source"),
+        "t").orderBy(col("stage_idx"))
+    }),
   )
+
+  /** The x182/x183 crawl corpus: [[perturbedCorpus]] carrying each
+    * doc's SOURCE (perturbed copies inherit their base doc's source
+    * via id % 1000000 — the perturbation offset contract). */
+  private def x182Corpus(s: SparkSession, d: String): DataFrame =
+    perturbedCorpus(t(s, d, "documents"))
+      .join(t(s, d, "documents")
+        .select(col("doc_id").as("_bid"), col("source")),
+        col("id") % 1000000 === col("_bid"))
+      .drop("_bid")
+
+  /** Non-uniform source targets for the x182 mix stage: heads get
+    * 10% each, the tail splits the rest — so most groups' keep_prob
+    * lands strictly below 1 and the sha256-threshold apply is
+    * value-exercised, not a pass-through. */
+  private val x182Targets: Map[String, Double] =
+    (0 to 3).map(i => s"src$i" -> 0.1).toMap ++
+      (4 to 19).map(i => s"src$i" -> 0.0375).toMap
 
   /** Exact-regime guard for the bounded-percentile (`approxK`) oracle
     * queries — the x150/x171 convention: fixture growth past the
@@ -8782,17 +8814,65 @@ object SparkEntry {
         |    AS span_text
         |FROM sp JOIN tk USING (doc_id)
         |ORDER BY doc_id, span_start""".stripMargin,
-    // the x182 FLAGSHIP replay: the portable pair chain (corpus +
-    // pairs), then curate (x40's metric/verdict spelling over the
-    // normalized corpus text — toks == ltoks there) → survivor-
-    // restricted pair components + keep-best (x57) → shingle-overlap
-    // decontamination (x20, benchmark = original docs with
-    // doc_id % 10 = 0, shingle sets reused from the pair chain) →
-    // mixture weights on the detected language + the 48-bit sha256
-    // threshold apply → the x180 cumsum-and-chunk packing. Built by
-    // concatenation (an outer stripMargin would re-strip the chain's
-    // `||` lane-concat lines).
-    "x182_corpus_pipeline" -> (duckRecursivePairCtes + ",\n" +
+    // the x182 FLAGSHIP replay: the shared pipeline chain (below) +
+    // the x180 cumsum-and-chunk packing tail
+    "x182_corpus_pipeline" -> (duckCorpusPipelineCtes + ",\n" +
+      """pd AS (SELECT c3.id, CAST(len(string_split(c3.t, ' ')) AS BIGINT) AS tk
+        |       FROM corpus c3 JOIN smp USING (id)),
+        |po AS (SELECT id, tk,
+        |         CAST(COALESCE(SUM(tk) OVER (ORDER BY id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS st
+        |       FROM pd),
+        |pp AS (SELECT id, tk, st,
+        |         unnest(range(st // 2048, (st + tk - 1) // 2048 + 1)) AS seq_id
+        |       FROM po)
+        |SELECT id AS doc_id, seq_id,
+        |  GREATEST(seq_id * 2048 - st, 0) AS doc_offset,
+        |  GREATEST(st - seq_id * 2048, 0) AS seq_offset,
+        |  LEAST(st + tk, (seq_id + 1) * 2048)
+        |    - GREATEST(st, seq_id * 2048) AS piece_len
+        |FROM pp ORDER BY seq_id, seq_offset""".stripMargin),
+    // the x183 funnel replay: the SAME shared chain, read at each
+    // stage boundary — doc count + token mass after curate / dedup /
+    // decontaminate / mix
+    "x183_corpus_funnel" -> (duckCorpusPipelineCtes + "\n" +
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'curated' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(sum(len(string_split(c.t, ' '))), 0) AS BIGINT)
+        |      AS n_tokens
+        |  FROM keep JOIN corpus c USING (id)
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'deduped',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(len(string_split(c.t, ' '))), 0) AS BIGINT)
+        |  FROM dd JOIN corpus c USING (id)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'clean',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(len(string_split(c.t, ' '))), 0) AS BIGINT)
+        |  FROM cln JOIN corpus c USING (id)
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), 'sampled',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(sum(len(string_split(c.t, ' '))), 0) AS BIGINT)
+        |  FROM smp JOIN corpus c USING (id))
+        |ORDER BY stage_idx""".stripMargin),
+  )
+
+  /** The shared x182/x183 replay chain: the portable pair CTEs
+    * (corpus + pairs), then curate (x40's metric/verdict spelling
+    * over the normalized corpus text — toks == ltoks there) →
+    * survivor-restricted pair components + keep-best (x57) →
+    * shingle-overlap decontamination (x20, benchmark = original docs
+    * with doc_id % 10 = 0, shingle sets reused from the pair chain) →
+    * mixture weights on the detected language + the 48-bit sha256
+    * threshold apply. Ends at `smp(id)` — the post-mix survivor set —
+    * with every stage boundary (`keep`, `dd`, `cln`, `smp`) readable
+    * by consumers. Built by concatenation (an outer stripMargin would
+    * re-strip the chain's `||` lane-concat lines). */
+  private lazy val duckCorpusPipelineCtes: String = (duckRecursivePairCtes + ",\n" +
       s"""cm0 AS (
          |  SELECT id, t, LENGTH(t) AS n_chars,
          |    string_split(t, ' ') AS ltoks,
@@ -8857,21 +8937,29 @@ object SparkEntry {
         |dd AS (
         |  SELECT k.id FROM keep k LEFT JOIN comp g ON g.id = k.id
         |  WHERE g.id IS NULL OR k.id IN (SELECT id FROM best)),
+        |s8 AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(0, len(w) - 8 + 1),
+        |                i -> array_to_string(w[i+1:i+8], ' '))
+        |    END) AS ss8
+        |  FROM toks),
         |bench AS (
-        |  SELECT DISTINCT unnest(ss) AS bsh FROM sets
+        |  SELECT DISTINCT unnest(ss8) AS bsh FROM s8
         |  WHERE id < 1000000 AND id % 10 = 0),
-        |ds AS (SELECT s2.id, unnest(s2.ss) AS sh FROM sets s2 JOIN dd USING (id)),
+        |ds AS (SELECT s2.id, unnest(s2.ss8) AS sh FROM s8 s2 JOIN dd USING (id)),
         |cont AS (
         |  SELECT ds.id, CAST(count(b.bsh) AS DOUBLE) / count(*) AS contamination
         |  FROM ds LEFT JOIN bench b ON ds.sh = b.bsh GROUP BY ds.id),
         |cln AS (SELECT id FROM cont WHERE contamination <= 0.2),
-        |langs AS (SELECT c2.id, lq.lang_guess FROM cln c2 JOIN lq USING (id)),
-        |cnt AS (SELECT lang_guess AS grp, CAST(count(*) AS BIGINT) AS n
-        |        FROM langs GROUP BY 1),
+        |bsrc AS (SELECT doc_id AS bid, source FROM documents),
+        |mixg AS (SELECT c2.id, s.source AS grp FROM cln c2
+        |         JOIN bsrc s ON s.bid = c2.id % 1000000),
+        |cnt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+        |        FROM mixg GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM cnt),
         |tgt(grp, target_frac) AS (VALUES
-        |  ('de', CAST(0.25 AS DOUBLE)), ('en', CAST(0.25 AS DOUBLE)),
-        |  ('es', CAST(0.25 AS DOUBLE)), ('fr', CAST(0.25 AS DOUBLE))),
+        |  """.stripMargin + duckX182TargetValues + """),
         |r AS (SELECT c.grp, CAST(c.n AS DOUBLE) / t2.tt AS frac,
         |        COALESCE(g.target_frac, CAST(0 AS DOUBLE)) AS target_frac
         |      FROM cnt c LEFT JOIN tgt g USING (grp) CROSS JOIN tot t2),
@@ -8880,28 +8968,20 @@ object SparkEntry {
         |w AS (SELECT grp, CASE WHEN m > 0 THEN ratio / m END AS keep_prob
         |      FROM r2 CROSS JOIN mx),
         |smp AS (
-        |  SELECT l.id FROM langs l JOIN w ON w.grp = l.lang_guess
+        |  SELECT l.id FROM mixg l JOIN w ON w.grp = l.grp
         |  WHERE w.keep_prob IS NOT NULL
         |    AND substr(sha256('x182:' || l.id), 1, 12) <
         |      CASE WHEN w.keep_prob >= 1.0 THEN 'g'
         |           ELSE printf('%012x',
         |                  CAST(greatest(0, floor(w.keep_prob * 281474976710656.0)) AS BIGINT))
-        |      END),
-        |pd AS (SELECT c3.id, CAST(len(string_split(c3.t, ' ')) AS BIGINT) AS tk
-        |       FROM corpus c3 JOIN smp USING (id)),
-        |po AS (SELECT id, tk,
-        |         CAST(COALESCE(SUM(tk) OVER (ORDER BY id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |           AS BIGINT) AS st
-        |       FROM pd),
-        |pp AS (SELECT id, tk, st,
-        |         unnest(range(st // 2048, (st + tk - 1) // 2048 + 1)) AS seq_id
-        |       FROM po)
-        |SELECT id AS doc_id, seq_id,
-        |  GREATEST(seq_id * 2048 - st, 0) AS doc_offset,
-        |  GREATEST(st - seq_id * 2048, 0) AS seq_offset,
-        |  LEAST(st + tk, (seq_id + 1) * 2048)
-        |    - GREATEST(st, seq_id * 2048) AS piece_len
-        |FROM pp ORDER BY seq_id, seq_offset""".stripMargin),
-  )
+        |      END)""".stripMargin)
+
+  /** The x182 target map rendered as DuckDB VALUES rows — generated
+    * from [[x182Targets]] so the two sides can never desynchronize
+    * (Double.toString round-trips, and DuckDB's decimal→double parse
+    * is correctly rounded to the same IEEE value). */
+  private lazy val duckX182TargetValues: String =
+    x182Targets.toSeq.sortBy(_._1)
+      .map { case (g, f) => s"('$g', CAST($f AS DOUBLE))" }
+      .mkString(", ")
 }

@@ -59,8 +59,15 @@ object CorpusPipeline {
           targets: Map[String, Double], salt: String, seqLen: Long,
           vocabK: Int = 30, minQuality: Double = 0.5,
           maxDupNgramFrac: Double = 0.3, maxOovRate: Double = 0.6,
-          maxContamination: Double = 0.2): Stages = {
+          maxContamination: Double = 0.2,
+          decontaminateK: Int = 8,
+          mixCol: String = "lang_guess"): Stages = {
     val id = col(idCol)
+    // the mix key is either the DETECTED language (computed by the
+    // curate stage) or a caller column already on the corpus (e.g.
+    // the crawl source) — carried through every stage boundary
+    val carry: Seq[org.apache.spark.sql.Column] =
+      if (mixCol == "lang_guess") Seq.empty else Seq(col(mixCol))
 
     // 1) CURATE — the x40 verdict: quality score, language id,
     // repetition fraction, vocabulary coverage → one keep/cut filter.
@@ -75,12 +82,12 @@ object CorpusPipeline {
       .select(col("token"))
     val oov = TextAnalysis.oovProfile(corpus, textCol, idCol, vocab)
       .select(id, col("oov_rate"))
-    val curated = corpus.select(id, col(textCol))
+    val curated = corpus.select(Seq(id, col(textCol)) ++ carry: _*)
       .join(prof, Seq(idCol)).join(rep, Seq(idCol)).join(oov, Seq(idCol))
       .filter(col("quality") >= minQuality &&
         col("dup_ngram_frac") <= maxDupNgramFrac &&
         col("lang_guess") =!= "und" && col("oov_rate") <= maxOovRate)
-      .select(id, col(textCol), col("lang_guess"))
+      .select(Seq(id, col(textCol), col("lang_guess")) ++ carry: _*)
 
     // 2) NEAR-DUP KEEP-BEST — x57's keeper over the survivor pair
     // graph: two semi-joins restrict the pair set to curated
@@ -94,24 +101,28 @@ object CorpusPipeline {
       length(col(textCol)))
 
     // 3) DECONTAMINATE — x20's shingle-overlap gate against the
-    // benchmark set: drop survivors whose 3-shingle contamination
-    // exceeds the threshold.
+    // benchmark set, at 8-token shingles by default: a corpus-scale
+    // benchmark covers most TRIgrams incidentally (at sf0.1 a 10%
+    // bench emptied the corpus through the 3-shingle gate), while
+    // verbatim 8-gram overlap is genuine contamination — the
+    // n-gram-length discipline decontamination actually runs at.
     val clean = Decontaminate.decontaminate(deduped, textCol, idCol,
-      bench, benchTextCol, maxContamination = maxContamination)
+      bench, benchTextCol, k = decontaminateK,
+      maxContamination = maxContamination)
 
-    // 4) MIX — x130's maximal-retention weights over the DETECTED
-    // language, applied as weightedSample's deterministic sha256
-    // threshold (a row's fate depends on (salt, id) alone — engine-
-    // and partitioning-independent). Unmatched / zero-target groups
-    // get a null/zero keep_prob and drop, per the weightedSample
-    // null-rate contract.
-    val weights = Sampling.mixtureWeights(clean, "lang_guess", targets)
+    // 4) MIX — x130's maximal-retention weights over `mixCol`,
+    // applied as weightedSample's deterministic sha256 threshold (a
+    // row's fate depends on (salt, id) alone — engine- and
+    // partitioning-independent). Unmatched / zero-target groups get a
+    // null/zero keep_prob and drop, per the weightedSample null-rate
+    // contract.
+    val weights = Sampling.mixtureWeights(clean, mixCol, targets)
       .select(col("group"), col("keep_prob"))
     val withRate = clean.join(broadcast(weights),
-      col("lang_guess") === col("group"), "left")
+      col(mixCol).cast("string") === col("group"), "left")
     val sampled = Sampling.weightedSample(withRate, idCol, salt,
         col("keep_prob"))
-      .select(id, col(textCol), col("lang_guess"))
+      .select(Seq(id, col(textCol), col("lang_guess")) ++ carry: _*)
 
     // 5) PACK — x180's concat-and-chunk layout over the final mix
     // (token count = whitespace token count of the text; the packing
@@ -123,4 +134,28 @@ object CorpusPipeline {
 
     Stages(curated, deduped, clean, weights, sampled, packed)
   }
+
+  /** The per-stage retention funnel a production curation run
+    * publishes: surviving document count and token mass after each
+    * stage (curate → dedup → decontaminate → mix). Four one-row
+    * aggregates — the report is |stages|-sized regardless of corpus
+    * size; each stage's lineage re-executes, so serve it from staged
+    * stage outputs when the pipeline itself is expensive. */
+  def retentionReport(st: Stages, textCol: String): DataFrame =
+    Seq(("curated", 1), ("deduped", 2), ("clean", 3), ("sampled", 4))
+      .map { case (name, idx) =>
+        val df = name match {
+          case "curated" => st.curated
+          case "deduped" => st.deduped
+          case "clean"   => st.clean
+          case _         => st.sampled
+        }
+        df.agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(size(split(col(textCol), " ")).cast("long")),
+              lit(0L)).as("n_tokens"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      }
+      .reduce(_ unionByName _)
 }

@@ -61,6 +61,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(w.length == 1 && w.head.getString(0) == "en" &&
       w.head.getDouble(1) == 1.0)
 
+    // retention funnel: schema, stage order, strictly-consistent
+    // counts with the stage frames above (x183's library surface)
+    val rep = CorpusPipeline.retentionReport(st, "t")
+      .orderBy(col("stage_idx")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rep.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      (1L, "curated", 4L), (2L, "deduped", 3L),
+      (3L, "clean", 2L), (4L, "sampled", 2L)))
+    assert(rep.map(_._4).toSeq.zip(rep.map(_._4).toSeq.tail)
+      .forall { case (a, b) => b <= a },
+      "token mass must be non-increasing through the funnel")
+
     // packed output: mass conservation + the full-sequence invariant
     val packed = st.packed.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq

@@ -85,15 +85,9 @@ object Bench {
       // run in BENCH json, and min-of-repeats must not mask a flaky throw.
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    // Single-pass accounting: the sum of FIRST-repeat times over the
-    // queries that reported clean. The headline total stays the
-    // min-of-repeats composite (every prior round's total is that, so
-    // history compares like-for-like); this companion number records
-    // what one unmitigated pass cost, so a record reader can see how
-    // much of the sweep was load spike vs steady state.
-    val singlePassTotal = allTimes
-      .filter { case (_, ts) => ts.forall(_ >= 0) }
-      .map(_._2.head).sum
+    // (single-pass accounting is computed AFTER the retime pass below,
+    // so a query that only fails on its retime is excluded from it —
+    // the companion number must cover exactly the clean query set)
     // Regression-attribution guard: a per-query time >1.25x its previous
     // round AND >0.25s absolute over it is re-timed ONCE more and the min
     // reported, so round-over-round verdicts can separate machine-load
@@ -158,7 +152,22 @@ object Bench {
     // failed queries (-1.0 sentinel) are excluded from the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val spt = f"$singlePassTotal%.3f"
+    // Single-pass accounting: the sum of FIRST-repeat times over the
+    // queries whose FINAL reported time is clean (a retime-throw marks
+    // a query failed — its time must not inflate this number). The
+    // headline total stays the min-of-repeats composite (every prior
+    // round's total is that, so history compares like-for-like); this
+    // companion number records what one unmitigated pass cost, so a
+    // record reader can see how much of the sweep was load spike vs
+    // steady state. Locale.ROOT: the f-interpolator uses the default
+    // locale, and a comma decimal separator would corrupt the parsed
+    // JSON lines AND the persisted baseline.
+    val cleanNames = results.filter(_._2 >= 0).map(_._1).toSet
+    val singlePassTotal = allTimes
+      .filter { case (n, _) => cleanNames(n) }
+      .map(_._2.head).sum
+    val spt = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(singlePassTotal))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$retimedJson,"repeat":$repeat,"single_pass_total":$spt,"sf":"$sfDir"}""")
     // short headline line LAST: the driver tails a bounded buffer, and
     // with ~100 per-query entries the full line above can overflow it

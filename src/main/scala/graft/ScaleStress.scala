@@ -82,10 +82,12 @@ object ScaleStress {
     // near-linear (the pre-r11 unpartitioned window would not)
     "x151_pareto_abc",
     // round-11 (r15: now the DEFAULT-ceiling path, 64): cross-doc span
-    // dedup — per-shingle distinct-doc counts + a semi-join; at high
-    // duplication density the default df ceiling drops the degenerate
-    // mass before the hit frame forms, so this line should track the
-    // capped probe, not the uncapped one
+    // dedup — per-shingle distinct-doc counts + a semi-join. The
+    // ceiling binds only once inflated dfs EXCEED 64: at 10x (dfs
+    // 10..40) it is a no-op and this line tracks the UNCAPPED probe;
+    // at 100x (dfs >= 100) the degenerate mass drops before the hit
+    // frame forms and the line should fall to the capped probe's
+    // neighborhood
     "x168_crossdoc_spans",
     // round-13: the ranged growth-MV serve — one delta + a
     // partition-pruned slice read; inflation multiplies event rows
@@ -94,8 +96,10 @@ object ScaleStress {
     "x175_growth_mv_ranged",
     // stress-only probes (not oracled queries): see `extraProbes`.
     // crossdoc_spans_uncapped is the documented-irreducible opt-in
-    // line (df-count scan at pathological density); the default x168
-    // entry above should read at-or-below crossdoc_spans_capped now
+    // line (df-count scan at pathological density); at 100x the
+    // default x168 entry above should read at-or-below
+    // crossdoc_spans_capped (at 10x the 64 ceiling cannot bind — see
+    // the x168 comment)
     "crossdoc_spans_capped", "crossdoc_spans_uncapped",
     "ivf_batch_nprobes2", "ivf_pq_nprobes2",
     // round-13+: bounded-state rfm cutpoints + banding degenerate

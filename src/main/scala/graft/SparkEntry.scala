@@ -3944,10 +3944,7 @@ object SparkEntry {
       // column/contract collisions end to end — with the final
       // (doc, sequence) slice plan hash-matched against a full DuckDB
       // replay of the composed rule.
-      graft.ext.CorpusPipeline.run(x182Corpus(s, d), "t", "id",
-          portablePairs(s, d),
-          t(s, d, "documents").filter(col("doc_id") % 10 === 0), "text",
-          x182Targets, salt = "x182", seqLen = 2048L, mixCol = "source")
+      x182Pipeline(s, d)
         .packed
         .select(col("id").as("doc_id"), col("seq_id"), col("doc_offset"),
           col("seq_offset"), col("piece_len"))
@@ -3960,12 +3957,8 @@ object SparkEntry {
       // output; the oracle reads the same shared replay chain at each
       // stage boundary, so a drift in ANY stage's keep/cut rule shows
       // up here as a count diff with the stage's name on it.
-      graft.ext.CorpusPipeline.retentionReport(
-        graft.ext.CorpusPipeline.run(x182Corpus(s, d), "t", "id",
-          portablePairs(s, d),
-          t(s, d, "documents").filter(col("doc_id") % 10 === 0), "text",
-          x182Targets, salt = "x182", seqLen = 2048L, mixCol = "source"),
-        "t").orderBy(col("stage_idx"))
+      graft.ext.CorpusPipeline.retentionReport(x182Pipeline(s, d), "t")
+        .orderBy(col("stage_idx"))
     }),
   )
 
@@ -3978,6 +3971,26 @@ object SparkEntry {
         .select(col("doc_id").as("_bid"), col("source")),
         col("id") % 1000000 === col("_bid"))
       .drop("_bid")
+
+  /** Build-once memo for the x182/x183 pipeline stages — the
+    * portablePairs convention: the FIRST family query in a JVM runs
+    * the pipeline with stage-boundary parquet staging (every stage
+    * computes exactly once; the build cost lands on that query's
+    * measured time), the second re-reads columnar stage outputs.
+    * Keyed per (session, sf dir) and per JVM, so the staged frames
+    * can never go stale across code changes. */
+  private val x182Memo = scala.collection.concurrent.TrieMap
+    .empty[String, graft.ext.CorpusPipeline.Stages]
+  private def x182Pipeline(s: SparkSession, d: String): graft.ext.CorpusPipeline.Stages =
+    x182Memo.synchronized {
+      x182Memo.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+        graft.ext.CorpusPipeline.run(x182Corpus(s, d), "t", "id",
+          portablePairs(s, d),
+          t(s, d, "documents").filter(col("doc_id") % 10 === 0), "text",
+          x182Targets, salt = "x182", seqLen = 2048L, mixCol = "source",
+          stagingPath = Some(cachePath(d, "x182") + "/stages"))
+      })
+    }
 
   /** Non-uniform source targets for the x182 mix stage: heads get
     * 10% each, the tail splits the rest — so most groups' keep_prob

@@ -61,8 +61,26 @@ object CorpusPipeline {
           maxDupNgramFrac: Double = 0.3, maxOovRate: Double = 0.6,
           maxContamination: Double = 0.2,
           decontaminateK: Int = 8,
-          mixCol: String = "lang_guess"): Stages = {
+          mixCol: String = "lang_guess",
+          stagingPath: Option[String] = None): Stages = {
     val id = col(idCol)
+    // Stage-boundary staging (the x116/portablePairs discipline):
+    // every stage frame is consumed by SEVERAL downstream operators
+    // (curated feeds the pair semi-joins AND the keep-best scorer;
+    // clean feeds the weight aggregate AND the sampled join), and
+    // Spark re-executes the whole upstream lineage per consumer — at
+    // sf0.1 the unstaged chain re-ran the curation text scans ~15×
+    // (56 s/query). Writing each boundary to parquet once truncates
+    // the lineage: every stage computes exactly once, and re-reads
+    // are columnar scans. Pass None only for corpora small enough
+    // that recomputation is cheaper than the write (specs).
+    def staged(df: DataFrame, tag: String): DataFrame = stagingPath match {
+      case Some(root) =>
+        val p = s"$root/$tag"
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df
+    }
     // the mix key is either the DETECTED language (computed by the
     // curate stage) or a caller column already on the corpus (e.g.
     // the crawl source) — carried through every stage boundary
@@ -82,12 +100,13 @@ object CorpusPipeline {
       .select(col("token"))
     val oov = TextAnalysis.oovProfile(corpus, textCol, idCol, vocab)
       .select(id, col("oov_rate"))
-    val curated = corpus.select(Seq(id, col(textCol)) ++ carry: _*)
+    val curated = staged(corpus.select(Seq(id, col(textCol)) ++ carry: _*)
       .join(prof, Seq(idCol)).join(rep, Seq(idCol)).join(oov, Seq(idCol))
       .filter(col("quality") >= minQuality &&
         col("dup_ngram_frac") <= maxDupNgramFrac &&
         col("lang_guess") =!= "und" && col("oov_rate") <= maxOovRate)
-      .select(Seq(id, col(textCol), col("lang_guess")) ++ carry: _*)
+      .select(Seq(id, col(textCol), col("lang_guess")) ++ carry: _*),
+      "curated")
 
     // 2) NEAR-DUP KEEP-BEST — x57's keeper over the survivor pair
     // graph: two semi-joins restrict the pair set to curated
@@ -97,8 +116,8 @@ object CorpusPipeline {
     val spairs = pairs
       .join(ids.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
       .join(ids.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
-    val deduped = TextDedup.dedupByPairsKeepBest(curated, idCol, spairs,
-      length(col(textCol)))
+    val deduped = staged(TextDedup.dedupByPairsKeepBest(curated, idCol,
+      spairs, length(col(textCol))), "deduped")
 
     // 3) DECONTAMINATE — x20's shingle-overlap gate against the
     // benchmark set, at 8-token shingles by default: a corpus-scale
@@ -106,9 +125,9 @@ object CorpusPipeline {
     // bench emptied the corpus through the 3-shingle gate), while
     // verbatim 8-gram overlap is genuine contamination — the
     // n-gram-length discipline decontamination actually runs at.
-    val clean = Decontaminate.decontaminate(deduped, textCol, idCol,
-      bench, benchTextCol, k = decontaminateK,
-      maxContamination = maxContamination)
+    val clean = staged(Decontaminate.decontaminate(deduped, textCol,
+      idCol, bench, benchTextCol, k = decontaminateK,
+      maxContamination = maxContamination), "clean")
 
     // 4) MIX — x130's maximal-retention weights over `mixCol`,
     // applied as weightedSample's deterministic sha256 threshold (a
@@ -120,9 +139,10 @@ object CorpusPipeline {
       .select(col("group"), col("keep_prob"))
     val withRate = clean.join(broadcast(weights),
       col(mixCol).cast("string") === col("group"), "left")
-    val sampled = Sampling.weightedSample(withRate, idCol, salt,
+    val sampled = staged(Sampling.weightedSample(withRate, idCol, salt,
         col("keep_prob"))
-      .select(Seq(id, col(textCol), col("lang_guess")) ++ carry: _*)
+      .select(Seq(id, col(textCol), col("lang_guess")) ++ carry: _*),
+      "sampled")
 
     // 5) PACK — x180's concat-and-chunk layout over the final mix
     // (token count = whitespace token count of the text; the packing
@@ -142,19 +162,15 @@ object CorpusPipeline {
     * size; each stage's lineage re-executes, so serve it from staged
     * stage outputs when the pipeline itself is expensive. */
   def retentionReport(st: Stages, textCol: String): DataFrame =
-    Seq(("curated", 1), ("deduped", 2), ("clean", 3), ("sampled", 4))
-      .map { case (name, idx) =>
-        val df = name match {
-          case "curated" => st.curated
-          case "deduped" => st.deduped
-          case "clean"   => st.clean
-          case _         => st.sampled
-        }
+    Seq("curated" -> st.curated, "deduped" -> st.deduped,
+        "clean" -> st.clean, "sampled" -> st.sampled)
+      .zipWithIndex
+      .map { case ((name, df), i) =>
         df.agg(
             count(lit(1)).as("n_docs"),
             coalesce(sum(size(split(col(textCol), " ")).cast("long")),
               lit(0L)).as("n_tokens"))
-          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          .select(lit(i + 1L).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("n_tokens"))
       }
       .reduce(_ unionByName _)

@@ -1056,8 +1056,8 @@ object TextAnalysis {
     * non-numeric key needs a numeric surrogate first — e.g. the x66
     * shard pattern) and UNIQUE per group (the running-sum window
     * orders by id alone, so duplicates would tie and place
-    * non-deterministically; a per-band count-vs-distinct guard
-    * raises loudly at runtime); null ids and null/non-positive token
+    * non-deterministically; an exact per-(band, id) pre-aggregate
+    * guard raises loudly at runtime); null ids and null/non-positive token
     * counts drop (a 0-token doc occupies no space in the stream);
     * ids must not be `Long.MinValue` (its negation is
     * unrepresentable — the one id the band lattice cannot order;
@@ -1088,16 +1088,18 @@ object TextAnalysis {
         // so that one id is rejected loudly above the lattice.
         graft.olap.CustomerValue.amountBand(-col(idCol).cast("long"), 2)
           .as("_graft_sb")): _*)
-    val perBand = docs.groupBy((g :+ col("_graft_sb")): _*)
-      .agg(sum(col("_graft_tk")).as("_s"),
-        // duplicate-id guard: the running-sum window below orders by
-        // id alone, so duplicate ids would tie and place
-        // non-deterministically. The band is a pure function of the
-        // id, so dupes always collide within a band — an exact
-        // count-vs-distinct check here rides the existing shuffle and
-        // catches every dupe.
-        count(lit(1)).as("_n"),
-        count_distinct(col(idCol)).as("_nd"))
+    // duplicate-id guard: the running-sum window below orders by id
+    // alone, so duplicate ids would tie and place
+    // non-deterministically. The band is a pure function of the id,
+    // so dupes always collide within a band — and an (…, band, id)
+    // pre-aggregate catches every one EXACTLY without the Expand a
+    // count_distinct would plan (which doubles the rows through the
+    // corpus-scale shuffle): the first shuffle keys on (group, band,
+    // id) with full map-side combine, the second is band-count-sized.
+    val perId = docs.groupBy((g ++ Seq(col("_graft_sb"), col(idCol))): _*)
+      .agg(sum(col("_graft_tk")).as("_stk"), count(lit(1)).as("_c"))
+    val perBand = perId.groupBy((g :+ col("_graft_sb")): _*)
+      .agg(sum(col("_stk")).as("_s"), max(col("_c")).as("_maxc"))
     // ungrouped: the one unpartitioned window, over the band-count-
     // sized frame (plan-gated); grouped: partitioned by the group —
     // each group's band frame prefix-sums independently
@@ -1107,7 +1109,7 @@ object TextAnalysis {
     val offs = perBand.select((g ++ Seq(col("_graft_sb"),
       // the dupe raise rides the ALWAYS-USED band offset so column
       // pruning can never delete the check (the MinValue pattern)
-      when(col("_n") =!= col("_nd"), raise_error(lit(
+      when(col("_maxc") > 1, raise_error(lit(
           "packSequences: duplicate ids — placement ties in the" +
             " running-sum window and replays non-deterministically;" +
             " dedupe or re-key upstream")))

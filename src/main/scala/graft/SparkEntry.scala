@@ -8968,8 +8968,10 @@ object SparkEntry {
         |bsrc AS (SELECT doc_id AS bid, source FROM documents),
         |mixg AS (SELECT c2.id, s.source AS grp FROM cln c2
         |         JOIN bsrc s ON s.bid = c2.id % 1000000),
+        |-- null mix keys are excluded from the frac denominator, the
+        |-- mixtureWeights contract (x130's WHERE lang IS NOT NULL)
         |cnt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
-        |        FROM mixg GROUP BY 1),
+        |        FROM mixg WHERE grp IS NOT NULL GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM cnt),
         |tgt(grp, target_frac) AS (VALUES
         |  """.stripMargin + duckX182TargetValues + """),

@@ -1097,9 +1097,11 @@ object TextAnalysis {
     // corpus-scale shuffle): the first shuffle keys on (group, band,
     // id) with full map-side combine, the second is band-count-sized.
     val perId = docs.groupBy((g ++ Seq(col("_graft_sb"), col(idCol))): _*)
-      .agg(sum(col("_graft_tk")).as("_stk"), count(lit(1)).as("_c"))
+      .agg(sum(col("_graft_tk")).as("_graft_stk"),
+        count(lit(1)).as("_graft_c"))
     val perBand = perId.groupBy((g :+ col("_graft_sb")): _*)
-      .agg(sum(col("_stk")).as("_s"), max(col("_c")).as("_maxc"))
+      .agg(sum(col("_graft_stk")).as("_graft_s"),
+        max(col("_graft_c")).as("_graft_maxc"))
     // ungrouped: the one unpartitioned window, over the band-count-
     // sized frame (plan-gated); grouped: partitioned by the group —
     // each group's band frame prefix-sums independently
@@ -1109,11 +1111,11 @@ object TextAnalysis {
     val offs = perBand.select((g ++ Seq(col("_graft_sb"),
       // the dupe raise rides the ALWAYS-USED band offset so column
       // pruning can never delete the check (the MinValue pattern)
-      when(col("_maxc") > 1, raise_error(lit(
+      when(col("_graft_maxc") > 1, raise_error(lit(
           "packSequences: duplicate ids — placement ties in the" +
             " running-sum window and replays non-deterministically;" +
             " dedupe or re-key upstream")))
-        .otherwise(coalesce(sum(col("_s")).over(
+        .otherwise(coalesce(sum(col("_graft_s")).over(
           wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .as("_graft_bo"))): _*)
     val wRun = Window

@@ -159,8 +159,23 @@ object SparkEntry {
     * in-query relayout). */
   private val portablePairsMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Stable per-session memo-key component: each DISTINCT session
+    * object gets a fresh UUID via an identity-keyed weak map — unlike
+    * raw identityHashCode, a GC'd session's key can never be reused by
+    * a NEW session (which would serve it another session's memo entry,
+    * e.g. Stages DataFrames bound to a stopped session), and the weak
+    * keys keep this map itself from growing in a long-lived
+    * multi-session JVM. (Spark's own sessionUUID is private[sql].) */
+  private val sessionKeys =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionKey(s: SparkSession): String =
+    sessionKeys.synchronized {
+      sessionKeys.computeIfAbsent(s,
+        _ => java.util.UUID.randomUUID().toString)
+    }
+
   private def portablePairs(s: SparkSession, d: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}:$d"
+    val key = s"${sessionKey(s)}:$d"
     // synchronized: TrieMap.getOrElseUpdate may evaluate the thunk in
     // two threads at once (one wins the map slot, but BOTH run the
     // staging write to the same path — overwrite deletes files first,
@@ -3957,7 +3972,12 @@ object SparkEntry {
       // output; the oracle reads the same shared replay chain at each
       // stage boundary, so a drift in ANY stage's keep/cut rule shows
       // up here as a count diff with the stage's name on it.
-      graft.ext.CorpusPipeline.retentionReport(x182Pipeline(s, d), "t")
+      // STAGED-SERVE: ensure the staged boundaries exist (memoized
+      // build), then read the funnel from the boundary parquet alone —
+      // the plan is 4 pruned columnar scans, no pipeline lineage.
+      x182Pipeline(s, d)
+      graft.ext.CorpusPipeline.retentionReportStaged(s,
+          cachePath(d, "x182") + "/stages", "t")
         .orderBy(col("stage_idx"))
     }),
   )
@@ -3977,13 +3997,17 @@ object SparkEntry {
     * the pipeline with stage-boundary parquet staging (every stage
     * computes exactly once; the build cost lands on that query's
     * measured time), the second re-reads columnar stage outputs.
-    * Keyed per (session, sf dir) and per JVM, so the staged frames
-    * can never go stale across code changes. */
+    * Keyed per (sessionUUID, sf dir) and per JVM, so the staged frames
+    * can never go stale across code changes, and a stopped session's
+    * entry (whose DataFrames are bound to that session) can never be
+    * served to a new one — identityHashCode could collide after GC.
+    * Entries are plan handles over staged parquet, so growth is
+    * bounded by #sessions × #dirs and stays negligible. */
   private val x182Memo = scala.collection.concurrent.TrieMap
     .empty[String, graft.ext.CorpusPipeline.Stages]
   private def x182Pipeline(s: SparkSession, d: String): graft.ext.CorpusPipeline.Stages =
     x182Memo.synchronized {
-      x182Memo.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      x182Memo.getOrElseUpdate(s"${sessionKey(s)}:$d", {
         graft.ext.CorpusPipeline.run(x182Corpus(s, d), "t", "id",
           portablePairs(s, d),
           t(s, d, "documents").filter(col("doc_id") % 10 === 0), "text",

@@ -63,6 +63,14 @@ object CorpusPipeline {
           decontaminateK: Int = 8,
           mixCol: String = "lang_guess",
           stagingPath: Option[String] = None): Stages = {
+    // the chain joins these stage-internal columns onto the caller's
+    // corpus; a corpus already carrying one would otherwise die deep in
+    // the chain as an ambiguous-reference AnalysisException instead of
+    // a named contract error (packSequences' own Guards call covers its
+    // outputs; this covers the columns the stages join in)
+    graft.Guards.reserved(corpus, "CorpusPipeline.run",
+      Seq("quality", "lang_guess", "dup_ngram_frac", "oov_rate",
+        "group", "keep_prob"))
     val id = col(idCol)
     // Stage-boundary staging (the x116/portablePairs discipline):
     // every stage frame is consumed by SEVERAL downstream operators
@@ -155,16 +163,37 @@ object CorpusPipeline {
     Stages(curated, deduped, clean, weights, sampled, packed)
   }
 
+  /** The four staged boundary tags, funnel order. */
+  private val stageTags = Seq("curated", "deduped", "clean", "sampled")
+
   /** The per-stage retention funnel a production curation run
     * publishes: surviving document count and token mass after each
     * stage (curate → dedup → decontaminate → mix). Four one-row
     * aggregates — the report is |stages|-sized regardless of corpus
-    * size; each stage's lineage re-executes, so serve it from staged
-    * stage outputs when the pipeline itself is expensive. */
+    * size; each stage frame's lineage executes once per funnel row, so
+    * on a staged run prefer [[retentionReportStaged]] (the same report
+    * from the boundary files alone, no Stages handle needed). */
   def retentionReport(st: Stages, textCol: String): DataFrame =
-    Seq("curated" -> st.curated, "deduped" -> st.deduped,
-        "clean" -> st.clean, "sampled" -> st.sampled)
-      .zipWithIndex
+    funnel(stageTags.map {
+      case "curated" => st.curated
+      case "deduped" => st.deduped
+      case "clean"   => st.clean
+      case "sampled" => st.sampled
+    }, textCol)
+
+  /** [[retentionReport]] served from a [[run]] staging root alone —
+    * the production serve shape: a curation run stages its boundaries
+    * once, and any later consumer (dashboard, audit, this funnel)
+    * reads the parquet boundary files without holding the pipeline's
+    * Stages handle or re-deriving any lineage. Four pruned columnar
+    * scans, |stages|-sized output. */
+  def retentionReportStaged(spark: org.apache.spark.sql.SparkSession,
+                            stagingRoot: String, textCol: String): DataFrame =
+    funnel(stageTags.map(tag => spark.read.parquet(s"$stagingRoot/$tag")),
+      textCol)
+
+  private def funnel(stages: Seq[DataFrame], textCol: String): DataFrame =
+    stageTags.zip(stages).zipWithIndex
       .map { case ((name, df), i) =>
         df.agg(
             count(lit(1)).as("n_docs"),

@@ -246,7 +246,13 @@ object TextDedup {
     * two orders of magnitude under the ceiling. NOTE a corpus-relative
     * ceiling (a df quantile) cannot replace the absolute one: uniform
     * duplication shifts every quantile with it, so a scale-free rule
-    * keeps exactly the degenerate mass the ceiling exists to drop. */
+    * keeps exactly the degenerate mass the ceiling exists to drop.
+    *
+    * MIGRATION (r15, see CHANGELOG.md): the default changed from
+    * `None` to `Some(DefaultBoilerplateDf)` — callers on dense corpora
+    * that relied on the uncapped exact contract must now pass
+    * `maxDocs = None`; spans anchored only on >64-doc shingles vanish
+    * under the default with no runtime signal. */
   def crossDocRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 8, minDocs: Int = 2,
                             stagingPath: Option[String] = None,

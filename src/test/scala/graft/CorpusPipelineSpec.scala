@@ -87,4 +87,50 @@ class CorpusPipelineSpec extends AnyFunSuite {
         totalTokens % 8 else 8L), s"sequence $s holds $m tokens")
     }
   }
+
+  test("corpus pipeline: a corpus carrying a stage-internal column " +
+    "fails fast with a named contract error") {
+    val corpus = Seq((1L, "the cat and the dog walk of the town", 0.9))
+      .toDF("id", "t", "keep_prob")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.run(corpus, "t", "id",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+        Seq("bench text").toDF("text"), "text",
+        targets = Map("en" -> 1.0), salt = "spec", seqLen = 8L)
+    }
+    assert(e.getMessage.contains("keep_prob") &&
+      e.getMessage.contains("CorpusPipeline.run"))
+  }
+
+  test("staged retention funnel equals the Stages-handle funnel " +
+    "(x183 staged serve)") {
+    val enA = "the cat and the dog walk of the town is big with joy today"
+    val enB = "the sun and the moon of this sky is bright with light all day"
+    val contaminated =
+      "the quiz and the exam of this bench is secret with answers here"
+    val corpus = Seq(
+      1L -> enA, 2L -> enA.split(" ").drop(1).mkString(" "),
+      3L -> enB, 4L -> "zzz", 5L -> contaminated).toDF("id", "t")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-corpus-staged").toString
+    try {
+      val st = CorpusPipeline.run(corpus, "t", "id",
+        Seq((1L, 2L)).toDF("id_a", "id_b"),
+        Seq(contaminated).toDF("text"), "text",
+        targets = Map("en" -> 1.0), salt = "spec", seqLen = 8L,
+        stagingPath = Some(root))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("stage_idx")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSeq
+      val fromHandle = rows(CorpusPipeline.retentionReport(st, "t"))
+      val fromStaging =
+        rows(CorpusPipeline.retentionReportStaged(spark, root, "t"))
+      assert(fromStaging == fromHandle)
+      assert(fromStaging.map(_._2) ==
+        Seq("curated", "deduped", "clean", "sampled"))
+      assert(fromStaging.head._3 == 4L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
 }

@@ -118,6 +118,11 @@ object ScaleStress {
     // MV build — should stay near-flat: fixed day count, pruned scan)
     "pareto_ties2m_tieband", "hll_state_bytes_flat",
     "mv_kll_ranged_serve",
+    // round-16: the flagship composition end-to-end with in-probe
+    // funnel-binds + mass-conservation gates (also on the 100× list —
+    // see NOTES_r16's gate commands); fresh staging dir per call, so
+    // the line measures the full staged build, not a memo hit
+    "corpus_pipeline_staged",
     // round-14: concat-and-chunk sequence packing — the band-frame
     // cumsum decomposition should hold a linear curve (pieces scale
     // with the corpus, the offset window with the band count)
@@ -355,6 +360,58 @@ object ScaleStress {
         s"rfm_cap4m: $drift rows differ between derived-k ($k) and " +
           "exact cutpoints at the 2^22 cap boundary")
       approx.groupBy(col("segment")).agg(count(lit(1)).as("n"))
+    }),
+    // round-16: the flagship composition (x182) run END-TO-END with a
+    // FRESH staging dir per call — the full staged chain (kernel
+    // near-dup pair generation, curate / keep-best / decontaminate /
+    // mix boundary writes + re-reads, packing) with the x183 funnel
+    // invariants ASSERTED in-probe: every stage count strictly
+    // positive AND strictly decreasing (the SCALING s20 binds-check —
+    // a stage going empty or pass-through fails the run with the
+    // stage's name on it), plus packed mass conservation against the
+    // sampled boundary. Pairs use the KERNEL minhash path at the
+    // documented raw-pair scale posture (maxPairsPerDoc cap — the ×N
+    // inflation is a 100%-duplicate corpus, so per-anchor multiplicity
+    // is the quadratic axis); the sha256 audit spelling's ~10× hashing
+    // cost would drown the composition's own curve.
+    "corpus_pipeline_staged" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stress-corpus").toString
+      try {
+        val corpus = SparkEntry.x182Corpus(s, dir)
+        val pairs = graft.ext.TextDedup.minhashDupPairs(corpus, "t", "id",
+          maxPairsPerDoc = 32, stagingPath = Some(s"$root/sig"))
+        val bench = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+        val st = graft.ext.CorpusPipeline.run(corpus, "t", "id", pairs,
+          bench, "text", SparkEntry.x182Targets, salt = "x182",
+          seqLen = 2048L, mixCol = "source",
+          stagingPath = Some(s"$root/stages"))
+        val funnel = graft.ext.CorpusPipeline
+          .retentionReportStaged(s, s"$root/stages", "t")
+          .orderBy(col("stage_idx")).collect()
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+        funnel.foreach { case (stage, n, tk) =>
+          require(n > 0 && tk > 0,
+            s"corpus_pipeline_staged: stage '$stage' went empty ($n docs, $tk tokens)") }
+        funnel.sliding(2).foreach { case Array((a, na, _), (b, nb, _)) =>
+          require(nb < na,
+            s"corpus_pipeline_staged: funnel must strictly decrease, got $a=$na -> $b=$nb")
+          case _ => }
+        // packed mass conservation: every sampled token lands in
+        // exactly one packed piece (|sequences|-sized aggregate)
+        val packedMass = st.packed
+          .agg(coalesce(sum(col("piece_len")), lit(0L))).head.getLong(0)
+        require(packedMass == funnel.last._3,
+          s"corpus_pipeline_staged: packing lost mass — " +
+            s"${funnel.last._3} sampled tokens vs $packedMass packed")
+        val nSeqs = st.packed.select(col("seq_id")).distinct().count()
+        import s.implicits._
+        (funnel.toSeq :+ (("packed", nSeqs, packedMass)))
+          .toDF("stage", "n", "tokens")
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(root))
     }),
     // x181's grouped packing with its invariants ASSERTED at scale:
     // (a) per-group full-sequence — within each lang stream every

@@ -3980,12 +3980,37 @@ object SparkEntry {
           cachePath(d, "x182") + "/stages", "t")
         .orderBy(col("stage_idx"))
     }),
+    "x184_incremental_corpus" -> ((s, d) => {
+      // transform-on-INGEST curation (the reference's per-insert-block
+      // MV discipline applied to the LLM chain): the perturbed corpus
+      // arrives as TWO batches — originals, then perturbed copies —
+      // each flowing curate (frozen batch-0 vocab) → 8-gram
+      // decontaminate → online dedup against the accepted index, with
+      // marker-committed O(delta) state. Portable (sha256) dedup mode,
+      // so the oracle replays the whole chain including the greedy
+      // cross-batch drop rule. Output: the accepted corpus with batch
+      // attribution.
+      graft.ext.IncrementalCorpus.readAccepted(s, x184Root(s, d))
+        .select(col("id"), col("ingest_batch"))
+        .orderBy(col("id"))
+    }),
+    "x185_incremental_funnel" -> ((s, d) => {
+      // the per-batch acceptance report a continuous-ingestion
+      // pipeline publishes: surviving docs + token mass per ingest
+      // batch — a drift in any per-batch stage (or in the cross-batch
+      // drop rule) shows up as a named batch's count diff
+      graft.ext.IncrementalCorpus.readAccepted(s, x184Root(s, d))
+        .groupBy(col("ingest_batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("t"), " ")).cast("long")).as("n_tokens"))
+        .orderBy(col("ingest_batch"))
+    }),
   )
 
   /** The x182/x183 crawl corpus: [[perturbedCorpus]] carrying each
     * doc's SOURCE (perturbed copies inherit their base doc's source
     * via id % 1000000 — the perturbation offset contract). */
-  private def x182Corpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def x182Corpus(s: SparkSession, d: String): DataFrame =
     perturbedCorpus(t(s, d, "documents"))
       .join(t(s, d, "documents")
         .select(col("doc_id").as("_bid"), col("source")),
@@ -4016,11 +4041,39 @@ object SparkEntry {
       })
     }
 
+  /** Build-once memo for the x184/x185 incremental-corpus state: the
+    * FIRST family query in a JVM ingests the two batches (markers make
+    * any concurrent/later build a no-op — the committed state is
+    * code-identical within a JVM), later queries read committed
+    * parquet. Same key discipline as [[x182Memo]]. */
+  private val x184Memo = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+  private def x184Root(s: SparkSession, d: String): String =
+    x184Memo.synchronized {
+      x184Memo.getOrElseUpdate(s"${sessionKey(s)}:$d", {
+        val root = cachePath(d, "x184") + "/state"
+        val corpus = perturbedCorpus(t(s, d, "documents"))
+        val cfg = graft.ext.IncrementalCorpus.Config("t", "id",
+          portableDedup = true)
+        // frozen vocabulary: top-30 tokens of batch 0 (the originals)
+        val vocab = graft.ext.TextAnalysis.tokenTopK(
+          corpus.filter(col("id") < 1000000), "t", 30).select(col("token"))
+        val bench = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        graft.ext.IncrementalCorpus.applyDelta(
+          corpus.filter(col("id") < 1000000), 0, root, cfg, vocab,
+          bench, "text")
+        graft.ext.IncrementalCorpus.applyDelta(
+          corpus.filter(col("id") >= 1000000), 1, root, cfg, vocab,
+          bench, "text")
+        root
+      })
+    }
+
   /** Non-uniform source targets for the x182 mix stage: heads get
     * 10% each, the tail splits the rest — so most groups' keep_prob
     * lands strictly below 1 and the sha256-threshold apply is
     * value-exercised, not a pass-through. */
-  private val x182Targets: Map[String, Double] =
+  private[graft] val x182Targets: Map[String, Double] =
     (0 to 3).map(i => s"src$i" -> 0.1).toMap ++
       (4 to 19).map(i => s"src$i" -> 0.0375).toMap
 
@@ -8896,6 +8949,17 @@ object SparkEntry {
         |    CAST(COALESCE(sum(len(string_split(c.t, ' '))), 0) AS BIGINT)
         |  FROM smp JOIN corpus c USING (id))
         |ORDER BY stage_idx""".stripMargin),
+    // the x184 incremental-ingest replay: shared frozen-vocab curate +
+    // decon + greedy two-batch online-dedup chain → accepted corpus
+    "x184_incremental_corpus" -> (duckIncrementalCorpusCtes + "\n" +
+      "SELECT id, ingest_batch FROM acc ORDER BY id"),
+    // x185: the SAME chain read as the per-batch acceptance funnel
+    "x185_incremental_funnel" -> (duckIncrementalCorpusCtes + "\n" +
+      """SELECT ingest_batch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(c.t, ' '))) AS BIGINT) AS n_tokens
+        |FROM acc JOIN corpus c USING (id)
+        |GROUP BY ingest_batch ORDER BY ingest_batch""".stripMargin),
   )
 
   /** The shared x182/x183 replay chain: the portable pair CTEs
@@ -8909,56 +8973,125 @@ object SparkEntry {
     * with every stage boundary (`keep`, `dd`, `cln`, `smp`) readable
     * by consumers. Built by concatenation (an outer stripMargin would
     * re-strip the chain's `||` lane-concat lines). */
+  /** Curate CTE fragment — x40's metric/verdict spelling over the
+    * normalized `corpus` relation, ending at `keep(id)` (the curation
+    * survivors). `vocabWhere` restricts the token rows feeding the
+    * top-30 vocabulary: empty = whole-corpus vocabulary (the batch
+    * pipeline, x182); `"WHERE id < 1000000"` = vocabulary frozen on
+    * the original docs (the incremental pipeline's frozen-vocab
+    * contract, x184). ONE spelling for both chains — in-lockstep
+    * copies desynchronize silently. */
+  private def duckCurateCtes(vocabWhere: String): String =
+    s"""cm0 AS (
+       |  SELECT id, t, LENGTH(t) AS n_chars,
+       |    string_split(t, ' ') AS ltoks,
+       |    len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS n_punct
+       |  FROM corpus),
+       |cm AS (
+       |  SELECT id, n_chars, len(ltoks) AS n_tokens,
+       |    CAST(list_sum(list_transform(ltoks, tk -> length(tk))) AS DOUBLE)
+       |      / greatest(len(ltoks), 1) AS avg_tok,
+       |    CAST(len(list_filter(ltoks, tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as'], tk))) AS DOUBLE)
+       |      / greatest(len(ltoks), 1) AS stop_r,
+       |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_r,
+       |    CAST(len(list_filter(ltoks, tk -> list_contains(['the','and','of','is','with'], tk))) AS BIGINT) AS s_en,
+       |    CAST(len(list_filter(ltoks, tk -> list_contains(['el','la','de','que','y'], tk))) AS BIGINT) AS s_es,
+       |    CAST(len(list_filter(ltoks, tk -> list_contains(['le','la','et','les','des'], tk))) AS BIGINT) AS s_fr,
+       |    CAST(len(list_filter(ltoks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS BIGINT) AS s_de
+       |  FROM cm0),
+       |lq AS (
+       |  SELECT id, $duckQualityExpr AS quality,
+       |    $duckLangExpr AS lang_guess
+       |  FROM cm),
+       |grams AS (
+       |  SELECT id,
+       |    CASE WHEN len(ltoks) <= 3 THEN [array_to_string(ltoks, ' ')]
+       |         ELSE list_transform(range(0, len(ltoks) - 3 + 1),
+       |                i -> array_to_string(ltoks[i+1:i+3], ' '))
+       |    END AS g
+       |  FROM cm0),
+       |rep AS (
+       |  SELECT id,
+       |    CAST(1 AS DOUBLE) - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+       |      AS dup_ngram_frac
+       |  FROM grams),
+       |tok AS (SELECT id, unnest(ltoks) AS tok FROM cm0),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT tok AS token, count(*) AS cnt FROM tok $vocabWhere
+       |    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30)),
+       |oov AS (
+       |  SELECT id,
+       |    CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / count(*) AS oov_rate
+       |  FROM tok tt LEFT JOIN vocab v ON tt.tok = v.token
+       |  GROUP BY id),
+       |keep AS (
+       |  SELECT lq.id FROM lq JOIN rep USING (id) JOIN oov USING (id)
+       |  WHERE quality >= 0.5 AND dup_ngram_frac <= 0.3
+       |    AND lang_guess <> 'und' AND oov_rate <= 0.6)""".stripMargin
+
+  /** Decontamination CTE fragment — the 8-gram shingle-overlap gate
+    * (benchmark = original docs with doc_id % 10 = 0, shingles built
+    * from the pair chain's `toks`), run over `inputRel`'s ids and
+    * ending at `cln(id)`. `inputRel` = `"dd"` (post-dedup — the batch
+    * pipeline's stage order) or `"keep"` (post-curate — the
+    * incremental pipeline's, where dedup runs LAST against the
+    * accepted index). */
+  private def duckDeconCtes(inputRel: String): String =
+    s"""s8 AS (
+       |  SELECT id, list_distinct(
+       |    CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+       |         ELSE list_transform(range(0, len(w) - 8 + 1),
+       |                i -> array_to_string(w[i+1:i+8], ' '))
+       |    END) AS ss8
+       |  FROM toks),
+       |bench AS (
+       |  SELECT DISTINCT unnest(ss8) AS bsh FROM s8
+       |  WHERE id < 1000000 AND id % 10 = 0),
+       |ds AS (SELECT s2.id, unnest(s2.ss8) AS sh FROM s8 s2 JOIN $inputRel USING (id)),
+       |cont AS (
+       |  SELECT ds.id, CAST(count(b.bsh) AS DOUBLE) / count(*) AS contamination
+       |  FROM ds LEFT JOIN bench b ON ds.sh = b.bsh GROUP BY ds.id),
+       |cln AS (SELECT id FROM cont WHERE contamination <= 0.2)""".stripMargin
+
+  /** The shared x184/x185 replay chain: the portable pair CTEs, then
+    * curate with the vocabulary FROZEN on batch 0 (the originals),
+    * 8-gram decontamination over the curation survivors, then the
+    * greedy two-batch online dedup — batch 0 = originals
+    * (id < 1000000), batch 1 = perturbed copies, replaying
+    * [[graft.ext.IncrementalCorpus]]'s direct-edge drop rule exactly:
+    * within a batch the higher id of a verified pair drops; a batch
+    * doc paired with an ACCEPTED doc drops; pairs to DROPPED docs
+    * decide nothing (the index holds accepted docs only). Ends at
+    * `acc(id, ingest_batch)`. */
+  private lazy val duckIncrementalCorpusCtes: String = (duckPortablePairCtes + ",\n" +
+      duckCurateCtes(vocabWhere = "WHERE id < 1000000") + ",\n" +
+      duckDeconCtes("keep") + ",\n" +
+      """b0 AS (SELECT id FROM cln WHERE id < 1000000),
+        |b1 AS (SELECT id FROM cln WHERE id >= 1000000),
+        |drop0 AS (
+        |  SELECT DISTINCT p.id_b AS id FROM pairs p
+        |  JOIN b0 a ON a.id = p.id_a JOIN b0 b ON b.id = p.id_b),
+        |acc0 AS (SELECT id FROM b0 ANTI JOIN drop0 USING (id)),
+        |drop1 AS (
+        |  SELECT p.id_b AS id FROM pairs p
+        |    JOIN b1 a ON a.id = p.id_a JOIN b1 b ON b.id = p.id_b
+        |  UNION
+        |  SELECT p.id_b FROM pairs p
+        |    JOIN acc0 a ON a.id = p.id_a JOIN b1 b ON b.id = p.id_b
+        |  UNION
+        |  SELECT p.id_a FROM pairs p
+        |    JOIN b1 a ON a.id = p.id_a JOIN acc0 b ON b.id = p.id_b),
+        |acc1 AS (SELECT id FROM b1 ANTI JOIN drop1 USING (id)),
+        |acc AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS ingest_batch FROM acc0
+        |  UNION ALL
+        |  SELECT id, CAST(1 AS BIGINT) AS ingest_batch FROM acc1)""".stripMargin)
+
   private lazy val duckCorpusPipelineCtes: String = (duckRecursivePairCtes + ",\n" +
-      s"""cm0 AS (
-         |  SELECT id, t, LENGTH(t) AS n_chars,
-         |    string_split(t, ' ') AS ltoks,
-         |    len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS n_punct
-         |  FROM corpus),
-         |cm AS (
-         |  SELECT id, n_chars, len(ltoks) AS n_tokens,
-         |    CAST(list_sum(list_transform(ltoks, tk -> length(tk))) AS DOUBLE)
-         |      / greatest(len(ltoks), 1) AS avg_tok,
-         |    CAST(len(list_filter(ltoks, tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as'], tk))) AS DOUBLE)
-         |      / greatest(len(ltoks), 1) AS stop_r,
-         |    CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_r,
-         |    CAST(len(list_filter(ltoks, tk -> list_contains(['the','and','of','is','with'], tk))) AS BIGINT) AS s_en,
-         |    CAST(len(list_filter(ltoks, tk -> list_contains(['el','la','de','que','y'], tk))) AS BIGINT) AS s_es,
-         |    CAST(len(list_filter(ltoks, tk -> list_contains(['le','la','et','les','des'], tk))) AS BIGINT) AS s_fr,
-         |    CAST(len(list_filter(ltoks, tk -> list_contains(['der','die','das','und','ist'], tk))) AS BIGINT) AS s_de
-         |  FROM cm0),
-         |lq AS (
-         |  SELECT id, $duckQualityExpr AS quality,
-         |    $duckLangExpr AS lang_guess
-         |  FROM cm),
-         |grams AS (
-         |  SELECT id,
-         |    CASE WHEN len(ltoks) <= 3 THEN [array_to_string(ltoks, ' ')]
-         |         ELSE list_transform(range(0, len(ltoks) - 3 + 1),
-         |                i -> array_to_string(ltoks[i+1:i+3], ' '))
-         |    END AS g
-         |  FROM cm0),
-         |rep AS (
-         |  SELECT id,
-         |    CAST(1 AS DOUBLE) - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
-         |      AS dup_ngram_frac
-         |  FROM grams),
-         |tok AS (SELECT id, unnest(ltoks) AS tok FROM cm0),
-         |vocab AS (
-         |  SELECT token FROM (
-         |    SELECT tok AS token, count(*) AS cnt FROM tok
-         |    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30)),
-         |oov AS (
-         |  SELECT id,
-         |    CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |      / count(*) AS oov_rate
-         |  FROM tok tt LEFT JOIN vocab v ON tt.tok = v.token
-         |  GROUP BY id),
-         |keep AS (
-         |  SELECT lq.id FROM lq JOIN rep USING (id) JOIN oov USING (id)
-         |  WHERE quality >= 0.5 AND dup_ngram_frac <= 0.3
-         |    AND lang_guess <> 'und' AND oov_rate <= 0.6),
-         |spairs AS (
+      duckCurateCtes(vocabWhere = "") + ",\n" +
+      """spairs AS (
          |  SELECT id_a, id_b FROM pairs
          |  WHERE id_a IN (SELECT id FROM keep)
          |    AND id_b IN (SELECT id FROM keep)),
@@ -8974,22 +9107,9 @@ object SparkEntry {
         |dd AS (
         |  SELECT k.id FROM keep k LEFT JOIN comp g ON g.id = k.id
         |  WHERE g.id IS NULL OR k.id IN (SELECT id FROM best)),
-        |s8 AS (
-        |  SELECT id, list_distinct(
-        |    CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
-        |         ELSE list_transform(range(0, len(w) - 8 + 1),
-        |                i -> array_to_string(w[i+1:i+8], ' '))
-        |    END) AS ss8
-        |  FROM toks),
-        |bench AS (
-        |  SELECT DISTINCT unnest(ss8) AS bsh FROM s8
-        |  WHERE id < 1000000 AND id % 10 = 0),
-        |ds AS (SELECT s2.id, unnest(s2.ss8) AS sh FROM s8 s2 JOIN dd USING (id)),
-        |cont AS (
-        |  SELECT ds.id, CAST(count(b.bsh) AS DOUBLE) / count(*) AS contamination
-        |  FROM ds LEFT JOIN bench b ON ds.sh = b.bsh GROUP BY ds.id),
-        |cln AS (SELECT id FROM cont WHERE contamination <= 0.2),
-        |bsrc AS (SELECT doc_id AS bid, source FROM documents),
+        |""".stripMargin +
+      duckDeconCtes("dd") + ",\n" +
+      """bsrc AS (SELECT doc_id AS bid, source FROM documents),
         |mixg AS (SELECT c2.id, s.source AS grp FROM cln c2
         |         JOIN bsrc s ON s.bid = c2.id % 1000000),
         |-- null mix keys are excluded from the frac denominator, the

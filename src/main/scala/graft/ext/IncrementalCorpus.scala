@@ -1,0 +1,221 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transform-on-INGEST corpus curation — the incremental variant of
+  * [[CorpusPipeline]]: an appended document batch flows
+  * curate → decontaminate → near-dup-dedup-against-index and its
+  * survivors land in an append-only accepted-corpus table, with
+  * per-batch work O(delta), not O(corpus).
+  *
+  * The per-doc stages carry no corpus state by construction: curation
+  * scores each document against a FROZEN broadcast vocabulary (the
+  * caller freezes it at pipeline init — recomputing a top-K vocab per
+  * batch would make early and late batches incomparable), and
+  * decontamination checks each document against a fixed broadcast
+  * benchmark-shingle set. The only cross-document stage — near-dup
+  * dedup — runs against the persisted [[TextDedup.minhashIndex]] of
+  * previously ACCEPTED docs ([[TextDedup.dedupAgainstIndex]]'s
+  * direct-edge online contract: an accepted doc always beats a later
+  * near-dup; within a batch the lower id wins), so a batch re-hashes
+  * only its own text and the index grows by the batch's survivors.
+  *
+  * Durability follows [[graft.stream.IncrementalMv]]'s ledger: each
+  * batch writes its survivors (and their index rows) into its OWN
+  * `ingest_batch=<b>` directory and commits a marker file LAST.
+  * Readers and the dedup index see only marker-committed batches, so
+  * a crash at any landing leaves the state consistent and a replay of
+  * the same `batchId` recomputes from exactly the committed prefix —
+  * idempotent by construction (re-writing a batch directory whose
+  * marker never landed is a full overwrite, and the inputs it derives
+  * from are all committed state).
+  *
+  * Reference role: the reference's defining discipline is
+  * transform-on-insert — MVs fire per insert block
+  * (kickhouse DDL:229-233,447-470); this applies that discipline to
+  * the LLM-curation chain instead of an aggregate.
+  *
+  * Scale shape at 100 TB: per batch — three narrow scans of the DELTA
+  * for curation (broadcast vocab), one broadcast-semi-join
+  * decontamination pass over the delta, one band-key exchange of
+  * |delta| signatures against the persisted index parquet (corpus
+  * TEXT is never re-read), two delta-sized parquet writes. Nothing
+  * scales with the accepted corpus except the index scan, which reads
+  * two thin columns of an append-only table.
+  */
+object IncrementalCorpus {
+
+  /** Pipeline thresholds + dedup build parameters. `portableDedup`
+    * swaps the kernel xxhash64 index path for the sha256 audit
+    * spelling ([[TextDedup.portableMinhashDupPairs]], the x13
+    * lineage): every hash reproducible cross-engine, so a DuckDB
+    * oracle can replay the whole chain — at ~10× the hashing cost and
+    * O(accepted + delta) re-hashing per batch (the audit pool is
+    * re-built from text). Production ingestion keeps the default. */
+  final case class Config(
+    textCol: String, idCol: String,
+    minQuality: Double = 0.5, maxDupNgramFrac: Double = 0.3,
+    maxOovRate: Double = 0.6, maxContamination: Double = 0.2,
+    decontaminateK: Int = 8,
+    shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+    threshold: Double = 0.7, maxBucket: Int = 1000,
+    portableDedup: Boolean = false)
+
+  private def commitsDir(root: String) =
+    new Path(s"${root.stripSuffix("/")}/_graft_commits")
+  private def commitPath(root: String, batchId: Long) =
+    new Path(commitsDir(root), batchId.toString)
+  private def docsDir(root: String) = s"${root.stripSuffix("/")}/docs"
+  private def indexDir(root: String) = s"${root.stripSuffix("/")}/index"
+  private def batchDir(base: String, b: Long) = s"$base/ingest_batch=$b"
+
+  /** Test-only fault injection (the [[graft.stream.IncrementalMv]]
+    * convention): `"post-docs"` fires after the survivors' parquet
+    * landed but before the index rows, `"post-index"` after both
+    * writes but before the commit marker — the two landings the
+    * marker ledger defends. Default no-op. */
+  private[graft] val faultHook =
+    new java.util.concurrent.atomic.AtomicReference[String => Unit](_ => ())
+  private def fault(point: String): Unit = faultHook.get()(point)
+
+  /** Marker-committed batch ids under `root`, ascending. */
+  private def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commitsDir(root))) Seq.empty
+    else fs.listStatus(commitsDir(root))
+      .map(_.getPath.getName.toLong).sorted.toSeq
+  }
+
+  /** The accepted corpus: every marker-committed batch's survivors,
+    * schema `(idCol, textCol, lang_guess, ingest_batch)` — the batch
+    * id rides in from the directory layout as a partition column, so
+    * per-batch slices are partition-pruned scans. */
+  def readAccepted(spark: SparkSession, root: String): DataFrame = {
+    val committed = committedBatches(spark, root)
+    require(committed.nonEmpty,
+      s"IncrementalCorpus: no committed batches under $root")
+    spark.read.option("basePath", docsDir(root))
+      .parquet(committed.map(b => batchDir(docsDir(root), b)): _*)
+      .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+  }
+
+  /** The committed dedup index ([[TextDedup.minhashIndex]] rows of
+    * every accepted doc); empty-but-typed when nothing is committed. */
+  private def committedIndex(spark: SparkSession, root: String,
+                             cfg: Config, like: DataFrame): DataFrame = {
+    val committed = committedBatches(spark, root)
+    if (committed.isEmpty)
+      TextDedup.minhashIndex(like.limit(0), cfg.textCol, cfg.idCol,
+        cfg.shingleK, cfg.numHashes)
+    else spark.read
+      .parquet(committed.map(b => batchDir(indexDir(root), b)): _*)
+  }
+
+  /** Curate one batch against the frozen vocabulary —
+    * [[CorpusPipeline.run]]'s stage-1 spelling with `vocab` supplied
+    * instead of derived, so the metrics and the keep/cut rule stay in
+    * lockstep with the batch pipeline (and with the x182 oracle's
+    * curate CTEs). Output: `(idCol, textCol, lang_guess)`. */
+  private[ext] def curate(delta: DataFrame, cfg: Config,
+                          vocab: DataFrame): DataFrame = {
+    val id = col(cfg.idCol)
+    val prof = TextAnalysis.profile(delta, cfg.textCol, cfg.idCol)
+      .select(id, col("quality"), col("lang_guess"))
+    val rep = TextAnalysis.repetitionProfile(delta, cfg.textCol, cfg.idCol)
+      .select(col("doc_id").as(cfg.idCol), col("dup_ngram_frac"))
+    val oov = TextAnalysis.oovProfile(delta, cfg.textCol, cfg.idCol,
+      vocab.select(col("token")))
+      .select(id, col("oov_rate"))
+    delta.select(id, col(cfg.textCol))
+      .join(prof, Seq(cfg.idCol)).join(rep, Seq(cfg.idCol))
+      .join(oov, Seq(cfg.idCol))
+      .filter(col("quality") >= cfg.minQuality &&
+        col("dup_ngram_frac") <= cfg.maxDupNgramFrac &&
+        col("lang_guess") =!= "und" && col("oov_rate") <= cfg.maxOovRate)
+      .select(id, col(cfg.textCol), col("lang_guess"))
+  }
+
+  /** The sha256 audit-spelling dedup: [[TextDedup.dedupAgainstIndex]]'s
+    * exact drop rule (already-accepted id → skip; edge to an accepted
+    * doc → the batch member drops; batch-batch edge → the higher id
+    * drops) re-derived from [[TextDedup.portableMinhashDupPairs]] over
+    * accepted ∪ batch text, so a cross-engine oracle can replay it. */
+  private def portableDedupAgainstAccepted(fresh0: DataFrame, cfg: Config,
+                                           accepted: DataFrame): DataFrame = {
+    val accIds = accepted.select(col(cfg.idCol).as("_graft_acc_id"))
+    val fresh = fresh0.join(accIds,
+      fresh0(cfg.idCol) === col("_graft_acc_id"), "left_anti")
+    val pool = accepted.select(col(cfg.idCol), col(cfg.textCol))
+      .unionByName(fresh.select(col(cfg.idCol), col(cfg.textCol)))
+    val pairs = TextDedup.portableMinhashDupPairs(pool, cfg.textCol,
+      cfg.idCol, cfg.shingleK, threshold = cfg.threshold)
+    val flagged = pairs
+      .join(accIds.select(col("_graft_acc_id").as("id_a"),
+        lit(1).as("_graft_a_acc")), Seq("id_a"), "left")
+      .join(accIds.select(col("_graft_acc_id").as("id_b"),
+        lit(1).as("_graft_b_acc")), Seq("id_b"), "left")
+    val dropped = flagged.select(
+        when(col("_graft_a_acc").isNull && col("_graft_b_acc").isNull,
+          col("id_b")) // batch-batch: higher id loses (id_a < id_b)
+          .when(col("_graft_a_acc").isNotNull && col("_graft_b_acc").isNull,
+            col("id_b")) // accepted beats the batch member
+          .when(col("_graft_b_acc").isNotNull && col("_graft_a_acc").isNull,
+            col("id_a"))
+          .as("_graft_dup_id")) // accepted-accepted edges decide nothing
+      .filter(col("_graft_dup_id").isNotNull).distinct()
+    fresh.join(dropped, fresh(cfg.idCol) === col("_graft_dup_id"), "left_anti")
+  }
+
+  /** Flow one appended batch through the chain and commit its
+    * survivors. Idempotent per `batchId` (marker ledger); see the
+    * object doc for the landing analysis. `vocab` is the frozen
+    * curation vocabulary (one `token` column); `bench` the fixed
+    * decontamination benchmark. */
+  def applyDelta(delta: DataFrame, batchId: Long, root: String,
+                 cfg: Config, vocab: DataFrame,
+                 bench: DataFrame, benchTextCol: String): Unit = {
+    val spark = delta.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    graft.Guards.reserved(delta, "IncrementalCorpus.applyDelta",
+      Seq("quality", "lang_guess", "dup_ngram_frac", "oov_rate",
+        "ingest_batch"))
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = commitPath(root, batchId)
+    if (fs.exists(marker)) return // replayed batch: already committed
+
+    // per-doc stages — delta-sized, broadcast state only
+    val curated = curate(delta, cfg, vocab)
+    val clean = Decontaminate.decontaminate(curated, cfg.textCol,
+      cfg.idCol, bench, benchTextCol, k = cfg.decontaminateK,
+      maxContamination = cfg.maxContamination)
+
+    // cross-batch stage — against the COMMITTED index only (an
+    // uncommitted predecessor is invisible, exactly like a reader)
+    val kept =
+      if (cfg.portableDedup)
+        portableDedupAgainstAccepted(clean, cfg,
+          if (committedBatches(spark, root).isEmpty) clean.limit(0)
+          else readAccepted(spark, root))
+      else TextDedup.dedupAgainstIndex(clean, cfg.textCol, cfg.idCol,
+        committedIndex(spark, root, cfg, clean), cfg.shingleK,
+        cfg.numHashes, cfg.bands, cfg.threshold, cfg.maxBucket,
+        stagingPath = Some(s"${root.stripSuffix("/")}/_graft_staging/$batchId/sig"))
+
+    // land survivors, then their index rows FROM THE LANDED PARQUET
+    // (truncated lineage: the dedup join runs once, and the index is
+    // derived from exactly the bytes readers will see), then the marker
+    val docsPath = batchDir(docsDir(root), batchId)
+    kept.write.mode("overwrite").parquet(docsPath)
+    fault("post-docs")
+    TextDedup.minhashIndex(spark.read.parquet(docsPath), cfg.textCol,
+        cfg.idCol, cfg.shingleK, cfg.numHashes)
+      .write.mode("overwrite").parquet(batchDir(indexDir(root), batchId))
+    fault("post-index")
+    fs.create(marker, true).close()
+    fs.delete(new Path(s"${root.stripSuffix("/")}/_graft_staging/$batchId"), true)
+  }
+}

@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.IncrementalCorpus
+
+/** Transform-on-ingest corpus curation (x184/x185): per-batch stage
+  * contracts on an engineered fixture (every victim named), the
+  * index-only/direct-edge dedup contract, idempotent replay across
+  * both crash landings, and stream==batch parity — the same deltas
+  * through a real Structured Streaming foreachBatch loop (with a
+  * checkpointed restart between batches) land the same accepted
+  * corpus as direct applyDelta calls. */
+class IncrementalCorpusSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // 20-token base sentence; near-dup chain by PREFIX length: 17 tokens
+  // gives 3-shingle Jaccard 15/18 ≈ 0.83 vs the 20 (≥ 0.7 → dup), 14
+  // tokens gives 12/15 = 0.8 vs the 17 but only 12/18 ≈ 0.67 vs the 20
+  // (< 0.7 → NOT a dup of the 20) — the chain that separates
+  // "near-dups an ACCEPTED doc" from "near-dups a DROPPED doc".
+  private val d8Text = ("the quick brown fox jumps over the lazy dog " +
+    "while the bright sun warms the quiet green field today now")
+  private def prefix(n: Int): String = d8Text.split(" ").take(n).mkString(" ")
+
+  private val enA = "the cat and the dog walk of the town is big with joy today"
+  private val enB = "the sun and the moon of this sky is bright with light all day"
+  private val enC = "the bird and the fish of this lake is calm with mist at dawn"
+  private val contaminated =
+    "the quiz and the exam of this bench is secret with answers here"
+
+  private val benchDf = Seq(contaminated).toDF("text")
+  // frozen vocab: every word of the fixture (so oov cuts nothing and
+  // the curate victim is the quality rule, as engineered)
+  private def vocabDf = (enA + " " + enB + " " + enC + " " + d8Text)
+    .split(" ").distinct.toSeq.toDF("token")
+  private val cfg = IncrementalCorpus.Config("t", "id",
+    decontaminateK = 8)
+
+  private val batch0 = Seq(
+    1L -> enA,           // kept
+    3L -> enB,           // kept
+    4L -> "zzz",         // curation cuts (quality < 0.5)
+    5L -> contaminated)  // decontamination cuts (== the benchmark)
+  private val batch1 = Seq(
+    6L -> enA.split(" ").drop(1).mkString(" "), // near-dups ACCEPTED 1 → drops
+    7L -> enC,            // kept
+    8L -> d8Text,         // kept (20 tokens)
+    9L -> prefix(17))     // near-dups 8 within the batch → higher id drops
+  private val batch2 = Seq(
+    11L -> prefix(14))    // near-dups only the DROPPED 9 → KEPT (index
+                          // holds accepted docs only — the online contract)
+
+  private def applyAll(root: String, c: IncrementalCorpus.Config = cfg): Unit = {
+    IncrementalCorpus.applyDelta(batch0.toDF("id", "t"), 0, root, c,
+      vocabDf, benchDf, "text")
+    IncrementalCorpus.applyDelta(batch1.toDF("id", "t"), 1, root, c,
+      vocabDf, benchDf, "text")
+    IncrementalCorpus.applyDelta(batch2.toDF("id", "t"), 2, root, c,
+      vocabDf, benchDf, "text")
+  }
+
+  private def accepted(root: String): Set[(Long, Long)] =
+    IncrementalCorpus.readAccepted(spark, root)
+      .select(col("id"), col("ingest_batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private val expected = Set(
+    (1L, 0L), (3L, 0L),           // batch0 survivors
+    (7L, 1L), (8L, 1L),           // batch1: 6 lost to accepted 1, 9 to 8
+    (11L, 2L))                    // batch2: 9 was never indexed
+
+  test("per-batch stage contracts, batch attribution, and the " +
+    "index-only direct-edge dedup rule (x184)") {
+    val root = Files.createTempDirectory("graft-inc-corpus").toString
+    try {
+      applyAll(root)
+      assert(accepted(root) == expected)
+      val acc = IncrementalCorpus.readAccepted(spark, root)
+      assert(acc.columns.toSet ==
+        Set("id", "t", "lang_guess", "ingest_batch"))
+      // the per-batch slice is a partition-pruned scan of one batch dir
+      val plan = acc.filter(col("ingest_batch") === 1)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ingest_batch=0") ||
+        plan.contains("PartitionFilters"),
+        "per-batch read should prune other batch partitions")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
+  test("replayed batch ids are no-ops, and a crash at either landing " +
+    "(post-docs / post-index) replays to the same accepted corpus") {
+    val root = Files.createTempDirectory("graft-inc-replay").toString
+    try {
+      applyAll(root)
+      // replay every batch: markers short-circuit, nothing changes
+      applyAll(root)
+      assert(accepted(root) == expected)
+      // crash landings on a FRESH root: arm a fail-once hook per point
+      Seq("post-docs", "post-index").foreach { point =>
+        val r2 = Files.createTempDirectory(s"graft-inc-$point").toString
+        try {
+          IncrementalCorpus.applyDelta(batch0.toDF("id", "t"), 0, r2, cfg,
+            vocabDf, benchDf, "text")
+          val once = new java.util.concurrent.atomic.AtomicBoolean(true)
+          IncrementalCorpus.faultHook.set(p =>
+            if (p == point && once.getAndSet(false))
+              throw new RuntimeException(s"injected crash at $point"))
+          try {
+            intercept[RuntimeException] {
+              IncrementalCorpus.applyDelta(batch1.toDF("id", "t"), 1, r2,
+                cfg, vocabDf, benchDf, "text")
+            }
+          } finally IncrementalCorpus.faultHook.set(_ => ())
+          // marker never landed → the batch is invisible to readers…
+          assert(accepted(r2) == expected.filter(_._2 == 0L),
+            s"uncommitted batch visible after $point crash")
+          // …and the replay lands it exactly once
+          IncrementalCorpus.applyDelta(batch1.toDF("id", "t"), 1, r2, cfg,
+            vocabDf, benchDf, "text")
+          IncrementalCorpus.applyDelta(batch2.toDF("id", "t"), 2, r2, cfg,
+            vocabDf, benchDf, "text")
+          assert(accepted(r2) == expected, s"replay after $point diverged")
+        } finally org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(r2))
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
+  test("portable (sha256 audit) dedup mode enforces the same online " +
+    "drop rule on exact duplicates and re-ingested ids") {
+    // exact copies share EVERY band under any hash family, so this
+    // fixture is banding-recall-independent (the near-dup recall
+    // equivalence between hash families is not a contract — x12/x13)
+    val root = Files.createTempDirectory("graft-inc-portable").toString
+    val pcfg = cfg.copy(portableDedup = true)
+    try {
+      IncrementalCorpus.applyDelta(
+        Seq(1L -> enA, 3L -> enB).toDF("id", "t"), 0, root, pcfg,
+        vocabDf, benchDf, "text")
+      IncrementalCorpus.applyDelta(Seq(
+        1L -> enC,  // id already accepted → re-ingestion skip
+        6L -> enA,  // exact copy of accepted 1 → drops
+        7L -> enC,  // kept
+        8L -> enB,  // exact copy of accepted 3 → drops
+        9L -> enC   // exact copy of LOWER batch id 7 → drops
+      ).toDF("id", "t"), 1, root, pcfg, vocabDf, benchDf, "text")
+      assert(accepted(root) == Set((1L, 0L), (3L, 0L), (7L, 1L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
+  test("a delta carrying a stage-internal column fails fast") {
+    val root = Files.createTempDirectory("graft-inc-guard").toString
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IncrementalCorpus.applyDelta(
+          Seq((1L, enA, "x")).toDF("id", "t", "lang_guess"), 0, root, cfg,
+          vocabDf, benchDf, "text")
+      }
+      assert(e.getMessage.contains("lang_guess"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
+  test("stream==batch parity: foreachBatch deltas across a checkpointed " +
+    "restart land the accepted corpus the direct calls land (ST10)") {
+    val inDir = Files.createTempDirectory("graft-inc-in").toString
+    val chk = Files.createTempDirectory("graft-inc-chk").toString
+    val streamRoot = Files.createTempDirectory("graft-inc-stream").toString
+    val directRoot = Files.createTempDirectory("graft-inc-direct").toString
+    try {
+      def runAvailable(): Unit = {
+        val q = spark.readStream
+          .schema(spark.read.parquet(inDir).schema)
+          .parquet(inDir)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            IncrementalCorpus.applyDelta(df, id, streamRoot, cfg,
+              vocabDf, benchDf, "text")
+          }
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      // micro-batch 0: batch0 ∪ batch1 files present at first start
+      (batch0 ++ batch1).toDF("id", "t").coalesce(1)
+        .write.mode("append").parquet(inDir)
+      runAvailable()
+      // restart with new files → micro-batch 1 (exactly-once across
+      // the restart is the checkpoint's job; applyDelta's ledger
+      // covers the foreachBatch replay)
+      batch2.toDF("id", "t").coalesce(1)
+        .write.mode("append").parquet(inDir)
+      runAvailable()
+
+      IncrementalCorpus.applyDelta((batch0 ++ batch1).toDF("id", "t"), 0,
+        directRoot, cfg, vocabDf, benchDf, "text")
+      IncrementalCorpus.applyDelta(batch2.toDF("id", "t"), 1,
+        directRoot, cfg, vocabDf, benchDf, "text")
+
+      def byId(root: String): Map[Long, String] =
+        IncrementalCorpus.readAccepted(spark, root)
+          .select(col("id"), col("t")).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(byId(streamRoot) == byId(directRoot))
+      // single-batch dedup of batch0 ∪ batch1 differs from the split
+      // application (6 near-dups 1 in the SAME batch now): the direct
+      // expectation derives from the same engineered chain
+      assert(byId(directRoot).keySet == Set(1L, 3L, 7L, 8L, 11L))
+    } finally Seq(inDir, chk, streamRoot, directRoot).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+}

@@ -123,6 +123,10 @@ object ScaleStress {
     // see NOTES_r16's gate commands); fresh staging dir per call, so
     // the line measures the full staged build, not a memo hit
     "corpus_pipeline_staged",
+    // round-16: one O(delta) ingest step of the incremental corpus
+    // pipeline against a staged accepted corpus (fixed 256-doc delta;
+    // prewarmed build, advancing batch ids — see the probe comment)
+    "incremental_corpus_delta",
     // round-14: concat-and-chunk sequence packing — the band-frame
     // cumsum decomposition should hold a linear curve (pieces scale
     // with the corpus, the offset window with the band count)
@@ -413,6 +417,37 @@ object ScaleStress {
       } finally org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(root))
     }),
+    // round-16: ONE O(delta) ingest step of the incremental corpus
+    // pipeline (x184's kernel-mode production shape) against a staged
+    // accepted corpus — the delta is a FIXED 256 near-dup-heavy docs
+    // (first-token-dropped copies of accepted originals, fresh ids per
+    // call), so the base/×N ratio reads how per-batch cost scales with
+    // the ACCEPTED corpus alone. In-probe gates: the batch commits,
+    // and accepted growth is bounded by the delta size with at least
+    // one near-dup dropped (dedup demonstrably binding).
+    "incremental_corpus_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val (root, ctr) = stagedIncCorpus(s, dir)
+      val b = ctr.getAndIncrement()
+      val before = graft.ext.IncrementalCorpus
+        .readAccepted(s, s"$root/state").count()
+      val deltaDf = Tables(s, dir, "documents")
+        .orderBy(col("doc_id")).limit(256)
+        .select(col("doc_id"), graft.ext.TextDedup.normalize(col("text")).as("t0"))
+        .select((col("doc_id") + 2000000000L + b * 1000000L).as("id"),
+          expr("CASE WHEN instr(t0, ' ') > 0 THEN substr(t0, instr(t0, ' ') + 1) ELSE t0 END").as("t"))
+      graft.ext.IncrementalCorpus.applyDelta(deltaDf, b, s"$root/state",
+        incCorpusCfg, s.read.parquet(s"$root/_vocab"),
+        incCorpusBench(s, dir), "text")
+      val after = graft.ext.IncrementalCorpus
+        .readAccepted(s, s"$root/state").count()
+      val added = after - before
+      require(added >= 0 && added < 256,
+        s"incremental_corpus_delta: $added of 256 near-dup deltas " +
+          "accepted — dedup against the index is not binding")
+      import s.implicits._
+      Seq((b, before, added)).toDF("batch", "accepted_before", "added")
+    }),
     // x181's grouped packing with its invariants ASSERTED at scale:
     // (a) per-group full-sequence — within each lang stream every
     // sequence but the group's last holds exactly seqLen tokens and
@@ -451,6 +486,50 @@ object ScaleStress {
         s"pack_by_source: $lost langs lost/gained token mass in packing")
       got
     }))
+
+  /** Build-once memo for the incremental-corpus delta probe: batch 0
+    * ingests the dir's WHOLE document corpus (kernel dedup mode) into
+    * a per-(JVM, dir) root — untimed via the prewarm hook, exactly the
+    * build-once/ingest-many production life. The probe then times ONE
+    * `applyDelta` of a FIXED-size near-dup-heavy delta, so its
+    * base-vs-inflated ratio isolates how per-batch cost scales with
+    * the ACCEPTED-CORPUS size at constant delta (the O(delta) claim:
+    * the delta's own work is fixed; the index contributes a thin
+    * two-column scan plus its side of the band exchange). Batch ids
+    * advance per call so the commit ledger never short-circuits a
+    * timed apply into a no-op. */
+  private val incCorpusMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (String, java.util.concurrent.atomic.AtomicLong)]
+  private def incCorpusCfg = graft.ext.IncrementalCorpus.Config("t", "id")
+  private[graft] def stagedIncCorpus(s: SparkSession, dir: String):
+      (String, java.util.concurrent.atomic.AtomicLong) =
+    incCorpusMemo.synchronized {
+      incCorpusMemo.getOrElseUpdate(dir, {
+        import org.apache.spark.sql.functions._
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-stress-inccorpus-${ProcessHandle.current().pid()}",
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))))
+        val corpus = Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"),
+            graft.ext.TextDedup.normalize(col("text")).as("t"))
+        val vocab = graft.ext.TextAnalysis.tokenTopK(corpus, "t", 30)
+          .select(col("token"))
+        vocab.write.mode("overwrite").parquet(s"$root/_vocab")
+        graft.ext.IncrementalCorpus.applyDelta(corpus, 0, s"$root/state",
+          incCorpusCfg, s.read.parquet(s"$root/_vocab"),
+          incCorpusBench(s, dir), "text")
+        (root, new java.util.concurrent.atomic.AtomicLong(1))
+      })
+    }
+  /** Fixed 500-doc benchmark (same docs at every inflation — the
+    * production bench set is a constant, not corpus-proportional). */
+  private def incCorpusBench(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables(s, dir, "documents").orderBy(col("doc_id")).limit(500)
+  }
 
   /** Build-once memo for the KLL-MV serve probe: one maintenance
     * delta folds the dir's events into a day-partitioned KLL MV under
@@ -571,6 +650,8 @@ object ScaleStress {
       Seq(baseDir, outDir).foreach(d => stagedIvf(spark, d))
     if (queryNames.contains("mv_kll_ranged_serve"))
       Seq(baseDir, outDir).foreach(d => stagedKllMv(spark, d))
+    if (queryNames.contains("incremental_corpus_delta"))
+      Seq(baseDir, outDir).foreach(d => stagedIncCorpus(spark, d))
 
     var failed = 0
     println(f"| query | base (s) | x$factor%d (s) | ratio |")

@@ -429,24 +429,42 @@ object ScaleStress {
       import org.apache.spark.sql.functions._
       val (root, ctr) = stagedIncCorpus(s, dir)
       val b = ctr.getAndIncrement()
-      val before = graft.ext.IncrementalCorpus
-        .readAccepted(s, s"$root/state").count()
+      // delta originals come from OUTSIDE the benchmark window (docs
+      // 0..127 are the fixed bench and self-contaminate out of the
+      // accepted set in batch 0) so the copies actually REACH the
+      // dedup stage and their originals are in the index — the
+      // review-caught failure mode was a delta annihilated by
+      // decontamination, gating 'dedup binds' vacuously
       val deltaDf = Tables(s, dir, "documents")
-        .orderBy(col("doc_id")).limit(256)
+        .filter(col("doc_id") >= 128 && col("doc_id") < 384)
         .select(col("doc_id"), graft.ext.TextDedup.normalize(col("text")).as("t0"))
         .select((col("doc_id") + 2000000000L + b * 1000000L).as("id"),
           expr("CASE WHEN instr(t0, ' ') > 0 THEN substr(t0, instr(t0, ' ') + 1) ELSE t0 END").as("t"))
       graft.ext.IncrementalCorpus.applyDelta(deltaDf, b, s"$root/state",
         incCorpusCfg, s.read.parquet(s"$root/_vocab"),
         incCorpusBench(s, dir), "text")
-      val after = graft.ext.IncrementalCorpus
-        .readAccepted(s, s"$root/state").count()
-      val added = after - before
-      require(added >= 0 && added < 256,
-        s"incremental_corpus_delta: $added of 256 near-dup deltas " +
-          "accepted — dedup against the index is not binding")
+      // gates are DELTA-sized reads (a full readAccepted count here
+      // would add an O(accepted-corpus) scan to the timed line):
+      // `clean` re-derives the delta's curate+decon survivor count, so
+      // `added` strictly below it proves the index dedup itself dropped
+      // rows; added ≤ clean/2 pins it binding HARD (every clean copy's
+      // original is accepted, modulo batch-0's own near-dup losers)
+      val clean = graft.ext.Decontaminate.decontaminate(
+        graft.ext.IncrementalCorpus.curate(deltaDf, incCorpusCfg,
+          s.read.parquet(s"$root/_vocab")),
+        "t", "id", incCorpusBench(s, dir), "text",
+        k = incCorpusCfg.decontaminateK,
+        maxContamination = incCorpusCfg.maxContamination).count()
+      val added = s.read
+        .parquet(s"$root/state/docs/ingest_batch=$b").count()
+      require(clean >= 64,
+        s"incremental_corpus_delta: only $clean of 256 delta docs " +
+          "reached dedup — upstream stages annihilated the probe")
+      require(added <= clean / 2,
+        s"incremental_corpus_delta: $added of $clean clean near-dup " +
+          "deltas accepted — dedup against the index is not binding")
       import s.implicits._
-      Seq((b, before, added)).toDF("batch", "accepted_before", "added")
+      Seq((b, clean, added)).toDF("batch", "clean", "added")
     }),
     // x181's grouped packing with its invariants ASSERTED at scale:
     // (a) per-group full-sequence — within each lang stream every
@@ -524,11 +542,13 @@ object ScaleStress {
         (root, new java.util.concurrent.atomic.AtomicLong(1))
       })
     }
-  /** Fixed 500-doc benchmark (same docs at every inflation — the
-    * production bench set is a constant, not corpus-proportional). */
+  /** Fixed 128-doc benchmark (same docs at every inflation — the
+    * production bench set is a constant, not corpus-proportional;
+    * sized below the smallest fixture's 500 docs and DISJOINT from the
+    * probe's delta-original window 128..383). */
   private def incCorpusBench(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    Tables(s, dir, "documents").orderBy(col("doc_id")).limit(500)
+    Tables(s, dir, "documents").filter(col("doc_id") < 128)
   }
 
   /** Build-once memo for the KLL-MV serve probe: one maintenance
@@ -646,7 +666,7 @@ object ScaleStress {
     // the timed region for BOTH dirs (the warm pass only touches
     // baseDir, so the first staged probe's inflated line would
     // otherwise absorb the entire k-means fit + staging write)
-    if (queryNames.exists(_.contains("_staged")))
+    if (queryNames.exists(n => n.startsWith("ivf_") && n.contains("_staged")))
       Seq(baseDir, outDir).foreach(d => stagedIvf(spark, d))
     if (queryNames.contains("mv_kll_ranged_serve"))
       Seq(baseDir, outDir).foreach(d => stagedKllMv(spark, d))

@@ -174,12 +174,7 @@ object CorpusPipeline {
     * on a staged run prefer [[retentionReportStaged]] (the same report
     * from the boundary files alone, no Stages handle needed). */
   def retentionReport(st: Stages, textCol: String): DataFrame =
-    funnel(stageTags.map {
-      case "curated" => st.curated
-      case "deduped" => st.deduped
-      case "clean"   => st.clean
-      case "sampled" => st.sampled
-    }, textCol)
+    funnel(Seq(st.curated, st.deduped, st.clean, st.sampled), textCol)
 
   /** [[retentionReport]] served from a [[run]] staging root alone —
     * the production serve shape: a curation run stages its boundaries

@@ -53,7 +53,14 @@ object IncrementalCorpus {
     * lineage): every hash reproducible cross-engine, so a DuckDB
     * oracle can replay the whole chain — at ~10× the hashing cost and
     * O(accepted + delta) re-hashing per batch (the audit pool is
-    * re-built from text). Production ingestion keeps the default. */
+    * re-built from text). Production ingestion keeps the default.
+    * REPLAY PRECONDITION (shared with the x13 oracle): portable pairs
+    * compute over the accepted∪batch POOL while a full-corpus replay
+    * measures band buckets over every doc, so the two agree only while
+    * no band bucket crosses `maxBucket` in either population — on a
+    * boilerplate-heavy corpus where the cap binds, a replay must
+    * restrict its bucket counts to the same pool. A binding cap fails
+    * the correctness gate loudly (hash diff), never silently. */
   final case class Config(
     textCol: String, idCol: String,
     minQuality: Double = 0.5, maxDupNgramFrac: Double = 0.3,
@@ -119,8 +126,8 @@ object IncrementalCorpus {
     * instead of derived, so the metrics and the keep/cut rule stay in
     * lockstep with the batch pipeline (and with the x182 oracle's
     * curate CTEs). Output: `(idCol, textCol, lang_guess)`. */
-  private[ext] def curate(delta: DataFrame, cfg: Config,
-                          vocab: DataFrame): DataFrame = {
+  private[graft] def curate(delta: DataFrame, cfg: Config,
+                            vocab: DataFrame): DataFrame = {
     val id = col(cfg.idCol)
     val prof = TextAnalysis.profile(delta, cfg.textCol, cfg.idCol)
       .select(id, col("quality"), col("lang_guess"))
@@ -144,14 +151,19 @@ object IncrementalCorpus {
     * drops) re-derived from [[TextDedup.portableMinhashDupPairs]] over
     * accepted ∪ batch text, so a cross-engine oracle can replay it. */
   private def portableDedupAgainstAccepted(fresh0: DataFrame, cfg: Config,
-                                           accepted: DataFrame): DataFrame = {
+                                           accepted: DataFrame,
+                                           stagingPath: Option[String]): DataFrame = {
     val accIds = accepted.select(col(cfg.idCol).as("_graft_acc_id"))
     val fresh = fresh0.join(accIds,
       fresh0(cfg.idCol) === col("_graft_acc_id"), "left_anti")
     val pool = accepted.select(col(cfg.idCol), col(cfg.textCol))
       .unionByName(fresh.select(col(cfg.idCol), col(cfg.textCol)))
+    // staged per batch (TextDedup's ingestion-loop lifecycle contract):
+    // without it every applyDelta call would leak one MEMORY_AND_DISK
+    // shingle-set cache for the JVM's lifetime
     val pairs = TextDedup.portableMinhashDupPairs(pool, cfg.textCol,
-      cfg.idCol, cfg.shingleK, threshold = cfg.threshold)
+      cfg.idCol, cfg.shingleK, threshold = cfg.threshold,
+      stagingPath = stagingPath)
     val flagged = pairs
       .join(accIds.select(col("_graft_acc_id").as("id_a"),
         lit(1).as("_graft_a_acc")), Seq("id_a"), "left")
@@ -195,15 +207,17 @@ object IncrementalCorpus {
 
     // cross-batch stage — against the COMMITTED index only (an
     // uncommitted predecessor is invisible, exactly like a reader)
+    val staging = s"${root.stripSuffix("/")}/_graft_staging/$batchId"
     val kept =
       if (cfg.portableDedup)
         portableDedupAgainstAccepted(clean, cfg,
           if (committedBatches(spark, root).isEmpty) clean.limit(0)
-          else readAccepted(spark, root))
+          else readAccepted(spark, root),
+          stagingPath = Some(s"$staging/psig"))
       else TextDedup.dedupAgainstIndex(clean, cfg.textCol, cfg.idCol,
         committedIndex(spark, root, cfg, clean), cfg.shingleK,
         cfg.numHashes, cfg.bands, cfg.threshold, cfg.maxBucket,
-        stagingPath = Some(s"${root.stripSuffix("/")}/_graft_staging/$batchId/sig"))
+        stagingPath = Some(s"$staging/sig"))
 
     // land survivors, then their index rows FROM THE LANDED PARQUET
     // (truncated lineage: the dedup join runs once, and the index is
@@ -215,7 +229,10 @@ object IncrementalCorpus {
         cfg.idCol, cfg.shingleK, cfg.numHashes)
       .write.mode("overwrite").parquet(batchDir(indexDir(root), batchId))
     fault("post-index")
+    // staging is a pure recompute cache — drop it BEFORE the marker (a
+    // crash between marker and a trailing delete would orphan the dir
+    // forever, since replays short-circuit at the marker)
+    fs.delete(new Path(staging), true)
     fs.create(marker, true).close()
-    fs.delete(new Path(s"${root.stripSuffix("/")}/_graft_staging/$batchId"), true)
   }
 }

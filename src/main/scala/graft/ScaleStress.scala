@@ -435,11 +435,16 @@ object ScaleStress {
       // dedup stage and their originals are in the index — the
       // review-caught failure mode was a delta annihilated by
       // decontamination, gating 'dedup binds' vacuously
+      // delta ids live at 1e11 + batch offset — far above every
+      // inflation copy band (i·1e8, i < factor: ≤ ~1e10 at 100×) and
+      // the +1e6 query-internal shift, so the re-ingestion id-skip can
+      // never eat a delta row and fake the dedup gate (review-caught:
+      // a 2e9 base collided with copy band i=20)
       val deltaDf = Tables(s, dir, "documents")
         .filter(col("doc_id") >= 128 && col("doc_id") < 384)
         .select(col("doc_id"), graft.ext.TextDedup.normalize(col("text")).as("t0"))
-        .select((col("doc_id") + 2000000000L + b * 1000000L).as("id"),
-          expr("CASE WHEN instr(t0, ' ') > 0 THEN substr(t0, instr(t0, ' ') + 1) ELSE t0 END").as("t"))
+        .select((col("doc_id") + 100000000000L + b * 1000000L).as("id"),
+          SparkEntry.dropFirstToken(col("t0")).as("t"))
       graft.ext.IncrementalCorpus.applyDelta(deltaDf, b, s"$root/state",
         incCorpusCfg, s.read.parquet(s"$root/_vocab"),
         incCorpusBench(s, dir), "text")
@@ -536,9 +541,25 @@ object ScaleStress {
         val vocab = graft.ext.TextAnalysis.tokenTopK(corpus, "t", 30)
           .select(col("token"))
         vocab.write.mode("overwrite").parquet(s"$root/_vocab")
+        // batch 0 ingests with dedup DISABLED (threshold > 1): the ×N
+        // inflation is verbatim copies, and the online within-batch
+        // rule would collapse them right back to the base corpus —
+        // leaving the probe's "×N accepted index" the SAME size on
+        // both dirs and the ratio vacuous (review-caught). With the
+        // build threshold unreachable, accepted(×N) really is ~N×
+        // accepted(base); the TIMED delta apply uses the normal 0.7.
         graft.ext.IncrementalCorpus.applyDelta(corpus, 0, s"$root/state",
-          incCorpusCfg, s.read.parquet(s"$root/_vocab"),
+          incCorpusCfg.copy(threshold = 1.1),
+          s.read.parquet(s"$root/_vocab"),
           incCorpusBench(s, dir), "text")
+        // gate (untimed): the staged index must hold most of the dir's
+        // corpus — a collapsed build would re-void the measurement
+        val accepted0 = s.read
+          .parquet(s"$root/state/docs/ingest_batch=0").count()
+        val corpusN = Tables(s, dir, "documents").count()
+        require(accepted0 >= corpusN / 2,
+          s"stagedIncCorpus: batch 0 accepted $accepted0 of $corpusN " +
+            "docs — the staged index did not scale with the dir")
         (root, new java.util.concurrent.atomic.AtomicLong(1))
       })
     }

@@ -114,10 +114,18 @@ object SparkEntry {
     val base = docs.select(col("doc_id").as("id"),
       TextDedup.normalize(col("text")).as("t"))
     val pert = base.select((col("id") + 1000000).as("id"),
-      expr("CASE WHEN instr(t, ' ') > 0 THEN substr(t, instr(t, ' ') + 1) " +
-        "ELSE t END").as("t"))
+      dropFirstToken(col("t")).as("t"))
     base.unionByName(pert)
   }
+
+  /** THE near-dup perturbation rule — first token dropped from a
+    * normalized text column (Jaccard ~0.8-1.0 vs the original). One
+    * spelling for every consumer ([[perturbedCorpus]], the ScaleStress
+    * incremental-delta probe); the Duck `corpus` CTE carries the SQL
+    * twin and MUST stay in lockstep. */
+  private[graft] def dropFirstToken(t: Column): Column =
+    when(instr(t, " ") > 0, t.substr(instr(t, " ") + 1, length(t)))
+      .otherwise(t)
 
   /** documents ∪ first-⌊tokens/3⌋ excerpt copies at id+1000000 — the
     * quote/subset duplication fixture shared by the containment family

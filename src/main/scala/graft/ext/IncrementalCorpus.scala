@@ -219,15 +219,21 @@ object IncrementalCorpus {
         cfg.numHashes, cfg.bands, cfg.threshold, cfg.maxBucket,
         stagingPath = Some(s"$staging/sig"))
 
-    // land survivors, then their index rows FROM THE LANDED PARQUET
-    // (truncated lineage: the dedup join runs once, and the index is
-    // derived from exactly the bytes readers will see), then the marker
+    // land survivors, then (kernel mode) their index rows FROM THE
+    // LANDED PARQUET (truncated lineage: the dedup join runs once, and
+    // the index derives from exactly the bytes readers will see), then
+    // the marker. Portable mode never reads the kernel index — it
+    // re-hashes accepted TEXT per batch by contract — so writing one
+    // would be pure waste; a root is therefore BOUND to its dedup mode
+    // (switching an existing root to kernel mode fails loudly on the
+    // missing index dirs).
     val docsPath = batchDir(docsDir(root), batchId)
     kept.write.mode("overwrite").parquet(docsPath)
     fault("post-docs")
-    TextDedup.minhashIndex(spark.read.parquet(docsPath), cfg.textCol,
-        cfg.idCol, cfg.shingleK, cfg.numHashes)
-      .write.mode("overwrite").parquet(batchDir(indexDir(root), batchId))
+    if (!cfg.portableDedup)
+      TextDedup.minhashIndex(spark.read.parquet(docsPath), cfg.textCol,
+          cfg.idCol, cfg.shingleK, cfg.numHashes)
+        .write.mode("overwrite").parquet(batchDir(indexDir(root), batchId))
     fault("post-index")
     // staging is a pure recompute cache — drop it BEFORE the marker (a
     // crash between marker and a trailing delete would orphan the dir

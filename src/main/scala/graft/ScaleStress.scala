@@ -383,7 +383,19 @@ object ScaleStress {
       val root = java.nio.file.Files
         .createTempDirectory("graft-stress-corpus").toString
       try {
-        val corpus = SparkEntry.x182Corpus(s, dir)
+        // EXACT pre-collapse first — the documented posture for a
+        // duplicate-heavy corpus (which ×N inflation is, 100%
+        // verbatim): dedupExact keeps the min id per text, exactly
+        // keep-best's tie rule on equal-length copies, so the final
+        // survivor set is provably the uncollapsed pipeline's while
+        // pair generation sees per-doc multiplicity ~2, not ~2N.
+        // Measured motivation (r16 record, STRESS_r16.json): the
+        // UNCOLLAPSED spelling read 73× at 100× (12.6 s → 923 s) —
+        // minhash pair verify is quadratic in duplicate multiplicity
+        // BY CONTRACT (the x13/x22/x127 family axis); the collapse
+        // pre-stage is one linear content-hash aggregate.
+        val corpus = graft.ext.TextDedup.dedupExact(
+          SparkEntry.x182Corpus(s, dir), "t", "id")
         val pairs = graft.ext.TextDedup.minhashDupPairs(corpus, "t", "id",
           maxPairsPerDoc = 32, stagingPath = Some(s"$root/sig"))
         val bench = Tables(s, dir, "documents")
@@ -671,10 +683,18 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    println(s"[stress] inflating $baseDir x$factor -> $outDir")
-    val t0 = System.nanoTime()
-    inflate(spark, baseDir, outDir, factor)
-    println(f"[stress] inflation done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // SPARK_GRAFT_SKIP_INFLATE=1 reuses an existing inflated dir — for
+    // dedicated single-probe re-runs against a dir a full record run
+    // already wrote (a 100× inflation is ~10 min of pure parquet copy)
+    if (sys.env.get("SPARK_GRAFT_SKIP_INFLATE").contains("1") &&
+        new java.io.File(s"$outDir/documents.parquet").exists()) {
+      println(s"[stress] SKIP_INFLATE: reusing $outDir")
+    } else {
+      println(s"[stress] inflating $baseDir x$factor -> $outDir")
+      val t0 = System.nanoTime()
+      inflate(spark, baseDir, outDir, factor)
+      println(f"[stress] inflation done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
 
     def time(name: String, dir: String): Double = {
       val start = System.nanoTime()

@@ -88,6 +88,45 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("exact pre-collapse is lossless under keep-best: the collapsed " +
+    "pipeline lands the same survivor set as the uncollapsed one " +
+    "(the SCALING s21 duplicate-heavy posture)") {
+    // duplicate-heavy corpus: 3 verbatim copies of enA (ids 1,21,31),
+    // 2 of enB (3,23), a near-dup of enA (2), and a singleton (7).
+    // keep-best keeps the LONGEST member, ties -> min id — on
+    // equal-length verbatim copies that IS dedupExact's min-id keeper,
+    // which is the whole equivalence argument.
+    val enA = "the cat and the dog walk of the town is big with joy today"
+    val enB = "the sun and the moon of this sky is bright with light all day"
+    val enC = "the bird and the fish of this lake is calm with mist at dawn"
+    val corpus = Seq(1L -> enA, 21L -> enA, 31L -> enA,
+      2L -> enA.split(" ").drop(1).mkString(" "),
+      3L -> enB, 23L -> enB, 7L -> enC).toDF("id", "t")
+    // full near-dup pair graph (J >= 0.7): all copy pairs + near-dup edges
+    val pairs = Seq((1L, 21L), (1L, 31L), (21L, 31L), (1L, 2L),
+      (2L, 21L), (2L, 31L), (3L, 23L)).toDF("id_a", "id_b")
+    val bench = Seq("nothing shared here").toDF("text")
+
+    def survivors(c: org.apache.spark.sql.DataFrame,
+                  p: org.apache.spark.sql.DataFrame): Set[Long] =
+      CorpusPipeline.run(c, "t", "id", p, bench, "text",
+        targets = Map("en" -> 1.0), salt = "spec", seqLen = 8L)
+        .sampled.select(col("id")).collect().map(_.getLong(0)).toSet
+
+    val collapsed = graft.ext.TextDedup.dedupExact(corpus, "t", "id")
+    val collapsedIds = collapsed.select(col("id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(collapsedIds == Set(1L, 2L, 3L, 7L),
+      "dedupExact keeps the min id per text")
+    // restrict the pair graph to collapsed endpoints — what a pair
+    // generator over the collapsed corpus would emit
+    val cPairs = pairs.filter(col("id_a").isin(collapsedIds.toSeq: _*) &&
+      col("id_b").isin(collapsedIds.toSeq: _*))
+    assert(survivors(collapsed, cPairs) == survivors(corpus, pairs),
+      "collapsed and uncollapsed pipelines must land the same survivors")
+    assert(survivors(corpus, pairs) == Set(1L, 3L, 7L))
+  }
+
   test("corpus pipeline: a corpus carrying a stage-internal column " +
     "fails fast with a named contract error") {
     val corpus = Seq((1L, "the cat and the dog walk of the town", 0.9))

@@ -4013,6 +4013,20 @@ object SparkEntry {
           sum(size(split(col("t"), " ")).cast("long")).as("n_tokens"))
         .orderBy(col("ingest_batch"))
     }),
+    "x186_retro_decontam" -> ((s, d) => {
+      // the NEW-benchmark retroactive sweep a curation team runs when
+      // an eval set lands AFTER ingestion: every currently-accepted
+      // doc's 8-gram overlap against the new bench (documents with
+      // doc_id % 7 == 0 — a different slice than the ingest-time
+      // bench), filtered to the docs the bar would now evict. PURE
+      // read over the x184 state (evict's ledger is spec'd, not
+      // oracle-mutated — x184/x185 must stay deterministic).
+      graft.ext.IncrementalCorpus.retroContamination(s, x184Root(s, d),
+          graft.ext.IncrementalCorpus.Config("t", "id",
+            portableDedup = true),
+          t(s, d, "documents").filter(col("doc_id") % 7 === 0), "text")
+        .orderBy(col("id"))
+    }),
   )
 
   /** The x182/x183 crawl corpus: [[perturbedCorpus]] carrying each
@@ -8968,6 +8982,22 @@ object SparkEntry {
         |  CAST(sum(len(string_split(c.t, ' '))) AS BIGINT) AS n_tokens
         |FROM acc JOIN corpus c USING (id)
         |GROUP BY ingest_batch ORDER BY ingest_batch""".stripMargin),
+    // x186: the retroactive sweep — the SAME chain's accepted set,
+    // 8-gram overlap vs the NEW (doc_id % 7) benchmark, evictees only
+    "x186_retro_decontam" -> (duckIncrementalCorpusCtes + ",\n" +
+      """nb AS (
+        |  SELECT DISTINCT unnest(ss8) AS nbsh FROM s8
+        |  WHERE id < 1000000 AND id % 7 = 0),
+        |ads AS (SELECT s2.id, unnest(s2.ss8) AS sh
+        |        FROM s8 s2 JOIN acc USING (id)),
+        |acont AS (
+        |  SELECT ads.id,
+        |    CAST(count(n.nbsh) AS DOUBLE) / count(*) AS contamination
+        |  FROM ads LEFT JOIN nb n ON ads.sh = n.nbsh GROUP BY ads.id)
+        |SELECT a.id, acc.ingest_batch, a.contamination
+        |FROM acont a JOIN acc USING (id)
+        |WHERE a.contamination > 0.2
+        |ORDER BY a.id""".stripMargin),
   )
 
   /** The shared x182/x183 replay chain: the portable pair CTEs

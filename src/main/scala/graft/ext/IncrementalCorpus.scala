@@ -96,29 +96,117 @@ object IncrementalCorpus {
       .map(_.getPath.getName.toLong).sorted.toSeq
   }
 
-  /** The accepted corpus: every marker-committed batch's survivors,
-    * schema `(idCol, textCol, lang_guess, ingest_batch)` — the batch
-    * id rides in from the directory layout as a partition column, so
-    * per-batch slices are partition-pruned scans. */
-  def readAccepted(spark: SparkSession, root: String): DataFrame = {
+  private def evictDir(root: String) = s"${root.stripSuffix("/")}/evicted"
+  private def evictCommitsDir(root: String) =
+    new Path(s"${root.stripSuffix("/")}/_graft_evict_commits")
+  private def committedEvictions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(evictCommitsDir(root))) Seq.empty
+    else fs.listStatus(evictCommitsDir(root))
+      .map(_.getPath.getName.toLong).sorted.toSeq
+  }
+
+  /** Committed eviction ids (one thin column), empty-but-typed when no
+    * eviction ever committed. */
+  private def evictedIds(spark: SparkSession, root: String,
+                         cfg: Config): Option[DataFrame] = {
+    val evs = committedEvictions(spark, root)
+    if (evs.isEmpty) None
+    else Some(spark.read
+      .parquet(evs.map(e => s"${evictDir(root)}/evict=$e"): _*)
+      .select(col(cfg.idCol)))
+  }
+
+  /** Subtract committed evictions from an accepted-side frame — an
+    * anti-join on one thin broadcast-sized column, skipped entirely
+    * while no eviction has ever committed (the common case pays one
+    * directory existence check). */
+  private def minusEvicted(df: DataFrame, spark: SparkSession,
+                           root: String, cfg: Config): DataFrame =
+    evictedIds(spark, root, cfg) match {
+      case None => df
+      case Some(ev) => df.join(
+        ev.withColumnRenamed(cfg.idCol, "_graft_evicted_id"),
+        df(cfg.idCol) === col("_graft_evicted_id"), "left_anti")
+    }
+
+  /** The accepted corpus: every marker-committed batch's survivors
+    * MINUS committed evictions, schema `(idCol, textCol, lang_guess,
+    * ingest_batch)` — the batch id rides in from the directory layout
+    * as a partition column, so per-batch slices are partition-pruned
+    * scans. Callers that only slice by batch and never project text
+    * still get column pruning (parquet). */
+  def readAccepted(spark: SparkSession, root: String): DataFrame =
+    readAccepted(spark, root, Config("", ""))
+  def readAccepted(spark: SparkSession, root: String,
+                   cfg0: Config): DataFrame = {
     val committed = committedBatches(spark, root)
     require(committed.nonEmpty,
       s"IncrementalCorpus: no committed batches under $root")
-    spark.read.option("basePath", docsDir(root))
+    val df = spark.read.option("basePath", docsDir(root))
       .parquet(committed.map(b => batchDir(docsDir(root), b)): _*)
       .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+    // eviction ids are keyed by the corpus id column; when the caller
+    // used the no-config overload, take it from the layout (the first
+    // non-reserved column is idCol by the applyDelta write contract)
+    val idCol = if (cfg0.idCol.nonEmpty) cfg0.idCol else df.columns.head
+    minusEvicted(df, spark, root, cfg0.copy(idCol = idCol))
   }
 
   /** The committed dedup index ([[TextDedup.minhashIndex]] rows of
-    * every accepted doc); empty-but-typed when nothing is committed. */
+    * every accepted doc, minus evicted ids — an evicted doc must stop
+    * suppressing its near-dups, which re-face the CURRENT benchmark at
+    * ingest time); empty-but-typed when nothing is committed. */
   private def committedIndex(spark: SparkSession, root: String,
                              cfg: Config, like: DataFrame): DataFrame = {
     val committed = committedBatches(spark, root)
     if (committed.isEmpty)
       TextDedup.minhashIndex(like.limit(0), cfg.textCol, cfg.idCol,
         cfg.shingleK, cfg.numHashes)
-    else spark.read
-      .parquet(committed.map(b => batchDir(indexDir(root), b)): _*)
+    else minusEvicted(
+      spark.read.parquet(committed.map(b => batchDir(indexDir(root), b)): _*),
+      spark, root, cfg.copy(idCol = "id")) // index rows key by "id"
+  }
+
+  /** PURE retroactive-contamination sweep — the read a curation team
+    * runs when a NEW benchmark lands: every currently-accepted doc's
+    * 8-gram (k = `cfg.decontaminateK`) overlap against `newBench`,
+    * filtered to the docs the current `cfg.maxContamination` bar would
+    * now evict. One broadcast-semi-join scan of accepted text (the
+    * x20/overlapProfile shape); NO state mutation — pair with
+    * [[evict]] to commit the verdict. Output:
+    * `(idCol, ingest_batch, contamination)`. */
+  def retroContamination(spark: SparkSession, root: String, cfg: Config,
+                         newBench: DataFrame,
+                         benchTextCol: String): DataFrame = {
+    val acc = readAccepted(spark, root, cfg)
+    Decontaminate.overlapProfile(acc, cfg.textCol, cfg.idCol,
+        newBench, benchTextCol, k = cfg.decontaminateK)
+      .select(col("doc_id").as(cfg.idCol), col("contamination"))
+      .filter(col("contamination") > cfg.maxContamination)
+      .join(acc.select(col(cfg.idCol), col("ingest_batch")), Seq(cfg.idCol))
+      .select(col(cfg.idCol), col("ingest_batch"), col("contamination"))
+  }
+
+  /** Commit an eviction: the ids leave [[readAccepted]] AND the dedup
+    * index (their near-dups are judged against the current benchmark
+    * at their own ingest time, not suppressed by a doc that is gone).
+    * Append-only tombstones under `evicted/evict=<evictId>` with the
+    * same marker-last idempotent ledger as ingest batches; the docs
+    * and index files are never rewritten (compaction is a separate
+    * concern). Idempotent per `evictId`. */
+  def evict(ids: DataFrame, evictId: Long, root: String,
+            cfg: Config): Unit = {
+    val spark = ids.sparkSession
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(evictCommitsDir(root), evictId.toString)
+    if (fs.exists(marker)) return
+    ids.select(col(cfg.idCol)).distinct()
+      .write.mode("overwrite")
+      .parquet(s"${evictDir(root)}/evict=$evictId")
+    fs.create(marker, true).close()
   }
 
   /** Curate one batch against the frozen vocabulary —

@@ -156,6 +156,36 @@ class IncrementalCorpusSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(root))
   }
 
+  test("retroactive decontamination + eviction: a new benchmark evicts " +
+    "accepted docs, the tombstones hide them from reads AND the dedup " +
+    "index, and a later near-dup of the evictee is judged fresh (x186)") {
+    val root = Files.createTempDirectory("graft-inc-evict").toString
+    try {
+      applyAll(root)
+      assert(accepted(root) == expected)
+      // a NEW benchmark lands: it contains doc 7's text (enC) — the
+      // pure sweep must flag exactly doc 7 with contamination 1.0
+      val newBench = Seq(enC).toDF("text")
+      val sweep = IncrementalCorpus.retroContamination(spark, root, cfg,
+        newBench, "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(sweep.toSeq == Seq((7L, 1L, 1.0)))
+      // sweep is PURE — nothing changed until evict commits
+      assert(accepted(root) == expected)
+      IncrementalCorpus.evict(Seq(7L).toDF("id"), 0L, root, cfg)
+      // idempotent replay of the same evictId
+      IncrementalCorpus.evict(Seq(7L).toDF("id"), 0L, root, cfg)
+      assert(accepted(root) == expected - ((7L, 1L)))
+      // the evictee no longer suppresses near-dups: a new delta with
+      // doc 7's exact text (vs the OLD bench, which never matched enC)
+      // is judged against the evicted index and ACCEPTED
+      IncrementalCorpus.applyDelta(Seq(12L -> enC).toDF("id", "t"), 3,
+        root, cfg, vocabDf, benchDf, "text")
+      assert(accepted(root) == expected - ((7L, 1L)) + ((12L, 3L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
   test("a delta carrying a stage-internal column fails fast") {
     val root = Files.createTempDirectory("graft-inc-guard").toString
     try {

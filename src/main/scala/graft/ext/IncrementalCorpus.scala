@@ -107,28 +107,43 @@ object IncrementalCorpus {
       .map(_.getPath.getName.toLong).sorted.toSeq
   }
 
-  /** Committed eviction ids (one thin column), empty-but-typed when no
-    * eviction ever committed. */
-  private def evictedIds(spark: SparkSession, root: String,
-                         cfg: Config): Option[DataFrame] = {
-    val evs = committedEvictions(spark, root)
-    if (evs.isEmpty) None
-    else Some(spark.read
-      .parquet(evs.map(e => s"${evictDir(root)}/evict=$e"): _*)
-      .select(col(cfg.idCol)))
+  /** Committed eviction tombstones — CANONICAL columns `(id,
+    * ingest_batch)` regardless of the caller's `idCol` ([[evict]]
+    * canonicalizes at write time, so readers never depend on the
+    * corpus schema). Eviction MARKERS are a permanent ledger (replay
+    * suppression); a marker whose DATA dir was retired by [[compact]]
+    * subtracts nothing and is skipped here. Empty when no eviction
+    * ever committed. */
+  private def evictedIds(spark: SparkSession,
+                         root: String): Option[DataFrame] = {
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = committedEvictions(spark, root)
+      .map(e => s"${evictDir(root)}/evict=$e")
+      .filter(d => fs.exists(new Path(d)))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*)
+      .select(col("id"), col("ingest_batch")))
   }
 
   /** Subtract committed evictions from an accepted-side frame — an
-    * anti-join on one thin broadcast-sized column, skipped entirely
+    * anti-join on two thin broadcast-sized columns, skipped entirely
     * while no eviction has ever committed (the common case pays one
-    * directory existence check). */
+    * directory existence check). Tombstones key by `(id,
+    * ingest_batch)`: they target the PHYSICAL row that was accepted,
+    * so a later batch legitimately re-introducing an evicted id is
+    * visible (its row carries a different batch id) and is judged
+    * fresh against the bench and the dedup index. `df` must carry
+    * `idCol` and `ingest_batch`. */
   private def minusEvicted(df: DataFrame, spark: SparkSession,
-                           root: String, cfg: Config): DataFrame =
-    evictedIds(spark, root, cfg) match {
+                           root: String, idCol: String): DataFrame =
+    evictedIds(spark, root) match {
       case None => df
       case Some(ev) => df.join(
-        ev.withColumnRenamed(cfg.idCol, "_graft_evicted_id"),
-        df(cfg.idCol) === col("_graft_evicted_id"), "left_anti")
+        ev.select(col("id").as("_graft_evicted_id"),
+          col("ingest_batch").as("_graft_evicted_batch")),
+        df(idCol) === col("_graft_evicted_id") &&
+          df("ingest_batch") === col("_graft_evicted_batch"), "left_anti")
     }
 
   /** The accepted corpus: every marker-committed batch's survivors
@@ -147,11 +162,11 @@ object IncrementalCorpus {
     val df = spark.read.option("basePath", docsDir(root))
       .parquet(committed.map(b => batchDir(docsDir(root), b)): _*)
       .withColumn("ingest_batch", col("ingest_batch").cast("long"))
-    // eviction ids are keyed by the corpus id column; when the caller
-    // used the no-config overload, take it from the layout (the first
+    // tombstones are stored canonical (id, ingest_batch); the docs-side
+    // anti-join keys by the layout's own id column (the first
     // non-reserved column is idCol by the applyDelta write contract)
     val idCol = if (cfg0.idCol.nonEmpty) cfg0.idCol else df.columns.head
-    minusEvicted(df, spark, root, cfg0.copy(idCol = idCol))
+    minusEvicted(df, spark, root, idCol)
   }
 
   /** The committed dedup index ([[TextDedup.minhashIndex]] rows of
@@ -165,8 +180,13 @@ object IncrementalCorpus {
       TextDedup.minhashIndex(like.limit(0), cfg.textCol, cfg.idCol,
         cfg.shingleK, cfg.numHashes)
     else minusEvicted(
-      spark.read.parquet(committed.map(b => batchDir(indexDir(root), b)): _*),
-      spark, root, cfg.copy(idCol = "id")) // index rows key by "id"
+      // basePath recovers ingest_batch from the directory layout — the
+      // tombstone key's second column; dropped again below so the
+      // schema dedupAgainstIndex validates stays (id, shh, sig)
+      spark.read.option("basePath", indexDir(root))
+        .parquet(committed.map(b => batchDir(indexDir(root), b)): _*)
+        .withColumn("ingest_batch", col("ingest_batch").cast("long")),
+      spark, root, "id").drop("ingest_batch")
   }
 
   /** PURE retroactive-contamination sweep — the read a curation team
@@ -189,21 +209,36 @@ object IncrementalCorpus {
       .select(col(cfg.idCol), col("ingest_batch"), col("contamination"))
   }
 
-  /** Commit an eviction: the ids leave [[readAccepted]] AND the dedup
+  /** Commit an eviction: the rows leave [[readAccepted]] AND the dedup
     * index (their near-dups are judged against the current benchmark
     * at their own ingest time, not suppressed by a doc that is gone).
-    * Append-only tombstones under `evicted/evict=<evictId>` with the
-    * same marker-last idempotent ledger as ingest batches; the docs
-    * and index files are never rewritten (compaction is a separate
-    * concern). Idempotent per `evictId`. */
+    * `ids` must carry `cfg.idCol` AND `ingest_batch` — a tombstone
+    * targets the PHYSICAL accepted row `(id, ingest_batch)`, which is
+    * exactly [[retroContamination]]'s output shape. Keying by the pair
+    * (not the bare id) means a LATER batch may legitimately
+    * re-introduce an evicted id: the new row carries a new batch id,
+    * misses every tombstone, and is judged fresh against the bench and
+    * the (evictee-free) dedup index — re-ingestion is a first-class
+    * path, not a silent swallow. Tombstones are written with CANONICAL
+    * column names `(id, ingest_batch)` whatever `cfg.idCol` is, so
+    * docs-side and index-side subtraction both resolve regardless of
+    * the corpus schema. Append-only under `evicted/evict=<evictId>`
+    * with the same marker-last idempotent ledger as ingest batches;
+    * the docs and index files are never rewritten ([[compact]] folds
+    * them later). Idempotent per `evictId`. */
   def evict(ids: DataFrame, evictId: Long, root: String,
             cfg: Config): Unit = {
     val spark = ids.sparkSession
+    require(ids.columns.contains("ingest_batch"),
+      "evict: tombstones key by (id, ingest_batch) — pass " +
+        "retroContamination's output (or any frame carrying both columns)")
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(evictCommitsDir(root), evictId.toString)
     if (fs.exists(marker)) return
-    ids.select(col(cfg.idCol)).distinct()
+    ids.select(col(cfg.idCol).as("id"),
+        col("ingest_batch").cast("long").as("ingest_batch"))
+      .distinct()
       .write.mode("overwrite")
       .parquet(s"${evictDir(root)}/evict=$evictId")
     fs.create(marker, true).close()

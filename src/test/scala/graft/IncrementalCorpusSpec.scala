@@ -166,22 +166,75 @@ class IncrementalCorpusSpec extends AnyFunSuite {
       // a NEW benchmark lands: it contains doc 7's text (enC) — the
       // pure sweep must flag exactly doc 7 with contamination 1.0
       val newBench = Seq(enC).toDF("text")
-      val sweep = IncrementalCorpus.retroContamination(spark, root, cfg,
-        newBench, "text").collect()
+      val sweepDf = IncrementalCorpus.retroContamination(spark, root, cfg,
+        newBench, "text")
+      val sweep = sweepDf.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(sweep.toSeq == Seq((7L, 1L, 1.0)))
-      // sweep is PURE — nothing changed until evict commits
+      // sweep is PURE — nothing changed until evict commits; its output
+      // shape IS evict's input shape (tombstones key by id AND batch)
       assert(accepted(root) == expected)
-      IncrementalCorpus.evict(Seq(7L).toDF("id"), 0L, root, cfg)
+      IncrementalCorpus.evict(sweepDf, 0L, root, cfg)
       // idempotent replay of the same evictId
-      IncrementalCorpus.evict(Seq(7L).toDF("id"), 0L, root, cfg)
+      IncrementalCorpus.evict(sweepDf, 0L, root, cfg)
       assert(accepted(root) == expected - ((7L, 1L)))
+      // a frame missing the batch column fails fast
+      intercept[IllegalArgumentException] {
+        IncrementalCorpus.evict(Seq(7L).toDF("id"), 1L, root, cfg)
+      }
       // the evictee no longer suppresses near-dups: a new delta with
       // doc 7's exact text (vs the OLD bench, which never matched enC)
       // is judged against the evicted index and ACCEPTED
       IncrementalCorpus.applyDelta(Seq(12L -> enC).toDF("id", "t"), 3,
         root, cfg, vocabDf, benchDf, "text")
       assert(accepted(root) == expected - ((7L, 1L)) + ((12L, 3L)))
+      // tombstones key (id, batch): the SAME id re-ingested by a later
+      // batch is a fresh physical row — visible, judged against the
+      // current index (12's text == enC is already accepted again, so
+      // re-ingesting id 7 now DROPS as a near-dup of 12, while a
+      // distinct text lands)
+      IncrementalCorpus.applyDelta(Seq(7L -> d8Text).toDF("id", "t"), 4,
+        root, cfg, vocabDf, benchDf, "text")
+      // d8Text is already accepted as id 8 → the re-ingested 7 drops;
+      // prove the REINTRODUCTION path with a text nothing suppresses
+      assert(accepted(root) == expected - ((7L, 1L)) + ((12L, 3L)))
+      IncrementalCorpus.evict(Seq((12L, 3L)).toDF("id", "ingest_batch"),
+        1L, root, cfg)
+      IncrementalCorpus.applyDelta(Seq(7L -> enC).toDF("id", "t"), 5,
+        root, cfg, vocabDf, benchDf, "text")
+      assert(accepted(root) ==
+        expected - ((7L, 1L)) + ((7L, 5L)),
+        "an evicted id re-ingested by a later batch must be visible " +
+          "under its new batch attribution")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
+  test("eviction tombstones are canonical: a corpus whose id column is " +
+    "not literally 'id' evicts and re-reads without column errors") {
+    val root = Files.createTempDirectory("graft-inc-idcol").toString
+    val c2 = cfg.copy(idCol = "docid")
+    try {
+      IncrementalCorpus.applyDelta(
+        Seq(1L -> enA, 3L -> enB).toDF("docid", "t"), 0, root, c2,
+        vocabDf, benchDf, "text")
+      IncrementalCorpus.applyDelta(
+        Seq(7L -> enC).toDF("docid", "t"), 1, root, c2,
+        vocabDf, benchDf, "text")
+      IncrementalCorpus.evict(
+        Seq((3L, 0L)).toDF("docid", "ingest_batch"), 0L, root, c2)
+      def acc(): Set[(Long, Long)] =
+        IncrementalCorpus.readAccepted(spark, root, c2)
+          .select(col("docid"), col("ingest_batch"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(acc() == Set((1L, 0L), (7L, 1L)))
+      // the index-side subtraction (the r16 unresolved-column landing):
+      // the next kernel-mode applyDelta must resolve — and the evicted
+      // doc must no longer suppress its exact copy
+      IncrementalCorpus.applyDelta(
+        Seq(9L -> enB).toDF("docid", "t"), 2, root, c2,
+        vocabDf, benchDf, "text")
+      assert(acc() == Set((1L, 0L), (7L, 1L), (9L, 2L)))
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(root))
   }

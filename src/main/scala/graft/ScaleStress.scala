@@ -125,8 +125,16 @@ object ScaleStress {
     "corpus_pipeline_staged",
     // round-16: one O(delta) ingest step of the incremental corpus
     // pipeline against a staged accepted corpus (fixed 256-doc delta;
-    // prewarmed build, advancing batch ids — see the probe comment)
-    "incremental_corpus_delta",
+    // prewarmed build, advancing batch ids — see the probe comment).
+    // round-17: the default entry now measures the broadcast band-index
+    // path; the `_exchange` sibling keeps the union-table spelling's
+    // O(index+delta) shuffle measured for comparison
+    "incremental_corpus_delta", "incremental_corpus_delta_exchange",
+    // round-17: the retroactive-decontamination sweep (one broadcast
+    // scan of accepted text against a new benchmark) — should be
+    // ~linear in the accepted corpus; in-probe gate: evictee set
+    // non-empty (the r16 probe-vacuity lesson)
+    "retro_contamination_sweep",
     // round-14: concat-and-chunk sequence packing — the band-frame
     // cumsum decomposition should hold a linear curve (pieces scale
     // with the corpus, the offset window with the band count)
@@ -437,51 +445,38 @@ object ScaleStress {
     // the ACCEPTED corpus alone. In-probe gates: the batch commits,
     // and accepted growth is bounded by the delta size with at least
     // one near-dup dropped (dedup demonstrably binding).
-    "incremental_corpus_delta" -> ((s, dir) => {
+    // since round 17, this measures the BROADCAST band-index dedup (the
+    // new kernel default: index side scanned, never shuffled); its
+    // `_exchange` sibling below keeps the r16 union-table spelling
+    // measured so the per-batch O(index)-shuffle term stays a recorded
+    // comparison, not a memory
+    "incremental_corpus_delta" -> ((s, dir) =>
+      incDeltaProbe(s, dir, incCorpusCfg, "incremental_corpus_delta")),
+    // the plain dedupAgainstIndex path (r16's measured baseline): its
+    // band exchange carries index∪batch hashes, so at a large accepted
+    // index this line should bend where the broadcast line stays flat
+    "incremental_corpus_delta_exchange" -> ((s, dir) =>
+      incDeltaProbe(s, dir, incCorpusCfg.copy(broadcastDedup = false),
+        "incremental_corpus_delta_exchange")),
+    // round-17: the retroactive-decontamination sweep over the staged
+    // accepted corpus — one broadcast-semi-join scan of accepted text
+    // against a NEW 128-doc benchmark (docs 384..511: disjoint from the
+    // ingest bench 0..127 AND from the delta-original window 128..383,
+    // so neither sibling probe perturbs this one). The bench docs are
+    // verbatim members of the accepted corpus, so the evictee set is
+    // non-empty BY CONSTRUCTION — gated in-probe (the r16 vacuity
+    // lesson). Should read ~linear in the accepted corpus.
+    "retro_contamination_sweep" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val (root, ctr) = stagedIncCorpus(s, dir)
-      val b = ctr.getAndIncrement()
-      // delta originals come from OUTSIDE the benchmark window (docs
-      // 0..127 are the fixed bench and self-contaminate out of the
-      // accepted set in batch 0) so the copies actually REACH the
-      // dedup stage and their originals are in the index — the
-      // review-caught failure mode was a delta annihilated by
-      // decontamination, gating 'dedup binds' vacuously
-      // delta ids live at 1e11 + batch offset — far above every
-      // inflation copy band (i·1e8, i < factor: ≤ ~1e10 at 100×) and
-      // the +1e6 query-internal shift, so the re-ingestion id-skip can
-      // never eat a delta row and fake the dedup gate (review-caught:
-      // a 2e9 base collided with copy band i=20)
-      val deltaDf = Tables(s, dir, "documents")
-        .filter(col("doc_id") >= 128 && col("doc_id") < 384)
-        .select(col("doc_id"), graft.ext.TextDedup.normalize(col("text")).as("t0"))
-        .select((col("doc_id") + 100000000000L + b * 1000000L).as("id"),
-          SparkEntry.dropFirstToken(col("t0")).as("t"))
-      graft.ext.IncrementalCorpus.applyDelta(deltaDf, b, s"$root/state",
-        incCorpusCfg, s.read.parquet(s"$root/_vocab"),
-        incCorpusBench(s, dir), "text")
-      // gates are DELTA-sized reads (a full readAccepted count here
-      // would add an O(accepted-corpus) scan to the timed line):
-      // `clean` re-derives the delta's curate+decon survivor count, so
-      // `added` strictly below it proves the index dedup itself dropped
-      // rows; added ≤ clean/2 pins it binding HARD (every clean copy's
-      // original is accepted, modulo batch-0's own near-dup losers)
-      val clean = graft.ext.Decontaminate.decontaminate(
-        graft.ext.IncrementalCorpus.curate(deltaDf, incCorpusCfg,
-          s.read.parquet(s"$root/_vocab")),
-        "t", "id", incCorpusBench(s, dir), "text",
-        k = incCorpusCfg.decontaminateK,
-        maxContamination = incCorpusCfg.maxContamination).count()
-      val added = s.read
-        .parquet(s"$root/state/docs/ingest_batch=$b").count()
-      require(clean >= 64,
-        s"incremental_corpus_delta: only $clean of 256 delta docs " +
-          "reached dedup — upstream stages annihilated the probe")
-      require(added <= clean / 2,
-        s"incremental_corpus_delta: $added of $clean clean near-dup " +
-          "deltas accepted — dedup against the index is not binding")
-      import s.implicits._
-      Seq((b, clean, added)).toDF("batch", "clean", "added")
+      val (root, _) = stagedIncCorpus(s, dir)
+      val newBench = Tables(s, dir, "documents")
+        .filter(col("doc_id") >= 384 && col("doc_id") < 512)
+      val sw = graft.ext.IncrementalCorpus.retroContamination(
+        s, s"$root/state", incCorpusCfg, newBench, "text")
+      val n = sw.count()
+      require(n > 0,
+        "retro_contamination_sweep: evictee set empty — vacuous probe")
+      sw
     }),
     // x181's grouped packing with its invariants ASSERTED at scale:
     // (a) per-group full-sequence — within each lang stream every
@@ -522,6 +517,57 @@ object ScaleStress {
       got
     }))
 
+  /** One timed O(delta) ingest step against the staged accepted corpus
+    * — shared by the broadcast-path and exchange-path probe entries
+    * (same root, same advancing batch counter, same binding gates).
+    * Delta originals come from OUTSIDE the benchmark window (docs
+    * 0..127 are the fixed bench and self-contaminate out of the
+    * accepted set in batch 0) so the copies actually REACH the dedup
+    * stage and their originals are in the index — the review-caught
+    * failure mode was a delta annihilated by decontamination, gating
+    * 'dedup binds' vacuously. Delta ids live at 1e11 + batch offset —
+    * far above every inflation copy band (i·1e8, i < factor: ≤ ~1e10
+    * at 100×) and the +1e6 query-internal shift, so the re-ingestion
+    * id-skip can never eat a delta row and fake the dedup gate
+    * (review-caught: a 2e9 base collided with copy band i=20). */
+  private def incDeltaProbe(s: SparkSession, dir: String,
+                            cfg: graft.ext.IncrementalCorpus.Config,
+                            label: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (root, ctr) = stagedIncCorpus(s, dir)
+    val b = ctr.getAndIncrement()
+    val deltaDf = Tables(s, dir, "documents")
+      .filter(col("doc_id") >= 128 && col("doc_id") < 384)
+      .select(col("doc_id"), graft.ext.TextDedup.normalize(col("text")).as("t0"))
+      .select((col("doc_id") + 100000000000L + b * 1000000L).as("id"),
+        SparkEntry.dropFirstToken(col("t0")).as("t"))
+    graft.ext.IncrementalCorpus.applyDelta(deltaDf, b, s"$root/state",
+      cfg, s.read.parquet(s"$root/_vocab"),
+      incCorpusBench(s, dir), "text")
+    // gates are DELTA-sized reads (a full readAccepted count here
+    // would add an O(accepted-corpus) scan to the timed line):
+    // `clean` re-derives the delta's curate+decon survivor count, so
+    // `added` strictly below it proves the index dedup itself dropped
+    // rows; added ≤ clean/2 pins it binding HARD (every clean copy's
+    // original is accepted, modulo batch-0's own near-dup losers)
+    val clean = graft.ext.Decontaminate.decontaminate(
+      graft.ext.IncrementalCorpus.curate(deltaDf, cfg,
+        s.read.parquet(s"$root/_vocab")),
+      "t", "id", incCorpusBench(s, dir), "text",
+      k = cfg.decontaminateK,
+      maxContamination = cfg.maxContamination).count()
+    val added = s.read
+      .parquet(s"$root/state/docs/ingest_batch=$b").count()
+    require(clean >= 64,
+      s"$label: only $clean of 256 delta docs " +
+        "reached dedup — upstream stages annihilated the probe")
+    require(added <= clean / 2,
+      s"$label: $added of $clean clean near-dup " +
+        "deltas accepted — dedup against the index is not binding")
+    import s.implicits._
+    Seq((b, clean, added)).toDF("batch", "clean", "added")
+  }
+
   /** Build-once memo for the incremental-corpus delta probe: batch 0
     * ingests the dir's WHOLE document corpus (kernel dedup mode) into
     * a per-(JVM, dir) root — untimed via the prewarm hook, exactly the
@@ -560,8 +606,11 @@ object ScaleStress {
         // both dirs and the ratio vacuous (review-caught). With the
         // build threshold unreachable, accepted(×N) really is ~N×
         // accepted(base); the TIMED delta apply uses the normal 0.7.
+        // broadcastDedup=false: batch 0 IS the corpus, and the
+        // broadcast path's contract is |delta| ≪ |index| — a
+        // corpus-sized broadcast belongs in a shuffle
         graft.ext.IncrementalCorpus.applyDelta(corpus, 0, s"$root/state",
-          incCorpusCfg.copy(threshold = 1.1),
+          incCorpusCfg.copy(threshold = 1.1, broadcastDedup = false),
           s.read.parquet(s"$root/_vocab"),
           incCorpusBench(s, dir), "text")
         // gate (untimed): the staged index must hold most of the dir's
@@ -711,7 +760,8 @@ object ScaleStress {
       Seq(baseDir, outDir).foreach(d => stagedIvf(spark, d))
     if (queryNames.contains("mv_kll_ranged_serve"))
       Seq(baseDir, outDir).foreach(d => stagedKllMv(spark, d))
-    if (queryNames.contains("incremental_corpus_delta"))
+    if (queryNames.exists(n => n.startsWith("incremental_corpus_delta") ||
+        n == "retro_contamination_sweep"))
       Seq(baseDir, outDir).foreach(d => stagedIncCorpus(spark, d))
 
     var failed = 0

@@ -68,7 +68,8 @@ object IncrementalCorpus {
     decontaminateK: Int = 8,
     shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
     threshold: Double = 0.7, maxBucket: Int = 1000,
-    portableDedup: Boolean = false)
+    portableDedup: Boolean = false,
+    broadcastDedup: Boolean = true)
 
   private def commitsDir(root: String) =
     new Path(s"${root.stripSuffix("/")}/_graft_commits")
@@ -76,13 +77,17 @@ object IncrementalCorpus {
     new Path(commitsDir(root), batchId.toString)
   private def docsDir(root: String) = s"${root.stripSuffix("/")}/docs"
   private def indexDir(root: String) = s"${root.stripSuffix("/")}/index"
+  private def bandsDir(root: String) = s"${root.stripSuffix("/")}/bands"
   private def batchDir(base: String, b: Long) = s"$base/ingest_batch=$b"
 
   /** Test-only fault injection (the [[graft.stream.IncrementalMv]]
     * convention): `"post-docs"` fires after the survivors' parquet
-    * landed but before the index rows, `"post-index"` after both
-    * writes but before the commit marker — the two landings the
-    * marker ledger defends. Default no-op. */
+    * landed but before the index rows, `"post-index"` after the index
+    * write but before the band table, `"post-bands"` after every data
+    * write but before the commit marker — the landings the marker
+    * ledger defends. [[compact]] adds `"post-gen"` (generation written,
+    * marker not yet committed) and `"post-compact-marker"` (marker
+    * committed, folded dirs not yet retired). Default no-op. */
   private[graft] val faultHook =
     new java.util.concurrent.atomic.AtomicReference[String => Unit](_ => ())
   private def fault(point: String): Unit = faultHook.get()(point)
@@ -99,6 +104,50 @@ object IncrementalCorpus {
   private def evictDir(root: String) = s"${root.stripSuffix("/")}/evicted"
   private def evictCommitsDir(root: String) =
     new Path(s"${root.stripSuffix("/")}/_graft_evict_commits")
+  private def genDir(root: String, c: Long) =
+    s"${root.stripSuffix("/")}/gen/compact=$c"
+  private def compactCommitsDir(root: String) =
+    new Path(s"${root.stripSuffix("/")}/_graft_compact_commits")
+
+  /** A compaction's fold manifest — what its generation superseded:
+    * the batch ids whose data dirs it folded, the eviction ids whose
+    * tombstones it applied, and the prior generations it replaced. The
+    * manifest IS the compact marker's content (rename-committed, so a
+    * reader can never observe a partial manifest). */
+  private final case class CompactManifest(
+    batches: Set[Long], evicts: Set[Long], gens: Set[Long])
+
+  private def committedCompactions(spark: SparkSession,
+                                   root: String): Seq[Long] = {
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(compactCommitsDir(root))) Seq.empty
+    else fs.listStatus(compactCommitsDir(root))
+      .map(_.getPath.getName).filterNot(_.startsWith("."))
+      .map(_.toLong).sorted.toSeq
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+                           c: Long): CompactManifest = {
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(compactCommitsDir(root), c.toString))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val rows = text.linesIterator.filter(_.contains(":")).toSeq
+      .map { l => val Array(k, v) = l.split(":", 2); (k, v.toLong) }
+    CompactManifest(
+      rows.collect { case ("batch", b) => b }.toSet,
+      rows.collect { case ("evict", e) => e }.toSet,
+      rows.collect { case ("gen", g) => g }.toSet)
+  }
+
+  /** The newest committed compaction (its generation holds everything
+    * its manifest folded), or None for a never-compacted root. */
+  private def latestCompaction(spark: SparkSession,
+                               root: String): Option[(Long, CompactManifest)] =
+    committedCompactions(spark, root).lastOption
+      .map(c => (c, readManifest(spark, root, c)))
   private def committedEvictions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -185,6 +234,25 @@ object IncrementalCorpus {
       // schema dedupAgainstIndex validates stays (id, shh, sig)
       spark.read.option("basePath", indexDir(root))
         .parquet(committed.map(b => batchDir(indexDir(root), b)): _*)
+        .withColumn("ingest_batch", col("ingest_batch").cast("long")),
+      spark, root, "id").drop("ingest_batch")
+  }
+
+  /** The committed pre-exploded band table ([[TextDedup.bandRows]] of
+    * every accepted doc, minus evicted rows) — the thin side table
+    * [[TextDedup.dedupAgainstBandIndex]] probes with broadcast joins so
+    * the per-batch exchange carries O(delta), not O(index). Persisted
+    * per batch by [[applyDelta]] (kernel mode) next to the index. */
+  private def committedBands(spark: SparkSession, root: String,
+                             cfg: Config, like: DataFrame): DataFrame = {
+    val committed = committedBatches(spark, root)
+    if (committed.isEmpty)
+      TextDedup.bandRows(
+        TextDedup.minhashIndex(like.limit(0), cfg.textCol, cfg.idCol,
+          cfg.shingleK, cfg.numHashes), cfg.numHashes, cfg.bands)
+    else minusEvicted(
+      spark.read.option("basePath", bandsDir(root))
+        .parquet(committed.map(b => batchDir(bandsDir(root), b)): _*)
         .withColumn("ingest_batch", col("ingest_batch").cast("long")),
       spark, root, "id").drop("ingest_batch")
   }
@@ -337,6 +405,17 @@ object IncrementalCorpus {
           if (committedBatches(spark, root).isEmpty) clean.limit(0)
           else readAccepted(spark, root),
           stagingPath = Some(s"$staging/psig"))
+      // the default kernel path probes the persisted band table with
+      // broadcast joins — per-batch exchange O(delta), the index side
+      // only ever SCANNED (see dedupAgainstBandIndex's scaladoc); the
+      // plain union-table spelling stays as the measured baseline and
+      // the right call for a batch comparable to the corpus
+      else if (cfg.broadcastDedup)
+        TextDedup.dedupAgainstBandIndex(clean, cfg.textCol, cfg.idCol,
+          committedIndex(spark, root, cfg, clean),
+          committedBands(spark, root, cfg, clean), cfg.shingleK,
+          cfg.numHashes, cfg.bands, cfg.threshold, cfg.maxBucket,
+          stagingPath = Some(s"$staging/sig"))
       else TextDedup.dedupAgainstIndex(clean, cfg.textCol, cfg.idCol,
         committedIndex(spark, root, cfg, clean), cfg.shingleK,
         cfg.numHashes, cfg.bands, cfg.threshold, cfg.maxBucket,
@@ -353,11 +432,20 @@ object IncrementalCorpus {
     val docsPath = batchDir(docsDir(root), batchId)
     kept.write.mode("overwrite").parquet(docsPath)
     fault("post-docs")
-    if (!cfg.portableDedup)
+    if (!cfg.portableDedup) {
+      val idxPath = batchDir(indexDir(root), batchId)
       TextDedup.minhashIndex(spark.read.parquet(docsPath), cfg.textCol,
           cfg.idCol, cfg.shingleK, cfg.numHashes)
-        .write.mode("overwrite").parquet(batchDir(indexDir(root), batchId))
-    fault("post-index")
+        .write.mode("overwrite").parquet(idxPath)
+      fault("post-index")
+      // the thin band table, derived FROM THE LANDED INDEX (same
+      // truncated-lineage discipline as the index-from-landed-docs
+      // write above) — the broadcast-probe side of later batches
+      TextDedup.bandRows(spark.read.parquet(idxPath),
+          cfg.numHashes, cfg.bands)
+        .write.mode("overwrite").parquet(batchDir(bandsDir(root), batchId))
+    } else fault("post-index")
+    fault("post-bands")
     // staging is a pure recompute cache — drop it BEFORE the marker (a
     // crash between marker and a trailing delete would orphan the dir
     // forever, since replays short-circuit at the marker)

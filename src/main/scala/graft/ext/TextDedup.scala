@@ -678,6 +678,130 @@ object TextDedup {
     fresh.join(dropped, fresh(idCol) === col("_graft_dup_id"), "left_anti")
   }
 
+  /** Pre-exploded LSH band rows `(band, bh, id)` of a [[minhashIndex]]
+    * table — the thin side table a continuous-ingestion pipeline
+    * persists NEXT TO the index so [[dedupAgainstBandIndex]] can probe
+    * it with broadcast joins instead of shuffling the index per batch.
+    * `bands` must divide the index's `numHashes` (same build-parameter
+    * contract as the index itself). */
+  def bandRows(index: DataFrame, numHashes: Int = 64,
+               bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    index.select(col("id"),
+      posexplode(lshBandHashes(col("sig"), bands, numHashes / bands))
+        .as(Seq("band", "bh")))
+      .select(col("band"), col("bh"), col("id"))
+  }
+
+  /** [[dedupAgainstIndex]] re-planned so the INDEX SIDE IS NEVER
+    * SHUFFLED — the fix for the one super-linear term in the ingest
+    * loop (the plain variant's band exchange carries index∪batch band
+    * hashes, O(index + delta) shuffle per batch even though the new
+    * work is O(delta)). Verdicts are IDENTICAL to [[dedupAgainstIndex]]
+    * given the same inputs and parameters (spec-pinned, including the
+    * `maxBucket` cap, whose bucket sizes count index AND batch members
+    * exactly as the union-table spelling does).
+    *
+    * Requires the pre-exploded `indexBands` table ([[bandRows]] rows,
+    * persisted append-only alongside the index). Per batch, the plan is
+    * three MAP-SIDE passes over persisted index data — each a scan
+    * probed by a broadcast of delta-derived keys, no index-side
+    * exchange:
+    *  1. the id-skip: index ids ⋈ broadcast(batch ids);
+    *  2. candidate generation: `indexBands` (two thin columns + id)
+    *     ⋈ broadcast(the delta's ≤ |delta|·bands distinct band keys);
+    *     only matching rows reach the (tiny) bucket-size aggregate and
+    *     the pair join;
+    *  3. the verify lookup: index `(id, shh, sig)` ⋈ broadcast(the
+    *     candidate index ids — bounded by the capped candidate volume).
+    * Every shuffle that remains is delta- or candidate-sized. The scan
+    * term (reading the index's columns once per batch) is the price of
+    * a plain-parquet layout; the EXCHANGE term — the part that grows
+    * into a cluster-wide all-to-all at 100 TB — is gone.
+    *
+    * Designed for |delta| ≪ |index| (the ingest-loop shape): the
+    * broadcasts are delta-sized. For a batch comparable to the corpus,
+    * use [[dedupAgainstIndex]] — a broadcast that size belongs in a
+    * shuffle. */
+  def dedupAgainstBandIndex(batch: DataFrame, textCol: String, idCol: String,
+                            index: DataFrame, indexBands: DataFrame,
+                            shingleK: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.7,
+                            maxBucket: Int = 1000,
+                            stagingPath: Option[String] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(Seq("id", "shh", "sig").forall(index.columns.contains),
+      s"index must be minhashIndex output (id, shh, sig); got ${index.columns.mkString(",")}")
+    require(Seq("band", "bh", "id").forall(indexBands.columns.contains),
+      s"indexBands must be bandRows output (band, bh, id); got ${indexBands.columns.mkString(",")}")
+    require(!batch.columns.contains("_graft_dup_id"),
+      "dedupAgainstBandIndex reserves the column name _graft_dup_id")
+    index.select(size(col("sig")).as("n")).limit(1).collect()
+      .headOption.foreach { row =>
+        require(row.getInt(0) == numHashes,
+          s"index signatures have ${row.getInt(0)} lanes; call uses numHashes=$numHashes")
+      }
+    // id-skip without an index exchange: ids in BOTH sides surface via a
+    // broadcast of the (small) batch id set against the index scan, then
+    // leave the batch through a second broadcast anti-join
+    val batchIds = batch.select(col(idCol).as("_graft_batch_id")).distinct()
+    val alreadyIndexed = index
+      .join(broadcast(batchIds), col("id") === col("_graft_batch_id"))
+      .select(col("id").as("_graft_dup_id")).distinct()
+    val fresh = batch.join(broadcast(alreadyIndexed),
+      batch(idCol) === col("_graft_dup_id"), "left_anti")
+    val batchSig = materialize(
+      minhashIndex(fresh, textCol, idCol, shingleK, numHashes), stagingPath)
+    val batchBands = bandRows(batchSig, numHashes, bands)
+    // index rows in the delta's buckets — the only index band rows that
+    // can decide anything (an untouched bucket pairs no batch member)
+    val touched = batchBands.select(col("band"), col("bh")).distinct()
+    val idxTouched = indexBands.join(broadcast(touched), Seq("band", "bh"))
+      .select(col("band"), col("bh"), col("id"))
+    // the cap counts index∪batch members per bucket, exactly like the
+    // union-table bucketCandidates; both aggregates are bounded by the
+    // delta's bucket count (index side: only touched rows survive)
+    val bSz = batchBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_nb"))
+    val iSz = idxTouched.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_ni"))
+    val ok = bSz.join(iSz, Seq("band", "bh"), "left")
+      .filter((col("_nb") + coalesce(col("_ni"), lit(0L)))
+        .between(2, maxBucket))
+      .select(col("band"), col("bh"))
+    // index-batch candidates: sides are fixed by construction
+    val ib = idxTouched.join(broadcast(ok), Seq("band", "bh"))
+      .join(broadcast(batchBands
+          .select(col("band"), col("bh"), col("id").as("_graft_b_id"))),
+        Seq("band", "bh"))
+      .select(col("id").as("id_a"), col("_graft_b_id").as("id_b"))
+      .distinct()
+    // batch-batch candidates: the same in-bucket pair machinery, over
+    // the delta's band rows restricted to cap-passing buckets (a
+    // bucket's batch-side subcount can never exceed its ok'd total)
+    val bb = bucketCandidates(
+      batchBands.join(broadcast(ok), Seq("band", "bh")), maxBucket)
+    val cand = ib.select(col("id_a"), col("id_b"),
+        lit(0).as("v_a"), lit(1).as("v_b"))
+      .unionByName(bb.select(col("id_a"), col("id_b"),
+        lit(1).as("v_a"), lit(1).as("v_b")))
+    // verify lookup: only CANDIDATE index rows pay the (heavy) shh read
+    val candIdx = ib.select(col("id_a").as("_graft_cand_id")).distinct()
+    val idxLookup = index
+      .join(broadcast(candIdx), col("id") === col("_graft_cand_id"))
+      .select(col("id"), col("shh"), col("sig"))
+    val lookup = idxLookup
+      .unionByName(batchSig.select(col("id"), col("shh"), col("sig")))
+    val edges = verifyCandidates(cand, lookup, numHashes, threshold,
+      passthrough = Seq("v_a", "v_b"))
+    val dropped = edges.select(
+      when(col("v_a") === 1 && col("v_b") === 1, col("id_b"))
+        .when(col("v_a") === 1, col("id_a"))
+        .otherwise(col("id_b")).as("_graft_dup_id")).distinct()
+    fresh.join(broadcast(dropped),
+      fresh(idCol) === col("_graft_dup_id"), "left_anti")
+  }
+
   // ---- portable (cross-engine oracle-able) MinHash ----
 
   /** Cross-engine-portable MinHash-LSH near-duplicate pipeline.

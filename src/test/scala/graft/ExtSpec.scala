@@ -313,6 +313,75 @@ class ExtSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("dedupAgainstBandIndex: verdict-identical to dedupAgainstIndex " +
+    "on the named-victim and whole-corpus fixtures") {
+    def both(batch: org.apache.spark.sql.DataFrame,
+             index: org.apache.spark.sql.DataFrame,
+             maxBucket: Int = 1000): (Set[Long], Set[Long]) = {
+      val bandsT = TextDedup.bandRows(index)
+      val plain = TextDedup.dedupAgainstIndex(batch, "text", "doc_id",
+        index, maxBucket = maxBucket)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bcast = TextDedup.dedupAgainstBandIndex(batch, "text", "doc_id",
+        index, bandsT, maxBucket = maxBucket)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (plain, bcast)
+    }
+    // fixture 1: the named-victim batch (index win, within-batch win,
+    // re-ingested id) from the dedupAgainstIndex spec above
+    val idx1 = TextDedup.minhashIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (2L, "one two three four five six seven eight nine"))
+        .toDF("doc_id", "text"), "text", "doc_id").persist()
+    val batch1 = Seq(
+      (10L, "beta gamma delta epsilon zeta eta theta"),
+      (11L, "completely different words about spark engines at scale"),
+      (12L, "red orange yellow green blue indigo violet ultraviolet"),
+      (13L, "orange yellow green blue indigo violet ultraviolet"),
+      (2L, "whatever text this claims to carry")).toDF("doc_id", "text")
+    val (p1, b1) = both(batch1, idx1)
+    assert(b1 == p1 && b1 == Set(11L, 12L))
+    idx1.unpersist()
+    // fixture 2: the whole-corpus perturbed batch — every doc a near-dup
+    val old = docs.select(col("doc_id"), col("text"))
+    val batch2 = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      expr("CASE WHEN instr(text, ' ') > 0 THEN substr(text, instr(text, ' ') + 1) " +
+        "ELSE text END").as("text"))
+    val idx2 = TextDedup.minhashIndex(old, "text", "doc_id").persist()
+    val (p2, b2) = both(batch2, idx2)
+    assert(b2 == p2)
+    idx2.unpersist()
+    // a numHashes mismatch fails loudly on this path too
+    assertThrows[IllegalArgumentException] {
+      TextDedup.dedupAgainstBandIndex(batch1, "text", "doc_id", idx1,
+        TextDedup.bandRows(idx1, 32, 8), numHashes = 32, bands = 8)
+    }
+  }
+
+  test("dedupAgainstBandIndex: the maxBucket cap counts index AND batch " +
+    "members, exactly like the union-table spelling") {
+    // 4 identical indexed docs + 2 identical batch copies: every band
+    // bucket holds all 6. Cap 5 < 6 → the bucket is excluded on BOTH
+    // paths (dups admitted); cap 6 → pairs generate and the copies drop.
+    val text = "the same boilerplate sentence repeated verbatim everywhere"
+    val idx = TextDedup.minhashIndex(
+      (1L to 4L).map(i => (i, text)).toDF("doc_id", "text"),
+      "text", "doc_id").persist()
+    val bandsT = TextDedup.bandRows(idx)
+    val batch = Seq((10L, text), (11L, text)).toDF("doc_id", "text")
+    for ((cap, want) <- Seq(5 -> Set(10L, 11L), 6 -> Set.empty[Long])) {
+      val plain = TextDedup.dedupAgainstIndex(batch, "text", "doc_id",
+        idx, maxBucket = cap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bcast = TextDedup.dedupAgainstBandIndex(batch, "text", "doc_id",
+        idx, bandsT, maxBucket = cap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(plain == want, s"plain path at cap $cap")
+      assert(bcast == want, s"broadcast path at cap $cap")
+    }
+    idx.unpersist()
+  }
+
   test("duplicateGroups finds transitive components; dedupByPairs keeps group mins") {
     // components: {1,2,3} (chain), {10,11}, {20,21,22} (triangle-ish);
     // 99 appears in no pair and must pass through dedupByPairs untouched

@@ -102,7 +102,7 @@ class IncrementalCorpusSpec extends AnyFunSuite {
       applyAll(root)
       assert(accepted(root) == expected)
       // crash landings on a FRESH root: arm a fail-once hook per point
-      Seq("post-docs", "post-index").foreach { point =>
+      Seq("post-docs", "post-index", "post-bands").foreach { point =>
         val r2 = Files.createTempDirectory(s"graft-inc-$point").toString
         try {
           IncrementalCorpus.applyDelta(batch0.toDF("id", "t"), 0, r2, cfg,

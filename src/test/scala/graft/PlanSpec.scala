@@ -297,6 +297,59 @@ class PlanSpec extends AnyFunSuite {
         gDf.queryExecution.executedPlan.toString)
   }
 
+  test("dedupAgainstBandIndex never shuffles index lineage un-filtered: " +
+    "every exchange whose subtree scans the persisted index or band " +
+    "table sits ABOVE a broadcast-probe join (the O(delta) ingest shape)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx-plan").toString
+    try {
+      val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+      graft.ext.TextDedup.minhashIndex(docs, "text", "doc_id")
+        .write.mode("overwrite").parquet(s"$dir/index")
+      graft.ext.TextDedup.bandRows(spark.read.parquet(s"$dir/index"))
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      val batch = docs.filter(col("doc_id") < 64)
+        .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+      val kept = graft.ext.TextDedup.dedupAgainstBandIndex(batch, "text",
+        "doc_id", spark.read.parquet(s"$dir/index"),
+        spark.read.parquet(s"$dir/bands"),
+        stagingPath = Some(s"$dir/stg"))
+      kept.collect()
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.flatMap(walk)
+      })
+      val all = walk(kept.queryExecution.executedPlan)
+      def scansPersisted(sub: Seq[SparkPlan]): Boolean = sub.exists {
+        case f: FileSourceScanExec =>
+          val s = f.toString
+          s.contains(s"$dir/index") || s.contains(s"$dir/bands")
+        case _ => false
+      }
+      val exchanges = all.collect {
+        case e: ShuffleExchangeExec => e
+        case e: BroadcastExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val sub = walk(e).drop(1)
+        if (scansPersisted(sub))
+          assert(sub.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+            "an exchange carries UNFILTERED index/band rows (O(index) " +
+              "per-batch shuffle):\n" + e.toString)
+      }
+      // and the broadcast-probe joins really are there (≥ 3: id-skip,
+      // band candidates, verify lookup)
+      assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3,
+        kept.queryExecution.executedPlan.toString)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("as-of join query plans with zero join nodes; type filter pushes to scan (x24)") {
     val p = plan(SparkEntry.queries("x24_asof_join")(spark, sf))
     assert(!p.contains("Join"), "x24 must be the union-window plan:\n" + p)

@@ -195,22 +195,47 @@ object IncrementalCorpus {
           df("ingest_batch") === col("_graft_evicted_batch"), "left_anti")
     }
 
+  /** Committed state of one table family (`docs` / `index` / `bands`),
+    * BEFORE eviction subtraction: the latest generation (if any
+    * compaction committed) unioned with the batch dirs the generation
+    * did not fold. None when nothing is committed at all. Every read
+    * path carries `ingest_batch` as a long — from the directory layout
+    * for batch dirs and partitioned generations, from the data column
+    * for merged generations. */
+  private def readFamily(spark: SparkSession, root: String,
+                         family: String): Option[DataFrame] = {
+    val base = s"${root.stripSuffix("/")}/$family"
+    val committed = committedBatches(spark, root)
+    def batchRead(bs: Seq[Long]) = spark.read.option("basePath", base)
+      .parquet(bs.map(b => batchDir(base, b)): _*)
+      .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+    latestCompaction(spark, root) match {
+      case None =>
+        if (committed.isEmpty) None else Some(batchRead(committed))
+      case Some((c, m)) =>
+        val gen = spark.read.parquet(s"${genDir(root, c)}/$family")
+          .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+        val live = committed.filterNot(m.batches)
+        Some(if (live.isEmpty) gen
+             else gen.unionByName(batchRead(live)))
+    }
+  }
+
   /** The accepted corpus: every marker-committed batch's survivors
-    * MINUS committed evictions, schema `(idCol, textCol, lang_guess,
-    * ingest_batch)` — the batch id rides in from the directory layout
-    * as a partition column, so per-batch slices are partition-pruned
-    * scans. Callers that only slice by batch and never project text
-    * still get column pruning (parquet). */
+    * (folded through the latest compaction, if any) MINUS committed
+    * evictions, schema `(idCol, textCol, lang_guess, ingest_batch)` —
+    * the batch id rides in from the directory layout as a partition
+    * column, so per-batch slices are partition-pruned scans (a
+    * `mergeBatches` compaction trades that pruning for fewer files;
+    * row-group stats still skip). Callers that only slice by batch and
+    * never project text still get column pruning (parquet). */
   def readAccepted(spark: SparkSession, root: String): DataFrame =
     readAccepted(spark, root, Config("", ""))
   def readAccepted(spark: SparkSession, root: String,
                    cfg0: Config): DataFrame = {
-    val committed = committedBatches(spark, root)
-    require(committed.nonEmpty,
-      s"IncrementalCorpus: no committed batches under $root")
-    val df = spark.read.option("basePath", docsDir(root))
-      .parquet(committed.map(b => batchDir(docsDir(root), b)): _*)
-      .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+    val df = readFamily(spark, root, "docs").getOrElse(
+      throw new IllegalArgumentException(
+        s"IncrementalCorpus: no committed batches under $root"))
     // tombstones are stored canonical (id, ingest_batch); the docs-side
     // anti-join keys by the layout's own id column (the first
     // non-reserved column is idCol by the applyDelta write contract)
@@ -223,20 +248,15 @@ object IncrementalCorpus {
     * suppressing its near-dups, which re-face the CURRENT benchmark at
     * ingest time); empty-but-typed when nothing is committed. */
   private def committedIndex(spark: SparkSession, root: String,
-                             cfg: Config, like: DataFrame): DataFrame = {
-    val committed = committedBatches(spark, root)
-    if (committed.isEmpty)
-      TextDedup.minhashIndex(like.limit(0), cfg.textCol, cfg.idCol,
-        cfg.shingleK, cfg.numHashes)
-    else minusEvicted(
-      // basePath recovers ingest_batch from the directory layout — the
-      // tombstone key's second column; dropped again below so the
-      // schema dedupAgainstIndex validates stays (id, shh, sig)
-      spark.read.option("basePath", indexDir(root))
-        .parquet(committed.map(b => batchDir(indexDir(root), b)): _*)
-        .withColumn("ingest_batch", col("ingest_batch").cast("long")),
-      spark, root, "id").drop("ingest_batch")
-  }
+                             cfg: Config, like: DataFrame): DataFrame =
+    readFamily(spark, root, "index") match {
+      case None =>
+        TextDedup.minhashIndex(like.limit(0), cfg.textCol, cfg.idCol,
+          cfg.shingleK, cfg.numHashes)
+      // the schema dedupAgainstIndex validates stays (id, shh, sig)
+      case Some(df) => minusEvicted(df, spark, root, "id")
+        .drop("ingest_batch")
+    }
 
   /** The committed pre-exploded band table ([[TextDedup.bandRows]] of
     * every accepted doc, minus evicted rows) — the thin side table
@@ -244,18 +264,15 @@ object IncrementalCorpus {
     * the per-batch exchange carries O(delta), not O(index). Persisted
     * per batch by [[applyDelta]] (kernel mode) next to the index. */
   private def committedBands(spark: SparkSession, root: String,
-                             cfg: Config, like: DataFrame): DataFrame = {
-    val committed = committedBatches(spark, root)
-    if (committed.isEmpty)
-      TextDedup.bandRows(
-        TextDedup.minhashIndex(like.limit(0), cfg.textCol, cfg.idCol,
-          cfg.shingleK, cfg.numHashes), cfg.numHashes, cfg.bands)
-    else minusEvicted(
-      spark.read.option("basePath", bandsDir(root))
-        .parquet(committed.map(b => batchDir(bandsDir(root), b)): _*)
-        .withColumn("ingest_batch", col("ingest_batch").cast("long")),
-      spark, root, "id").drop("ingest_batch")
-  }
+                             cfg: Config, like: DataFrame): DataFrame =
+    readFamily(spark, root, "bands") match {
+      case None =>
+        TextDedup.bandRows(
+          TextDedup.minhashIndex(like.limit(0), cfg.textCol, cfg.idCol,
+            cfg.shingleK, cfg.numHashes), cfg.numHashes, cfg.bands)
+      case Some(df) => minusEvicted(df, spark, root, "id")
+        .drop("ingest_batch")
+    }
 
   /** PURE retroactive-contamination sweep — the read a curation team
     * runs when a NEW benchmark lands: every currently-accepted doc's
@@ -310,6 +327,117 @@ object IncrementalCorpus {
       .write.mode("overwrite")
       .parquet(s"${evictDir(root)}/evict=$evictId")
     fs.create(marker, true).close()
+  }
+
+  /** Compaction: fold the root's committed state — every batch dir,
+    * through every eviction tombstone — into ONE generation
+    * (`gen/compact=<id>/{docs,index,bands}`), then retire the folded
+    * data. Evicted rows are physically dropped (docs, index, AND
+    * bands); batch attribution is preserved — as the `ingest_batch`
+    * partition column by default, or as a plain data column with
+    * `mergeBatches = true`, which merges a years-long ingest's
+    * thousands of small per-batch dirs into a handful of files (the
+    * trade: per-batch dir pruning becomes row-group-stat skipping).
+    * The reference analog is ReplacingMergeTree's merge-time collapse
+    * (kickhouse DDL:37,143): logical deletes become physical at merge.
+    *
+    * LEDGER: batch and eviction MARKERS are permanent — a replayed
+    * `applyDelta`/`evict` still short-circuits after its data was
+    * folded (readers skip tombstone markers whose data dir is gone).
+    * The compact marker itself is rename-committed and CONTAINS the
+    * fold manifest (folded batches / evictions / prior generations),
+    * so a reader can never observe a half-written manifest. Readers
+    * switch atomically at the marker: before it they read batch dirs +
+    * tombstones; after it, the generation (+ any batches committed
+    * since).
+    *
+    * CRASH LANDINGS (spec'd): a crash before the marker leaves a
+    * partial generation that no reader looks at — replay overwrites
+    * it. Retirement runs AFTER the marker, so a crash mid-GC would
+    * orphan folded dirs forever if replays short-circuited at the
+    * marker (the staging-dir lesson) — therefore a REPLAY of a
+    * committed `compactId` re-runs the idempotent GC instead of
+    * returning early. Reads are value-identical at every landing.
+    *
+    * Concurrency: single compactor at a time (the same single-writer
+    * assumption as the ingest loop); `compactId` must exceed every
+    * committed one — generations are ordered, the newest wins.
+    *
+    * Scale: one pruned scan of accepted docs + index + bands, written
+    * back delta... corpus-sized — compaction is the O(corpus) verb BY
+    * DESIGN (run it rarely: when tombstone mass or dir count hurts);
+    * every per-batch verb stays O(delta). No-op fast path: nothing to
+    * fold (no evictions, ≤ 1 batch, no prior gen) returns without
+    * writing. */
+  def compact(spark: SparkSession, root: String, cfg: Config,
+              compactId: Long, mergeBatches: Boolean = false): Unit = {
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(compactCommitsDir(root), compactId.toString)
+    if (!fs.exists(marker)) {
+      val committed = committedBatches(spark, root)
+      require(committed.nonEmpty,
+        s"IncrementalCorpus.compact: no committed batches under $root")
+      val prevGens = committedCompactions(spark, root)
+      require(prevGens.forall(_ < compactId),
+        s"IncrementalCorpus.compact: compactId $compactId must exceed " +
+          s"every committed compaction (${prevGens.mkString(",")})")
+      val evs = committedEvictions(spark, root)
+      // nothing worth folding → free no-op (the common ingest-only life)
+      if (evs.isEmpty && prevGens.isEmpty && committed.size <= 1) return
+      def writeGen(df: DataFrame, path: String): Unit = {
+        val w = if (mergeBatches)
+          // attribution becomes a data column; coalesce the whole fold
+          // into shuffle-partition-count files (small next to a scan)
+          df.repartition(col("ingest_batch")).write
+        else df.repartition(col("ingest_batch")).write
+          .partitionBy("ingest_batch")
+        w.mode("overwrite").parquet(path)
+      }
+      writeGen(readAccepted(spark, root, cfg),
+        s"${genDir(root, compactId)}/docs")
+      // kernel roots fold the index too; the band table re-derives
+      // FROM THE LANDED generation index (truncated lineage — the same
+      // discipline as applyDelta's index-from-landed-docs)
+      val kernelMode = fs.exists(new Path(indexDir(root))) ||
+        latestCompaction(spark, root).exists(c =>
+          fs.exists(new Path(s"${genDir(root, c._1)}/index")))
+      if (kernelMode) {
+        readFamily(spark, root, "index").foreach { idx =>
+          writeGen(minusEvicted(idx, spark, root, "id"),
+            s"${genDir(root, compactId)}/index")
+        }
+        val gi = spark.read.parquet(s"${genDir(root, compactId)}/index")
+          .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+        writeGen(gi.select(col("id"), col("ingest_batch"),
+            posexplode(TextDedup.lshBandHashes(col("sig"), cfg.bands,
+              cfg.numHashes / cfg.bands)).as(Seq("band", "bh")))
+          .select(col("band"), col("bh"), col("id"), col("ingest_batch")),
+          s"${genDir(root, compactId)}/bands")
+      }
+      fault("post-gen")
+      // rename-commit the manifest: partial marker content is unreadable
+      val manifest = (committed.map(b => s"batch:$b") ++
+        evs.map(e => s"evict:$e") ++ prevGens.map(g => s"gen:$g"))
+        .mkString("", "\n", "\n")
+      val tmp = new Path(compactCommitsDir(root), s".tmp-$compactId")
+      val out = fs.create(tmp, true)
+      try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, marker),
+        s"IncrementalCorpus.compact: marker rename failed for $compactId")
+    }
+    fault("post-compact-marker")
+    // retirement — idempotent, re-run on every replay so a crash
+    // mid-GC can never orphan folded dirs behind the marker
+    val m = readManifest(spark, root, compactId)
+    m.batches.foreach { b =>
+      Seq(docsDir(root), indexDir(root), bandsDir(root))
+        .foreach(base => fs.delete(new Path(batchDir(base, b)), true))
+    }
+    m.evicts.foreach(e =>
+      fs.delete(new Path(s"${evictDir(root)}/evict=$e"), true))
+    m.gens.foreach(g => fs.delete(new Path(genDir(root, g)), true))
   }
 
   /** Curate one batch against the frozen vocabulary —

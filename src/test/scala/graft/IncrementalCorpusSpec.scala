@@ -239,6 +239,154 @@ class IncrementalCorpusSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(root))
   }
 
+  test("compact folds tombstones into one generation: reads identical, " +
+    "replayed verbs stay no-ops, folded dirs retired, the dedup index " +
+    "stays evictee-free, and later ingest composes") {
+    val root = Files.createTempDirectory("graft-inc-compact").toString
+    try {
+      applyAll(root)
+      IncrementalCorpus.evict(
+        Seq((7L, 1L)).toDF("id", "ingest_batch"), 0L, root, cfg)
+      val before = accepted(root)
+      assert(before == expected - ((7L, 1L)))
+      IncrementalCorpus.compact(spark, root, cfg, 0L)
+      assert(accepted(root) == before, "compaction must preserve reads")
+      val acc = IncrementalCorpus.readAccepted(spark, root)
+      assert(acc.columns.toSet ==
+        Set("id", "t", "lang_guess", "ingest_batch"))
+      // folded data retired; the marker ledgers are permanent
+      def exists(p: String) = new java.io.File(s"$root/$p").exists
+      assert(!exists("docs/ingest_batch=0") && !exists("docs/ingest_batch=1"))
+      assert(!exists("index/ingest_batch=0") && !exists("bands/ingest_batch=0"))
+      assert(!exists("evicted/evict=0"))
+      assert(exists("_graft_commits/0") && exists("_graft_evict_commits/0"))
+      // replayed verbs short-circuit at their (kept) markers
+      applyAll(root)
+      IncrementalCorpus.evict(
+        Seq((7L, 1L)).toDF("id", "ingest_batch"), 0L, root, cfg)
+      assert(accepted(root) == before)
+      // compact replay is a no-op GC pass
+      IncrementalCorpus.compact(spark, root, cfg, 0L)
+      assert(accepted(root) == before)
+      // the generation keeps per-batch slices partition-pruned
+      val plan = acc.filter(col("ingest_batch") === 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan)
+      // the folded index dropped the evictee: its exact text is judged
+      // fresh by the next batch (evict-visibility survives compaction)
+      IncrementalCorpus.applyDelta(Seq(12L -> enC).toDF("id", "t"), 3,
+        root, cfg, vocabDf, benchDf, "text")
+      assert(accepted(root) == before + ((12L, 3L)))
+      // a second compaction folds the first generation + the new batch
+      IncrementalCorpus.evict(
+        Seq((8L, 1L)).toDF("id", "ingest_batch"), 1L, root, cfg)
+      IncrementalCorpus.compact(spark, root, cfg, 2L)
+      assert(accepted(root) == before + ((12L, 3L)) - ((8L, 1L)))
+      assert(!exists("gen/compact=0"), "superseded generation retired")
+      assert(!exists("docs/ingest_batch=3"))
+      // a NEW compaction with a stale (non-max) id fails loudly; a
+      // replayed COMMITTED id is an idempotent GC pass, not an error
+      intercept[IllegalArgumentException] {
+        IncrementalCorpus.compact(spark, root, cfg, 1L)
+      }
+      IncrementalCorpus.compact(spark, root, cfg, 0L)
+      assert(accepted(root) == before + ((12L, 3L)) - ((8L, 1L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
+  test("compact(mergeBatches = true) merges batch dirs into plain files " +
+    "while preserving batch attribution as a column") {
+    val root = Files.createTempDirectory("graft-inc-merge").toString
+    try {
+      applyAll(root)
+      IncrementalCorpus.evict(
+        Seq((7L, 1L)).toDF("id", "ingest_batch"), 0L, root, cfg)
+      val before = accepted(root)
+      IncrementalCorpus.compact(spark, root, cfg, 0L, mergeBatches = true)
+      assert(accepted(root) == before)
+      val genDocs = new java.io.File(s"$root/gen/compact=0/docs")
+      assert(genDocs.exists)
+      assert(!genDocs.listFiles().exists(_.getName.startsWith("ingest_batch=")),
+        "merged generation must not keep per-batch dirs")
+      // and ingest after a merged generation still composes
+      IncrementalCorpus.applyDelta(Seq(12L -> enC).toDF("id", "t"), 3,
+        root, cfg, vocabDf, benchDf, "text")
+      assert(accepted(root) == before + ((12L, 3L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
+  test("compact crash landings: reads are value-identical at post-gen " +
+    "and post-compact-marker, and the replay completes the fold") {
+    Seq("post-gen", "post-compact-marker").foreach { point =>
+      val root = Files.createTempDirectory(s"graft-inc-c-$point").toString
+      try {
+        applyAll(root)
+        IncrementalCorpus.evict(
+          Seq((7L, 1L)).toDF("id", "ingest_batch"), 0L, root, cfg)
+        val before = accepted(root)
+        val once = new java.util.concurrent.atomic.AtomicBoolean(true)
+        IncrementalCorpus.faultHook.set(p =>
+          if (p == point && once.getAndSet(false))
+            throw new RuntimeException(s"injected crash at $point"))
+        try {
+          intercept[RuntimeException] {
+            IncrementalCorpus.compact(spark, root, cfg, 0L)
+          }
+        } finally IncrementalCorpus.faultHook.set(_ => ())
+        assert(accepted(root) == before,
+          s"reads diverged after a $point crash")
+        IncrementalCorpus.compact(spark, root, cfg, 0L)
+        assert(accepted(root) == before, s"replay after $point diverged")
+        assert(!new java.io.File(s"$root/docs/ingest_batch=0").exists,
+          s"replay after $point did not retire folded dirs")
+        assert(!new java.io.File(s"$root/evicted/evict=0").exists)
+      } finally org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("compact on a portable root folds docs only; the ingest-only " +
+    "no-op fast path writes nothing") {
+    val root = Files.createTempDirectory("graft-inc-cport").toString
+    val pcfg = cfg.copy(portableDedup = true)
+    try {
+      IncrementalCorpus.applyDelta(
+        Seq(1L -> enA, 3L -> enB).toDF("id", "t"), 0, root, pcfg,
+        vocabDf, benchDf, "text")
+      // single batch, no evictions, no prior gen → free no-op
+      IncrementalCorpus.compact(spark, root, pcfg, 0L)
+      assert(!new java.io.File(s"$root/gen").exists)
+      assert(!new java.io.File(s"$root/_graft_compact_commits").exists)
+      IncrementalCorpus.applyDelta(
+        Seq(7L -> enC).toDF("id", "t"), 1, root, pcfg,
+        vocabDf, benchDf, "text")
+      IncrementalCorpus.evict(
+        Seq((3L, 0L)).toDF("id", "ingest_batch"), 0L, root, pcfg)
+      val before = IncrementalCorpus.readAccepted(spark, root)
+        .select(col("id"), col("ingest_batch"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before == Set((1L, 0L), (7L, 1L)))
+      IncrementalCorpus.compact(spark, root, pcfg, 1L)
+      val after = IncrementalCorpus.readAccepted(spark, root)
+        .select(col("id"), col("ingest_batch"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == before)
+      assert(!new java.io.File(s"$root/gen/compact=1/index").exists,
+        "a portable root has no index to fold")
+      // portable dedup after compaction: the evicted enB is judged fresh
+      IncrementalCorpus.applyDelta(
+        Seq(9L -> enB).toDF("id", "t"), 2, root, pcfg,
+        vocabDf, benchDf, "text")
+      val last = IncrementalCorpus.readAccepted(spark, root)
+        .select(col("id"), col("ingest_batch"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(last == before + ((9L, 2L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
   test("a delta carrying a stage-internal column fails fast") {
     val root = Files.createTempDirectory("graft-inc-guard").toString
     try {

@@ -4027,6 +4027,28 @@ object SparkEntry {
           t(s, d, "documents").filter(col("doc_id") % 7 === 0), "text")
         .orderBy(col("id"))
     }),
+    "x187_evicted_corpus" -> ((s, d) => {
+      // the full retention lifecycle under ONE oracle: ingest two
+      // batches → commit the x186 sweep's verdict as an EVICTION →
+      // ingest a third batch (two-token-dropped copies) whose members
+      // face the POST-EVICTION index — an evictee's near-dup is judged
+      // fresh and lands, a survivor's near-dup drops — → compact the
+      // root (read-preserving fold; the oracle replays the logical
+      // chain, so a compaction that changed any value goes red here).
+      // Build-time gates pin every path non-vacuous (see x187Root).
+      graft.ext.IncrementalCorpus.readAccepted(s, x187Root(s, d))
+        .select(col("id"), col("ingest_batch"))
+        .orderBy(col("id"))
+    }),
+    "x188_compacted_funnel" -> ((s, d) => {
+      // the per-batch funnel SERVED FROM THE COMPACTED GENERATION —
+      // x185's report shape over the post-eviction lifecycle root
+      graft.ext.IncrementalCorpus.readAccepted(s, x187Root(s, d))
+        .groupBy(col("ingest_batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("t"), " ")).cast("long")).as("n_tokens"))
+        .orderBy(col("ingest_batch"))
+    }),
   )
 
   /** The x182/x183 crawl corpus: [[perturbedCorpus]] carrying each
@@ -4087,6 +4109,82 @@ object SparkEntry {
         graft.ext.IncrementalCorpus.applyDelta(
           corpus.filter(col("id") >= 1000000), 1, root, cfg, vocab,
           bench, "text")
+        root
+      })
+    }
+
+  /** Build-once memo for the x187/x188 lifecycle state — a SEPARATE
+    * root from x184 (x184/x185/x186 must stay deterministic, so their
+    * root is never mutated; this one is evicted AND compacted). The
+    * chain: the same two portable-dedup batches as x184 → the x186
+    * retroactive sweep committed via [[graft.ext.IncrementalCorpus
+    * .evict]] → a third batch of two-token-dropped copies at +2e6
+    * (near-dups of BOTH earlier arms) judged against the post-eviction
+    * index → [[graft.ext.IncrementalCorpus.compact]] folding the
+    * tombstones into one generation. Every verdict path is gated
+    * non-vacuous AT BUILD TIME (the s20/s21 green-but-vacuous lesson):
+    * the evictee set, the batch-2 accepts, the accepts-because-evicted
+    * subset, and the drops-against-survivors subset must each be
+    * non-empty or the build fails with the gate's name. */
+  private val x187Memo = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+  private def x187Root(s: SparkSession, d: String): String =
+    x187Memo.synchronized {
+      x187Memo.getOrElseUpdate(s"${sessionKey(s)}:$d", {
+        val root = cachePath(d, "x187") + "/state"
+        val corpus = perturbedCorpus(t(s, d, "documents"))
+        val cfg = graft.ext.IncrementalCorpus.Config("t", "id",
+          portableDedup = true)
+        val vocab = graft.ext.TextAnalysis.tokenTopK(
+          corpus.filter(col("id") < 1000000), "t", 30).select(col("token"))
+        val bench = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        graft.ext.IncrementalCorpus.applyDelta(
+          corpus.filter(col("id") < 1000000), 0, root, cfg, vocab,
+          bench, "text")
+        graft.ext.IncrementalCorpus.applyDelta(
+          corpus.filter(col("id") >= 1000000), 1, root, cfg, vocab,
+          bench, "text")
+        val sweep = graft.ext.IncrementalCorpus.retroContamination(
+          s, root, cfg,
+          t(s, d, "documents").filter(col("doc_id") % 7 === 0), "text")
+        val evictees = sweep.select(col("id")).collect()
+          .map(_.getLong(0)).toSet
+        require(evictees.nonEmpty,
+          "x187: empty evictee set — the sweep path is vacuous")
+        graft.ext.IncrementalCorpus.evict(sweep, 0, root, cfg)
+        val batch2 = t(s, d, "documents")
+          .select(col("doc_id").as("id0"),
+            graft.SparkEntry.dropFirstToken(
+              graft.SparkEntry.dropFirstToken(
+                graft.ext.TextDedup.normalize(col("text")))).as("t"))
+          .select((col("id0") + 2000000).as("id"), col("t"))
+        graft.ext.IncrementalCorpus.applyDelta(batch2, 2, root, cfg,
+          vocab, bench, "text")
+        val acc2 = graft.ext.IncrementalCorpus.readAccepted(s, root)
+          .filter(col("ingest_batch") === 2)
+          .select(col("id")).collect().map(_.getLong(0)).toSet
+        require(acc2.nonEmpty,
+          "x187: no batch-2 accepts — the cross-batch accept path is vacuous")
+        require(acc2.exists(id => evictees.contains(id - 2000000)),
+          "x187: no batch-2 accept traces to an evictee — the " +
+            "evict-visibility payoff is vacuous")
+        // drops-against-survivors: some batch-2 copy of a STILL-ACCEPTED
+        // original must reach the dedup stage CLEAN and then be dropped
+        // there (re-deriving clean2 pins the drop to dedup, not to an
+        // upstream curate/decon cut — the s21 probe-gate discipline)
+        val accepted01 = graft.ext.IncrementalCorpus.readAccepted(s, root)
+          .filter(col("ingest_batch") < 2)
+          .select(col("id")).collect().map(_.getLong(0)).toSet
+        val clean2 = graft.ext.Decontaminate.decontaminate(
+            graft.ext.IncrementalCorpus.curate(batch2, cfg, vocab),
+            "t", "id", bench, "text", k = cfg.decontaminateK,
+            maxContamination = cfg.maxContamination)
+          .select(col("id")).collect().map(_.getLong(0)).toSet
+        require(clean2.exists(id =>
+            accepted01.contains(id - 2000000) && !acc2.contains(id)),
+          "x187: no clean batch-2 copy of a surviving accepted doc was " +
+            "dropped at dedup — the suppression path is vacuous")
+        graft.ext.IncrementalCorpus.compact(s, root, cfg, 0)
         root
       })
     }
@@ -4262,7 +4360,8 @@ object SparkEntry {
     * missing DIFFERENT pairs, which is exactly what the sf0.1
     * differential run caught: 6009 vs 6024 rows.) */
   private def duckPortablePairCtesAt(lanes: Int, bands: Int,
-                                     threshold: Double): String = {
+                                     threshold: Double,
+                                     extraCorpusArm: String = ""): String = {
     require(lanes % bands == 0, "bands must divide lanes")
     val r = lanes / bands
     val bandConcat = (1 to r).map(j => s"sig[b*$r+$j]").mkString(" || ")
@@ -4275,7 +4374,7 @@ object SparkEntry {
         |  SELECT id + 1000000 AS id,
         |         CASE WHEN strpos(t, ' ') > 0 THEN substr(t, strpos(t, ' ') + 1)
         |              ELSE t END AS t
-        |  FROM base),
+        |  FROM base$extraCorpusArm),
         |toks AS (SELECT id, string_split(t, ' ') AS w FROM corpus),
         |sets AS (
         |  SELECT id, list_distinct(
@@ -8998,6 +9097,19 @@ object SparkEntry {
         |FROM acont a JOIN acc USING (id)
         |WHERE a.contamination > 0.2
         |ORDER BY a.id""".stripMargin),
+    // x187: the post-eviction, post-batch-2, post-compaction accepted
+    // corpus — the greedy chain re-derived over the three-arm corpus
+    // with the %7 sweep applied as an eviction between rounds
+    "x187_evicted_corpus" -> (duckEvictedCorpusCtes + "\n" +
+      "SELECT id, ingest_batch FROM accf ORDER BY id"),
+    // x188: the same lifecycle read as the per-batch funnel, served
+    // from the compacted generation on the Spark side
+    "x188_compacted_funnel" -> (duckEvictedCorpusCtes + "\n" +
+      """SELECT ingest_batch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(c.t, ' '))) AS BIGINT) AS n_tokens
+        |FROM accf JOIN corpus c USING (id)
+        |GROUP BY ingest_batch ORDER BY ingest_batch""".stripMargin),
   )
 
   /** The shared x182/x183 replay chain: the portable pair CTEs
@@ -9103,11 +9215,11 @@ object SparkEntry {
     * doc paired with an ACCEPTED doc drops; pairs to DROPPED docs
     * decide nothing (the index holds accepted docs only). Ends at
     * `acc(id, ingest_batch)`. */
-  private lazy val duckIncrementalCorpusCtes: String = (duckPortablePairCtes + ",\n" +
+  private def duckIncrementalChain(pairPrefix: String): String = (pairPrefix + ",\n" +
       duckCurateCtes(vocabWhere = "WHERE id < 1000000") + ",\n" +
       duckDeconCtes("keep") + ",\n" +
       """b0 AS (SELECT id FROM cln WHERE id < 1000000),
-        |b1 AS (SELECT id FROM cln WHERE id >= 1000000),
+        |b1 AS (SELECT id FROM cln WHERE id >= 1000000 AND id < 2000000),
         |drop0 AS (
         |  SELECT DISTINCT p.id_b AS id FROM pairs p
         |  JOIN b0 a ON a.id = p.id_a JOIN b0 b ON b.id = p.id_b),
@@ -9126,6 +9238,59 @@ object SparkEntry {
         |  SELECT id, CAST(0 AS BIGINT) AS ingest_batch FROM acc0
         |  UNION ALL
         |  SELECT id, CAST(1 AS BIGINT) AS ingest_batch FROM acc1)""".stripMargin)
+
+  private lazy val duckIncrementalCorpusCtes: String =
+    duckIncrementalChain(duckPortablePairCtes)
+
+  /** The x187/x188 replay: the SAME two-batch chain over a THREE-arm
+    * corpus (originals; first-token-dropped copies at +1e6; first-TWO-
+    * tokens-dropped copies at +2e6 — batch 2's delta), extended by the
+    * retroactive %7-benchmark sweep committed as an EVICTION (`ev` —
+    * exactly the x186 filter), then one more greedy online round for
+    * batch 2 against the post-eviction accepted set: an evictee's
+    * near-dup no longer faces the evictee's index rows (it re-faces
+    * the %10 ingest bench and the SURVIVING accepted docs only), while
+    * a still-accepted doc's near-dup drops — the evict-visibility rule
+    * under a full cross-engine replay. Compaction is read-preserving
+    * by contract, so the same SQL also oracles the compacted layout
+    * the Spark side serves from. Ends at `accf(id, ingest_batch)`. */
+  private lazy val duckEvictedCorpusCtes: String =
+    duckIncrementalChain(duckPortablePairCtesAt(16, 4, 0.7,
+      extraCorpusArm = """
+        |  UNION ALL
+        |  SELECT id + 2000000 AS id,
+        |         CASE WHEN strpos(t1, ' ') > 0 THEN substr(t1, strpos(t1, ' ') + 1)
+        |              ELSE t1 END AS t
+        |  FROM (SELECT id,
+        |          CASE WHEN strpos(t, ' ') > 0 THEN substr(t, strpos(t, ' ') + 1)
+        |               ELSE t END AS t1
+        |        FROM base)""".stripMargin)) + ",\n" +
+      """nb2 AS (
+        |  SELECT DISTINCT unnest(ss8) AS nbsh FROM s8
+        |  WHERE id < 1000000 AND id % 7 = 0),
+        |ads2 AS (SELECT s2.id, unnest(s2.ss8) AS sh
+        |         FROM s8 s2 JOIN acc USING (id)),
+        |ev AS (
+        |  SELECT ads2.id,
+        |    CAST(count(n.nbsh) AS DOUBLE) / count(*) AS contamination
+        |  FROM ads2 LEFT JOIN nb2 n ON ads2.sh = n.nbsh GROUP BY ads2.id
+        |  HAVING CAST(count(n.nbsh) AS DOUBLE) / count(*) > 0.2),
+        |acck AS (SELECT id, ingest_batch FROM acc ANTI JOIN ev USING (id)),
+        |b2 AS (SELECT id FROM cln WHERE id >= 2000000),
+        |drop2 AS (
+        |  SELECT p.id_b AS id FROM pairs p
+        |    JOIN b2 a ON a.id = p.id_a JOIN b2 b ON b.id = p.id_b
+        |  UNION
+        |  SELECT p.id_b FROM pairs p
+        |    JOIN acck a ON a.id = p.id_a JOIN b2 b ON b.id = p.id_b
+        |  UNION
+        |  SELECT p.id_a FROM pairs p
+        |    JOIN b2 a ON a.id = p.id_a JOIN acck b ON b.id = p.id_b),
+        |acc2 AS (SELECT id FROM b2 ANTI JOIN drop2 USING (id)),
+        |accf AS (
+        |  SELECT id, ingest_batch FROM acck
+        |  UNION ALL
+        |  SELECT id, CAST(2 AS BIGINT) AS ingest_batch FROM acc2)""".stripMargin
 
   private lazy val duckCorpusPipelineCtes: String = (duckRecursivePairCtes + ",\n" +
       duckCurateCtes(vocabWhere = "") + ",\n" +

@@ -473,10 +473,14 @@ object ScaleStress {
         .filter(col("doc_id") >= 384 && col("doc_id") < 512)
       val sw = graft.ext.IncrementalCorpus.retroContamination(
         s, s"$root/state", incCorpusCfg, newBench, "text")
+      // the sweep executes ONCE (inside the gate count); returning a
+      // literal frame keeps the harness's noop save from re-running the
+      // corpus-sized scan — the incDeltaProbe discipline
       val n = sw.count()
       require(n > 0,
         "retro_contamination_sweep: evictee set empty — vacuous probe")
-      sw
+      import s.implicits._
+      Seq(n).toDF("evictees")
     }),
     // x181's grouped packing with its invariants ASSERTED at scale:
     // (a) per-group full-sequence — within each lang stream every

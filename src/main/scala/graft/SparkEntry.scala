@@ -4144,14 +4144,27 @@ object SparkEntry {
         graft.ext.IncrementalCorpus.applyDelta(
           corpus.filter(col("id") >= 1000000), 1, root, cfg, vocab,
           bench, "text")
-        val sweep = graft.ext.IncrementalCorpus.retroContamination(
-          s, root, cfg,
-          t(s, d, "documents").filter(col("doc_id") % 7 === 0), "text")
-        val evictees = sweep.select(col("id")).collect()
-          .map(_.getLong(0)).toSet
-        require(evictees.nonEmpty,
-          "x187: empty evictee set — the sweep path is vacuous")
-        graft.ext.IncrementalCorpus.evict(sweep, 0, root, cfg)
+        // this builder MUTATES its root, so — unlike x184's — a replay
+        // over committed state (second session in one JVM, or a retry
+        // after a mid-build crash) must not recompute the sweep: over
+        // an already-evicted root it would be empty and the gate would
+        // fire on a healthy root. The eviction ledger says which side
+        // we are on; the sweep-dependent gates run only when the sweep
+        // actually ran (every fresh per-PID root runs them once).
+        val evictees: Option[Set[Long]] =
+          if (graft.ext.IncrementalCorpus
+              .committedEvictionIds(s, root).nonEmpty) None
+          else {
+            val sweep = graft.ext.IncrementalCorpus.retroContamination(
+              s, root, cfg,
+              t(s, d, "documents").filter(col("doc_id") % 7 === 0), "text")
+            val ev = sweep.select(col("id")).collect()
+              .map(_.getLong(0)).toSet
+            require(ev.nonEmpty,
+              "x187: empty evictee set — the sweep path is vacuous")
+            graft.ext.IncrementalCorpus.evict(sweep, 0, root, cfg)
+            Some(ev)
+          }
         val batch2 = t(s, d, "documents")
           .select(col("doc_id").as("id0"),
             graft.SparkEntry.dropFirstToken(
@@ -4165,9 +4178,10 @@ object SparkEntry {
           .select(col("id")).collect().map(_.getLong(0)).toSet
         require(acc2.nonEmpty,
           "x187: no batch-2 accepts — the cross-batch accept path is vacuous")
-        require(acc2.exists(id => evictees.contains(id - 2000000)),
+        evictees.foreach(ev => require(
+          acc2.exists(id => ev.contains(id - 2000000)),
           "x187: no batch-2 accept traces to an evictee — the " +
-            "evict-visibility payoff is vacuous")
+            "evict-visibility payoff is vacuous"))
         // drops-against-survivors: some batch-2 copy of a STILL-ACCEPTED
         // original must reach the dedup stage CLEAN and then be dropped
         // there (re-deriving clean2 pins the drop to dedup, not to an

@@ -92,6 +92,14 @@ object IncrementalCorpus {
     new java.util.concurrent.atomic.AtomicReference[String => Unit](_ => ())
   private def fault(point: String): Unit = faultHook.get()(point)
 
+  /** Marker-committed eviction ids under `root`, ascending — read-only
+    * ledger introspection (markers are permanent, so this includes
+    * evictions whose tombstone data a [[compact]] already retired).
+    * Lets a builder that MUTATES a root decide replay-safely whether
+    * its eviction step already ran. */
+  def committedEvictionIds(spark: SparkSession, root: String): Seq[Long] =
+    committedEvictions(spark, root)
+
   /** Marker-committed batch ids under `root`, ascending. */
   private def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
     val fs = new Path(root)
@@ -171,8 +179,24 @@ object IncrementalCorpus {
       .map(e => s"${evictDir(root)}/evict=$e")
       .filter(d => fs.exists(new Path(d)))
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*)
-      .select(col("id"), col("ingest_batch")))
+    else {
+      // fail with the remedy, not an unresolved-column error: id-only
+      // tombstones (the pre-batch-keyed format) cannot be interpreted
+      // safely — an id alone no longer identifies a physical row.
+      // EACH dir is checked (footer-only read): a merged-read check
+      // would take its schema from the lexicographically first dir and
+      // let a legacy dir's rows through as ingest_batch = NULL, which
+      // the anti-join never matches — silent un-eviction
+      dirs.foreach { d =>
+        require(spark.read.parquet(d).columns.contains("ingest_batch"),
+          s"IncrementalCorpus: id-only (pre-batch-keyed) eviction " +
+            s"tombstones under $d — re-commit them under " +
+            "a new evictId with an ingest_batch column (readAccepted " +
+            "shows each id's batch), or rebuild the root")
+      }
+      Some(spark.read.parquet(dirs: _*)
+        .select(col("id"), col("ingest_batch")))
+    }
   }
 
   /** Subtract committed evictions from an accepted-side frame — an
@@ -361,7 +385,13 @@ object IncrementalCorpus {
     *
     * Concurrency: single compactor at a time (the same single-writer
     * assumption as the ingest loop); `compactId` must exceed every
-    * committed one — generations are ordered, the newest wins.
+    * committed one — generations are ordered, the newest wins. The
+    * marker switch is atomic for PLANNING a read, but a long-running
+    * job that resolved its file listing over the old layout can hit
+    * FileNotFound when retirement deletes those dirs mid-scan — such
+    * readers must retry (or the operator delays compaction past them;
+    * a retention-lag GC à la `Snapshots.vacuum` is a deliberate
+    * non-feature here until a real deployment needs it).
     *
     * Scale: one pruned scan of accepted docs + index + bands, written
     * back delta... corpus-sized — compaction is the O(corpus) verb BY
@@ -386,12 +416,19 @@ object IncrementalCorpus {
       // nothing worth folding → free no-op (the common ingest-only life)
       if (evs.isEmpty && prevGens.isEmpty && committed.size <= 1) return
       def writeGen(df: DataFrame, path: String): Unit = {
-        val w = if (mergeBatches)
-          // attribution becomes a data column; coalesce the whole fold
-          // into shuffle-partition-count files (small next to a scan)
-          df.repartition(col("ingest_batch")).write
-        else df.repartition(col("ingest_batch")).write
-          .partitionBy("ingest_batch")
+        // an EMPTY fold (e.g. a fully-evicted root) must stay readable:
+        // a partitioned write of zero rows emits no part files at all,
+        // so empty folds land as one schema-bearing empty file with
+        // ingest_batch as a data column (the mergeBatches layout).
+        // repartition(1) guarantees the one writing task even when the
+        // empty plan has zero partitions.
+        val w = if (df.isEmpty) df.repartition(1).write
+          else if (mergeBatches)
+            // attribution becomes a data column; files ~ one per batch
+            // (hash partitioning on the batch id), small next to a scan
+            df.repartition(col("ingest_batch")).write
+          else df.repartition(col("ingest_batch")).write
+            .partitionBy("ingest_batch")
         w.mode("overwrite").parquet(path)
       }
       writeGen(readAccepted(spark, root, cfg),
@@ -409,9 +446,24 @@ object IncrementalCorpus {
         }
         val gi = spark.read.parquet(s"${genDir(root, compactId)}/index")
           .withColumn("ingest_batch", col("ingest_batch").cast("long"))
-        writeGen(gi.select(col("id"), col("ingest_batch"),
-            posexplode(TextDedup.lshBandHashes(col("sig"), cfg.bands,
-              cfg.numHashes / cfg.bands)).as(Seq("band", "bh")))
+        // the cfg must match the root's build parameters or the
+        // regenerated band table silently desynchronizes from what
+        // applyDelta's batch side computes (near-dups ADMITTED, no
+        // error) — pin it against the stored signature width
+        require(cfg.numHashes % cfg.bands == 0,
+          "IncrementalCorpus.compact: bands must divide numHashes")
+        gi.select(size(col("sig")).as("n")).limit(1).collect()
+          .headOption.foreach { row =>
+            require(row.getInt(0) == cfg.numHashes,
+              s"IncrementalCorpus.compact: stored index signatures " +
+                s"have ${row.getInt(0)} lanes; cfg.numHashes is " +
+                s"${cfg.numHashes} — compact must run with the root's " +
+                "build parameters")
+          }
+        // ONE band-hash spelling (TextDedup.bandRows), attribution
+        // joined back by id — an inline re-derivation would drift
+        writeGen(TextDedup.bandRows(gi, cfg.numHashes, cfg.bands)
+          .join(gi.select(col("id"), col("ingest_batch")), Seq("id"))
           .select(col("band"), col("bh"), col("id"), col("ingest_batch")),
           s"${genDir(root, compactId)}/bands")
       }

@@ -741,6 +741,29 @@ object TextDedup {
         require(row.getInt(0) == numHashes,
           s"index signatures have ${row.getInt(0)} lanes; call uses numHashes=$numHashes")
       }
+    // a BANDS mismatch vs the persisted band table would make the
+    // (band, bh) join match nothing — every index near-dup silently
+    // ADMITTED (the same failure mode the lanes check guards). Probes:
+    // an empty band table next to a NON-empty index IS that failure
+    // state (wrong path, or a write that landed zero rows); otherwise
+    // the top band must exist (limit-1, stops at the first hit) and no
+    // band may exceed it (parquet row-group min/max stats skip the
+    // scan when valid).
+    val bandsEmpty = indexBands.select(col("band")).limit(1).isEmpty
+    if (bandsEmpty)
+      require(index.select(col("id")).limit(1).isEmpty,
+        "indexBands is empty but the index is not — the band table " +
+          "path is wrong or its write landed no rows; every index " +
+          "near-dup would be silently admitted")
+    else {
+      require(!indexBands.filter(col("band") === bands - 1)
+          .limit(1).isEmpty,
+        s"indexBands has no band ${bands - 1} rows; the stored table " +
+          s"was built with fewer bands than the call's $bands")
+      require(indexBands.filter(col("band") >= bands).limit(1).isEmpty,
+        s"indexBands holds bands >= $bands; the stored table was " +
+          s"built with more bands than the call's $bands")
+    }
     // id-skip without an index exchange: ids in BOTH sides surface via a
     // broadcast of the (small) batch id set against the index scan, then
     // leave the batch through a second broadcast anti-join
@@ -781,10 +804,12 @@ object TextDedup {
     // bucket's batch-side subcount can never exceed its ok'd total)
     val bb = bucketCandidates(
       batchBands.join(broadcast(ok), Seq("band", "bh")), maxBucket)
-    val cand = ib.select(col("id_a"), col("id_b"),
-        lit(0).as("v_a"), lit(1).as("v_b"))
-      .unionByName(bb.select(col("id_a"), col("id_b"),
-        lit(1).as("v_a"), lit(1).as("v_b")))
+    // orientation is FIXED by construction (unlike the union-table
+    // spelling's id-sort): id_a = the index doc on ib edges, the lower
+    // batch id on bb edges — so the loser of EVERY verified edge is
+    // id_b (the batch member of an index edge; the higher id of a
+    // batch-batch edge), and no side flags are needed
+    val cand = ib.unionByName(bb.select(col("id_a"), col("id_b")))
     // verify lookup: only CANDIDATE index rows pay the (heavy) shh read
     val candIdx = ib.select(col("id_a").as("_graft_cand_id")).distinct()
     val idxLookup = index
@@ -792,12 +817,8 @@ object TextDedup {
       .select(col("id"), col("shh"), col("sig"))
     val lookup = idxLookup
       .unionByName(batchSig.select(col("id"), col("shh"), col("sig")))
-    val edges = verifyCandidates(cand, lookup, numHashes, threshold,
-      passthrough = Seq("v_a", "v_b"))
-    val dropped = edges.select(
-      when(col("v_a") === 1 && col("v_b") === 1, col("id_b"))
-        .when(col("v_a") === 1, col("id_a"))
-        .otherwise(col("id_b")).as("_graft_dup_id")).distinct()
+    val edges = verifyCandidates(cand, lookup, numHashes, threshold)
+    val dropped = edges.select(col("id_b").as("_graft_dup_id")).distinct()
     fresh.join(broadcast(dropped),
       fresh(idCol) === col("_graft_dup_id"), "left_anti")
   }

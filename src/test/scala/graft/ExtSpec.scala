@@ -356,6 +356,27 @@ class ExtSpec extends AnyFunSuite {
       TextDedup.dedupAgainstBandIndex(batch1, "text", "doc_id", idx1,
         TextDedup.bandRows(idx1, 32, 8), numHashes = 32, bands = 8)
     }
+    // and so does a BANDS mismatch vs the persisted band table, in
+    // both directions — the silent-admit hole: band keys would match
+    // nothing and every index near-dup would pass
+    val idx3 = TextDedup.minhashIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    val bands16 = TextDedup.bandRows(idx3, 64, 16)
+    assertThrows[IllegalArgumentException] {
+      TextDedup.dedupAgainstBandIndex(batch1, "text", "doc_id", idx3,
+        bands16, numHashes = 64, bands = 32)
+    }
+    assertThrows[IllegalArgumentException] {
+      TextDedup.dedupAgainstBandIndex(batch1, "text", "doc_id", idx3,
+        bands16, numHashes = 64, bands = 8)
+    }
+    // an EMPTY band table next to a non-empty index is the same
+    // silent-admit state (wrong path / zero-row write) and must throw
+    assertThrows[IllegalArgumentException] {
+      TextDedup.dedupAgainstBandIndex(batch1, "text", "doc_id", idx3,
+        bands16.limit(0))
+    }
   }
 
   test("dedupAgainstBandIndex: the maxBucket cap counts index AND batch " +

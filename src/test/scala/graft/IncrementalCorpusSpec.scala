@@ -387,6 +387,53 @@ class IncrementalCorpusSpec extends AnyFunSuite {
       .deleteQuietly(new java.io.File(root))
   }
 
+  test("compact of a FULLY-EVICTED root stays readable (empty but " +
+    "schema-ful generation), and later ingest revives it") {
+    val root = Files.createTempDirectory("graft-inc-evall").toString
+    try {
+      applyAll(root)
+      IncrementalCorpus.evict(
+        expected.toSeq.toDF("id", "ingest_batch"), 0L, root, cfg)
+      assert(accepted(root).isEmpty)
+      IncrementalCorpus.compact(spark, root, cfg, 0L)
+      // the empty fold must not strand the root: reads return zero
+      // rows (not a schema error), and the folded dirs are retired
+      assert(accepted(root).isEmpty)
+      assert(!new java.io.File(s"$root/docs/ingest_batch=0").exists)
+      // everything was evicted, so every text is novel again
+      IncrementalCorpus.applyDelta(Seq(21L -> enA).toDF("id", "t"), 3,
+        root, cfg, vocabDf, benchDf, "text")
+      assert(accepted(root) == Set((21L, 3L)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
+  test("id-only legacy tombstones fail with the remedy, not an " +
+    "unresolved-column error") {
+    val root = Files.createTempDirectory("graft-inc-legacy").toString
+    try {
+      applyAll(root)
+      // simulate a pre-batch-keyed eviction: id-only parquet + marker,
+      // numbered so a NEW-format dir sorts lexicographically FIRST
+      // ('evict=10' < 'evict=9') — a merged-schema check would take
+      // its schema from the new dir, read the legacy rows back as
+      // ingest_batch = NULL, and silently UN-evict them; the per-dir
+      // check must still throw
+      Seq(7L).toDF("id").write.parquet(s"$root/evicted/evict=9")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_graft_evict_commits"))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/_graft_evict_commits/9"), true).close()
+      IncrementalCorpus.evict(
+        Seq((8L, 1L)).toDF("id", "ingest_batch"), 10L, root, cfg)
+      val e = intercept[IllegalArgumentException] { accepted(root) }
+      assert(e.getMessage.contains("id-only") &&
+        e.getMessage.contains("re-commit"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
   test("a delta carrying a stage-internal column fails fast") {
     val root = Files.createTempDirectory("graft-inc-guard").toString
     try {

@@ -1797,14 +1797,19 @@ object SparkEntry {
       // probe side is 6 rows (broadcast); every downstream exchange is
       // bounded by perSourceK·|queries|·|sources|, never the corpus.
       val docs = t(s, d, "documents")
+      // distinct once per document BEFORE the 6-query nested-loop join
+      // (array_distinct inside the join condition's projection would
+      // re-deduplicate every doc's token array once per query row —
+      // 6× the work for identical results, guide §2.3 "project before
+      // the exchange" applied to a broadcast nested loop)
       val toks = docs.select(col("doc_id"),
-        TextDedup.tokens(col("text")).as("toks"))
+        array_distinct(TextDedup.tokens(col("text"))).as("toks"))
       val q = toks.filter(col("doc_id") <= 5)
         .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
       val overlap = q.join(toks, col("doc_id") =!= col("query_id"))
         .select(col("query_id"), col("doc_id"),
-          size(array_intersect(array_distinct(col("qtoks")),
-            array_distinct(col("toks")))).cast("double").as("score"))
+          size(array_intersect(col("qtoks"), col("toks")))
+            .cast("double").as("score"))
       val sh = docs.select(col("doc_id"), graft.functions.GraftFunctions
         .shingles(s, TextDedup.tokens(col("text")), 3).as("sh"))
       val qsh = sh.filter(col("doc_id") <= 5)
@@ -3751,12 +3756,14 @@ object SparkEntry {
       // union — must stay strictly below k. Fixture growth past the
       // regime fails here with a message, not an opaque hash diff.
       val mv = s.read.parquet(path)
+      // ONE aggregation job for both guard reads (the MV is day-sized,
+      // so the all-days collect_list is bounded by days × k longs).
       // max over an EMPTY MV is null — an empty fixture serves an
       // empty report against an empty oracle, so the guard passes it
-      val maxRow = mv.agg(max(size(col("state")))).head
-      val maxLen = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
-      val unionDistinct = mv.select(explode(col("state")).as("h"))
-        .distinct().count()
+      val guardRow = mv.agg(max(size(col("state"))),
+        size(array_distinct(flatten(collect_list(col("state")))))).head
+      val maxLen = if (guardRow.isNullAt(0)) 0 else guardRow.getInt(0)
+      val unionDistinct = guardRow.getInt(1).toLong
       require(maxLen < 4096 && unionDistinct < 4096,
         s"x171 exact-regime guard: per-day max $maxLen / union " +
           s"$unionDistinct hashes not strictly below k=4096 — raise k" +

@@ -733,6 +733,34 @@ object Snapshots {
 
   private val StatsDir = "_stats"
 
+  /** Run the MISSING per-dir cache writers, overlapping the independent
+    * single-dir jobs on a small thread pool — the guide-§2.6 shape:
+    * each writer is one bounded Spark job against one immutable commit
+    * dir writing one cache file, so concurrent submission lets the
+    * scheduler back-fill the tail instead of paying k sequential
+    * job-latency floors for k new commits. Shared by every per-dir
+    * cache family (stats/bloom/kmv/kll/ann); the cache discipline
+    * itself (immutable dirs ⇒ compute once, ever) is unchanged, and
+    * distinct target paths make the writers trivially independent.
+    * Failures rethrow their cause so callers see the original error. */
+  private def fillDirCaches(writers: Seq[() => Unit]): Unit =
+    if (writers.sizeIs <= 1) writers.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, writers.size))
+      try {
+        writers.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = w()
+        })).foreach { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally pool.shutdown()
+    }
+
   /** Per-file min/max/null-count stats for the table's live files,
     * maintained INCREMENTALLY: commit dirs are immutable, so each dir's
     * stats are computed once, cached as
@@ -752,15 +780,15 @@ object Snapshots {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir, StatsDir))
     val colsHash = java.lang.Integer.toHexString(statCols.mkString(",").hashCode)
-    val paths = liveDirs(spark, dir, v).map { d =>
+    val entries = liveDirs(spark, dir, v).map { d =>
       val name = d.stripPrefix(s"$DataDir/")
-      val sp = new Path(dir, s"$StatsDir/$name.$colsHash.parquet")
-      if (!f.exists(sp))
-        DataSkipping.buildManifest(spark, new Path(dir, d).toString, statCols)
-          .write.mode("overwrite").parquet(sp.toString)
-      sp.toString
+      (d, new Path(dir, s"$StatsDir/$name.$colsHash.parquet"))
     }
-    spark.read.parquet(paths: _*)
+    fillDirCaches(entries.collect { case (d, sp) if !f.exists(sp) => () =>
+      DataSkipping.buildManifest(spark, new Path(dir, d).toString, statCols)
+        .write.mode("overwrite").parquet(sp.toString)
+    })
+    spark.read.parquet(entries.map(_._2.toString): _*)
   }
 
   /** Per-commit-dir KMV distinct sketch of `valueCol`, cached with the
@@ -780,20 +808,20 @@ object Snapshots {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir, StatsDir))
     val tag = s"kmv-$valueCol-$k"
-    val paths = liveDirs(spark, dir, v).map { d =>
+    val entries = liveDirs(spark, dir, v).map { d =>
       val name = d.stripPrefix(s"$DataDir/")
-      val sp = new Path(dir, s"$StatsDir/$name.$tag.parquet")
-      if (!f.exists(sp))
-        graft.ext.Sketches.kmvSketch(
-            spark.read.parquet(new Path(dir, d).toString)
-              .select(org.apache.spark.sql.functions.lit(1).as("_g"),
-                org.apache.spark.sql.functions.col(valueCol)),
-            Seq("_g"), valueCol, k)
-          .write.mode("overwrite").parquet(sp.toString)
-      sp.toString
+      (d, new Path(dir, s"$StatsDir/$name.$tag.parquet"))
     }
+    fillDirCaches(entries.collect { case (d, sp) if !f.exists(sp) => () =>
+      graft.ext.Sketches.kmvSketch(
+          spark.read.parquet(new Path(dir, d).toString)
+            .select(org.apache.spark.sql.functions.lit(1).as("_g"),
+              org.apache.spark.sql.functions.col(valueCol)),
+          Seq("_g"), valueCol, k)
+        .write.mode("overwrite").parquet(sp.toString)
+    })
     val merged = graft.ext.Sketches.kmvMerge(
-      Seq(spark.read.parquet(paths: _*)), Seq("_g"), k)
+      Seq(spark.read.parquet(entries.map(_._2.toString): _*)), Seq("_g"), k)
     graft.ext.Sketches.kmvEstimate(merged, k).drop("_g")
   }
 
@@ -818,18 +846,18 @@ object Snapshots {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir, StatsDir))
     val tag = s"kll-$valueCol-$k"
-    val paths = liveDirs(spark, dir, v).map { d =>
+    val entries = liveDirs(spark, dir, v).map { d =>
       val name = d.stripPrefix(s"$DataDir/")
-      val sp = new Path(dir, s"$StatsDir/$name.$tag.parquet")
-      if (!f.exists(sp))
-        spark.read.parquet(new Path(dir, d).toString)
-          .agg(graft.functions.GraftFunctions.kllSketch(spark,
-            org.apache.spark.sql.functions.col(valueCol).cast("double"), k)
-            .as("sketch"))
-          .write.mode("overwrite").parquet(sp.toString)
-      sp.toString
+      (d, new Path(dir, s"$StatsDir/$name.$tag.parquet"))
     }
-    val bufs = spark.read.parquet(paths: _*).collect()
+    fillDirCaches(entries.collect { case (d, sp) if !f.exists(sp) => () =>
+      spark.read.parquet(new Path(dir, d).toString)
+        .agg(graft.functions.GraftFunctions.kllSketch(spark,
+          org.apache.spark.sql.functions.col(valueCol).cast("double"), k)
+          .as("sketch"))
+        .write.mode("overwrite").parquet(sp.toString)
+    })
+    val bufs = spark.read.parquet(entries.map(_._2.toString): _*).collect()
       .map(_.getAs[Array[Byte]]("sketch"))
       .map(graft.functions.KllQuantiles.Buf.deserialize(k, _))
       .filter(_.n > 0)
@@ -903,16 +931,17 @@ object Snapshots {
       bytes.take(4).map("%02x".format(_)).mkString
     }
     val tag = s"ann-$embCol-$k-$centHash"
-    val paths = liveDirs(spark, dir, v).map { d =>
+    val entries = liveDirs(spark, dir, v).map { d =>
       val name = d.stripPrefix(s"$DataDir/")
-      val sp = new Path(dir, s"$StatsDir/$name.$tag.parquet")
-      if (!f.exists(sp))
-        IvfIndex.assign(centroids,
-            spark.read.parquet(new Path(dir, d).toString), embCol, idCol)
-          .write.mode("overwrite").parquet(sp.toString)
-      sp.toString
+      (d, new Path(dir, s"$StatsDir/$name.$tag.parquet"))
     }
-    IvfIndex.Model(centroids, spark.read.parquet(paths: _*), fitRows)
+    fillDirCaches(entries.collect { case (d, sp) if !f.exists(sp) => () =>
+      IvfIndex.assign(centroids,
+          spark.read.parquet(new Path(dir, d).toString), embCol, idCol)
+        .write.mode("overwrite").parquet(sp.toString)
+    })
+    IvfIndex.Model(centroids,
+      spark.read.parquet(entries.map(_._2.toString): _*), fitRows)
   }
 
   /** Per-file bloom membership index over the table's live files, with
@@ -929,16 +958,16 @@ object Snapshots {
     f.mkdirs(new Path(dir, StatsDir))
     val tag = s"bloom-$keyCol-$expectedPerFile-" +
       java.lang.Integer.toHexString(fpp.toString.hashCode)
-    val paths = liveDirs(spark, dir, v).map { d =>
+    val entries = liveDirs(spark, dir, v).map { d =>
       val name = d.stripPrefix(s"$DataDir/")
-      val sp = new Path(dir, s"$StatsDir/$name.$tag.parquet")
-      if (!f.exists(sp))
-        DataSkipping.buildBloomManifest(spark, new Path(dir, d).toString,
-            keyCol, expectedPerFile, fpp)
-          .write.mode("overwrite").parquet(sp.toString)
-      sp.toString
+      (d, new Path(dir, s"$StatsDir/$name.$tag.parquet"))
     }
-    spark.read.parquet(paths: _*)
+    fillDirCaches(entries.collect { case (d, sp) if !f.exists(sp) => () =>
+      DataSkipping.buildBloomManifest(spark, new Path(dir, d).toString,
+          keyCol, expectedPerFile, fpp)
+        .write.mode("overwrite").parquet(sp.toString)
+    })
+    spark.read.parquet(entries.map(_._2.toString): _*)
   }
 
   /** Bloom-pruned point lookup on the snapshot table — identical to

@@ -99,7 +99,8 @@ class MaintenanceSpec extends AnyFunSuite {
     // double-count off a half-installed MV).
     Seq((java.sql.Date.valueOf("2024-01-01"), "a", 999L))
       .toDF("day", "key", "n")
-      .write.parquet(s"$mvDir/_graft_staging/1")
+      .write.partitionBy("day") // the staging layout IS the MV layout
+      .parquet(s"$mvDir/_graft_staging/1")
     IncrementalMv.applyDailyCountsDelta(
       Seq(("a", ts("2024-01-01 11:00:00"))).toDF("k", "ts"), 1L, mvDir, "ts", "k")
     val n = IncrementalMv.read(spark, mvDir)

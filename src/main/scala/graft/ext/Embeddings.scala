@@ -166,8 +166,11 @@ object Embeddings {
       .crossJoin(broadcast(cents))
       .select(col("label"), array_max(filter(
         transform(col("_cents"), c => struct(
-          round(Similarity.cosine(col("_e"), c.getField("_nc_c")), roundTo)
-            .as("_sim"),
+          // native fused cosine kernel — bit-identical to the HOF form
+          // (documented contract), but one tight JVM loop per centroid
+          // instead of interpreted zip_with+aggregate lambdas
+          round(graft.functions.GraftFunctions.cosineSim(df.sparkSession,
+            col("_e"), c.getField("_nc_c")), roundTo).as("_sim"),
           c.getField("_nc_label").as("_l"))),
         x => x.getField("_sim").isNotNull)).as("_m"))
       .filter(col("_m").isNotNull)
@@ -425,8 +428,8 @@ object Embeddings {
       .select(col("label"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
-        round(Similarity.cosine(col("_c_old"), col("_c_new")), roundTo)
-          .as("cos_sim"))
+        round(graft.functions.GraftFunctions.cosineSim(oldDf.sparkSession,
+          col("_c_old"), col("_c_new")), roundTo).as("cos_sim"))
       .withColumn("shift", round(lit(1.0) - col("cos_sim"), roundTo))
   }
 }

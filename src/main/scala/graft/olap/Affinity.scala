@@ -40,17 +40,26 @@ object Affinity {
     require(topK >= 1 && maxBasket >= 2, "topK >= 1 and maxBasket >= 2")
     val raw = baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
       .filter(col("_i").isNotNull && col("_b").isNotNull)
-      .distinct()
-    val sizes = raw.groupBy(col("_b")).agg(count(lit(1)).as("_sz"))
-      .filter(col("_sz") <= maxBasket)
-      .select(col("_b"))
-    val items = raw.join(sizes, "_b")
-    val nBaskets = items.agg(count_distinct(col("_b")).as("n_baskets"))
-    val itemCnt = items.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
-    val pairs = items.as("l")
-      .join(items.as("r"),
-        col("l._b") === col("r._b") && col("l._i") =!= col("r._i"))
-      .groupBy(col("l._i").as("a"), col("r._i").as("b"))
+    // ONE exchange builds the deduped, capped basket item-sets:
+    // collect_set dedups (basket, item) with map-side partial
+    // aggregation where the earlier formulation paid a global
+    // distinct, a basket-size groupBy AND a join back; the ≤ maxBasket
+    // cap contract is unchanged (size of the set == distinct items).
+    val basketsArr = raw.groupBy(col("_b"))
+      .agg(collect_set(col("_i")).as("_is"))
+      .filter(size(col("_is")) <= maxBasket)
+    val nBaskets = basketsArr.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = basketsArr.select(explode(col("_is")).as("_i"))
+      .groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
+    // ordered in-basket pairs straight off the set arrays (two narrow
+    // generators) — the basket SELF-JOIN this replaces shuffled the
+    // item table twice for the same rows; the quadratic surface is
+    // identical (bounded by the basket contract and the cap).
+    val pairs = basketsArr
+      .select(explode(col("_is")).as("a"), col("_is"))
+      .select(col("a"), explode(col("_is")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
     pairs

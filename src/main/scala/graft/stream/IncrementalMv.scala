@@ -221,9 +221,9 @@ object IncrementalMv {
     *     day-partitioned staging dir (parquet commit protocol marks
     *     completion with _SUCCESS); the MV itself is untouched, so a
     *     crash here just recomputes.
-    *  2. INSTALL: replace each staged day partition in the MV with a
-    *     directory copy of the staged one (the staging layout IS the
-    *     MV layout). Re-installing the SAME staged snapshot is
+    *  2. INSTALL: move each staged day partition into the MV with a
+    *     directory rename (the staging layout IS the MV layout).
+    *     Re-installing the SAME staged snapshot is
     *     idempotent, so a crash mid-install (or after install, before
     *     the marker) replays safely — the replay skips the merge (stage
     *     already _SUCCESS-complete, and re-merging from a half-installed

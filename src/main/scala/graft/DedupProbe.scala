@@ -51,6 +51,45 @@ object DedupProbe {
         p
       }
       time("  re-run from staged") { noop(pairs) }
+      // section decomposition (mirrors containmentPairs' stages)
+      val shPlain = corpus
+        .select(col("id"), TextDedup.tokens(col("t")).as("_toks"))
+        .select(col("id"),
+          array_distinct(TextDedup.shinglesOfTokens(col("_toks"), 3)).as("sh"))
+      time("  shingles re-norm + HOF") { noop(shPlain) }
+      val shPre = corpus
+        .select(col("id"), split(col("t"), " ").as("_toks"))
+        .select(col("id"), array_distinct(graft.functions.GraftFunctions
+          .shingles(spark, col("_toks"), 3)).as("sh"))
+      time("  shingles pre-norm + kernel") { noop(shPre) }
+      time("  shingle stage write") {
+        shPre.write.mode("overwrite").parquet(stage + "/sh2")
+      }
+      val sh2 = spark.read.parquet(stage + "/sh2")
+      val inv = sh2.select(lit(0).as("band"), explode(col("sh")).as("bh"),
+        col("id"))
+      time("  inv explode (no agg)") { noop(inv) }
+      val cand = inv.groupBy(col("band"), col("bh"))
+        .agg(collect_list(struct(col("id"))).as("es"))
+        .filter(size(col("es")).between(2, 4))
+        .select(array_sort(col("es")).as("es"))
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(es) - 2), i -> " +
+            "transform(sequence(i + 1, size(es) - 1), j -> " +
+            "struct(element_at(es, i + 1).id AS id_a, " +
+            "element_at(es, j + 1).id AS id_b))))")).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .distinct()
+      time("  candidates (bucket agg)") { noop(cand) }
+      val a = sh2.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh2.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      time("  verify join+score") {
+        noop(cand.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("_i"),
+            size(col("sh_a")).as("_na"), size(col("sh_b")).as("_nb")))
+      }
     }
     spark.stop()
   }

@@ -151,7 +151,10 @@ object SparkEntry {
   private def containmentPairsOf(corpus: DataFrame, d: String,
                                  tag: String): DataFrame =
     TextDedup.containmentPairs(corpus, "t", "id", shingleK = 3, maxDf = 4,
-      minContainment = 0.5, stagingPath = Some(cachePath(d, tag) + "/sh"))
+      minContainment = 0.5, stagingPath = Some(cachePath(d, tag) + "/sh"),
+      // excerptCorpus normalizes both branches, so the re-normalize
+      // regex inside tokens() would be a per-row no-op — skip it
+      preNormalized = true)
 
   /** The portable sha256 pair set over [[perturbedCorpus]] — consumed
     * by the whole audit family (x13/x22/x23/x47/x50/x57). The 16-perm
@@ -1810,13 +1813,18 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"),
           size(array_intersect(col("qtoks"), col("toks")))
             .cast("double").as("score"))
-      val sh = docs.select(col("doc_id"), graft.functions.GraftFunctions
-        .shingles(s, TextDedup.tokens(col("text")), 3).as("sh"))
+      // distinct once per document (like the token arrays above) so the
+      // 6×|corpus| verify walks minimal arrays, and the
+      // inclusion–exclusion Jaccard replaces array_union's
+      // allocate-and-dedup pass — set-identical scores
+      val sh = docs.select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions
+          .shingles(s, TextDedup.tokens(col("text")), 3)).as("sh"))
       val qsh = sh.filter(col("doc_id") <= 5)
         .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
       val jac = qsh.join(sh, col("doc_id") =!= col("query_id"))
         .select(col("query_id"), col("doc_id"),
-          TextDedup.ngramJaccard(col("qsh"), col("sh")).as("score"))
+          TextDedup.distinctJaccard(col("qsh"), col("sh")).as("score"))
       Retrieval.rrfFuse(Seq(overlap, jac), "query_id", "doc_id", "score",
           k0 = 60, perSourceK = 20, topK = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -3756,14 +3764,20 @@ object SparkEntry {
       // union — must stay strictly below k. Fixture growth past the
       // regime fails here with a message, not an opaque hash diff.
       val mv = s.read.parquet(path)
-      // ONE aggregation job for both guard reads (the MV is day-sized,
-      // so the all-days collect_list is bounded by days × k longs).
+      // ONE aggregation job for both guard reads, with the union side
+      // DISTRIBUTED: explode_outer keeps every day's sketch length in
+      // the max while count_distinct dedups hashes with a partial
+      // aggregate — no single collect_list buffer ever materializes
+      // the all-days union (which at a large day count would itself
+      // become the memory hazard this guard exists to flag).
       // max over an EMPTY MV is null — an empty fixture serves an
       // empty report against an empty oracle, so the guard passes it
-      val guardRow = mv.agg(max(size(col("state"))),
-        size(array_distinct(flatten(collect_list(col("state")))))).head
+      val guardRow = mv
+        .select(size(col("state")).as("_sz"),
+          explode_outer(col("state")).as("_h"))
+        .agg(max(col("_sz")), count_distinct(col("_h"))).head
       val maxLen = if (guardRow.isNullAt(0)) 0 else guardRow.getInt(0)
-      val unionDistinct = guardRow.getInt(1).toLong
+      val unionDistinct = guardRow.getLong(1)
       require(maxLen < 4096 && unionDistinct < 4096,
         s"x171 exact-regime guard: per-day max $maxLen / union " +
           s"$unionDistinct hashes not strictly below k=4096 — raise k" +

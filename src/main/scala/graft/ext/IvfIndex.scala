@@ -43,7 +43,8 @@ object IvfIndex {
     * pre-sampling behavior. `fitRows` records how many rows the
     * quantizer saw. */
   def fit(df: DataFrame, embCol: String, idCol: String, k: Int,
-          seed: Long = 42L, maxFitRows: Long = 1000000L): Model = {
+          seed: Long = 42L, maxFitRows: Long = 1000000L,
+          localFitRows: Long = 262144L): Model = {
     require(maxFitRows > 0, s"maxFitRows must be positive, got $maxFitRows")
     val n = df.count()
     val sampled =
@@ -54,13 +55,87 @@ object IvfIndex {
     // Coarse quantizer, not a final model: random init + few iterations is
     // the standard IVF trade — assignment quality converges fast and the
     // probe stage re-ranks exactly anyway.
-    val km = new KMeans().setK(k).setSeed(seed)
-      .setInitMode("random").setMaxIter(8)
-      .setFeaturesCol("_vec").setPredictionCol("cluster")
-    val model = km.fit(sampled.select(array_to_vector(col(embCol)).as("_vec")))
-    val assigned = model.transform(df.withColumn("_vec", array_to_vector(col(embCol))))
-      .select(col(idCol), col(embCol), col("cluster"))
-    Model(model.clusterCenters.map(_.toArray), assigned, fitRows)
+    //
+    // Below `localFitRows` the Lloyd iterations run ON THE DRIVER over
+    // the collected sample — the duplicateGroups small-graph instinct
+    // (runtime-size-based re-planning) applied to k-means: the MLlib fit
+    // costs init + maxIter scheduler round-trips over a frame that is
+    // driver-sized by construction here, pure job-latency for a coarse
+    // quantizer. Deterministic: rows sort by id before init, the seeded
+    // shuffle picks the k starting points, means accumulate in sorted
+    // row order. The two paths yield DIFFERENT (both valid) centroids —
+    // every oracled consumer probes all clusters (centroid-independent
+    // results) and the nProbes<k recall gates are property-pinned in
+    // ExtSpec; assignment on the local path is [[assign]]'s contract
+    // (argmin squared distance, first-minimum tie-break).
+    if (fitRows <= localFitRows) {
+      val centroids = localLloyd(
+        sampled.filter(col(embCol).isNotNull)
+          .select(col(idCol), col(embCol).cast("array<double>"))
+          .orderBy(col(idCol))
+          .collect()
+          .map(_.getSeq[Double](1).toArray),
+        k, seed, maxIter = 8)
+      Model(centroids, assign(centroids, df, embCol, idCol), fitRows)
+    } else {
+      val km = new KMeans().setK(k).setSeed(seed)
+        .setInitMode("random").setMaxIter(8)
+        .setFeaturesCol("_vec").setPredictionCol("cluster")
+      val model = km.fit(sampled.select(array_to_vector(col(embCol)).as("_vec")))
+      val assigned = model.transform(df.withColumn("_vec", array_to_vector(col(embCol))))
+        .select(col(idCol), col(embCol), col("cluster"))
+      Model(model.clusterCenters.map(_.toArray), assigned, fitRows)
+    }
+  }
+
+  /** Driver-side Lloyd's algorithm over a collected sample: seeded
+    * random init (k distinct rows via a seeded shuffle), `maxIter`
+    * assign-update rounds — squared-Euclidean argmin with
+    * first-minimum tie-break (the [[assign]] rule), cluster mean
+    * update, empty clusters keep their previous center. Pure function
+    * of (data order, k, seed). */
+  private[ext] def localLloyd(data: Array[Array[Double]], k: Int,
+                              seed: Long, maxIter: Int): Array[Array[Double]] = {
+    require(data.nonEmpty, "cannot fit a quantizer on an empty sample")
+    val dim = data(0).length
+    require(data.forall(_.length == dim),
+      "fit sample has inconsistent embedding dimensions")
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(data.indices.toVector).take(math.min(k, data.length))
+    val centers = init.map(i => data(i).clone()).toArray
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(centers.length, dim)(0.0)
+      val counts = new Array[Long](centers.length)
+      var r = 0
+      while (r < data.length) {
+        val v = data(r)
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < centers.length) {
+          var dSq = 0.0; var j = 0
+          val ct = centers(c)
+          while (j < dim) { val t = v(j) - ct(j); dSq += t * t; j += 1 }
+          if (dSq < bestD) { bestD = dSq; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+        r += 1
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Assignment against FIXED centroids as one narrow expression — the

@@ -451,14 +451,21 @@ object Sampling {
         greatest(col("_sl_sa"), col("_sl_sb")).as("split_hi"),
         col(idACol).cast("long").as("_sl_a"),
         col(idBCol).cast("long").as("_sl_b"))
-    val nPairs = j.groupBy(col("split_lo"), col("split_hi"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val nDocs = j
+    // ONE pass over the joined pair frame for both counts: the previous
+    // two-aggregate spelling referenced `j` from two plan branches, so
+    // the whole upstream pair pipeline executed twice per report.
+    // Exploding each pair into its two endpoint rows with a pair-count
+    // weight on exactly one of them keeps n_pairs exact (sum of 1s, one
+    // per pair) while count_distinct over the endpoint ids is unchanged.
+    j.select(col("split_lo"), col("split_hi"),
+        explode(array(
+          struct(col("_sl_a").as("_sl_id"), lit(1L).as("_sl_w")),
+          struct(col("_sl_b").as("_sl_id"), lit(0L).as("_sl_w")))).as("_e"))
       .select(col("split_lo"), col("split_hi"),
-        explode(array(col("_sl_a"), col("_sl_b"))).as("_sl_id"))
+        col("_e._sl_id").as("_sl_id"), col("_e._sl_w").as("_sl_w"))
       .groupBy(col("split_lo"), col("split_hi"))
-      .agg(countDistinct(col("_sl_id")).as("n_docs"))
-    nPairs.join(nDocs, Seq("split_lo", "split_hi"))
+      .agg(sum(col("_sl_w")).as("n_pairs"),
+        countDistinct(col("_sl_id")).as("n_docs"))
       .withColumn("cross_split", col("split_lo") =!= col("split_hi"))
   }
 

@@ -408,11 +408,19 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (r <- 1 to nMerges if !done) {
+      // Adjacent pairs via the native shingling kernel (k=2): symbols
+      // never contain spaces (words come from a whitespace split), so
+      // the "l r" 2-shingle splits back unambiguously and the
+      // (left, right) grouping is value-identical to the former
+      // interpreted zip_with(slice, slice, struct) lambda. Words of one
+      // symbol contribute no pair on both spellings (the kernel's
+      // short-array whole-join contract is excluded by the size filter).
       val top = seqs
-        .select(col("freq"), explode(expr(
-          "zip_with(slice(syms, 1, size(syms) - 1), " +
-            "slice(syms, 2, size(syms) - 1), (a, b) -> struct(a, b))")).as("p"))
-        .groupBy(col("p.a").as("left"), col("p.b").as("right"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(graft.functions.GraftFunctions
+          .shingles(spark, col("syms"), 2)).as("p2"))
+        .groupBy(substring_index(col("p2"), " ", 1).as("left"),
+          substring_index(col("p2"), " ", -1).as("right"))
         .agg(sum(col("freq")).as("cnt"))
         .filter(col("cnt") >= 2)
         .orderBy(col("cnt").desc, col("left"), col("right"))
@@ -424,14 +432,11 @@ object TextAnalysis {
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, c))
-        def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
         prev = Some(seqs)
-        seqs = seqs.withColumn("syms", expr(
-          s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
-            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}' " +
-            s"AND x = '${q(b)}' " +
-            s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a + b)}')) " +
-            s"ELSE concat(acc, array(x)) END)")).persist()
+        // one greedy left-to-right pass in the native kernel —
+        // bit-parity with the former interpreted aggregate(...CASE) fold
+        seqs = seqs.withColumn("syms", graft.functions.GraftFunctions
+          .bpeApply(spark, col("syms"), Seq((a, b)))).persist()
       }
     }
     seqs.unpersist(false)
@@ -479,18 +484,13 @@ object TextAnalysis {
     * rules: adds `_syms` (the token array) and `_wtok` (its size).
     * Each rule applies as the training fold, in table order. */
   private def tokenizeVocab(vocab: DataFrame,
-                            merges: Seq[(String, String)]): DataFrame = {
-    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    val folded = merges.foldLeft("split(w, '')") { case (acc, (l, r)) =>
-      s"aggregate($acc, CAST(array() AS array<string>), (acc, x) -> " +
-        s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(l)}' " +
-        s"AND x = '${q(r)}' " +
-        s"THEN concat(slice(acc, 1, size(acc) - 1), array('${q(l + r)}')) " +
-        s"ELSE concat(acc, array(x)) END)"
-    }
-    vocab.withColumn("_syms", expr(folded))
+                            merges: Seq[(String, String)]): DataFrame =
+    // all |merges| greedy passes fused into ONE kernel call per word —
+    // the former spelling nested |merges| interpreted aggregate(...CASE)
+    // folds, each rebuilding its accumulator array per element
+    vocab.withColumn("_syms", graft.functions.GraftFunctions
+        .bpeApply(vocab.sparkSession, split(col("w"), ""), merges))
       .withColumn("_wtok", size(col("_syms")).cast("long"))
-  }
 
   /** Okapi BM25 retrieval scoring [Robertson & Walker '94; the Lucene
     * `(1 + (N−df+0.5)/(df+0.5))` idf variant, which keeps idf positive

@@ -120,12 +120,18 @@ object TextClassify {
         df.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"),
         posexplode(TextDedup.tokens(col(textCol))).as(Seq("pos", "tok")))
-    // in-vocab token rows fan out to |labels| candidates via the grid
+    // in-vocab token rows fan out to |labels| candidates via the grid.
+    // The position-ordered fold runs in the native graft_pos_sum kernel
+    // — bit-identical to the previous
+    // aggregate(array_sort(collect_list(struct(pos, lp))), 0.0, +)
+    // spelling (same (pos, lp) sort order, same left-to-right double
+    // accumulation — contract pinned in FunctionsSpec) without the
+    // per-element interpreted HOF evaluation that made this the most
+    // JIT-sensitive shape in the suite.
     val scored = tok.join(model.grid, "tok")
       .groupBy(col("id"), col("label"))
-      .agg(aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
-        lit(0.0), (acc: Column, x: Column) => acc + x.getField("lp"))
-        .as("sum_lp"))
+      .agg(graft.functions.GraftFunctions.posOrderedSum(df.sparkSession,
+        collect_list(struct(col("pos"), col("lp")))).as("sum_lp"))
     // right join keeps prior-only rows for docs with zero in-vocab
     // tokens (every label still gets a row through the cross join)
     df.select(col(idCol).as("id"))

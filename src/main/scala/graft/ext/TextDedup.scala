@@ -133,8 +133,8 @@ object TextDedup {
     val sh = spreadCompute(df.select(col(idCol).as("id"),
         col(textCol).as("_text")))
       .select(col("id"), tokens(col("_text")).as("_toks"))
-      .select(col("id"),
-        array_distinct(shinglesOfTokens(col("_toks"), shingleK)).as("_sh"))
+      .select(col("id"), array_distinct(graft.functions.GraftFunctions
+        .shingles(df.sparkSession, col("_toks"), shingleK)).as("_sh"))
     val perDoc = sh.select(col("id"),
       size(col("_sh")).cast("long").as("n_shingles"))
     val inv = sh.select(col("id"), explode(col("_sh")).as("_g"))
@@ -180,7 +180,8 @@ object TextDedup {
     val toks = spreadCompute(df)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
     val windows = toks.select(col("id"),
-      posexplode(shinglesOfTokens(col("toks"), n)).as(Seq("s", "sh")))
+      posexplode(graft.functions.GraftFunctions.shingles(
+        df.sparkSession, col("toks"), n)).as(Seq("s", "sh")))
     val repeated = windows.groupBy(col("sh"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
@@ -272,7 +273,8 @@ object TextDedup {
       case None => toksPlain
     }
     val windows = toks.select(col("doc_id"),
-      posexplode(shinglesOfTokens(col("_toks"), k)).as(Seq("pos", "_sh")))
+      posexplode(graft.functions.GraftFunctions.shingles(
+        df.sparkSession, col("_toks"), k)).as(Seq("pos", "_sh")))
     val shared = windows.groupBy(col("_sh"))
       .agg(count_distinct(col("doc_id")).as("_nd"))
       .filter(col("_nd") >= minDocs &&
@@ -350,6 +352,19 @@ object TextDedup {
     size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB))
 
+  /** [[ngramJaccard]] for inputs ALREADY duplicate-free (per-doc
+    * distinct shingle/hash arrays — the dedup pipelines' staged form):
+    * |A∩B| / (|A| + |B| − |A∩B|) by inclusion–exclusion, value-identical
+    * to the set Jaccard but with `array_union`'s allocate-and-dedup walk
+    * replaced by integer arithmetic on the already-known sizes. The
+    * repeated intersect subtree evaluates once under whole-stage
+    * codegen's subexpression elimination. Only correct on distinct
+    * arrays — a duplicate element would count twice in the sizes. */
+  def distinctJaccard(shA: Column, shB: Column): Column = {
+    val i = size(array_intersect(shA, shB))
+    i.cast("double") / (size(shA) + size(shB) - i)
+  }
+
   /** Containment-scored near-dup pairs — the ASYMMETRIC complement of
     * the Jaccard pipelines: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| over
     * distinct k-token shingles (Broder's containment). A short excerpt
@@ -381,15 +396,27 @@ object TextDedup {
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, maxDf: Int = 4,
                        minContainment: Double = 0.8,
-                       stagingPath: Option[String] = None): DataFrame = {
+                       stagingPath: Option[String] = None,
+                       preNormalized: Boolean = false): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (df-1 docs pair per shingle), got $maxDf")
+    // `preNormalized` skips the [[normalize]] regex when the caller's
+    // text column is ALREADY in canonical form (lower, trimmed,
+    // single-space — e.g. a corpus built by normalizing upstream):
+    // normalize is idempotent, so `split(t, " ")` on such input equals
+    // `tokens(t)` exactly and the per-row regex pass is pure overhead.
+    val toks =
+      if (preNormalized) split(col(textCol), " ") else tokens(col(textCol))
     // distinct shingle ARRAY per doc, computed once and consumed by three
-    // branches (the inverted index + both verify sides)
+    // branches (the inverted index + both verify sides); shingling runs
+    // in the native kernel (bit-parity with the HOF spelling —
+    // FunctionsSpec) so no interpreted per-shingle lambda sits on the
+    // corpus-sized pass.
     val sh = materialize(
       spreadCompute(df)
-        .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+        .select(col(idCol).as("id"), toks.as("_toks"))
         .select(col("id"),
-          array_distinct(shinglesOfTokens(col("_toks"), shingleK)).as("sh")),
+          array_distinct(graft.functions.GraftFunctions.shingles(
+            df.sparkSession, col("_toks"), shingleK)).as("sh")),
       stagingPath)
     // postings: (shingle, id); shingles are distinct per doc, so bucket
     // size == document frequency, and bucketCandidates' [2, maxBucket]
@@ -580,6 +607,13 @@ object TextDedup {
         col("shh_a"), col("shh_b")): _*)
       .filter(col("est_jaccard") >= threshold - 0.2)
       .select(keep ++ Seq(col("est_jaccard"),
+        // NOT distinctJaccard here: the >= threshold filter below gets
+        // the alias INLINED into its predicate (PushDownPredicate),
+        // and FilterExec has no subexpression elimination — the
+        // repeated intersect subtree would evaluate twice per
+        // candidate pair (measured +0.3-0.5 s on x57/x59 in r18).
+        // distinctJaccard pays off only where the score feeds a
+        // projection/heap (x121), not a pushable predicate.
         ngramJaccard(col("shh_a"), col("shh_b")).as("jaccard")): _*)
       .filter(col("jaccard") >= threshold)
   }
@@ -856,8 +890,8 @@ object TextDedup {
     val sets = materialize(spreadCompute(df)
       // tokenize once per ROW in its own projection (see shingles() PERF note)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        array_distinct(shinglesOfTokens(col("toks"), shingleK)).as("ss")),
+      .select(col("id"), array_distinct(graft.functions.GraftFunctions
+        .shingles(df.sparkSession, col("toks"), shingleK)).as("ss")),
       stagingPath)
     val sig = sets.select(col("id"), array((0 until numPerms).map { p =>
       array_min(transform(col("ss"),

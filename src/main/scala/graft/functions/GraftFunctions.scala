@@ -202,6 +202,29 @@ object GraftFunctions {
   val kllValuesContBuilder: Seq[Expression] => Expression =
     mkKllValuesBuilder("graft_kll_values_cont", interp = true)
 
+  val bpeApplyBuilder: Seq[Expression] => Expression = {
+    case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(
+        ms: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _), _))) =>
+      val rules = (0 until ms.numElements()).map { i =>
+        val p = ms.getArray(i)
+        require(p.numElements() == 2,
+          s"graft_bpe_apply rule $i must be [left, right]")
+        (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+      }
+      BpeApply(a, rules)
+    case _ => throw new IllegalArgumentException(
+      "graft_bpe_apply takes (array<string>, array<array<string>> literal)")
+  }
+
+  val posSumBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => PosOrderedSum(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_pos_sum takes 1 argument, got ${other.size}")
+  }
+
   val structAtBuilder: Seq[Expression] => Expression = {
     case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _)) =>
       org.apache.spark.sql.catalyst.expressions.GetStructField(child, i)
@@ -255,6 +278,10 @@ object GraftFunctions {
       "graft_kll_values", kllValuesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_values_cont", kllValuesContBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pos_sum", posSumBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_apply", bpeApplyBuilder, "scala_udf")
   }
 
   /** Column API for the mergeable KLL quantile aggregate; registers
@@ -363,6 +390,24 @@ object GraftFunctions {
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_cosine_sim", a, b)
+  }
+
+  /** Column API for the position-ordered double sum kernel (input:
+    * array<struct<pos:int,lp:double>>); registers lazily. */
+  def posOrderedSum(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("graft_pos_sum", a)
+  }
+
+  /** Column API for the ordered BPE merge-application kernel; registers
+    * lazily. `merges` apply in sequence order, each as one greedy
+    * left-to-right non-overlapping pass. */
+  def bpeApply(spark: SparkSession, syms: Column,
+               merges: Seq[(String, String)]): Column = {
+    register(spark)
+    call_function("graft_bpe_apply", syms,
+      org.apache.spark.sql.functions.typedLit(
+        merges.map(m => Array(m._1, m._2)).toArray))
   }
 
   /** Column API for the native SimHash kernel; registers lazily. */

@@ -60,26 +60,33 @@ object Growth {
       // and must drop the same way a null input does
       .filter(col("_u").isNotNull && col("_d").isNotNull)
     val spine = userDay.select(col("_d").as("day")).distinct()
-    val perWindow = windows.map { w =>
-      // no distinct after the expansion: count_distinct below dedups
-      // (user, day) in its own aggregate — a pre-dedup would shuffle
-      // the blown-up frame a second time for an identical result
-      expandCoverage(userDay, "_u", w, spine)
-        .groupBy(col("day"))
-        .agg(count_distinct(col("_u")).as(s"au_$w"))
-    }
-    assembleActiveReport(spine, perWindow, windows, lit(0L))
+    // ONE coverage expansion + ONE distinct pass serves EVERY window
+    // (the former shape expanded and aggregated once per window — three
+    // exchanges of the blown-up frame plus three report joins for the
+    // same counts): each (user, activity day) covers report days
+    // _d .. _d + max(w) − 1 with its lag in `_pos`; per (report day,
+    // user) the MINIMUM lag decides which windows count that user
+    // (user active within w days of `day` ⟺ min lag < w), so one
+    // conditional-sum aggregate yields all au_w columns at once.
+    val covered = expandCoverage(userDay, "_u", windows.max, spine)
+    val perUser = covered.groupBy(col("day"), col("_u"))
+      .agg(min(col("_pos")).as("_mo"))
+    val aggs = windows.map(w =>
+      sum(when(col("_mo") < w, 1L).otherwise(0L)).as(s"au_$w"))
+    val report = perUser.groupBy(col("day")).agg(aggs.head, aggs.tail: _*)
+    assembleActiveReport(spine, Seq(report), windows, lit(0L))
   }
 
   /** Expand a `(_d, payload)` frame so each row covers report days
-    * `_d .. _d+w-1`; the spine join keeps only days that exist in the
-    * log — the shared coverage step of the activeUsers family. */
+    * `_d .. _d+w-1` carrying its lag as `_pos` (0 = the activity day
+    * itself); the spine join keeps only days that exist in the log —
+    * the shared coverage step of the activeUsers family. */
   private def expandCoverage(df: DataFrame, payload: String, w: Int,
                              spine: DataFrame): DataFrame =
-    if (w == 1) df.select(col("_d").as("day"), col(payload))
+    if (w == 1) df.select(col("_d").as("day"), lit(0).as("_pos"), col(payload))
     else df
-      .select(explode(sequence(col("_d"), date_add(col("_d"), w - 1)))
-        .as("day"), col(payload))
+      .select(posexplode(sequence(col("_d"), date_add(col("_d"), w - 1)))
+        .as(Seq("_pos", "day")), col(payload))
       .join(spine, "day")
 
   /** Shared report-assembly tail of the activeUsers family: left-join
@@ -234,12 +241,16 @@ object Growth {
       .groupBy(col("day").cast("date").as("_d"))
       .agg(merge(col("state")).as("_st"))
     val spine = perDay.select(col("_d").as("day"))
-    val perWindow = windows.map { w =>
-      expandCoverage(perDay, "_st", w, spine)
-        .groupBy(col("day"))
-        .agg(estimate(merge(col("_st"))).as(s"au_$w"))
-    }
-    clipReport(assembleActiveReport(spine, perWindow, windows, zero), range)
+    // one coverage expansion serves every window (the exact serve's
+    // one-pass shape): per report day, window w merges exactly the
+    // sketches with lag < w — `when` nulls the rest and aggregate
+    // functions skip nulls, so each merged multiset is identical to
+    // the former per-window expansion's
+    val covered = expandCoverage(perDay, "_st", windows.max, spine)
+    val aggs = windows.map(w =>
+      estimate(merge(when(col("_pos") < w, col("_st")))).as(s"au_$w"))
+    val report = covered.groupBy(col("day")).agg(aggs.head, aggs.tail: _*)
+    clipReport(assembleActiveReport(spine, Seq(report), windows, zero), range)
   }
 
   /** Temporally leakage-safe training frame for an activity-prediction

@@ -231,6 +231,17 @@ object IncrementalMv {
     *  3. COMMIT: write the batch marker, prune older markers (only the
     *     latest batch can ever replay — the streaming checkpoint is the
     *     source of truth for progress), drop the staging dir.
+    *
+    * PRECONDITION — deterministic `batch`: the touched-day set is
+    * derived from a second scan of `batch` (column-pruned to `tsCol`)
+    * while the delta aggregate is computed inside the staged write; the
+    * two scans must see the same rows, or a day present in the delta
+    * but absent from `touched` would stage delta-only and rename over
+    * the MV's accumulated state for that day. Streaming micro-batches
+    * (the [[startAgg]] path) replay a fixed offset range and satisfy
+    * this by construction; ad-hoc callers must pass a deterministic
+    * frame (no `rand()`, no LIMIT-without-order, no re-read of mutable
+    * input).
     */
   def applyAggDelta(batch: DataFrame, batchId: Long, mvPath: String,
                     tsCol: String, keyCol: String, valueCol: Column,
@@ -312,8 +323,17 @@ object IncrementalMv {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
       .foreach { st =>
         val target = new Path(mvPath, st.getPath.getName)
-        fs.delete(target, true)
-        fs.rename(st.getPath, target)
+        // Check both metadata ops' boolean results: HDFS-style APIs
+        // report failure by returning false, not by throwing, and a
+        // silent false here would lose the day's data permanently once
+        // phase 3 prunes staging (the Spark write job this install
+        // replaced would have thrown). Failing before the marker
+        // commits keeps the batch replayable.
+        if (fs.exists(target))
+          require(fs.delete(target, true),
+            s"MV install: could not delete stale $target")
+        require(fs.rename(st.getPath, target),
+          s"MV install: rename failed: ${st.getPath} -> $target")
       }
 
     // phase 3 — commit + prune (ledger stays O(1), not one file/batch)

@@ -748,16 +748,29 @@ object Snapshots {
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(4, writers.size))
-      try {
-        writers.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+      val futs = writers.map(w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = w()
-        })).foreach { fut =>
+        }))
+      try {
+        futs.foreach { fut =>
           try fut.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
               throw Option(e.getCause).getOrElse(e)
           }
         }
+      } catch {
+        case t: Throwable =>
+          // a failed writer must not leave siblings running after the
+          // caller has thrown (they could race a retry or keep writing
+          // under a session being torn down): cancel everything still
+          // queued and WAIT for in-flight writers to finish before
+          // rethrowing the first cause
+          futs.foreach(_.cancel(false))
+          pool.shutdown()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          throw t
       } finally pool.shutdown()
     }
 

@@ -584,6 +584,30 @@ class ExtSpec extends AnyFunSuite {
     assert(model.fitRows == emb.count())
   }
 
+  test("IVF local fit: deterministic across calls, equivalent to the " +
+    "distributed path under probe-all") {
+    import graft.ext.IvfIndex
+    // fixture is far below localFitRows — this exercises the driver
+    // Lloyd path; determinism = identical centroids call over call
+    val m1 = IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
+    val m2 = IvfIndex.fit(emb, "embedding", "vec_id", k = 8)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    assert(m1.fitRows == emb.count())
+    // forcing the MLlib path (localFitRows = 0) yields different
+    // centroids but the SAME probe-all top-k — the centroid-independent
+    // contract every oracled consumer relies on
+    val mD = IvfIndex.fit(emb, "embedding", "vec_id", k = 8,
+      localFitRows = 0L)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def res(m: IvfIndex.Model) =
+      IvfIndex.batchTopK(m, queries, "embedding", "vec_id", k = 5, nProbes = 8)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(res(m1) == res(mD))
+    // every row still lands in exactly one cluster on the local path
+    assert(m1.assigned.count() == emb.count())
+  }
+
   test("hardNegatives: band applies BEFORE the cut — a near-dup top-1 " +
     "is excluded, the best in-band candidates surface") {
     import spark.implicits._

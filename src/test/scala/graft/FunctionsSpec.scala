@@ -40,6 +40,89 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
   }
 
+  test("graft_pos_sum is BIT-identical to the aggregate(array_sort(...)) fold") {
+    // randomized but seeded rows, with duplicate pos values to exercise
+    // the (pos, lp) tiebreak the array_sort struct order implies
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val n = rng.nextInt(40) + 1
+      val ps = Seq.fill(n)(rng.nextInt(12))
+      val ls = Seq.fill(n)(math.log(rng.nextDouble() + 1e-9))
+      (i.toLong, ps.zip(ls))
+    }
+    val df = rows.toDF("id", "pl")
+      .select(col("id"), expr(
+        "transform(pl, x -> struct(x._1 AS pos, x._2 AS lp))").as("arr"))
+    val native = df
+      .select(col("id"), GraftFunctions.posOrderedSum(spark, col("arr")).as("s"))
+      .orderBy("id").select("s").as[Double].collect()
+    val hof = df
+      .select(col("id"), expr(
+        "aggregate(array_sort(arr), 0.0d, (acc, x) -> acc + x.lp)").as("s"))
+      .orderBy("id").select("s").as[Double].collect()
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(h), s"$n != $h")
+    }
+  }
+
+  test("graft_pos_sum null/empty contract matches the HOF spelling") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, CAST(array(struct(2, 0.5d), struct(1, 0.25d))
+        |       AS array<struct<pos:int,lp:double>>)),
+        |  (2, CAST(array(NULL) AS array<struct<pos:int,lp:double>>)),
+        |  (3, CAST(NULL AS array<struct<pos:int,lp:double>>)),
+        |  (4, CAST(array(struct(1, CAST(NULL AS double)))
+        |       AS array<struct<pos:int,lp:double>>)),
+        |  (5, CAST(array() AS array<struct<pos:int,lp:double>>))
+        |AS t(id, arr)""".stripMargin)
+    val got = df.orderBy("id")
+      .select(GraftFunctions.posOrderedSum(spark, col("arr")).as("s")).collect()
+    assert(got(0).getDouble(0) == 0.75)
+    assert(got(1).isNullAt(0)) // null element poisons the fold
+    assert(got(2).isNullAt(0)) // null array
+    assert(got(3).isNullAt(0)) // null field poisons the fold
+    assert(got(4).getDouble(0) == 0.0) // empty array sums to the seed
+  }
+
+  test("graft_bpe_apply matches the aggregate(...CASE) greedy fold, " +
+    "rule order and adjacent repeats included") {
+    val rules = Seq(("p", "a"), ("pa", "pa"), ("a", "n"))
+    def hofFold(inner: String): String =
+      rules.foldLeft(inner) { case (acc, (l, r)) =>
+        s"aggregate($acc, CAST(array() AS array<string>), (acc, x) -> " +
+          s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' " +
+          s"AND x = '$r' " +
+          s"THEN concat(slice(acc, 1, size(acc) - 1), array('${l + r}')) " +
+          s"ELSE concat(acc, array(x)) END)"
+      }
+    val words = Seq("papa", "papapa", "banana", "pap", "a", "", "panpa")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val df = words.toDF("id", "w")
+    val kernel = df.select(col("id"), GraftFunctions.bpeApply(spark,
+        split(col("w"), ""), rules).as("s"))
+      .orderBy("id").select("s").as[Seq[String]].collect()
+    val hof = df.select(col("id"), expr(hofFold("split(w, '')")).as("s"))
+      .orderBy("id").select("s").as[Seq[String]].collect()
+    kernel.zip(hof).foreach { case (k, h) => assert(k == h, s"$k != $h") }
+    // 'papa' greedy check: (p,a) gives [pa, pa], then (pa,pa) gives [papa]
+    assert(kernel(0) == Seq("papa"))
+    // null array and null elements
+    val nulls = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, CAST(NULL AS array<string>)),
+        |  (2, array('p', CAST(NULL AS string), 'a'))
+        |AS t(id, syms)""".stripMargin)
+    val got = nulls.orderBy("id")
+      .select(GraftFunctions.bpeApply(spark, col("syms"), rules).as("s"))
+      .collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getSeq[String](0) == Seq("p", null, "a"))
+  }
+
   test("kernel works via SQL after extension-style registration") {
     GraftFunctions.register(spark)
     emb.limit(5).createOrReplaceTempView("emb_fn_test")
